@@ -1,0 +1,67 @@
+"""Deterministic pattern-based OpenIE triple extraction (SVO).
+
+The reference has no triple extraction — this operator is mandated by the
+north rule (BASELINE.json: "dependency-pattern OpenIE triple extraction").
+With no dependency parser available (SURVEY.md §7), the extractor is a
+deterministic surface-pattern SVO matcher over sentences. It is ONE pure
+function shared by the single-node oracle and the Spark mapInPandas stage, so
+Spark-vs-oracle triple P/R is 1.0 by construction on agreeing inputs; the
+0.95 gate then measures pipeline wiring, not extractor drift.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["extract_triples", "split_sentences", "PREDICATE_PATTERNS"]
+
+_SENT_SPLIT = re.compile(r"[.!?\n]+")
+
+# (predicate, verb-phrase regex). Applied in order; first match per sentence
+# per predicate. Arguments are trimmed of leading articles and punctuation.
+PREDICATE_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("founded", re.compile(r"^(.{1,80}?)\s+founded\s+(.{1,80})$")),
+    ("acquired", re.compile(r"^(.{1,80}?)\s+acquired\s+(.{1,80})$")),
+    ("located_in", re.compile(r"^(.{1,80}?)\s+is\s+located\s+in\s+(.{1,80})$")),
+    ("works_for", re.compile(r"^(.{1,80}?)\s+works\s+for\s+(.{1,80})$")),
+    ("born_in", re.compile(r"^(.{1,80}?)\s+was\s+born\s+in\s+(.{1,80})$")),
+    ("ceo_of", re.compile(r"^(.{1,80}?)\s+is\s+the\s+CEO\s+of\s+(.{1,80})$")),
+    ("part_of", re.compile(r"^(.{1,80}?)\s+is\s+part\s+of\s+(.{1,80})$")),
+    ("produces", re.compile(r"^(.{1,80}?)\s+produces\s+(.{1,80})$")),
+]
+
+_ARTICLES = re.compile(r"^(?:the|a|an)\s+", re.IGNORECASE)
+_TRIM = re.compile(r"^[\s\"'.,;:()\[\]]+|[\s\"'.,;:()\[\]]+$")
+
+
+def _clean_arg(arg: str) -> str:
+    arg = _TRIM.sub("", arg)
+    arg = _ARTICLES.sub("", arg)
+    arg = _TRIM.sub("", arg)
+    return arg
+
+
+def split_sentences(text: str) -> list[str]:
+    return [s.strip() for s in _SENT_SPLIT.split(text) if s.strip()]
+
+
+def extract_triples(text: str, max_arg_words: int = 6) -> list[tuple[str, str, str]]:
+    """Return (subj, pred, obj) triples found in ``text``, in sentence order.
+
+    Both arguments must be non-empty and at most ``max_arg_words`` whitespace
+    words after cleaning, else the match is discarded (garbage guard).
+    """
+    out: list[tuple[str, str, str]] = []
+    for sentence in split_sentences(text):
+        for pred, rx in PREDICATE_PATTERNS:
+            m = rx.match(sentence)
+            if not m:
+                continue
+            subj = _clean_arg(m.group(1))
+            obj = _clean_arg(m.group(2))
+            if not subj or not obj:
+                continue
+            if len(subj.split()) > max_arg_words or len(obj.split()) > max_arg_words:
+                continue
+            out.append((subj, pred, obj))
+    return out

@@ -1,0 +1,256 @@
+"""Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md).
+
+Generates the ``pages`` input table (url, warc_ts, html, text, lang) plus the
+gazetteer / regex / alias dimension tables and oracle-computed golden outputs
+(expected mentions and triples). Everything is seeded — same seed, same
+bytes — so the byte-identical-extraction and P/R gates are reproducible.
+
+The html template embeds boilerplate (<nav>/<footer>) around <p> sentences;
+``kg.textextract.extract_text`` recovers exactly the <p> sentences joined by
+"\\n", which is stored in the ``text`` column as the golden.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+from html import escape
+
+import pandas as pd
+
+from kg import openie, oracle
+
+# ---- dimension data (canonical fixture dictionaries, FIXTURES.md §2-3) ----
+
+GAZETTEER_DATA: dict[str, list[str]] = {
+    "CakeSize": ["Large", "Medium", "Tiny"],
+    "CakeType": ["Carrot", "Chocolate", "Coffee", "Sponge"],
+    "Drinks": ["Coffee", "Beer", "Red Wine", "White Wine", "Coke", "Diet Coke"],
+    "Biscuit": ["Rich Tea", "Digestive", "Chocolate"],
+    "cars": ["Fiesta", "Focus", "Golf"],
+    "fruits": ["Apple", "Banana", "Pear"],
+    "alarms": ["a210", "a211", "a212"],
+}
+
+REGEX_DATA: dict[str, str] = {
+    "CakeSizeRegex": "^[Ll].+$",
+    "CakeTypeRegex": "^[Cc].+$",
+    "ralarms": r"[A]\d{3}$",
+}
+
+# entity-linking dictionary: alias surface -> (entity_id, canonical).
+# Alias groups share token overlap so MinHash blocking + connected components
+# have known ground-truth components (FIXTURES.md §6).
+ALIAS_GROUPS: list[tuple[int, str, list[str]]] = [
+    (1, "Acme Corporation", ["Acme Corporation", "Acme Corp", "Acme", "ACME"]),
+    (2, "Globex", ["Globex", "Globex Inc", "globex"]),
+    (3, "Initech", ["Initech", "initech ltd"]),
+    (4, "Stark Industries", ["Stark Industries", "Stark Industries Inc"]),
+    (5, "Hooli", ["Hooli", "hooli"]),
+    (6, "Ada Lovelace", ["Ada Lovelace", "A. Lovelace", "Lovelace"]),
+    (7, "Alan Turing", ["Alan Turing", "A. Turing", "Turing"]),
+    (8, "Grace Hopper", ["Grace Hopper", "G. Hopper"]),
+    (9, "London", ["London", "london"]),
+    (10, "Paris", ["Paris"]),
+    (11, "Cambridge", ["Cambridge"]),
+    (12, "Diet Coke", ["Diet Coke", "diet coke", "Coke"]),
+    (13, "Red Wine", ["Red Wine", "red wine"]),
+    (14, "Coffee", ["Coffee", "coffee"]),
+]
+
+# Zipf-ish hot subjects: a small set appearing in ~30% of SVO sentences —
+# this is the head-entity skew the salted linking join must absorb.
+HOT_SUBJECTS = ["Acme Corporation", "Coffee", "London"]
+
+_SVO_TEMPLATES = [
+    ("{s} founded {o}", "founded"),
+    ("{s} acquired {o}", "acquired"),
+    ("{s} is located in {o}", "located_in"),
+    ("{s} works for {o}", "works_for"),
+    ("{s} was born in {o}", "born_in"),
+    ("{s} is the CEO of {o}", "ceo_of"),
+    ("{s} is part of {o}", "part_of"),
+    ("{s} produces {o}", "produces"),
+]
+
+_GAZ_TEMPLATES = [
+    "I want a {v} cake",
+    "Order a {v} today",
+    "She asked for {v} with breakfast",
+    "We served {v} at the party",
+    "Maybe some {v}, or not",
+]
+
+_DISTRACTORS = [
+    "The weather stayed calm all afternoon",
+    "Nothing interesting happened on the way home",
+    "Please close the door when you leave",
+    "The report is due at the end of the quarter",
+    "General remarks follow in the appendix",
+]
+
+_TOKEN_EDGE_CASES = [
+    "hi",
+    "Fred Bloggs rules OK",
+    "set alarm 12345",
+    "12345",
+    "123.45",
+    "1,234.50",
+]
+
+_LANGS = ["en", "en", "en", "en", "es", "fr", "it", "pt"]  # en weight 0.5+
+
+_EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _alias_surfaces() -> list[str]:
+    out = []
+    for _eid, _canon, aliases in ALIAS_GROUPS:
+        out.extend(aliases)
+    return out
+
+
+def _gaz_values() -> list[str]:
+    out = []
+    for values in GAZETTEER_DATA.values():
+        out.extend(values)
+    return out
+
+
+def make_sentences(rng: random.Random) -> list[str]:
+    """2-5 sentences per page, mixing gazetteer/SVO/distractor/edge cases."""
+    n = rng.randint(2, 5)
+    sentences = []
+    aliases = _alias_surfaces()
+    gvals = _gaz_values()
+    for _ in range(n):
+        roll = rng.random()
+        if roll < 0.35:
+            sentences.append(rng.choice(_GAZ_TEMPLATES).format(v=rng.choice(gvals)))
+        elif roll < 0.75:
+            tmpl, _pred = rng.choice(_SVO_TEMPLATES)
+            if rng.random() < 0.30:
+                s = rng.choice(HOT_SUBJECTS)
+            else:
+                s = rng.choice(aliases)
+            o = rng.choice(aliases)
+            sentences.append(tmpl.format(s=s, o=o))
+        elif roll < 0.95:
+            sentences.append(rng.choice(_DISTRACTORS))
+        else:
+            sentences.append(rng.choice(_TOKEN_EDGE_CASES))
+    return sentences
+
+
+def page_html(doc_id: int, sentences: list[str]) -> bytes:
+    paras = "".join(f"<p>{escape(s)}</p>" for s in sentences)
+    html = (
+        f"<html><head><title>t{doc_id}</title>"
+        f"<script>var x={doc_id};</script></head>"
+        f"<body><nav>site navigation boilerplate</nav>"
+        f"{paras}"
+        f"<footer>copyright boilerplate {doc_id % 7}</footer></body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def gen_pages(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Generate the pages table as a pandas DataFrame (deterministic)."""
+    rng = random.Random(seed)
+    rows = []
+    for doc_id in range(n_docs):
+        sentences = make_sentences(rng)
+        html = page_html(doc_id, sentences)
+        rows.append(
+            {
+                "url": f"https://ex{seed}.test/{doc_id:08d}",
+                "warc_ts": _EPOCH + _dt.timedelta(seconds=doc_id),
+                "html": html,
+                "text": "\n".join(sentences),
+                "lang": rng.choice(_LANGS),
+            }
+        )
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+def gazetteer_df() -> pd.DataFrame:
+    from kg.normalize import norm_value
+
+    rows = [
+        {"entity_name": name, "value": v, "value_norm": norm_value(v)}
+        for name, values in GAZETTEER_DATA.items()
+        for v in values
+    ]
+    return pd.DataFrame(rows)
+
+
+def regex_df() -> pd.DataFrame:
+    return pd.DataFrame(
+        [{"entity_name": k, "pattern": v} for k, v in REGEX_DATA.items()]
+    )
+
+
+def alias_df() -> pd.DataFrame:
+    from kg.normalize import norm_value
+
+    rows = []
+    for eid, canon, aliases in ALIAS_GROUPS:
+        for a in aliases:
+            rows.append(
+                {
+                    "alias": a,
+                    "alias_norm": norm_value(a),
+                    "entity_id": eid,
+                    "canonical": canon,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def expected_mentions(pages: pd.DataFrame) -> pd.DataFrame:
+    """Oracle mentions for every page: (url, matched_word, entity_name, detector)."""
+    gaz = oracle.build_gazetteer(GAZETTEER_DATA)
+    rx = oracle.compile_regexes(REGEX_DATA)
+    rows = []
+    for url, text in zip(pages["url"], pages["text"]):
+        for word, name, det in oracle.find_entities_rows(text, gaz, rx):
+            rows.append(
+                {"url": url, "matched_word": word, "entity_name": name, "detector": det}
+            )
+    return pd.DataFrame(rows, columns=["url", "matched_word", "entity_name", "detector"])
+
+
+def expected_triples(pages: pd.DataFrame) -> pd.DataFrame:
+    """Oracle triples for every page: (url, subj, pred, obj)."""
+    rows = []
+    for url, text in zip(pages["url"], pages["text"]):
+        for subj, pred, obj in openie.extract_triples(text):
+            rows.append({"url": url, "subj": subj, "pred": pred, "obj": obj})
+    return pd.DataFrame(rows, columns=["url", "subj", "pred", "obj"])
+
+
+def materialize(outdir: str, sizes: dict[str, int] | None = None, seed: int = 42) -> None:
+    """Write fixture parquet files: pages_{name}.parquet + dims + goldens."""
+    import pathlib
+
+    out = pathlib.Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    sizes = sizes or {"tiny": 100, "small": 10_000}
+    gazetteer_df().to_parquet(out / "gazetteer.parquet", index=False)
+    regex_df().to_parquet(out / "regex_entities.parquet", index=False)
+    alias_df().to_parquet(out / "alias_dict.parquet", index=False)
+    for name, n in sizes.items():
+        pages = gen_pages(n, seed=seed)
+        pages.to_parquet(out / f"pages_{name}.parquet", index=False)
+        expected_mentions(pages).to_parquet(
+            out / f"expected_mentions_{name}.parquet", index=False
+        )
+        expected_triples(pages).to_parquet(
+            out / f"expected_triples_{name}.parquet", index=False
+        )
+
+
+if __name__ == "__main__":
+    import sys
+
+    materialize(sys.argv[1] if len(sys.argv) > 1 else "fixtures")
