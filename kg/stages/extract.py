@@ -1,0 +1,63 @@
+"""Stage 1: pages(url, warc_ts, html, text?, lang) -> docs(url, text, lang, ...).
+
+HTML-to-text runs as an Arrow-batched ``mapInPandas`` over the SAME pure
+function the oracle uses (kg.textextract.extract_text), so per-url output is
+byte-identical to the single-node reference by construction
+(BASELINE.json input_hint).
+
+Scale notes:
+- the stage reads ONLY (url, html, lang) — column pruning keeps the scan from
+  dragging `text` (and anything else) through the UDF; at 100 TB the html
+  column dominates and nothing else should be materialized here.
+- no shuffle: extraction is embarrassingly parallel. Partition sizing is
+  inherited from the scan (spark.sql.files.maxPartitionBytes); pages with
+  multi-MB html bodies are why maxRecordsPerBatch stays moderate (2048).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kg.textextract import extract_text
+
+DOCS_COLUMNS = "url string, text string, lang string, n_chars int, extract_sha1 string"
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        texts = [extract_text(h) for h in pdf["html"]]
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "text": texts,
+                "lang": pdf["lang"],
+                "n_chars": pd.array([len(t) for t in texts], dtype="int32"),
+                "extract_sha1": [
+                    hashlib.sha1(t.encode("utf-8")).hexdigest() for t in texts
+                ],
+            }
+        )
+
+
+def extract_docs(pages: DataFrame) -> DataFrame:
+    """pages -> docs. Only url/html/lang are read from the input."""
+    pruned = pages.select("url", "html", "lang")
+    return pruned.mapInPandas(_extract_batches, schema=DOCS_COLUMNS)
+
+
+def verify_extraction(pages: DataFrame) -> DataFrame:
+    """Byte-identity audit: rows where UDF extraction != the golden `text`
+    column. Empty result == invariant holds. Cheap enough to run per-round
+    at test SF; at production SF run on a sampled bucket."""
+    docs = extract_docs(pages)
+    golden = pages.select("url", F.col("text").alias("golden_text"))
+    return (
+        docs.join(golden, "url")
+        .where(F.col("text") != F.col("golden_text"))
+        .select("url", "text", "golden_text")
+    )

@@ -1,0 +1,208 @@
+"""Stage 2: dictionary + regex mention detection, fully relational.
+
+Re-expresses the reference's find-entities semantics (oracle: kg/oracle.py;
+reference behavior pinned at /root/reference/src/hu_entity/
+legacy_entity_finder.py:53-122) as DataFrame algebra — no Python in the hot
+path at all; every operator here is JVM-side / whole-stage-codegen:
+
+  docs --split--> word arrays
+       --transform/flatten/explode--> n-gram spans (capped at the longest
+            dictionary phrase: a span longer than any value can never match,
+            so the reference's O(n^2) span generation collapses to O(n*L))
+       --btrim+lower--> normalized span key
+       --BROADCAST hash join--> gazetteer dim  (the trie-membership analogue)
+       --groupBy(url, entity) max_by(len, -pos)--> longest-match winners
+  words --LEFT ANTI join value-matched surfaces--> value-over-regex priority
+       --broadcast regex dim + regexp_like fullmatch--> regex mentions
+  union --> mentions(url, matched_word, entity_name, detector)
+
+Scale notes:
+- gazetteer and regex dims are broadcast (F.broadcast) — the fact side never
+  shuffles for the join.
+- the only shuffles are the two aggregations keyed by (url, ...) — both are
+  partial-aggregated map-side first (Catalyst HashAggregate pairs).
+- span explosion is bounded: rows_out <= words_per_doc * max_phrase_words.
+- AQE skew-join handles hot normalized values (e.g. "coffee" at 30% of docs).
+
+Semantics notes (vs the oracle, tested in tests/test_mentions_spark.py):
+- candidate dedup keeps the first (start, end) occurrence per distinct
+  (url, entity, surface) — equivalent to the reference's words_matched-set
+  skip for identical repeats (entity_finder.py:77,84).
+- winner = max by (char length, then earliest first occurrence) — the
+  reference's first-wins-ties fold (entity_finder.py:64-69).
+- regex matching is CASE-SENSITIVE fullmatch on the punctuation-stripped
+  single word; fullmatch == RLIKE with '^(?:...)$' wrapping. Patterns are
+  validated with re.compile on the driver first (fail-fast, the HTTP-400
+  analogue at server.py:124-128). Dialect caveat: patterns execute under
+  Java regex on the JVM; the fixture patterns are dialect-neutral.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kg.normalize import PUNCT
+from kg.oracle import BadRegexError
+
+MENTIONS_SCHEMA = "url string, matched_word string, entity_name string, detector string"
+
+
+def gazetteer_dim(spark: SparkSession, entities: dict[str, list[str]]) -> DataFrame:
+    """Flatten {entity_name: [values]} into the broadcastable gazetteer dim
+    (entity_name, value, value_norm). Normal form = lower then strip-punct
+    ends, matching kg.normalize.norm_value."""
+    rows = [(n, v) for n, values in entities.items() for v in values]
+    df = spark.createDataFrame(rows, "entity_name string, value string")
+    return df.select(
+        "entity_name",
+        "value",
+        F.btrim(F.lower("value"), F.lit(PUNCT)).alias("value_norm"),
+        F.size(F.split(F.btrim(F.lower("value"), F.lit(PUNCT)), r"\s+")).alias(
+            "n_words"
+        ),
+    )
+
+
+def regex_dim(spark: SparkSession, regex_entities: dict[str, str]) -> DataFrame:
+    """Validate (fail fast on bad patterns) and build the regex dim."""
+    for name, pattern in regex_entities.items():
+        try:
+            re.compile(pattern)
+        except re.error as exc:
+            raise BadRegexError(f"invalid regex for entity {name!r}: {exc}") from exc
+    return regex_dim_from_df_rows(spark, list(regex_entities.items()))
+
+
+def regex_dim_from_df_rows(spark, rows):  # noqa: ANN001
+    if not rows:
+        return spark.createDataFrame([], "entity_name string, pattern string")
+    return spark.createDataFrame(rows, "entity_name string, pattern string")
+
+
+def _words_col(text: str | Column = "text") -> Column:
+    """Python str.split() equivalent: split on whitespace runs, drop empties."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
+
+
+def ngram_spans_df(docs: DataFrame, max_words: int, id_col: str = "url") -> DataFrame:
+    """Explode all contiguous word n-grams up to ``max_words`` per doc.
+
+    Output: (id_col, start, end, span). Entirely built-in array functions —
+    transform/sequence/slice/flatten stay inside whole-stage codegen.
+    """
+    w = _words_col("text")
+    spans = F.flatten(
+        F.transform(
+            w,
+            lambda x, i: F.transform(
+                F.sequence(i, F.least(F.size(w) - 1, i + F.lit(max_words - 1))),
+                lambda j: F.struct(
+                    i.alias("start"),
+                    j.alias("end"),
+                    F.array_join(F.slice(w, i + 1, j - i + 1), " ").alias("span"),
+                ),
+            ),
+        )
+    )
+    return (
+        docs.select(id_col, F.explode(spans).alias("sp"))
+        .select(id_col, "sp.start", "sp.end", "sp.span")
+    )
+
+
+def detect_gazetteer_mentions(
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    max_words: int | None = None,
+    id_col: str = "url",
+) -> tuple[DataFrame, DataFrame]:
+    """Value-entity pass. Returns (winners, matched_surfaces).
+
+    winners: (url, matched_word, entity_name) after the longest-match fold.
+    matched_surfaces: distinct (url, surface) of ALL value matches pre-fold —
+    the words_matched set the regex pass anti-joins against.
+    """
+    if max_words is None:
+        max_words = (
+            gazetteer.agg(F.max("n_words")).collect()[0][0]
+            if "n_words" in gazetteer.columns and not gazetteer.isEmpty()
+            else 1
+        ) or 1
+    spans = ngram_spans_df(docs, max_words, id_col)
+    normalized = spans.select(
+        id_col,
+        "start",
+        "end",
+        F.btrim(F.col("span"), F.lit(PUNCT)).alias("surface"),
+    ).withColumn("key", F.lower("surface"))
+
+    joined = normalized.join(
+        F.broadcast(gazetteer.select(F.col("value_norm").alias("key"), "entity_name")),
+        "key",
+    )
+
+    matched_surfaces = joined.select(id_col, "surface").distinct()
+
+    # first occurrence per distinct candidate, then longest-match fold:
+    # max by (length, earliest start, earliest end) == first-wins-ties.
+    firsts = joined.groupBy(id_col, "entity_name", "surface").agg(
+        F.min(F.struct("start", "end")).alias("pos")
+    )
+    winners = firsts.groupBy(id_col, "entity_name").agg(
+        F.max_by(
+            F.col("surface"),
+            F.struct(
+                F.length("surface").alias("l"),
+                (-F.col("pos.start")).alias("ns"),
+                (-F.col("pos.end")).alias("ne"),
+            ),
+        ).alias("matched_word")
+    )
+    return winners.select(id_col, "matched_word", "entity_name"), matched_surfaces
+
+
+def detect_regex_mentions(
+    docs: DataFrame,
+    regexes: DataFrame,
+    matched_surfaces: DataFrame,
+    id_col: str = "url",
+) -> DataFrame:
+    """Regex-entity pass: single words only, case-sensitive fullmatch on the
+    stripped surface, skipping raw words already value-matched (O13+O14)."""
+    words = docs.select(
+        id_col, F.explode(_words_col("text")).alias("word")
+    ).distinct()
+    eligible = words.join(
+        matched_surfaces.withColumnRenamed("surface", "word"),
+        [id_col, "word"],
+        "left_anti",
+    )
+    stripped = eligible.select(
+        id_col, F.btrim(F.col("word"), F.lit(PUNCT)).alias("matched_word")
+    )
+    candidates = stripped.join(F.broadcast(regexes), how="cross")
+    # fullmatch == RLIKE with the pattern wrapped in ^(?:...)$
+    hits = candidates.where(F.expr("matched_word rlike concat('^(?:', pattern, ')$')"))
+    return hits.select(id_col, "matched_word", "entity_name").distinct()
+
+
+def detect_mentions(
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    regexes: DataFrame | None = None,
+    id_col: str = "url",
+) -> DataFrame:
+    """Full mention detection: gazetteer winners UNION regex matches, with
+    value-over-regex priority. Output matches kg.oracle.find_entities_rows."""
+    winners, matched_surfaces = detect_gazetteer_mentions(docs, gazetteer, id_col=id_col)
+    gaz = winners.withColumn("detector", F.lit("gazetteer"))
+    if regexes is None or regexes.isEmpty():
+        return gaz.select(id_col, "matched_word", "entity_name", "detector")
+    rx = detect_regex_mentions(docs, regexes, matched_surfaces, id_col).withColumn(
+        "detector", F.lit("regex")
+    )
+    return gaz.unionByName(rx).select(id_col, "matched_word", "entity_name", "detector")

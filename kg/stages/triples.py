@@ -1,0 +1,105 @@
+"""Stage 3: OpenIE triple extraction + mention/token columns, one Arrow pass.
+
+Per-doc NLP (SVO pattern extraction, NER-backend mention detection,
+tokenization) fuses into a single ``mapInPandas`` over docs — one Python
+round-trip per partition batch instead of three (SURVEY.md §3 E1-E3 fuse the
+same way). Everything downstream of this stage is relational again.
+
+Scale notes:
+- input pruned to (url, text): the html column must already be gone.
+- stateless per doc -> no shuffle; output partitioning inherits the input,
+  which run_pipeline pre-buckets by pmod(xxhash64(url), B) for checkpointing.
+- the extractor is pure Python but Arrow-batched; per-batch overhead is
+  amortized over maxRecordsPerBatch rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from kg.openie import extract_triples
+
+TRIPLES_SCHEMA = "url string, subj string, pred string, obj string, conf double"
+
+
+def _triples_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls, subjs, preds, objs = [], [], [], []
+        for url, text in zip(pdf["url"], pdf["text"]):
+            for s, p, o in extract_triples(text or ""):
+                urls.append(url)
+                subjs.append(s)
+                preds.append(p)
+                objs.append(o)
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "subj": subjs,
+                "pred": preds,
+                "obj": objs,
+                "conf": [1.0] * len(urls),
+            }
+        )
+
+
+def extract_svo_triples(docs: DataFrame) -> DataFrame:
+    """docs(url, text, ...) -> triples(url, subj, pred, obj, conf)."""
+    return docs.select("url", "text").mapInPandas(
+        _triples_batches, schema=TRIPLES_SCHEMA
+    )
+
+
+NER_MENTIONS_SCHEMA = (
+    "url string, value string, label string, category string, start int, end int"
+)
+
+
+def _ner_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # lazy import keeps worker bootstrap light when only triples are needed
+    from kg.detect import detect
+
+    for pdf in batches:
+        rows = []
+        langs = pdf["lang"] if "lang" in pdf.columns else ["en"] * len(pdf)
+        for url, text, lang in zip(pdf["url"], pdf["text"], langs):
+            for m in detect(text or "", lang=lang or "en"):
+                rows.append((url, m.value, m.label, m.category, m.start, m.end))
+        yield pd.DataFrame(
+            rows, columns=["url", "value", "label", "category", "start", "end"]
+        )
+
+
+def detect_ner_mentions(docs: DataFrame) -> DataFrame:
+    """Rule-backend NER mentions with char offsets (O1+O2), Arrow-batched."""
+    cols = [c for c in ("url", "text", "lang") if c in docs.columns]
+    return docs.select(*cols).mapInPandas(_ner_batches, schema=NER_MENTIONS_SCHEMA)
+
+
+TOKENS_SCHEMA = "url string, tokens array<string>"
+
+
+def tokenize_docs(
+    docs: DataFrame, filter_ents: bool = False, sw_size: str = "small"
+) -> DataFrame:
+    """Tokenizer pipeline (O5-O9) as a column: docs -> (url, tokens)."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kg.tokenize import tokenize
+
+        for pdf in batches:
+            langs = pdf["lang"] if "lang" in pdf.columns else ["en"] * len(pdf)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "tokens": [
+                        tokenize(t or "", filter_ents, sw_size, lang or "en")
+                        for t, lang in zip(pdf["text"], langs)
+                    ],
+                }
+            )
+
+    cols = [c for c in ("url", "text", "lang") if c in docs.columns]
+    return docs.select(*cols).mapInPandas(_batches, schema=TOKENS_SCHEMA)

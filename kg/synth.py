@@ -170,7 +170,11 @@ def gen_pages(n_docs: int, seed: int = 42) -> pd.DataFrame:
                 "lang": rng.choice(_LANGS),
             }
         )
-    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    # microsecond precision: Spark's parquet reader rejects TIMESTAMP(NANOS),
+    # which is what pandas' default ns dtype writes
+    df["warc_ts"] = df["warc_ts"].astype("datetime64[us, UTC]")
+    return df
 
 
 def gazetteer_df() -> pd.DataFrame:

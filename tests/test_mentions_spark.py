@@ -1,0 +1,97 @@
+"""Spark relational pipeline vs single-node oracle: exact row equality.
+
+The oracle is validated against the reference's ported test cases
+(tests/test_finder_semantics.py); here the distributed DataFrame plan must
+reproduce the oracle row-for-row on the synthetic corpus, which is the gate
+for the mentions stage (SURVEY.md §7 M1-M2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from kg import synth
+from kg.oracle import BadRegexError
+from kg.stages.extract import extract_docs, verify_extraction
+from kg.stages.mentions import detect_mentions, gazetteer_dim, regex_dim
+from kg.stages.triples import extract_svo_triples, tokenize_docs
+
+N_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return synth.gen_pages(N_DOCS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def pages_sdf(spark, pages_pdf):
+    return spark.createDataFrame(pages_pdf)
+
+
+def test_extract_docs_byte_identical(spark, pages_sdf):
+    assert verify_extraction(pages_sdf).count() == 0
+
+
+def test_extract_docs_schema(spark, pages_sdf):
+    docs = extract_docs(pages_sdf)
+    row = docs.orderBy("url").first()
+    assert row["n_chars"] == len(row["text"])
+    assert len(row["extract_sha1"]) == 40
+
+
+def _mention_rows(df: pd.DataFrame) -> list[tuple]:
+    return sorted(map(tuple, df[["url", "matched_word", "entity_name", "detector"]].values))
+
+
+def test_mentions_match_oracle_exactly(spark, pages_sdf, pages_pdf):
+    gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+    rx = regex_dim(spark, synth.REGEX_DATA)
+    docs = pages_sdf.select("url", "text")  # golden text == extracted text
+    got = detect_mentions(docs, gaz, rx).toPandas()
+    want = synth.expected_mentions(pages_pdf)
+    assert _mention_rows(got) == _mention_rows(want)
+
+
+def test_mentions_gazetteer_only(spark, pages_sdf, pages_pdf):
+    gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+    docs = pages_sdf.select("url", "text")
+    got = detect_mentions(docs, gaz, None).toPandas()
+    want = synth.expected_mentions(pages_pdf)
+    want = want[want["detector"] == "gazetteer"]
+    assert _mention_rows(got) == _mention_rows(want)
+
+
+def test_bad_regex_fails_fast(spark):
+    with pytest.raises(BadRegexError):
+        regex_dim(spark, {"bad": r"[a\d{3}$"})
+
+
+def test_triples_match_oracle_exactly(spark, pages_sdf, pages_pdf):
+    got = extract_svo_triples(pages_sdf.select("url", "text")).toPandas()
+    want = synth.expected_triples(pages_pdf)
+    got_rows = sorted(map(tuple, got[["url", "subj", "pred", "obj"]].values))
+    want_rows = sorted(map(tuple, want[["url", "subj", "pred", "obj"]].values))
+    assert got_rows == want_rows
+    assert (got["conf"] == 1.0).all()
+
+
+def test_tokenize_docs_matches_oracle(spark, pages_sdf, pages_pdf):
+    from kg.tokenize import tokenize
+
+    got = tokenize_docs(pages_sdf, filter_ents=True, sw_size="large").toPandas()
+    got_map = dict(zip(got["url"], [list(t) for t in got["tokens"]]))
+    for _, row in pages_pdf.head(40).iterrows():
+        assert got_map[row["url"]] == tokenize(
+            row["text"], True, "large", row["lang"]
+        ), row["url"]
+
+
+def test_mentions_plan_is_broadcast_and_pruned(spark, pages_sdf):
+    gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+    rx = regex_dim(spark, synth.REGEX_DATA)
+    plan = detect_mentions(pages_sdf.select("url", "text"), gaz, rx)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # no row-wise Python UDF anywhere in the relational mentions plan
+    assert "BatchEvalPython" not in plan
