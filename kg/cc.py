@@ -1,0 +1,94 @@
+"""Connected components on a DataFrame edge list (large-star/small-star).
+
+GraphFrames is unavailable here (SURVEY.md §7), so this is a hand-rolled
+implementation of the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+public literature; see PAPERS.md), which converges in O(log n) rounds and
+keeps every round a pair of shuffle-by-key aggregations — the right shape
+for very large graphs.
+
+Scale notes:
+- every iteration ends in ``localCheckpoint()`` to cut the lineage chain
+  (iterative self-joins otherwise blow up the plan and re-execute history).
+- convergence test is an anti-join emptiness check, not a collect.
+- node ids are int64; callers hash strings first (xxhash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u."""
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large->small, group by the large endpoint u:
+    m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u) ∪ {u} \\ {m}."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct()
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    neighbor_edges = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select("src", F.col("m").alias("dst"))
+    return (
+        neighbor_edges.union(self_edges)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(src: long, dst: long) -> (node: long, component: long).
+
+    component is the minimum node id in the component. Only nodes that appear
+    in the edge list are returned; callers attach isolated nodes with a left
+    join + coalesce(component, node).
+    """
+    current = _symmetrize(edges).localCheckpoint(eager=True)
+    if current.isEmpty():
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node long, component long")
+
+    for _ in range(max_iter):
+        after_large = _large_star(current)
+        after_small = _small_star(after_large).localCheckpoint(eager=True)
+        # converged when the star-contracted edge set is stable
+        changed = after_small.exceptAll(current).limit(1).isEmpty() and (
+            current.exceptAll(after_small).limit(1).isEmpty()
+        )
+        current = after_small
+        if changed:
+            break
+
+    # final state is a forest of stars: src -> component root (dst)
+    members = current.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = current.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    return members.union(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )

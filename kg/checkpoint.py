@@ -1,0 +1,191 @@
+"""Per-partition checkpointing, lineage, and resume (north-rule requirement).
+
+Unit of work = ``url_hash_bucket = pmod(xxhash64(url), n_buckets)``. Each
+stage writes its output partitioned by bucket; a ``lineage`` table records
+(stage, bucket, run_config_hash, counts, wall) rows only AFTER the bucket's
+data is durably written. Resume = anti-join: buckets present in lineage with
+a matching config hash are skipped; everything else is (re)computed with
+dynamic partition overwrite, so a killed run leaves at worst orphan partition
+files that the retry overwrites — output is exactly-once per bucket.
+
+Why lineage-as-commit-log works on object storage: the parquet partition
+write and the lineage append are two steps, and the lineage append happens
+last; a bucket is "done" iff its lineage row exists. Rewriting a partition
+is idempotent (dynamic overwrite). This is the same commit discipline
+Iceberg snapshots give; we implement it directly since Iceberg jars are not
+available in this sandbox (the writer targets plain partitioned parquet; the
+layout maps 1:1 onto an Iceberg table with an identity bucket partition).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["add_bucket", "CheckpointedPipeline"]
+
+LINEAGE_SCHEMA = (
+    "stage string, url_hash_bucket int, run_config_hash string, run_id string, "
+    "n_out long, wall_ms double, ts timestamp"
+)
+
+METRICS_SCHEMA = (
+    "stage string, run_id string, n_buckets_done int, n_rows_out long, "
+    "wall_ms double, ts timestamp"
+)
+
+
+def add_bucket(df: DataFrame, n_buckets: int, key: str = "url") -> DataFrame:
+    return df.withColumn(
+        "url_hash_bucket",
+        F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def config_hash(config: dict) -> str:
+    import hashlib
+
+    return hashlib.sha1(json.dumps(config, sort_keys=True).encode()).hexdigest()[:16]
+
+
+class CheckpointedPipeline:
+    """Runs stages bucket-incrementally under ``base_dir``.
+
+    Layout:
+      base_dir/<stage>/url_hash_bucket=<b>/part-*.parquet
+      base_dir/_lineage/part-*.parquet
+      base_dir/_metrics/part-*.parquet
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        n_buckets: int = 32,
+        run_config: dict | None = None,
+    ) -> None:
+        self.spark = spark
+        self.base = Path(base_dir)
+        self.n_buckets = n_buckets
+        self.run_config = run_config or {}
+        self.cfg_hash = config_hash({"n_buckets": n_buckets, **self.run_config})
+        self.run_id = uuid.uuid4().hex[:12]
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+
+    # ---- lineage ----
+
+    def _lineage_path(self) -> str:
+        return str(self.base / "_lineage")
+
+    def read_lineage(self) -> DataFrame:
+        p = Path(self._lineage_path())
+        if not p.exists() or not any(p.glob("*.parquet")):
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(str(p))
+
+    def completed_buckets(self, stage: str) -> set[int]:
+        rows = (
+            self.read_lineage()
+            .where(
+                (F.col("stage") == stage)
+                & (F.col("run_config_hash") == self.cfg_hash)
+            )
+            .select("url_hash_bucket")
+            .distinct()
+            .collect()
+        )
+        return {r[0] for r in rows}
+
+    # ---- stage execution ----
+
+    def stage_output_path(self, stage: str) -> str:
+        return str(self.base / stage)
+
+    def run_stage(
+        self,
+        stage: str,
+        bucketed_input: DataFrame,
+        fn: Callable[[DataFrame], DataFrame],
+    ) -> DataFrame:
+        """Apply ``fn`` to the not-yet-done buckets of ``bucketed_input``
+        (which must carry url_hash_bucket) and return the stage's full output.
+
+        fn's output must retain url_hash_bucket (it is re-derived from url if
+        absent and url survives fn).
+        """
+        done = self.completed_buckets(stage)
+        todo = bucketed_input
+        if done:
+            todo = bucketed_input.where(~F.col("url_hash_bucket").isin(*done))
+        t0 = time.monotonic()
+        if todo.limit(1).isEmpty():
+            return self.read_stage(stage)
+
+        out = fn(todo)
+        if "url_hash_bucket" not in out.columns:
+            out = add_bucket(out, self.n_buckets)
+        out.write.partitionBy("url_hash_bucket").mode("overwrite").parquet(
+            self.stage_output_path(stage)
+        )
+        wall_ms = (time.monotonic() - t0) * 1000.0
+
+        written = self.spark.read.parquet(self.stage_output_path(stage))
+        counts = (
+            written.groupBy("url_hash_bucket")
+            .count()
+            .collect()
+        )
+        count_map = {r["url_hash_bucket"]: r["count"] for r in counts}
+        # every todo bucket is now durable, including empty-output buckets
+        todo_buckets = sorted(
+            r[0]
+            for r in todo.select("url_hash_bucket").distinct().collect()
+        )
+        now = _now_utc()
+        lineage_rows = [
+            (
+                stage,
+                int(b),
+                self.cfg_hash,
+                self.run_id,
+                int(count_map.get(b, 0)),
+                wall_ms / max(len(todo_buckets), 1),
+                now,
+            )
+            for b in todo_buckets
+        ]
+        self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self._lineage_path())
+
+        metrics_rows = [
+            (
+                stage,
+                self.run_id,
+                len(todo_buckets),
+                int(sum(count_map.values())),
+                wall_ms,
+                now,
+            )
+        ]
+        self.spark.createDataFrame(metrics_rows, METRICS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(self.base / "_metrics"))
+        return self.read_stage(stage)
+
+    def read_stage(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.stage_output_path(stage))
+
+
+def _now_utc():
+    import datetime
+
+    return datetime.datetime.now(datetime.timezone.utc).replace(microsecond=0)

@@ -1,0 +1,74 @@
+"""Stage 4: entity linking — triples' subj/obj resolved against the alias dict.
+
+Join strategy (scale story, in order of preference):
+1. dim fits the broadcast threshold -> F.broadcast hash join; the 10^12-row
+   fact side never shuffles (default here).
+2. dim too big -> salted repartition join (kg/salt.py): hot head-entities
+   ("Coffee" in ~30% of triples in the synthetic corpus; BASELINE.md skew
+   knob) are spread across n_salts reducers; AQE skew-join splitting then
+   mops up any residual imbalance.
+
+Unmatched surfaces keep NULL ids (left join) — they flow to canonicalization
+as singleton candidates rather than being dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kg.normalize import PUNCT
+from kg.salt import salted_join
+
+__all__ = ["link_triples", "norm_surface_col"]
+
+
+def norm_surface_col(col: str | Column) -> Column:
+    """Column version of kg.normalize.norm_value (lower, then strip ends)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.btrim(F.lower(c), F.lit(PUNCT))
+
+
+def _alias_side(alias_dim: DataFrame, prefix: str) -> DataFrame:
+    return alias_dim.select(
+        F.col("alias_norm").alias(f"{prefix}_norm"),
+        F.col("entity_id").alias(f"{prefix}_id"),
+        F.col("canonical").alias(f"{prefix}_canonical"),
+    ).dropDuplicates([f"{prefix}_norm"])
+
+
+def link_triples(
+    triples: DataFrame,
+    alias_dim: DataFrame,
+    use_salting: bool = False,
+    n_salts: int = 16,
+) -> DataFrame:
+    """triples(url, subj, pred, obj, conf) + alias_dim(alias_norm, entity_id,
+    canonical) -> linked triples with subj_id/obj_id/canonical columns."""
+    t = triples.withColumn("subj_norm", norm_surface_col("subj")).withColumn(
+        "obj_norm", norm_surface_col("obj")
+    )
+    subj_dim = _alias_side(alias_dim, "subj")
+    obj_dim = _alias_side(alias_dim, "obj")
+    if use_salting:
+        linked = salted_join(
+            t, subj_dim, "subj_norm", n_salts=n_salts, how="left", entropy_col="url"
+        )
+        linked = salted_join(
+            linked, obj_dim, "obj_norm", n_salts=n_salts, how="left", entropy_col="url"
+        )
+    else:
+        linked = t.join(F.broadcast(subj_dim), "subj_norm", "left").join(
+            F.broadcast(obj_dim), "obj_norm", "left"
+        )
+    return linked.select(
+        "url",
+        "subj",
+        "pred",
+        "obj",
+        "conf",
+        "subj_id",
+        "subj_canonical",
+        "obj_id",
+        "obj_canonical",
+    )

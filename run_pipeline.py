@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""KG-construction pipeline driver (spark-submit entry).
+
+Usage (local):
+    python run_pipeline.py --pages /path/pages.parquet --out /tmp/kg_out \
+        --buckets 32 [--resume] [--salted-linking]
+
+Usage (cluster):
+    zip -r kg.zip kg
+    spark-submit --py-files kg.zip run_pipeline.py --pages s3://... --out s3://...
+
+Stages (each checkpointed per url_hash_bucket; see kg/checkpoint.py):
+  extract   pages -> docs (Arrow mapInPandas, byte-identical extraction)
+  mentions  docs -> dictionary/regex mentions (relational, broadcast joins)
+  triples   docs -> OpenIE SVO triples (Arrow mapInPandas)
+  link      triples + alias dict -> linked triples (broadcast or salted join)
+  canon     linked surfaces -> canonical entities (MinHash-LSH + CC)
+  graph     final (subj, pred, obj) materialization, partitioned by
+            (pred, url_hash_bucket)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pages", required=True, help="input pages parquet path")
+    p.add_argument("--out", required=True, help="output base directory")
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--master", default=None, help="override spark master")
+    p.add_argument("--salted-linking", action="store_true")
+    p.add_argument("--n-salts", type=int, default=16)
+    p.add_argument("--alias-dict", default=None, help="alias dict parquet (default: built-in fixture dict)")
+    p.add_argument(
+        "--stages",
+        default="extract,mentions,triples,link,canon,graph",
+        help="comma list of stages to run",
+    )
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv or sys.argv[1:])
+    from pyspark.sql import functions as F
+
+    from kg import synth
+    from kg.checkpoint import CheckpointedPipeline, add_bucket
+    from kg.session import get_spark
+    from kg.stages.canon import canonicalize_aliases
+    from kg.stages.extract import extract_docs
+    from kg.stages.link import link_triples, norm_surface_col
+    from kg.stages.mentions import detect_mentions, gazetteer_dim, regex_dim
+    from kg.stages.triples import extract_svo_triples
+
+    spark = get_spark(master=args.master, app_name="kg-pipeline")
+    stages = set(args.stages.split(","))
+    t_start = time.monotonic()
+
+    pipe = CheckpointedPipeline(
+        spark,
+        args.out,
+        n_buckets=args.buckets,
+        run_config={"salted": args.salted_linking, "pages": args.pages},
+    )
+
+    pages = add_bucket(spark.read.parquet(args.pages), args.buckets)
+
+    docs = None
+    if "extract" in stages:
+        docs = pipe.run_stage(
+            "docs",
+            pages.select("url", "html", "lang", "url_hash_bucket"),
+            lambda df: extract_docs(df).join(
+                df.select("url", "url_hash_bucket"), "url"
+            ),
+        )
+    else:
+        docs = pipe.read_stage("docs")
+
+    if "mentions" in stages:
+        gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+        rx = regex_dim(spark, synth.REGEX_DATA)
+        pipe.run_stage(
+            "mentions",
+            docs,
+            lambda df: detect_mentions(df.select("url", "text"), gaz, rx).join(
+                df.select("url", "url_hash_bucket").distinct(), "url"
+            ),
+        )
+
+    triples = None
+    if "triples" in stages:
+        triples = pipe.run_stage(
+            "triples",
+            docs,
+            lambda df: extract_svo_triples(df.select("url", "text")).join(
+                df.select("url", "url_hash_bucket").distinct(), "url"
+            ),
+        )
+    elif "link" in stages or "graph" in stages:
+        triples = pipe.read_stage("triples")
+
+    linked = None
+    if "link" in stages:
+        if args.alias_dict:
+            alias_dim = spark.read.parquet(args.alias_dict)
+        else:
+            alias_dim = spark.createDataFrame(synth.alias_df())
+        linked = pipe.run_stage(
+            "linked",
+            triples,
+            lambda df: link_triples(
+                df.select("url", "subj", "pred", "obj", "conf"),
+                alias_dim,
+                use_salting=args.salted_linking,
+                n_salts=args.n_salts,
+            ).join(df.select("url", "url_hash_bucket").distinct(), "url"),
+        )
+    elif "graph" in stages:
+        linked = pipe.read_stage("linked")
+
+    if "canon" in stages:
+        # alias universe = dictionary aliases ∪ unlinked corpus surfaces
+        if args.alias_dict:
+            alias_dim = spark.read.parquet(args.alias_dict)
+        else:
+            alias_dim = spark.createDataFrame(synth.alias_df())
+        surfaces = (
+            linked.select(F.col("subj").alias("alias"))
+            .union(linked.select(F.col("obj").alias("alias")))
+            .distinct()
+            .withColumn("alias_norm", norm_surface_col("alias"))
+        )
+        universe = alias_dim.select("alias", "alias_norm").union(surfaces).distinct()
+        canon = canonicalize_aliases(universe)
+        canon.write.mode("overwrite").parquet(f"{args.out}/entities_canonical")
+
+    if "graph" in stages:
+        canon = spark.read.parquet(f"{args.out}/entities_canonical")
+        alias_to_entity = canon.select(
+            F.col("entity_id").alias("_eid"), F.explode("aliases").alias("alias")
+        ).withColumn("alias_norm", norm_surface_col("alias")).dropDuplicates(["alias_norm"])
+        g = (
+            linked.withColumn("subj_norm", norm_surface_col("subj"))
+            .join(
+                F.broadcast(
+                    alias_to_entity.select(
+                        F.col("alias_norm").alias("subj_norm"),
+                        F.col("_eid").alias("subj_entity"),
+                    )
+                ),
+                "subj_norm",
+                "left",
+            )
+            .withColumn("obj_norm", norm_surface_col("obj"))
+            .join(
+                F.broadcast(
+                    alias_to_entity.select(
+                        F.col("alias_norm").alias("obj_norm"),
+                        F.col("_eid").alias("obj_entity"),
+                    )
+                ),
+                "obj_norm",
+                "left",
+            )
+            .select(
+                "subj", "pred", "obj", "url", "conf",
+                "subj_entity", "obj_entity", "url_hash_bucket",
+            )
+        )
+        g.write.partitionBy("pred", "url_hash_bucket").mode("overwrite").parquet(
+            f"{args.out}/graph"
+        )
+
+    wall = time.monotonic() - t_start
+    n_pages = pages.count()
+    print(
+        f'{{"pipeline_wall_s": {wall:.2f}, "pages": {n_pages}, '
+        f'"docs_per_sec": {n_pages / wall:.1f}}}'
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

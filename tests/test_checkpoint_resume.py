@@ -1,0 +1,101 @@
+"""Checkpoint/lineage/resume semantics: kill-and-resume must reproduce the
+exact same output (north rule: resumable from per-partition checkpoints)."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg import synth
+from kg.checkpoint import CheckpointedPipeline, add_bucket
+from kg.stages.mentions import detect_mentions, gazetteer_dim
+
+
+@pytest.fixture()
+def pages_sdf(spark, tmp_path):
+    pdf = synth.gen_pages(120, seed=42)
+    p = str(tmp_path / "pages.parquet")
+    pdf.to_parquet(p, index=False)
+    return spark.read.parquet(p)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.drop("url_hash_bucket").toPandas().values.tolist()))
+
+
+def test_stage_runs_and_is_idempotent(spark, pages_sdf, tmp_path):
+    base = str(tmp_path / "ckpt")
+    gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+    pipe = CheckpointedPipeline(spark, base, n_buckets=8)
+    bucketed = add_bucket(pages_sdf.select("url", "text"), 8)
+
+    fn = lambda df: detect_mentions(df, gaz, None).join(  # noqa: E731
+        bucketed.select("url", "url_hash_bucket").distinct(), "url"
+    )
+    out1 = _rows(pipe.run_stage("mentions", bucketed, fn))
+    assert pipe.completed_buckets("mentions") == set(range(8))
+
+    # second run: nothing to do, identical output
+    out2 = _rows(pipe.run_stage("mentions", bucketed, fn))
+    assert out1 == out2
+
+
+def test_kill_and_resume_reproduces_output(spark, pages_sdf, tmp_path):
+    base_full = str(tmp_path / "full")
+    base_killed = str(tmp_path / "killed")
+    gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+    bucketed = add_bucket(pages_sdf.select("url", "text"), 8)
+
+    def fn(df):
+        return detect_mentions(df, gaz, None).join(
+            bucketed.select("url", "url_hash_bucket").distinct(), "url"
+        )
+
+    golden = _rows(
+        CheckpointedPipeline(spark, base_full, n_buckets=8).run_stage(
+            "mentions", bucketed, fn
+        )
+    )
+
+    # simulate a killed run: only buckets 0-3 were processed and committed
+    pipe1 = CheckpointedPipeline(spark, base_killed, n_buckets=8)
+    half = bucketed.where(F.col("url_hash_bucket") < 4)
+    pipe1.run_stage("mentions", half, fn)
+    assert pipe1.completed_buckets("mentions") == {0, 1, 2, 3}
+
+    # a NEW process resumes with the full input and the same config
+    pipe2 = CheckpointedPipeline(spark, base_killed, n_buckets=8)
+    resumed = _rows(pipe2.run_stage("mentions", bucketed, fn))
+    assert resumed == golden
+    assert pipe2.completed_buckets("mentions") == set(range(8))
+
+
+def test_config_change_invalidates_checkpoints(spark, pages_sdf, tmp_path):
+    base = str(tmp_path / "cfg")
+    gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+    bucketed = add_bucket(pages_sdf.select("url", "text"), 8)
+    fn = lambda df: detect_mentions(df, gaz, None)  # noqa: E731
+
+    pipe_a = CheckpointedPipeline(spark, base, n_buckets=8, run_config={"v": 1})
+    pipe_a.run_stage("mentions", bucketed, fn)
+    pipe_b = CheckpointedPipeline(spark, base, n_buckets=8, run_config={"v": 2})
+    assert pipe_b.completed_buckets("mentions") == set()
+
+
+def test_lineage_and_metrics_written(spark, pages_sdf, tmp_path):
+    base = str(tmp_path / "lin")
+    gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+    bucketed = add_bucket(pages_sdf.select("url", "text"), 8)
+    pipe = CheckpointedPipeline(spark, base, n_buckets=8)
+    out = pipe.run_stage("mentions", bucketed, lambda df: detect_mentions(df, gaz, None))
+
+    lineage = pipe.read_lineage().toPandas()
+    assert len(lineage) == 8
+    assert lineage["n_out"].sum() == out.count()
+    assert (lineage["stage"] == "mentions").all()
+    metrics = spark.read.parquet(str(Path(base) / "_metrics")).toPandas()
+    assert metrics["n_rows_out"].iloc[0] == out.count()
+    assert metrics["wall_ms"].iloc[0] > 0

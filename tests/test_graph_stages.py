@@ -1,0 +1,113 @@
+"""Connected components, linking (broadcast + salted), canonicalization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg import synth
+from kg.cc import connected_components
+from kg.salt import salted_join, subject_frequencies
+from kg.stages.canon import canonicalize_aliases
+from kg.stages.link import link_triples
+
+
+def _comps(spark, edge_list):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    rows = connected_components(edges).collect()
+    groups: dict[int, set[int]] = {}
+    for r in rows:
+        groups.setdefault(r["component"], set()).add(r["node"])
+    return {frozenset(g) for g in groups.values()}
+
+
+def test_cc_chain_and_star(spark):
+    assert _comps(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]) == {frozenset({1, 2, 3, 4, 5})}
+    assert _comps(spark, [(10, 1), (10, 2), (10, 3)]) == {frozenset({1, 2, 3, 10})}
+
+
+def test_cc_two_components_and_dups(spark):
+    got = _comps(spark, [(1, 2), (2, 1), (2, 3), (7, 8), (8, 8), (9, 9)])
+    # self-loops contribute their node only if it also has a real edge;
+    # pure self-loop nodes (9) are isolated and dropped by the edge filter
+    assert frozenset({1, 2, 3}) in got
+    assert frozenset({7, 8}) in got
+
+
+def test_cc_empty(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
+
+
+def test_cc_long_chain_converges(spark):
+    n = 40
+    assert _comps(spark, [(i, i + 1) for i in range(n)]) == {frozenset(range(n + 1))}
+
+
+@pytest.fixture(scope="module")
+def alias_sdf(spark):
+    return spark.createDataFrame(synth.alias_df())
+
+
+def test_link_triples_broadcast(spark, alias_sdf):
+    triples = spark.createDataFrame(
+        [
+            ("u1", "Acme Corp", "acquired", "Globex", 1.0),
+            ("u1", "The Unknown Co", "founded", "A. Turing", 1.0),
+        ],
+        "url string, subj string, pred string, obj string, conf double",
+    )
+    got = {
+        (r["subj"], r["subj_id"], r["obj"], r["obj_id"])
+        for r in link_triples(triples, alias_sdf).collect()
+    }
+    assert ("Acme Corp", 1, "Globex", 2) in got
+    assert ("The Unknown Co", None, "A. Turing", 7) in got
+
+
+def test_link_triples_salted_equals_broadcast(spark, alias_sdf):
+    pages = synth.gen_pages(120, seed=42)
+    triples_pdf = synth.expected_triples(pages)
+    triples_pdf["conf"] = 1.0
+    triples = spark.createDataFrame(triples_pdf)
+    a = link_triples(triples, alias_sdf, use_salting=False).toPandas()
+    b = link_triples(triples, alias_sdf, use_salting=True, n_salts=8).toPandas()
+    key = ["url", "subj", "pred", "obj"]
+    a_rows = sorted(map(tuple, a.fillna(-1)[key + ["subj_id", "obj_id"]].values))
+    b_rows = sorted(map(tuple, b.fillna(-1)[key + ["subj_id", "obj_id"]].values))
+    assert a_rows == b_rows
+    assert len(a_rows) == len(triples_pdf)
+
+
+def test_subject_frequencies_shows_skew(spark, alias_sdf):
+    pages = synth.gen_pages(300, seed=42)
+    t = spark.createDataFrame(synth.expected_triples(pages))
+    top = subject_frequencies(t, "subj", top_n=3).collect()
+    assert {r["subj"] for r in top} <= set(synth.HOT_SUBJECTS) | {"Lovelace", "Turing"}
+    assert top[0]["count"] > 20
+
+
+def test_salted_join_requires_entropy(spark, alias_sdf):
+    f = spark.createDataFrame([("a", 1)], "k string, v int")
+    d = spark.createDataFrame([("a", 2)], "k string, w int")
+    with pytest.raises(ValueError):
+        salted_join(f, d, "k")
+
+
+def test_canonicalize_recovers_alias_groups(spark, alias_sdf):
+    got = canonicalize_aliases(alias_sdf.select("alias", "alias_norm")).collect()
+    by_alias = {}
+    for r in got:
+        for a in r["aliases"]:
+            by_alias[a] = r["entity_id"]
+    # same ground-truth group -> same component
+    for _eid, _canon, aliases in synth.ALIAS_GROUPS:
+        ids = {by_alias[a] for a in aliases}
+        assert len(ids) == 1, (aliases, ids)
+    # distinct groups stay distinct except by-design norm overlaps
+    assert by_alias["Acme Corporation"] != by_alias["Globex"]
+    assert by_alias["Ada Lovelace"] != by_alias["Alan Turing"]
+    # canonical of the Acme group is its longest surface
+    acme = [r for r in got if "Acme Corp" in r["aliases"]][0]
+    assert acme["canonical"] == "Acme Corporation"
+    assert acme["n_aliases"] >= 3
