@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline. The dot product is a JVM-side
+  ``aggregate(zip_with(...))`` — no Python in the scoring loop; the pair
+  space is bounded by broadcasting the (small) query side.
+- LSH-bucketed ANN: the scale path — built-in BucketedRandomProjectionLSH
+  (random hyperplane projection ≈ cosine on L2-normalized vectors) blocks
+  the pair space, then the same exact cosine re-ranks within buckets.
+
+At 10^9+ vectors the brute-force path is only for query batches (broadcast
+side stays small); the LSH path's shuffle is the bucket join, sized by
+bucketLength/numHashTables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["cosine_topk_bruteforce", "ann_lsh_topk", "dot_product_col"]
+
+
+def dot_product_col(a: str | Column, b: str | Column) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_col(a: str | Column) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(ca, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    (query_id, neighbor_id, rank). query side = rows passing query_filter
+    (default: all — quadratic; pass a filter at scale). Ties break on
+    neighbor id ascending, deterministic.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).withColumn("nnorm", _norm_col("nvec"))
+    q = embeddings.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    if query_filter is not None:
+        q = q.where(query_filter)
+    q = q.withColumn("qnorm", _norm_col("qvec"))
+    pairs = F.broadcast(q).crossJoin(base).where(F.col("qid") != F.col("nid"))
+    scored = pairs.withColumn(
+        "cos",
+        dot_product_col("qvec", "nvec")
+        / (F.col("qnorm") * F.col("nnorm")),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+        )
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    dist_threshold: float = 1.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH over L2-normalized
+    vectors (euclidean distance on the unit sphere is monotone in cosine:
+    d^2 = 2 - 2cos). Output: (query_id, neighbor_id, rank) — same shape as
+    the brute-force baseline so recall is directly measurable.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw"),
+    )
+    vecs = Normalizer(inputCol="raw", outputCol="nvec", p=2.0).transform(vecs)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="nvec",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=13,
+    )
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, dist_threshold, distCol="euc")
+    scored = pairs.select(
+        F.col("datasetA.vid").alias("query_id"),
+        F.col("datasetB.vid").alias("neighbor_id"),
+        # cos = 1 - d^2/2 on unit vectors
+        (F.lit(1.0) - F.col("euc") * F.col("euc") / F.lit(2.0)).alias("cos"),
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_stats(embeddings: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label embedding diagnostics: count, mean L2 norm (rounded)."""
+    norms = embeddings.select(
+        F.col(label_col).alias("label"), _norm_col(vec_col).alias("nrm")
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

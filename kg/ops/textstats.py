@@ -1,0 +1,119 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. Everything is built-in column expressions (JVM-side,
+whole-stage codegen) — each has a line-for-line ANSI-SQL oracle in
+__spark_entry__.oracle_sql, so the driver's DuckDB gate covers them.
+
+Float determinism: ratios are computed from ints in IEEE double and rounded
+to 4 places, which is reproducible across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word-piece tokenization: word characters runs OR single non-space
+# symbols (the classic GPT-2-style pre-tokenizer shape, simplified).
+BPE_ISH_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# marker stopwords per language for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "les", "de", "des", "et", "en", "une", "du", "est"],
+    "it": ["il", "la", "di", "che", "e", "un", "per", "del", "con", "sono"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "para"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die", "niet"],
+}
+
+
+def _words(col: str = "text") -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens, n_chars) per document."""
+    return docs.select(
+        id_col,
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))).alias(
+            "n_ws_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + a composite score in [0, 1]:
+    penalizes very short docs, extreme punctuation density, and absence of
+    common-word (stopword) mass — the usual pre-training quality gates."""
+    words = _words()
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+    en_stops = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(en_stops, x)))
+
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 4)
+    mean_word_len = F.round(
+        (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1)), 4
+    )
+    length_ok = (n_words >= 5).cast("int")
+    score = F.round(
+        0.4 * length_ok
+        + 0.3 * F.least(stop_ratio * F.lit(2.0), F.lit(1.0))
+        + 0.3 * (1.0 - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))),
+        4,
+    )
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID with a CJK fast path. Deterministic
+    tie-break: highest marker hits, then language code ascending."""
+    words = _words()
+
+    def _marker_hits(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in markers])
+        # single-arg lambda: a 2-arg lambda would be treated as (elem, index)
+        return F.size(F.filter(words, lambda x: F.array_contains(arr, x)))
+
+    scores = [
+        F.struct(_marker_hits(markers).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # max over (hits, lang) — ties resolve to the lexicographically LAST code,
+    # deterministic in both engines; a doc with zero hits is "unknown"
+    best = F.greatest(*scores)
+    n_cjk = F.size(F.regexp_extract_all("text", F.lit(r"[一-鿿]"), 0))
+    pred = (
+        F.when(n_cjk > 0, F.lit("zh"))
+        .when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        id_col, pred.alias("lang_pred"), best["hits"].alias("marker_hits")
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Two content fingerprints per doc: exact (md5 of whitespace-normalized
+    lowercase text) and bag-of-words (md5 of the sorted distinct word set —
+    order/duplication-insensitive, catches shuffled boilerplate)."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    bow = F.array_join(F.array_sort(F.array_distinct(_words())), " ")
+    return docs.select(
+        id_col,
+        F.md5(norm).alias("exact_fp"),
+        F.md5(bow).alias("bow_fp"),
+    )

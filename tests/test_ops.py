@@ -1,0 +1,183 @@
+"""Training-data operators: dedup ladder, similarity search, text stats,
+multimodal plumbing — tested on /root/testdata/sf0.001 + synthetic media."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg.ops.dedup import (
+    exact_dedup,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+    shingle_signature_dedup,
+    simhash,
+    simhash_band_candidates,
+)
+from kg.ops.multimodal import (
+    image_channel_stats,
+    media_metadata,
+    sample_frames,
+    synth_media,
+)
+from kg.ops.similarity import ann_lsh_topk, cosine_topk_bruteforce, embedding_stats
+from kg.ops.textstats import fingerprint, lang_id, quality_score, token_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the  quick Brown fox jumps over the lazy dog"),  # exact after norm
+        (3, "The quick brown fox jumps over the lazy cat"),  # near-dup
+        (4, "Completely different content about spark engines"),
+        (5, "completely different content about spark engines"),  # exact of 4
+        (6, "An unrelated sentence mentioning nothing shared"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    groups = exact_dedup(dup_docs).collect()
+    sizes = sorted(r["n_docs"] for r in groups)
+    assert sizes == [1, 1, 2, 2]
+    keeps = {r["keep_id"] for r in groups if r["n_docs"] == 2}
+    assert keeps == {1, 4}
+
+
+def test_shingle_signature_groups_near_dups(spark, dup_docs):
+    sig = shingle_signature_dedup(dup_docs, sig_size=4).collect()
+    by_id = {r["doc_id"]: r["shingle_sig"] for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[4] == by_id[5]
+    assert by_id[1] != by_id[6]
+
+
+def test_minhash_near_dup_clusters(spark, dup_docs):
+    got = minhash_near_dup(dup_docs, min_jaccard=0.5).collect()
+    comp = {r["doc_id"]: r["component"] for r in got}
+    assert comp[1] == comp[2] == comp[3]  # near-dup chain collapses
+    assert comp[4] == comp[5]
+    assert comp[6] not in (comp[1], comp[4])
+    keep = {r["doc_id"]: r["keep_id"] for r in got}
+    assert keep[3] == 1 and keep[5] == 4
+
+
+def test_simhash_deterministic_and_close(spark, dup_docs):
+    a = {r["doc_id"]: r["simhash"] for r in simhash(dup_docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(dup_docs.repartition(5)).collect()}
+    assert a == b  # partition-invariant
+    assert a[1] == a[2]  # same normalized word set
+    ham13 = bin(a[1] ^ a[3]).count("1")
+    ham16 = bin(a[1] ^ a[6]).count("1")
+    assert ham13 < ham16  # near-dup closer than unrelated
+
+
+def test_simhash_bands_and_jaccard_verify(spark, dup_docs):
+    sim = simhash(dup_docs)
+    cands = simhash_band_candidates(sim, n_bands=4)
+    verified = ngram_jaccard_pairs(dup_docs, cands, min_jaccard=0.5).collect()
+    pairs = {(r["a"], r["b"]) for r in verified}
+    assert (1, 2) in pairs
+    assert all(r["jaccard"] >= 0.5 for r in verified)
+
+
+def test_cosine_topk_bruteforce(spark, embeddings):
+    got = cosine_topk_bruteforce(
+        embeddings, k=3, query_filter=F.col("qid") < 5
+    ).toPandas()
+    assert set(got["query_id"]) == {0, 1, 2, 3, 4}
+    assert got.groupby("query_id")["rank"].max().eq(3).all()
+    assert (got["query_id"] != got["neighbor_id"]).all()
+
+
+def test_ann_lsh_recall_against_bruteforce(spark, embeddings):
+    qf = F.col("qid") < 20
+    exact = cosine_topk_bruteforce(embeddings, k=5, query_filter=qf).toPandas()
+    approx = ann_lsh_topk(
+        embeddings.where(F.col("vec_id") >= 0), k=5,
+        bucket_length=1.0, num_hash_tables=4, dist_threshold=2.0,
+    ).toPandas()
+    approx = approx[approx["query_id"] < 20]
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, recall
+
+
+def test_embedding_stats(spark, embeddings):
+    got = embedding_stats(embeddings).toPandas()
+    assert got["n_vecs"].sum() == embeddings.count()
+    assert (got["avg_norm"] > 0).all()
+
+
+def test_token_stats_and_quality(spark, documents):
+    ts = token_stats(documents).toPandas()
+    assert (ts["n_bpe_tokens"] >= ts["n_ws_tokens"]).all()
+    q = quality_score(documents).toPandas()
+    assert q["quality"].between(0, 1).all()
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog sat in the garden of the house"),
+        (2, "el perro y la casa de los amigos en la calle"),
+        (3, "你好 世界 这是 中文"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "zh" and got[4] == "unknown"
+
+
+def test_fingerprint_invariances(spark):
+    rows = [
+        (1, "Alpha beta gamma"),
+        (2, "  alpha   BETA gamma "),  # ws/case-insensitive exact dup
+        (3, "gamma beta alpha"),  # word-order permutation
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["exact_fp"], r["bow_fp"]) for r in fingerprint(df).collect()}
+    assert got[1][0] == got[2][0]
+    assert got[1][1] == got[2][1] == got[3][1]
+    assert got[1][0] != got[3][0]
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(synth_media(40, seed=42))
+    meta = media_metadata(media).toPandas()
+    assert set(meta["kind"]) == {"image", "video"}
+    img = meta[meta["kind"] == "image"]
+    assert (img["n_bytes"] == img["width"] * img["height"] * img["channels"] + 9).all()
+
+    stats = image_channel_stats(media).toPandas()
+    assert stats["mean"].between(0, 255).all()
+    assert len(stats) == img["channels"].sum()
+
+    frames = sample_frames(media, every_k=2).toPandas()
+    vid = meta[meta["kind"] == "video"]
+    # every video contributes ceil(n_frames/2) frames; channels col holds n_frames for video
+    expected = int(sum((nf + 1) // 2 for nf in vid["channels"]))
+    assert len(frames) == expected
+    assert (frames["frame_idx"] % 2 == 0).all()
+
+
+def test_decode_stubs_raise(spark):
+    from kg.ops.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"")
