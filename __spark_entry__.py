@@ -1,38 +1,645 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship mention-detection query on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 + the
+training-data ops); each takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Queries whose
+semantics SQL cannot express (MinHash clustering, LSH ANN, SimHash) have no
+oracle entry and get the driver's weaker rows-only check. Fixture-based
+queries (kg_*) read the committed deterministic corpus under
+/root/repo/fixtures by absolute path — DuckDB reads the same files.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+FIX = f"{_REPO}/fixtures"
+
+# ---------------------------------------------------------------- dims ----
+
+# gazetteer over the synthetic `documents` vocabulary (multi-word phrases
+# exercise the longest-match fold; "scan"/"small"/"spark" overlap the regex
+# pass to exercise value-over-regex priority)
+DOC_GAZETTEER: dict[str, list[str]] = {
+    "ScanOps": ["scan", "table scan"],
+    "JoinOps": ["join", "hash join", "merge join"],
+    "Sizes": ["small", "large"],
+    "Engines": ["spark", "flink"],
+}
+DOC_REGEX: dict[str, str] = {"SWords": "^s.+$", "Grouping": "^group(ing)?$"}
+DOC_MAX_PHRASE_WORDS = 2
+
+_PUNCT_SQL = r"""!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~"""  # '' = escaped quote
+
+_EN_MARKERS = "('the','and','of','to','in','is','that','it','was','for')"
+
+_GAZ_VALUES_SQL = ", ".join(
+    f"('{name}', '{v.lower()}')" for name, vals in DOC_GAZETTEER.items() for v in vals
+)
+_RX_VALUES_SQL = ", ".join(
+    f"('{name}', '{pat.replace(chr(39), chr(39) * 2)}')"
+    for name, pat in DOC_REGEX.items()
+)
+
+_WORDS_CTE = (
+    "docs AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+    "w -> w <> '') AS words FROM documents)"
+)
+
+_SPANS_SQL = f"""
+WITH {_WORDS_CTE},
+spans AS (
+  SELECT d.doc_id, s.i AS start_i, s.j AS end_j,
+         array_to_string(d.words[s.i+1:s.j+1], ' ') AS span
+  FROM docs d, LATERAL (
+    SELECT i.i, j.j
+    FROM (SELECT unnest(generate_series(0, len(d.words)-1)) AS i) i,
+         LATERAL (SELECT unnest(generate_series(i.i,
+                    least(len(d.words)-1, i.i + {DOC_MAX_PHRASE_WORDS - 1}))) AS j) j
+  ) s
+  WHERE len(d.words) > 0
+),
+gaz(entity_name, value_norm) AS (VALUES {_GAZ_VALUES_SQL}),
+norm AS (
+  SELECT doc_id, start_i, end_j,
+         trim(span, '{_PUNCT_SQL}') AS surface,
+         lower(trim(span, '{_PUNCT_SQL}')) AS key
+  FROM spans
+),
+joined AS (SELECT n.*, g.entity_name FROM norm n JOIN gaz g ON n.key = g.value_norm),
+firsts AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id, entity_name, surface ORDER BY start_i, end_j) AS rn
+  FROM joined
+),
+winners AS (
+  SELECT doc_id, entity_name, surface, row_number() OVER (
+    PARTITION BY doc_id, entity_name
+    ORDER BY length(surface) DESC, start_i ASC, end_j ASC) AS rk
+  FROM firsts WHERE rn = 1
+)
+"""
+
+_REGEX_SQL_TAIL = f"""
+matched_surfaces AS (SELECT DISTINCT doc_id, surface FROM joined),
+single_words AS (
+  SELECT doc_id, unnest(words) AS word FROM docs
+),
+eligible AS (
+  SELECT DISTINCT w.doc_id, w.word FROM single_words w
+  LEFT JOIN matched_surfaces m ON m.doc_id = w.doc_id AND m.surface = w.word
+  WHERE m.surface IS NULL
+),
+rx(entity_name, pattern) AS (VALUES {_RX_VALUES_SQL}),
+regex_hits AS (
+  SELECT DISTINCT e.doc_id, trim(e.word, '{_PUNCT_SQL}') AS matched_word,
+         rx.entity_name
+  FROM eligible e, rx
+  WHERE regexp_full_match(trim(e.word, '{_PUNCT_SQL}'), rx.pattern)
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- queries ----
+
+
+def q_doc_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.stages.mentions import detect_gazetteer_mentions, gazetteer_dim
+
+    gaz = gazetteer_dim(spark, DOC_GAZETTEER)
+    winners, _ = detect_gazetteer_mentions(
+        _docs(spark, sf_dir), gaz, max_words=DOC_MAX_PHRASE_WORDS, id_col="doc_id"
+    )
+    return winners.select("doc_id", "matched_word", "entity_name")
+
+
+def q_doc_mentions_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.stages.mentions import detect_mentions, gazetteer_dim, regex_dim
+
+    gaz = gazetteer_dim(spark, DOC_GAZETTEER)
+    rx = regex_dim(spark, DOC_REGEX)
+    return detect_mentions(_docs(spark, sf_dir), gaz, rx, id_col="doc_id")
+
+
+def q_doc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.stages.mentions import ngram_spans_df
+
+    spans = ngram_spans_df(_docs(spark, sf_dir), DOC_MAX_PHRASE_WORDS, id_col="doc_id")
+    return spans.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_spans"))
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.textstats import token_stats
+
+    t = token_stats(_docs(spark, sf_dir))
+    return t.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.textstats import quality_score
+
+    q = quality_score(_docs(spark, sf_dir))
+    return q.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio",
+        "stop_ratio",
+        "mean_word_len",
+        "quality",
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.textstats import lang_id
+
+    li = lang_id(_docs(spark, sf_dir))
+    return li.select(
+        "doc_id", "lang_pred", F.col("marker_hits").cast("long").alias("marker_hits")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "text_hash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
+def q_doc_shingle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.dedup import shingle_signature_dedup
+
+    return shingle_signature_dedup(_docs(spark, sf_dir))
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.dedup import minhash_near_dup
+
+    return minhash_near_dup(_docs(spark, sf_dir), min_jaccard=0.6)
+
+
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.similarity import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(
+        _emb(spark, sf_dir), k=5, query_filter=F.col("qid") < 20
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(
+        _emb(spark, sf_dir), k=5, bucket_length=1.0, num_hash_tables=4,
+        dist_threshold=2.0,
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.similarity import embedding_stats
+
+    s = embedding_stats(_emb(spark, sf_dir))
+    return s.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        "avg_norm",
+    )
+
+
+# ---- classic relational coverage over the TPC-H-ish tables ----
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.row_number().over(w).cast("long").alias("event_seq"),
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+# ---- fixture-based end-to-end KG queries (absolute-path parquet) ----
+
+
+def q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.stages.extract import extract_docs
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    docs = extract_docs(pages)
+    return docs.select(
+        "url", F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def q_kg_mentions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg import synth
+    from kg.stages.extract import extract_docs
+    from kg.stages.mentions import detect_mentions, gazetteer_dim, regex_dim
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    docs = extract_docs(pages).select("url", "text")
+    gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+    rx = regex_dim(spark, synth.REGEX_DATA)
+    return detect_mentions(docs, gaz, rx)
+
+
+def q_kg_triples_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.stages.extract import extract_docs
+    from kg.stages.triples import extract_svo_triples
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    docs = extract_docs(pages).select("url", "text")
+    return extract_svo_triples(docs).select("url", "subj", "pred", "obj")
+
+
+def q_kg_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.stages.extract import extract_docs
+    from kg.stages.triples import tokenize_docs
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    docs = extract_docs(pages).join(
+        pages.select("url", F.col("lang").alias("lang_in")), "url"
+    ).select("url", "text", F.col("lang_in").alias("lang"))
+    t = tokenize_docs(docs, filter_ents=True, sw_size="large")
+    return t.select("url", F.array_join("tokens", " ").alias("tokens_joined"))
+
+
+def q_kg_linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.stages.link import link_triples
+
+    triples = spark.read.parquet(f"{FIX}/expected_triples_tiny.parquet").withColumn(
+        "conf", F.lit(1.0)
+    )
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    linked = link_triples(triples, alias_dim)
+    return linked.select(
+        "url", "subj", "pred", "obj",
+        F.col("subj_id").cast("long").alias("subj_id"),
+        F.col("obj_id").cast("long").alias("obj_id"),
+    )
+
+
+def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.stages.canon import canonicalize_aliases
+
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    canon = canonicalize_aliases(alias_dim.select("alias", "alias_norm"))
+    return (
+        canon.select(F.explode("aliases").alias("alias"), "canonical")
+        .orderBy("alias")
+    )
+
+
+# -------------------------------------------------------------- public ----
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dictionary+regex mention detection over sf0.001 documents,
+    aggregated per entity (exercises scan, explode, broadcast join, window,
+    agg). Driver checks rows >= 0 and stable schema."""
+    from kg.stages.mentions import detect_mentions, gazetteer_dim, regex_dim
+
+    sf_dir = "/root/testdata/sf0.001"
+    gaz = gazetteer_dim(spark, DOC_GAZETTEER)
+    rx = regex_dim(spark, DOC_REGEX)
+    mentions = detect_mentions(_docs(spark, sf_dir), gaz, rx, id_col="doc_id")
+    return (
+        mentions.groupBy("entity_name", "detector")
+        .agg(
+            F.count("*").cast("long").alias("n_mentions"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("entity_name", "detector")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_gazetteer_match": q_doc_gazetteer,
+        "doc_mentions_full": q_doc_mentions_full,
+        "doc_ngram_spans": q_doc_ngram_spans,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_shingle_dedup": q_doc_shingle_dedup,
+        "doc_simhash": q_doc_simhash,
+        "doc_minhash_dedup": q_doc_minhash_dedup,
+        "emb_ann_topk": q_emb_ann_topk,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_stats": q_emb_stats,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "top_customers": q_top_customers,
+        "region_revenue": q_region_revenue,
+        "events_window": q_events_window,
+        "kg_extract": q_kg_extract,
+        "kg_mentions_e2e": q_kg_mentions_e2e,
+        "kg_triples_e2e": q_kg_triples_e2e,
+        "kg_tokenize": q_kg_tokenize,
+        "kg_linked_triples": q_kg_linked_triples,
+        "kg_canonical": q_kg_canonical,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    words_expr = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+    bpe = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+    return {
+        "doc_gazetteer_match": _SPANS_SQL
+        + "SELECT doc_id, surface AS matched_word, entity_name FROM winners WHERE rk = 1",
+        "doc_mentions_full": _SPANS_SQL
+        + ", "
+        + _REGEX_SQL_TAIL
+        + """
+SELECT doc_id, surface AS matched_word, entity_name, 'gazetteer' AS detector
+FROM winners WHERE rk = 1
+UNION ALL
+SELECT doc_id, matched_word, entity_name, 'regex' AS detector FROM regex_hits
+""",
+        "doc_ngram_spans": f"""
+WITH {_WORDS_CTE}
+SELECT doc_id,
+  CAST(CASE WHEN len(words) >= {DOC_MAX_PHRASE_WORDS}
+    THEN (len(words) - {DOC_MAX_PHRASE_WORDS} + 1) * {DOC_MAX_PHRASE_WORDS}
+         + ({DOC_MAX_PHRASE_WORDS} - 1) * {DOC_MAX_PHRASE_WORDS} / 2
+    ELSE len(words) * (len(words) + 1) / 2 END AS BIGINT) AS n_spans
+FROM docs WHERE len(words) > 0
+""",
+        "doc_token_stats": f"""
+SELECT doc_id,
+  CAST(len({words_expr}) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+        "doc_quality": f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+  FROM documents
+), feat AS (
+  SELECT doc_id, len(words) AS n_words, n_chars,
+    round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+    round(len(list_filter(words, x -> x IN {_EN_MARKERS}))
+          / greatest(len(words), 1), 4) AS stop_ratio,
+    round((n_chars - (len(words) - 1)) / greatest(len(words), 1), 4)
+      AS mean_word_len
+  FROM base
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, punct_ratio, stop_ratio,
+  mean_word_len,
+  round(0.4 * (CASE WHEN n_words >= 5 THEN 1 ELSE 0 END)
+      + 0.3 * least(stop_ratio * 2.0, 1.0)
+      + 0.3 * (1.0 - least(punct_ratio * 4.0, 1.0)), 4) AS quality
+FROM feat
+""",
+        "doc_lang_id": """
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), scores AS (
+  SELECT doc_id, text, lang, hits FROM (
+    SELECT doc_id, text, s.lang,
+      len(list_filter(words, x -> list_contains(s.markers, x))) AS hits
+    FROM w, (VALUES
+      ('en', ['the','and','of','to','in','is','that','it','was','for']),
+      ('es', ['el','la','de','que','y','en','los','del','las','por']),
+      ('fr', ['le','la','les','de','des','et','en','une','du','est']),
+      ('it', ['il','la','di','che','e','un','per','del','con','sono']),
+      ('pt', ['o','a','de','que','e','do','da','em','um','para']),
+      ('nl', ['de','het','een','en','van','ik','te','dat','die','niet'])
+    ) s(lang, markers)
+  )
+), best AS (
+  SELECT doc_id, text, lang, hits, row_number() OVER (
+    PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rk
+  FROM scores
+)
+SELECT doc_id,
+  CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+       WHEN hits > 0 THEN lang ELSE 'unknown' END AS lang_pred,
+  CAST(hits AS BIGINT) AS marker_hits
+FROM best WHERE rk = 1
+""",
+        "doc_fingerprint": """
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS exact_fp,
+  md5(array_to_string(list_sort(list_distinct(
+    list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''))), ' '))
+    AS bow_fp
+FROM documents
+""",
+        "doc_exact_dedup": """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+  CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY 1
+""",
+        "doc_shingle_dedup": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3 THEN
+      list_sort(list_distinct(list_transform(
+        generate_series(0, len(words) - 3),
+        i -> array_to_string(words[i+1:i+3], ' '))))
+    ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+)
+SELECT doc_id, md5(array_to_string(shingles[1:8], '')) AS shingle_sig FROM sh
+""",
+        "emb_ann_topk": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    list_dot_product(q.e, n.e)
+      / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e)))
+      AS cos
+  FROM v q, v n
+  WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+  CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+        "emb_stats": """
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+    AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+""",
+        "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_customers": """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+""",
+        "region_revenue": """
+SELECT r_name AS region_name, CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "events_window": """
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+  CAST(row_number() OVER w AS BIGINT) AS event_seq,
+  round(sum(value) OVER w, 2) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "kg_extract": f"""
+SELECT url, CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS text_md5
+FROM '{FIX}/pages_tiny.parquet'
+""",
+        "kg_mentions_e2e": f"""
+SELECT url, matched_word, entity_name, detector
+FROM '{FIX}/expected_mentions_tiny.parquet'
+""",
+        "kg_triples_e2e": f"""
+SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
+""",
+        "kg_tokenize": f"""
+SELECT url, tokens_joined FROM '{FIX}/expected_tokens_tiny.parquet'
+""",
+        "kg_linked_triples": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+)
+SELECT t.url, t.subj, t.pred, t.obj, s.entity_id AS subj_id, o.entity_id AS obj_id
+FROM '{FIX}/expected_triples_tiny.parquet' t
+LEFT JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+LEFT JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+""",
+        "kg_canonical": f"""
+WITH ranked AS (
+  SELECT alias, entity_id, row_number() OVER (
+    PARTITION BY entity_id ORDER BY length(alias_norm) DESC, alias DESC) AS rn
+  FROM '{FIX}/alias_dict.parquet'
+), canon AS (SELECT entity_id, alias AS canonical FROM ranked WHERE rn = 1)
+SELECT a.alias, c.canonical
+FROM '{FIX}/alias_dict.parquet' a JOIN canon c USING (entity_id)
+ORDER BY a.alias
+""",
+    }

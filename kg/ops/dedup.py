@@ -58,7 +58,7 @@ def shingle_signature_dedup(
             ).otherwise(F.array(F.array_join(words, " ")))
         )
     )
-    sig = F.md5(F.array_join(F.slice(shingles, 1, sig_size), ""))
+    sig = F.md5(F.array_join(F.slice(shingles, 1, sig_size), ""))
     return docs.select(F.col(id_col), sig.alias("shingle_sig"))
 
 
@@ -187,18 +187,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact k-gram Jaccard verification over candidate pairs (a, b):
     the verify half of blocking+verify near-dup. JVM-side set algebra."""
-    words = _words()
-    grams = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), _words().alias("_w")
+    )
+    w = F.col("_w")
+    grams = src.select(
+        "doc_id",
         F.when(
-            F.size(words) >= k,
+            F.size(w) >= k,
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(0), F.size(words) - k),
-                    lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+                    F.sequence(F.lit(0), F.size(w) - k),
+                    lambda i: F.array_join(F.slice(w, i + 1, k), " "),
                 )
             ),
-        ).otherwise(F.array(F.array_join(words, " "))).alias("grams"),
+        ).otherwise(F.array(F.array_join(w, " "))).alias("grams"),
     )
     a = grams.select(F.col("doc_id").alias("a"), F.col("grams").alias("grams_a"))
     b = grams.select(F.col("doc_id").alias("b"), F.col("grams").alias("grams_b"))

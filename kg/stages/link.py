@@ -30,11 +30,17 @@ def norm_surface_col(col: str | Column) -> Column:
 
 
 def _alias_side(alias_dim: DataFrame, prefix: str) -> DataFrame:
-    return alias_dim.select(
-        F.col("alias_norm").alias(f"{prefix}_norm"),
-        F.col("entity_id").alias(f"{prefix}_id"),
-        F.col("canonical").alias(f"{prefix}_canonical"),
-    ).dropDuplicates([f"{prefix}_norm"])
+    # deterministic one-row-per-norm: min entity_id wins (dropDuplicates
+    # keeps an arbitrary row and would be partitioning-dependent)
+    return (
+        alias_dim.groupBy(F.col("alias_norm").alias(f"{prefix}_norm"))
+        .agg(F.min(F.struct("entity_id", "canonical")).alias("_e"))
+        .select(
+            f"{prefix}_norm",
+            F.col("_e.entity_id").alias(f"{prefix}_id"),
+            F.col("_e.canonical").alias(f"{prefix}_canonical"),
+        )
+    )
 
 
 def link_triples(

@@ -233,6 +233,20 @@ def expected_triples(pages: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "subj", "pred", "obj"])
 
 
+def expected_tokens(pages: pd.DataFrame) -> pd.DataFrame:
+    """Oracle tokenizer output per page: (url, tokens_joined)."""
+    from kg.tokenize import tokenize
+
+    rows = [
+        {
+            "url": url,
+            "tokens_joined": " ".join(tokenize(text, True, "large", lang)),
+        }
+        for url, text, lang in zip(pages["url"], pages["text"], pages["lang"])
+    ]
+    return pd.DataFrame(rows, columns=["url", "tokens_joined"])
+
+
 def materialize(outdir: str, sizes: dict[str, int] | None = None, seed: int = 42) -> None:
     """Write fixture parquet files: pages_{name}.parquet + dims + goldens."""
     import pathlib
@@ -251,6 +265,9 @@ def materialize(outdir: str, sizes: dict[str, int] | None = None, seed: int = 42
         )
         expected_triples(pages).to_parquet(
             out / f"expected_triples_{name}.parquet", index=False
+        )
+        expected_tokens(pages).to_parquet(
+            out / f"expected_tokens_{name}.parquet", index=False
         )
 
 
