@@ -93,8 +93,14 @@ def ngram_spans_df(docs: DataFrame, max_words: int, id_col: str = "url") -> Data
 
     Output: (id_col, start, end, span). Entirely built-in array functions —
     transform/sequence/slice/flatten stay inside whole-stage codegen.
+
+    PERF: the words array is materialized as a column BEFORE the nested
+    transform. If the filter(split(...)) expression itself is referenced
+    inside the inner lambda, Catalyst re-evaluates the split per emitted
+    span — measured ~30x slower on the sf0.1 corpus.
     """
-    w = _words_col("text")
+    src = docs.select(id_col, _words_col("text").alias("_w"))
+    w = F.col("_w")
     spans = F.flatten(
         F.transform(
             w,
@@ -109,7 +115,7 @@ def ngram_spans_df(docs: DataFrame, max_words: int, id_col: str = "url") -> Data
         )
     )
     return (
-        docs.select(id_col, F.explode(spans).alias("sp"))
+        src.select(id_col, F.explode(spans).alias("sp"))
         .select(id_col, "sp.start", "sp.end", "sp.span")
     )
 
@@ -119,6 +125,7 @@ def detect_gazetteer_mentions(
     gazetteer: DataFrame,
     max_words: int | None = None,
     id_col: str = "url",
+    share_scan: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Value-entity pass. Returns (winners, matched_surfaces).
 
@@ -145,13 +152,21 @@ def detect_gazetteer_mentions(
         "key",
     )
 
-    matched_surfaces = joined.select(id_col, "surface").distinct()
-
     # first occurrence per distinct candidate, then longest-match fold:
     # max by (length, earliest start, earliest end) == first-wins-ties.
     firsts = joined.groupBy(id_col, "entity_name", "surface").agg(
         F.min(F.struct("start", "end")).alias("pos")
     )
+    # firsts is O(matches) — tiny next to the O(words * max_phrase) span
+    # explosion that produces it. Checkpoint it so the two consumers below
+    # (winners fold + words_matched set) trigger ONE span pass, not two.
+    # (lazy: materializes on first action; on a cluster swap for
+    # df.checkpoint() against a durable checkpoint dir)
+    if share_scan:
+        firsts = firsts.localCheckpoint(eager=False)
+
+    # words_matched set == distinct matched surfaces (entity_finder.py:77,84)
+    matched_surfaces = firsts.select(id_col, "surface").distinct()
     winners = firsts.groupBy(id_col, "entity_name").agg(
         F.max_by(
             F.col("surface"),
@@ -172,22 +187,41 @@ def detect_regex_mentions(
     id_col: str = "url",
 ) -> DataFrame:
     """Regex-entity pass: single words only, case-sensitive fullmatch on the
-    stripped surface, skipping raw words already value-matched (O13+O14)."""
-    words = docs.select(
-        id_col, F.explode(_words_col("text")).alias("word")
-    ).distinct()
-    eligible = words.join(
+    stripped surface, skipping raw words already value-matched (O13+O14).
+
+    Plan shape: regex-filter FIRST (map-side, cheap rejection of the vast
+    majority of words), distinct + anti-join only the matches — the distinct
+    shuffle then carries matched rows only, not the whole corpus word list.
+    """
+    words = docs.select(id_col, F.explode(_words_col("text")).alias("word"))
+    stripped = words.withColumn("matched_word", F.btrim(F.col("word"), F.lit(PUNCT)))
+    # the regex dim is small by construction (driver-validated patterns):
+    # inline each as a LITERAL rlike so the match runs compiled inside
+    # whole-stage codegen — a column-valued pattern is interpreted per row
+    pats = regexes.select("entity_name", "pattern").collect()
+    branches = [
+        stripped.where(
+            # fullmatch == RLIKE with the pattern wrapped in ^(?:...)$
+            F.col("matched_word").rlike(f"^(?:{r['pattern']})$")
+        ).withColumn("entity_name", F.lit(r["entity_name"]))
+        for r in pats
+    ]
+    if not branches:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} string, matched_word string, entity_name string"
+        )
+    all_hits = branches[0]
+    for b in branches[1:]:
+        all_hits = all_hits.unionByName(b)
+    hits = all_hits.select(id_col, "word", "matched_word", "entity_name").distinct()
+    # value-over-regex priority: the RAW word is tested against the stripped
+    # value-matched surfaces (reference's words_matched asymmetry)
+    eligible = hits.join(
         matched_surfaces.withColumnRenamed("surface", "word"),
         [id_col, "word"],
         "left_anti",
     )
-    stripped = eligible.select(
-        id_col, F.btrim(F.col("word"), F.lit(PUNCT)).alias("matched_word")
-    )
-    candidates = stripped.join(F.broadcast(regexes), how="cross")
-    # fullmatch == RLIKE with the pattern wrapped in ^(?:...)$
-    hits = candidates.where(F.expr("matched_word rlike concat('^(?:', pattern, ')$')"))
-    return hits.select(id_col, "matched_word", "entity_name").distinct()
+    return eligible.select(id_col, "matched_word", "entity_name").distinct()
 
 
 def detect_mentions(
@@ -195,10 +229,13 @@ def detect_mentions(
     gazetteer: DataFrame,
     regexes: DataFrame | None = None,
     id_col: str = "url",
+    share_scan: bool = True,
 ) -> DataFrame:
     """Full mention detection: gazetteer winners UNION regex matches, with
     value-over-regex priority. Output matches kg.oracle.find_entities_rows."""
-    winners, matched_surfaces = detect_gazetteer_mentions(docs, gazetteer, id_col=id_col)
+    winners, matched_surfaces = detect_gazetteer_mentions(
+        docs, gazetteer, id_col=id_col, share_scan=share_scan
+    )
     gaz = winners.withColumn("detector", F.lit("gazetteer"))
     if regexes is None or regexes.isEmpty():
         return gaz.select(id_col, "matched_word", "entity_name", "detector")

@@ -52,6 +52,38 @@ def extract_svo_triples(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pages_to_triples_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from kg.textextract import extract_text
+
+    for pdf in batches:
+        urls, subjs, preds, objs = [], [], [], []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            for s, p, o in extract_triples(extract_text(html)):
+                urls.append(url)
+                subjs.append(s)
+                preds.append(p)
+                objs.append(o)
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "subj": subjs,
+                "pred": preds,
+                "obj": objs,
+                "conf": [1.0] * len(urls),
+            }
+        )
+
+
+def extract_triples_from_pages(pages: DataFrame) -> DataFrame:
+    """Fused pages(url, html) -> triples: HTML extraction + SVO in ONE
+    Arrow pass. Two chained mapInPandas stages each spawn their own Python
+    worker per task (2x processes, 2x Arrow hops); fusing halves both —
+    use this when the intermediate docs table is not needed downstream."""
+    return pages.select("url", "html").mapInPandas(
+        _pages_to_triples_batches, schema=TRIPLES_SCHEMA
+    )
+
+
 NER_MENTIONS_SCHEMA = (
     "url string, value string, label string, category string, start int, end int"
 )

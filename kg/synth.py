@@ -117,9 +117,11 @@ def _gaz_values() -> list[str]:
     return out
 
 
-def make_sentences(rng: random.Random) -> list[str]:
-    """2-5 sentences per page, mixing gazetteer/SVO/distractor/edge cases."""
-    n = rng.randint(2, 5)
+def make_sentences(
+    rng: random.Random, sentence_range: tuple[int, int] = (2, 5)
+) -> list[str]:
+    """Sentences per page (default 2-5), mixing gazetteer/SVO/distractor/edge."""
+    n = rng.randint(*sentence_range)
     sentences = []
     aliases = _alias_surfaces()
     gvals = _gaz_values()
@@ -154,12 +156,14 @@ def page_html(doc_id: int, sentences: list[str]) -> bytes:
     return html.encode("utf-8")
 
 
-def gen_pages(n_docs: int, seed: int = 42) -> pd.DataFrame:
+def gen_pages(
+    n_docs: int, seed: int = 42, sentence_range: tuple[int, int] = (2, 5)
+) -> pd.DataFrame:
     """Generate the pages table as a pandas DataFrame (deterministic)."""
     rng = random.Random(seed)
     rows = []
     for doc_id in range(n_docs):
-        sentences = make_sentences(rng)
+        sentences = make_sentences(rng, sentence_range)
         html = page_html(doc_id, sentences)
         rows.append(
             {

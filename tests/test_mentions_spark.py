@@ -91,7 +91,10 @@ def test_tokenize_docs_matches_oracle(spark, pages_sdf, pages_pdf):
 def test_mentions_plan_is_broadcast_and_pruned(spark, pages_sdf):
     gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
     rx = regex_dim(spark, synth.REGEX_DATA)
-    plan = detect_mentions(pages_sdf.select("url", "text"), gaz, rx)._jdf.queryExecution().executedPlan().toString()
+    # share_scan=False: the localCheckpoint boundary would hide the join
+    plan = detect_mentions(
+        pages_sdf.select("url", "text"), gaz, rx, share_scan=False
+    )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # no row-wise Python UDF anywhere in the relational mentions plan
     assert "BatchEvalPython" not in plan
