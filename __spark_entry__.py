@@ -251,6 +251,67 @@ def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-gram Jaccard verification over a bounded candidate set (the
+    verify half of blocking+verify near-dup)."""
+    from kg.ops.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 60)
+    ids = docs.select(F.col("doc_id").cast("long").alias("a"))
+    cand = ids.crossJoin(
+        docs.select(F.col("doc_id").cast("long").alias("b"))
+    ).where(F.col("a") < F.col("b"))
+    return ngram_jaccard_pairs(docs, cand, k=2, min_jaccard=0.05).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "jaccard",
+    )
+
+
+def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star CC over the committed edge fixture. The DuckDB
+    oracle recomputes components with a recursive-CTE transitive closure —
+    an independent algorithm, not a stored golden."""
+    from kg.cc import connected_components
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return connected_components(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload header parsing (multimodal plumbing). Oracle = the
+    generation-time ground-truth columns written beside the payload."""
+    from kg.ops.multimodal import media_metadata
+
+    media = spark.read.parquet(f"{FIX}/media.parquet")
+    meta = media_metadata(media.select("media_id", "payload"))
+    return meta.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven frame sampling over video payloads: every 2nd frame,
+    counted + byte-summed per media. Oracle derives both from the
+    generation-time n_frames/width/height truth columns."""
+    from kg.ops.multimodal import sample_frames
+
+    media = spark.read.parquet(f"{FIX}/media.parquet")
+    frames = sample_frames(media.select("media_id", "payload"), every_k=2)
+    return frames.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum(F.octet_length("frame")).cast("long").alias("frame_bytes"),
+    )
+
+
 # ---- classic relational coverage over the TPC-H-ish tables ----
 
 
@@ -377,6 +438,22 @@ def q_kg_linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_ner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.stages.extract import extract_docs
+    from kg.stages.triples import detect_ner_mentions
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    docs = extract_docs(pages).join(
+        pages.select("url", F.col("lang").alias("lang_in")), "url"
+    ).select("url", "text", F.col("lang_in").alias("lang"))
+    m = detect_ner_mentions(docs)
+    return m.select(
+        "url", "value", "label", "category",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+    )
+
+
 def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.stages.canon import canonicalize_aliases
 
@@ -424,6 +501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shingle_dedup": q_doc_shingle_dedup,
         "doc_simhash": q_doc_simhash,
         "doc_minhash_dedup": q_doc_minhash_dedup,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "graph_connected_components": q_graph_connected_components,
+        "media_metadata": q_media_metadata,
+        "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_stats": q_emb_stats,
@@ -432,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "events_window": q_events_window,
         "kg_extract": q_kg_extract,
+        "kg_ner_mentions": q_kg_ner_mentions,
         "kg_mentions_e2e": q_kg_mentions_e2e,
         "kg_triples_e2e": q_kg_triples_e2e,
         "kg_tokenize": q_kg_tokenize,
@@ -552,6 +634,54 @@ WITH w AS (
 )
 SELECT doc_id, md5(array_to_string(shingles[1:8], '')) AS shingle_sig FROM sh
 """,
+        "doc_ngram_jaccard": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents WHERE doc_id < 60
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 2 THEN
+      list_distinct(list_transform(generate_series(0, len(words) - 2),
+        i -> array_to_string(words[i+1:i+2], ' ')))
+    ELSE [array_to_string(words, ' ')] END AS grams
+  FROM w
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    len(list_intersect(a.grams, b.grams)) AS inter,
+    len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS un
+  FROM g a, g b WHERE a.doc_id < b.doc_id
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+  round(inter / greatest(un, 1), 4) AS jaccard
+FROM pairs WHERE round(inter / greatest(un, 1), 4) >= 0.05
+""",
+        "graph_connected_components": f"""
+WITH RECURSIVE sym AS (
+  SELECT src, dst FROM '{FIX}/edges.parquet' WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM '{FIX}/edges.parquet' WHERE src <> dst
+),
+reach(node, r) AS (
+  SELECT src AS node, src AS r FROM sym
+  UNION
+  SELECT reach.node, sym.dst AS r FROM reach JOIN sym ON reach.r = sym.src
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+""",
+        "media_metadata": f"""
+SELECT media_id, kind, width, height,
+  CASE WHEN kind = 'video' THEN n_frames ELSE channels END AS channels,
+  n_bytes
+FROM '{FIX}/media.parquet'
+""",
+        "media_frame_sample": f"""
+SELECT media_id,
+  CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled,
+  CAST(((n_frames + 1) // 2) * width * height AS BIGINT) AS frame_bytes
+FROM '{FIX}/media.parquet' WHERE kind = 'video'
+""",
         "emb_ann_topk": """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 pairs AS (
@@ -611,6 +741,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         "kg_extract": f"""
 SELECT url, CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS text_md5
 FROM '{FIX}/pages_tiny.parquet'
+""",
+        "kg_ner_mentions": f"""
+SELECT url, value, label, category, CAST(start AS BIGINT) AS start,
+  CAST("end" AS BIGINT) AS "end"
+FROM '{FIX}/expected_ner_tiny.parquet'
 """,
         "kg_mentions_e2e": f"""
 SELECT url, matched_word, entity_name, detector

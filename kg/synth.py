@@ -251,6 +251,73 @@ def expected_tokens(pages: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "tokens_joined"])
 
 
+def edges_df(n_chains: int = 30, seed: int = 42) -> pd.DataFrame:
+    """Deterministic graph fixture for connected components: ``n_chains``
+    components of varied shape (chains, rings, stars) over disjoint id
+    ranges, plus cross-links inside each component only — so the true
+    component of every node is the minimum id of its chain. The DuckDB
+    oracle recomputes components independently via a recursive-CTE
+    transitive closure (different algorithm, genuine cross-check)."""
+    import random
+
+    rng = random.Random(seed)
+    rows: list[tuple[int, int]] = []
+    base = 0
+    for c in range(n_chains):
+        size = rng.randint(2, 9)
+        ids = list(range(base, base + size))
+        shape = c % 3
+        if shape == 0:  # chain
+            rows += [(ids[i], ids[i + 1]) for i in range(size - 1)]
+        elif shape == 1:  # ring
+            rows += [(ids[i], ids[(i + 1) % size]) for i in range(size)]
+        else:  # star
+            rows += [(ids[0], ids[i]) for i in range(1, size)]
+        # a couple of redundant intra-component links, random orientation
+        for _ in range(min(2, size - 1)):
+            a, b = rng.sample(ids, 2)
+            rows.append((a, b))
+        base += size + rng.randint(0, 2)  # gaps -> ids absent from the graph
+    return pd.DataFrame(rows, columns=["src", "dst"]).astype("int64")
+
+
+def media_df(n: int = 60, seed: int = 42) -> pd.DataFrame:
+    """Media fixture WITH generation-time ground truth: the payload header
+    is parsed by the query under test; the truth columns (width/height/
+    channels/n_frames) are written independently at generation time."""
+    from kg.ops.multimodal import synth_media
+
+    pdf = synth_media(n, seed=seed)
+    truths = []
+    for payload in pdf["payload"]:
+        import struct as _s
+
+        if bytes(payload[:4]) == b"FIMG":
+            w, h, c = _s.unpack(">HHB", bytes(payload[4:9]))
+            truths.append((w, h, c, 0))
+        else:
+            nf, w, h = _s.unpack(">HHH", bytes(payload[4:10]))
+            truths.append((w, h, 0, nf))
+    pdf[["width", "height", "channels", "n_frames"]] = pd.DataFrame(truths)
+    pdf["n_bytes"] = [len(p) for p in pdf["payload"]]
+    return pdf
+
+
+def expected_ner(pages: pd.DataFrame) -> pd.DataFrame:
+    """Oracle NER mentions per page via the single-node detect backend:
+    (url, value, label, category, start, end)."""
+    from kg.detect import detect
+    from kg.textextract import extract_text
+
+    rows = []
+    for url, html, lang in zip(pages["url"], pages["html"], pages["lang"]):
+        for m in detect(extract_text(html), lang=lang):
+            rows.append((url, m.value, m.label, m.category, m.start, m.end))
+    return pd.DataFrame(
+        rows, columns=["url", "value", "label", "category", "start", "end"]
+    )
+
+
 def materialize(outdir: str, sizes: dict[str, int] | None = None, seed: int = 42) -> None:
     """Write fixture parquet files: pages_{name}.parquet + dims + goldens."""
     import pathlib
@@ -273,6 +340,20 @@ def materialize(outdir: str, sizes: dict[str, int] | None = None, seed: int = 42
         expected_tokens(pages).to_parquet(
             out / f"expected_tokens_{name}.parquet", index=False
         )
+    materialize_extras(outdir, seed=seed)
+
+
+def materialize_extras(outdir: str, seed: int = 42) -> None:
+    """Graph/media/NER fixtures added after the original set — separate entry
+    so the original committed fixtures are never rewritten."""
+    import pathlib
+
+    out = pathlib.Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    edges_df(seed=seed).to_parquet(out / "edges.parquet", index=False)
+    media_df(seed=seed).to_parquet(out / "media.parquet", index=False)
+    pages = pd.read_parquet(out / "pages_tiny.parquet")
+    expected_ner(pages).to_parquet(out / "expected_ner_tiny.parquet", index=False)
 
 
 if __name__ == "__main__":
