@@ -240,6 +240,15 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.similarity import embedding_cosine_near_dup
+
+    return embedding_cosine_near_dup(_emb(spark, sf_dir), threshold=0.4).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.similarity import embedding_stats
 
@@ -507,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_cosine_near_dup": q_emb_cosine_near_dup,
         "emb_stats": q_emb_stats,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "top_customers": q_top_customers,
@@ -699,6 +709,28 @@ pairs AS (
 SELECT CAST(query_id AS BIGINT) AS query_id,
   CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5
+""",
+        "emb_cosine_near_dup": """
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst FROM v a, v b
+  WHERE a.vec_id < b.vec_id
+    AND list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= 0.4
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(node, r) AS (
+  SELECT src AS node, src AS r FROM sym
+  UNION
+  SELECT reach.node, sym.dst AS r FROM reach JOIN sym ON reach.r = sym.src
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+  CAST(coalesce(comp.component, v.vec_id) AS BIGINT) AS component
+FROM v LEFT JOIN comp ON v.vec_id = comp.node
 """,
         "emb_stats": """
 SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,

@@ -125,6 +125,48 @@ def ann_lsh_topk(
     )
 
 
+def embedding_cosine_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate clustering: vectors whose cosine
+    similarity reaches ``threshold`` become edges; transitive closure via
+    connected components (kg/cc.py) yields (vec_id, component) for EVERY
+    input vector (singletons are their own component).
+
+    ``candidates``: optional (src, dst) pair table to score — at scale pass
+    LSH-blocked pairs (ann_lsh_topk's join) so the pair space is bounded;
+    the default exact all-pairs self-join is the small/bounded-input path.
+    """
+    from kg.cc import connected_components
+
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("nrm", _norm_col("vec"))
+    a = base.select(
+        F.col("vid").alias("src"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vid").alias("dst"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    if candidates is None:
+        pairs = a.crossJoin(b).where(F.col("src") < F.col("dst"))
+    else:
+        pairs = candidates.join(a, "src").join(b, "dst")
+    edges = pairs.where(
+        dot_product_col("va", "vb") / (F.col("na") * F.col("nb"))
+        >= F.lit(float(threshold))
+    ).select("src", "dst")
+    comps = connected_components(edges)
+    return base.join(comps, base.vid == comps.node, "left").select(
+        F.col("vid").alias(id_col),
+        F.coalesce("component", F.col("vid")).alias("component"),
+    )
+
+
 def embedding_stats(embeddings: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
     """Per-label embedding diagnostics: count, mean L2 norm (rounded)."""

@@ -88,11 +88,24 @@ def _words_col(text: str | Column = "text") -> Column:
     return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
 
 
-def ngram_spans_df(docs: DataFrame, max_words: int, id_col: str = "url") -> DataFrame:
-    """Explode all contiguous word n-grams up to ``max_words`` per doc.
+def ngram_spans_df(
+    docs: DataFrame,
+    max_words: int,
+    id_col: str = "url",
+    start_words: list[str] | None = None,
+) -> DataFrame:
+    """Explode contiguous word n-grams up to ``max_words`` per doc.
 
     Output: (id_col, start, end, span). Entirely built-in array functions —
     transform/sequence/slice/flatten stay inside whole-stage codegen.
+
+    ``start_words``: optional start-position gate — spans are generated ONLY
+    at positions whose fully-normalized word is in the set. Passing the
+    distinct (normalized) FIRST words of the gazetteer phrases is
+    semantics-preserving: a span can only match a phrase whose first word
+    it starts with (if leftstrip(w) == g then fullstrip(w) == fullstrip(g),
+    so the full-strip superset test never drops a true match). This prunes
+    the explosion BEFORE the join instead of after it.
 
     PERF: the words array is materialized as a column BEFORE the nested
     transform. If the filter(split(...)) expression itself is referenced
@@ -101,10 +114,19 @@ def ngram_spans_df(docs: DataFrame, max_words: int, id_col: str = "url") -> Data
     """
     src = docs.select(id_col, _words_col("text").alias("_w"))
     w = F.col("_w")
+    if start_words is None:
+        starts = F.sequence(F.lit(0), F.size(w) - 1)
+    else:
+        starts = F.filter(
+            F.sequence(F.lit(0), F.size(w) - 1),
+            lambda i: F.btrim(
+                F.lower(F.element_at(w, i + 1)), F.lit(PUNCT)
+            ).isin(*start_words),
+        )
     spans = F.flatten(
         F.transform(
-            w,
-            lambda x, i: F.transform(
+            starts,
+            lambda i: F.transform(
                 F.sequence(i, F.least(F.size(w) - 1, i + F.lit(max_words - 1))),
                 lambda j: F.struct(
                     i.alias("start"),
@@ -115,7 +137,8 @@ def ngram_spans_df(docs: DataFrame, max_words: int, id_col: str = "url") -> Data
         )
     )
     return (
-        src.select(id_col, F.explode(spans).alias("sp"))
+        src.where(F.size(w) > 0)
+        .select(id_col, F.explode(spans).alias("sp"))
         .select(id_col, "sp.start", "sp.end", "sp.span")
     )
 
@@ -139,7 +162,21 @@ def detect_gazetteer_mentions(
             if "n_words" in gazetteer.columns and not gazetteer.isEmpty()
             else 1
         ) or 1
-    spans = ngram_spans_df(docs, max_words, id_col)
+    # start-position gate: the distinct normalized first words of the
+    # dictionary phrases (the dim is broadcast-small by contract, so the
+    # collect is bounded). Inlined as an isin literal while small; for
+    # very large alias dictionaries skip the gate — the broadcast join
+    # does the filtering and the literal would bloat the plan.
+    first_words = [
+        r[0]
+        for r in gazetteer.select(
+            F.btrim(F.split("value_norm", r"\s+")[0], F.lit(PUNCT))
+        )
+        .distinct()
+        .collect()
+    ]
+    gate = first_words if 0 < len(first_words) <= 512 else None
+    spans = ngram_spans_df(docs, max_words, id_col, start_words=gate)
     normalized = spans.select(
         id_col,
         "start",
@@ -193,27 +230,33 @@ def detect_regex_mentions(
     majority of words), distinct + anti-join only the matches — the distinct
     shuffle then carries matched rows only, not the whole corpus word list.
     """
-    words = docs.select(id_col, F.explode(_words_col("text")).alias("word"))
-    stripped = words.withColumn("matched_word", F.btrim(F.col("word"), F.lit(PUNCT)))
     # the regex dim is small by construction (driver-validated patterns):
     # inline each as a LITERAL rlike so the match runs compiled inside
-    # whole-stage codegen — a column-valued pattern is interpreted per row
+    # whole-stage codegen — a column-valued pattern is interpreted per row.
+    # ALL patterns are evaluated in ONE scan of the exploded word list (an
+    # array of CASE WHENs, nulls compacted away, matches exploded): a
+    # union-of-filtered-branches plan re-runs the word explosion once per
+    # pattern — measured ~3x slower at 3 patterns on the bench corpus.
     pats = regexes.select("entity_name", "pattern").collect()
-    branches = [
-        stripped.where(
-            # fullmatch == RLIKE with the pattern wrapped in ^(?:...)$
-            F.col("matched_word").rlike(f"^(?:{r['pattern']})$")
-        ).withColumn("entity_name", F.lit(r["entity_name"]))
-        for r in pats
-    ]
-    if not branches:
+    if not pats:
         return docs.sparkSession.createDataFrame(
             [], f"{id_col} string, matched_word string, entity_name string"
         )
-    all_hits = branches[0]
-    for b in branches[1:]:
-        all_hits = all_hits.unionByName(b)
-    hits = all_hits.select(id_col, "word", "matched_word", "entity_name").distinct()
+    words = docs.select(id_col, F.explode(_words_col("text")).alias("word"))
+    stripped = words.withColumn("matched_word", F.btrim(F.col("word"), F.lit(PUNCT)))
+    matched_names = F.array_compact(
+        F.array(*[
+            # fullmatch == RLIKE with the pattern wrapped in ^(?:...)$
+            F.when(
+                F.col("matched_word").rlike(f"^(?:{r['pattern']})$"),
+                F.lit(r["entity_name"]),
+            )
+            for r in pats
+        ])
+    )
+    hits = stripped.select(
+        id_col, "word", "matched_word", F.explode(matched_names).alias("entity_name")
+    ).distinct()
     # value-over-regex priority: the RAW word is tested against the stripped
     # value-matched surfaces (reference's words_matched asymmetry)
     eligible = hits.join(

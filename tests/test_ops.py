@@ -20,7 +20,12 @@ from kg.ops.multimodal import (
     sample_frames,
     synth_media,
 )
-from kg.ops.similarity import ann_lsh_topk, cosine_topk_bruteforce, embedding_stats
+from kg.ops.similarity import (
+    ann_lsh_topk,
+    cosine_topk_bruteforce,
+    embedding_cosine_near_dup,
+    embedding_stats,
+)
 from kg.ops.textstats import fingerprint, lang_id, quality_score, token_stats
 
 SF = "/root/testdata/sf0.001"
@@ -115,6 +120,24 @@ def test_ann_lsh_recall_against_bruteforce(spark, embeddings):
     approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.9, recall
+
+
+def test_embedding_cosine_near_dup(spark):
+    # 0 and 1 identical direction; 2 close to both (transitive chain);
+    # 3 orthogonal -> singleton
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comp = {
+        r["vec_id"]: r["component"]
+        for r in embedding_cosine_near_dup(emb, threshold=0.95).collect()
+    }
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == 3
 
 
 def test_embedding_stats(spark, embeddings):
