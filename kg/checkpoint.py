@@ -137,18 +137,19 @@ class CheckpointedPipeline:
         )
         wall_ms = (time.monotonic() - t0) * 1000.0
 
-        written = self.spark.read.parquet(self.stage_output_path(stage))
-        counts = (
-            written.groupBy("url_hash_bucket")
-            .count()
-            .collect()
-        )
-        count_map = {r["url_hash_bucket"]: r["count"] for r in counts}
         # every todo bucket is now durable, including empty-output buckets
         todo_buckets = sorted(
             r[0]
             for r in todo.select("url_hash_bucket").distinct().collect()
         )
+        # count ONLY the buckets this run wrote — partition pruning keeps the
+        # scan to the todo partitions; counting the whole stage output would
+        # re-read every previously-completed bucket on each resume
+        written = self.spark.read.parquet(self.stage_output_path(stage)).where(
+            F.col("url_hash_bucket").isin(*[int(b) for b in todo_buckets])
+        )
+        counts = written.groupBy("url_hash_bucket").count().collect()
+        count_map = {r["url_hash_bucket"]: r["count"] for r in counts}
         now = _now_utc()
         lineage_rows = [
             (

@@ -156,25 +156,22 @@ def detect_gazetteer_mentions(
     matched_surfaces: distinct (url, surface) of ALL value matches pre-fold —
     the words_matched set the regex pass anti-joins against.
     """
-    if max_words is None:
-        max_words = (
-            gazetteer.agg(F.max("n_words")).collect()[0][0]
-            if "n_words" in gazetteer.columns and not gazetteer.isEmpty()
-            else 1
-        ) or 1
-    # start-position gate: the distinct normalized first words of the
-    # dictionary phrases (the dim is broadcast-small by contract, so the
-    # collect is bounded). Inlined as an isin literal while small; for
-    # very large alias dictionaries skip the gate — the broadcast join
-    # does the filtering and the literal would bloat the plan.
-    first_words = [
-        r[0]
-        for r in gazetteer.select(
-            F.btrim(F.split("value_norm", r"\s+")[0], F.lit(PUNCT))
-        )
-        .distinct()
-        .collect()
+    # ONE driver round-trip for all dim-derived planning inputs (max phrase
+    # width + the start-word gate): the dim is broadcast-small by contract,
+    # and each extra .collect()/.isEmpty() is a driver barrier — pure
+    # unscalable overhead when the per-call work shrinks.
+    dim_norms = [
+        r[0] for r in gazetteer.select("value_norm").collect() if r[0] is not None
     ]
+    if max_words is None:
+        max_words = max((len(v.split()) for v in dim_norms), default=1) or 1
+    # start-position gate: the distinct normalized first words of the
+    # dictionary phrases. Inlined as an isin literal while small; for very
+    # large alias dictionaries skip the gate — the broadcast join does the
+    # filtering and the literal would bloat the plan.
+    first_words = sorted(
+        {v.split()[0].strip(PUNCT) for v in dim_norms if v.split()}
+    )
     gate = first_words if 0 < len(first_words) <= 512 else None
     spans = ngram_spans_df(docs, max_words, id_col, start_words=gate)
     normalized = spans.select(
@@ -219,7 +216,7 @@ def detect_gazetteer_mentions(
 
 def detect_regex_mentions(
     docs: DataFrame,
-    regexes: DataFrame,
+    regexes: DataFrame | list,
     matched_surfaces: DataFrame,
     id_col: str = "url",
 ) -> DataFrame:
@@ -237,7 +234,11 @@ def detect_regex_mentions(
     # array of CASE WHENs, nulls compacted away, matches exploded): a
     # union-of-filtered-branches plan re-runs the word explosion once per
     # pattern — measured ~3x slower at 3 patterns on the bench corpus.
-    pats = regexes.select("entity_name", "pattern").collect()
+    pats = (
+        regexes
+        if isinstance(regexes, list)
+        else regexes.select("entity_name", "pattern").collect()
+    )
     if not pats:
         return docs.sparkSession.createDataFrame(
             [], f"{id_col} string, matched_word string, entity_name string"
@@ -280,9 +281,16 @@ def detect_mentions(
         docs, gazetteer, id_col=id_col, share_scan=share_scan
     )
     gaz = winners.withColumn("detector", F.lit("gazetteer"))
-    if regexes is None or regexes.isEmpty():
+    # one driver round-trip for the (small) regex dim; an .isEmpty() probe
+    # would be a second one
+    pats = (
+        regexes.select("entity_name", "pattern").collect()
+        if regexes is not None
+        else []
+    )
+    if not pats:
         return gaz.select(id_col, "matched_word", "entity_name", "detector")
-    rx = detect_regex_mentions(docs, regexes, matched_surfaces, id_col).withColumn(
+    rx = detect_regex_mentions(docs, pats, matched_surfaces, id_col).withColumn(
         "detector", F.lit("regex")
     )
     return gaz.unionByName(rx).select(id_col, "matched_word", "entity_name", "detector")

@@ -141,9 +141,16 @@ def main(argv=None) -> int:
 
     if "graph" in stages:
         canon = spark.read.parquet(f"{args.out}/entities_canonical")
-        alias_to_entity = canon.select(
-            F.col("entity_id").alias("_eid"), F.explode("aliases").alias("alias")
-        ).withColumn("alias_norm", norm_surface_col("alias")).dropDuplicates(["alias_norm"])
+        # min entity_id per norm — dropDuplicates keeps an arbitrary row and
+        # would make the graph output partitioning-dependent
+        alias_to_entity = (
+            canon.select(
+                F.col("entity_id").alias("_eid"), F.explode("aliases").alias("alias")
+            )
+            .withColumn("alias_norm", norm_surface_col("alias"))
+            .groupBy("alias_norm")
+            .agg(F.min("_eid").alias("_eid"))
+        )
         g = (
             linked.withColumn("subj_norm", norm_surface_col("subj"))
             .join(
