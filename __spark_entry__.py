@@ -240,6 +240,22 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means cells + multi-probe). No SQL oracle — the quantizer
+    is iterative; the driver applies the rows-only check, and recall vs the
+    brute-force baseline is asserted in tests/test_ops.py."""
+    from kg.ops.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(
+        _emb(spark, sf_dir), k=5, n_lists=8, n_probe=4,
+        query_filter=F.col("vid") < 20,
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.similarity import embedding_cosine_near_dup
 
@@ -516,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_ivf": q_emb_ann_ivf,
         "emb_cosine_near_dup": q_emb_cosine_near_dup,
         "emb_stats": q_emb_stats,
         "tpch_pricing_summary": q_tpch_pricing_summary,

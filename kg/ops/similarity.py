@@ -18,7 +18,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_topk_bruteforce", "ann_lsh_topk", "dot_product_col"]
+__all__ = [
+    "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_cosine_near_dup",
+    "dot_product_col",
+]
 
 
 def dot_product_col(a: str | Column, b: str | Column) -> Column:
@@ -122,6 +128,85 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    vectors into ``n_lists`` cells; each query probes its ``n_probe``
+    nearest cells and exact-cosine re-ranks only those candidates.
+
+    The scale story vs LSH: the candidate set per query is
+    ~n_probe/n_lists of the corpus, tunable independently of recall via
+    n_probe; the cell assignment is one KMeans fit (sampled at very large N)
+    + one transform, and the probe join shuffles by list_id — co-partitioned
+    with the inverted lists. Centroids are driver-collected (n_lists rows)
+    and broadcast.
+
+    Output: (query_id, neighbor_id, rank) — same shape as the brute-force
+    baseline so recall is directly measurable.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("arr"),
+    ).withColumn("nrm", _norm_col("arr")).where(F.col("nrm") > 0)
+    unit = base.withColumn(
+        "unit", F.transform("arr", lambda x: x / F.col("nrm"))
+    ).select("vid", "unit")
+    feats = unit.withColumn("fv", array_to_vector("unit"))
+    model = KMeans(
+        k=n_lists, seed=11, featuresCol="fv", predictionCol="list_id"
+    ).fit(feats)
+    assigned = model.transform(feats).select("vid", "unit", "list_id")
+
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "probe_list int, centroid array<double>",
+    )
+    q = assigned.select(
+        F.col("vid").alias("qid"), F.col("unit").alias("qunit"), "list_id"
+    )
+    if query_filter is not None:
+        q = q.where(query_filter)
+    # probe ranking: nearest centroids by dot product with the unit query
+    # (monotone in euclidean distance on the sphere)
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cdot", dot_product_col("qunit", "centroid"))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("cdot"), F.asc("probe_list")
+                )
+            ),
+        )
+        .where(F.col("probe_rank") <= n_probe)
+        .select("qid", "qunit", F.col("probe_list").alias("list_id"))
+    )
+    cands = probed.join(assigned, "list_id").where(F.col("qid") != F.col("vid"))
+    scored = cands.withColumn("cos", dot_product_col("qunit", "unit"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            "rank",
+        )
     )
 
 

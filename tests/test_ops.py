@@ -21,6 +21,7 @@ from kg.ops.multimodal import (
     synth_media,
 )
 from kg.ops.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk_bruteforce,
     embedding_cosine_near_dup,
@@ -120,6 +121,20 @@ def test_ann_lsh_recall_against_bruteforce(spark, embeddings):
     approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.9, recall
+
+
+def test_ann_ivf_recall_against_bruteforce(spark, embeddings):
+    qf = F.col("qid") < 20
+    exact = cosine_topk_bruteforce(embeddings, k=5, query_filter=qf).toPandas()
+    approx = ann_ivf_topk(
+        embeddings, k=5, n_lists=8, n_probe=6, query_filter=F.col("vid") < 20
+    ).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # random (unclustered) vectors are IVF's worst case: neighbors scatter
+    # across cells, so recall tracks the probed fraction (6/8 here)
+    assert recall >= 0.8, recall
 
 
 def test_embedding_cosine_near_dup(spark):
