@@ -479,6 +479,25 @@ def q_kg_ner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_custom_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom phrase matcher + overlap resolution (O3+O4) in the NER pass:
+    'fred bloggs' ties the backend PERSON span -> custom wins."""
+    from kg import synth
+    from kg.stages.extract import extract_docs
+    from kg.stages.triples import detect_ner_mentions
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    docs = extract_docs(pages).join(
+        pages.select("url", F.col("lang").alias("lang_in")), "url"
+    ).select("url", "text", F.col("lang_in").alias("lang"))
+    m = detect_ner_mentions(docs, custom_entities=synth.CUSTOM_ENTITIES)
+    return m.select(
+        "url", "value", "label", "category",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+    )
+
+
 def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.stages.canon import canonicalize_aliases
 
@@ -541,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "kg_extract": q_kg_extract,
         "kg_ner_mentions": q_kg_ner_mentions,
+        "kg_custom_ner": q_kg_custom_ner,
         "kg_mentions_e2e": q_kg_mentions_e2e,
         "kg_triples_e2e": q_kg_triples_e2e,
         "kg_tokenize": q_kg_tokenize,
@@ -795,6 +815,11 @@ FROM '{FIX}/pages_tiny.parquet'
 SELECT url, value, label, category, CAST(start AS BIGINT) AS start,
   CAST("end" AS BIGINT) AS "end"
 FROM '{FIX}/expected_ner_tiny.parquet'
+""",
+        "kg_custom_ner": f"""
+SELECT url, value, label, category, CAST(start AS BIGINT) AS start,
+  CAST("end" AS BIGINT) AS "end"
+FROM '{FIX}/expected_custom_ner_tiny.parquet'
 """,
         "kg_mentions_e2e": f"""
 SELECT url, matched_word, entity_name, detector

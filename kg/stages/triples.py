@@ -89,25 +89,39 @@ NER_MENTIONS_SCHEMA = (
 )
 
 
-def _ner_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # lazy import keeps worker bootstrap light when only triples are needed
-    from kg.detect import detect
+def _make_ner_batches(custom_entities: dict[str, str] | None):
+    def _ner_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # lazy import keeps worker bootstrap light when only triples are needed
+        from kg.detect import detect
 
-    for pdf in batches:
-        rows = []
-        langs = pdf["lang"] if "lang" in pdf.columns else ["en"] * len(pdf)
-        for url, text, lang in zip(pdf["url"], pdf["text"], langs):
-            for m in detect(text or "", lang=lang or "en"):
-                rows.append((url, m.value, m.label, m.category, m.start, m.end))
-        yield pd.DataFrame(
-            rows, columns=["url", "value", "label", "category", "start", "end"]
-        )
+        for pdf in batches:
+            rows = []
+            langs = pdf["lang"] if "lang" in pdf.columns else ["en"] * len(pdf)
+            for url, text, lang in zip(pdf["url"], pdf["text"], langs):
+                for m in detect(text or "", lang=lang or "en",
+                                custom_entities=custom_entities):
+                    rows.append((url, m.value, m.label, m.category, m.start, m.end))
+            yield pd.DataFrame(
+                rows, columns=["url", "value", "label", "category", "start", "end"]
+            )
+
+    return _ner_batches
 
 
-def detect_ner_mentions(docs: DataFrame) -> DataFrame:
-    """Rule-backend NER mentions with char offsets (O1+O2), Arrow-batched."""
+def detect_ner_mentions(
+    docs: DataFrame, custom_entities: dict[str, str] | None = None
+) -> DataFrame:
+    """Rule-backend NER mentions with char offsets (O1+O2), Arrow-batched.
+
+    ``custom_entities`` ({phrase: entity_key}) adds the custom phrase matcher
+    + overlap resolution (O3+O4: longer token-span wins, tie -> custom) to
+    the same per-doc pass; the dict rides into the workers via closure
+    serialization (broadcast-small by contract).
+    """
     cols = [c for c in ("url", "text", "lang") if c in docs.columns]
-    return docs.select(*cols).mapInPandas(_ner_batches, schema=NER_MENTIONS_SCHEMA)
+    return docs.select(*cols).mapInPandas(
+        _make_ner_batches(custom_entities), schema=NER_MENTIONS_SCHEMA
+    )
 
 
 TOKENS_SCHEMA = "url string, tokens array<string>"

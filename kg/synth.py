@@ -303,7 +303,19 @@ def media_df(n: int = 60, seed: int = 42) -> pd.DataFrame:
     return pdf
 
 
-def expected_ner(pages: pd.DataFrame) -> pd.DataFrame:
+# custom phrase patterns for the O3/O4 gate: "fred bloggs" collides with the
+# backend's PERSON gazetteer at equal token length (tie -> custom wins);
+# "diet coke" and "alarm" have no NER overlap (pure adds)
+CUSTOM_ENTITIES: dict[str, str] = {
+    "fred bloggs": "vip_user",
+    "diet coke": "menu_item",
+    "alarm": "device",
+}
+
+
+def expected_ner(
+    pages: pd.DataFrame, custom_entities: dict[str, str] | None = None
+) -> pd.DataFrame:
     """Oracle NER mentions per page via the single-node detect backend:
     (url, value, label, category, start, end)."""
     from kg.detect import detect
@@ -311,7 +323,7 @@ def expected_ner(pages: pd.DataFrame) -> pd.DataFrame:
 
     rows = []
     for url, html, lang in zip(pages["url"], pages["html"], pages["lang"]):
-        for m in detect(extract_text(html), lang=lang):
+        for m in detect(extract_text(html), lang=lang, custom_entities=custom_entities):
             rows.append((url, m.value, m.label, m.category, m.start, m.end))
     return pd.DataFrame(
         rows, columns=["url", "value", "label", "category", "start", "end"]
@@ -354,6 +366,9 @@ def materialize_extras(outdir: str, seed: int = 42) -> None:
     media_df(seed=seed).to_parquet(out / "media.parquet", index=False)
     pages = pd.read_parquet(out / "pages_tiny.parquet")
     expected_ner(pages).to_parquet(out / "expected_ner_tiny.parquet", index=False)
+    expected_ner(pages, CUSTOM_ENTITIES).to_parquet(
+        out / "expected_custom_ner_tiny.parquet", index=False
+    )
 
 
 if __name__ == "__main__":
