@@ -187,6 +187,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.textstats import winnow_fingerprint
+
+    return winnow_fingerprint(_docs(spark, sf_dir))
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.dedup import exact_dedup
 
@@ -541,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_winnow_fp": q_doc_winnow_fp,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_shingle_dedup": q_doc_shingle_dedup,
         "doc_simhash": q_doc_simhash,
@@ -659,6 +666,22 @@ SELECT doc_id,
     list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''))), ' '))
     AS bow_fp
 FROM documents
+""",
+        "doc_winnow_fp": """
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS tt
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN length(tt) >= 8 THEN
+      list_transform(generate_series(1, length(tt) - 7),
+        i -> md5(substr(tt, i, 8)))
+    ELSE [md5(tt)] END AS grams
+  FROM t
+)
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(grams))[1:8], '')) AS winnow_fp
+FROM g
 """,
         "doc_exact_dedup": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,

@@ -106,6 +106,32 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def winnow_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", k: int = 8, n: int = 8
+) -> DataFrame:
+    """Rolling character-k-gram min-sampled fingerprint (winnowing-style):
+    hash every k-char window of the normalized text, keep the ``n``
+    lexicographically smallest distinct hashes, fingerprint = md5 of their
+    concatenation. Robust to local edits (an edit perturbs only the windows
+    crossing it, usually outside the min-sample). md5 as the window hash
+    keeps the DuckDB oracle bit-identical; entirely JVM-side expressions.
+    """
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    src = docs.select(id_col, norm.alias("_t"))
+    t = F.col("_t")
+    grams = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - k + 1),
+            lambda i: F.md5(F.substring(t, i, k)),
+        ),
+    ).otherwise(F.array(F.md5(t)))
+    sample = F.slice(F.array_sort(F.array_distinct(grams)), 1, n)
+    return src.select(
+        id_col, F.md5(F.array_join(sample, "")).alias("winnow_fp")
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Two content fingerprints per doc: exact (md5 of whitespace-normalized
     lowercase text) and bag-of-words (md5 of the sorted distinct word set —
