@@ -191,14 +191,21 @@ def detect_gazetteer_mentions(
     firsts = joined.groupBy(id_col, "entity_name", "surface").agg(
         F.min(F.struct("start", "end")).alias("pos")
     )
-    # firsts is O(matches) — tiny next to the O(words * max_phrase) span
-    # explosion that produces it. Checkpoint it so the two consumers below
-    # (winners fold + words_matched set) trigger ONE span pass, not two.
-    # (lazy: materializes on first action; on a cluster swap for
-    # df.checkpoint() against a durable checkpoint dir)
+    # The winners fold and the words_matched set are two consumers of the
+    # span-join subtree; without sharing, each recomputes the explosion.
+    # share_scan=True (default) persists `firsts` — O(matches), ~25x smaller
+    # than the explosion — with MEMORY_AND_DISK: no synchronization barrier
+    # (unlike checkpoint: measured 15.5s vs 6.8s at local[32]), both
+    # branches read cached partitions, spills gracefully under executor
+    # memory pressure. Measured best-of-three strategies at local[8]/200k
+    # docs: persist 19.0s, localCheckpoint 20.7s, recompute 29.5s. The
+    # cached table is LRU-evicted; callers building the plan in a tight
+    # loop can pass share_scan=False to avoid cache churn (recompute wins
+    # anyway when cores greatly outnumber the span-pass cost).
     if share_scan:
-        firsts = firsts.localCheckpoint(eager=False)
+        from pyspark import StorageLevel
 
+        firsts = firsts.persist(StorageLevel.MEMORY_AND_DISK)
     # words_matched set == distinct matched surfaces (entity_finder.py:77,84)
     matched_surfaces = firsts.select(id_col, "surface").distinct()
     winners = firsts.groupBy(id_col, "entity_name").agg(
