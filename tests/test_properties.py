@@ -113,6 +113,70 @@ def test_bad_regex_always_raises_badregex(pattern):
             compile_regexes({"P": pattern})
 
 
+@settings(max_examples=200, deadline=None)
+@given(html=st.text(alphabet="<>/ab cp=\"'&#;!-x\n\t", min_size=0, max_size=200))
+def test_extract_text_never_crashes_and_is_deterministic(html):
+    from kg.textextract import extract_text
+
+    out1 = extract_text(html)
+    out2 = extract_text(html.encode("utf-8"))
+    assert isinstance(out1, str)
+    assert out1 == out2  # str and bytes paths agree; repeated calls agree
+
+
+def test_extract_text_handles_malformed_real_shapes():
+    from kg.textextract import extract_text
+
+    cases = [
+        b"<p>unclosed paragraph",
+        b"<p>a<p>b</p>",  # auto-nesting
+        b"<P>UPPER</P>",
+        b"<p>ent &amp; ity &#65;</p>",
+        b"<script><p>not text</p></script><p>yes</p>",
+        b"\xff\xfe garbage <p>ok</p>",  # invalid utf-8 prefix
+        b"<table><tr><td>cell</td></tr></table>",
+        b"<!-- comment --><p>after</p>",
+        b"",
+    ]
+    for c in cases:
+        out = extract_text(c)
+        assert isinstance(out, str)
+    assert extract_text(b"<script><p>not text</p></script><p>yes</p>") == "yes"
+    assert extract_text(b"<p>ent &amp; ity &#65;</p>") == "ent & ity A"
+    assert extract_text(b"<p>unclosed paragraph") == "unclosed paragraph"
+
+
+UNICODE_CHARS = "abÉéÑñßİıΣσç台 .,!"
+UNI_GAZ = {"E": ["éñ", "ß", "İb", "σa", "台"]}
+
+
+@pytest.mark.parametrize("seed", [5, 11])
+def test_spark_matches_oracle_on_unicode_corpus(spark, seed):
+    """lower()/btrim() casing and punctuation semantics agree between the
+    JVM plan and Python oracle on non-ASCII text (İ, ß, Σ/σ, CJK)."""
+    from kg.stages.mentions import detect_mentions, gazetteer_dim
+
+    rng = random.Random(seed)
+    texts = [
+        "".join(rng.choice(UNICODE_CHARS) for _ in range(rng.randint(0, 30)))
+        for _ in range(200)
+    ]
+    sdf = spark.createDataFrame(
+        [(f"u{i}", t) for i, t in enumerate(texts)], "url string, text string"
+    )
+    got = sorted(
+        map(tuple, detect_mentions(sdf, gazetteer_dim(spark, UNI_GAZ), None)
+            .toPandas()[["url", "matched_word", "entity_name"]].values)
+    )
+    g = build_gazetteer(UNI_GAZ)
+    want = sorted(
+        (f"u{i}", w, n)
+        for i, t in enumerate(texts)
+        for w, n, _d in find_entities_rows(t, g, None)
+    )
+    assert got == want
+
+
 # ---- randomized Spark-vs-oracle fuzz (one batched job per seed) ----
 
 FUZZ_GAZ = {
