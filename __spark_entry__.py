@@ -407,6 +407,15 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.events import sessionize
+
+    # epoch-us session bounds must agree with DuckDB's (naive == UTC) epoch_us
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events, gap_minutes=30)
+
+
 # ---- fixture-based end-to-end KG queries (absolute-path parquet) ----
 
 
@@ -565,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
         "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
         "kg_extract": q_kg_extract,
         "kg_ner_mentions": q_kg_ner_mentions,
         "kg_custom_ner": q_kg_custom_ner,
@@ -829,6 +839,26 @@ SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
   round(sum(value) OVER w, 2) AS running_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "events_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_seq FROM e
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(session_seq AS BIGINT) AS session_seq,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(min(epoch_us(ts)) AS BIGINT) AS t_start_us,
+  CAST(max(epoch_us(ts)) AS BIGINT) AS t_end_us,
+  round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, session_seq
 """,
         "kg_extract": f"""
 SELECT url, CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS text_md5
