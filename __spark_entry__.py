@@ -394,6 +394,34 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one returned lineitem (LEFT
+    SEMI join — the EXISTS plan), counted per priority."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    returned = li.where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_parts_never_shipped_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage: parts with NO bulk shipment (quantity >= 45 —
+    NOT EXISTS plan), counted per brand."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bulk = li.where(F.col("l_quantity") >= 45)
+    return (
+        part.join(bulk, part.p_partkey == bulk.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -573,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "top_customers": q_top_customers,
         "region_revenue": q_region_revenue,
+        "late_orders_semi": q_late_orders_semi,
+        "parts_never_shipped_anti": q_parts_never_shipped_anti,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "kg_extract": q_kg_extract,
@@ -832,6 +862,23 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
+""",
+        "late_orders_semi": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "parts_never_shipped_anti": """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+FROM part
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45
+)
+GROUP BY p_brand ORDER BY p_brand
 """,
         "events_window": """
 SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
