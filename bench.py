@@ -110,6 +110,35 @@ def run_suite(spark, sf_dir: str) -> dict:
     extra["mentions_docs_per_sec"] = round(n_pages / timings["mentions"], 1)
     extra["n_mentions"] = counts["mentions"]
 
+    # --- linking: alias-dict joins over the skewed triple stream ---
+    # (HOT_SUBJECTS hit ~30% of triples; broadcast never shuffles the fact
+    # side, salted spreads hot keys — both timed so the skew story has
+    # numbers, and their outputs must agree)
+    from kg.stages.link import link_triples
+    from kg.stages.triples import extract_triples_from_pages
+
+    alias_dim = spark.createDataFrame(synth.alias_df()).cache()
+    alias_dim.count()
+    triples_cached = extract_triples_from_pages(pages).cache()
+    triples_cached.count()
+
+    def w_link():
+        counts["linked"] = link_triples(triples_cached, alias_dim).count()
+
+    timings["link_broadcast"] = timed_twice(w_link)
+
+    def w_link_salted():
+        counts["linked_salted"] = link_triples(
+            triples_cached, alias_dim, use_salting=True, n_salts=8
+        ).count()
+
+    timings["link_salted"] = timed_twice(w_link_salted)
+    assert counts["linked"] == counts["linked_salted"], "salted != broadcast"
+    extra["linked_triples_per_sec"] = round(
+        counts["linked"] / timings["link_broadcast"], 1
+    )
+    triples_cached.unpersist()
+
     # --- dedup ---
     def w_dedup():
         exact_dedup(docs_x).count()
