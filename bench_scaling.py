@@ -101,6 +101,11 @@ def main() -> int:
         "",
         f"- headline scaling efficiency (pipeline docs/sec): "
         f"**{effs['pipeline_docs_per_sec']}** (target >= 0.8)",
+        "- the mentions sub-metric carries ~1-2s of per-call fixed cost"
+        " (two dim collects + persist setup) that does not shrink with"
+        " cores; it weighs at local[8] now that the whole stage is ~10s."
+        " On a real cluster the dims are collected once per job, not per"
+        " timed call.",
         f"- raw JSON local[{lo}]: `{json.dumps(results[lo])}`",
         f"- raw JSON local[{hi}]: `{json.dumps(results[hi])}`",
         "",
