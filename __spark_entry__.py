@@ -282,6 +282,14 @@ def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_minhash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled banded MinHash with bucket-size capping — the near-dup
+    scale path (see kg/ops/dedup.py). Probabilistic; rows-only check."""
+    from kg.ops.dedup import minhash_band_near_dup
+
+    return minhash_band_near_dup(_docs(spark, sf_dir), min_jaccard=0.6)
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-gram Jaccard verification over a bounded candidate set (the
     verify half of blocking+verify near-dup)."""
@@ -589,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shingle_dedup": q_doc_shingle_dedup,
         "doc_simhash": q_doc_simhash,
         "doc_minhash_dedup": q_doc_minhash_dedup,
+        "doc_minhash_band_dedup": q_doc_minhash_band_dedup,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "graph_connected_components": q_graph_connected_components,
         "media_metadata": q_media_metadata,

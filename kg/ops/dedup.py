@@ -103,6 +103,116 @@ def minhash_near_dup(
     return membered.join(keep, "component").select("doc_id", "component", "keep_id")
 
 
+def minhash_band_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Hand-rolled banded-MinHash near-dup clustering with BUCKET-SIZE
+    CAPPING — the 10^12-doc scale path.
+
+    pyspark.ml's MinHashLSH approxSimilarityJoin joins every pair inside a
+    band bucket; on boilerplate-heavy web corpora near-identical docs pile
+    into the same buckets and the join goes quadratic (measured: hung on
+    20k template-generated pages where the .ml path is fine on distinct
+    docs). Here the bucket join is explicit, so oversized buckets — the
+    skew — are dropped and COUNTED: a bucket of b near-identical docs still
+    clusters via its other (smaller) bands or transitive chains, and the
+    cap bounds candidate pairs at buckets * max_bucket^2.
+
+    Everything is JVM-side: k minhashes = array_min over per-seed
+    xxhash64(token), band keys = xxhash64 over signature slices, candidate
+    pairs verified with exact token-set Jaccard before clustering.
+
+    Identical token sets are collapsed to one representative BEFORE the
+    LSH (so exact duplicates always cluster, immune to the cap, and the
+    heaviest boilerplate groups become one row each).
+
+    Tune (bands, k) to the threshold: the LSH S-curve midpoint sits near
+    (1/bands)^(bands/k); the default 16 bands x 4 rows targets ~0.5.
+
+    Returns (doc_id, component, keep_id) for every non-empty input doc.
+    """
+    r = k // bands
+    all_toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.array_sort(F.array_distinct(_words())).alias("tokset"),
+    ).where(F.size("tokset") > 0)
+    # collapse IDENTICAL token sets to one representative before LSH:
+    # exact duplicates (jaccard 1.0) cluster by construction — immune to
+    # the bucket cap — and the heaviest boilerplate groups become one row
+    membership = all_toks.select(
+        "doc_id", F.md5(F.concat_ws("\x1f", "tokset")).alias("bow")
+    )
+    rep_of = membership.groupBy("bow").agg(F.min("doc_id").alias("rep"))
+    membership = membership.join(rep_of, "bow").select("doc_id", "rep")
+    toks = (
+        all_toks.join(membership, "doc_id")
+        .where(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "tokset")
+    )
+    def _minhash(seed: int):
+        # single-parameter lambda only: a 2-arg lambda would be called with
+        # (element, array_index) and the index would silently replace the
+        # seed (same trap as noted in kg/ops/textstats.py lang_id)
+        return F.array_min(
+            F.transform("tokset", lambda t: F.xxhash64(F.lit(seed), t))
+        )
+
+    sig = toks.withColumn("sig", F.array(*[_minhash(i) for i in range(k)]))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r)).alias("bkey"),
+        )
+        for b in range(bands)
+    ])
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.bkey"
+    )
+    sizes = buckets.groupBy("band", "bkey").agg(F.count("*").alias("n"))
+    kept = buckets.join(
+        sizes.where(F.col("n") <= max_bucket).select("band", "bkey"),
+        ["band", "bkey"],
+    )
+    left = kept.alias("l")
+    right = kept.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("a"), F.col("tokset").alias("ts_a"))
+    tb = toks.select(F.col("doc_id").alias("b"), F.col("tokset").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    edges = (
+        cand.join(ta, "a").join(tb, "b")
+        .where(inter / F.greatest(union, F.lit(1)) >= F.lit(float(min_jaccard)))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comps = connected_components(edges)
+    rep_comp = toks.select("doc_id").join(
+        comps, F.col("doc_id") == comps.node, "left"
+    ).select(
+        F.col("doc_id").alias("rep"),
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+    # every doc inherits its representative's component (reps are the group
+    # minima, so component remains the min doc_id of the whole cluster)
+    membered = membership.join(rep_comp, "rep").select("doc_id", "component")
+    keep = membered.groupBy("component").agg(F.min("doc_id").alias("keep_id"))
+    return membered.join(keep, "component").select("doc_id", "component", "keep_id")
+
+
 # ---- SimHash ----
 
 SIMHASH_SCHEMA = "doc_id long, simhash long"

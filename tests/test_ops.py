@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from kg.ops.dedup import (
     exact_dedup,
+    minhash_band_near_dup,
     minhash_near_dup,
     ngram_jaccard_pairs,
     shingle_signature_dedup,
@@ -79,6 +80,29 @@ def test_minhash_near_dup_clusters(spark, dup_docs):
     assert comp[6] not in (comp[1], comp[4])
     keep = {r["doc_id"]: r["keep_id"] for r in got}
     assert keep[3] == 1 and keep[5] == 4
+
+
+def test_minhash_band_near_dup_matches_ml_variant(spark, dup_docs):
+    got = minhash_band_near_dup(dup_docs, min_jaccard=0.5).collect()
+    comp = {r["doc_id"]: r["component"] for r in got}
+    assert comp[1] == comp[2] == comp[3]  # near-dup chain collapses
+    assert comp[4] == comp[5]
+    assert comp[6] not in (comp[1], comp[4])
+    keep = {r["doc_id"]: r["keep_id"] for r in got}
+    assert keep[3] == 1 and keep[5] == 4
+
+
+def test_minhash_band_exact_dups_survive_bucket_cap(spark):
+    # 100 identical docs + 1 outlier with max_bucket=4: every LSH bucket of
+    # the identical group would be oversized, but the representative
+    # collapse clusters them regardless
+    rows = [(i, "same exact text in every row") for i in range(100)]
+    rows.append((100, "completely different content"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_band_near_dup(docs, min_jaccard=0.9, max_bucket=4).collect()
+    comp = {r["doc_id"]: r["component"] for r in got}
+    assert all(comp[i] == 0 for i in range(100))
+    assert comp[100] == 100
 
 
 def test_simhash_deterministic_and_close(spark, dup_docs):
