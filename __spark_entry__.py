@@ -3,11 +3,13 @@
 ``entry(spark)`` — flagship mention-detection query on sf0.001.
 ``queries()`` — one callable per implemented operator (SURVEY.md §2 + the
 training-data ops); each takes (spark, sf_dir) and returns a DataFrame.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Queries whose
-semantics SQL cannot express (MinHash clustering, LSH ANN, SimHash) have no
-oracle entry and get the driver's weaker rows-only check. Fixture-based
-queries (kg_*) read the committed deterministic corpus under
-/root/repo/fixtures by absolute path — DuckDB reads the same files.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Only the two
+iterative/randomized ANN queries (sign-LSH top-k, IVF k-means top-k) have no
+oracle entry and get the driver's weaker rows-only check (both are pinned by
+recall-vs-bruteforce tests instead); every other query, including banded
+MinHash near-dup and SimHash, is oracle-backed. Fixture-based queries (kg_*)
+read the committed deterministic corpus under /root/repo/fixtures by
+absolute path — DuckDB reads the same files.
 """
 
 from __future__ import annotations
@@ -216,9 +218,22 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash near-dup clustering (bucket-capped, exact-Jaccard
+    verified). Oracle-checked against DuckDB's exact all-pairs Jaccard +
+    recursive-CTE transitive closure: with 32 bands of 2 rows the per-pair
+    LSH miss probability at j>=0.8 is (1-0.64)^32 ~ 7e-15, so the banded
+    result equals the exact clustering. max_bucket=512 exceeds the corpus
+    size at oracle SF (cap engages only at scale, where dropped oversized
+    buckets trade recall for boundedness)."""
     from kg.ops.dedup import minhash_near_dup
 
-    return minhash_near_dup(_docs(spark, sf_dir), min_jaccard=0.6)
+    return minhash_near_dup(
+        _docs(spark, sf_dir), min_jaccard=0.8, k=64, bands=32, max_bucket=512
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
 
 
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,11 +249,14 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-capped sign-LSH ANN (blocking + exact cosine re-rank). No SQL
+    oracle — the result depends on the random-projection blocking; recall vs
+    the brute-force baseline is asserted in tests/test_ops.py."""
     from kg.ops.similarity import ann_lsh_topk
 
     return ann_lsh_topk(
-        _emb(spark, sf_dir), k=5, bucket_length=1.0, num_hash_tables=4,
-        dist_threshold=2.0,
+        _emb(spark, sf_dir), k=5, n_bits=4, n_bands=32,
+        query_filter=F.col("qid") < 20,
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -254,7 +272,7 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ann_ivf_topk(
         _emb(spark, sf_dir), k=5, n_lists=8, n_probe=4,
-        query_filter=F.col("vid") < 20,
+        query_filter=F.col("qid") < 20,
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -271,6 +289,22 @@ def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_cosine_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup: bucket-capped sign-LSH blocking
+    feeding the same exact-cosine verifier — no all-pairs crossJoin in the
+    plan. Oracle-checked against the exact all-pairs clustering: with
+    n_bits=2 x n_bands=32 the per-edge blocking miss at cos>=0.4 is <1e-7,
+    so blocked == exact on the fixture."""
+    from kg.ops.similarity import cosine_band_candidates, embedding_cosine_near_dup
+
+    emb = _emb(spark, sf_dir)
+    cands = cosine_band_candidates(emb, n_bits=2, n_bands=32, max_bucket=512)
+    return embedding_cosine_near_dup(emb, threshold=0.4, candidates=cands).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.similarity import embedding_stats
 
@@ -280,14 +314,6 @@ def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_vecs").cast("long").alias("n_vecs"),
         "avg_norm",
     )
-
-
-def q_doc_minhash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hand-rolled banded MinHash with bucket-size capping — the near-dup
-    scale path (see kg/ops/dedup.py). Probabilistic; rows-only check."""
-    from kg.ops.dedup import minhash_band_near_dup
-
-    return minhash_band_near_dup(_docs(spark, sf_dir), min_jaccard=0.6)
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,8 +472,9 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.events import sessionize
 
-    # epoch-us session bounds must agree with DuckDB's (naive == UTC) epoch_us
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # epoch-us session bounds require a UTC session (kg/session.py sets it;
+    # asserting instead of mutating keeps query-building side-effect-free)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return sessionize(events, gap_minutes=30)
 
@@ -597,7 +624,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shingle_dedup": q_doc_shingle_dedup,
         "doc_simhash": q_doc_simhash,
         "doc_minhash_dedup": q_doc_minhash_dedup,
-        "doc_minhash_band_dedup": q_doc_minhash_band_dedup,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "graph_connected_components": q_graph_connected_components,
         "media_metadata": q_media_metadata,
@@ -606,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "emb_cosine_near_dup": q_emb_cosine_near_dup,
+        "emb_cosine_near_dup_blocked": q_emb_cosine_near_dup_blocked,
         "emb_stats": q_emb_stats,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "top_customers": q_top_customers,
@@ -753,6 +780,64 @@ WITH w AS (
 )
 SELECT doc_id, md5(array_to_string(shingles[1:8], '')) AS shingle_sig FROM sh
 """,
+        # Exact all-pairs Jaccard + recursive-CTE transitive closure — an
+        # INDEPENDENT algorithm (no LSH): the banded-MinHash query matches it
+        # because 32x2 banding has ~7e-15 per-pair miss probability at j>=0.8
+        # and every candidate is exact-Jaccard-verified before clustering.
+        "doc_minhash_dedup": r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, list_sort(list_distinct(
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS ts
+  FROM documents
+), nz AS (SELECT * FROM w WHERE len(ts) > 0),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM nz a, nz b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.ts, b.ts))
+        >= 0.8 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+), sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+), comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+membered AS (
+  SELECT nz.doc_id, coalesce(comp.component, nz.doc_id) AS component
+  FROM nz LEFT JOIN comp ON nz.doc_id = comp.node
+), keep AS (SELECT component, min(doc_id) AS keep_id FROM membered GROUP BY component)
+SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
+  CAST(m.component AS BIGINT) AS component,
+  CAST(k.keep_id AS BIGINT) AS keep_id
+FROM membered m JOIN keep k USING (component)
+""",
+        # SimHash is deterministic md5 bit-votes — fully SQL-expressible:
+        # h64(word) == int.from_bytes(md5(word)[:8], 'big') == the hex-parsed
+        # first 16 md5 hex chars; bit b of the simhash is set iff the
+        # +1/-1 votes of the distinct words' bit-b values sum positive.
+        "doc_simhash": r"""
+WITH w AS (
+  SELECT doc_id, list_distinct(
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS words
+  FROM documents
+), wh AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(words)), 1, 16))::UBIGINT AS h
+  FROM w
+), votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) bs
+  GROUP BY doc_id, b
+), sims AS (
+  SELECT doc_id,
+    sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS sim
+  FROM votes GROUP BY doc_id
+)
+SELECT w.doc_id,
+  CAST(coalesce(
+    CASE WHEN s.sim >= 9223372036854775808 THEN s.sim - 18446744073709551616
+         ELSE s.sim END, 0) AS BIGINT) AS simhash
+FROM w LEFT JOIN sims s USING (doc_id)
+""",
         "doc_ngram_jaccard": """
 WITH w AS (
   SELECT doc_id,
@@ -820,6 +905,31 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM ranked WHERE rank <= 5
 """,
         "emb_cosine_near_dup": """
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst FROM v a, v b
+  WHERE a.vec_id < b.vec_id
+    AND list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= 0.4
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(node, r) AS (
+  SELECT src AS node, src AS r FROM sym
+  UNION
+  SELECT reach.node, sym.dst AS r FROM reach JOIN sym ON reach.r = sym.src
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+  CAST(coalesce(comp.component, v.vec_id) AS BIGINT) AS component
+FROM v LEFT JOIN comp ON v.vec_id = comp.node
+""",
+        # blocked variant: same EXACT all-pairs oracle — high-recall blocking
+        # (2 bits x 32 bands, miss <1e-7 per edge at cos>=0.4) plus exact
+        # verification means the blocked clustering equals the exact one
+        "emb_cosine_near_dup_blocked": """
 WITH RECURSIVE v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ), edges AS (
@@ -913,7 +1023,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
   CAST(count(*) AS BIGINT) AS n_events,
   CAST(min(epoch_us(ts)) AS BIGINT) AS t_start_us,
   CAST(max(epoch_us(ts)) AS BIGINT) AS t_end_us,
-  round(sum(value), 2) AS total_value
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM s GROUP BY user_id, session_seq
 """,
         "kg_extract": f"""

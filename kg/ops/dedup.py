@@ -4,9 +4,12 @@ corpora (exact -> cheap signature -> probabilistic blocking -> verify).
 
 Scale shapes:
 - exact/shingle/simhash-band dedup: one partial-aggregated groupBy each.
-- MinHash near-dup: built-in pyspark.ml MinHashLSH banding join, then
-  connected components (kg/cc.py) so transitive duplicate chains collapse
-  into one cluster (pairwise-only dedup leaves A~B~C split).
+- MinHash near-dup (canonical): hand-rolled banded LSH with bucket-size
+  capping + exact-Jaccard verification, then connected components
+  (kg/cc.py) so transitive duplicate chains collapse into one cluster
+  (pairwise-only dedup leaves A~B~C split). The pyspark.ml
+  approxSimilarityJoin variant is retained ONLY as a small-fixture
+  cross-check — its uncapped bucket join is quadratic under skew.
 - SimHash: Arrow-batched pandas UDF (numpy bit math; no JVM equivalent),
   then JVM-side band grouping for candidate pairs.
 """
@@ -62,14 +65,21 @@ def shingle_signature_dedup(
     return docs.select(F.col(id_col), sig.alias("shingle_sig"))
 
 
-def minhash_near_dup(
+def minhash_near_dup_ml(
     docs: DataFrame,
     id_col: str = "doc_id",
     min_jaccard: float = 0.5,
     num_hash_tables: int = 6,
     num_features: int = 1 << 18,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate clustering over word-token sets.
+    """pyspark.ml MinHashLSH near-dup clustering — TEST CROSS-CHECK ONLY.
+
+    ``approxSimilarityJoin`` joins every pair inside each band bucket with no
+    size cap; on boilerplate-heavy corpora near-identical docs pile into the
+    same buckets and the join goes quadratic (measured hanging >9 min on 20k
+    template pages). The production path is :func:`minhash_near_dup` (banded,
+    bucket-capped, exact-Jaccard-verified); this variant exists to cross-check
+    it on small fixtures.
 
     (doc_id, component, keep_id): docs sharing a component are near-dups;
     keep_id is the cluster survivor (min doc_id). Transitive closure via
@@ -103,7 +113,7 @@ def minhash_near_dup(
     return membered.join(keep, "component").select("doc_id", "component", "keep_id")
 
 
-def minhash_band_near_dup(
+def minhash_near_dup(
     docs: DataFrame,
     id_col: str = "doc_id",
     k: int = 64,
@@ -111,8 +121,8 @@ def minhash_band_near_dup(
     min_jaccard: float = 0.5,
     max_bucket: int = 64,
 ) -> DataFrame:
-    """Hand-rolled banded-MinHash near-dup clustering with BUCKET-SIZE
-    CAPPING — the 10^12-doc scale path.
+    """Banded-MinHash near-dup clustering with BUCKET-SIZE CAPPING — the
+    canonical near-dup operator and the 10^12-doc scale path.
 
     pyspark.ml's MinHashLSH approxSimilarityJoin joins every pair inside a
     band bucket; on boilerplate-heavy web corpora near-identical docs pile
@@ -132,7 +142,13 @@ def minhash_band_near_dup(
     heaviest boilerplate groups become one row each).
 
     Tune (bands, k) to the threshold: the LSH S-curve midpoint sits near
-    (1/bands)^(bands/k); the default 16 bands x 4 rows targets ~0.5.
+    (1/bands)^(bands/k); the default 16 bands x 4 rows targets ~0.5. Because
+    every candidate pair is verified with exact token-set Jaccard, extra
+    bands only cost candidate volume, never precision — with bands=32/k=64
+    (2 rows per band) the per-pair miss probability at j>=0.8 is
+    (1-j^2)^32 <= 7e-15, i.e. the result equals the exact all-pairs
+    clustering in practice (the contract query is oracle-checked against a
+    DuckDB exact-Jaccard transitive closure on that basis).
 
     Returns (doc_id, component, keep_id) for every non-empty input doc.
     """
@@ -211,6 +227,10 @@ def minhash_band_near_dup(
     membered = membership.join(rep_comp, "rep").select("doc_id", "component")
     keep = membered.groupBy("component").agg(F.min("doc_id").alias("keep_id"))
     return membered.join(keep, "component").select("doc_id", "component", "keep_id")
+
+
+# round-1 name for the banded implementation (kept for callers/tests)
+minhash_band_near_dup = minhash_near_dup
 
 
 # ---- SimHash ----

@@ -22,8 +22,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     and whenever the gap since the previous event exceeds ``gap_minutes``.
 
     Returns (user_id, session_seq, n_events, t_start_us, t_end_us,
-    total_value) with microsecond-epoch bounds (exact integers — immune to
-    timezone/format drift between engines).
+    total_value_cents) with microsecond-epoch bounds (exact integers — immune
+    to timezone/format drift between engines). total_value_cents sums
+    per-event round(value*100) as int64: float groupBy-sums are
+    order-dependent across engines (a rounded double can flip at the
+    boundary), integer sums are associative and engine-exact.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -43,7 +46,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count("*").cast("long").alias("n_events"),
             F.min(us).alias("t_start_us"),
             F.max(us).alias("t_end_us"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_value_cents"
+            ),
         )
         .select(
             F.col("user_id").cast("long").alias("user_id"),
@@ -51,6 +56,6 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "n_events",
             "t_start_us",
             "t_end_us",
-            "total_value",
+            "total_value_cents",
         )
     )

@@ -8,8 +8,8 @@ from pyspark.sql import functions as F
 
 from kg.ops.dedup import (
     exact_dedup,
-    minhash_band_near_dup,
     minhash_near_dup,
+    minhash_near_dup_ml,
     ngram_jaccard_pairs,
     shingle_signature_dedup,
     simhash,
@@ -82,14 +82,10 @@ def test_minhash_near_dup_clusters(spark, dup_docs):
     assert keep[3] == 1 and keep[5] == 4
 
 
-def test_minhash_band_near_dup_matches_ml_variant(spark, dup_docs):
-    got = minhash_band_near_dup(dup_docs, min_jaccard=0.5).collect()
-    comp = {r["doc_id"]: r["component"] for r in got}
-    assert comp[1] == comp[2] == comp[3]  # near-dup chain collapses
-    assert comp[4] == comp[5]
-    assert comp[6] not in (comp[1], comp[4])
-    keep = {r["doc_id"]: r["keep_id"] for r in got}
-    assert keep[3] == 1 and keep[5] == 4
+def test_minhash_ml_variant_cross_checks_banded(spark, dup_docs):
+    banded = {tuple(r) for r in minhash_near_dup(dup_docs, min_jaccard=0.5).collect()}
+    ml = {tuple(r) for r in minhash_near_dup_ml(dup_docs, min_jaccard=0.5).collect()}
+    assert banded == ml
 
 
 def test_minhash_band_exact_dups_survive_bucket_cap(spark):
@@ -99,7 +95,7 @@ def test_minhash_band_exact_dups_survive_bucket_cap(spark):
     rows = [(i, "same exact text in every row") for i in range(100)]
     rows.append((100, "completely different content"))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    got = minhash_band_near_dup(docs, min_jaccard=0.9, max_bucket=4).collect()
+    got = minhash_near_dup(docs, min_jaccard=0.9, max_bucket=4).collect()
     comp = {r["doc_id"]: r["component"] for r in got}
     assert all(comp[i] == 0 for i in range(100))
     assert comp[100] == 100
@@ -137,21 +133,42 @@ def test_ann_lsh_recall_against_bruteforce(spark, embeddings):
     qf = F.col("qid") < 20
     exact = cosine_topk_bruteforce(embeddings, k=5, query_filter=qf).toPandas()
     approx = ann_lsh_topk(
-        embeddings.where(F.col("vec_id") >= 0), k=5,
-        bucket_length=1.0, num_hash_tables=4, dist_threshold=2.0,
+        embeddings, k=5, n_bits=4, n_bands=32, query_filter=qf
     ).toPandas()
-    approx = approx[approx["query_id"] < 20]
     exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
     approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.9, recall
 
 
+def test_cosine_band_candidates_capped_and_verified(spark, embeddings):
+    from kg.ops.similarity import cosine_band_candidates
+
+    # a cap of 1 drops every bucket with >1 member -> no candidate pairs
+    none = cosine_band_candidates(embeddings, n_bits=2, n_bands=8, max_bucket=1)
+    assert none.count() == 0
+    cands = cosine_band_candidates(embeddings, n_bits=2, n_bands=32)
+    pdf = cands.toPandas()
+    assert (pdf["src"] < pdf["dst"]).all()
+    # blocked + exact verify == exact all-pairs clustering (high-recall cfg)
+    blocked = {
+        (r["vec_id"], r["component"])
+        for r in embedding_cosine_near_dup(
+            embeddings, threshold=0.4, candidates=cands
+        ).collect()
+    }
+    exact = {
+        (r["vec_id"], r["component"])
+        for r in embedding_cosine_near_dup(embeddings, threshold=0.4).collect()
+    }
+    assert blocked == exact
+
+
 def test_ann_ivf_recall_against_bruteforce(spark, embeddings):
     qf = F.col("qid") < 20
     exact = cosine_topk_bruteforce(embeddings, k=5, query_filter=qf).toPandas()
     approx = ann_ivf_topk(
-        embeddings, k=5, n_lists=8, n_probe=6, query_filter=F.col("vid") < 20
+        embeddings, k=5, n_lists=8, n_probe=6, query_filter=F.col("qid") < 20
     ).toPandas()
     exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
     approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
