@@ -89,17 +89,28 @@ NER_MENTIONS_SCHEMA = (
 )
 
 
-def _make_ner_batches(custom_entities: dict[str, str] | None):
+def _make_ner_batches(
+    custom_entities: dict[str, str] | None,
+    backend_name: str,
+    factory,
+    minimal_mode: bool,
+    generation: int,
+):
     def _ner_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # lazy import keeps worker bootstrap light when only triples are needed
-        from kg.detect import detect
+        from kg.backends import get_backend_cached
 
         for pdf in batches:
             rows = []
             langs = pdf["lang"] if "lang" in pdf.columns else ["en"] * len(pdf)
             for url, text, lang in zip(pdf["url"], pdf["text"], langs):
-                for m in detect(text or "", lang=lang or "en",
-                                custom_entities=custom_entities):
+                lang = lang or "en"
+                # per-(lang, mode) lazy singleton per worker process (O18)
+                be = get_backend_cached(
+                    backend_name, factory, lang, minimal_mode, generation
+                )
+                for m in be.detect(text or "", lang=lang,
+                                   custom_entities=custom_entities):
                     rows.append((url, m.value, m.label, m.category, m.start, m.end))
             yield pd.DataFrame(
                 rows, columns=["url", "value", "label", "category", "start", "end"]
@@ -109,18 +120,32 @@ def _make_ner_batches(custom_entities: dict[str, str] | None):
 
 
 def detect_ner_mentions(
-    docs: DataFrame, custom_entities: dict[str, str] | None = None
+    docs: DataFrame,
+    custom_entities: dict[str, str] | None = None,
+    backend: str = "rule",
+    minimal_mode: bool = False,
 ) -> DataFrame:
-    """Rule-backend NER mentions with char offsets (O1+O2), Arrow-batched.
+    """NER mentions with char offsets (O1+O2), Arrow-batched, with the
+    detector backend selected through the O18 registry (kg/backends.py):
+    the backend instance is a lazy per-worker singleton keyed by
+    (backend, lang, minimal_mode, generation), selected per ``lang`` column
+    value; ``kg.backends.reload_backends()`` invalidates worker caches for
+    plans built afterwards (reference: spacy_wrapper.py:80-116 registry +
+    server.py:290-303 reload).
 
     ``custom_entities`` ({phrase: entity_key}) adds the custom phrase matcher
     + overlap resolution (O3+O4: longer token-span wins, tie -> custom) to
     the same per-doc pass; the dict rides into the workers via closure
     serialization (broadcast-small by contract).
     """
+    from kg.backends import resolve_backend
+
+    factory, generation = resolve_backend(backend)
     cols = [c for c in ("url", "text", "lang") if c in docs.columns]
     return docs.select(*cols).mapInPandas(
-        _make_ner_batches(custom_entities), schema=NER_MENTIONS_SCHEMA
+        _make_ner_batches(custom_entities, backend, factory, minimal_mode,
+                          generation),
+        schema=NER_MENTIONS_SCHEMA,
     )
 
 
