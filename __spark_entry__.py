@@ -576,6 +576,26 @@ def q_kg_custom_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_ner_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21 error capture as a contract surface: fixture docs plus one
+    poisoned row (unsupported lang) run through the capture-enabled NER
+    stage; the stage completes and the poison lands in the errors table.
+    Oracle = the expected deterministic (url, stage, error) literal."""
+    from kg.errors import split_errors
+    from kg.stages.extract import extract_docs
+    from kg.stages.triples import detect_ner_mentions
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    docs = extract_docs(pages).select("url", "text", "lang")
+    poison = spark.createDataFrame(
+        [("poison://doc-1", "some text", "xx")],
+        "url string, text string, lang string",
+    )
+    raw = detect_ner_mentions(docs.unionByName(poison), capture_errors=True)
+    _ok, errs = split_errors(raw, stage="ner_mentions")
+    return errs
+
+
 def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.stages.canon import canonicalize_aliases
 
@@ -648,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_e2e": q_kg_triples_e2e,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
+        "kg_ner_errors": q_kg_ner_errors,
         "kg_canonical": q_kg_canonical,
     }
 
@@ -1059,6 +1080,12 @@ SELECT t.url, t.subj, t.pred, t.obj, s.entity_id AS subj_id, o.entity_id AS obj_
 FROM '{FIX}/expected_triples_tiny.parquet' t
 LEFT JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
 LEFT JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+""",
+        "kg_ner_errors": """
+SELECT 'poison://doc-1' AS url, 'ner_mentions' AS stage,
+  'UnknownLanguageError: no detector resources for lang ''xx'' '
+  || '(supported: [''de'', ''en'', ''es'', ''fr'', ''it'', ''nl'', ''pt''])'
+  AS error
 """,
         "kg_canonical": f"""
 WITH ranked AS (

@@ -95,26 +95,40 @@ def _make_ner_batches(
     factory,
     minimal_mode: bool,
     generation: int,
+    capture_errors: bool = False,
 ):
     def _ner_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # lazy import keeps worker bootstrap light when only triples are needed
         from kg.backends import get_backend_cached
+        from kg.errors import format_error
 
+        n_cols = 6 + (1 if capture_errors else 0)
         for pdf in batches:
             rows = []
             langs = pdf["lang"] if "lang" in pdf.columns else ["en"] * len(pdf)
             for url, text, lang in zip(pdf["url"], pdf["text"], langs):
                 lang = lang or "en"
-                # per-(lang, mode) lazy singleton per worker process (O18)
-                be = get_backend_cached(
-                    backend_name, factory, lang, minimal_mode, generation
-                )
-                for m in be.detect(text or "", lang=lang,
-                                   custom_entities=custom_entities):
-                    rows.append((url, m.value, m.label, m.category, m.start, m.end))
-            yield pd.DataFrame(
-                rows, columns=["url", "value", "label", "category", "start", "end"]
-            )
+                try:
+                    # per-(lang, mode) lazy singleton per worker process (O18)
+                    be = get_backend_cached(
+                        backend_name, factory, lang, minimal_mode, generation
+                    )
+                    mentions = be.detect(text or "", lang=lang,
+                                         custom_entities=custom_entities)
+                except Exception as exc:  # noqa: BLE001 — O21 row capture
+                    if not capture_errors:
+                        raise
+                    rows.append(
+                        (url, None, None, None, None, None, format_error(exc))
+                    )
+                    continue
+                for m in mentions:
+                    row = (url, m.value, m.label, m.category, m.start, m.end)
+                    rows.append(row + (None,) if capture_errors else row)
+            cols = ["url", "value", "label", "category", "start", "end"]
+            if capture_errors:
+                cols.append("error")
+            yield pd.DataFrame(rows, columns=cols[:n_cols])
 
     return _ner_batches
 
@@ -124,6 +138,7 @@ def detect_ner_mentions(
     custom_entities: dict[str, str] | None = None,
     backend: str = "rule",
     minimal_mode: bool = False,
+    capture_errors: bool = False,
 ) -> DataFrame:
     """NER mentions with char offsets (O1+O2), Arrow-batched, with the
     detector backend selected through the O18 registry (kg/backends.py):
@@ -137,15 +152,21 @@ def detect_ner_mentions(
     + overlap resolution (O3+O4: longer token-span wins, tie -> custom) to
     the same per-doc pass; the dict rides into the workers via closure
     serialization (broadcast-small by contract).
+
+    ``capture_errors=True`` (O21): a doc whose backend lookup or detect()
+    raises (e.g. unsupported lang, a buggy custom backend) becomes one row
+    with null mention fields and an ``error`` column instead of failing the
+    stage — split with kg.errors.split_errors.
     """
     from kg.backends import resolve_backend
 
     factory, generation = resolve_backend(backend)
     cols = [c for c in ("url", "text", "lang") if c in docs.columns]
+    schema = NER_MENTIONS_SCHEMA + (", error string" if capture_errors else "")
     return docs.select(*cols).mapInPandas(
         _make_ner_batches(custom_entities, backend, factory, minimal_mode,
-                          generation),
-        schema=NER_MENTIONS_SCHEMA,
+                          generation, capture_errors),
+        schema=schema,
     )
 
 

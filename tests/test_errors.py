@@ -1,0 +1,64 @@
+"""O21: per-partition error capture — a poisoned page lands an errors row
+and the stage completes instead of aborting the job."""
+
+from __future__ import annotations
+
+import pytest
+
+from kg.errors import split_errors
+from kg.stages.extract import extract_docs
+from kg.stages.triples import detect_ner_mentions
+
+
+@pytest.fixture(scope="module")
+def poisoned_docs(spark):
+    return spark.createDataFrame(
+        [
+            ("u1", "Acme Corporation opened in London.", "en"),
+            ("poison://1", "some text", "tlh"),  # unsupported lang -> raises
+            ("u2", "Paris is in France.", "en"),
+        ],
+        "url string, text string, lang string",
+    )
+
+
+def test_poisoned_doc_becomes_error_row_not_job_abort(spark, poisoned_docs):
+    raw = detect_ner_mentions(poisoned_docs, capture_errors=True)
+    ok, errs = split_errors(raw, stage="ner_mentions")
+    err_rows = errs.collect()
+    assert len(err_rows) == 1
+    assert err_rows[0]["url"] == "poison://1"
+    assert err_rows[0]["stage"] == "ner_mentions"
+    assert err_rows[0]["error"].startswith("UnknownLanguageError:")
+    # the good docs are fully processed
+    ok_urls = {r["url"] for r in ok.collect()}
+    assert "u1" in ok_urls and "u2" in ok_urls and "poison://1" not in ok_urls
+
+
+def test_without_capture_the_stage_fails(spark, poisoned_docs):
+    with pytest.raises(Exception, match="no detector resources"):
+        detect_ner_mentions(poisoned_docs).collect()
+
+
+def test_capture_matches_plain_path_on_clean_input(spark, poisoned_docs):
+    clean = poisoned_docs.where("lang = 'en'")
+    plain = {tuple(r) for r in detect_ner_mentions(clean).collect()}
+    ok, errs = split_errors(
+        detect_ner_mentions(clean, capture_errors=True), stage="ner_mentions"
+    )
+    assert errs.isEmpty()
+    assert {tuple(r) for r in ok.collect()} == plain
+
+
+def test_extract_capture_passthrough(spark):
+    pages = spark.createDataFrame(
+        [("u1", b"<p>hello world</p>", "en")],
+        "url string, html binary, lang string",
+    )
+    ok, errs = split_errors(
+        extract_docs(pages, capture_errors=True), stage="extract"
+    )
+    assert errs.isEmpty()
+    got = ok.collect()[0]
+    assert got["text"] == "hello world"
+    assert got["n_chars"] == 11
