@@ -30,14 +30,23 @@ from pyspark.sql import functions as F
 
 __all__ = ["add_bucket", "CheckpointedPipeline"]
 
+# Per-bucket commit log. Wall time deliberately lives ONLY in the metrics
+# table: a stage executes its buckets in one Spark job, so any per-bucket
+# wall attribution would be fiction (round 1 divided the stage wall evenly
+# across buckets — misleading for skew diagnosis; dropped).
 LINEAGE_SCHEMA = (
     "stage string, url_hash_bucket int, run_config_hash string, run_id string, "
-    "n_out long, wall_ms double, ts timestamp"
+    "n_out long, ts timestamp"
 )
 
+# Per-RUN stage metrics: n_buckets_done / n_rows_out count THIS run's todo
+# buckets only (a resume that skips completed buckets reports only what it
+# (re)computed; the cumulative stage totals are sum(n_out) over lineage).
+# peak_mem_mb: max Python-worker peak RSS observed right after the stage
+# (O23 — the reference @profile-on-populate analogue).
 METRICS_SCHEMA = (
     "stage string, run_id string, n_buckets_done int, n_rows_out long, "
-    "wall_ms double, ts timestamp"
+    "wall_ms double, peak_mem_mb double, ts timestamp"
 )
 
 
@@ -150,6 +159,7 @@ class CheckpointedPipeline:
         )
         counts = written.groupBy("url_hash_bucket").count().collect()
         count_map = {r["url_hash_bucket"]: r["count"] for r in counts}
+        peak_mem_mb = self._probe_peak_mem(written)
         now = _now_utc()
         lineage_rows = [
             (
@@ -158,7 +168,6 @@ class CheckpointedPipeline:
                 self.cfg_hash,
                 self.run_id,
                 int(count_map.get(b, 0)),
-                wall_ms / max(len(todo_buckets), 1),
                 now,
             )
             for b in todo_buckets
@@ -174,6 +183,7 @@ class CheckpointedPipeline:
                 len(todo_buckets),
                 int(sum(count_map.values())),
                 wall_ms,
+                peak_mem_mb,
                 now,
             )
         ]
@@ -184,6 +194,38 @@ class CheckpointedPipeline:
 
     def read_stage(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self.stage_output_path(stage))
+
+    def _probe_peak_mem(self, written: DataFrame) -> float:
+        """O23: max Python-worker peak RSS (MB) right after the stage ran.
+
+        ``resource.getrusage(RUSAGE_SELF).ru_maxrss`` is the process
+        high-water mark; Python workers are reused across tasks
+        (spark.python.worker.reuse), so probing them immediately after the
+        stage reports the memory the stage's UDFs actually peaked at — the
+        distributed analogue of the reference's @profile on populate
+        (server.py:8,139). The probe scans ONLY the bucket column of the
+        just-written partitions (column-pruned parquet read, one tiny
+        mapInPandas pass), so its cost is bounded by row count, not payload.
+        """
+        probe = written.select("url_hash_bucket").mapInPandas(
+            _peak_rss_batches, schema="peak_mb double"
+        )
+        row = probe.agg(F.max("peak_mb")).first()
+        return float(row[0]) if row and row[0] is not None else 0.0
+
+
+def _peak_rss_batches(batches):
+    """One (peak_mb) row per non-empty Arrow batch: this worker's RSS
+    high-water mark (ru_maxrss is KB on Linux)."""
+    import resource
+
+    import pandas as pd
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        yield pd.DataFrame({"peak_mb": [peak_kb / 1024.0]})
 
 
 def _now_utc():

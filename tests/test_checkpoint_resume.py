@@ -96,6 +96,11 @@ def test_lineage_and_metrics_written(spark, pages_sdf, tmp_path):
     assert len(lineage) == 8
     assert lineage["n_out"].sum() == out.count()
     assert (lineage["stage"] == "mentions").all()
+    # wall time lives ONLY in metrics — per-bucket wall would be fiction
+    assert "wall_ms" not in lineage.columns
     metrics = spark.read.parquet(str(Path(base) / "_metrics")).toPandas()
     assert metrics["n_rows_out"].iloc[0] == out.count()
     assert metrics["wall_ms"].iloc[0] > 0
+    # O23: worker peak RSS captured and plausible (>10 MB for a JVM-fed
+    # Python worker, nonzero proves the probe ran)
+    assert metrics["peak_mem_mb"].iloc[0] > 10
