@@ -91,5 +91,11 @@ class GazetteerSnapshots:
     def check(self, docs: DataFrame, id_col: str = "url",
               version: int | None = None) -> DataFrame:
         """v2 entity_check analogue: dictionary mention detection against the
-        snapshot (no regexes — the v2 API has none; server.py:171-186)."""
-        return detect_mentions(docs, self.read(version), None, id_col=id_col)
+        snapshot (no regexes — the v2 API has none; server.py:171-186).
+        share_scan=False: check is typically called once per version in a
+        long-lived session, and each persisted share would otherwise pile up
+        in the cache (regex pass is absent, so the shared subtree has one
+        consumer anyway)."""
+        return detect_mentions(
+            docs, self.read(version), None, id_col=id_col, share_scan=False
+        )

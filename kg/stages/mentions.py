@@ -143,36 +143,75 @@ def ngram_spans_df(
     )
 
 
+#: start-word gates larger than this skip the isin literal (plan bloat) and
+#: rely on the broadcast join alone
+_GATE_LIMIT = 512
+
+
+def _dim_planning_inputs(gazetteer: DataFrame) -> tuple[int, list[str], bool]:
+    """(max_phrase_words, sorted distinct first words truncated to
+    _GATE_LIMIT, overflowed?) in ONE driver round-trip with bounded result
+    size. Scale-regime guard for the round-1 full collect of value_norm
+    (VERDICT r01 finding 5): the dim may exceed broadcast-small when callers
+    use the salted-dim path."""
+    first_word = F.btrim(
+        F.element_at(F.split(F.col("value_norm"), r"\s+"), 1), F.lit(PUNCT)
+    )
+    n_words = (
+        F.col("n_words")
+        if "n_words" in gazetteer.columns
+        else F.size(F.split(F.col("value_norm"), r"\s+"))
+    )
+    row = gazetteer.agg(
+        F.max(n_words).alias("mw"),
+        F.slice(
+            F.sort_array(
+                F.collect_set(
+                    F.when(first_word != F.lit(""), first_word)
+                )
+            ),
+            1,
+            _GATE_LIMIT + 1,
+        ).alias("fw"),
+    ).first()
+    max_words = int(row["mw"]) if row["mw"] is not None else 1
+    fw = list(row["fw"] or [])
+    return max(max_words, 1), fw[:_GATE_LIMIT], len(fw) > _GATE_LIMIT
+
+
 def detect_gazetteer_mentions(
     docs: DataFrame,
     gazetteer: DataFrame,
     max_words: int | None = None,
     id_col: str = "url",
     share_scan: bool = True,
+    cache_handles: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Value-entity pass. Returns (winners, matched_surfaces).
 
     winners: (url, matched_word, entity_name) after the longest-match fold.
     matched_surfaces: distinct (url, surface) of ALL value matches pre-fold —
     the words_matched set the regex pass anti-joins against.
+
+    ``cache_handles``: pass a list to receive any DataFrame this call
+    persists (the shared ``firsts`` subtree) so long-lived sessions can
+    ``unpersist()`` after materializing both consumers — otherwise repeated
+    calls accumulate cached relations until LRU eviction.
     """
     # ONE driver round-trip for all dim-derived planning inputs (max phrase
-    # width + the start-word gate): the dim is broadcast-small by contract,
-    # and each extra .collect()/.isEmpty() is a driver barrier — pure
-    # unscalable overhead when the per-call work shrinks.
-    dim_norms = [
-        r[0] for r in gazetteer.select("value_norm").collect() if r[0] is not None
-    ]
+    # width + the start-word gate), with BOUNDED transfer: the aggregation
+    # returns at most _GATE_LIMIT+1 first words regardless of dim size, so a
+    # multi-million-row alias dictionary never round-trips its values to the
+    # driver (the distinct-first-word set is reduced executor-side by the
+    # partial-aggregated collect_set; only the sliced prefix is shipped).
+    max_words_col, first_words, overflowed = _dim_planning_inputs(gazetteer)
     if max_words is None:
-        max_words = max((len(v.split()) for v in dim_norms), default=1) or 1
+        max_words = max_words_col
     # start-position gate: the distinct normalized first words of the
     # dictionary phrases. Inlined as an isin literal while small; for very
     # large alias dictionaries skip the gate — the broadcast join does the
     # filtering and the literal would bloat the plan.
-    first_words = sorted(
-        {v.split()[0].strip(PUNCT) for v in dim_norms if v.split()}
-    )
-    gate = first_words if 0 < len(first_words) <= 512 else None
+    gate = first_words if (first_words and not overflowed) else None
     spans = ngram_spans_df(docs, max_words, id_col, start_words=gate)
     normalized = spans.select(
         id_col,
@@ -206,6 +245,8 @@ def detect_gazetteer_mentions(
         from pyspark import StorageLevel
 
         firsts = firsts.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handles is not None:
+            cache_handles.append(firsts)
     # words_matched set == distinct matched surfaces (entity_finder.py:77,84)
     matched_surfaces = firsts.select(id_col, "surface").distinct()
     winners = firsts.groupBy(id_col, "entity_name").agg(
@@ -281,11 +322,14 @@ def detect_mentions(
     regexes: DataFrame | None = None,
     id_col: str = "url",
     share_scan: bool = True,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Full mention detection: gazetteer winners UNION regex matches, with
-    value-over-regex priority. Output matches kg.oracle.find_entities_rows."""
+    value-over-regex priority. Output matches kg.oracle.find_entities_rows.
+    ``cache_handles``: see detect_gazetteer_mentions."""
     winners, matched_surfaces = detect_gazetteer_mentions(
-        docs, gazetteer, id_col=id_col, share_scan=share_scan
+        docs, gazetteer, id_col=id_col, share_scan=share_scan,
+        cache_handles=cache_handles,
     )
     gaz = winners.withColumn("detector", F.lit("gazetteer"))
     # one driver round-trip for the (small) regex dim; an .isEmpty() probe

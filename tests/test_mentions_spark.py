@@ -98,3 +98,60 @@ def test_mentions_plan_is_broadcast_and_pruned(spark, pages_sdf):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # no row-wise Python UDF anywhere in the relational mentions plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dim_planning_inputs_bounded(spark):
+    from kg.stages.mentions import _GATE_LIMIT, _dim_planning_inputs
+
+    small = gazetteer_dim(spark, {"A": ["hash join", "scan"], "B": ["big scan op"]})
+    mw, fw, overflowed = _dim_planning_inputs(small)
+    assert mw == 3
+    assert fw == ["big", "hash", "scan"]
+    assert not overflowed
+
+
+def test_mentions_large_dim_skips_gate_without_driver_collect(spark):
+    """Scale-regime guard (VERDICT r01 finding 5): a 1M-row dim must not
+    round-trip its values to the driver — planning inputs come from one
+    bounded aggregation, the start-word gate is skipped, and matching still
+    works through the broadcast join alone."""
+    from pyspark.sql import functions as F
+
+    from kg.stages.mentions import (
+        _GATE_LIMIT,
+        _dim_planning_inputs,
+        detect_gazetteer_mentions,
+    )
+
+    dim = spark.range(1_000_000).selectExpr(
+        "concat('E', id % 1000) as entity_name",
+        "concat('w', id) as value",
+        "concat('w', id) as value_norm",
+        "CAST(1 AS int) as n_words",
+    )
+    mw, fw, overflowed = _dim_planning_inputs(dim)
+    assert mw == 1
+    assert overflowed and len(fw) <= _GATE_LIMIT  # bounded driver transfer
+    docs = spark.createDataFrame(
+        [("d1", "w42 and w999999 appear here"), ("d2", "nothing matches")],
+        "doc_id string, text string",
+    )
+    winners, _ = detect_gazetteer_mentions(
+        docs, dim, id_col="doc_id", share_scan=False
+    )
+    got = {(r["doc_id"], r["matched_word"]) for r in winners.collect()}
+    assert got == {("d1", "w42"), ("d1", "w999999")}
+
+
+def test_cache_handles_releases_persisted_share(spark, pages_sdf):
+    gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+    handles: list = []
+    df = detect_mentions(
+        pages_sdf.select("url", "text"), gaz, None, cache_handles=handles
+    )
+    df.count()
+    assert len(handles) == 1
+    assert handles[0].storageLevel.useMemory  # persisted while in use
+    for h in handles:
+        h.unpersist()
+    assert not handles[0].storageLevel.useMemory
