@@ -58,7 +58,12 @@ _WORDS_CTE = (
     "w -> w <> '') AS words FROM documents)"
 )
 
-_SPANS_SQL = f"""
+def _spans_sql(gaz_values_sql: str, max_words: int) -> str:
+    """The gazetteer-match WITH-block (spans -> normalize -> dim join ->
+    first-occurrence dedup -> longest-match winners), parameterized by the
+    dictionary VALUES so lifecycle oracles (gazetteer snapshots) can replay
+    arbitrary dictionary states through the same independent SQL algorithm."""
+    return f"""
 WITH {_WORDS_CTE},
 spans AS (
   SELECT d.doc_id, s.i AS start_i, s.j AS end_j,
@@ -67,11 +72,11 @@ spans AS (
     SELECT i.i, j.j
     FROM (SELECT unnest(generate_series(0, len(d.words)-1)) AS i) i,
          LATERAL (SELECT unnest(generate_series(i.i,
-                    least(len(d.words)-1, i.i + {DOC_MAX_PHRASE_WORDS - 1}))) AS j) j
+                    least(len(d.words)-1, i.i + {max_words - 1}))) AS j) j
   ) s
   WHERE len(d.words) > 0
 ),
-gaz(entity_name, value_norm) AS (VALUES {_GAZ_VALUES_SQL}),
+gaz(entity_name, value_norm) AS (VALUES {gaz_values_sql}),
 norm AS (
   SELECT doc_id, start_i, end_j,
          trim(span, '{_PUNCT_SQL}') AS surface,
@@ -91,6 +96,15 @@ winners AS (
   FROM firsts WHERE rn = 1
 )
 """
+
+
+def _gaz_values(gaz: dict[str, list[str]]) -> str:
+    return ", ".join(
+        f"('{name}', '{v.lower()}')" for name, vals in gaz.items() for v in vals
+    )
+
+
+_SPANS_SQL = _spans_sql(_GAZ_VALUES_SQL, DOC_MAX_PHRASE_WORDS)
 
 _REGEX_SQL_TAIL = f"""
 matched_surfaces AS (SELECT DISTINCT doc_id, surface FROM joined),
@@ -576,6 +590,83 @@ def q_kg_custom_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNAPSHOT_V1 = {"ScanOps": ["scan", "table scan"], "JoinOps": ["join"]}
+SNAPSHOT_V2 = {
+    "JoinOps": ["hash join", "merge join", "join"],
+    "Engines": ["spark", "flink"],
+}
+SNAPSHOT_DELETE = ["ScanOps"]
+# v2 populate REPLACES JoinOps and keeps ScanOps; v3 deletes ScanOps
+SNAPSHOT_FINAL = {
+    "JoinOps": ["hash join", "merge join", "join"],
+    "Engines": ["spark", "flink"],
+}
+
+
+def q_kg_gazetteer_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 stateful-dictionary lifecycle (populate/populate/delete) replayed
+    against versioned snapshots, checked at an OLD version (time travel) and
+    at latest. The oracle recomputes both checks independently in SQL from
+    the dictionary states the lifecycle semantics imply."""
+    import tempfile
+
+    from kg.gazetteer import GazetteerSnapshots
+
+    snaps = GazetteerSnapshots(
+        spark, tempfile.mkdtemp(prefix="kg_snap_contract_")
+    )
+    assert snaps.populate(SNAPSHOT_V1) == 1
+    assert snaps.populate(SNAPSHOT_V2) == 2
+    assert snaps.delete(SNAPSHOT_DELETE) == 3
+    docs = _docs(spark, sf_dir)
+    at_v1 = snaps.check(docs, id_col="doc_id", version=1).select(
+        "doc_id", "matched_word", "entity_name",
+        F.lit(1).cast("long").alias("version"),
+    )
+    at_latest = snaps.check(docs, id_col="doc_id").select(
+        "doc_id", "matched_word", "entity_name",
+        F.lit(3).cast("long").alias("version"),
+    )
+    return at_v1.unionByName(at_latest)
+
+
+def q_kg_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/lineage/resume as a contract surface: stage 1 (extract)
+    runs PARTIALLY (buckets 0-1), a fresh pipeline object resumes it over
+    the full input (recomputing only buckets 2-3 — asserted via the
+    lineage-derived completed set), stage 2 (triples) runs on the resumed
+    output, and a third pipeline object's no-op rerun returns the stored
+    result. Oracle = the committed expected-triples fixture, independent of
+    any checkpoint mechanics."""
+    import tempfile
+
+    from kg.checkpoint import CheckpointedPipeline, add_bucket
+    from kg.stages.extract import extract_docs
+    from kg.stages.triples import extract_svo_triples
+
+    base = tempfile.mkdtemp(prefix="kg_ckpt_contract_")
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    bucketed = add_bucket(pages.select("url", "html", "lang"), 4)
+
+    pipe1 = CheckpointedPipeline(spark, base, n_buckets=4)
+    pipe1.run_stage(
+        "extract", bucketed.where(F.col("url_hash_bucket") < 2), extract_docs
+    )
+    assert pipe1.completed_buckets("extract") == {0, 1}
+
+    pipe2 = CheckpointedPipeline(spark, base, n_buckets=4)  # resume
+    assert pipe2.completed_buckets("extract") == {0, 1}
+    docs = pipe2.run_stage("extract", bucketed, extract_docs)
+    assert pipe2.completed_buckets("extract") == {0, 1, 2, 3}
+    pipe2.run_stage("triples", docs, extract_svo_triples)
+
+    pipe3 = CheckpointedPipeline(spark, base, n_buckets=4)  # no-op rerun
+    final = pipe3.run_stage(
+        "triples", pipe3.read_stage("extract"), extract_svo_triples
+    )
+    return final.select("url", "subj", "pred", "obj")
+
+
 def q_kg_ner_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O21 error capture as a contract surface: fixture docs plus one
     poisoned row (unsupported lang) run through the capture-enabled NER
@@ -669,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_ner_errors": q_kg_ner_errors,
+        "kg_gazetteer_snapshots": q_kg_gazetteer_snapshots,
+        "kg_checkpoint_resume": q_kg_checkpoint_resume,
         "kg_canonical": q_kg_canonical,
     }
 
@@ -1086,6 +1179,24 @@ SELECT 'poison://doc-1' AS url, 'ner_mentions' AS stage,
   'UnknownLanguageError: no detector resources for lang ''xx'' '
   || '(supported: [''de'', ''en'', ''es'', ''fr'', ''it'', ''nl'', ''pt''])'
   AS error
+""",
+        "kg_gazetteer_snapshots": f"""
+SELECT * FROM (
+  {_spans_sql(_gaz_values(SNAPSHOT_V1), 2)}
+  SELECT doc_id, surface AS matched_word, entity_name,
+    CAST(1 AS BIGINT) AS version
+  FROM winners WHERE rk = 1
+)
+UNION ALL
+SELECT * FROM (
+  {_spans_sql(_gaz_values(SNAPSHOT_FINAL), 2)}
+  SELECT doc_id, surface AS matched_word, entity_name,
+    CAST(3 AS BIGINT) AS version
+  FROM winners WHERE rk = 1
+)
+""",
+        "kg_checkpoint_resume": f"""
+SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
 """,
         "kg_canonical": f"""
 WITH ranked AS (
