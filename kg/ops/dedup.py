@@ -113,6 +113,90 @@ def minhash_near_dup_ml(
     return membered.join(keep, "component").select("doc_id", "component", "keep_id")
 
 
+def minhash_band_candidates(
+    toksets: DataFrame,
+    id_col: str = "doc_id",
+    tok_col: str = "tokset",
+    k: int = 64,
+    bands: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate (a, b) pairs (a < b, int64 ids) from banded MinHash over a
+    token-set column, with BUCKET-SIZE CAPPING: buckets larger than
+    ``max_bucket`` are dropped before the self-join, bounding candidate
+    volume at buckets * max_bucket^2. Shared by near-dup clustering
+    (minhash_near_dup) and alias canonicalization (kg/stages/canon.py).
+
+    All JVM-side: k minhashes = array_min over per-seed xxhash64(token),
+    band keys = xxhash64 over signature slices. Pair the output with an
+    exact verifier (jaccard_verified_edges) — blocking affects recall only.
+    """
+    r = k // bands
+    toks = toksets.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(tok_col).alias("_ts")
+    )
+
+    def _minhash(seed: int):
+        # single-parameter lambda only: a 2-arg lambda would be called with
+        # (element, array_index) and the index would silently replace the
+        # seed (same trap as noted in kg/ops/textstats.py lang_id)
+        return F.array_min(
+            F.transform("_ts", lambda t: F.xxhash64(F.lit(seed), t))
+        )
+
+    sig = toks.withColumn("sig", F.array(*[_minhash(i) for i in range(k)]))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r)).alias("bkey"),
+        )
+        for b in range(bands)
+    ])
+    buckets = sig.select("_id", F.explode(band_structs).alias("bk")).select(
+        "_id", "bk.band", "bk.bkey"
+    )
+    sizes = buckets.groupBy("band", "bkey").agg(F.count("*").alias("n"))
+    kept = buckets.join(
+        sizes.where(F.col("n") <= max_bucket).select("band", "bkey"),
+        ["band", "bkey"],
+    )
+    left = kept.alias("l")
+    right = kept.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_verified_edges(
+    toksets: DataFrame,
+    candidates: DataFrame,
+    min_jaccard: float,
+    id_col: str = "doc_id",
+    tok_col: str = "tokset",
+) -> DataFrame:
+    """Exact token-set Jaccard gate over candidate (a, b) pairs ->
+    (src, dst) edges with jaccard >= min_jaccard. JVM-side set algebra."""
+    toks = toksets.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(tok_col).alias("_ts")
+    )
+    ta = toks.select(F.col("_id").alias("a"), F.col("_ts").alias("ts_a"))
+    tb = toks.select(F.col("_id").alias("b"), F.col("_ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    return (
+        candidates.join(ta, "a").join(tb, "b")
+        .where(inter / F.greatest(union, F.lit(1)) >= F.lit(float(min_jaccard)))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
+
 def minhash_near_dup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -152,7 +236,6 @@ def minhash_near_dup(
 
     Returns (doc_id, component, keep_id) for every non-empty input doc.
     """
-    r = k // bands
     all_toks = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.array_sort(F.array_distinct(_words())).alias("tokset"),
@@ -170,51 +253,12 @@ def minhash_near_dup(
         .where(F.col("doc_id") == F.col("rep"))
         .select("doc_id", "tokset")
     )
-    def _minhash(seed: int):
-        # single-parameter lambda only: a 2-arg lambda would be called with
-        # (element, array_index) and the index would silently replace the
-        # seed (same trap as noted in kg/ops/textstats.py lang_id)
-        return F.array_min(
-            F.transform("tokset", lambda t: F.xxhash64(F.lit(seed), t))
-        )
-
-    sig = toks.withColumn("sig", F.array(*[_minhash(i) for i in range(k)]))
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r)).alias("bkey"),
-        )
-        for b in range(bands)
-    ])
-    buckets = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", "bk.band", "bk.bkey"
+    cand = minhash_band_candidates(
+        toks, id_col="doc_id", tok_col="tokset",
+        k=k, bands=bands, max_bucket=max_bucket,
     )
-    sizes = buckets.groupBy("band", "bkey").agg(F.count("*").alias("n"))
-    kept = buckets.join(
-        sizes.where(F.col("n") <= max_bucket).select("band", "bkey"),
-        ["band", "bkey"],
-    )
-    left = kept.alias("l")
-    right = kept.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bkey") == F.col("r.bkey"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
-    )
-    ta = toks.select(F.col("doc_id").alias("a"), F.col("tokset").alias("ts_a"))
-    tb = toks.select(F.col("doc_id").alias("b"), F.col("tokset").alias("ts_b"))
-    inter = F.size(F.array_intersect("ts_a", "ts_b"))
-    union = F.size("ts_a") + F.size("ts_b") - inter
-    edges = (
-        cand.join(ta, "a").join(tb, "b")
-        .where(inter / F.greatest(union, F.lit(1)) >= F.lit(float(min_jaccard)))
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
+    edges = jaccard_verified_edges(toks, cand, min_jaccard,
+                                   id_col="doc_id", tok_col="tokset")
     comps = connected_components(edges)
     rep_comp = toks.select("doc_id").join(
         comps, F.col("doc_id") == comps.node, "left"

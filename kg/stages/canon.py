@@ -1,19 +1,24 @@
-"""Stage 5: canonicalization — MinHash-LSH blocking + connected components.
+"""Stage 5: canonicalization — capped banded-MinHash blocking + CC.
 
 Groups alias surfaces that denote the same entity:
 
   aliases --tokenize--> word-token sets
-          --HashingTF(binary) + MinHashLSH.approxSimilarityJoin--> candidate
-               pairs with exact Jaccard distance (LSH only *blocks*; the
-               reported distance is exact, so the threshold is a real
-               Jaccard gate, not an approximation)
-          --filter distance <= 1 - min_jaccard--> edges
+          --banded MinHash, BUCKET-CAPPED (kg/ops/dedup.py
+               minhash_band_candidates)--> candidate pairs
+          --exact token-set Jaccard >= min_jaccard
+               (jaccard_verified_edges)--> edges
           --connected_components (kg/cc.py)--> component per alias
           --max_by(length, lexicographic)--> canonical surface per component
 
 Scale notes:
-- MinHashLSH is the built-in pyspark.ml.feature implementation — the
-  shuffle-heavy part (band bucketing + within-bucket join) is JVM-side.
+- round 1 used pyspark.ml MinHashLSH.approxSimilarityJoin here; its
+  UNCAPPED within-bucket join is quadratic when many aliases share a band
+  bucket (same skew failure as near-dup dedup on boilerplate — VERDICT r01).
+  The shared capped blocker bounds candidates at buckets * max_bucket^2 and
+  the exact-Jaccard verify keeps precision identical.
+- the default 64 bands x 1 row suits the LOW similarity threshold (0.30):
+  per-edge miss at j is (1-j)^64 (< 6e-12 at j=1/3); single-hash buckets
+  are coarse, which is exactly what the cap + verify absorb.
 - node ids are xxhash64(alias_norm) — stable across runs, no driver-side
   id assignment.
 - the alias universe is dim-sized (millions), not corpus-sized; the corpus
@@ -26,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kg.cc import connected_components
+from kg.ops.dedup import jaccard_verified_edges, minhash_band_candidates
 
 __all__ = ["canonicalize_aliases"]
 
@@ -33,8 +39,9 @@ __all__ = ["canonicalize_aliases"]
 def canonicalize_aliases(
     aliases: DataFrame,
     min_jaccard: float = 0.30,
-    num_hash_tables: int = 5,
-    num_features: int = 1 << 18,
+    k: int = 64,
+    bands: int = 64,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """aliases(alias, alias_norm) -> (entity_id, canonical, aliases, n_aliases).
 
@@ -42,8 +49,6 @@ def canonicalize_aliases(
     deterministic). canonical = longest alias_norm's surface, ties broken by
     the lexicographically greatest surface (deterministic).
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
     uniq = (
         aliases.select("alias", "alias_norm")
         .where(F.col("alias_norm") != "")
@@ -70,21 +75,13 @@ def canonicalize_aliases(
     )
     uniq = uniq.localCheckpoint(eager=True)  # reused 4x below; cut lineage once
 
-    tf = HashingTF(
-        inputCol="tokens", outputCol="features", numFeatures=num_features, binary=True
+    toksets = uniq.select("node", F.array_distinct("tokens").alias("tokset"))
+    cands = minhash_band_candidates(
+        toksets, id_col="node", tok_col="tokset",
+        k=k, bands=bands, max_bucket=max_bucket,
     )
-    feats = tf.transform(uniq)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(
-        feats, feats, threshold=1.0 - min_jaccard + 1e-9, distCol="jaccard_dist"
-    )
-    edges = (
-        pairs.select(
-            F.col("datasetA.node").alias("src"), F.col("datasetB.node").alias("dst")
-        )
-        .where(F.col("src") < F.col("dst"))
-        .distinct()
+    edges = jaccard_verified_edges(
+        toksets, cands, min_jaccard, id_col="node", tok_col="tokset"
     )
 
     comps = connected_components(edges)
