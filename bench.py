@@ -147,11 +147,35 @@ def run_suite(spark, sf_dir: str) -> dict:
     timings["dedup"] = timed_twice(w_dedup)
     extra["dedup_docs_per_sec"] = round(2 * n_pages / timings["dedup"], 1)
 
+    # --- near-dup: capped banded MinHash + exact-Jaccard verify + CC over
+    # the full corpus (production config: 16x4 bands, max_bucket=64) ---
+    from kg.ops.dedup import minhash_near_dup
+
+    docs_h = docs_x.select(
+        F.xxhash64("doc_id").alias("doc_id"), "text"
+    )
+
+    def w_near_dup():
+        counts["near_dup"] = minhash_near_dup(docs_h, min_jaccard=0.8).count()
+
+    timings["near_dup"] = timed_twice(w_near_dup)
+    extra["near_dup_docs_per_sec"] = round(n_pages / timings["near_dup"], 1)
+
     # --- ANN ---
     def w_ann():
         cosine_topk_bruteforce(emb, k=10, query_filter=F.col("qid") < 64).count()
 
     timings["ann"] = timed_twice(w_ann)
+
+    # --- ANN via capped sign-LSH (blocking + exact re-rank) ---
+    from kg.ops.similarity import ann_lsh_topk
+
+    def w_ann_lsh():
+        ann_lsh_topk(
+            emb, k=10, n_bits=4, n_bands=32, query_filter=F.col("qid") < 64
+        ).count()
+
+    timings["ann_lsh"] = timed_twice(w_ann_lsh)
 
     # --- relational TPC-H-ish ---
     def w_tpch():

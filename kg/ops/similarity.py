@@ -175,6 +175,10 @@ def cosine_band_candidates(
     blocking affects recall only, never precision.
     """
     bands = sign_bands(embeddings, n_bits, n_bands, seed, id_col, vec_col)
+    # three consumers (size count + self-join twice) — materialize once or
+    # the Arrow projection UDF runs three times (same pattern as the
+    # MinHash bucket table in kg/ops/dedup.py)
+    bands = bands.localCheckpoint(eager=True)
     sizes = bands.groupBy("band", "key").agg(F.count("*").alias("n"))
     kept = bands.join(
         sizes.where(F.col("n") <= max_bucket).select("band", "key"),
