@@ -603,6 +603,32 @@ SNAPSHOT_FINAL = {
 }
 
 
+def q_kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming as a contract surface: the fused extract+SVO
+    plan runs under readStream (file source, availableNow trigger) with an
+    exactly-once parquet sink + checkpointLocation; the sink is read back
+    and must equal the batch result. Oracle = the committed expected-triples
+    fixture (the same independent golden the batch path is graded on)."""
+    import shutil
+    import tempfile
+
+    from kg.streaming import (
+        read_pages_stream,
+        run_stream_to_parquet,
+        stream_triples,
+    )
+
+    src = tempfile.mkdtemp(prefix="kg_stream_src_")
+    shutil.copy(f"{FIX}/pages_tiny.parquet", f"{src}/pages_tiny.parquet")
+    out = tempfile.mkdtemp(prefix="kg_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="kg_stream_ckpt_")
+    q = run_stream_to_parquet(
+        stream_triples(read_pages_stream(spark, src)), out, ckpt
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("url", "subj", "pred", "obj")
+
+
 def q_kg_gazetteer_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v2 stateful-dictionary lifecycle (populate/populate/delete) replayed
     against versioned snapshots, checked at an OLD version (time travel) and
@@ -760,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_ner_errors": q_kg_ner_errors,
+        "kg_stream_triples": q_kg_stream_triples,
         "kg_gazetteer_snapshots": q_kg_gazetteer_snapshots,
         "kg_checkpoint_resume": q_kg_checkpoint_resume,
         "kg_canonical": q_kg_canonical,
@@ -1196,6 +1223,9 @@ SELECT * FROM (
 )
 """,
         "kg_checkpoint_resume": f"""
+SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
+""",
+        "kg_stream_triples": f"""
 SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
 """,
         "kg_canonical": f"""
