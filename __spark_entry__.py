@@ -209,6 +209,44 @@ def q_doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprint(_docs(spark, sf_dir))
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+# messy-URL corpus for the url-normalization contract: (input, expected_norm,
+# expected_host) — the oracle is this spec table verbatim; the Spark side
+# must reproduce column 2/3 from column 1
+MESSY_URLS: list[tuple[str, str, str]] = [
+    ("HTTPS://Example.COM:443/Path/Sub/?utm_source=x&id=9&utm_medium=y#frag",
+     "https://example.com/Path/Sub?id=9", "example.com"),
+    ("http://EXAMPLE.com:80/a/", "http://example.com/a", "example.com"),
+    ("http://example.com/a?gclid=abc", "http://example.com/a", "example.com"),
+    ("https://example.com/a?fbclid=1&q=2",
+     "https://example.com/a?q=2", "example.com"),
+    ("https://example.com/", "https://example.com/", "example.com"),
+    ("http://example.com:8080/b", "http://example.com:8080/b",
+     "example.com:8080"),
+    ("ftp://Files.Example.com/Data", "ftp://files.example.com/Data",
+     "files.example.com"),
+    ("not a url", "not a url", ""),
+    ("https://example.com/a?utm_source=only", "https://example.com/a",
+     "example.com"),
+]
+
+
+def q_web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL operator over a messy literal corpus; oracle = the
+    hand-specified expected table (a spec golden, like kg_ner_errors)."""
+    from kg.ops.webnorm import normalize_urls
+
+    df = spark.createDataFrame(
+        [(u,) for u, _, _ in MESSY_URLS], "url string"
+    )
+    return normalize_urls(df).select("url", "url_norm", "host")
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.dedup import exact_dedup
 
@@ -757,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow_fp": q_doc_winnow_fp,
+        "doc_repetition": q_doc_repetition,
+        "web_url_normalize": q_web_url_normalize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_shingle_dedup": q_doc_shingle_dedup,
         "doc_simhash": q_doc_simhash,
@@ -900,6 +940,38 @@ SELECT doc_id,
   md5(array_to_string(list_sort(list_distinct(grams))[1:8], '')) AS winnow_fp
 FROM g
 """,
+        "doc_repetition": r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), b AS (
+  SELECT doc_id, words,
+    CASE WHEN len(words) >= 2 THEN
+      list_transform(generate_series(1, len(words) - 1),
+        i -> words[i] || ' ' || words[i+1])
+    ELSE CAST([] AS VARCHAR[]) END AS bgs
+  FROM w
+), counts AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS g FROM b) GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, max(c) AS topc FROM counts GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(len(words) AS BIGINT) AS n_words,
+  round(len(list_distinct(words)) / greatest(len(words), 1), 4)
+    AS distinct_word_frac,
+  round(coalesce(top.topc, 0) / greatest(len(bgs), 1), 4) AS top_bigram_frac
+FROM b LEFT JOIN top USING (doc_id)
+""",
+        "web_url_normalize": "SELECT * FROM (VALUES "
+        + ", ".join(
+            "("
+            + ", ".join("'" + s.replace("'", "''") + "'" for s in row)
+            + ")"
+            for row in MESSY_URLS
+        )
+        + ") t(url, url_norm, host)",
         "doc_exact_dedup": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
   CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id

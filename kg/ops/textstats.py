@@ -143,3 +143,66 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.md5(norm).alias("exact_fp"),
         F.md5(bow).alias("bow_fp"),
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per doc (Rae et al. 2021, public —
+    see PAPERS.md): training corpora drop docs dominated by repeated
+    n-grams. (id, n_words, distinct_word_frac, top_bigram_frac):
+
+    - distinct_word_frac: type/token ratio (low => repetitive vocabulary)
+    - top_bigram_frac: occurrences of the most frequent word bigram over
+      all bigram slots (high => looping/boilerplate text)
+
+    Entirely built-in expressions: bigram counting is a local
+    sort+aggregate over each doc's array (no shuffle; the per-doc arrays
+    are bounded by doc length), so the operator is a pure map at any scale.
+    """
+    src = docs.select(id_col, _words().alias("_w"))
+    w = F.col("_w")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
+                                  F.element_at(w, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    src = src.select(id_col, w.alias("_w"), bigrams.alias("_bg"))
+    bg = F.col("_bg")
+    # occurrences of the modal bigram: sort the bigram array, then the
+    # longest run of equal adjacent values == max frequency. Run lengths
+    # via aggregate() carrying (prev, run, best).
+    sorted_bg = F.array_sort(bg)
+    top_count = F.when(
+        F.size(bg) > 0,
+        F.aggregate(
+            sorted_bg,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("int").alias("run"),
+                F.lit(0).cast("int").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        ),
+    ).otherwise(F.lit(0))
+    return src.select(
+        id_col,
+        F.size("_w").cast("long").alias("n_words"),
+        F.round(
+            F.size(F.array_distinct("_w")) / F.greatest(F.size("_w"), F.lit(1)),
+            4,
+        ).alias("distinct_word_frac"),
+        F.round(
+            top_count / F.greatest(F.size("_bg"), F.lit(1)), 4
+        ).alias("top_bigram_frac"),
+    )

@@ -260,3 +260,43 @@ def test_decode_stubs_raise(spark):
         decode_image(b"")
     with pytest.raises(NotImplementedError):
         decode_audio(b"")
+
+
+def test_repetition_stats_signals(spark):
+    from kg.ops.textstats import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam"),          # one word repeated
+        (2, "a b a b a b a b"),                    # looping bigram
+        (3, "all words here are fully distinct"),  # clean text
+        (4, "single"),                             # no bigrams
+        (5, ""),                                   # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["distinct_word_frac"] == 0.2
+    assert got[1]["top_bigram_frac"] == 1.0       # "spam spam" fills all slots
+    assert got[2]["top_bigram_frac"] == round(4 / 7, 4)  # "a b" 4 of 7 slots
+    assert got[3]["distinct_word_frac"] == 1.0
+    assert got[3]["top_bigram_frac"] == 0.2       # 5 distinct bigrams, max 1
+    assert got[4]["n_words"] == 1 and got[4]["top_bigram_frac"] == 0.0
+    assert got[5]["n_words"] == 0
+
+
+def test_url_normalization_dedups_crawl_variants(spark):
+    from pyspark.sql import functions as F
+
+    from kg.ops.webnorm import normalize_urls
+
+    variants = [
+        "https://Example.com/page/?utm_source=feed",
+        "HTTPS://example.COM:443/page",
+        "https://example.com/page#section-2",
+    ]
+    df = normalize_urls(
+        spark.createDataFrame([(u,) for u in variants], "url string")
+    )
+    norms = {r["url_norm"] for r in df.collect()}
+    assert norms == {"https://example.com/page"}  # all three collapse
+    hosts = {r["host"] for r in df.collect()}
+    assert hosts == {"example.com"}
