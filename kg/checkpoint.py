@@ -139,11 +139,34 @@ class CheckpointedPipeline:
             return self.read_stage(stage)
 
         out = fn(todo)
+        # O21 integration: a capture-enabled fn returns an `error` column.
+        # The output is written ONCE, partitioned by has_error FIRST, so
+        # poisoned rows isolate into their own partition directories: clean
+        # readers (read_stage) prune them for free, and the tiny error
+        # partitions are appended to base/_errors (url, stage, error) —
+        # no double write, no second pass over the stage's payload.
+        capture = "error" in out.columns
         if "url_hash_bucket" not in out.columns:
             out = add_bucket(out, self.n_buckets)
-        out.write.partitionBy("url_hash_bucket").mode("overwrite").parquet(
+        part_cols = (["has_error"] if capture else []) + ["url_hash_bucket"]
+        if capture:
+            # partition values round-trip as strings ("true"/"false") —
+            # written and compared as such
+            out = out.withColumn(
+                "has_error", F.col("error").isNotNull().cast("string")
+            )
+        out.write.partitionBy(*part_cols).mode("overwrite").parquet(
             self.stage_output_path(stage)
         )
+        if capture:
+            raw = self.spark.read.parquet(self.stage_output_path(stage))
+            raw.where(F.col("has_error") == "true").select(
+                F.col("url").cast("string").alias("url"),
+                F.lit(stage).alias("stage"),
+                "error",
+            ).coalesce(1).write.mode("append").parquet(
+                str(self.base / "_errors")
+            )
         wall_ms = (time.monotonic() - t0) * 1000.0
 
         # every todo bucket is now durable, including empty-output buckets
@@ -153,8 +176,9 @@ class CheckpointedPipeline:
         )
         # count ONLY the buckets this run wrote — partition pruning keeps the
         # scan to the todo partitions; counting the whole stage output would
-        # re-read every previously-completed bucket on each resume
-        written = self.spark.read.parquet(self.stage_output_path(stage)).where(
+        # re-read every previously-completed bucket on each resume.
+        # read_stage excludes captured-error rows, so n_out counts CLEAN rows
+        written = self.read_stage(stage).where(
             F.col("url_hash_bucket").isin(*[int(b) for b in todo_buckets])
         )
         counts = written.groupBy("url_hash_bucket").count().collect()
@@ -193,7 +217,24 @@ class CheckpointedPipeline:
         return self.read_stage(stage)
 
     def read_stage(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self.stage_output_path(stage))
+        """Stage output, CLEAN rows only: for capture-enabled stages the
+        has_error=true partitions are pruned at the scan (leading partition
+        column) and the bookkeeping columns dropped."""
+        df = self.spark.read.parquet(self.stage_output_path(stage))
+        if "has_error" in df.columns:
+            df = df.where(F.col("has_error") != "true").drop(
+                "has_error", "error"
+            )
+        return df
+
+    def read_errors(self) -> DataFrame:
+        """Accumulated (url, stage, error) rows across runs (O21)."""
+        p = self.base / "_errors"
+        if not p.exists() or not any(p.glob("*.parquet")):
+            from kg.errors import ERRORS_SCHEMA
+
+            return self.spark.createDataFrame([], ERRORS_SCHEMA)
+        return self.spark.read.parquet(str(p))
 
     def _probe_peak_mem(self, written: DataFrame) -> float:
         """O23: max Python-worker peak RSS (MB) right after the stage ran.

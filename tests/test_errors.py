@@ -62,3 +62,27 @@ def test_extract_capture_passthrough(spark):
     got = ok.collect()[0]
     assert got["text"] == "hello world"
     assert got["n_chars"] == 11
+
+
+def test_pipeline_routes_captured_errors_to_errors_table(spark, poisoned_docs, tmp_path):
+    from kg.checkpoint import CheckpointedPipeline, add_bucket
+
+    base = str(tmp_path / "pipe")
+    bucketed = add_bucket(poisoned_docs, 4)
+    pipe = CheckpointedPipeline(spark, base, n_buckets=4)
+    out = pipe.run_stage(
+        "ner", bucketed,
+        lambda df: detect_ner_mentions(df, capture_errors=True).join(
+            df.select("url", "url_hash_bucket"), "url"
+        ),
+    )
+    # stage table is clean: no poison row, no bookkeeping columns
+    assert "error" not in out.columns and "has_error" not in out.columns
+    assert {r["url"] for r in out.select("url").distinct().collect()} == {"u1", "u2"}
+    errs = pipe.read_errors().collect()
+    assert len(errs) == 1
+    assert errs[0]["url"] == "poison://1" and errs[0]["stage"] == "ner"
+    assert errs[0]["error"].startswith("UnknownLanguageError:")
+    # lineage n_out counts clean rows only
+    lineage = pipe.read_lineage().toPandas()
+    assert lineage["n_out"].sum() == out.count()
