@@ -186,8 +186,15 @@ def detect_gazetteer_mentions(
     id_col: str = "url",
     share_scan: bool = True,
     cache_handles: list | None = None,
+    broadcast_dim: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Value-entity pass. Returns (winners, matched_surfaces).
+
+    ``broadcast_dim=False`` is the huge-dictionary regime: the dim join is
+    left to Catalyst/AQE (shuffled hash or sort-merge with skew-join
+    splitting) instead of forcing a broadcast that would not fit. The
+    planning aggregation is already bounded either way
+    (_dim_planning_inputs), so nothing else changes.
 
     winners: (url, matched_word, entity_name) after the longest-match fold.
     matched_surfaces: distinct (url, surface) of ALL value matches pre-fold —
@@ -220,9 +227,9 @@ def detect_gazetteer_mentions(
         F.btrim(F.col("span"), F.lit(PUNCT)).alias("surface"),
     ).withColumn("key", F.lower("surface"))
 
+    dim = gazetteer.select(F.col("value_norm").alias("key"), "entity_name")
     joined = normalized.join(
-        F.broadcast(gazetteer.select(F.col("value_norm").alias("key"), "entity_name")),
-        "key",
+        F.broadcast(dim) if broadcast_dim else dim, "key"
     )
 
     # first occurrence per distinct candidate, then longest-match fold:
@@ -323,13 +330,14 @@ def detect_mentions(
     id_col: str = "url",
     share_scan: bool = True,
     cache_handles: list | None = None,
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Full mention detection: gazetteer winners UNION regex matches, with
     value-over-regex priority. Output matches kg.oracle.find_entities_rows.
-    ``cache_handles``: see detect_gazetteer_mentions."""
+    ``cache_handles``/``broadcast_dim``: see detect_gazetteer_mentions."""
     winners, matched_surfaces = detect_gazetteer_mentions(
         docs, gazetteer, id_col=id_col, share_scan=share_scan,
-        cache_handles=cache_handles,
+        cache_handles=cache_handles, broadcast_dim=broadcast_dim,
     )
     gaz = winners.withColumn("detector", F.lit("gazetteer"))
     # one driver round-trip for the (small) regex dim; an .isEmpty() probe

@@ -155,3 +155,19 @@ def test_cache_handles_releases_persisted_share(spark, pages_sdf):
     for h in handles:
         h.unpersist()
     assert not handles[0].storageLevel.useMemory
+
+
+def test_mentions_nonbroadcast_dim_regime_matches(spark, pages_sdf):
+    """broadcast_dim=False (huge-dictionary regime: AQE-planned shuffle
+    join) must produce the identical mention set."""
+    gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+    rx = regex_dim(spark, synth.REGEX_DATA)
+    docs = pages_sdf.select("url", "text").limit(60)
+    a = {tuple(r) for r in detect_mentions(docs, gaz, rx, share_scan=False).collect()}
+    b = {
+        tuple(r)
+        for r in detect_mentions(
+            docs, gaz, rx, share_scan=False, broadcast_dim=False
+        ).collect()
+    }
+    assert a == b

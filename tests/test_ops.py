@@ -300,3 +300,17 @@ def test_url_normalization_dedups_crawl_variants(spark):
     assert norms == {"https://example.com/page"}  # all three collapse
     hosts = {r["host"] for r in df.collect()}
     assert hosts == {"example.com"}
+
+
+def test_url_normalization_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import MESSY_URLS
+    from kg.ops.webnorm import normalize_urls
+
+    df = spark.createDataFrame([(u,) for u, _, _ in MESSY_URLS], "url string")
+    once = normalize_urls(df).select(F.col("url_norm").alias("url"))
+    twice = normalize_urls(once).select("url_norm")
+    assert [r["url"] for r in once.collect()] == [
+        r["url_norm"] for r in twice.collect()
+    ]

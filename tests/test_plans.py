@@ -1,0 +1,66 @@
+"""Physical-plan assertions for the round-2 operators — the plan-shape
+contract PLANS.md documents, enforced so regressions surface in CI rather
+than at 100 TB. (The mentions broadcast/no-Python assertions live in
+tests/test_mentions_spark.py.)"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_sign_bands_single_arrow_pass_no_shuffle(spark, embeddings):
+    from kg.ops.similarity import sign_bands
+
+    p = _plan(sign_bands(embeddings, n_bits=2, n_bands=8))
+    assert p.count("MapInPandas") == 1  # one Arrow projection pass
+    assert "Exchange" not in p  # embarrassingly parallel
+    # column pruning reaches the scan: only id + vector are read
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in p
+
+
+def test_cosine_band_candidates_no_cartesian(spark, embeddings):
+    from kg.ops.similarity import cosine_band_candidates
+
+    p = _plan(cosine_band_candidates(embeddings, n_bits=2, n_bands=8))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the bucket self-join is an equi-join on (band, key)
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_minhash_candidates_all_jvm_no_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from kg.ops.dedup import _words, minhash_band_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        F.col("doc_id").alias("doc_id"),
+        F.array_sort(F.array_distinct(_words())).alias("tokset"),
+    ).where(F.size("tokset") > 0)
+    p = _plan(minhash_band_candidates(toks, k=16, bands=4))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in p, node
+
+
+def test_nonbroadcast_mentions_plan_uses_shuffle_join(spark):
+    from kg import synth
+    from kg.stages.mentions import detect_mentions, gazetteer_dim
+
+    docs = spark.createDataFrame(
+        [("u1", "carrot cake and coffee")], "url string, text string"
+    )
+    gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+    p = _plan(detect_mentions(docs, gaz, None, share_scan=False,
+                              broadcast_dim=False))
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
