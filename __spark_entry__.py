@@ -641,6 +641,22 @@ SNAPSHOT_FINAL = {
 }
 
 
+def q_kg_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-Arrow-pass annotation (triples + NER mentions + token
+    pipeline per page); oracle fuses the three independent expected
+    fixtures, so the fusion must agree with every unfused golden at once."""
+    from kg.stages.triples import annotate_pages
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    ann = annotate_pages(pages)
+    return ann.select(
+        "url",
+        F.size("triples").cast("long").alias("n_triples"),
+        F.size("mentions").cast("long").alias("n_mentions"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming as a contract surface: the fused extract+SVO
     plan runs under readStream (file source, availableNow trigger) with an
@@ -826,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_ner_errors": q_kg_ner_errors,
+        "kg_annotate": q_kg_annotate,
         "kg_stream_triples": q_kg_stream_triples,
         "kg_gazetteer_snapshots": q_kg_gazetteer_snapshots,
         "kg_checkpoint_resume": q_kg_checkpoint_resume,
@@ -1299,6 +1316,24 @@ SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
 """,
         "kg_stream_triples": f"""
 SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
+""",
+        "kg_annotate": f"""
+WITH t AS (
+  SELECT url, count(*) AS c FROM '{FIX}/expected_triples_tiny.parquet'
+  GROUP BY url
+), m AS (
+  SELECT url, count(*) AS c FROM '{FIX}/expected_ner_tiny.parquet'
+  GROUP BY url
+), k AS (
+  SELECT url, len(string_split(tokens_joined, ' ')) AS c
+  FROM '{FIX}/expected_tokens_tiny.parquet'
+)
+SELECT p.url,
+  CAST(coalesce(t.c, 0) AS BIGINT) AS n_triples,
+  CAST(coalesce(m.c, 0) AS BIGINT) AS n_mentions,
+  CAST(coalesce(k.c, 0) AS BIGINT) AS n_tokens
+FROM '{FIX}/pages_tiny.parquet' p
+LEFT JOIN t USING (url) LEFT JOIN m USING (url) LEFT JOIN k USING (url)
 """,
         "kg_canonical": f"""
 WITH ranked AS (

@@ -195,3 +195,71 @@ def tokenize_docs(
 
     cols = [c for c in ("url", "text", "lang") if c in docs.columns]
     return docs.select(*cols).mapInPandas(_batches, schema=TOKENS_SCHEMA)
+
+
+ANNOTATIONS_SCHEMA = (
+    "url string, "
+    "triples array<struct<subj:string,pred:string,obj:string>>, "
+    "mentions array<struct<value:string,label:string,category:string,"
+    "start:int,end:int>>, "
+    "tokens array<string>"
+)
+
+
+def annotate_pages(
+    pages: DataFrame,
+    custom_entities: dict[str, str] | None = None,
+    backend: str = "rule",
+    minimal_mode: bool = False,
+    filter_ents: bool = True,
+    sw_size: str = "large",
+) -> DataFrame:
+    """FUSED per-page annotation: pages(url, html, lang) -> one row per page
+    with SVO triples, NER mentions and the token pipeline from a SINGLE
+    Arrow pass — HTML is extracted once and every per-doc analysis shares
+    it inside one Python worker round-trip (three chained mapInPandas
+    stages would spawn 3x workers and ship the text across Arrow 3x;
+    SURVEY.md §3 E1-E3). Downstream consumers explode the array they need;
+    everything after this stage is relational.
+
+    Uses the O18 backend registry for NER (per-worker singletons keyed by
+    lang) exactly like detect_ner_mentions.
+    """
+    from kg.backends import resolve_backend
+
+    factory, generation = resolve_backend(backend)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kg.backends import get_backend_cached
+        from kg.openie import extract_triples
+        from kg.textextract import extract_text
+        from kg.tokenize import tokenize
+
+        for pdf in batches:
+            rows = []
+            langs = pdf["lang"] if "lang" in pdf.columns else ["en"] * len(pdf)
+            for url, html, lang in zip(pdf["url"], pdf["html"], langs):
+                lang = lang or "en"
+                text = extract_text(html)
+                be = get_backend_cached(
+                    backend, factory, lang, minimal_mode, generation
+                )
+                rows.append(
+                    (
+                        url,
+                        [tuple(t) for t in extract_triples(text)],
+                        [
+                            (m.value, m.label, m.category, m.start, m.end)
+                            for m in be.detect(
+                                text, lang=lang, custom_entities=custom_entities
+                            )
+                        ],
+                        tokenize(text, filter_ents, sw_size, lang),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "triples", "mentions", "tokens"]
+            )
+
+    cols = [c for c in ("url", "html", "lang") if c in pages.columns]
+    return pages.select(*cols).mapInPandas(_batches, schema=ANNOTATIONS_SCHEMA)

@@ -43,3 +43,54 @@ def test_goldens_nonempty():
     assert len(et) > 50
     assert set(em.columns) == {"url", "matched_word", "entity_name", "detector"}
     assert set(et.columns) == {"url", "subj", "pred", "obj"}
+
+
+def test_annotate_pages_matches_unfused_operators(spark):
+    """The fused single-pass annotation must equal each unfused operator
+    exactly (triples, NER mentions, token pipeline)."""
+    from pyspark.sql import functions as F
+
+    from kg.stages.extract import extract_docs
+    from kg.stages.triples import (
+        annotate_pages,
+        detect_ner_mentions,
+        extract_svo_triples,
+        tokenize_docs,
+    )
+
+    pages = spark.read.parquet("/root/repo/fixtures/pages_tiny.parquet").limit(30)
+    ann = annotate_pages(pages).cache()
+
+    docs = extract_docs(pages).select("url", "text", "lang")
+    fused_triples = {
+        tuple(r)
+        for r in ann.select(
+            "url", F.explode("triples").alias("t")
+        ).select("url", "t.subj", "t.pred", "t.obj").collect()
+    }
+    unfused_triples = {
+        tuple(r)
+        for r in extract_svo_triples(docs).select(
+            "url", "subj", "pred", "obj"
+        ).collect()
+    }
+    assert fused_triples == unfused_triples
+
+    fused_mentions = {
+        tuple(r)
+        for r in ann.select("url", F.explode("mentions").alias("m")).select(
+            "url", "m.value", "m.label", "m.category", "m.start", "m.end"
+        ).collect()
+    }
+    unfused_mentions = {tuple(r) for r in detect_ner_mentions(docs).collect()}
+    assert fused_mentions == unfused_mentions
+
+    fused_tokens = {
+        (r["url"], tuple(r["tokens"])) for r in ann.select("url", "tokens").collect()
+    }
+    unfused_tokens = {
+        (r["url"], tuple(r["tokens"]))
+        for r in tokenize_docs(docs, filter_ents=True, sw_size="large").collect()
+    }
+    assert fused_tokens == unfused_tokens
+    ann.unpersist()
