@@ -194,16 +194,32 @@ def jaccard_verified_edges(
     tok_col: str = "tokset",
 ) -> DataFrame:
     """Exact token-set Jaccard gate over candidate (a, b) pairs ->
-    (src, dst) edges with jaccard >= min_jaccard. JVM-side set algebra."""
+    (src, dst) edges with jaccard >= min_jaccard. JVM-side set algebra.
+
+    Size-ratio prefilter: jaccard(A, B) <= min(|A|,|B|) / max(|A|,|B|), so
+    pairs whose set sizes are too unbalanced are rejected from the two int
+    columns BEFORE the O(|A|+|B|) intersection — semantics-preserving, and
+    it prunes exactly the candidates LSH banding lets through between
+    differently-sized docs."""
     toks = toksets.select(
         F.col(id_col).cast("long").alias("_id"), F.col(tok_col).alias("_ts")
     )
-    ta = toks.select(F.col("_id").alias("a"), F.col("_ts").alias("ts_a"))
-    tb = toks.select(F.col("_id").alias("b"), F.col("_ts").alias("ts_b"))
+    ta = toks.select(
+        F.col("_id").alias("a"), F.col("_ts").alias("ts_a"),
+        F.size("_ts").alias("sz_a"),
+    )
+    tb = toks.select(
+        F.col("_id").alias("b"), F.col("_ts").alias("ts_b"),
+        F.size("_ts").alias("sz_b"),
+    )
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
-    union = F.size("ts_a") + F.size("ts_b") - inter
+    union = F.col("sz_a") + F.col("sz_b") - inter
     return (
         candidates.join(ta, "a").join(tb, "b")
+        .where(
+            F.least("sz_a", "sz_b")
+            >= F.lit(float(min_jaccard)) * F.greatest("sz_a", "sz_b")
+        )
         .where(inter / F.greatest(union, F.lit(1)) >= F.lit(float(min_jaccard)))
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
