@@ -158,15 +158,6 @@ class CheckpointedPipeline:
         out.write.partitionBy(*part_cols).mode("overwrite").parquet(
             self.stage_output_path(stage)
         )
-        if capture:
-            raw = self.spark.read.parquet(self.stage_output_path(stage))
-            raw.where(F.col("has_error") == "true").select(
-                F.col("url").cast("string").alias("url"),
-                F.lit(stage).alias("stage"),
-                "error",
-            ).coalesce(1).write.mode("append").parquet(
-                str(self.base / "_errors")
-            )
         wall_ms = (time.monotonic() - t0) * 1000.0
 
         # every todo bucket is now durable, including empty-output buckets
@@ -183,6 +174,23 @@ class CheckpointedPipeline:
         )
         counts = written.groupBy("url_hash_bucket").count().collect()
         count_map = {r["url_hash_bucket"]: r["count"] for r in counts}
+        if capture:
+            # append ONLY this run's buckets — the stage dir also holds
+            # error partitions from previously-completed runs, which have
+            # already been appended (a crash between this append and the
+            # lineage commit makes the retry re-append: the errors log is
+            # at-least-once; dedup with .distinct() on read if needed)
+            raw = self.spark.read.parquet(self.stage_output_path(stage))
+            raw.where(
+                (F.col("has_error") == "true")
+                & F.col("url_hash_bucket").isin(*[int(b) for b in todo_buckets])
+            ).select(
+                F.col("url").cast("string").alias("url"),
+                F.lit(stage).alias("stage"),
+                "error",
+            ).coalesce(1).write.mode("append").parquet(
+                str(self.base / "_errors")
+            )
         peak_mem_mb = self._probe_peak_mem(written)
         now = _now_utc()
         lineage_rows = [

@@ -86,3 +86,26 @@ def test_pipeline_routes_captured_errors_to_errors_table(spark, poisoned_docs, t
     # lineage n_out counts clean rows only
     lineage = pipe.read_lineage().toPandas()
     assert lineage["n_out"].sum() == out.count()
+
+
+def test_resume_does_not_reappend_prior_runs_errors(spark, poisoned_docs, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kg.checkpoint import CheckpointedPipeline, add_bucket
+
+    base = str(tmp_path / "pipe2")
+    bucketed = add_bucket(poisoned_docs, 4)
+    poison_bucket = bucketed.where("url = 'poison://1'").first()["url_hash_bucket"]
+    fn = lambda df: detect_ner_mentions(df, capture_errors=True).join(  # noqa: E731
+        df.select("url", "url_hash_bucket"), "url"
+    )
+    pipe = CheckpointedPipeline(spark, base, n_buckets=4)
+    pipe.run_stage(
+        "ner", bucketed.where(F.col("url_hash_bucket") == poison_bucket), fn
+    )
+    assert pipe.read_errors().count() == 1
+    # fresh pipeline resumes over the full input: only the remaining buckets
+    # run, and the already-logged poison row must NOT be appended again
+    pipe2 = CheckpointedPipeline(spark, base, n_buckets=4)
+    pipe2.run_stage("ner", bucketed, fn)
+    assert pipe2.read_errors().count() == 1
