@@ -247,6 +247,25 @@ def q_web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_urls(df).select("url", "url_norm", "host")
 
 
+# literal PII corpus for the scrubbing contract — the oracle RECOMPUTES the
+# sequential redaction pipeline in DuckDB over the same literals (RE2 and
+# Java regex agree on these lookaround-free patterns)
+PII_DOCS: list[tuple[int, str]] = [
+    (1, "Contact jane.doe+spam@example.co.uk or call +44 20 7946 0958 now"),
+    (2, "server at 192.168.0.1 and 10.0.0.255, mail admin@test.io"),
+    (3, "no pii here at all"),
+    (4, "twice bob@x.org then bob@x.org and 555-123-4567 ok"),
+    (5, ""),
+]
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.pii import redact_pii
+
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    return redact_pii(df)
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.dedup import exact_dedup
 
@@ -812,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow_fp": q_doc_winnow_fp,
         "doc_repetition": q_doc_repetition,
+        "doc_pii_redact": q_doc_pii_redact,
         "web_url_normalize": q_web_url_normalize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_shingle_dedup": q_doc_shingle_dedup,
@@ -981,6 +1001,37 @@ SELECT b.doc_id, CAST(len(words) AS BIGINT) AS n_words,
   round(coalesce(top.topc, 0) / greatest(len(bgs), 1), 4) AS top_bigram_frac
 FROM b LEFT JOIN top USING (doc_id)
 """,
+        "doc_pii_redact": (
+            "WITH d(doc_id, text) AS (VALUES "
+            + ", ".join(
+                f"({i}, '" + t.replace("'", "''") + "')" for i, t in PII_DOCS
+            )
+            + r"""),
+s AS (
+  SELECT doc_id, text AS t0,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+  FROM d
+), s2 AS (
+  SELECT doc_id, t0, t1,
+    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                   '<IP>', 'g') AS t2
+  FROM s
+), s3 AS (
+  SELECT doc_id, t0, t1, t2,
+    regexp_replace(t2, '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, t3 AS text_redacted,
+  CAST(len(regexp_extract_all(t0,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t1,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t2, '\+?\d[\d ()-]{7,}\d')) AS BIGINT)
+    AS n_phones
+FROM s3
+"""
+        ),
         "web_url_normalize": "SELECT * FROM (VALUES "
         + ", ".join(
             "("

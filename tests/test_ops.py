@@ -314,3 +314,20 @@ def test_url_normalization_idempotent(spark):
     assert [r["url"] for r in once.collect()] == [
         r["url_norm"] for r in twice.collect()
     ]
+
+
+def test_pii_redaction_sequential_semantics(spark):
+    from kg.ops.pii import redact_pii
+
+    rows = [
+        (1, "mail a.b@c.de or 192.168.1.1 or +1 (555) 123-4567"),
+        (2, "digits 123456789 in an email x123456789@y.com stay one <EMAIL>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["text_redacted"] == "mail <EMAIL> or <IP> or <PHONE>"
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 1, 1)
+    # the email is redacted FIRST, so its digit run is never phone-counted
+    assert got[2]["n_phones"] == 1  # only the bare digit run
+    assert got[2]["n_emails"] == 1
+    assert "<EMAIL>" in got[2]["text_redacted"]
