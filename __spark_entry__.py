@@ -266,6 +266,14 @@ def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(df)
 
 
+def q_doc_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop corpus filter over the quality + repetition
+    signals; the oracle composes the SAME two independent SQL recomputes."""
+    from kg.ops.textstats import corpus_filter
+
+    return corpus_filter(_docs(spark, sf_dir))
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.dedup import exact_dedup
 
@@ -832,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fp": q_doc_winnow_fp,
         "doc_repetition": q_doc_repetition,
         "doc_pii_redact": q_doc_pii_redact,
+        "doc_corpus_filter": q_doc_corpus_filter,
         "web_url_normalize": q_web_url_normalize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_shingle_dedup": q_doc_shingle_dedup,
@@ -873,7 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     words_expr = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
     bpe = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
-    return {
+    d = {
         "doc_gazetteer_match": _SPANS_SQL
         + "SELECT doc_id, surface AS matched_word, entity_name FROM winners WHERE rk = 1",
         "doc_mentions_full": _SPANS_SQL
@@ -1397,3 +1406,26 @@ FROM '{FIX}/alias_dict.parquet' a JOIN canon c USING (entity_id)
 ORDER BY a.alias
 """,
     }
+    # composed filter: REUSES the two independent signal recomputes as CTEs
+    # so the keep/drop decision is derived the same way on both engines
+    d["doc_corpus_filter"] = f"""
+WITH q AS ({d["doc_quality"]}), r AS ({d["doc_repetition"]}),
+j AS (
+  SELECT r.doc_id, r.n_words, r.distinct_word_frac, r.top_bigram_frac,
+         q.punct_ratio
+  FROM r JOIN q USING (doc_id)
+), flags AS (
+  SELECT doc_id,
+    list_filter([
+      CASE WHEN n_words < 5 THEN 'too_short' END,
+      CASE WHEN distinct_word_frac < 0.3 THEN 'repetitive_vocab' END,
+      CASE WHEN top_bigram_frac > 0.2 THEN 'looping_bigrams' END,
+      CASE WHEN punct_ratio > 0.25 THEN 'punct_heavy' END
+    ], x -> x IS NOT NULL) AS rs
+  FROM j
+)
+SELECT doc_id, len(rs) = 0 AS keep,
+  coalesce(array_to_string(rs, ','), '') AS reasons
+FROM flags
+"""
+    return d

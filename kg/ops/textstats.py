@@ -206,3 +206,46 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             top_count / F.greatest(F.size("_bg"), F.lit(1)), 4
         ).alias("top_bigram_frac"),
     )
+
+
+def corpus_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_distinct_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    max_punct_ratio: float = 0.25,
+) -> DataFrame:
+    """C4/Gopher-style document filter composing the quality + repetition
+    signals into a keep/drop decision with machine-readable reasons:
+    (id, keep, reasons) where reasons is a comma-joined, fixed-order list of
+    failed rules ('' when kept). Thresholds compare the ROUNDED signal
+    columns, so the decision is engine-exact and oracle-checkable.
+
+    Scale shape: two column passes over the doc scan joined by id — both
+    sides partial-aggregate-free pure maps, so the join is the only
+    shuffle and AQE usually folds it into a broadcast at dim-like sizes;
+    inline the expressions into one select if the extra scan matters.
+    """
+    q = quality_score(docs, id_col).select(id_col, "punct_ratio")
+    r = repetition_stats(docs, id_col)
+    j = r.join(q, id_col)
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_words") < min_words, F.lit("too_short")),
+            F.when(
+                F.col("distinct_word_frac") < min_distinct_frac,
+                F.lit("repetitive_vocab"),
+            ),
+            F.when(
+                F.col("top_bigram_frac") > max_top_bigram_frac,
+                F.lit("looping_bigrams"),
+            ),
+            F.when(F.col("punct_ratio") > max_punct_ratio, F.lit("punct_heavy")),
+        )
+    )
+    return j.select(
+        id_col,
+        (F.size(reasons) == 0).alias("keep"),
+        F.concat_ws(",", reasons).alias("reasons"),
+    )

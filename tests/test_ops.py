@@ -331,3 +331,22 @@ def test_pii_redaction_sequential_semantics(spark):
     assert got[2]["n_phones"] == 1  # only the bare digit run
     assert got[2]["n_emails"] == 1
     assert "<EMAIL>" in got[2]["text_redacted"]
+
+
+def test_corpus_filter_reasons(spark):
+    from kg.ops.textstats import corpus_filter
+
+    rows = [
+        (1, "short"),                                         # too_short
+        (2, "spam spam spam spam spam spam spam spam"),       # repetitive+looping
+        (3, "a good clean document with many distinct words inside it"),
+        (4, "!!! ??? *** !!! ??? (((" ),                      # punct_heavy+short-ish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus_filter(df).collect()}
+    assert got[1]["keep"] is False and "too_short" in got[1]["reasons"]
+    assert got[2]["keep"] is False
+    assert "repetitive_vocab" in got[2]["reasons"]
+    assert "looping_bigrams" in got[2]["reasons"]
+    assert got[3]["keep"] is True and got[3]["reasons"] == ""
+    assert "punct_heavy" in got[4]["reasons"]
