@@ -301,13 +301,14 @@ def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified). Oracle-checked against DuckDB's exact all-pairs Jaccard +
     recursive-CTE transitive closure: with 32 bands of 2 rows the per-pair
     LSH miss probability at j>=0.8 is (1-0.64)^32 ~ 7e-15, so the banded
-    result equals the exact clustering. max_bucket=512 exceeds the corpus
-    size at oracle SF (cap engages only at scale, where dropped oversized
-    buckets trade recall for boundedness)."""
+    result equals the exact clustering. max_bucket=4096 exceeds the corpus
+    size at every test SF (the cap must not drop true edges for oracle
+    equality; production configs use the bounded default and trade
+    mega-cluster recall for boundedness)."""
     from kg.ops.dedup import minhash_near_dup
 
     return minhash_near_dup(
-        _docs(spark, sf_dir), min_jaccard=0.8, k=64, bands=32, max_bucket=512
+        _docs(spark, sf_dir), min_jaccard=0.8, k=64, bands=32, max_bucket=4096
     ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
@@ -377,7 +378,7 @@ def q_emb_cosine_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     from kg.ops.similarity import cosine_band_candidates, embedding_cosine_near_dup
 
     emb = _emb(spark, sf_dir)
-    cands = cosine_band_candidates(emb, n_bits=2, n_bands=32, max_bucket=512)
+    cands = cosine_band_candidates(emb, n_bits=2, n_bands=32, max_bucket=4096)
     return embedding_cosine_near_dup(emb, threshold=0.4, candidates=cands).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("component").cast("long").alias("component"),
