@@ -182,13 +182,17 @@ def get_backend_cached(
 ) -> Any:
     """Worker-side lazy singleton: one backend instance per
     (name, lang, minimal_mode, generation) per Python worker process. A
-    generation bump (reload) makes the old entry unreachable; stale entries
-    for the same (name, lang, mode) are evicted eagerly to release model
-    memory."""
+    generation bump (reload) makes the old entry unreachable; STRICTLY OLDER
+    entries for the same (name, lang, mode) are evicted eagerly to release
+    model memory. Eviction is monotonic (only generation < incoming): while
+    old-plan and new-plan tasks interleave on a worker during a reload
+    rollout, the newer generation's instance must survive a lookup from an
+    older plan — evicting on mere inequality made the two generations evict
+    each other and re-instantiate expensive backends per batch."""
     key = (name, lang, bool(minimal_mode), generation)
     inst = _CACHE.get(key)
     if inst is None:
-        for old in [k for k in _CACHE if k[:3] == key[:3] and k[3] != generation]:
+        for old in [k for k in _CACHE if k[:3] == key[:3] and k[3] < generation]:
             del _CACHE[old]
         inst = factory(lang, minimal_mode)
         _CACHE[key] = inst

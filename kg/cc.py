@@ -8,8 +8,10 @@ keeps every round a pair of shuffle-by-key aggregations — the right shape
 for very large graphs.
 
 Scale notes:
-- every iteration ends in ``localCheckpoint()`` to cut the lineage chain
-  (iterative self-joins otherwise blow up the plan and re-execute history).
+- every iteration ends in a materialization barrier (kg.session.materialize:
+  reliable ``checkpoint`` when a checkpoint dir is set, ``localCheckpoint``
+  otherwise) to cut the lineage chain — iterative self-joins otherwise blow
+  up the plan and re-execute history.
 - convergence test is an anti-join emptiness check, not a collect.
 - node ids are int64; callers hash strings first (xxhash64).
 """
@@ -18,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kg.session import materialize
 
 __all__ = ["connected_components"]
 
@@ -70,14 +74,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     in the edge list are returned; callers attach isolated nodes with a left
     join + coalesce(component, node).
     """
-    current = _symmetrize(edges).localCheckpoint(eager=True)
+    current = materialize(_symmetrize(edges))
     if current.isEmpty():
         spark = edges.sparkSession
         return spark.createDataFrame([], "node long, component long")
 
     for _ in range(max_iter):
         after_large = _large_star(current)
-        after_small = _small_star(after_large).localCheckpoint(eager=True)
+        after_small = materialize(_small_star(after_large))
         # converged when the star-contracted edge set is stable
         changed = after_small.exceptAll(current).limit(1).isEmpty() and (
             current.exceptAll(after_small).limit(1).isEmpty()

@@ -146,6 +146,7 @@ class CheckpointedPipeline:
         # partitions are appended to base/_errors (url, stage, error) —
         # no double write, no second pass over the stage's payload.
         capture = "error" in out.columns
+        has_mem_col = "peak_mb" in out.columns
         if "url_hash_bucket" not in out.columns:
             out = add_bucket(out, self.n_buckets)
         part_cols = (["has_error"] if capture else []) + ["url_hash_bucket"]
@@ -174,24 +175,48 @@ class CheckpointedPipeline:
         )
         counts = written.groupBy("url_hash_bucket").count().collect()
         count_map = {r["url_hash_bucket"]: r["count"] for r in counts}
+        raw_todo = None
+        if capture or has_mem_col:
+            raw_todo = self.spark.read.parquet(
+                self.stage_output_path(stage)
+            ).where(
+                F.col("url_hash_bucket").isin(*[int(b) for b in todo_buckets])
+            )
         if capture:
             # append ONLY this run's buckets — the stage dir also holds
             # error partitions from previously-completed runs, which have
             # already been appended (a crash between this append and the
             # lineage commit makes the retry re-append: the errors log is
-            # at-least-once; dedup with .distinct() on read if needed)
-            raw = self.spark.read.parquet(self.stage_output_path(stage))
-            raw.where(
-                (F.col("has_error") == "true")
-                & F.col("url_hash_bucket").isin(*[int(b) for b in todo_buckets])
-            ).select(
+            # at-least-once; read_errors() dedups). Captured rows are
+            # anti-joined against the bucket's CLEAN rows first: dynamic
+            # partition overwrite only replaces partitions present in this
+            # run's output, so a crashed attempt's stale has_error=true
+            # partitions survive a fully-clean retry — without the
+            # anti-join those phantom rows (urls that also have clean
+            # output) would be appended as errors.
+            err_rows = raw_todo.where(F.col("has_error") == "true").select(
                 F.col("url").cast("string").alias("url"),
                 F.lit(stage).alias("stage"),
                 "error",
-            ).coalesce(1).write.mode("append").parquet(
+            )
+            if "url" in written.columns:
+                clean_urls = written.select(
+                    F.col("url").cast("string").alias("url")
+                ).distinct()
+                err_rows = err_rows.join(clean_urls, "url", "left_anti")
+            err_rows.coalesce(1).write.mode("append").parquet(
                 str(self.base / "_errors")
             )
-        peak_mem_mb = self._probe_peak_mem(written)
+        if has_mem_col:
+            # O23, in-stage: the stage's own UDF batches sampled their
+            # worker's ru_maxrss into `peak_mb` (capture_metrics=True on the
+            # stage fn) — valid on any cluster topology, unlike the post-hoc
+            # probe. Max-aggregate from the just-written todo partitions
+            # (column-pruned scan; values were produced in-stage).
+            row = raw_todo.agg(F.max("peak_mb")).first()
+            peak_mem_mb = float(row[0]) if row and row[0] is not None else 0.0
+        else:
+            peak_mem_mb = self._probe_peak_mem(written)
         now = _now_utc()
         lineage_rows = [
             (
@@ -227,34 +252,44 @@ class CheckpointedPipeline:
     def read_stage(self, stage: str) -> DataFrame:
         """Stage output, CLEAN rows only: for capture-enabled stages the
         has_error=true partitions are pruned at the scan (leading partition
-        column) and the bookkeeping columns dropped."""
+        column) and the bookkeeping columns (error/peak_mb) dropped."""
         df = self.spark.read.parquet(self.stage_output_path(stage))
         if "has_error" in df.columns:
             df = df.where(F.col("has_error") != "true").drop(
                 "has_error", "error"
             )
+        if "peak_mb" in df.columns:
+            df = df.drop("peak_mb")
         return df
 
     def read_errors(self) -> DataFrame:
-        """Accumulated (url, stage, error) rows across runs (O21)."""
+        """Accumulated (url, stage, error) rows across runs (O21),
+        DEDUPLICATED: the append is at-least-once on a crash between the
+        errors append and the lineage commit (the retry re-appends the same
+        rows), so consumers get the distinct set — the at-least-once write
+        discipline stays invisible here."""
         p = self.base / "_errors"
         if not p.exists() or not any(p.glob("*.parquet")):
             from kg.errors import ERRORS_SCHEMA
 
             return self.spark.createDataFrame([], ERRORS_SCHEMA)
-        return self.spark.read.parquet(str(p))
+        return self.spark.read.parquet(str(p)).distinct()
 
     def _probe_peak_mem(self, written: DataFrame) -> float:
-        """O23: max Python-worker peak RSS (MB) right after the stage ran.
+        """O23 FALLBACK (LOCAL-MODE-ONLY attribution): max Python-worker
+        peak RSS (MB) right after the stage ran, for stage fns that did not
+        emit an in-stage ``peak_mb`` column (capture_metrics).
 
         ``resource.getrusage(RUSAGE_SELF).ru_maxrss`` is the process
-        high-water mark; Python workers are reused across tasks
-        (spark.python.worker.reuse), so probing them immediately after the
-        stage reports the memory the stage's UDFs actually peaked at — the
-        distributed analogue of the reference's @profile on populate
-        (server.py:8,139). The probe scans ONLY the bucket column of the
-        just-written partitions (column-pruned parquet read, one tiny
-        mapInPandas pass), so its cost is bounded by row count, not payload.
+        high-water mark; ON LOCAL MODE Python workers are reused across
+        tasks (spark.python.worker.reuse) so the probe tasks land in the
+        workers that ran the stage UDFs. On a multi-executor cluster the
+        probe tasks can land on fresh workers/executors and report
+        bootstrap RSS — use capture_metrics=True on the stage fn there,
+        which samples ru_maxrss inside the stage's own batches (the
+        preferred path; this probe is only the legacy fallback). The probe
+        scans ONLY the bucket column of the just-written partitions
+        (column-pruned parquet read, one tiny mapInPandas pass).
         """
         probe = written.select("url_hash_bucket").mapInPandas(
             _peak_rss_batches, schema="peak_mb double"

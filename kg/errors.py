@@ -37,8 +37,10 @@ def split_errors(
     df: DataFrame, stage: str, id_col: str = "url"
 ) -> tuple[DataFrame, DataFrame]:
     """Split a capture-enabled stage output on its ``error`` column into
-    (ok_rows_without_error_col, errors_table)."""
-    ok = df.where(F.col("error").isNull()).drop("error")
+    (ok_rows_without_error_col, errors_table). A ``peak_mb`` in-stage
+    metrics column (capture_metrics) is bookkeeping, not payload — dropped
+    from the ok side alongside ``error``."""
+    ok = df.where(F.col("error").isNull()).drop("error", "peak_mb")
     errs = df.where(F.col("error").isNotNull()).select(
         F.col(id_col).cast("string").alias("url"),
         F.lit(stage).alias("stage"),

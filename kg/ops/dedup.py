@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kg.cc import connected_components
+from kg.session import materialize
 
 
 def _norm_text(col: str = "text") -> Column:
@@ -164,9 +165,10 @@ def minhash_band_candidates(
     # self-join); without a materialization barrier Catalyst recomputes the
     # whole signature tree per consumer (measured 3x: 34s -> ~11s on the
     # 100k-doc bench corpus). The table is small — O(n * bands) fixed-width
-    # rows — so localCheckpoint is cheap and also cuts the lineage the
-    # downstream CC iterations would otherwise drag along.
-    buckets = buckets.localCheckpoint(eager=True)
+    # rows — so the barrier is cheap and also cuts the lineage the
+    # downstream CC iterations would otherwise drag along (reliable when a
+    # checkpoint dir is set — kg.session.materialize).
+    buckets = materialize(buckets)
     sizes = buckets.groupBy("band", "bkey").agg(F.count("*").alias("n"))
     kept = buckets.join(
         sizes.where(F.col("n") <= max_bucket).select("band", "bkey"),
@@ -279,16 +281,13 @@ def minhash_near_dup(
     # toks feeds candidates + both sides of the verify join + the CC
     # re-attach — materialize each once instead of re-tokenizing the corpus
     # per consumer (measured: full near-dup 86s -> ~35s on the bench corpus)
-    membership = (
-        membership.join(rep_of, "bow")
-        .select("doc_id", "rep")
-        .localCheckpoint(eager=True)
+    membership = materialize(
+        membership.join(rep_of, "bow").select("doc_id", "rep")
     )
-    toks = (
+    toks = materialize(
         all_toks.join(membership, "doc_id")
         .where(F.col("doc_id") == F.col("rep"))
         .select("doc_id", "tokset")
-        .localCheckpoint(eager=True)
     )
     cand = minhash_band_candidates(
         toks, id_col="doc_id", tok_col="tokset",
@@ -357,9 +356,19 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return src.mapInPandas(_simhash_batches, schema=SIMHASH_SCHEMA)
 
 
-def simhash_band_candidates(sim: DataFrame, n_bands: int = 4) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any 16-bit SimHash band
-    (Hamming-distance blocking). Output: (a, b) with a < b."""
+def simhash_band_candidates(
+    sim: DataFrame, n_bands: int = 4, max_bucket: int = 1024
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any 64/n_bands-bit SimHash band
+    (Hamming-distance blocking), with BUCKET-SIZE CAPPING: band buckets
+    larger than ``max_bucket`` are dropped before the self-join, bounding
+    candidate volume at buckets * max_bucket^2 — the same skew guard as
+    minhash_band_candidates / cosine_band_candidates (on boilerplate-heavy
+    corpora thousands of near-identical docs share a 16-bit band key and an
+    uncapped join goes quadratic). Docs in a dropped bucket still pair via
+    their other n_bands-1 bands; pair the output with an exact verifier
+    (ngram_jaccard_pairs) — the cap affects recall only, never precision.
+    Output: (a, b) with a < b."""
     width = 64 // n_bands
     bands = sim.select(
         "doc_id",
@@ -375,8 +384,15 @@ def simhash_band_candidates(sim: DataFrame, n_bands: int = 4) -> DataFrame:
             ])
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    left = bands.alias("l")
-    right = bands.alias("r")
+    # three consumers (size count + both self-join sides): materialize once
+    bands = materialize(bands)
+    sizes = bands.groupBy("band", "key").agg(F.count("*").alias("n"))
+    kept = bands.join(
+        sizes.where(F.col("n") <= max_bucket).select("band", "key"),
+        ["band", "key"],
+    )
+    left = kept.alias("l")
+    right = kept.alias("r")
     return (
         left.join(
             right,

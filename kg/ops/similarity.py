@@ -177,8 +177,11 @@ def cosine_band_candidates(
     bands = sign_bands(embeddings, n_bits, n_bands, seed, id_col, vec_col)
     # three consumers (size count + self-join twice) — materialize once or
     # the Arrow projection UDF runs three times (same pattern as the
-    # MinHash bucket table in kg/ops/dedup.py)
-    bands = bands.localCheckpoint(eager=True)
+    # MinHash bucket table in kg/ops/dedup.py); reliable when a checkpoint
+    # dir is set (kg.session.materialize)
+    from kg.session import materialize
+
+    bands = materialize(bands)
     sizes = bands.groupBy("band", "key").agg(F.count("*").alias("n"))
     kept = bands.join(
         sizes.where(F.col("n") <= max_bucket).select("band", "key"),

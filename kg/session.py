@@ -15,9 +15,28 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eager materialization barrier for small multi-consumer intermediates
+    (LSH bucket tables, CC iteration state, dedup membership maps).
+
+    On a real cluster — where an executor loss mid-job must not fail the
+    stage — callers set a RELIABLE checkpoint dir once per job
+    (``spark.sparkContext.setCheckpointDir("hdfs://.../ckpt")``) and this
+    helper uses ``df.checkpoint``: partitions are re-readable from durable
+    storage after executor loss. Without a checkpoint dir (local/bench runs,
+    where losing an executor means losing the driver too) it falls back to
+    ``localCheckpoint``: executor-local blocks, no write barrier cost, same
+    lineage truncation. Both paths are eager so the subtree is computed
+    exactly once no matter how many consumers read it."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def get_spark(

@@ -73,7 +73,9 @@ def canonicalize_aliases(
         )
         .drop("_raw_tokens", "_sig_tokens")
     )
-    uniq = uniq.localCheckpoint(eager=True)  # reused 4x below; cut lineage once
+    from kg.session import materialize
+
+    uniq = materialize(uniq)  # reused 4x below; cut lineage once
 
     toksets = uniq.select("node", F.array_distinct("tokens").alias("tokset"))
     cands = minhash_band_candidates(

@@ -44,38 +44,59 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def _extract_batches_safe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from kg.errors import format_error
+def _make_extract_batches_safe(capture_metrics: bool):
+    def _extract_batches_safe(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from kg.errors import format_error
 
-    for pdf in batches:
-        rows = []
-        for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
-            try:
-                t = extract_text(html)
-                rows.append(
-                    (url, t, lang, len(t),
-                     hashlib.sha1(t.encode("utf-8")).hexdigest(), None)
-                )
-            except Exception as exc:  # noqa: BLE001 — O21: row fails, job survives
-                rows.append((url, None, lang, None, None, format_error(exc)))
-        yield pd.DataFrame(
-            rows,
-            columns=["url", "text", "lang", "n_chars", "extract_sha1", "error"],
-        )
+        cols = ["url", "text", "lang", "n_chars", "extract_sha1", "error"]
+        if capture_metrics:
+            cols.append("peak_mb")
+        for pdf in batches:
+            rows = []
+            for url, html, lang in zip(pdf["url"], pdf["html"], pdf["lang"]):
+                try:
+                    t = extract_text(html)
+                    rows.append(
+                        (url, t, lang, len(t),
+                         hashlib.sha1(t.encode("utf-8")).hexdigest(), None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — O21: row fails, job survives
+                    rows.append((url, None, lang, None, None, format_error(exc)))
+            if capture_metrics:
+                from kg.stages.triples import _worker_peak_mb
+
+                peak = _worker_peak_mb()
+                rows = [r + (peak,) for r in rows]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _extract_batches_safe
 
 
-def extract_docs(pages: DataFrame, capture_errors: bool = False) -> DataFrame:
+def extract_docs(
+    pages: DataFrame,
+    capture_errors: bool = False,
+    capture_metrics: bool = False,
+) -> DataFrame:
     """pages -> docs. Only url/html/lang are read from the input.
 
     ``capture_errors=True`` (O21): per-row exceptions become an ``error``
     column instead of failing the stage — split with kg.errors.split_errors.
     The built-in extractor is total (extract_text never raises), so this path
     matters for pluggable extractors and malformed inputs of the wrong type.
+    ``capture_metrics=True`` (O23): per-batch in-stage worker ``peak_mb``
+    column (implies the capture row path; see kg/checkpoint.py).
     """
     pruned = pages.select("url", "html", "lang")
-    if capture_errors:
+    if capture_errors or capture_metrics:
+        schema = (
+            DOCS_COLUMNS
+            + ", error string"
+            + (", peak_mb double" if capture_metrics else "")
+        )
         return pruned.mapInPandas(
-            _extract_batches_safe, schema=DOCS_COLUMNS + ", error string"
+            _make_extract_batches_safe(capture_metrics), schema=schema
         )
     return pruned.mapInPandas(_extract_batches, schema=DOCS_COLUMNS)
 

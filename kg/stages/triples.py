@@ -89,6 +89,15 @@ NER_MENTIONS_SCHEMA = (
 )
 
 
+def _worker_peak_mb() -> float:
+    """This Python worker's RSS high-water mark in MB (ru_maxrss is KB on
+    Linux) — sampled INSIDE the stage batch, so attribution is correct on
+    any cluster topology (O23; cf. kg/checkpoint.py capture_metrics)."""
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
 def _make_ner_batches(
     custom_entities: dict[str, str] | None,
     backend_name: str,
@@ -96,13 +105,18 @@ def _make_ner_batches(
     minimal_mode: bool,
     generation: int,
     capture_errors: bool = False,
+    capture_metrics: bool = False,
 ):
     def _ner_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # lazy import keeps worker bootstrap light when only triples are needed
         from kg.backends import get_backend_cached
         from kg.errors import format_error
 
-        n_cols = 6 + (1 if capture_errors else 0)
+        cols = ["url", "value", "label", "category", "start", "end"]
+        if capture_errors:
+            cols.append("error")
+        if capture_metrics:
+            cols.append("peak_mb")
         for pdf in batches:
             rows = []
             langs = pdf["lang"] if "lang" in pdf.columns else ["en"] * len(pdf)
@@ -125,10 +139,11 @@ def _make_ner_batches(
                 for m in mentions:
                     row = (url, m.value, m.label, m.category, m.start, m.end)
                     rows.append(row + (None,) if capture_errors else row)
-            cols = ["url", "value", "label", "category", "start", "end"]
-            if capture_errors:
-                cols.append("error")
-            yield pd.DataFrame(rows, columns=cols[:n_cols])
+            if capture_metrics:
+                # sampled AFTER the batch's work: the per-batch high-water mark
+                peak = _worker_peak_mb()
+                rows = [r + (peak,) for r in rows]
+            yield pd.DataFrame(rows, columns=cols)
 
     return _ner_batches
 
@@ -139,6 +154,7 @@ def detect_ner_mentions(
     backend: str = "rule",
     minimal_mode: bool = False,
     capture_errors: bool = False,
+    capture_metrics: bool = False,
 ) -> DataFrame:
     """NER mentions with char offsets (O1+O2), Arrow-batched, with the
     detector backend selected through the O18 registry (kg/backends.py):
@@ -157,15 +173,24 @@ def detect_ner_mentions(
     raises (e.g. unsupported lang, a buggy custom backend) becomes one row
     with null mention fields and an ``error`` column instead of failing the
     stage — split with kg.errors.split_errors.
+
+    ``capture_metrics=True`` (O23): each batch also emits this worker's RSS
+    high-water mark in a ``peak_mb`` column, sampled inside the stage's own
+    UDF — CheckpointedPipeline max-aggregates it into the metrics table
+    (correct on any cluster topology, unlike the post-hoc probe).
     """
     from kg.backends import resolve_backend
 
     factory, generation = resolve_backend(backend)
     cols = [c for c in ("url", "text", "lang") if c in docs.columns]
-    schema = NER_MENTIONS_SCHEMA + (", error string" if capture_errors else "")
+    schema = (
+        NER_MENTIONS_SCHEMA
+        + (", error string" if capture_errors else "")
+        + (", peak_mb double" if capture_metrics else "")
+    )
     return docs.select(*cols).mapInPandas(
         _make_ner_batches(custom_entities, backend, factory, minimal_mode,
-                          generation, capture_errors),
+                          generation, capture_errors, capture_metrics),
         schema=schema,
     )
 
@@ -213,6 +238,8 @@ def annotate_pages(
     minimal_mode: bool = False,
     filter_ents: bool = True,
     sw_size: str = "large",
+    capture_errors: bool = False,
+    capture_metrics: bool = False,
 ) -> DataFrame:
     """FUSED per-page annotation: pages(url, html, lang) -> one row per page
     with SVO triples, NER mentions and the token pipeline from a SINGLE
@@ -224,6 +251,13 @@ def annotate_pages(
 
     Uses the O18 backend registry for NER (per-worker singletons keyed by
     lang) exactly like detect_ner_mentions.
+
+    ``capture_errors=True`` (O21, same contract as detect_ner_mentions): a
+    page whose extraction/backend/analysis raises — e.g. a lang outside the
+    backend's supported set, or a buggy pluggable backend — becomes one row
+    with null annotation arrays and an ``error`` column instead of aborting
+    the whole fused stage; split with kg.errors.split_errors.
+    ``capture_metrics=True`` (O23): per-batch worker ``peak_mb`` column.
     """
     from kg.backends import resolve_backend
 
@@ -231,21 +265,27 @@ def annotate_pages(
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from kg.backends import get_backend_cached
+        from kg.errors import format_error
         from kg.openie import extract_triples
         from kg.textextract import extract_text
         from kg.tokenize import tokenize
 
+        cols = ["url", "triples", "mentions", "tokens"]
+        if capture_errors:
+            cols.append("error")
+        if capture_metrics:
+            cols.append("peak_mb")
         for pdf in batches:
             rows = []
             langs = pdf["lang"] if "lang" in pdf.columns else ["en"] * len(pdf)
             for url, html, lang in zip(pdf["url"], pdf["html"], langs):
                 lang = lang or "en"
-                text = extract_text(html)
-                be = get_backend_cached(
-                    backend, factory, lang, minimal_mode, generation
-                )
-                rows.append(
-                    (
+                try:
+                    text = extract_text(html)
+                    be = get_backend_cached(
+                        backend, factory, lang, minimal_mode, generation
+                    )
+                    row = (
                         url,
                         [tuple(t) for t in extract_triples(text)],
                         [
@@ -256,10 +296,21 @@ def annotate_pages(
                         ],
                         tokenize(text, filter_ents, sw_size, lang),
                     )
-                )
-            yield pd.DataFrame(
-                rows, columns=["url", "triples", "mentions", "tokens"]
-            )
+                except Exception as exc:  # noqa: BLE001 — O21 row capture
+                    if not capture_errors:
+                        raise
+                    rows.append((url, None, None, None, format_error(exc)))
+                    continue
+                rows.append(row + (None,) if capture_errors else row)
+            if capture_metrics:
+                peak = _worker_peak_mb()
+                rows = [r + (peak,) for r in rows]
+            yield pd.DataFrame(rows, columns=cols)
 
+    schema = (
+        ANNOTATIONS_SCHEMA
+        + (", error string" if capture_errors else "")
+        + (", peak_mb double" if capture_metrics else "")
+    )
     cols = [c for c in ("url", "html", "lang") if c in pages.columns]
-    return pages.select(*cols).mapInPandas(_batches, schema=ANNOTATIONS_SCHEMA)
+    return pages.select(*cols).mapInPandas(_batches, schema=schema)

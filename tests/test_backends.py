@@ -106,3 +106,21 @@ def test_unsupported_lang_fails_the_stage(spark):
     )
     with pytest.raises(Exception, match="no detector resources"):
         detect_ner_mentions(docs).collect()
+
+
+def test_eviction_is_monotonic_during_reload_rollout():
+    """While old-plan and new-plan tasks interleave on a worker, a lookup
+    from an OLDER generation must not evict the newer generation's entry
+    (they would otherwise evict each other per batch)."""
+    factory, _ = resolve_backend("rule")
+    kb._CACHE.clear()
+    new = get_backend_cached("rule", factory, "en", False, 7)
+    old = get_backend_cached("rule", factory, "en", False, 5)  # straggler task
+    assert ("rule", "en", False, 7) in kb._CACHE  # newer entry SURVIVES
+    assert get_backend_cached("rule", factory, "en", False, 7) is new
+    assert get_backend_cached("rule", factory, "en", False, 5) is old
+    # a newer generation evicts every older one for the same (name, lang, mode)
+    get_backend_cached("rule", factory, "en", False, 9)
+    assert ("rule", "en", False, 5) not in kb._CACHE
+    assert ("rule", "en", False, 7) not in kb._CACHE
+    assert ("rule", "en", False, 9) in kb._CACHE

@@ -350,3 +350,28 @@ def test_corpus_filter_reasons(spark):
     assert "looping_bigrams" in got[2]["reasons"]
     assert got[3]["keep"] is True and got[3]["reasons"] == ""
     assert "punct_heavy" in got[4]["reasons"]
+
+
+def test_simhash_band_cap_drops_oversized_buckets(spark):
+    """VERDICT r2: the cap that bounds the band self-join on boilerplate
+    corpora — an oversized bucket contributes no pairs; smaller buckets
+    still pair; an above-corpus cap reproduces the uncapped result."""
+    sim = spark.createDataFrame(
+        # 6 identical hashes (every band bucket size 6) + a distinct pair
+        # sharing all bands with each other only
+        [(i, 0x1234_5678_9ABC_0DEF) for i in range(6)]
+        + [(10, 0x7777_0000_1111_2222), (11, 0x7777_0000_1111_2222)],
+        "doc_id long, simhash long",
+    )
+    uncapped = {
+        (r["a"], r["b"])
+        for r in simhash_band_candidates(sim, n_bands=4, max_bucket=1024).collect()
+    }
+    assert (10, 11) in uncapped and len(uncapped) == 15 + 1
+    capped = {
+        (r["a"], r["b"])
+        for r in simhash_band_candidates(sim, n_bands=4, max_bucket=4).collect()
+    }
+    # the 6-doc boilerplate bucket is dropped in every band; the small pair
+    # survives — candidate volume is bounded, recall is band-local only
+    assert capped == {(10, 11)}

@@ -64,3 +64,21 @@ def test_nonbroadcast_mentions_plan_uses_shuffle_join(spark):
     p = _plan(detect_mentions(docs, gaz, None, share_scan=False,
                               broadcast_dim=False))
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_simhash_band_candidates_capped_no_blowup_path(spark):
+    """The simhash blocker joins only cap-filtered buckets (same guard as
+    its minhash/cosine siblings): equi-join on (band, key), no cartesian,
+    and the bucket-size filter is present in the plan."""
+    sim = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9)], "doc_id long, simhash long"
+    )
+    from kg.ops.dedup import simhash_band_candidates
+
+    df = simhash_band_candidates(sim, n_bands=4, max_bucket=64)
+    p = _plan(df)
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in p, node
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    # the count-then-filter cap gate feeds the join
+    assert "count(1)" in p and "<= 64" in p
