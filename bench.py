@@ -50,6 +50,31 @@ def ensure_corpus() -> str:
     return str(path)
 
 
+def cpu_busy_frac(interval: float = 0.5) -> float:
+    """System-wide busy fraction from /proc/stat over ``interval`` seconds —
+    unlike loadavg (a trailing EMA) this measures contention NOW. The bench
+    runs on a shared box; a run started at high busy-fraction is annotated
+    as contended rather than silently reported (VERDICT r2 item 8: the
+    r1-vs-r2 mentions confusion was half measurement environment)."""
+
+    def snap() -> tuple[int, int]:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        return sum(vals), idle
+
+    t0, i0 = snap()
+    time.sleep(interval)
+    t1, i1 = snap()
+    total = max(t1 - t0, 1)
+    return round(1.0 - (i1 - i0) / total, 3)
+
+
+#: busy fraction above which a bench run is flagged as contended
+CONTENTION_THRESHOLD = 0.35
+
+
 def timed_twice(fn) -> float:
     """Run fn once to warm, then twice timed; return the best wall (sec).
     Best-of-2 damps noisy-neighbor interference on this shared box."""
@@ -102,11 +127,19 @@ def run_suite(spark, sf_dir: str) -> dict:
     gaz.count()
     rx = regex_dim(spark, synth.REGEX_DATA).cache()
     rx.count()
+    # dim planning is per-JOB state (computed once per dictionary on a real
+    # cluster), so it is hoisted out of the timed loop (VERDICT r2 item 1);
+    # co_partition=True makes the docs repartition the ONLY corpus-sized
+    # shuffle in the tree (aggs/distinct/anti-join all exchange-free).
+    from kg.stages.mentions import plan_gazetteer
+
+    gplan = plan_gazetteer(gaz)
 
     def w_mentions():
         handles: list = []
         counts["mentions"] = detect_mentions(
-            docs_x, gaz, rx, id_col="doc_id", cache_handles=handles
+            docs_x, gaz, rx, id_col="doc_id", cache_handles=handles,
+            plan=gplan, co_partition=True,
         ).count()
         for h in handles:  # release the shared subtree between iterations
             h.unpersist()
@@ -214,6 +247,7 @@ def main() -> int:
     from kg.session import get_spark
 
     load_start = os.getloadavg()[0]  # shared box: record neighbor pressure
+    busy_start = cpu_busy_frac()
     spark = get_spark(master=master, app_name="kg-bench",
                       shuffle_partitions=max(int(cpus) * 2, 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -221,6 +255,11 @@ def main() -> int:
     spark.stop()
     result["extra"]["loadavg_start"] = round(load_start, 2)
     result["extra"]["loadavg_end"] = round(os.getloadavg()[0], 2)
+    result["extra"]["cpu_busy_frac_start"] = busy_start
+    result["extra"]["cpu_busy_frac_end"] = cpu_busy_frac()
+    if busy_start > CONTENTION_THRESHOLD:
+        # do not let a noisy-neighbor run masquerade as a regression
+        result["extra"]["contended"] = True
 
     total = round(sum(result["timings"].values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

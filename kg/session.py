@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow joins to reuse a subset-key partitioning from upstream
+        # (HashPartitioning(url) satisfies a join on (url, word) on both
+        # sides): the mentions tree then shuffles the corpus ONCE and every
+        # downstream agg/join stays exchange-free (co_partition=True).
+        # Our join keys lead with high-cardinality ids, so the reduced-key
+        # partitioning loses no parallelism.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config(

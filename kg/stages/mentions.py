@@ -40,6 +40,7 @@ Semantics notes (vs the oracle, tested in tests/test_mentions_spark.py):
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +49,37 @@ from kg.normalize import PUNCT
 from kg.oracle import BadRegexError
 
 MENTIONS_SCHEMA = "url string, matched_word string, entity_name string, detector string"
+
+
+@dataclass(frozen=True)
+class GazetteerPlan:
+    """Driver-side planning inputs derived from a gazetteer dim, computed
+    ONCE PER DIM (``plan_gazetteer``) and passed to any number of
+    ``detect_mentions`` / ``detect_gazetteer_mentions`` calls.
+
+    On a real cluster the dictionary is per-job state: planning it per call
+    re-runs the (bounded) planning aggregation and its driver round-trip on
+    every query over the same dim — measured ~1s of fixed cost per call on
+    the bench corpus (VERDICT r2). Callers that pass ``plan=`` skip that
+    entirely; the per-call path (plan=None) remains for one-shot use.
+    """
+
+    max_words: int
+    first_words: tuple[str, ...]
+    overflowed: bool
+
+    @property
+    def gate(self) -> list[str] | None:
+        """Start-word gate, or None when the dim overflowed _GATE_LIMIT."""
+        if self.first_words and not self.overflowed:
+            return list(self.first_words)
+        return None
+
+
+def plan_gazetteer(gazetteer: DataFrame) -> GazetteerPlan:
+    """ONE bounded driver round-trip -> reusable GazetteerPlan."""
+    max_words, first_words, overflowed = _dim_planning_inputs(gazetteer)
+    return GazetteerPlan(max_words, tuple(first_words), overflowed)
 
 
 def gazetteer_dim(spark: SparkSession, entities: dict[str, list[str]]) -> DataFrame:
@@ -187,6 +219,8 @@ def detect_gazetteer_mentions(
     share_scan: bool = True,
     cache_handles: list | None = None,
     broadcast_dim: bool = True,
+    plan: GazetteerPlan | None = None,
+    co_partition: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Value-entity pass. Returns (winners, matched_surfaces).
 
@@ -195,6 +229,21 @@ def detect_gazetteer_mentions(
     splitting) instead of forcing a broadcast that would not fit. The
     planning aggregation is already bounded either way
     (_dim_planning_inputs), so nothing else changes.
+
+    ``plan``: precomputed :class:`GazetteerPlan` (plan_gazetteer) — skips
+    the per-call planning aggregation; per-job state on a real cluster.
+
+    ``co_partition=True``: hash-repartition the docs by ``id_col`` BEFORE
+    the span explosion. Every downstream clustering requirement (the firsts
+    candidate dedup on (id, entity, surface), the winners fold on
+    (id, entity), the matched-surfaces distinct on (id, surface) and the
+    regex anti-join on (id, word)) is then satisfied by the same
+    HashPartitioning(id): Catalyst elides ALL their exchanges and the whole
+    mentions tree shuffles exactly once — the docs — instead of shuffling
+    match-sized intermediates three times. This is the in-plan equivalent
+    of storing docs bucketed by url hash; when the input scan already
+    provides that partitioning, leave it False and the aggregation
+    exchanges still elide.
 
     winners: (url, matched_word, entity_name) after the longest-match fold.
     matched_surfaces: distinct (url, surface) of ALL value matches pre-fold —
@@ -211,14 +260,18 @@ def detect_gazetteer_mentions(
     # multi-million-row alias dictionary never round-trips its values to the
     # driver (the distinct-first-word set is reduced executor-side by the
     # partial-aggregated collect_set; only the sliced prefix is shipped).
-    max_words_col, first_words, overflowed = _dim_planning_inputs(gazetteer)
+    # A precomputed plan skips even that.
+    if plan is None:
+        plan = plan_gazetteer(gazetteer)
     if max_words is None:
-        max_words = max_words_col
+        max_words = plan.max_words
     # start-position gate: the distinct normalized first words of the
     # dictionary phrases. Inlined as an isin literal while small; for very
     # large alias dictionaries skip the gate — the broadcast join does the
     # filtering and the literal would bloat the plan.
-    gate = first_words if (first_words and not overflowed) else None
+    gate = plan.gate
+    if co_partition:
+        docs = docs.repartition(F.col(id_col))
     spans = ngram_spans_df(docs, max_words, id_col, start_words=gate)
     normalized = spans.select(
         id_col,
@@ -331,13 +384,22 @@ def detect_mentions(
     share_scan: bool = True,
     cache_handles: list | None = None,
     broadcast_dim: bool = True,
+    plan: GazetteerPlan | None = None,
+    co_partition: bool = False,
 ) -> DataFrame:
     """Full mention detection: gazetteer winners UNION regex matches, with
     value-over-regex priority. Output matches kg.oracle.find_entities_rows.
-    ``cache_handles``/``broadcast_dim``: see detect_gazetteer_mentions."""
+    ``cache_handles``/``broadcast_dim``/``plan``/``co_partition``: see
+    detect_gazetteer_mentions. With co_partition the single docs
+    repartition is shared by the gazetteer AND regex passes (ReuseExchange:
+    both branches read the same shuffle output), so the full
+    dictionary+regex tree still shuffles the corpus exactly once."""
+    if co_partition:
+        docs = docs.repartition(F.col(id_col))
     winners, matched_surfaces = detect_gazetteer_mentions(
         docs, gazetteer, id_col=id_col, share_scan=share_scan,
         cache_handles=cache_handles, broadcast_dim=broadcast_dim,
+        plan=plan,
     )
     gaz = winners.withColumn("detector", F.lit("gazetteer"))
     # one driver round-trip for the (small) regex dim; an .isEmpty() probe

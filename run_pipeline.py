@@ -82,12 +82,18 @@ def main(argv=None) -> int:
         docs = pipe.read_stage("docs")
 
     if "mentions" in stages:
+        from kg.stages.mentions import plan_gazetteer
+
         gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
         rx = regex_dim(spark, synth.REGEX_DATA)
+        gplan = plan_gazetteer(gaz)  # per-job dim planning, once
         pipe.run_stage(
             "mentions",
             docs,
-            lambda df: detect_mentions(df.select("url", "text"), gaz, rx).join(
+            lambda df: detect_mentions(
+                df.select("url", "text"), gaz, rx,
+                plan=gplan, co_partition=True,
+            ).join(
                 df.select("url", "url_hash_bucket").distinct(), "url"
             ),
         )
