@@ -298,23 +298,19 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash near-dup clustering (bucket-capped, exact-Jaccard
-    verified). Oracle-checked against DuckDB's exact all-pairs Jaccard +
-    recursive-CTE transitive closure: with 32 bands of 2 rows the per-pair
-    LSH miss probability at j>=0.8 is (1-0.64)^32 ~ 7e-15, so the banded
-    result equals the exact clustering. max_bucket=4096 exceeds the corpus
-    size at every test SF (the cap must not drop true edges for oracle
-    equality; production configs use the bounded default and trade
-    mega-cluster recall for boundedness). Scoped to doc_id < 1000 — a no-op
-    at the sf0.01 gate (500 docs) that keeps the oracle's recursive-CTE
-    transitive closure tractable at larger SFs (the synthetic corpus is one
-    dense near-dup mega-cluster; the closure is quadratic in cluster size).
-    Scale throughput of the unscoped operator is bench.py's near_dup
-    workload, not this correctness instrument."""
+    verified), UNSCOPED (round 3 closed the r2 `doc_id < 1000` scope).
+    Oracle-checked against DuckDB's exact all-pairs Jaccard + iterative
+    min-label-propagation clustering (_minhash_oracle_sql): with 32 bands
+    of 2 rows the per-pair LSH miss probability at j>=0.8 is
+    (1-0.64)^32 ~ 7e-15, so the banded result equals the exact clustering.
+    max_bucket=8192 exceeds the corpus size at every test SF (the cap must
+    not drop true edges for oracle equality; production configs use the
+    bounded default and trade mega-cluster recall for boundedness)."""
     from kg.ops.dedup import minhash_near_dup
 
     return minhash_near_dup(
-        _docs(spark, sf_dir).where(F.col("doc_id") < 1000),
-        min_jaccard=0.8, k=64, bands=32, max_bucket=4096,
+        _docs(spark, sf_dir),
+        min_jaccard=0.8, k=64, bands=32, max_bucket=8192,
     ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
@@ -717,6 +713,123 @@ def q_kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("url", "subj", "pred", "obj")
 
 
+# ---- stateful streaming contract (watermark + windowed aggregation) ----
+
+# (url, warc_ts, batch, text): batch 1 and batch 2 land as separate files
+# processed as separate micro-batches (maxFilesPerTrigger=1, mtime-ordered).
+# After batch 1 the event-time watermark is max(batch-1 ts) - 2min =
+# 10:03:00, so s4 (window [10:00,10:01), end <= watermark) is LATE BEYOND
+# THE WATERMARK and must be dropped, while s5 ([10:03,10:04)) is late but
+# inside and must be counted. s6 pushes the final watermark to 10:28 so
+# every earlier window closes and is emitted (append mode); s6's own window
+# stays open and is NOT emitted.
+STREAM_PAGES: list[tuple[str, str, int, str]] = [
+    ("s1", "2024-01-01 10:00:10", 1, "coffee tea"),
+    ("s2", "2024-01-01 10:01:10", 1, "coffee coffee"),
+    ("s3", "2024-01-01 10:05:00", 1, "tea"),
+    ("s4", "2024-01-01 10:00:30", 2, "coffee"),
+    ("s5", "2024-01-01 10:03:30", 2, "tea tea"),
+    ("s6", "2024-01-01 10:30:00", 2, "beer"),
+]
+STREAM_GAZ: dict[str, list[str]] = {
+    "Coffee": ["coffee"], "Tea": ["tea"], "Beer": ["beer"]
+}
+
+
+def q_stream_mention_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming contract: windowed mention rates with late-data
+    handling (kg/streaming.py stream_mention_rates). Two files become two
+    micro-batches; the watermark advances between them, drops the
+    beyond-watermark row, keeps the within-watermark one, and append mode
+    emits exactly the windows the final watermark closed. Oracle = a DuckDB
+    recompute of the same windowed counts with the watermark cutoffs
+    applied to the literal corpus (no Spark streaming machinery)."""
+    import tempfile
+
+    import pandas as pd
+
+    from kg.stages.mentions import gazetteer_dim
+    from kg.streaming import (
+        read_pages_stream,
+        run_stream_to_parquet,
+        stream_mention_rates,
+    )
+
+    src = tempfile.mkdtemp(prefix="kg_stream_rates_src_")
+    out = tempfile.mkdtemp(prefix="kg_stream_rates_out_")
+    ckpt = tempfile.mkdtemp(prefix="kg_stream_rates_ckpt_")
+    gaz = gazetteer_dim(spark, STREAM_GAZ)
+
+    def land(batch: int) -> None:
+        rows = [r for r in STREAM_PAGES if r[2] == batch]
+        pdf = pd.DataFrame(
+            {
+                "url": [r[0] for r in rows],
+                # microsecond precision: Spark reads timestamp[us], not ns
+                "warc_ts": pd.to_datetime(
+                    [r[1] for r in rows]
+                ).astype("datetime64[us]"),
+                "html": [f"<p>{r[3]}</p>".encode() for r in rows],
+                "text": [r[3] for r in rows],
+                "lang": ["en"] * len(rows),
+            }
+        )
+        pdf.to_parquet(f"{src}/batch{batch}.parquet", index=False)
+
+    # two availableNow RUNS over one checkpoint: the event-time watermark is
+    # committed with batch 1 and restored for batch 2 (the restart path real
+    # deployments rely on), so the late rows in batch 2 are judged against
+    # the batch-1 watermark deterministically — no reliance on
+    # maxFilesPerTrigger batch-splitting inside a single run.
+    for batch in (1, 2):
+        land(batch)
+        q = run_stream_to_parquet(
+            stream_mention_rates(read_pages_stream(spark, src), gaz),
+            out, ckpt,
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "start", "end", "entity_name",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+    )
+
+
+def _stream_rates_oracle_sql() -> str:
+    vals = ", ".join(
+        f"('{u}', TIMESTAMP '{ts}', {b}, '{t}')" for u, ts, b, t in STREAM_PAGES
+    )
+    gaz_vals = ", ".join(
+        f"('{name}', '{v}')" for name, vs in STREAM_GAZ.items() for v in vs
+    )
+    return f"""
+WITH pages(url, ts, batch, text) AS (VALUES {vals}),
+wm1 AS (SELECT max(ts) - INTERVAL 2 MINUTE AS wm FROM pages WHERE batch = 1),
+final_wm AS (SELECT max(ts) - INTERVAL 2 MINUTE AS wm FROM pages),
+kept AS (
+  -- the watermark at batch 2's start drops rows whose window has closed
+  SELECT p.* FROM pages p, wm1
+  WHERE NOT (p.batch = 2
+             AND date_trunc('minute', p.ts) + INTERVAL 1 MINUTE <= wm1.wm)
+),
+words AS (
+  SELECT url, ts, unnest(string_split(text, ' ')) AS w FROM kept
+),
+gaz(entity_name, value) AS (VALUES {gaz_vals}),
+hits AS (
+  SELECT date_trunc('minute', ts) AS wstart, entity_name
+  FROM words JOIN gaz ON w = value
+),
+agg AS (
+  SELECT wstart, wstart + INTERVAL 1 MINUTE AS wend, entity_name,
+         count(*) AS n FROM hits GROUP BY wstart, entity_name
+)
+-- append mode emits exactly the windows the final watermark closed
+SELECT wstart AS "start", wend AS "end", entity_name,
+       CAST(n AS BIGINT) AS n_mentions
+FROM agg, final_wm WHERE wend <= final_wm.wm
+"""
+
+
 def q_kg_gazetteer_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v2 stateful-dictionary lifecycle (populate/populate/delete) replayed
     against versioned snapshots, checked at an OLD version (time travel) and
@@ -812,6 +925,71 @@ def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_oracle_sql(min_jaccard: float = 0.8, rounds: int = 8) -> str:
+    """EXACT all-pairs-Jaccard clustering oracle for doc_minhash_dedup, as a
+    single DuckDB statement that stays tractable at every test SF.
+
+    Independent algorithm (no LSH anywhere): identical token sets collapse
+    to one representative (mirrors exact-dup semantics; also what makes the
+    self-similar synthetic corpus tractable), edges = exact Jaccard >=
+    threshold over all rep pairs with a size-ratio prefilter
+    (jaccard <= min|A|,|B| / max|A|,|B|, so the cheap length test runs
+    before any list_intersect), and components come from ``rounds`` unrolled
+    iterations of min-label propagation + pointer jumping — O(E) per round
+    and geometric convergence, vs the r2 recursive-CTE transitive closure
+    that was quadratic in cluster size (35+ min at sf0.1; this runs in
+    seconds). Convergence at ``rounds``=8 covers label-forest depth far
+    beyond any test corpus and is empirically verified against the Spark
+    result at sf0.001/0.01/0.1 (tests + round notes)."""
+    j = float(min_jaccard)
+    cte = [f"""
+WITH w AS (
+  SELECT doc_id, list_sort(list_distinct(
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS ts
+  FROM documents
+), nz AS MATERIALIZED (SELECT * FROM w WHERE len(ts) > 0),
+grp AS MATERIALIZED (SELECT doc_id, md5(array_to_string(ts, chr(31))) AS bow FROM nz),
+rep_of AS MATERIALIZED (SELECT bow, min(doc_id) AS rep FROM grp GROUP BY bow),
+member AS MATERIALIZED (SELECT g.doc_id, r.rep FROM grp g JOIN rep_of r USING (bow)),
+reps AS MATERIALIZED (SELECT nz.doc_id, nz.ts FROM nz JOIN rep_of r ON nz.doc_id = r.rep),
+edges AS MATERIALIZED (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM reps a, reps b
+  WHERE a.doc_id < b.doc_id
+    AND least(len(a.ts), len(b.ts)) >= {j} * greatest(len(a.ts), len(b.ts))
+    AND len(list_intersect(a.ts, b.ts))
+        >= {j} * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label FROM reps)"""]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        cte.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT n.node, min(least(n.label, coalesce(l.label, n.label))) AS label
+  FROM {prev} n
+  LEFT JOIN sym e ON e.src = n.node
+  LEFT JOIN {prev} l ON l.node = e.dst
+  GROUP BY n.node
+),
+l{i} AS MATERIALIZED (SELECT a.node, b.label FROM p{i} a JOIN p{i} b ON a.label = b.node)""")
+        prev = f"l{i}"
+    cte.append(f""",
+rep_comp AS (
+  SELECT r.doc_id AS rep, coalesce(c.label, r.doc_id) AS component
+  FROM reps r LEFT JOIN {prev} c ON r.doc_id = c.node
+),
+membered AS (
+  SELECT m.doc_id, rc.component FROM member m JOIN rep_comp rc USING (rep)
+),
+keep AS (SELECT component, min(doc_id) AS keep_id FROM membered GROUP BY component)
+SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
+  CAST(m.component AS BIGINT) AS component,
+  CAST(k.keep_id AS BIGINT) AS keep_id
+FROM membered m JOIN keep k USING (component)""")
+    return "".join(cte)
+
+
 # -------------------------------------------------------------- public ----
 
 
@@ -880,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ner_errors": q_kg_ner_errors,
         "kg_annotate": q_kg_annotate,
         "kg_stream_triples": q_kg_stream_triples,
+        "stream_mention_rates": q_stream_mention_rates,
         "kg_gazetteer_snapshots": q_kg_gazetteer_snapshots,
         "kg_checkpoint_resume": q_kg_checkpoint_resume,
         "kg_canonical": q_kg_canonical,
@@ -1077,37 +1256,14 @@ WITH w AS (
 )
 SELECT doc_id, md5(array_to_string(shingles[1:8], '')) AS shingle_sig FROM sh
 """,
-        # Exact all-pairs Jaccard + recursive-CTE transitive closure — an
+        # Exact all-pairs Jaccard + iterative min-label-propagation CC — an
         # INDEPENDENT algorithm (no LSH): the banded-MinHash query matches it
         # because 32x2 banding has ~7e-15 per-pair miss probability at j>=0.8
         # and every candidate is exact-Jaccard-verified before clustering.
-        "doc_minhash_dedup": r"""
-WITH RECURSIVE w AS (
-  SELECT doc_id, list_sort(list_distinct(
-    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS ts
-  FROM documents WHERE doc_id < 1000
-), nz AS (SELECT * FROM w WHERE len(ts) > 0),
-edges AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM nz a, nz b
-  WHERE a.doc_id < b.doc_id
-    AND len(list_intersect(a.ts, b.ts))
-        >= 0.8 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
-), sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-reach(node, r) AS (
-  SELECT src, src FROM sym
-  UNION
-  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
-), comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
-membered AS (
-  SELECT nz.doc_id, coalesce(comp.component, nz.doc_id) AS component
-  FROM nz LEFT JOIN comp ON nz.doc_id = comp.node
-), keep AS (SELECT component, min(doc_id) AS keep_id FROM membered GROUP BY component)
-SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
-  CAST(m.component AS BIGINT) AS component,
-  CAST(k.keep_id AS BIGINT) AS keep_id
-FROM membered m JOIN keep k USING (component)
-""",
+        # Unscoped (O(E*rounds), linear on the synthetic mega-cluster); the
+        # r2 recursive-CTE closure was quadratic and forced a doc_id<1000
+        # scope at larger SFs.
+        "doc_minhash_dedup": _minhash_oracle_sql(min_jaccard=0.8),
         # SimHash is deterministic md5 bit-votes — fully SQL-expressible:
         # h64(word) == int.from_bytes(md5(word)[:8], 'big') == the hex-parsed
         # first 16 md5 hex chars; bit b of the simhash is set iff the
@@ -1384,6 +1540,7 @@ SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
         "kg_stream_triples": f"""
 SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
 """,
+        "stream_mention_rates": _stream_rates_oracle_sql(),
         "kg_annotate": f"""
 WITH t AS (
   SELECT url, count(*) AS c FROM '{FIX}/expected_triples_tiny.parquet'
