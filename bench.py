@@ -75,6 +75,55 @@ def cpu_busy_frac(interval: float = 0.5) -> float:
 CONTENTION_THRESHOLD = 0.35
 
 
+class StatSampler:
+    """Samples /proc/stat in a background thread for the whole suite run and
+    reports mean steal/iowait fractions. On a shared virtualized box the
+    guest can look idle while the HOST starves it — wall times inflate with
+    zero guest-visible busy CPU; steal (and D-state iowait) are the only
+    in-guest evidence. A run with nonzero steal is not comparable across
+    rounds (observed: identical plans swinging 13s..300s under host
+    interference)."""
+
+    def __init__(self, interval: float = 2.0) -> None:
+        import threading
+
+        self.interval = interval
+        self.samples: list[tuple[int, ...]] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    @staticmethod
+    def _snap() -> tuple[int, ...]:
+        with open("/proc/stat") as fh:
+            return tuple(int(x) for x in fh.readline().split()[1:])
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            self.samples.append(self._snap())
+            self._stop.wait(self.interval)
+
+    def start(self) -> "StatSampler":
+        self.samples.append(self._snap())
+        self._t.start()
+        return self
+
+    def stop(self) -> dict[str, float]:
+        self._stop.set()
+        self._t.join(timeout=5)
+        self.samples.append(self._snap())
+        a, b = self.samples[0], self.samples[-1]
+        d = [y - x for x, y in zip(a, b)]
+        tot = max(sum(d), 1)
+        idle = d[3]
+        iowait = d[4] if len(d) > 4 else 0
+        steal = d[7] if len(d) > 7 else 0
+        return {
+            "cpu_busy_frac_during": round(1.0 - (idle + iowait) / tot, 3),
+            "cpu_iowait_frac_during": round(iowait / tot, 3),
+            "cpu_steal_frac_during": round(steal / tot, 3),
+        }
+
+
 def timed_twice(fn) -> float:
     """Run fn once to warm, then twice timed; return the best wall (sec).
     Best-of-2 damps noisy-neighbor interference on this shared box."""
@@ -248,17 +297,23 @@ def main() -> int:
 
     load_start = os.getloadavg()[0]  # shared box: record neighbor pressure
     busy_start = cpu_busy_frac()
+    sampler = StatSampler().start()
     spark = get_spark(master=master, app_name="kg-bench",
                       shuffle_partitions=max(int(cpus) * 2, 8))
     spark.sparkContext.setLogLevel("ERROR")
     result = run_suite(spark, sf_dir)
     spark.stop()
+    result["extra"].update(sampler.stop())
     result["extra"]["loadavg_start"] = round(load_start, 2)
     result["extra"]["loadavg_end"] = round(os.getloadavg()[0], 2)
     result["extra"]["cpu_busy_frac_start"] = busy_start
     result["extra"]["cpu_busy_frac_end"] = cpu_busy_frac()
-    if busy_start > CONTENTION_THRESHOLD:
-        # do not let a noisy-neighbor run masquerade as a regression
+    if (
+        busy_start > CONTENTION_THRESHOLD
+        or result["extra"]["cpu_steal_frac_during"] > 0.02
+    ):
+        # do not let a noisy-neighbor/starved-host run masquerade as a
+        # regression
         result["extra"]["contended"] = True
 
     total = round(sum(result["timings"].values()), 3)

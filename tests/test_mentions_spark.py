@@ -219,3 +219,40 @@ def test_co_partition_single_corpus_shuffle(spark, pages_sdf):
     base = {tuple(r) for r in detect_mentions(docs, gaz, rx).collect()}
     got = {tuple(r) for r in df.collect()}
     assert got == base
+
+
+def test_bucketed_docs_table_zero_shuffle_mentions(spark, tmp_path):
+    """The at-rest variant of co-partitioning (PLANS.md): docs written
+    bucketBy(id) are scanned ALREADY hash-partitioned, so the gazetteer
+    winners tree plans with NO exchange at all — the 100-TB regime where
+    even the one in-plan repartition disappears."""
+    from pyspark.sql import functions as F
+
+    from kg.stages.mentions import detect_gazetteer_mentions, plan_gazetteer
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", "carrot cake with coffee and tea") for i in range(50)],
+        "url string, text string",
+    )
+    name = "docs_bucketed_r3_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (docs.write.bucketBy(4, "url").sortBy("url").saveAsTable(name))
+    try:
+        at_rest = spark.table(name)
+        gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
+        winners, _ = detect_gazetteer_mentions(
+            at_rest, gaz, plan=plan_gazetteer(gaz), share_scan=False
+        )
+        p = winners._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in p, p
+        assert "SelectedBucketsCount" in p  # the scan is the partitioning
+        got = {tuple(r) for r in winners.collect()}
+        base = {
+            tuple(r)
+            for r in detect_gazetteer_mentions(
+                docs, gaz, share_scan=False
+            )[0].collect()
+        }
+        assert got == base and len(got) == 100  # 2 entities x 50 docs
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
