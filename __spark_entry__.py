@@ -830,6 +830,130 @@ FROM agg, final_wm WHERE wend <= final_wm.wm
 """
 
 
+# ---- custom stateful streaming contract (applyInPandasWithState) ----
+
+# (event_id, ts, user_id, value, batch) — two availableNow runs over one
+# checkpoint (gap 5 min, watermark 2 min). Batch 1 closes u1's first session
+# in-batch (8-min gap). The restored watermark at batch 2 (10:09... 00:09)
+# drops the late 00:05 row; 00:12 extends u1's open session cross-batch;
+# 00:30 closes u2's first session and advances the final watermark to 00:28,
+# which fires the event-time timeout for u1's open session (t_end 00:12 +
+# gap < wm). u2's 00:30 session stays open and is NOT emitted.
+STREAM_EVENTS: list[tuple[int, str, int, float, int]] = [
+    (1, "2024-01-01 00:00:00", 1, 1.00, 1),
+    (2, "2024-01-01 00:02:00", 1, 2.00, 1),
+    (3, "2024-01-01 00:10:00", 1, 0.50, 1),
+    (4, "2024-01-01 00:11:00", 2, 3.25, 1),
+    (5, "2024-01-01 00:05:00", 2, 9.99, 2),
+    (6, "2024-01-01 00:12:00", 1, 1.25, 2),
+    (7, "2024-01-01 00:30:00", 2, 0.75, 2),
+]
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator contract: gap sessionization via
+    applyInPandasWithState (kg/streaming.py stream_sessionize) — per-key
+    state, in-batch gap closes, cross-batch extension, late-row drop at the
+    restored watermark, and event-time-timeout emission. Oracle = a DuckDB
+    gaps-and-islands recompute with the same watermark cutoffs applied to
+    the literal fixture (no Spark streaming machinery)."""
+    import tempfile
+
+    import pandas as pd
+
+    from kg.streaming import (
+        read_events_stream,
+        run_stream_to_parquet,
+        stream_sessionize,
+    )
+
+    src = tempfile.mkdtemp(prefix="kg_stream_sess_src_")
+    out = tempfile.mkdtemp(prefix="kg_stream_sess_out_")
+    ckpt = tempfile.mkdtemp(prefix="kg_stream_sess_ckpt_")
+
+    for batch in (1, 2):
+        rows = [r for r in STREAM_EVENTS if r[4] == batch]
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime(
+                    [r[1] for r in rows]
+                ).astype("datetime64[us]"),
+                "user_id": [r[2] for r in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [r[3] for r in rows],
+                "props": ["{}"] * len(rows),
+            }
+        )
+        pdf.to_parquet(f"{src}/batch{batch}.parquet", index=False)
+        q = run_stream_to_parquet(
+            stream_sessionize(
+                read_events_stream(spark, src),
+                gap_minutes=5, watermark="2 minutes",
+            ),
+            out, ckpt,
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "user_id", "session_seq", "n_events", "t_start_us", "t_end_us",
+        "total_value_cents",
+    )
+
+
+def _stream_sessionize_oracle_sql(
+    gap_minutes: int = 5, watermark_minutes: int = 2
+) -> str:
+    vals = ", ".join(
+        f"({eid}, TIMESTAMP '{ts}', {uid}, {val}, {b})"
+        for eid, ts, uid, val, b in STREAM_EVENTS
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH ev(event_id, ts, user_id, val, batch) AS (VALUES {vals}),
+wm1 AS (SELECT max(ts) - INTERVAL {watermark_minutes} MINUTE AS wm
+        FROM ev WHERE batch = 1),
+fwm AS (SELECT max(ts) - INTERVAL {watermark_minutes} MINUTE AS wm FROM ev),
+-- the restored watermark at batch 2's start drops late rows
+kept AS (SELECT e.* FROM ev e, wm1
+         WHERE NOT (e.batch = 2 AND e.ts < wm1.wm)),
+ord AS (
+  SELECT *, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM kept
+),
+marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {gap_us}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ord
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+),
+agg AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         min(us) AS t_start_us, max(us) AS t_end_us,
+         sum(CAST(round(val * 100) AS BIGINT)) AS total_value_cents
+  FROM sess GROUP BY user_id, session_seq
+),
+mx AS (SELECT user_id, max(session_seq) AS max_seq FROM agg GROUP BY user_id)
+-- emitted iff closed by a later kept event (a higher session_seq exists)
+-- or by the event-time timeout (final watermark strictly past t_end + gap)
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       CAST(a.session_seq AS BIGINT) AS session_seq,
+       CAST(a.n_events AS BIGINT) AS n_events,
+       CAST(a.t_start_us AS BIGINT) AS t_start_us,
+       CAST(a.t_end_us AS BIGINT) AS t_end_us,
+       CAST(a.total_value_cents AS BIGINT) AS total_value_cents
+FROM agg a JOIN mx USING (user_id), fwm
+WHERE a.session_seq < mx.max_seq
+   OR a.t_end_us + {gap_us} < epoch_us(fwm.wm)
+"""
+
+
 def q_kg_gazetteer_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v2 stateful-dictionary lifecycle (populate/populate/delete) replayed
     against versioned snapshots, checked at an OLD version (time travel) and
@@ -1059,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_annotate": q_kg_annotate,
         "kg_stream_triples": q_kg_stream_triples,
         "stream_mention_rates": q_stream_mention_rates,
+        "stream_sessionize": q_stream_sessionize,
         "kg_gazetteer_snapshots": q_kg_gazetteer_snapshots,
         "kg_checkpoint_resume": q_kg_checkpoint_resume,
         "kg_canonical": q_kg_canonical,
@@ -1541,6 +1666,7 @@ SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
 SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
 """,
         "stream_mention_rates": _stream_rates_oracle_sql(),
+        "stream_sessionize": _stream_sessionize_oracle_sql(),
         "kg_annotate": f"""
 WITH t AS (
   SELECT url, count(*) AS c FROM '{FIX}/expected_triples_tiny.parquet'

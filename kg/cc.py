@@ -79,15 +79,20 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         spark = edges.sparkSession
         return spark.createDataFrame([], "node long, component long")
 
+    n_current = current.count()
     for _ in range(max_iter):
         after_large = _large_star(current)
         after_small = materialize(_small_star(after_large))
-        # converged when the star-contracted edge set is stable
-        changed = after_small.exceptAll(current).limit(1).isEmpty() and (
-            current.exceptAll(after_small).limit(1).isEmpty()
+        # converged when the star-contracted edge set is stable. Both sides
+        # are DISTINCT edge sets, so equal counts + one-sided containment is
+        # an exact equality test — one anti-join job per iteration instead
+        # of two (the count over just-materialized partitions is ~free).
+        n_after = after_small.count()
+        stable = n_after == n_current and (
+            after_small.exceptAll(current).limit(1).isEmpty()
         )
-        current = after_small
-        if changed:
+        current, n_current = after_small, n_after
+        if stable:
             break
 
     # final state is a forest of stars: src -> component root (dst)

@@ -10,6 +10,9 @@ Iceberg/parquet landing zone, with exactly-once sinks via checkpointLocation.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from typing import Any
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,6 +26,22 @@ def read_pages_stream(
         schema = (
             "url string, warc_ts timestamp, html binary, text string, lang string"
         )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """File-source stream of events parquet dropped into ``path`` (same
+    shape as the batch events table)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -68,6 +87,126 @@ def stream_mention_rates(
         .groupBy(F.window("warc_ts", window).alias("w"), "entity_name")
         .agg(F.count("*").alias("n_mentions"))
         .select("w.start", "w.end", "entity_name", "n_mentions")
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_seq long, n_events long, t_start_us long, "
+    "t_end_us long, total_value_cents long"
+)
+#: open-session state per user: the session counter plus the running
+#: aggregate of the (single) open session
+SESSION_STATE_SCHEMA = (
+    "session_seq long, n_events long, t_start_us long, t_end_us long, "
+    "cents long"
+)
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``kg.ops.events.sessionize`` (same output schema, same cents-exact
+    value sum, same (ts, event_id) ordering).
+
+    Semantics (deterministic given the micro-batch boundaries):
+    - rows older than the current event-time watermark are DROPPED (filtered
+      explicitly inside the state function, so the cutoff is pinned here
+      rather than left to engine-version behavior);
+    - within a batch, a user's events are sorted by (ts, event_id) and folded
+      into the open session; a gap > ``gap_minutes`` CLOSES the open session
+      (emitted immediately, session_seq increments);
+    - an out-of-order (but non-late) event at or before the open session's
+      end folds into it without re-splitting — state holds the aggregate,
+      not the raw events; this is the standard streaming-sessionize
+      approximation, exact whenever arrival order respects event order up to
+      the watermark delay;
+    - the open session is emitted when the EVENT-TIME TIMEOUT fires: the
+      watermark has advanced beyond t_end + gap, so no non-late event can
+      ever extend it. Until then it stays in state (append semantics:
+      every session is emitted exactly once, when finalized).
+
+    State per user is O(1) (one open-session aggregate), bounded regardless
+    of stream length; the shuffle is the groupBy(user_id) exchange only.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+    gap_us = gap_ms * 1000
+
+    def fn(
+        key: tuple, pdfs: Iterator[Any], state: Any
+    ) -> Iterator[Any]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            seq, n, t0, t1, cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, seq, n, t0, t1, cents)],
+                columns=["user_id", "session_seq", "n_events", "t_start_us",
+                         "t_end_us", "total_value_cents"],
+            )
+            return
+
+        wm_ms = state.getCurrentWatermarkMs()
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows["_us"] = rows["ts"].astype("datetime64[us]").astype("int64")
+        rows["_cents"] = (
+            (rows["value"] * 100).round().fillna(0).astype("int64")
+        )
+        # late-data cutoff: same boundary as Spark's stateful aggregations
+        # (ts strictly below the watermark is late)
+        rows = rows[rows["_us"] >= wm_ms * 1000]
+        rows = rows.sort_values(["_us", "event_id"])
+
+        if state.exists:
+            seq, n, t0, t1, cents = state.get
+        else:
+            seq, n, t0, t1, cents = 0, 0, None, None, 0
+
+        out = []
+        for us, c in zip(rows["_us"], rows["_cents"]):
+            if n == 0:
+                seq, n, t0, t1, cents = seq + 1, 1, us, us, int(c)
+            elif us <= t1 or us - t1 <= gap_us:
+                n += 1
+                cents += int(c)
+                t0 = min(t0, us)
+                t1 = max(t1, us)
+            else:
+                out.append((user_id, seq, n, t0, t1, cents))
+                seq, n, t0, t1, cents = seq + 1, 1, us, us, int(c)
+
+        if n > 0:
+            # n > 0 covers every live-state case: stored state always holds
+            # a non-empty open session, and an empty batch re-registers the
+            # same timeout target
+            state.update((seq, n, t0, t1, cents))
+            # fire once no non-late event can extend the session; the
+            # timestamp must sit strictly beyond the current watermark
+            state.setTimeoutTimestamp(max(t1 // 1000 + gap_ms, wm_ms + 1))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "session_seq", "n_events", "t_start_us",
+                         "t_end_us", "total_value_cents"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

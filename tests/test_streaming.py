@@ -47,6 +47,83 @@ def test_stream_triples_equals_batch(spark, landing, tmp_path):
     assert spark.read.parquet(out).count() == got.count()
 
 
+def _land_events(path, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[2] for r in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [r[3] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(path, index=False)
+
+
+def _us(hhmmss: str) -> int:
+    import pandas as pd
+
+    return int(
+        pd.Timestamp(f"2024-01-01 {hhmmss}").value // 1000
+    )
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionize: in-batch gap close, cross-batch
+    session extension, late-row drop at the restored watermark, event-time
+    timeout emission, and open-session retention — all in one two-run
+    availableNow fixture (gap 5 min, watermark 2 min)."""
+    from kg.streaming import read_events_stream, stream_sessionize
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    batch1 = [
+        (1, "2024-01-01 00:00:00", 1, 1.00),
+        (2, "2024-01-01 00:02:00", 1, 2.00),
+        (3, "2024-01-01 00:10:00", 1, 0.50),  # gap 8 min: closes u1 s1
+        (4, "2024-01-01 00:11:00", 2, 3.25),
+    ]
+    batch2 = [
+        (5, "2024-01-01 00:05:00", 2, 9.99),  # late: < restored wm 00:09
+        (6, "2024-01-01 00:12:00", 1, 1.25),  # extends u1 s2 cross-batch
+        (7, "2024-01-01 00:30:00", 2, 0.75),  # gap 19 min: closes u2 s1
+    ]
+    for i, rows in ((1, batch1), (2, batch2)):
+        _land_events(str(src / f"batch{i}.parquet"), rows)
+        q = run_stream_to_parquet(
+            stream_sessionize(
+                read_events_stream(spark, str(src)),
+                gap_minutes=5, watermark="2 minutes",
+            ),
+            out, ckpt,
+        )
+        q.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("user_id", "session_seq", "n_events", "t_start_us",
+                "t_end_us", "total_value_cents")
+        .collect()
+    }
+    assert got == {
+        # u1 s1: closed in batch 1 by the 00:10 event
+        (1, 1, 2, _us("00:00:00"), _us("00:02:00"), 300),
+        # u1 s2: extended by batch 2, then emitted by event-time timeout
+        # (00:12 + 5 min < final wm 00:28)
+        (1, 2, 2, _us("00:10:00"), _us("00:12:00"), 175),
+        # u2 s1: closed in batch 2 by the 00:30 event; the late 00:05 row
+        # was dropped at the restored watermark
+        (2, 1, 1, _us("00:11:00"), _us("00:11:00"), 325),
+        # u2 s2 (00:30, open): timeout 00:35 >= wm 00:28 -> NOT emitted
+    }
+
+
 def test_stream_mention_rates_runs(spark, landing, tmp_path):
     gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
     rates = stream_mention_rates(
