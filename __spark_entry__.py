@@ -830,6 +830,106 @@ FROM agg, final_wm WHERE wend <= final_wm.wm
 """
 
 
+# ---- bounded-state streaming ingestion dedup contract ----
+
+# (url, ts, text, batch, pos): pos = within-batch arrival order. Delay 2 min.
+# Batch 1 drops the in-batch duplicate of p1 and advances the watermark to
+# 10:08; batch 2 re-emits p1 (its state expired at 10:02 < wm), drops the
+# late p2 row (10:07 < wm), drops the p9 duplicate (state alive until
+# 10:12), and keeps the new p3.
+STREAM_DEDUP_PAGES: list[tuple[str, str, str, int, int]] = [
+    ("p1", "2024-01-01 10:00:00", "alpha", 1, 0),
+    ("p2", "2024-01-01 10:01:00", "beta", 1, 1),
+    ("p1", "2024-01-01 10:00:00", "alpha", 1, 2),
+    ("p9", "2024-01-01 10:10:00", "omega", 1, 3),
+    ("p1", "2024-01-01 10:09:00", "alpha2", 2, 0),
+    ("p2", "2024-01-01 10:07:00", "beta-late", 2, 1),
+    ("p9", "2024-01-01 10:11:00", "omega2", 2, 2),
+    ("p3", "2024-01-01 10:12:00", "gamma", 2, 3),
+]
+
+
+def q_stream_dedup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming ingestion dedup
+    (kg/streaming.py stream_dedup_pages, dropDuplicatesWithinWatermark):
+    in-batch and in-horizon duplicates dropped, state evicted past the
+    horizon (a re-crawl re-emits), late rows dropped at the restored
+    watermark. Oracle = a DuckDB recompute of the same first-wins /
+    state-eviction rules unrolled over the two batches."""
+    import tempfile
+
+    import pandas as pd
+
+    from kg.streaming import (
+        read_pages_stream,
+        run_stream_to_parquet,
+        stream_dedup_pages,
+    )
+
+    src = tempfile.mkdtemp(prefix="kg_stream_dedup_src_")
+    out = tempfile.mkdtemp(prefix="kg_stream_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="kg_stream_dedup_ckpt_")
+
+    for batch in (1, 2):
+        rows = [r for r in STREAM_DEDUP_PAGES if r[3] == batch]
+        pdf = pd.DataFrame(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": pd.to_datetime(
+                    [r[1] for r in rows]
+                ).astype("datetime64[us]"),
+                "html": [f"<p>{r[2]}</p>".encode() for r in rows],
+                "text": [r[2] for r in rows],
+                "lang": ["en"] * len(rows),
+            }
+        )
+        pdf.to_parquet(f"{src}/batch{batch}.parquet", index=False)
+        q = run_stream_to_parquet(
+            stream_dedup_pages(
+                read_pages_stream(spark, src), watermark="2 minutes"
+            ),
+            out, ckpt,
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).select("url", "warc_ts", "text")
+
+
+def _stream_dedup_oracle_sql(delay_minutes: int = 2) -> str:
+    vals = ", ".join(
+        f"('{u}', TIMESTAMP '{ts}', '{t}', {b}, {p})"
+        for u, ts, t, b, p in STREAM_DEDUP_PAGES
+    )
+    return f"""
+WITH pg(url, ts, txt, batch, pos) AS (VALUES {vals}),
+wm2 AS (SELECT max(ts) - INTERVAL {delay_minutes} MINUTE AS wm
+        FROM pg WHERE batch = 1),
+-- batch 1: no watermark yet; first arrival per url wins
+k1 AS (
+  SELECT url, ts, txt FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY pos) AS rn
+    FROM pg WHERE batch = 1) WHERE rn = 1
+),
+-- batch 2: late rows dropped at the restored watermark; urls whose batch-1
+-- state is still alive (kept ts + delay beyond the watermark) dropped;
+-- first arrival per url wins among the survivors
+k2 AS (
+  SELECT url, ts, txt FROM (
+    SELECT p.*, row_number() OVER (PARTITION BY p.url ORDER BY p.pos) AS rn
+    FROM pg p, wm2
+    WHERE p.batch = 2
+      AND p.ts >= wm2.wm
+      AND NOT EXISTS (
+        SELECT 1 FROM k1, wm2 w
+        WHERE k1.url = p.url
+          AND k1.ts + INTERVAL {delay_minutes} MINUTE > w.wm)
+  ) WHERE rn = 1
+)
+SELECT url, ts AS warc_ts, txt AS text FROM k1
+UNION ALL
+SELECT url, ts AS warc_ts, txt AS text FROM k2
+"""
+
+
 # ---- custom stateful streaming contract (applyInPandasWithState) ----
 
 # (event_id, ts, user_id, value, batch) — two availableNow runs over one
@@ -1184,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stream_triples": q_kg_stream_triples,
         "stream_mention_rates": q_stream_mention_rates,
         "stream_sessionize": q_stream_sessionize,
+        "stream_dedup_pages": q_stream_dedup_pages,
         "kg_gazetteer_snapshots": q_kg_gazetteer_snapshots,
         "kg_checkpoint_resume": q_kg_checkpoint_resume,
         "kg_canonical": q_kg_canonical,
@@ -1667,6 +1768,7 @@ SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
 """,
         "stream_mention_rates": _stream_rates_oracle_sql(),
         "stream_sessionize": _stream_sessionize_oracle_sql(),
+        "stream_dedup_pages": _stream_dedup_oracle_sql(),
         "kg_annotate": f"""
 WITH t AS (
   SELECT url, count(*) AS c FROM '{FIX}/expected_triples_tiny.parquet'

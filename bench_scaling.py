@@ -59,10 +59,27 @@ def main() -> int:
 
     n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     n_high = n_low * 4
-    results = {}
-    for cpus in (n_low, n_high):
+    # ABBA leg order, fresh JVM each, best-of-two per parallelism: a
+    # transient neighbor/steal spike on this shared box then lands in one
+    # run of a leg, not both, and cannot masquerade as a scaling change
+    # (the r3 first-cut run measured extract scaling at 0.715 vs 0.851 one
+    # round earlier purely from drift between single legs).
+    runs: dict[int, list[dict]] = {n_low: [], n_high: []}
+    for cpus in (n_low, n_high, n_high, n_low):
         print(f"running bench at local[{cpus}] ...", file=sys.stderr)
-        results[cpus] = run_bench(cpus, args.sf_dir)
+        runs[cpus].append(run_bench(cpus, args.sf_dir))
+    results = {}
+    for cpus, rr in runs.items():
+        best = dict(rr[0])
+        best["queries"] = {
+            q: min(r["queries"][q] for r in rr) for q in rr[0]["queries"]
+        }
+        best["extra"] = dict(rr[0]["extra"])
+        for key in rr[0]["extra"]:
+            if key.endswith("_per_sec"):
+                best["extra"][key] = max(r["extra"][key] for r in rr)
+        best["value"] = round(sum(best["queries"].values()), 3)
+        results[cpus] = best
 
     def tp(cpus: int, key: str) -> float:
         return results[cpus]["extra"][key]
@@ -132,8 +149,18 @@ def main() -> int:
         " the three corpus-throughput rows above.",
         "- loadavg_start/loadavg_end in the raw JSON record neighbor"
         " pressure on this shared box at run time.",
-        f"- raw JSON local[{lo}]: `{json.dumps(results[lo])}`",
-        f"- raw JSON local[{hi}]: `{json.dumps(results[hi])}`",
+        "- legs run in ABBA order (lo, hi, hi, lo), fresh JVM each;"
+        " reported walls/throughputs are the best of the two runs per"
+        " parallelism, so a transient neighbor spike cannot read as a"
+        " scaling change. Raw JSON below: best-of per leg, then every"
+        " individual run.",
+        f"- raw JSON local[{lo}] (best-of): `{json.dumps(results[lo])}`",
+        f"- raw JSON local[{hi}] (best-of): `{json.dumps(results[hi])}`",
+    ] + [
+        f"- raw run local[{cpus}] #{i + 1}: `{json.dumps(r)}`"
+        for cpus in (lo, hi)
+        for i, r in enumerate(runs[cpus])
+    ] + [
         "",
     ]
     out_path.write_text("\n".join(lines))

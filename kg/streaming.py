@@ -90,6 +90,26 @@ def stream_mention_rates(
     )
 
 
+def stream_dedup_pages(
+    pages_stream: DataFrame, watermark: str = "2 minutes"
+) -> DataFrame:
+    """Streaming ingestion dedup with BOUNDED STATE: keep the first
+    occurrence of each url among events arriving within the watermark
+    horizon of each other (``dropDuplicatesWithinWatermark``).
+
+    Scale rationale: plain ``dropDuplicates(["url"])`` on a stream keeps one
+    state row per url FOREVER — unbounded on a crawl stream.
+    ``dropDuplicatesWithinWatermark`` evicts a url's state once the
+    watermark passes its event time + delay, so state is bounded by the
+    arrival rate times the horizon; a url re-crawled after the horizon is
+    deliberately re-emitted (downstream batch dedup owns cross-horizon
+    duplicates — the standard streaming/batch split for ingestion dedup).
+    Late rows (event time below the watermark) are dropped."""
+    return pages_stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_seq long, n_events long, t_start_us long, "
     "t_end_us long, total_value_cents long"

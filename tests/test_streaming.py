@@ -124,6 +124,72 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     }
 
 
+def _land_pages(path, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pd.to_datetime(
+                [r[1] for r in rows]
+            ).astype("datetime64[us]"),
+            "html": [f"<p>{r[2]}</p>".encode() for r in rows],
+            "text": [r[2] for r in rows],
+            "lang": ["en"] * len(rows),
+        }
+    )
+    pdf.to_parquet(path, index=False)
+
+
+def test_stream_dedup_pages_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingestion dedup: in-batch dup dropped,
+    in-horizon cross-batch dup dropped, re-crawl after the horizon
+    re-emitted (state evicted), late row dropped at the restored
+    watermark. Two availableNow runs over one checkpoint, delay 2 min."""
+    from kg.streaming import read_pages_stream, stream_dedup_pages
+
+    src = tmp_path / "pages_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    batch1 = [
+        ("p1", "2024-01-01 10:00:00", "alpha"),
+        ("p2", "2024-01-01 10:01:00", "beta"),
+        ("p1", "2024-01-01 10:00:00", "alpha"),   # in-batch dup: dropped
+        ("p9", "2024-01-01 10:10:00", "omega"),   # advances wm to 10:08
+    ]
+    batch2 = [
+        # p1 state expired at 10:02 < wm 10:08 -> re-crawl is RE-EMITTED
+        ("p1", "2024-01-01 10:09:00", "alpha2"),
+        # late: 10:07 < restored wm 10:08 -> dropped
+        ("p2", "2024-01-01 10:07:00", "beta-late"),
+        # p9 state alive (expires 10:12 > wm 10:08) -> dup dropped
+        ("p9", "2024-01-01 10:11:00", "omega2"),
+        ("p3", "2024-01-01 10:12:00", "gamma"),
+    ]
+    for i, rows in ((1, batch1), (2, batch2)):
+        _land_pages(str(src / f"batch{i}.parquet"), rows)
+        q = run_stream_to_parquet(
+            stream_dedup_pages(
+                read_pages_stream(spark, str(src)), watermark="2 minutes"
+            ),
+            out, ckpt,
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r["url"], str(r["warc_ts"]), r["text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("p1", "2024-01-01 10:00:00", "alpha"),
+        ("p2", "2024-01-01 10:01:00", "beta"),
+        ("p9", "2024-01-01 10:10:00", "omega"),
+        ("p1", "2024-01-01 10:09:00", "alpha2"),
+        ("p3", "2024-01-01 10:12:00", "gamma"),
+    }
+
+
 def test_stream_mention_rates_runs(spark, landing, tmp_path):
     gaz = gazetteer_dim(spark, synth.GAZETTEER_DATA)
     rates = stream_mention_rates(
