@@ -274,6 +274,28 @@ def q_doc_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter(_docs(spark, sf_dir))
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any 13-gram with an
+    eval set. The eval set is a deterministic slice of the corpus itself
+    (doc_id % 97 == 0) so the oracle can derive the identical benchmark
+    from the registered view."""
+    from kg.ops.curation import benchmark_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return benchmark_contamination(docs, bench, k=13)
+
+
+def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum token-budget sampling (data mixing) with a
+    cross-engine md5 order key; oracle recomputes the window cumsum."""
+    from kg.ops.curation import token_budget_sample
+
+    return token_budget_sample(
+        _docs(spark, sf_dir), budget_tokens=5000, strata_col="lang"
+    )
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.dedup import exact_dedup
 
@@ -1250,6 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_corpus_filter": q_doc_corpus_filter,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_token_budget": q_doc_token_budget,
         "web_url_normalize": q_web_url_normalize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_shingle_dedup": q_doc_shingle_dedup,
@@ -1798,6 +1822,48 @@ FROM '{FIX}/alias_dict.parquet' a JOIN canon c USING (entity_id)
 ORDER BY a.alias
 """,
     }
+    # decontamination: DuckDB recomputes the 13-gram sets with list
+    # comprehensions; the benchmark side is the same doc_id % 97 slice
+    d["doc_decontaminate"] = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 13 THEN list_distinct(
+      [array_to_string(ws[i:i+12], ' ') FOR i IN generate_series(1, len(ws) - 12)]
+    ) ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+), doc_grams AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), hits AS (
+  SELECT doc_id, count(DISTINCT gram) AS n_hits
+  FROM doc_grams JOIN bench USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+    # token-budget sampling: identical md5 order key on both engines, then
+    # a window cumsum per stratum
+    d["doc_token_budget"] = """
+WITH base AS (
+  SELECT doc_id, CAST(lang AS VARCHAR) AS stratum,
+    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+         AS BIGINT) AS n_tokens,
+    md5('7:' || CAST(doc_id AS VARCHAR)) AS _h
+  FROM documents
+)
+SELECT doc_id, stratum, n_tokens,
+  sum(n_tokens) OVER (
+    PARTITION BY stratum ORDER BY _h, doc_id ROWS UNBOUNDED PRECEDING
+  ) <= 5000 AS keep
+FROM base
+"""
     # composed filter: REUSES the two independent signal recomputes as CTEs
     # so the keep/drop decision is derived the same way on both engines
     d["doc_corpus_filter"] = f"""

@@ -1,0 +1,186 @@
+"""Corpus-curation operators: benchmark decontamination and deterministic
+token-budget sampling (data mixing) — the two pipeline steps that sit between
+dedup/quality filtering (kg/ops/dedup.py, kg/ops/textstats.py) and training:
+remove eval-set contamination, then cut each stratum to its token budget.
+
+Scale shapes:
+- decontamination: the benchmark gram set is tiny relative to the corpus
+  (eval suites are ~1e5-1e7 grams) — it is distinct-ed, broadcast, and the
+  corpus side explodes only k-grams (bounded per doc), joins, and
+  partial-aggregates per doc. The corpus never shuffles; one groupBy over
+  the (rare) hit rows.
+- token-budget sampling: one shuffle keyed by stratum, a window cumsum in
+  hash order inside each stratum. Deterministic under any partitioning
+  (order key is a pure hash of the doc id). For strata so large that a
+  single window partition is a straggler, cut by hash RANGE instead
+  (two-pass: per-stratum token totals, then keep hash < budget/total
+  fraction of the 64-bit space) — approximate budget, no window; that
+  variant is ``token_budget_sample_approx``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "benchmark_contamination",
+    "token_budget_sample",
+    "token_budget_sample_approx",
+]
+
+
+def _words(col: str = "text") -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+def _kgrams(col: Column, k: int) -> Column:
+    """Distinct k-grams (space-joined, lowercased words); docs shorter than
+    k words contribute no grams — a fragment shorter than the probe length
+    cannot witness contamination."""
+    w = col
+    return F.when(
+        F.size(w) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - k),
+                lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag training docs that share any k-gram with an evaluation corpus
+    (the standard n-gram decontamination used for pre-training sets; 13-gram
+    overlap is the conventional probe length).
+
+    Returns one row per input doc: (id, n_hits, contaminated) where n_hits
+    counts DISTINCT shared k-grams and contaminated = n_hits > 0.
+
+    Plan: benchmark grams are distinct-ed and BROADCAST (eval suites are
+    tiny next to a training corpus); the corpus side stays a map (gram
+    explosion bounded per doc) + one partial-aggregated groupBy over the
+    hit rows only. The corpus never shuffles.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_kgrams(_words(bench_text_col), k)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_kgrams(_words(text_col), k)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    # hits is bounded by the docs that actually overlap the eval set —
+    # rare by construction — so broadcasting it keeps the corpus side
+    # shuffle-free end to end (a plain left join would sort-merge and
+    # shuffle the full corpus on id)
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic per-stratum token-budget sampling (data mixing): order
+    each stratum's docs by a pure hash of their id and keep docs while the
+    running token total (inclusive) stays within ``budget_tokens``.
+
+    Deterministic under any partitioning or cluster size — the order is a
+    function of the data alone, so the same corpus always yields the same
+    sample (resumable pipelines need that; rand()-based sampling is not
+    stable across retries/partitionings).
+
+    Returns (id, stratum, n_tokens, keep). Tokens = whitespace word count.
+    One shuffle (the window partition by stratum). For web-scale strata
+    where one stratum would bottleneck a single window partition, use
+    ``token_budget_sample_approx`` (hash-range cut, no window).
+    """
+    stratum = (
+        F.col(strata_col) if strata_col else F.lit("all")
+    ).cast("string").alias("stratum")
+    # md5-hex order key: deterministic AND engine-portable (Spark and the
+    # DuckDB oracle compute identical digests), unlike xxhash64 whose seed
+    # mixing is Spark-private
+    base = docs.select(
+        F.col(id_col),
+        stratum,
+        F.size(_words(text_col)).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        ).alias("_h"),
+    )
+    w = (
+        Window.partitionBy("stratum")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        id_col,
+        "stratum",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) <= F.lit(int(budget_tokens))).alias("keep"),
+    )
+
+
+def token_budget_sample_approx(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+) -> DataFrame:
+    """Hash-range variant of :func:`token_budget_sample` for strata too
+    large for one window partition: keep docs whose id-hash falls in the
+    leading ``budget/total`` fraction of the hash space. Budget is met in
+    expectation (within one doc's tokens per stratum of variance shrinking
+    as 1/sqrt(n)); no window, no per-stratum serial scan — two shuffles
+    total (the per-stratum totals aggregation joined back by stratum).
+    """
+    stratum = (
+        F.col(strata_col) if strata_col else F.lit("all")
+    ).cast("string").alias("stratum")
+    base = docs.select(
+        F.col(id_col),
+        stratum,
+        F.size(_words(text_col)).cast("long").alias("n_tokens"),
+        F.xxhash64(F.lit(seed), F.col(id_col).cast("string")).alias("_h"),
+    )
+    totals = base.groupBy("stratum").agg(
+        F.sum("n_tokens").alias("_total")
+    )
+    frac = F.least(
+        F.lit(1.0), F.lit(float(budget_tokens)) / F.greatest("_total", F.lit(1))
+    )
+    # map the signed 64-bit hash onto [0, 1) and cut at the budget fraction
+    u = (F.col("_h").cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
+    return base.join(F.broadcast(totals), "stratum").select(
+        id_col, "stratum", "n_tokens", (u < frac).alias("keep")
+    )

@@ -1,0 +1,111 @@
+"""Corpus-curation operators: benchmark decontamination and token-budget
+sampling (kg/ops/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg.ops.curation import (
+    benchmark_contamination,
+    token_budget_sample,
+    token_budget_sample_approx,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # superset of 1
+        (3, "one two three four five six seven eight nine"),
+        (4, "short text"),  # shorter than any probe k >= 3
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestContamination:
+    def test_self_and_superset_hits(self, spark, toy_docs):
+        bench = toy_docs.filter(F.col("doc_id") == 1).select("text")
+        out = {
+            r["doc_id"]: (r["n_hits"], r["contaminated"])
+            for r in benchmark_contamination(toy_docs, bench, k=5).collect()
+        }
+        # doc 1: 3 distinct 5-grams, all shared with itself
+        assert out[1] == (3, True)
+        # doc 2 contains every 5-gram of doc 1 (plus one unshared)
+        assert out[2] == (3, True)
+        assert out[3] == (0, False)
+        assert out[4] == (0, False)  # shorter than k: no grams, no hits
+        assert out[5] == (0, False)
+
+    def test_one_row_per_doc(self, spark, documents):
+        bench = documents.limit(3).select("text")
+        out = benchmark_contamination(documents, bench, k=13)
+        assert out.count() == documents.count()
+        assert out.select("doc_id").distinct().count() == documents.count()
+
+    def test_benchmark_side_broadcast(self, spark, toy_docs):
+        bench = toy_docs.select("text")
+        plan = benchmark_contamination(toy_docs, bench, k=5)._jdf.queryExecution(
+        ).executedPlan().toString()
+        # both the gram join and the hits join broadcast: the corpus side
+        # never shuffles
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestTokenBudget:
+    def test_budget_respected_and_deterministic(self, spark, documents):
+        out = token_budget_sample(documents, budget_tokens=3000,
+                                  strata_col="lang")
+        kept = out.filter("keep").groupBy("stratum").agg(
+            F.sum("n_tokens").alias("tok"))
+        for r in kept.collect():
+            assert r["tok"] <= 3000
+        # deterministic under repartitioning: identical keep set
+        out2 = token_budget_sample(
+            documents.repartition(17), budget_tokens=3000, strata_col="lang")
+        a = sorted(r["doc_id"] for r in out.filter("keep").collect())
+        b = sorted(r["doc_id"] for r in out2.filter("keep").collect())
+        assert a == b
+
+    def test_budget_is_binding(self, spark, documents):
+        # with a budget below the corpus total, some docs must be dropped
+        out = token_budget_sample(documents, budget_tokens=3000,
+                                  strata_col="lang")
+        assert out.filter(~F.col("keep")).count() > 0
+        assert out.filter("keep").count() > 0
+
+    def test_unstratified_single_stratum(self, spark, toy_docs):
+        out = token_budget_sample(toy_docs, budget_tokens=10)
+        rows = out.collect()
+        assert {r["stratum"] for r in rows} == {"all"}
+        kept_tok = sum(r["n_tokens"] for r in rows if r["keep"])
+        assert kept_tok <= 10
+
+    def test_approx_hits_budget_within_tolerance(self, spark, documents):
+        total = documents.select(
+            F.sum(F.size(F.split(F.col("text"), r"\s+")))).first()[0]
+        budget = int(total * 0.5)
+        out = token_budget_sample_approx(documents, budget_tokens=budget)
+        kept = out.filter("keep").agg(F.sum("n_tokens")).first()[0] or 0
+        # hash-range cut is exact in expectation; allow 25% relative slack
+        # at this corpus size
+        assert kept == pytest.approx(budget, rel=0.25)
+
+    def test_approx_deterministic(self, spark, documents):
+        out1 = token_budget_sample_approx(documents, budget_tokens=5000)
+        out2 = token_budget_sample_approx(
+            documents.repartition(13), budget_tokens=5000)
+        a = sorted(r["doc_id"] for r in out1.filter("keep").collect())
+        b = sorted(r["doc_id"] for r in out2.filter("keep").collect())
+        assert a == b
