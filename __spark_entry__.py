@@ -26,6 +26,45 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 FIX = f"{_REPO}/fixtures"
+PAGERANK_ITERS = 8
+
+
+def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank as a single DuckDB query — the
+    same recurrence kg.graphstats.pagerank runs, one CTE trio per
+    iteration."""
+    d = damping
+    parts = [
+        f"WITH e AS (SELECT src, dst FROM '{FIX}/edges.parquet')",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)",
+        "w AS (SELECT e.src, e.dst, 1.0 / deg.out_deg AS w"
+        " FROM e JOIN deg ON e.src = deg.src)",
+        "p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM p) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dang FROM r{i-1}"
+            " WHERE node NOT IN (SELECT src FROM w))"
+        )
+        parts.append(
+            f"c{i} AS (SELECT w.dst, sum(r.rank * w.w) AS c"
+            f" FROM w JOIN r{i-1} r ON w.src = r.node GROUP BY w.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" (1 - {d}) / (SELECT n FROM p)"
+            f" + {d} * (SELECT dang FROM d{i}) / (SELECT n FROM p)"
+            f" + {d} * coalesce(c.c, 0) AS rank"
+            f" FROM nodes LEFT JOIN c{i} c ON nodes.node = c.dst)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(rank, 9) AS rank"
+        f" FROM r{iters}"
+    )
 
 # ---------------------------------------------------------------- dims ----
 
@@ -447,6 +486,63 @@ def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select(
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the committed edge fixture; the DuckDB
+    oracle unrolls the identical power-iteration recurrence (dangling mass
+    redistributed uniformly), so values must agree to the 9-dp rounding."""
+    from kg.graphstats import pagerank
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return pagerank(edges, iterations=PAGERANK_ITERS).select(
+        F.col("node").cast("long").alias("node"), "rank"
+    )
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.graphstats import degree_stats
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return degree_stats(edges).select(
+        F.col("node").cast("long").alias("node"),
+        "out_degree", "in_degree", "degree",
+    )
+
+
+def q_kg_entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention edges over the committed mentions golden (skew-
+    capped self-join co-partitioned on the doc key)."""
+    from kg.graphstats import entity_cooccurrence
+
+    mentions = spark.read.parquet(f"{FIX}/expected_mentions_small.parquet")
+    return entity_cooccurrence(mentions, doc_col="url", min_count=2)
+
+
+def q_events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot merge (MERGE INTO semantics): the even-id half
+    of events is the standing table, the odd-id half the delta; latest row
+    per (user_id, event_type) wins, ties broken by event_id."""
+    from kg.ops.merge import upsert_latest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    merged = upsert_latest(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        seq_col="event_id",
+    )
+    return merged.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        # events.ts is TIMESTAMP_NTZ; the session tz is pinned UTC
+        # (kg/session.py), so the cast reads the wall-clock as UTC —
+        # the same convention DuckDB's epoch_us applies to naive ts.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
     )
 
 
@@ -1281,6 +1377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "graph_connected_components": q_graph_connected_components,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_degrees": q_graph_degrees,
+        "kg_entity_cooccur": q_kg_entity_cooccur,
+        "events_upsert_latest": q_events_upsert_latest,
         "media_metadata": q_media_metadata,
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
@@ -1863,6 +1963,48 @@ SELECT doc_id, stratum, n_tokens,
     PARTITION BY stratum ORDER BY _h, doc_id ROWS UNBOUNDED PRECEDING
   ) <= 5000 AS keep
 FROM base
+"""
+    d["graph_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS)
+    d["graph_degrees"] = f"""
+WITH deg_rows AS (
+  SELECT src AS node, 1 AS out_d, 0 AS in_d FROM '{FIX}/edges.parquet'
+  UNION ALL
+  SELECT dst AS node, 0 AS out_d, 1 AS in_d FROM '{FIX}/edges.parquet'
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(sum(out_d) AS BIGINT) AS out_degree,
+       CAST(sum(in_d) AS BIGINT) AS in_degree,
+       CAST(sum(out_d) + sum(in_d) AS BIGINT) AS degree
+FROM deg_rows GROUP BY node
+"""
+    d["kg_entity_cooccur"] = f"""
+WITH ents AS (
+  SELECT DISTINCT url AS doc, entity_name AS entity
+  FROM '{FIX}/expected_mentions_small.parquet'
+), keep_docs AS (
+  SELECT doc FROM ents GROUP BY doc HAVING count(*) <= 1000
+), b AS (SELECT ents.* FROM ents JOIN keep_docs USING (doc))
+SELECT a.entity AS entity_a, b2.entity AS entity_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b a JOIN b b2 USING (doc)
+WHERE a.entity < b2.entity
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+    d["events_upsert_latest"] = """
+WITH unioned AS (
+  SELECT * FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 2 = 1
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM unioned
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+FROM ranked WHERE rn = 1
 """
     # composed filter: REUSES the two independent signal recomputes as CTEs
     # so the keep/drop decision is derived the same way on both engines

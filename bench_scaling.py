@@ -50,6 +50,55 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     return json.loads(line)
 
 
+def _hw_worker(q, pages, reps):
+    import time as _time
+
+    sys.path.insert(0, str(REPO))
+    from kg.openie import extract_triples
+    from kg.textextract import extract_text
+
+    for h in pages[:50]:
+        extract_triples(extract_text(h))
+    t = _time.time()
+    n = 0
+    for _ in range(reps):
+        for h in pages:
+            extract_triples(extract_text(h))
+            n += 1
+    q.put(n / (_time.time() - t))
+
+
+def hw_probe(nprocs: list[int]) -> dict[int, float]:
+    """Hardware concurrency ceiling: the SAME per-page work the extract
+    stage runs (extract_text + extract_triples), as plain multiprocessing —
+    no Spark, no Arrow, no JVM. Per-process throughput at k concurrent
+    processes shows how much of any measured scaling loss is the shared
+    box (turbo/memory-bandwidth/neighbors), not the engine. An Arrow-UDF
+    stage occupies ~2 threads per task slot (JVM feed + Python worker), so
+    a local[k] leg lands near the 2k point of this curve."""
+    from multiprocessing import Process, Queue
+
+    from kg import synth
+
+    pages = list(
+        synth.gen_pages(2000, seed=42, sentence_range=(12, 20))["html"]
+    )
+    out: dict[int, float] = {}
+    for nproc in nprocs:
+        q: Queue = Queue()
+        procs = [
+            Process(target=_hw_worker, args=(q, pages, 3))
+            for _ in range(nproc)
+        ]
+        for p in procs:
+            p.start()
+        rates = [q.get() for _ in procs]
+        for p in procs:
+            p.join()
+        out[nproc] = round(sum(rates) / len(rates), 1)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -57,8 +106,11 @@ def main() -> int:
     ap.add_argument("--out", default=str(REPO / "BENCH" / "BASELINE.md"))
     args = ap.parse_args()
 
-    n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     n_high = n_low * 4
+    # hardware ceiling first, while the box is in the same state as the legs
+    print("running hardware concurrency probe ...", file=sys.stderr)
+    hw = hw_probe(sorted({n_low, 2 * n_low, n_high, 2 * n_high}))
     # ABBA leg order, fresh JVM each, best-of-two per parallelism: a
     # transient neighbor/steal spike on this shared box then lands in one
     # run of a leg, not both, and cannot masquerade as a scaling change
@@ -99,12 +151,33 @@ def main() -> int:
         f"Generated {ts} by bench_scaling.py. Same code + input at two",
         "parallelism levels (fresh JVM each; Python workers warmed before",
         f"timing — steady-state throughput is the metric). local[{lo}] vs",
-        f"local[{hi}] stands in for N vs 4N executors per the task brief",
-        "(N=4: this sandbox is a shared 32-core box with ~8-10 cores of",
-        "neighbor load at all times — measured via /proc/stat + a plain",
-        "multiprocessing probe (32-proc slowdown 1.57x vs 1.13x at 16) —",
-        "so parallelism beyond ~20 threads measures tenant contention,",
-        "not the engine).",
+        f"local[{hi}] stands in for N vs 4N executors per the task brief.",
+        "",
+        f"**Why N={lo}:** an Arrow-UDF stage occupies ~2 threads per task",
+        "slot (the JVM Arrow feed + the Python worker), so a local[k] leg",
+        f"loads ~2k cores; the hardware probe below shows this shared",
+        "32-core box is throughput-flat only up to ~16 concurrent",
+        f"processes. N={lo} keeps BOTH legs (~{2 * lo} and ~{2 * hi}",
+        "busy threads) inside the flat region, so the efficiency number",
+        "measures the engine. At larger N the same measurement tracks the",
+        "box's per-core degradation (turbo/memory bandwidth/neighbors) —",
+        "an artifact a real N->4N cluster does not have, because adding",
+        "executors adds machines at constant per-node load.",
+        "",
+        "Hardware concurrency probe (same per-page work as the extract",
+        "stage — extract_text + extract_triples — plain multiprocessing,",
+        "no Spark/JVM; run immediately before the legs):",
+        "",
+        "| concurrent procs | per-proc pages/sec | aggregate pages/sec |",
+        "|---|---|---|",
+    ] + [
+        f"| {k} | {v} | {round(v * k, 1)} |" for k, v in sorted(hw.items())
+    ] + [
+        "",
+        f"- hardware-only scaling efficiency at the legs' thread"
+        f" occupancy ({2 * lo} -> {2 * hi} procs):"
+        f" **{round(hw[2 * hi] / hw[2 * lo], 3)}** — the ceiling any"
+        f" engine could measure on this box at N={lo}.",
         "",
         f"Input: `{args.sf_dir}` (documents + synthetic 20k-page corpus).",
         "",
@@ -128,7 +201,9 @@ def main() -> int:
     lines += [
         "",
         f"- headline scaling efficiency (pipeline docs/sec): "
-        f"**{effs['pipeline_docs_per_sec']}** (target >= 0.8)",
+        f"**{effs['pipeline_docs_per_sec']}** (target >= 0.8); "
+        f"hardware-normalized (raw / hardware ceiling above): "
+        f"**{round(effs['pipeline_docs_per_sec'] / (hw[2 * hi] / hw[2 * lo]), 3)}**",
         "- mentions runs with the gazetteer plan hoisted out of the timed"
         " loop (per-job state, VERDICT r2 item 1) and co_partition=True:"
         " the docs repartition is the only corpus-sized shuffle in the"

@@ -1,0 +1,146 @@
+"""Graph analytics over the materialized knowledge graph: PageRank,
+degree statistics, and entity co-occurrence.
+
+These generalize the reference's entity output (NamedEntity rows,
+/root/reference/src/hu_entity/named_entity.py:25-42) into graph-level
+signals a KG consumer needs once triples are materialized: node importance
+(PageRank), hub detection (degrees), and edge discovery (co-mention).
+
+Scale shapes:
+- pagerank: the edge set is normalized ONCE into (src, dst, w=1/out_deg)
+  and materialized; every iteration is then exactly one shuffle join
+  (ranks ⋈ edges on src) + one partial-aggregated groupBy(dst). The rank
+  vector is (node, double) — tiny next to the edges — and each iteration
+  ends in a materialization barrier (reliable checkpoint when a checkpoint
+  dir is set) so the plan does not re-execute history. Dangling mass is a
+  scalar aggregate per iteration (one extra small job, standard power
+  iteration).
+- degree_stats: a single union + one partial-aggregated groupBy; no join.
+- entity_cooccurrence: self-join co-partitioned on the doc key, with a
+  count-then-filter cap on entities-per-doc (the same skew guard as the
+  dedup band joins: one boilerplate page mentioning 10^4 entities would
+  otherwise contribute 10^8 pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kg.session import materialize
+
+__all__ = ["pagerank", "degree_stats", "entity_cooccurrence"]
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank on a directed edge list.
+
+    Returns (node, rank) with ranks summing to 1. Dangling-node mass
+    (nodes with no out-edges) is redistributed uniformly each iteration.
+    Fixed iteration count keeps the result deterministic and
+    oracle-expressible (the DuckDB oracle unrolls the same recurrence).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = materialize(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # normalize once: every iteration reuses this materialized weighted
+    # edge set instead of re-joining degrees
+    w_edges = materialize(
+        e.join(out_deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+        )
+    )
+    has_out = w_edges.select(F.col("src").alias("node")).distinct()
+
+    ranks = materialize(
+        nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    )
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            w_edges.join(ranks, w_edges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = materialize(
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node in/out/total degree over a directed edge list — one
+    partial-aggregated groupBy, no join."""
+    both = edges.select(
+        F.col(src).alias("node"), F.lit(1).alias("out_d"), F.lit(0).alias("in_d")
+    ).union(
+        edges.select(
+            F.col(dst).alias("node"), F.lit(0).alias("out_d"), F.lit(1).alias("in_d")
+        )
+    )
+    return both.groupBy("node").agg(
+        F.sum("out_d").cast("long").alias("out_degree"),
+        F.sum("in_d").cast("long").alias("in_degree"),
+        (F.sum("out_d") + F.sum("in_d")).cast("long").alias("degree"),
+    )
+
+
+def entity_cooccurrence(
+    mentions: DataFrame,
+    doc_col: str = "url",
+    entity_col: str = "entity_name",
+    min_count: int = 1,
+    max_entities_per_doc: int = 1000,
+) -> DataFrame:
+    """Entity co-mention edges: (entity_a < entity_b, n_docs) for every
+    pair of entities mentioned in the same document.
+
+    The self-join is co-partitioned on the doc key; docs with more than
+    ``max_entities_per_doc`` distinct entities are dropped before pairing
+    (count-then-filter, the standard skew cap: a pathological page would
+    otherwise contribute quadratically many pairs while carrying no
+    signal).
+    """
+    ents = mentions.select(
+        F.col(doc_col).alias("doc"), F.col(entity_col).alias("entity")
+    ).distinct()
+    per_doc = ents.groupBy("doc").agg(F.count("*").alias("n_ents"))
+    bounded = ents.join(
+        per_doc.where(F.col("n_ents") <= max_entities_per_doc).select("doc"),
+        "doc",
+    )
+    a = bounded.select("doc", F.col("entity").alias("entity_a"))
+    b = bounded.select("doc", F.col("entity").alias("entity_b"))
+    return (
+        a.join(b, "doc")
+        .where(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_count)
+    )

@@ -1,0 +1,123 @@
+"""Graph analytics (kg/graphstats.py) and incremental merge
+(kg/ops/merge.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kg.graphstats import degree_stats, entity_cooccurrence, pagerank
+from kg.ops.merge import upsert_latest
+
+
+@pytest.fixture(scope="module")
+def tiny_edges(spark):
+    # 1->2, 1->3, 2->3, 3->1, plus dangling node 4 (in-edges only)
+    rows = [(1, 2), (1, 3), (2, 3), (3, 1), (2, 4)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def _numpy_pagerank(edges, iters, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = {u: 0 for u in nodes}
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = sum(r[idx[u]] for u in nodes if out_deg[u] == 0)
+        c = np.zeros(n)
+        for s, t in edges:
+            c[idx[t]] += r[idx[s]] / out_deg[s]
+        r = (1 - d) / n + d * dang / n + d * c
+    return {u: r[idx[u]] for u in nodes}
+
+
+class TestPagerank:
+    def test_matches_independent_numpy_recurrence(self, spark, tiny_edges):
+        edges = [(1, 2), (1, 3), (2, 3), (3, 1), (2, 4)]
+        want = _numpy_pagerank(edges, iters=8)
+        got = {r["node"]: r["rank"] for r in pagerank(tiny_edges, 8).collect()}
+        assert set(got) == set(want)
+        for u in want:
+            assert got[u] == pytest.approx(want[u], abs=1e-9)
+
+    def test_ranks_sum_to_one(self, spark, tiny_edges):
+        total = pagerank(tiny_edges, 4).agg(F.sum("rank")).first()[0]
+        assert total == pytest.approx(1.0, abs=1e-6)
+
+    def test_partition_invariant(self, spark, tiny_edges):
+        a = sorted(pagerank(tiny_edges, 4).collect())
+        b = sorted(pagerank(tiny_edges.repartition(7), 4).collect())
+        assert a == b
+
+
+class TestDegrees:
+    def test_known_degrees(self, spark, tiny_edges):
+        got = {r["node"]: (r["out_degree"], r["in_degree"], r["degree"])
+               for r in degree_stats(tiny_edges).collect()}
+        assert got == {
+            1: (2, 1, 3), 2: (2, 1, 3), 3: (1, 2, 3), 4: (0, 1, 1),
+        }
+
+
+class TestCooccurrence:
+    def test_pairs_and_min_count(self, spark):
+        rows = [
+            ("d1", "A"), ("d1", "B"), ("d1", "B"),  # dup mention collapses
+            ("d2", "A"), ("d2", "B"), ("d2", "C"),
+            ("d3", "A"), ("d3", "C"),
+        ]
+        m = spark.createDataFrame(rows, "url string, entity_name string")
+        got = {(r["entity_a"], r["entity_b"]): r["n_docs"]
+               for r in entity_cooccurrence(m, min_count=1).collect()}
+        assert got == {("A", "B"): 2, ("A", "C"): 2, ("B", "C"): 1}
+        got2 = entity_cooccurrence(m, min_count=2).collect()
+        assert {(r["entity_a"], r["entity_b"]) for r in got2} == {
+            ("A", "B"), ("A", "C")}
+
+    def test_skew_cap_drops_pathological_doc(self, spark):
+        rows = [("big", f"E{i}") for i in range(50)] + [
+            ("ok", "A"), ("ok", "B")]
+        m = spark.createDataFrame(rows, "url string, entity_name string")
+        got = entity_cooccurrence(m, max_entities_per_doc=10).collect()
+        assert {(r["entity_a"], r["entity_b"]) for r in got} == {("A", "B")}
+
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _ts(h):
+    return TS + dt.timedelta(hours=h)
+
+
+class TestUpsertLatest:
+    def test_latest_wins_and_stale_delta_ignored(self, spark):
+        existing = spark.createDataFrame(
+            [(1, "k1", _ts(5), 10), (2, "k2", _ts(5), 20)],
+            "id long, key string, ts timestamp, v long")
+        delta = spark.createDataFrame(
+            [(3, "k1", _ts(9), 11),   # newer: replaces
+             (4, "k2", _ts(1), 21),   # STALE: must not clobber
+             (5, "k3", _ts(2), 30)],  # new key: inserted
+            "id long, key string, ts timestamp, v long")
+        got = {r["key"]: (r["id"], r["v"]) for r in upsert_latest(
+            existing, delta, keys=["key"], ts_col="ts", seq_col="id"
+        ).collect()}
+        assert got == {"k1": (3, 11), "k2": (2, 20), "k3": (5, 30)}
+
+    def test_idempotent_replay_and_tiebreak(self, spark):
+        existing = spark.createDataFrame(
+            [(1, "k", _ts(5), 10)], "id long, key string, ts timestamp, v long")
+        delta = spark.createDataFrame(
+            [(2, "k", _ts(5), 11)], "id long, key string, ts timestamp, v long")
+        once = upsert_latest(existing, delta, ["key"], "ts", "id")
+        # equal ts: higher seq (later ingest) wins deterministically
+        assert once.collect()[0]["id"] == 2
+        twice = upsert_latest(once, delta, ["key"], "ts", "id")
+        assert [tuple(r) for r in twice.collect()] == [
+            tuple(r) for r in once.collect()]
