@@ -546,6 +546,72 @@ def q_events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient via degree-
+    ordered wedge counting; oracle recomputes with the canonical triple
+    join (each triangle once as x<y<z)."""
+    from kg.graphstats import triangle_stats
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return triangle_stats(edges).select(
+        F.col("node").cast("long").alias("node"),
+        "degree", "triangles", "lcc",
+    )
+
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (adds/retractions/changes between two crawls): old =
+    docs with id%7!=0, new = docs with id%5!=0 and n_chars bumped on
+    id%11==0 — so all four statuses appear."""
+    from kg.ops.merge import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.col("n_chars") + 1
+        ).otherwise(F.col("n_chars")),
+    )
+    return snapshot_diff(
+        old, new, keys=["doc_id"], compare_cols=["text", "n_chars"]
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "status")
+
+
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.ranking import corpus_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_vocab(docs, top_v=100).select(
+        "term", "cf", "df", "rank"
+    )
+
+
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.ranking import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=5).select(
+        F.col("doc").cast("long").alias("doc"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        "score",
+        "pos",
+    )
+
+
+BM25_QUERY = ["spark", "join", "hash"]
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.ops.ranking import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_search(docs, BM25_QUERY, top_n=20).select(
+        F.col("doc").cast("long").alias("doc"), "score", "n_hits", "rank"
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload header parsing (multimodal plumbing). Oracle = the
     generation-time ground-truth columns written beside the payload."""
@@ -1379,8 +1445,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": q_graph_connected_components,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
+        "graph_triangles": q_graph_triangles,
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "events_upsert_latest": q_events_upsert_latest,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "corpus_vocab": q_corpus_vocab,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_bm25": q_doc_bm25,
         "media_metadata": q_media_metadata,
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
@@ -1976,6 +2047,124 @@ SELECT CAST(node AS BIGINT) AS node,
        CAST(sum(in_d) AS BIGINT) AS in_degree,
        CAST(sum(out_d) + sum(in_d) AS BIGINT) AS degree
 FROM deg_rows GROUP BY node
+"""
+    d["graph_triangles"] = f"""
+WITH raw AS (SELECT src, dst FROM '{FIX}/edges.parquet'),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e a JOIN e b ON a.v = b.u JOIN e c ON c.u = a.u AND c.v = b.v
+),
+pern AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT CAST(deg.node AS BIGINT) AS node,
+       CAST(d AS BIGINT) AS degree,
+       CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN d >= 2
+                  THEN 2.0 * coalesce(t, 0) / (d * (d - 1.0))
+                  ELSE 0 END, 6) AS lcc
+FROM deg LEFT JOIN pern ON deg.node = pern.node
+"""
+    d["kg_snapshot_diff"] = """
+WITH o_snap AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 7 <> 0
+),
+n_snap AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END
+           AS n_chars
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT CAST(coalesce(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS NOT DISTINCT FROM n.text
+             AND o.n_chars IS NOT DISTINCT FROM n.n_chars
+              THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o_snap o FULL OUTER JOIN n_snap n ON o.doc_id = n.doc_id
+"""
+    _postings_ctes = """
+tok AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+p AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY doc, term)
+"""
+    d["corpus_vocab"] = f"""
+WITH {_postings_ctes},
+terms AS (
+  SELECT term, sum(tf) AS cf, count(*) AS df FROM p GROUP BY term
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY cf DESC, term) AS rank FROM terms
+)
+SELECT term, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 100
+"""
+    d["doc_tfidf_topk"] = f"""
+WITH {_postings_ctes},
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dfr AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+scored AS (
+  SELECT p.doc, p.term, p.tf,
+         round(p.tf * (ln(((SELECT n FROM n) + 1) / (dfr.df + 1)) + 1), 6)
+           AS score
+  FROM p JOIN dfr USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc ORDER BY score DESC, term
+  ) AS pos FROM scored
+)
+SELECT CAST(doc AS BIGINT) AS doc, term, CAST(tf AS BIGINT) AS tf,
+       score, CAST(pos AS BIGINT) AS pos
+FROM ranked WHERE pos <= 5
+"""
+    _bm25_terms = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY)))
+    d["doc_bm25"] = f"""
+WITH {_postings_ctes},
+q(term) AS (VALUES {_bm25_terms}),
+lens AS (SELECT doc, sum(tf) AS dl FROM p GROUP BY doc),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM lens),
+hits AS (SELECT p.* FROM p JOIN q USING (term)),
+dfr AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT h.doc,
+         ln(((SELECT n FROM n) - dfr.df + 0.5) / (dfr.df + 0.5) + 1)
+         * (h.tf * (1.2 + 1.0))
+         / (h.tf + 1.2 * (1.0 - 0.75
+              + 0.75 * lens.dl / (SELECT avgdl FROM avgdl))) AS s
+  FROM hits h JOIN dfr USING (term) JOIN lens USING (doc)
+),
+agg AS (
+  SELECT doc, round(sum(s), 6) AS score,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM scored GROUP BY doc
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc) AS rank FROM agg
+)
+SELECT CAST(doc AS BIGINT) AS doc, score, n_hits,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
 """
     d["kg_entity_cooccur"] = f"""
 WITH ents AS (

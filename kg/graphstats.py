@@ -30,7 +30,12 @@ from pyspark.sql.window import Window
 
 from kg.session import materialize
 
-__all__ = ["pagerank", "degree_stats", "entity_cooccurrence"]
+__all__ = [
+    "pagerank",
+    "degree_stats",
+    "entity_cooccurrence",
+    "triangle_stats",
+]
 
 
 def pagerank(
@@ -108,6 +113,96 @@ def degree_stats(
         F.sum("out_d").cast("long").alias("out_degree"),
         F.sum("in_d").cast("long").alias("in_degree"),
         (F.sum("out_d") + F.sum("in_d")).cast("long").alias("degree"),
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    undirected projection of a directed edge list.
+
+    Returns (node, degree, triangles, lcc) where degree is the distinct
+    undirected neighbor count and lcc = 2T / (d·(d-1)) (0 when d < 2),
+    rounded to 6 places.
+
+    Scale shape — degree-ordered wedge counting (the MapReduce-classic
+    trick): every edge is oriented from its lower-(degree, node) endpoint
+    to the higher one, so a node's oriented out-neighborhood is bounded
+    by O(sqrt(m)) regardless of raw degree, and the wedge self-join
+    cannot blow up on hubs the way a naive neighbor self-join does. Each
+    triangle then appears as exactly ONE wedge at its min-rank vertex
+    plus one closing-edge probe. Three shuffles total: canonical-edge
+    distinct, the wedge join, and the closing-edge semi-probe (the last
+    two share the oriented edge set's partitioning on the wedge apex).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    und = materialize(und)
+    # orient low-rank -> high-rank, rank = (degree, node); carry the
+    # endpoint ranks so the wedge join can order its two far ends
+    with_deg = (
+        und.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"
+        )
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = materialize(
+        with_deg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+    )
+    lo = oriented.select(
+        F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1")
+    )
+    hi = oriented.select(
+        F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2")
+    )
+    wedges = lo.join(hi, "a").where(
+        (F.col("db1") < F.col("db2"))
+        | ((F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2")))
+    )
+    tris = wedges.join(
+        oriented.select(
+            F.col("a").alias("b1"), F.col("b").alias("b2")
+        ),
+        ["b1", "b2"],
+        "left_semi",
+    ).select("a", "b1", "b2")
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .union(tris.select(F.col("b1").alias("node")))
+        .union(tris.select(F.col("b2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    d, t = F.col("d"), F.coalesce(F.col("t"), F.lit(0))
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        d.cast("long").alias("degree"),
+        t.cast("long").alias("triangles"),
+        F.round(
+            F.when(d >= 2, 2.0 * t / (d * (d - F.lit(1.0)))).otherwise(0.0),
+            6,
+        ).alias("lcc"),
     )
 
 

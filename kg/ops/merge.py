@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["upsert_latest"]
+__all__ = ["upsert_latest", "snapshot_diff"]
 
 
 def upsert_latest(
@@ -50,3 +50,43 @@ def upsert_latest(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same keyed table:
+    (keys..., status) with status in added / removed / changed /
+    unchanged.
+
+    ``changed`` means any of ``compare_cols`` differs (null-safe), so a
+    KG maintainer can compute triple adds/retractions between crawls
+    without replaying either. One co-shuffle of both snapshots on the
+    key (exchange-free when the snapshots are bucketed by key at rest,
+    which the checkpointed stage outputs are).
+    """
+    keys = list(keys)
+    o = old.select(
+        *keys,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*keys, status.alias("status"))

@@ -1,0 +1,175 @@
+"""Lexical ranking over the corpus: vocabulary construction, TF-IDF
+term weighting, and BM25 retrieval.
+
+These are the retrieval-side counterparts of the dedup/quality ladder —
+a 100-TB webtext engine needs them both to curate (salient-term
+extraction, vocab pruning) and to serve (BM25 candidate generation for
+entity-linking / RAG-style lookups). The reference exposes only
+per-request NER (/root/reference/src/hu_entity/server.py); these
+generalize its corpus to a queryable index.
+
+Everything is built-in column expressions plus shuffles Catalyst plans
+itself — no Python in the hot path — and each operator has a
+line-for-line ANSI-SQL oracle in __spark_entry__.oracle_sql.
+
+Scale shapes:
+- postings (the shared substrate): explode(words) -> groupBy(doc, term)
+  with partial aggregation. One corpus shuffle; everything downstream
+  reuses it.
+- vocab: one further partial-agged groupBy(term) + a global top-V
+  (takeOrdered-style: V is small, the sort is on the aggregated vocab,
+  never the corpus).
+- tfidf_topk: postings ⋈ broadcast(df-per-term) — document frequencies
+  are vocabulary-sized, tiny next to postings — then a per-doc window
+  that reuses the postings partitioning.
+- bm25: the query term list is a literal broadcast filter, so the
+  postings scan prunes to |query| terms before any shuffle; per-doc
+  scoring is then an aggregation over a few rows per doc.
+
+Float determinism: idf/scores are computed in IEEE double from exact
+ints with ln(), and rounded to 6 places — reproducible across Spark and
+DuckDB (both use the platform libm-quality log on doubles).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["postings", "corpus_vocab", "tfidf_topk", "bm25_search"]
+
+
+def postings(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc, term, tf) postings list: lowercase whitespace tokens.
+
+    The one corpus-sized shuffle of this module; vocab/tfidf/bm25 all
+    derive from it.
+    """
+    words = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"), F.explode(words).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def corpus_vocab(
+    docs: DataFrame, top_v: int = 1000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``top_v`` vocabulary by collection frequency: (term, cf, df),
+    deterministic tie-break on the term itself.
+
+    The global rank runs on the aggregated term table (|vocab| rows),
+    not the corpus; at 100 TB that table is millions of rows — a single
+    window over it is fine, and the corpus itself never re-shuffles.
+    """
+    p = postings(docs, id_col)
+    terms = p.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cf"),
+        F.count("*").cast("long").alias("df"),
+    )
+    w = Window.orderBy(F.col("cf").desc(), F.col("term"))
+    return (
+        terms.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_v)
+        .select("term", "cf", "df", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _idf(df_col, n_docs: int):
+    # BM25-style smoothed idf: ln((N - df + 0.5) / (df + 0.5) + 1) —
+    # always positive, standard Lucene form
+    return F.log(
+        (F.lit(float(n_docs)) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+        + F.lit(1.0)
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` salient terms per document by tf·idf
+    (idf = ln((N+1)/(df+1)) + 1, the smoothed sklearn form), ties broken
+    by term. Returns (doc, term, tf, score, pos).
+    """
+    n_docs = docs.count()
+    p = postings(docs, id_col)
+    dfreq = p.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0))
+    ) + F.lit(1.0)
+    scored = p.join(F.broadcast(dfreq), "term").select(
+        "doc",
+        "term",
+        "tf",
+        F.round(F.col("tf") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select("doc", "term", "tf", "score", F.col("pos").cast("long"))
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    top_n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranking of documents against a bag of query terms.
+
+    Returns the ``top_n`` (doc, score, n_hits) rows, score rounded to 6
+    places, ties broken by doc id. The postings scan is pruned to the
+    query's terms by a literal isin filter BEFORE any shuffle, so the
+    per-query cost is proportional to the query terms' posting lists,
+    not the corpus.
+    """
+    qs = sorted(set(query_terms))
+    p = postings(docs, id_col)
+    # corpus stats: N and average doc length (in whitespace tokens) —
+    # two scalar aggregates, computed once per query batch in practice
+    lens = p.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    n_docs = docs.count()
+    avgdl = lens.agg(F.avg("dl")).first()[0]
+
+    hits = p.where(F.col("term").isin(qs))
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc")
+        .select(
+            "doc",
+            "term",
+            (
+                _idf(F.col("df"), n_docs)
+                * (F.col("tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    agg = scored.groupBy("doc").agg(
+        F.round(F.sum("s"), 6).alias("score"),
+        F.count("*").cast("long").alias("n_hits"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("doc", "score", "n_hits", F.col("rank").cast("long"))
+    )

@@ -9,7 +9,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from kg.graphstats import degree_stats, entity_cooccurrence, pagerank
+from kg.graphstats import (
+    degree_stats,
+    entity_cooccurrence,
+    pagerank,
+    triangle_stats,
+)
 from kg.ops.merge import upsert_latest
 
 
@@ -63,6 +68,33 @@ class TestDegrees:
         assert got == {
             1: (2, 1, 3), 2: (2, 1, 3), 3: (1, 2, 3), 4: (0, 1, 1),
         }
+
+
+class TestTriangles:
+    def test_k4_plus_pendant(self, spark):
+        # K4 on 1..4 (every node in 3 triangles, lcc=1) plus pendant 5-1
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges = spark.createDataFrame(k4 + [(5, 1)], "src long, dst long")
+        got = {r["node"]: (r["degree"], r["triangles"], r["lcc"])
+               for r in triangle_stats(edges).collect()}
+        assert got[5] == (1, 0, 0.0)
+        assert got[1] == (4, 3, 0.5)  # 3 of C(4,2)=6 neighbor pairs linked
+        for n in (2, 3, 4):
+            assert got[n] == (3, 3, 1.0)
+
+    def test_direction_and_duplicates_collapse(self, spark):
+        # triangle given with mixed directions + a reverse duplicate edge
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 2), (1, 3)], "src long, dst long")
+        got = {r["node"]: r["triangles"]
+               for r in triangle_stats(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_partition_invariant(self, spark, tiny_edges):
+        a = sorted(map(tuple, triangle_stats(tiny_edges).collect()))
+        b = sorted(map(tuple, triangle_stats(
+            tiny_edges.repartition(5)).collect()))
+        assert a == b
 
 
 class TestCooccurrence:

@@ -1,0 +1,137 @@
+"""Lexical ranking (kg/ops/ranking.py) and snapshot diff
+(kg/ops/merge.py:snapshot_diff) against independent pure-Python
+recomputations."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from kg.ops.merge import snapshot_diff
+from kg.ops.ranking import bm25_search, corpus_vocab, tfidf_topk
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown cat sleeps"),
+    (2, "spark joins hash tables and the fox"),
+    (3, "hash hash hash collision"),
+    (4, "  "),  # whitespace-only: contributes no tokens
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _postings():
+    out = {}
+    for i, text in DOCS:
+        toks = [t for t in text.lower().split() if t]
+        if toks:
+            out[i] = Counter(toks)
+    return out
+
+
+class TestVocab:
+    def test_counts_and_rank_tiebreak(self, spark, docs_df):
+        p = _postings()
+        cf = Counter()
+        df = Counter()
+        for c in p.values():
+            cf.update(c)
+            df.update(c.keys())
+        want = sorted(cf, key=lambda t: (-cf[t], t))
+        got = corpus_vocab(docs_df, top_v=5).collect()
+        assert [r["term"] for r in sorted(got, key=lambda r: r["rank"])] == want[:5]
+        for r in got:
+            assert r["cf"] == cf[r["term"]] and r["df"] == df[r["term"]]
+
+
+class TestTfidf:
+    def test_matches_python_recompute(self, spark, docs_df):
+        p = _postings()
+        n = len(DOCS)  # N counts all docs, including the empty one
+        df = Counter()
+        for c in p.values():
+            df.update(c.keys())
+        want = {}
+        for doc, c in p.items():
+            scored = sorted(
+                (
+                    (round(tf * (math.log((n + 1) / (df[t] + 1)) + 1), 6), t)
+                    for t, tf in c.items()
+                ),
+                key=lambda st: (-st[0], st[1]),
+            )
+            want[doc] = scored[:3]
+        got = tfidf_topk(docs_df, k=3).collect()
+        by_doc: dict[int, list] = {}
+        for r in sorted(got, key=lambda r: (r["doc"], r["pos"])):
+            by_doc.setdefault(r["doc"], []).append((r["score"], r["term"]))
+        assert by_doc == want
+
+    def test_partition_invariant(self, spark, docs_df):
+        a = sorted(map(tuple, tfidf_topk(docs_df, k=3).collect()))
+        b = sorted(map(tuple, tfidf_topk(docs_df.repartition(7), k=3).collect()))
+        assert a == b
+
+
+class TestBm25:
+    def test_matches_python_recompute(self, spark, docs_df):
+        k1, b = 1.2, 0.75
+        query = ["hash", "fox"]
+        p = _postings()
+        n = len(DOCS)
+        dls = {doc: sum(c.values()) for doc, c in p.items()}
+        avgdl = sum(dls.values()) / len(dls)
+        df = Counter()
+        for c in p.values():
+            df.update(t for t in c if t in query)
+        want = {}
+        for doc, c in p.items():
+            s = 0.0
+            hits = 0
+            for t in query:
+                if t not in c:
+                    continue
+                hits += 1
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1)
+                s += idf * (c[t] * (k1 + 1)) / (
+                    c[t] + k1 * (1 - b + b * dls[doc] / avgdl)
+                )
+            if hits:
+                want[doc] = (round(s, 6), hits)
+        got = bm25_search(docs_df, query, top_n=10).collect()
+        assert {r["doc"]: (r["score"], r["n_hits"]) for r in got} == want
+        # rank order: score desc, doc asc
+        ranked = sorted(got, key=lambda r: r["rank"])
+        assert [r["doc"] for r in ranked] == [
+            d for d, _ in sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        ]
+
+    def test_doc3_tops_hash_query(self, spark, docs_df):
+        got = bm25_search(docs_df, ["hash"], top_n=1).collect()
+        assert got[0]["doc"] == 3
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id long, s string, v long")
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20), (4, "d", 40)],
+            "id long, s string, v long")
+        got = {r["id"]: r["status"] for r in snapshot_diff(
+            old, new, keys=["id"], compare_cols=["s", "v"]).collect()}
+        assert got == {
+            1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    def test_null_safe_compare(self, spark):
+        old = spark.createDataFrame([(1, None)], "id long, s string")
+        new = spark.createDataFrame([(1, None)], "id long, s string")
+        got = snapshot_diff(old, new, ["id"], ["s"]).collect()
+        assert got[0]["status"] == "unchanged"
