@@ -612,6 +612,106 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (merge-asof shape: union + per-key window, one
+    co-shuffle, no range probe): each purchase picks up the user's most
+    recent click at-or-before it. Oracle = DuckDB's native ASOF LEFT
+    JOIN — an independent algorithm pinning the same semantics."""
+    from kg.ops.temporal import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, clicks, keys=["user_id"], right_cols=["value"])
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round("value", 6).alias("value"),
+        F.round("r_value", 6).alias("click_value"),
+        F.col("r_ts").alias("click_ts"),
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via fixed-width bucket banding (hash
+    equi-join plan, never a nested loop): purchases landing within 30
+    minutes after an error event of the same user."""
+    from kg.ops.temporal import range_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    windows = events.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+        F.col("event_id").alias("err_id"),
+    )
+    out = range_join(purchases, windows, keys=["user_id"])
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("err_id").cast("long").alias("err_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+
+
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour aggregated from
+    raw once, day re-aggregated from hour (one corpus shuffle total);
+    oracle recomputes each grain directly from raw."""
+    from kg.ops.temporal import time_rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_rollup(
+        events, dims=["event_type"], grains=("hour", "day")
+    ).select(
+        "grain", "bucket_start", "event_type",
+        "n", "sum_value", "min_value", "max_value",
+    )
+
+
+def q_doc_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-term sketch per language. Deterministic
+    (md5) by construction, so the ORACLE CHECKS THE SKETCH ITSELF —
+    DuckDB recomputes the identical k minima and estimate (hash-equal),
+    unlike seeded/engine-internal sketches (HLL) which only admit
+    tolerance tests. Sketches distinct document texts per language with
+    k=64 < per-lang cardinality at sf0.01, so the oracle checks the
+    ESTIMATOR branch (kth-min math), not just the small-group exact
+    fallback."""
+    from kg.ops.sketch import kmv_distinct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kmv_distinct(docs, ["lang"], "text", k=64)
+
+
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group linear-interpolation quantiles (Spark
+    `percentile` vs DuckDB `quantile_cont`); the approx_percentile scale
+    path is pinned vs this exact op in tests/test_temporal.py."""
+    from kg.ops.sketch import grouped_quantiles
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return grouped_quantiles(events, ["event_type"], "value")
+
+
+def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP over (returnflag, linestatus) with
+    a grouping-id discriminator — subtotals and grand total in one
+    pass (partial-agged, no re-scan per level)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload header parsing (multimodal plumbing). Oracle = the
     generation-time ground-truth columns written beside the payload."""
@@ -1452,6 +1552,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": q_corpus_vocab,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_bm25": q_doc_bm25,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "events_time_rollup": q_events_time_rollup,
+        "doc_kmv_distinct": q_doc_kmv_distinct,
+        "events_value_quantiles": q_events_value_quantiles,
+        "tpch_rollup": q_tpch_rollup,
         "media_metadata": q_media_metadata,
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
@@ -2197,6 +2303,66 @@ FROM ranked WHERE rn = 1
 """
     # composed filter: REUSES the two independent signal recomputes as CTEs
     # so the keep/drop decision is derived the same way on both engines
+    d["events_asof_join"] = """
+WITH p AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       round(p.value, 6) AS value,
+       round(c.value, 6) AS click_value,
+       c.ts AS click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+    d["events_range_join"] = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT user_id, ts AS win_start, ts + INTERVAL 30 MINUTE AS win_end,
+         event_id AS err_id
+  FROM events WHERE event_type = 'error'
+)
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(w.err_id AS BIGINT) AS err_id,
+       CAST(p.user_id AS BIGINT) AS user_id
+FROM p JOIN w
+  ON p.user_id = w.user_id AND p.ts BETWEEN w.win_start AND w.win_end
+"""
+    d["events_time_rollup"] = """
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type,
+       CAST(count(*) AS BIGINT), round(sum(value), 6),
+       min(value), max(value)
+FROM events GROUP BY 2, 3
+"""
+    from kg.ops.sketch import kmv_oracle_sql
+
+    d["doc_kmv_distinct"] = kmv_oracle_sql(
+        "documents", ["lang"], "text", k=64
+    )
+    _q_probs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    d["events_value_quantiles"] = "\nUNION ALL\n".join(
+        f"""SELECT event_type, CAST({p} AS DOUBLE) AS p,
+       round(quantile_cont(value, {p}), 6) AS q
+FROM events GROUP BY event_type"""
+        for p in _q_probs
+    )
+    d["tpch_rollup"] = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
     d["doc_corpus_filter"] = f"""
 WITH q AS ({d["doc_quality"]}), r AS ({d["doc_repetition"]}),
 j AS (

@@ -1,0 +1,154 @@
+"""Cardinality and distribution sketches over the corpus.
+
+Two needs a 100-TB curation pipeline hits constantly: "how many distinct
+X per group" (vocabulary sizes, per-domain URL counts, dedup-ratio
+monitoring) and "what does the distribution of X look like" (doc-length
+/ score quantiles for filter thresholds). Exact answers shuffle every
+distinct value; sketches bound the per-group state.
+
+- ``kmv_distinct``: K-Minimum-Values cardinality estimator
+  (Bar-Yossef et al. 2002 — the bottom-k sketch). Hash every value with
+  md5 to a uniform 60-bit integer, keep only the K smallest per group;
+  estimate = (K-1) / max_normalized_kth. Per-group state is K longs
+  regardless of cardinality, and the groupBy partial-aggregates
+  map-side. CRUCIALLY this sketch is **deterministic** (md5, no seed),
+  so unlike HLL it has an exact cross-engine oracle: DuckDB recomputes
+  the identical K minima and estimate, and the driver hash-compares —
+  a sketch whose *implementation* is contract-checked, not just its
+  error bound. Error: ~1/sqrt(K-2) relative (K=256 -> ~6%); pinned vs
+  exact counts in tests.
+- ``grouped_quantiles``: exact linear-interpolation quantiles per group
+  (Spark SQL ``percentile``; oracle = DuckDB ``quantile_cont``). Exact
+  per-group quantiles sort each group's values in one aggregation
+  buffer — fine when groups are few and bounded (event types,
+  languages); for unbounded groups the scale path is
+  ``approx_percentile`` (KLL-style bounded state), exposed via
+  ``approx=True`` and pinned against the exact op by a tolerance test
+  (no oracle: Spark's sketch is engine-internal).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_distinct", "grouped_quantiles"]
+
+# 15 hex chars = 60 bits: fits a signed 64-bit long exactly, and both
+# engines parse it identically (Spark conv(x,16,10); DuckDB '0x'||x cast)
+_HEX_DIGITS = 15
+_MAX_HASH = float(16 ** _HEX_DIGITS)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV (bottom-k) distinct-count estimate.
+
+    Returns (group_cols..., n_seen, kth_min, est_distinct):
+    - ``n_seen``: number of distinct hashes retained (= min(K, true
+      distinct) — for small groups the sketch IS exact and the estimate
+      falls back to it);
+    - ``kth_min``: the K-th smallest 60-bit hash (largest retained);
+    - ``est_distinct``: (K-1)/(kth_min/2^60) when the sketch is full,
+      else n_seen; rounded to 6 places.
+
+    Shape: project to (group, hash) -> groupBy collecting
+    ``array_sort(collect_set)`` truncated to K via slice. Partial
+    aggregation keeps map-side state at <= |values per partition|;
+    at extreme scale swap the collect_set for a two-level
+    min-k-of-min-k (groupBy twice) — same estimate, same oracle.
+    """
+    groups = list(group_cols)
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, _HEX_DIGITS),
+        16,
+        10,
+    ).cast("long")
+    sk = (
+        df.select(*groups, h.alias("_h"))
+        .groupBy(*groups)
+        .agg(
+            F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins")
+        )
+    )
+    n_seen = F.size("_mins")
+    kth = F.element_at("_mins", n_seen)
+    est = F.when(
+        n_seen < k, n_seen.cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (kth / F.lit(_MAX_HASH)))
+    return sk.select(
+        *groups,
+        n_seen.cast("long").alias("n_seen"),
+        kth.cast("long").alias("kth_min"),
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def kmv_oracle_sql(
+    table_expr: str,
+    group_cols: Sequence[str],
+    value_expr: str,
+    k: int = 256,
+) -> str:
+    """DuckDB SQL recomputing :func:`kmv_distinct` bit-for-bit (kept
+    beside the op so the sketch and its oracle evolve together)."""
+    groups = ", ".join(group_cols)
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {groups},
+         ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1,
+                         {_HEX_DIGITS}))::BIGINT AS h
+  FROM {table_expr}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {groups} ORDER BY h) AS rn
+  FROM hashed
+),
+sk AS (
+  SELECT {groups}, count(*) AS n_seen, max(h) AS kth
+  FROM ranked WHERE rn <= {k} GROUP BY {groups}
+)
+SELECT {groups}, CAST(n_seen AS BIGINT) AS n_seen,
+       CAST(kth AS BIGINT) AS kth_min,
+       round(CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
+                  ELSE {float(k - 1)} / (kth / {_MAX_HASH}) END,
+             6) AS est_distinct
+FROM sk
+"""
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantiles of ``value_col``, one row per (group, p).
+
+    ``approx=False``: exact linear interpolation (matches DuckDB
+    ``quantile_cont``); ``approx=True``: ``approx_percentile`` with
+    bounded sketch state — the 100-TB path for high-cardinality groups,
+    accuracy pinned vs exact in tests rather than by oracle.
+    """
+    groups = list(group_cols)
+    ps = [float(p) for p in probs]
+    fn = F.approx_percentile if approx else F.percentile
+    qs = df.groupBy(*groups).agg(
+        fn(F.col(value_col), F.array(*[F.lit(p) for p in ps])).alias("_qs")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in ps]).alias("p"),
+        F.col("_qs").alias("q"),
+    )
+    return qs.select(*groups, F.explode(pairs).alias("_pq")).select(
+        *groups,
+        F.col("_pq.p").alias("p"),
+        F.round(F.col("_pq.q").cast("double"), 6).alias("q"),
+    )

@@ -1,0 +1,276 @@
+"""Temporal operators (kg/ops/temporal.py) and sketches
+(kg/ops/sketch.py): golden semantics vs pure-Python recomputes,
+partition invariance, and the KMV error bound."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg.ops.sketch import grouped_quantiles, kmv_distinct
+from kg.ops.temporal import asof_join, range_join, time_rollup
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+
+class TestAsof:
+    def fixtures(self, spark):
+        trades = spark.createDataFrame(
+            [
+                (1, _ts(10), "t1"),
+                (1, _ts(30), "t2"),
+                (1, _ts(5), "t0"),  # before any quote
+                (2, _ts(20), "t3"),
+                (3, _ts(20), "t4"),  # key absent on right
+            ],
+            "k long, ts timestamp, tag string",
+        )
+        quotes = spark.createDataFrame(
+            [
+                (1, _ts(8), 100.0),
+                (1, _ts(10), 101.0),  # equal-ts: inclusive match for t1
+                (1, _ts(25), 102.0),
+                (2, _ts(1), 103.0),
+            ],
+            "k long, ts timestamp, px double",
+        )
+        return trades, quotes
+
+    def test_backward_inclusive_semantics(self, spark):
+        trades, quotes = self.fixtures(spark)
+        out = {
+            r["tag"]: (r["r_px"], r["r_ts"])
+            for r in asof_join(
+                trades, quotes, keys=["k"], right_cols=["px"]
+            ).collect()
+        }
+        assert out["t0"] == (None, None)
+        assert out["t1"] == (101.0, _ts(10))  # ts-equal quote wins
+        assert out["t2"] == (102.0, _ts(25))
+        assert out["t3"] == (103.0, _ts(1))
+        assert out["t4"] == (None, None)
+
+    def test_tolerance(self, spark):
+        trades, quotes = self.fixtures(spark)
+        out = {
+            r["tag"]: r["r_px"]
+            for r in asof_join(
+                trades,
+                quotes,
+                keys=["k"],
+                right_cols=["px"],
+                tolerance_sec=6 * 60,
+            ).collect()
+        }
+        # t2 (30) matches quote at 25 (5min, inside); t3 (20) matches
+        # quote at 1 (19min, outside tolerance -> nulled)
+        assert out["t2"] == 102.0
+        assert out["t3"] is None
+
+    def test_left_rows_preserved_and_partition_invariant(self, spark):
+        trades, quotes = self.fixtures(spark)
+        out = asof_join(trades, quotes, keys=["k"], right_cols=["px"])
+        assert out.count() == trades.count()
+        rep = asof_join(
+            trades.repartition(7), quotes.repartition(3),
+            keys=["k"], right_cols=["px"],
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, rep.collect())
+        )
+
+
+class TestRangeJoin:
+    def fixtures(self, spark):
+        events = spark.createDataFrame(
+            [(1, _ts(m), f"e{m}") for m in (0, 10, 20, 35, 61)]
+            + [(2, _ts(10), "other_key")],
+            "k long, ts timestamp, tag string",
+        )
+        windows = spark.createDataFrame(
+            [
+                (1, _ts(5), _ts(20), "w1"),   # catches 10, 20 (inclusive)
+                (1, _ts(30), _ts(40), "w2"),  # catches 35
+                (1, _ts(90), _ts(95), "w3"),  # empty
+                (2, _ts(0), _ts(60), "w4"),   # other key
+            ],
+            "k long, win_start timestamp, win_end timestamp, wtag string",
+        )
+        return events, windows
+
+    def test_containment_inclusive(self, spark):
+        events, windows = self.fixtures(spark)
+        got = sorted(
+            (r["tag"], r["wtag"])
+            for r in range_join(
+                events, windows, keys=["k"]
+            ).collect()
+        )
+        assert got == [
+            ("e10", "w1"), ("e20", "w1"), ("e35", "w2"),
+            ("other_key", "w4"),
+        ]
+
+    def test_no_duplicates_across_buckets(self, spark):
+        # tiny bucket => every window spans many buckets; each event must
+        # still match each containing window exactly once
+        events, windows = self.fixtures(spark)
+        got = range_join(events, windows, keys=["k"], bucket_sec=7.0)
+        assert got.count() == 4
+        assert got.select("tag", "wtag").distinct().count() == 4
+
+    def test_left_semi(self, spark):
+        events, windows = self.fixtures(spark)
+        got = sorted(
+            r["tag"]
+            for r in range_join(
+                events, windows, keys=["k"], how="left_semi"
+            ).collect()
+        )
+        assert got == ["e10", "e20", "e35", "other_key"]
+
+    def test_plan_is_hash_join_not_nested_loop(self, spark):
+        events, windows = self.fixtures(spark)
+        plan = range_join(events, windows, keys=["k"])._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestTimeRollup:
+    def test_vs_python_recompute(self, spark):
+        rows = [
+            (i, _ts(i * 37), float((i * 7919) % 100) / 10, ["a", "b"][i % 2])
+            for i in range(200)
+        ]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, value double, etype string"
+        )
+        got = {
+            (r["grain"], r["bucket_start"], r["etype"]): (
+                r["n"], r["sum_value"], r["min_value"], r["max_value"]
+            )
+            for r in time_rollup(
+                events, dims=["etype"], grains=("hour", "day")
+            ).collect()
+        }
+        expect = {}
+        for grain, trunc in (
+            ("hour", lambda t: t.replace(minute=0, second=0, microsecond=0)),
+            ("day", lambda t: t.replace(
+                hour=0, minute=0, second=0, microsecond=0)),
+        ):
+            acc = {}
+            for _i, ts, v, e in rows:
+                key = (grain, trunc(ts), e)
+                n, s, lo, hi = acc.get(key, (0, 0.0, float("inf"),
+                                             float("-inf")))
+                acc[key] = (n + 1, s + v, min(lo, v), max(hi, v))
+            for k, (n, s, lo, hi) in acc.items():
+                expect[k] = (n, round(s, 6), lo, hi)
+        assert got == expect
+
+    def test_coarse_equals_direct_aggregation(self, spark):
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rolled = time_rollup(events, grains=("hour", "day"))
+        direct = events.groupBy(
+            F.date_trunc("day", "ts").alias("bucket_start")
+        ).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        got = {
+            r["bucket_start"]: (r["n"], r["sum_value"])
+            for r in rolled.where(F.col("grain") == "day").collect()
+        }
+        want = {
+            r["bucket_start"]: (r["n"], r["sum_value"])
+            for r in direct.collect()
+        }
+        assert got == want
+
+    def test_bad_grain_order_raises(self, spark):
+        events = spark.createDataFrame(
+            [(1, _ts(0), 1.0)], "event_id long, ts timestamp, value double"
+        )
+        with pytest.raises(ValueError):
+            time_rollup(events, grains=("day", "hour"))
+
+
+class TestKMV:
+    def test_small_groups_exact(self, spark):
+        df = spark.createDataFrame(
+            [("a", f"v{i % 17}") for i in range(100)]
+            + [("b", f"v{i}") for i in range(5)],
+            "g string, v string",
+        )
+        got = {
+            r["g"]: (r["n_seen"], r["est_distinct"])
+            for r in kmv_distinct(df, ["g"], "v", k=64).collect()
+        }
+        assert got["a"] == (17, 17.0)
+        assert got["b"] == (5, 5.0)
+
+    def test_error_bound_when_sketch_full(self, spark):
+        n_true = 5000
+        df = spark.createDataFrame(
+            [("g", f"value-{i}") for i in range(n_true)], "g string, v string"
+        )
+        k = 256
+        est = kmv_distinct(df, ["g"], "v", k=k).first()["est_distinct"]
+        # ~1/sqrt(k-2) relative error; allow 5 sigma
+        assert abs(est - n_true) / n_true < 5.0 / math.sqrt(k - 2)
+
+    def test_partition_invariant_and_duplicate_blind(self, spark):
+        base = [("g", f"v{i}") for i in range(1000)]
+        a = spark.createDataFrame(base, "g string, v string")
+        b = spark.createDataFrame(base * 3, "g string, v string").repartition(
+            13
+        )
+        ra = kmv_distinct(a, ["g"], "v").first()
+        rb = kmv_distinct(b, ["g"], "v").first()
+        assert (ra["kth_min"], ra["est_distinct"]) == (
+            rb["kth_min"], rb["est_distinct"]
+        )
+
+
+class TestQuantiles:
+    def test_exact_vs_python(self, spark):
+        vals = [float(v) for v in (1, 3, 5, 7, 100)]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "g string, v double"
+        )
+        got = {
+            r["p"]: r["q"]
+            for r in grouped_quantiles(
+                df, ["g"], "v", probs=(0.5, 0.25)
+            ).collect()
+        }
+        assert got[0.5] == 5.0
+        assert got[0.25] == 3.0  # exact rank: (5-1)*0.25 = 1 -> vals[1]
+
+    def test_interpolation(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0)], "g string, v double"
+        )
+        got = grouped_quantiles(df, ["g"], "v", probs=(0.5,)).first()["q"]
+        assert got == 1.5
+
+    def test_approx_close_to_exact(self, spark):
+        df = spark.createDataFrame(
+            [("g", float((i * 7919) % 10007)) for i in range(10007)],
+            "g string, v double",
+        )
+        exact = {
+            r["p"]: r["q"] for r in grouped_quantiles(df, ["g"], "v").collect()
+        }
+        approx = {
+            r["p"]: r["q"]
+            for r in grouped_quantiles(df, ["g"], "v", approx=True).collect()
+        }
+        for p, q in exact.items():
+            assert abs(approx[p] - q) <= 0.02 * 10007
