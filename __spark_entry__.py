@@ -712,6 +712,68 @@ def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: per-user event-type counts as columns. Explicit
+    pivot values keep the output schema static (no pre-scan of distinct
+    values — at scale an implicit pivot is an extra full aggregation)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = events.groupBy("user_id").pivot("event_type", types).agg(
+        F.count("event_id")
+    )
+    return p.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join contract (kg/streaming.py
+    stream_interval_join): purchases ⋈ clicks of the same user within a
+    2-hour lookback, both sides streaming with watermarks + the
+    time-range condition bounding join state. Single batch in, so the
+    oracle is the plain interval join; late-row drop and state eviction
+    are pinned in tests/test_streaming.py."""
+    import tempfile
+
+    import pandas as pd
+
+    from kg.streaming import (
+        read_events_stream,
+        run_stream_to_parquet,
+        stream_interval_join,
+    )
+
+    src = tempfile.mkdtemp(prefix="kg_stream_ij_src_")
+    out = tempfile.mkdtemp(prefix="kg_stream_ij_out_")
+    ckpt = tempfile.mkdtemp(prefix="kg_stream_ij_ckpt_")
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{src}/events.parquet", index=False)
+
+    purchases = read_events_stream(spark, src).where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id")
+    clicks = read_events_stream(spark, src).where(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "event_id")
+    q = run_stream_to_parquet(
+        stream_interval_join(purchases, clicks, lookback="120 minutes"),
+        out, ckpt,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "ts",
+        F.col("r_event_id").cast("long").alias("r_event_id"),
+        "r_ts",
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload header parsing (multimodal plumbing). Oracle = the
     generation-time ground-truth columns written beside the payload."""
@@ -1558,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kmv_distinct": q_doc_kmv_distinct,
         "events_value_quantiles": q_events_value_quantiles,
         "tpch_rollup": q_tpch_rollup,
+        "events_pivot": q_events_pivot,
+        "stream_interval_join": q_stream_interval_join,
         "media_metadata": q_media_metadata,
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
@@ -2357,6 +2421,26 @@ FROM events GROUP BY 2, 3
 FROM events GROUP BY event_type"""
         for p in _q_probs
     )
+    d["events_pivot"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+    d["stream_interval_join"] = """
+SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(p.event_id AS BIGINT) AS event_id,
+       p.ts AS ts,
+       CAST(c.event_id AS BIGINT) AS r_event_id,
+       c.ts AS r_ts
+FROM events p JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts >= p.ts - INTERVAL 120 MINUTE AND c.ts <= p.ts
+"""
     d["tpch_rollup"] = """
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
        round(sum(l_quantity), 2) AS sum_qty,

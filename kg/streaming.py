@@ -230,6 +230,55 @@ def stream_sessionize(
     )
 
 
+def stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "30 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """STREAM-STREAM inner interval join: each left event pairs with the
+    right events of the same key whose timestamp falls in
+    ``[left.ts - lookback, left.ts]`` (inclusive).
+
+    This is the one join shape where Structured Streaming must buffer
+    BOTH sides; the two ingredients that keep that state bounded are
+    mandatory here, not optional:
+    - watermarks on both inputs (how far behind either side may arrive);
+    - the time-range join condition (how long a buffered row can still
+      find partners).
+    Spark derives the eviction horizon from the two together — a right
+    row is dropped from state once the left watermark passes
+    ``right.ts + lookback``, so state is O(arrival rate × (lookback +
+    watermark)) per key, independent of stream length. Without the range
+    bound the buffers grow forever; the operator refuses to run in that
+    shape rather than degrade (Spark raises at analysis).
+
+    Right-side columns are prefixed ``r_`` (the key is emitted once).
+    Rows later than the restored watermark are dropped on arrival —
+    pinned in tests/test_streaming.py; the contract query feeds a single
+    batch so the oracle is the plain interval join.
+    """
+    rcols = [c for c in right_stream.columns if c != key]
+    l = left_stream.withWatermark(left_ts, watermark).alias("l")
+    r = right_stream.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        *[F.col(f"l.{c}") for c in left_stream.columns if c != key],
+        *[F.col(f"r.{c}").alias(f"r_{c}") for c in rcols],
+    )
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame, out_path: str, checkpoint: str,
     available_now: bool = True,

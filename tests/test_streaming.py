@@ -214,3 +214,138 @@ def test_stream_mention_rates_runs(spark, landing, tmp_path):
         "start", "end", "entity_name", "n_mentions"
     }
     assert all(r["n_mentions"] > 0 for r in rows)
+
+
+def _land_events(path, rows, name):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype(
+                "datetime64[us]"
+            ),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(f"{path}/{name}.parquet", index=False)
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Single batch in -> the stream-stream interval join emits exactly
+    the batch interval join."""
+    from pyspark.sql import functions as F
+
+    from kg.streaming import (
+        read_events_stream,
+        run_stream_to_parquet,
+        stream_interval_join,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        # (event_id, ts, user_id, type)
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:20:00", 1, "purchase"),   # pairs with 1
+        (3, "2024-01-01 11:30:00", 1, "purchase"),   # outside 30min of 1
+        (4, "2024-01-01 10:10:00", 2, "click"),      # other user
+        (5, "2024-01-01 10:15:00", 2, "purchase"),   # pairs with 4
+        (6, "2024-01-01 10:30:00", 9, "purchase"),   # no clicks at all
+    ]
+    _land_events(str(src), rows, "batch1")
+    purchases = read_events_stream(spark, str(src)).where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id")
+    clicks = read_events_stream(spark, str(src)).where(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "event_id")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_stream_to_parquet(
+        stream_interval_join(purchases, clicks, lookback="30 minutes"),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(2, 1), (5, 4)]
+
+
+def test_stream_interval_join_drops_late_rows(spark, tmp_path):
+    """State boundedness is observable through the drop horizon: a
+    right-side row is held only while `its ts + lookback` is ahead of
+    the watermark. A (click, purchase) pair arriving in batch 2 with
+    both event times far below the restored watermark produces NO
+    output (the click is past its state horizon watermark - lookback and
+    is dropped on arrival), while an on-time batch-2 pair does. Note the
+    horizon is the STATE watermark, not the raw event watermark — a
+    "late" row that could still legally pair with a future row is
+    correctly retained."""
+    from pyspark.sql import functions as F
+
+    from kg.streaming import (
+        read_events_stream,
+        run_stream_to_parquet,
+        stream_interval_join,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch1 = [
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:10:00", 1, "purchase"),  # emitted in run 1
+        # advance BOTH sides' watermarks (each side's watermark is
+        # computed on its own post-filter stream; the global is the min):
+        # lone users, no cross pair (8's click window has no 9 purchase)
+        (3, "2024-01-01 12:00:00", 8, "click"),
+        (9, "2024-01-01 09:00:00", 9, "purchase"),
+        (10, "2024-01-01 12:00:30", 9, "purchase"),
+    ]
+    batch2 = [
+        # LATE click: below the click state horizon (global watermark
+        # 11:58 - lookback 30m = 11:28). Not retained across batches.
+        (4, "2024-01-01 10:05:00", 2, "click"),
+        # on-time click, held in state for batch 3's purchase
+        (6, "2024-01-01 11:59:30", 4, "click"),
+    ]
+    batch3 = [
+        # its partner arrives a batch LATER: the late click's state is
+        # gone, so no pair — while the on-time click from batch 2 pairs
+        (5, "2024-01-01 10:20:00", 2, "purchase"),
+        (7, "2024-01-01 12:02:00", 4, "purchase"),
+    ]
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        purchases = read_events_stream(spark, str(src)).where(
+            F.col("event_type") == "purchase"
+        ).select("user_id", "ts", "event_id")
+        clicks = read_events_stream(spark, str(src)).where(
+            F.col("event_type") == "click"
+        ).select("user_id", "ts", "event_id")
+        q = run_stream_to_parquet(
+            stream_interval_join(
+                purchases, clicks, lookback="30 minutes",
+                watermark="2 minutes",
+            ),
+            out, ckpt,
+        )
+        q.awaitTermination(120)
+
+    _land_events(str(src), batch1, "batch1")
+    run()
+    _land_events(str(src), batch2, "batch2")
+    run()
+    _land_events(str(src), batch3, "batch3")
+    run()
+    got = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert (5, 4) not in got, "late click must be dropped at the watermark"
+    assert (2, 1) in got and (7, 6) in got
