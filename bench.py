@@ -224,7 +224,67 @@ def run_suite(spark, sf_dir: str) -> dict:
     extra["linked_triples_per_sec"] = round(
         counts["linked"] / timings["link_broadcast"], 1
     )
+
+    # --- KG graph analytics over the extracted triple graph (new r3):
+    # pagerank = 4 shuffle-join+agg iterations on the materialized edge
+    # list; triangles = degree-ordered wedge join (hub-safe on the
+    # head-entity skew this corpus deliberately has) ---
+    from kg.graphstats import pagerank, triangle_stats
+
+    kg_edges = triples_cached.select(
+        F.xxhash64("subj").alias("src"), F.xxhash64("obj").alias("dst")
+    ).cache()
+    extra["n_kg_edges"] = kg_edges.count()
+
+    def w_graph():
+        pagerank(kg_edges, iterations=4).count()
+        triangle_stats(kg_edges).count()
+
+    timings["graph"] = timed_twice(w_graph)
+    extra["graph_edges_per_sec"] = round(
+        2 * extra["n_kg_edges"] / timings["graph"], 1
+    )
+    kg_edges.unpersist()
     triples_cached.unpersist()
+
+    # --- lexical ranking over the full bench corpus (new r3): BM25 with
+    # pre-shuffle query-term pruning + top-V vocab, both off one
+    # postings shuffle shape ---
+    from kg.ops.ranking import bm25_search, corpus_vocab
+
+    def w_ranking():
+        corpus_vocab(docs_x, top_v=1000, id_col="doc_id").count()
+        bm25_search(
+            docs_x, ["alice", "paris", "acme"], top_n=100, id_col="doc_id"
+        ).count()
+
+    timings["ranking"] = timed_twice(w_ranking)
+    extra["ranking_docs_per_sec"] = round(2 * n_pages / timings["ranking"], 1)
+
+    # --- temporal ops over the sf events table (new r3) ---
+    from kg.ops.temporal import asof_join, time_rollup
+
+    events_b = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    n_events = events_b.count()
+    extra["n_events"] = n_events
+
+    def w_temporal():
+        purchases = events_b.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        clicks = events_b.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        asof_join(purchases, clicks, keys=["user_id"],
+                  right_cols=["value"]).count()
+        time_rollup(events_b, dims=["event_type"],
+                    grains=("hour", "day")).count()
+
+    timings["temporal"] = timed_twice(w_temporal)
+    extra["temporal_events_per_sec"] = round(
+        2 * n_events / timings["temporal"], 1
+    )
+    events_b.unpersist()
 
     # --- dedup ---
     def w_dedup():

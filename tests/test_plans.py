@@ -82,3 +82,65 @@ def test_simhash_band_candidates_capped_no_blowup_path(spark):
     assert "HashJoin" in p or "SortMergeJoin" in p
     # the count-then-filter cap gate feeds the join
     assert "count(1)" in p and "<= 64" in p
+
+
+def test_bm25_prunes_postings_before_any_exchange(spark):
+    """The query-term literal filter must sit BELOW the first shuffle so a
+    query's cost tracks its terms' posting lists, not the corpus (the
+    PLANS.md bm25 shape), and both stats joins must broadcast."""
+    from kg.ops.ranking import bm25_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(bm25_search(docs, ["alpha", "beta"], top_n=5))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # walk the tree: every term IN (...) filter appears under an Exchange
+    # (deeper in the printed tree), i.e. the filter line index is after
+    # the first Exchange line in at least one scan subtree — assert the
+    # cheap invariant: a Filter mentioning the literal terms exists, and
+    # no Exchange appears below it in its own subtree printout
+    lines = p.splitlines()
+    fidx = [i for i, ln in enumerate(lines) if "alpha" in ln and "Filter" in ln]
+    assert fidx, "literal term filter missing from the plan"
+
+    def marker_col(ln: str) -> int:
+        return max(ln.find("+- "), ln.find("*("), 0)
+
+    # within the filter's OWN subtree (deeper-indented following lines),
+    # there must be a parquet scan and no Exchange: the filter feeds the
+    # scan directly, under every shuffle
+    for i in fidx:
+        depth = marker_col(lines[i])
+        subtree = []
+        for ln in lines[i + 1:]:
+            if marker_col(ln) <= depth:
+                break
+            subtree.append(ln)
+        assert any("Scan parquet" in ln or "FileScan" in ln
+                   for ln in subtree), "\n".join(subtree)
+        assert not any("Exchange" in ln for ln in subtree), (
+            "term filter floated above a shuffle:\n" + "\n".join(subtree)
+        )
+
+
+def test_tfidf_df_join_broadcasts(spark):
+    from kg.ops.ranking import tfidf_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(tfidf_topk(docs, k=3))
+    assert "BroadcastHashJoin" in p
+
+
+def test_time_rollup_single_corpus_shuffle(spark):
+    """The raw table is shuffled once (finest grain); coarser grains
+    re-aggregate the materialized finer aggregate."""
+    from pyspark.sql import functions as F
+
+    from kg.ops.temporal import time_rollup
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rolled = time_rollup(events, dims=["event_type"], grains=("hour", "day"))
+    p = _plan(rolled)
+    # the day branch reads the hour materialization (localCheckpoint),
+    # never the parquet source: exactly the hour branch's scan remains
+    assert p.count("Scan parquet") <= 1

@@ -274,3 +274,49 @@ class TestQuantiles:
         }
         for p, q in exact.items():
             assert abs(approx[p] - q) <= 0.02 * 10007
+
+
+class TestAsofVsPandas:
+    def test_matches_pandas_merge_asof(self, spark):
+        """Independent-oracle property check: our union+window merge-asof
+        equals pandas.merge_asof(direction='backward') on a seeded random
+        fixture (1000 left x 800 right rows, 23 keys, duplicate-free
+        right (key, ts) pairs as the operator contract requires)."""
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        base = pd.Timestamp("2024-01-01").value // 1000
+        left = pd.DataFrame({
+            "k": rng.integers(0, 23, 1000),
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 10**9, 1000), unit="us"
+            ),
+            "lid": np.arange(1000),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, 23, 800),
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 10**9, 800), unit="us"
+            ),
+            "px": rng.random(800).round(6),
+        }).drop_duplicates(["k", "ts"])
+
+        expect = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="k", direction="backward",
+        )
+        want = {
+            (r.k, r.lid): (None if pd.isna(r.px) else r.px)
+            for r in expect.itertuples()
+        }
+
+        lsp = spark.createDataFrame(left).repartition(7)
+        rsp = spark.createDataFrame(right).repartition(3)
+        got = {
+            (r["k"], r["lid"]): r["r_px"]
+            for r in asof_join(
+                lsp, rsp, keys=["k"], right_cols=["px"]
+            ).collect()
+        }
+        assert got == want
