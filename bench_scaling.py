@@ -217,11 +217,13 @@ def main() -> int:
         " memory per core, like real executors): a fixed heap makes the"
         " high-parallelism leg GC-bound and understates cluster scaling"
         " (measured ~25% extract throughput loss at local[8] on 8g).",
-        "- near_dup and ann_lsh run at reduced/fixed input sizes where"
-        " per-job fixed costs (CC iteration barriers, LSH bucket-table"
-        " checkpoints) dominate — their walls are reported for"
-        " completeness, not as scaling evidence; the scaling metrics are"
-        " the three corpus-throughput rows above.",
+        "- near_dup, ann_lsh, graph, and temporal run at reduced/fixed"
+        " input sizes where per-job fixed costs (CC/pagerank iteration"
+        " barriers, LSH bucket-table checkpoints, scalar pre-aggregates)"
+        " dominate — their walls are reported for completeness, not as"
+        " scaling evidence; the scaling metrics are the three"
+        " corpus-throughput rows above (ranking DOES run corpus-sized:"
+        " its wall ratio is reported in the stage table).",
         "- loadavg_start/loadavg_end in the raw JSON record neighbor"
         " pressure on this shared box at run time.",
         "- legs run in ABBA order (lo, hi, hi, lo), fresh JVM each;"

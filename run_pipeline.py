@@ -17,6 +17,8 @@ Stages (each checkpointed per url_hash_bucket; see kg/checkpoint.py):
   canon     linked surfaces -> canonical entities (MinHash-LSH + CC)
   graph     final (subj, pred, obj) materialization, partitioned by
             (pred, url_hash_bucket)
+  analytics graph -> pagerank / degree stats / triangle+clustering tables
+            (KG consumption layer, kg/graphstats.py)
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ def parse_args(argv):
     p.add_argument("--alias-dict", default=None, help="alias dict parquet (default: built-in fixture dict)")
     p.add_argument(
         "--stages",
-        default="extract,mentions,triples,link,canon,graph",
+        default="extract,mentions,triples,link,canon,graph,analytics",
         help="comma list of stages to run",
     )
     return p.parse_args(argv)
@@ -188,6 +190,25 @@ def main(argv=None) -> int:
         g.write.partitionBy("pred", "url_hash_bucket").mode("overwrite").parquet(
             f"{args.out}/graph"
         )
+
+    if "analytics" in stages:
+        from kg.graphstats import degree_stats, pagerank, triangle_stats
+
+        g = spark.read.parquet(f"{args.out}/graph")
+        # node id = canonical entity where linked, else the surface hash
+        # (entity ids are small ints, xxhash64 spans the full 64-bit
+        # space — overlap is negligible and only perturbs analytics, not
+        # the graph tables themselves)
+        edges = g.select(
+            F.coalesce(F.col("subj_entity"), F.xxhash64("subj")).alias("src"),
+            F.coalesce(F.col("obj_entity"), F.xxhash64("obj")).alias("dst"),
+        )
+        for name, df in (
+            ("pagerank", pagerank(edges, iterations=8)),
+            ("degrees", degree_stats(edges)),
+            ("triangles", triangle_stats(edges)),
+        ):
+            df.write.mode("overwrite").parquet(f"{args.out}/analytics_{name}")
 
     wall = time.monotonic() - t_start
     n_pages = pages.count()
