@@ -559,6 +559,53 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KHOP_K = 3
+
+
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS (Pregel-style frontier expansion, one
+    shuffle join + anti-join per hop): minimal distance <= 3 from the
+    seed set {node % 50 == 0}; oracle unrolls the same frontier
+    recurrence hop by hop."""
+    from kg.graphstats import khop_reachability
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .where(F.col("node") % 50 == 0)
+        .distinct()
+    )
+    return khop_reachability(edges, seeds, k=KHOP_K).select(
+        F.col("node").cast("long").alias("node"), "dist"
+    )
+
+
+def _khop_oracle_sql(k: int) -> str:
+    parts = [
+        f"WITH raw AS (SELECT src, dst FROM '{FIX}/edges.parquet')",
+        "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "r0 AS (SELECT DISTINCT node, 0 AS dist FROM ("
+        "  SELECT src AS node FROM raw UNION ALL SELECT dst FROM raw)"
+        " WHERE node % 50 = 0)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"f{i} AS (SELECT DISTINCT e.dst AS node"
+            f" FROM e JOIN r{i-1} r ON e.src = r.node AND r.dist = {i-1}"
+            f" WHERE e.dst NOT IN (SELECT node FROM r{i-1}))"
+        )
+        parts.append(
+            f"r{i} AS (SELECT node, dist FROM r{i-1}"
+            f" UNION ALL SELECT node, {i} FROM f{i})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(dist AS BIGINT) AS dist FROM r{k}"
+    )
+
+
 def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (adds/retractions/changes between two crawls): old =
     docs with id%7!=0, new = docs with id%5!=0 and n_chars bumped on
@@ -1608,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
+        "graph_khop": q_graph_khop,
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "events_upsert_latest": q_events_upsert_latest,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -2248,6 +2296,7 @@ SELECT CAST(deg.node AS BIGINT) AS node,
                   ELSE 0 END, 6) AS lcc
 FROM deg LEFT JOIN pern ON deg.node = pern.node
 """
+    d["graph_khop"] = _khop_oracle_sql(KHOP_K)
     d["kg_snapshot_diff"] = """
 WITH o_snap AS (
   SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 7 <> 0

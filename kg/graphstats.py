@@ -35,6 +35,7 @@ __all__ = [
     "degree_stats",
     "entity_cooccurrence",
     "triangle_stats",
+    "khop_reachability",
 ]
 
 
@@ -204,6 +205,65 @@ def triangle_stats(
             6,
         ).alias("lcc"),
     )
+
+
+def khop_reachability(
+    edges: DataFrame,
+    seeds,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: (node, dist) with dist = minimal hop count from
+    any seed, bounded at ``k`` hops. ``seeds`` is a DataFrame with a
+    ``node`` column or a Python sequence of node ids.
+
+    KG use: "everything within 3 hops of these entities" — the subgraph
+    extraction primitive for entity neighborhood views.
+
+    Scale shape — Pregel-style frontier expansion: each hop is ONE
+    shuffle join (frontier ⋈ edges, co-partitioned on the source key)
+    plus a left-anti against the visited set and a distinct; frontier
+    and visited are materialized per hop so hop i+1 never replays
+    1..i's lineage. The frontier is the working set — it grows then
+    shrinks as the BFS saturates; visited is (node, dist), tiny next to
+    edges at any scale. Early-exits when a frontier empties.
+    """
+    spark = edges.sparkSession
+    if not isinstance(seeds, DataFrame):
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in seeds], "node long"
+        )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.union(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = materialize(e.where(F.col("src") != F.col("dst")).distinct())
+
+    visited = materialize(
+        seeds.select("node", F.lit(0).cast("long").alias("dist")).distinct()
+    )
+    frontier = visited.select("node")
+    for i in range(1, k + 1):
+        nxt = materialize(
+            e.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        visited = materialize(
+            visited.union(
+                nxt.select("node", F.lit(i).cast("long").alias("dist"))
+            )
+        )
+        frontier = nxt
+    return visited
 
 
 def entity_cooccurrence(

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from kg.graphstats import (
     degree_stats,
     entity_cooccurrence,
+    khop_reachability,
     pagerank,
     triangle_stats,
 )
@@ -153,3 +154,41 @@ class TestUpsertLatest:
         twice = upsert_latest(once, delta, ["key"], "ts", "id")
         assert [tuple(r) for r in twice.collect()] == [
             tuple(r) for r in once.collect()]
+
+
+class TestKhop:
+    def test_path_graph_distances(self, spark):
+        # 1->2->3->4->5 chain, seed {1}: dist = hops, capped at k
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 5)], "src long, dst long")
+        got = {r["node"]: r["dist"]
+               for r in khop_reachability(edges, [1], k=2).collect()}
+        assert got == {1: 0, 2: 1, 3: 2}
+
+    def test_min_dist_wins_and_multi_seed(self, spark):
+        # 1->2->3, 9->3 with seeds {1, 9}: 3 is reachable at dist 1 via 9
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (9, 3)], "src long, dst long")
+        got = {r["node"]: r["dist"]
+               for r in khop_reachability(edges, [1, 9], k=3).collect()}
+        assert got == {1: 0, 9: 0, 2: 1, 3: 1}
+
+    def test_undirected_and_early_exit(self, spark):
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 2)], "src long, dst long")
+        # directed from 1: nothing outgoing
+        d = {r["node"]: r["dist"]
+             for r in khop_reachability(edges, [1], k=5).collect()}
+        assert d == {1: 0}
+        # undirected: reaches the chain
+        u = {r["node"]: r["dist"]
+             for r in khop_reachability(
+                 edges, [1], k=5, directed=False).collect()}
+        assert u == {1: 0, 2: 1, 3: 2}
+
+    def test_partition_invariant(self, spark, tiny_edges):
+        a = sorted(map(tuple,
+                       khop_reachability(tiny_edges, [1], k=3).collect()))
+        b = sorted(map(tuple, khop_reachability(
+            tiny_edges.repartition(5), [1], k=3).collect()))
+        assert a == b
