@@ -216,7 +216,7 @@ def test_stream_mention_rates_runs(spark, landing, tmp_path):
     assert all(r["n_mentions"] > 0 for r in rows)
 
 
-def _land_events(path, rows, name):
+def _land_interval_events(path, rows, name):
     import pandas as pd
 
     pdf = pd.DataFrame(
@@ -256,7 +256,7 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
         (5, "2024-01-01 10:15:00", 2, "purchase"),   # pairs with 4
         (6, "2024-01-01 10:30:00", 9, "purchase"),   # no clicks at all
     ]
-    _land_events(str(src), rows, "batch1")
+    _land_interval_events(str(src), rows, "batch1")
     purchases = read_events_stream(spark, str(src)).where(
         F.col("event_type") == "purchase"
     ).select("user_id", "ts", "event_id")
@@ -337,11 +337,11 @@ def test_stream_interval_join_drops_late_rows(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    _land_events(str(src), batch1, "batch1")
+    _land_interval_events(str(src), batch1, "batch1")
     run()
-    _land_events(str(src), batch2, "batch2")
+    _land_interval_events(str(src), batch2, "batch2")
     run()
-    _land_events(str(src), batch3, "batch3")
+    _land_interval_events(str(src), batch3, "batch3")
     run()
     got = sorted(
         (r["event_id"], r["r_event_id"])
