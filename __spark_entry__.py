@@ -821,6 +821,29 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: crawl 2 re-fetches a url subset; ONLY
+    those pages are re-extracted and their triples replace the old ones
+    per url (anti-join + union == Iceberg dynamic-partition overwrite of
+    the url partitions). The crawl split is md5-keyed so the oracle can
+    replay the same relational refresh over the golden triples — pinning
+    that re-extraction touches exactly the re-crawled urls' rows."""
+    from kg.stages.extract import extract_docs
+    from kg.stages.triples import extract_svo_triples
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    docs = extract_docs(pages).select("url", "text")
+    bucket = F.substring(F.md5("url"), 1, 1)
+    crawl1 = docs.where(~bucket.isin("c", "d", "e", "f"))  # 0-b
+    crawl2 = docs.where(~bucket.isin("0", "1", "2", "3", "4", "5", "6",
+                                     "7"))                 # 8-f
+    old_triples = extract_svo_triples(crawl1)
+    refreshed = old_triples.join(
+        crawl2.select("url"), "url", "left_anti"
+    ).unionByName(extract_svo_triples(crawl2))
+    return refreshed.select("url", "subj", "pred", "obj")
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload header parsing (multimodal plumbing). Oracle = the
     generation-time ground-truth columns written beside the payload."""
@@ -1670,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_rollup": q_tpch_rollup,
         "events_pivot": q_events_pivot,
         "stream_interval_join": q_stream_interval_join,
+        "kg_incremental_refresh": q_kg_incremental_refresh,
         "media_metadata": q_media_metadata,
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
@@ -2470,6 +2494,17 @@ FROM events GROUP BY 2, 3
 FROM events GROUP BY event_type"""
         for p in _q_probs
     )
+    d["kg_incremental_refresh"] = f"""
+WITH g AS (SELECT url, subj, pred, obj
+           FROM '{FIX}/expected_triples_tiny.parquet'),
+b AS (SELECT *, substr(md5(url), 1, 1) AS h FROM g)
+SELECT url, subj, pred, obj FROM b
+WHERE h NOT IN ('c','d','e','f')
+  AND h IN ('0','1','2','3','4','5','6','7')
+UNION ALL
+SELECT url, subj, pred, obj FROM b
+WHERE h NOT IN ('0','1','2','3','4','5','6','7')
+"""
     d["events_pivot"] = """
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,

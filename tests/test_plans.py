@@ -144,3 +144,21 @@ def test_time_rollup_single_corpus_shuffle(spark):
     # the day branch reads the hour materialization (localCheckpoint),
     # never the parquet source: exactly the hour branch's scan remains
     assert p.count("Scan parquet") <= 1
+
+
+def test_asof_join_exactly_one_shuffle(spark):
+    """The union+window merge-asof must co-shuffle both inputs ONCE on the
+    key — a second exchange or a join node means the shape regressed to a
+    range-probe join."""
+    from pyspark.sql import functions as F
+
+    from kg.ops.temporal import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    p = _plan(asof_join(left, right, keys=["user_id"], right_cols=["value"]))
+    assert p.count("Exchange") == 1
+    assert "Join" not in p  # union+window, not a join
