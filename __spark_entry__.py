@@ -559,6 +559,68 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_ITERS = 6
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the {node % 50 == 0} seed set (random
+    walk with restart into the seeds); oracle unrolls the identical
+    recurrence."""
+    from kg.graphstats import personalized_pagerank
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .where(F.col("node") % 50 == 0)
+        .distinct()
+    )
+    return personalized_pagerank(edges, seeds, iterations=PPR_ITERS).select(
+        F.col("node").cast("long").alias("node"), "rank"
+    )
+
+
+def _ppr_oracle_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank recurrence (seed-restart variant of
+    _pagerank_oracle_sql)."""
+    d = damping
+    parts = [
+        f"WITH e AS (SELECT src, dst FROM '{FIX}/edges.parquet')",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)",
+        "w AS (SELECT e.src, e.dst, 1.0 / deg.out_deg AS w"
+        " FROM e JOIN deg ON e.src = deg.src)",
+        "s AS (SELECT node FROM nodes WHERE node % 50 = 0)",
+        "p AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM s)",
+        "r0 AS (SELECT node, CASE WHEN node IN (SELECT node FROM s)"
+        " THEN 1.0 / (SELECT ns FROM p) ELSE 0.0 END AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dang FROM r{i-1}"
+            " WHERE node NOT IN (SELECT src FROM w))"
+        )
+        parts.append(
+            f"c{i} AS (SELECT w.dst, sum(r.rank * w.w) AS c"
+            f" FROM w JOIN r{i-1} r ON w.src = r.node GROUP BY w.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" CASE WHEN nodes.node IN (SELECT node FROM s)"
+            f" THEN (1 - {d}) / (SELECT ns FROM p)"
+            f" + {d} * (SELECT dang FROM d{i}) / (SELECT ns FROM p)"
+            f" ELSE 0.0 END"
+            f" + {d} * coalesce(c.c, 0) AS rank"
+            f" FROM nodes LEFT JOIN c{i} c ON nodes.node = c.dst)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(rank, 9) AS rank"
+        f" FROM r{iters}"
+    )
+
+
 KHOP_K = 3
 
 
@@ -1679,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
         "graph_khop": q_graph_khop,
+        "graph_ppr": q_graph_ppr,
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "events_upsert_latest": q_events_upsert_latest,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -2321,6 +2384,7 @@ SELECT CAST(deg.node AS BIGINT) AS node,
 FROM deg LEFT JOIN pern ON deg.node = pern.node
 """
     d["graph_khop"] = _khop_oracle_sql(KHOP_K)
+    d["graph_ppr"] = _ppr_oracle_sql(PPR_ITERS)
     d["kg_snapshot_diff"] = """
 WITH o_snap AS (
   SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 7 <> 0

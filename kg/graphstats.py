@@ -32,6 +32,7 @@ from kg.session import materialize
 
 __all__ = [
     "pagerank",
+    "personalized_pagerank",
     "degree_stats",
     "entity_cooccurrence",
     "triangle_stats",
@@ -91,6 +92,86 @@ def pagerank(
                 "node",
                 (
                     F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds,
+    iterations: int = 6,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart into the SEED set
+    (uniform over seeds), the standard KG entity-relatedness primitive —
+    "which entities matter most from the perspective of these?".
+
+    Recurrence per iteration (r(v) = 1/|seeds| for seeds, else 0):
+        rank'(v) = (1-d)·r(v) + d·dangling·r(v) + d·Σ_{u→v} rank(u)/out(u)
+    Initial rank = r. Fixed iterations keep it deterministic and
+    oracle-expressible (unrolled DuckDB recurrence, like pagerank's).
+    Same scale shape as :func:`pagerank`: edges normalized and
+    materialized once, each iteration is one shuffle join + one
+    partial-agged groupBy + a scalar dangling aggregate with a
+    materialize barrier. Seeds outside the graph are ignored.
+    """
+    spark = edges.sparkSession
+    if not isinstance(seeds, DataFrame):
+        seeds = spark.createDataFrame([(int(s),) for s in seeds], "node long")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = materialize(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds_in = materialize(seeds.select("node").distinct().join(nodes, "node"))
+    ns = seeds_in.count()
+    if ns == 0:
+        raise ValueError("no seed nodes present in the graph")
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    w_edges = materialize(
+        e.join(out_deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+        )
+    )
+    has_out = w_edges.select(F.col("src").alias("node")).distinct()
+    flagged = materialize(
+        nodes.join(
+            seeds_in.withColumn("_s", F.lit(1)), "node", "left"
+        ).select("node", F.coalesce("_s", F.lit(0)).alias("is_seed"))
+    )
+    ranks = materialize(
+        flagged.select(
+            "node",
+            F.when(F.col("is_seed") == 1, F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
+    )
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            w_edges.join(ranks, w_edges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+        )
+        base_seed = (1.0 - damping) / ns + damping * dangling / ns
+        ranks = materialize(
+            flagged.join(contrib, flagged["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed") == 1, F.lit(base_seed))
+                    .otherwise(F.lit(0.0))
                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("rank"),
             )

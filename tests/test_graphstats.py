@@ -192,3 +192,52 @@ class TestKhop:
         b = sorted(map(tuple, khop_reachability(
             tiny_edges.repartition(5), [1], k=3).collect()))
         assert a == b
+
+
+class TestPPR:
+    def test_vs_numpy_recurrence(self, spark, tiny_edges):
+        import numpy as np
+
+        from kg.graphstats import personalized_pagerank
+
+        edges = [(1, 2), (1, 3), (2, 3), (3, 1), (2, 4)]
+        seeds, iters, d = [1], 6, 0.85
+        nodes = sorted({u for e in edges for u in e})
+        idx = {u: i for i, u in enumerate(nodes)}
+        n = len(nodes)
+        r = np.zeros(n)
+        for s in seeds:
+            r[idx[s]] = 1.0 / len(seeds)
+        rank = r.copy()
+        out = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+        for _ in range(iters):
+            dang = sum(rank[idx[u]] for u in nodes if out[u] == 0)
+            nxt = (1 - d) * r + d * dang * r
+            for a, b in edges:
+                nxt[idx[b]] += d * rank[idx[a]] / out[a]
+            rank = nxt
+        got = {row["node"]: row["rank"]
+               for row in personalized_pagerank(
+                   tiny_edges, seeds, iterations=iters).collect()}
+        for u in nodes:
+            assert abs(got[u] - rank[idx[u]]) < 1e-8, u
+        # mass conservation: total rank stays 1
+        assert abs(sum(got.values()) - 1.0) < 1e-8
+
+    def test_seed_locality(self, spark):
+        # two disconnected triangles; seeding in one leaves the other at 0
+        from kg.graphstats import personalized_pagerank
+
+        tri = lambda o: [(o, o + 1), (o + 1, o + 2), (o + 2, o)]  # noqa
+        edges = spark.createDataFrame(
+            tri(1) + tri(10), "src long, dst long")
+        got = {r["node"]: r["rank"]
+               for r in personalized_pagerank(edges, [1]).collect()}
+        assert all(got[n] == 0.0 for n in (10, 11, 12))
+        assert all(got[n] > 0.0 for n in (1, 2, 3))
+
+    def test_no_seeds_raises(self, spark, tiny_edges):
+        from kg.graphstats import personalized_pagerank
+
+        with pytest.raises(ValueError):
+            personalized_pagerank(tiny_edges, [999])
