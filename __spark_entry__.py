@@ -883,6 +883,87 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clustering, EXACT by pigeonhole (hamming <= 3
+    with 4 bands: one band must match, so banding loses no pair); the
+    oracle recomputes the all-pairs Hamming clustering with no banding.
+    Cap above corpus size = the exact-equality contract config."""
+    from kg.ops.dedup import simhash_near_dup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dup(
+        docs, max_hamming=3, n_bands=4, max_bucket=1_000_000_000
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
+def _simhash_near_dup_oracle_sql(max_hamming: int = 3,
+                                 rounds: int = 8) -> str:
+    """All-pairs Hamming clustering oracle (no banding anywhere): same
+    simhash computation as doc_simhash, identical-sim collapse, exact
+    bit_count(xor) edges, min-label + pointer-jumping closure."""
+    cte = [r"""
+WITH w AS (
+  SELECT doc_id, list_distinct(
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS words
+  FROM documents
+), wh AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(words)), 1, 16))::UBIGINT AS h
+  FROM w
+), votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) bs
+  GROUP BY doc_id, b
+), sims AS (
+  SELECT doc_id,
+    sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS sim
+  FROM votes GROUP BY doc_id
+), s AS MATERIALIZED (
+  SELECT w.doc_id, coalesce(sims.sim, 0)::UBIGINT AS sim
+  FROM w LEFT JOIN sims USING (doc_id)
+),
+rep_of AS MATERIALIZED (SELECT sim, min(doc_id) AS rep FROM s GROUP BY sim),
+member AS MATERIALIZED (SELECT s.doc_id, r.rep FROM s JOIN rep_of r USING (sim)),
+reps AS MATERIALIZED (SELECT rep AS doc_id, sim FROM rep_of),
+edges AS MATERIALIZED (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM reps a, reps b
+  WHERE a.doc_id < b.doc_id"""
+        + f" AND bit_count(xor(a.sim, b.sim)) <= {max_hamming}\n),"
+        + """
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label FROM reps)"""]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        cte.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT n.node, min(least(n.label, coalesce(l.label, n.label))) AS label
+  FROM {prev} n
+  LEFT JOIN sym e ON e.src = n.node
+  LEFT JOIN {prev} l ON l.node = e.dst
+  GROUP BY n.node
+),
+l{i} AS MATERIALIZED (SELECT a.node, b.label FROM p{i} a JOIN p{i} b ON a.label = b.node)""")
+        prev = f"l{i}"
+    cte.append(f""",
+rep_comp AS (
+  SELECT r.doc_id AS rep, coalesce(c.label, r.doc_id) AS component
+  FROM reps r LEFT JOIN {prev} c ON r.doc_id = c.node
+),
+membered AS (
+  SELECT m.doc_id, rc.component FROM member m JOIN rep_comp rc USING (rep)
+),
+keep AS (SELECT component, min(doc_id) AS keep_id FROM membered GROUP BY component)
+SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
+  CAST(m.component AS BIGINT) AS component,
+  CAST(k.keep_id AS BIGINT) AS keep_id
+FROM membered m JOIN keep k USING (component)""")
+    return "".join(cte)
+
+
 def q_kg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental KG maintenance: crawl 2 re-fetches a url subset; ONLY
     those pages are re-extracted and their triples replace the old ones
@@ -1757,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "stream_interval_join": q_stream_interval_join,
         "kg_incremental_refresh": q_kg_incremental_refresh,
+        "doc_simhash_near_dup": q_doc_simhash_near_dup,
         "media_metadata": q_media_metadata,
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
@@ -2558,6 +2640,7 @@ FROM events GROUP BY 2, 3
 FROM events GROUP BY event_type"""
         for p in _q_probs
     )
+    d["doc_simhash_near_dup"] = _simhash_near_dup_oracle_sql(3)
     d["kg_incremental_refresh"] = f"""
 WITH g AS (SELECT url, subj, pred, obj
            FROM '{FIX}/expected_triples_tiny.parquet'),

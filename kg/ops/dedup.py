@@ -405,6 +405,70 @@ def simhash_band_candidates(
     )
 
 
+def simhash_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """End-to-end SimHash near-dup clustering: simhash → capped band
+    blocking → exact Hamming verification → connected components.
+    Returns (doc_id, component, keep_id) like :func:`minhash_near_dup`.
+
+    EXACT by pigeonhole when ``max_hamming < n_bands``: a pair differing
+    in at most n_bands-1 bit positions cannot touch all n_bands bands,
+    so at least one 64/n_bands-bit band is bit-identical and the pair IS
+    a blocking candidate — banding loses no recall (unlike MinHash
+    banding, which is probabilistic). The only recall trade is the
+    bucket cap (dropped buckets are the skew guard; set the cap above
+    the corpus size for exact-equality configs — the contract query
+    does, and its DuckDB oracle recomputes the all-pairs Hamming
+    clustering with no banding anywhere).
+
+    Identical simhashes collapse to one representative before blocking
+    (hamming 0 pairs cluster by construction, immune to the cap), the
+    same exact-dup collapse minhash_near_dup applies to token sets.
+    """
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError("exactness requires 0 <= max_hamming < n_bands")
+    sim = simhash(docs, id_col=id_col)
+    rep_of = sim.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    membership = materialize(
+        sim.join(rep_of, "simhash").select("doc_id", "rep", "simhash")
+    )
+    reps = materialize(
+        membership.where(F.col("doc_id") == F.col("rep")).select(
+            "doc_id", "simhash"
+        )
+    )
+    cand = simhash_band_candidates(reps, n_bands=n_bands,
+                                   max_bucket=max_bucket)
+    sa = reps.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_ha"))
+    sb = reps.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_hb"))
+    edges = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .where(
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            <= max_hamming
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comps = connected_components(edges)
+    rep_comp = reps.select("doc_id").join(
+        comps, F.col("doc_id") == comps.node, "left"
+    ).select(
+        F.col("doc_id").alias("rep"),
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+    membered = membership.join(rep_comp, "rep").select("doc_id", "component")
+    keep = membered.groupBy("component").agg(F.min("doc_id").alias("keep_id"))
+    return membered.join(keep, "component").select(
+        "doc_id", "component", "keep_id"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     candidates: DataFrame,

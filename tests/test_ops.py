@@ -375,3 +375,62 @@ def test_simhash_band_cap_drops_oversized_buckets(spark):
     # the 6-doc boilerplate bucket is dropped in every band; the small pair
     # survives — candidate volume is bounded, recall is band-local only
     assert capped == {(10, 11)}
+
+
+def test_simhash_near_dup_exact_by_pigeonhole(spark):
+    """Banded clustering == brute-force all-pairs Hamming clustering when
+    max_hamming < n_bands (pigeonhole: some band must match), on a corpus
+    with exact dups, near dups, and unrelated docs."""
+    from kg.ops.dedup import simhash_near_dup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                          # exact dup of 1
+        (3, base + " lambda"),              # near dup
+        (4, "totally different words entirely unrelated content here"),
+        (5, ""),                            # empty -> simhash 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["component"], r["keep_id"])
+           for r in simhash_near_dup(
+               docs, max_hamming=3, n_bands=4,
+               max_bucket=10**6).collect()}
+    # brute force in Python over the same simhashes
+    from kg.ops.dedup import simhash as _sh
+
+    sims = {r["doc_id"]: r["simhash"] for r in _sh(docs).collect()}
+    import itertools
+
+    parent = {d: d for d in sims}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(sims), 2):
+        if bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1") <= 3:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for d in sims:
+        comp = find(d)
+        expect.setdefault(comp, []).append(d)
+    want = {}
+    for comp, members in expect.items():
+        for m in members:
+            want[m] = (min(members), min(members))
+    assert got == want
+    assert got[1] == got[2]  # exact dups always together
+
+
+def test_simhash_near_dup_rejects_lossy_config(spark):
+    from kg.ops.dedup import simhash_near_dup
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_near_dup(docs, max_hamming=4, n_bands=4)
