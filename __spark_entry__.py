@@ -483,7 +483,11 @@ def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.cc import connected_components
 
     edges = spark.read.parquet(f"{FIX}/edges.parquet")
-    return connected_components(edges).select(
+    # local_threshold=0 forces the DISTRIBUTED large-star/small-star path:
+    # this contract query is the iterative algorithm's oracle coverage
+    # (the small-graph union-find fast path is pinned separately in
+    # tests/test_graph_stages.py local==distributed equality)
+    return connected_components(edges, local_threshold=0).select(
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
     )

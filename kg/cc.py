@@ -67,12 +67,50 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def _local_cc(spark, pairs) -> DataFrame:
+    """Driver-side union-find for small edge sets. Identical output
+    contract to the distributed path (component = min node id)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component id
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node long, component long")
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, local_threshold: int = 200_000
+) -> DataFrame:
     """edges(src: long, dst: long) -> (node: long, component: long).
 
     component is the minimum node id in the component. Only nodes that appear
     in the edge list are returned; callers attach isolated nodes with a left
     join + coalesce(component, node).
+
+    Small-graph fast path: when the (symmetrized, deduped) edge count is
+    <= ``local_threshold``, the component computation runs as driver-side
+    union-find over one collect — the blocking+verify pipelines routinely
+    reduce millions of candidates to a few hundred true edges, where
+    large-star/small-star's per-iteration shuffle+materialize barriers are
+    pure overhead (measured ~20s for a 323-edge graph at local[32]). The
+    output contract is identical; pass ``local_threshold=0`` to force the
+    distributed path (the graph_connected_components contract query does,
+    so the iterative algorithm keeps its own oracle coverage).
     """
     current = materialize(_symmetrize(edges))
     if current.isEmpty():
@@ -80,6 +118,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         return spark.createDataFrame([], "node long, component long")
 
     n_current = current.count()
+    if n_current <= local_threshold:
+        return _local_cc(
+            edges.sparkSession,
+            [(r["src"], r["dst"]) for r in current.collect()],
+        )
     for _ in range(max_iter):
         after_large = _large_star(current)
         after_small = materialize(_small_star(after_large))

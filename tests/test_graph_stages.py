@@ -111,3 +111,29 @@ def test_canonicalize_recovers_alias_groups(spark, alias_sdf):
     acme = [r for r in got if "Acme Corp" in r["aliases"]][0]
     assert acme["canonical"] == "Acme Corporation"
     assert acme["n_aliases"] >= 3
+
+
+def test_cc_local_fastpath_equals_distributed(spark):
+    """The union-find fast path and the large-star/small-star path must
+    produce identical (node, component) sets — checked on a seeded random
+    graph with chains, cliques, and isolated pairs."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(180)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = sorted(map(tuple, connected_components(df).collect()))
+    dist = sorted(
+        map(tuple, connected_components(df, local_threshold=0).collect())
+    )
+    assert local == dist
+
+
+def test_cc_threshold_boundary(spark):
+    # exactly at the threshold -> local path; just below threshold forces
+    # distributed; both agree
+    df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "src long, dst long")
+    a = sorted(map(tuple, connected_components(df, local_threshold=6).collect()))
+    b = sorted(map(tuple, connected_components(df, local_threshold=5).collect()))
+    assert a == b == [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)]
