@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kg.cc import connected_components
-from kg.ops.dedup import jaccard_verified_edges, minhash_band_candidates
+from kg.ops.dedup import (
+    jaccard_verified_edges,
+    minhash_band_candidates,
+    minhash_signatures,
+)
+from kg.session import materialize
 
 __all__ = ["canonicalize_aliases"]
 
@@ -73,17 +78,24 @@ def canonicalize_aliases(
         )
         .drop("_raw_tokens", "_sig_tokens")
     )
-    from kg.session import materialize
-
     uniq = materialize(uniq)  # reused 4x below; cut lineage once
 
     toksets = uniq.select("node", F.array_distinct("tokens").alias("tokset"))
+    # one signature computation feeds blocking AND the verify estimate
+    # gate (margin 0.3 under a 0.30 threshold => gate at est >= 0: it only
+    # prunes zero-agreement pairs here, which is correct — short alias
+    # token sets make the estimate coarse, so the exact verify does the
+    # real work; the shared signatures still save a full recompute)
+    sigs = materialize(
+        minhash_signatures(toksets, id_col="node", tok_col="tokset", k=k)
+    )
     cands = minhash_band_candidates(
         toksets, id_col="node", tok_col="tokset",
-        k=k, bands=bands, max_bucket=max_bucket,
+        k=k, bands=bands, max_bucket=max_bucket, signatures=sigs,
     )
     edges = jaccard_verified_edges(
-        toksets, cands, min_jaccard, id_col="node", tok_col="tokset"
+        toksets, cands, min_jaccard, id_col="node", tok_col="tokset",
+        signatures=sigs, est_margin=0.3,
     )
 
     comps = connected_components(edges)
