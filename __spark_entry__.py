@@ -887,6 +887,16 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card (docs / exact-dup rate / mean
+    quality / language mode) — the composed rollup every curation run
+    ends with; single text scan + two aggregations."""
+    from kg.ops.textstats import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_report(docs)
+
+
 def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup clustering, EXACT by pigeonhole (hamming <= 3
     with 4 bands: one band must match, so banding loses no pair); the
@@ -1843,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "kg_incremental_refresh": q_kg_incremental_refresh,
         "doc_simhash_near_dup": q_doc_simhash_near_dup,
+        "corpus_report": q_corpus_report,
         "media_metadata": q_media_metadata,
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
@@ -2645,6 +2656,46 @@ FROM events GROUP BY event_type"""
         for p in _q_probs
     )
     d["doc_simhash_near_dup"] = _simhash_near_dup_oracle_sql(3)
+    # composed rollup: the quality and lang-id oracles embed as CTE
+    # subqueries, so the report's oracle reuses the already-verified
+    # per-doc semantics verbatim
+    d["corpus_report"] = f"""
+WITH q AS ({d["doc_quality"]}),
+l AS ({d["doc_lang_id"]}),
+h AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS th
+  FROM documents
+),
+k AS (SELECT th, min(doc_id) AS keep_id FROM h GROUP BY th),
+base AS (
+  SELECT h.source, h.doc_id, q.quality, l.lang_pred,
+         CASE WHEN h.doc_id <> k.keep_id THEN 1 ELSE 0 END AS is_dup
+  FROM h JOIN k USING (th)
+  JOIN q ON h.doc_id = q.doc_id JOIN l ON h.doc_id = l.doc_id
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         round(avg(quality), 4) AS avg_quality,
+         CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs
+  FROM base GROUP BY source
+),
+lc AS (SELECT source, lang_pred, count(*) AS c FROM base GROUP BY 1, 2),
+top AS (
+  SELECT source, lang_pred AS top_lang FROM (
+    SELECT source, lang_pred,
+           row_number() OVER (
+             PARTITION BY source ORDER BY c DESC, lang_pred DESC
+           ) AS rn
+    FROM lc
+  ) WHERE rn = 1
+)
+SELECT a.source, a.n_docs, a.n_dups,
+       round(CAST(a.n_dups AS DOUBLE) / a.n_docs, 4) AS dup_rate,
+       a.avg_quality, a.n_langs, t.top_lang
+FROM agg a JOIN top t USING (source)
+"""
     d["kg_incremental_refresh"] = f"""
 WITH g AS (SELECT url, subj, pred, obj
            FROM '{FIX}/expected_triples_tiny.parquet'),

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # BPE-ish word-piece tokenization: word characters runs OR single non-space
 # symbols (the classic GPT-2-style pre-tokenizer shape, simplified).
@@ -45,10 +46,9 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Heuristic document-quality features + a composite score in [0, 1]:
-    penalizes very short docs, extreme punctuation density, and absence of
-    common-word (stopword) mass — the usual pre-training quality gates."""
+def _quality_cols() -> dict[str, Column]:
+    """Quality feature expressions keyed by output name — shared by
+    quality_score (per-doc table) and corpus_report (single-scan rollup)."""
     words = _words()
     n_words = F.size(words)
     n_chars = F.length("text")
@@ -68,19 +68,26 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         + 0.3 * (1.0 - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))),
         4,
     )
-    return docs.select(
-        id_col,
-        n_words.alias("n_words"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        mean_word_len.alias("mean_word_len"),
-        score.alias("quality"),
-    )
+    return {
+        "n_words": n_words,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_word_len": mean_word_len,
+        "quality": score,
+    }
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Stopword-marker language ID with a CJK fast path. Deterministic
-    tie-break: highest marker hits, then language code ascending."""
+def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + a composite score in [0, 1]:
+    penalizes very short docs, extreme punctuation density, and absence of
+    common-word (stopword) mass — the usual pre-training quality gates."""
+    cols = _quality_cols()
+    return docs.select(id_col, *[v.alias(k) for k, v in cols.items()])
+
+
+def _lang_cols() -> dict[str, Column]:
+    """Language-ID expressions keyed by output name — shared by lang_id
+    and corpus_report."""
     words = _words()
 
     def _marker_hits(markers: list[str]) -> Column:
@@ -101,9 +108,14 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .when(best["hits"] > 0, best["lang"])
         .otherwise(F.lit("unknown"))
     )
-    return docs.select(
-        id_col, pred.alias("lang_pred"), best["hits"].alias("marker_hits")
-    )
+    return {"lang_pred": pred, "marker_hits": best["hits"]}
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID with a CJK fast path. Deterministic
+    tie-break: highest marker hits, then language code ascending."""
+    cols = _lang_cols()
+    return docs.select(id_col, *[v.alias(k) for k, v in cols.items()])
 
 
 def winnow_fingerprint(
@@ -248,4 +260,56 @@ def corpus_filter(
         id_col,
         (F.size(reasons) == 0).alias("keep"),
         F.concat_ws(",", reasons).alias("reasons"),
+    )
+
+
+def corpus_report(
+    docs: DataFrame, id_col: str = "doc_id", group_col: str = "source"
+) -> DataFrame:
+    """Per-group corpus report card — the summary table every curation
+    run ends with: (group, n_docs, n_dups, dup_rate, avg_quality,
+    n_langs, top_lang).
+
+    Scale shape: ONE scan of the text column computes quality, language,
+    and the exact-dup hash side by side (the expression builders are
+    shared with quality_score/lang_id, so this does not re-scan per
+    feature); then one text-hash shuffle (dup groups), one group shuffle
+    (the rollup), and a (group, lang) mini-aggregation joined back for
+    the deterministic language mode (ties -> lexicographically last).
+    """
+    from kg.ops.dedup import _norm_text
+
+    per_doc = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        _quality_cols()["quality"].alias("_q"),
+        _lang_cols()["lang_pred"].alias("_lang"),
+        F.md5(_norm_text()).alias("_th"),
+    )
+    per_doc = per_doc.withColumn(
+        "_keep", F.min("_id").over(Window.partitionBy("_th"))
+    ).withColumn("_is_dup", (F.col("_id") != F.col("_keep")).cast("int"))
+    agg = per_doc.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_is_dup").cast("long").alias("n_dups"),
+        F.round(F.avg("_q"), 4).alias("avg_quality"),
+        F.countDistinct("_lang").cast("long").alias("n_langs"),
+    )
+    lc = per_doc.groupBy("_g", "_lang").agg(F.count("*").alias("_c"))
+    top = (
+        lc.groupBy("_g")
+        .agg(F.max(F.struct(F.col("_c"), F.col("_lang"))).alias("_t"))
+        .select("_g", F.col("_t._lang").alias("top_lang"))
+    )
+    return (
+        agg.join(top, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_docs",
+            "n_dups",
+            F.round(F.col("n_dups") / F.col("n_docs"), 4).alias("dup_rate"),
+            "avg_quality",
+            "n_langs",
+            "top_lang",
+        )
     )
