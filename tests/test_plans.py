@@ -162,3 +162,27 @@ def test_asof_join_exactly_one_shuffle(spark):
     p = _plan(asof_join(left, right, keys=["user_id"], right_cols=["value"]))
     assert p.count("Exchange") == 1
     assert "Join" not in p  # union+window, not a join
+
+
+def test_graph_table_partition_pruning(spark, tmp_path):
+    """The materialized graph is partitioned by (pred, url_hash_bucket);
+    a predicate on pred must prune at the scan (PartitionFilters), so a
+    single-relation query touches one partition directory, not the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    rows = [(p, b, i) for i, (p, b) in enumerate(
+        [("born_in", 0), ("born_in", 1), ("works_at", 0), ("ceo_of", 1)]
+    )]
+    df = spark.createDataFrame(rows, "pred string, url_hash_bucket int, x long")
+    out = str(tmp_path / "graph")
+    df.write.partitionBy("pred", "url_hash_bucket").parquet(out)
+
+    plan = _plan(
+        spark.read.parquet(out).where(F.col("pred") == "born_in")
+    )
+    assert "PartitionFilters: [isnotnull(pred" in plan or \
+        "PartitionFilters: [pred" in plan or "(pred" in plan.split(
+            "PartitionFilters:")[1].split("]")[0]
+    # and nothing of the filter leaks into the row-level data filters
+    assert "PushedFilters: []" in plan
