@@ -749,6 +749,31 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase picks up the user's NEXT click
+    at-or-after it (inclusive); oracle = DuckDB ASOF LEFT JOIN with the
+    comparison reversed."""
+    from kg.ops.temporal import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, keys=["user_id"], right_cols=["value"],
+        direction="forward",
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round("r_value", 6).alias("next_click_value"),
+        F.col("r_ts").alias("next_click_ts"),
+    )
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join via fixed-width bucket banding (hash
     equi-join plan, never a nested loop): purchases landing within 30
@@ -1844,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_bm25": q_doc_bm25,
         "events_asof_join": q_events_asof_join,
+        "events_asof_forward": q_events_asof_forward,
         "events_range_join": q_events_range_join,
         "events_time_rollup": q_events_time_rollup,
         "doc_kmv_distinct": q_doc_kmv_distinct,
@@ -2615,6 +2641,19 @@ SELECT CAST(p.event_id AS BIGINT) AS event_id,
        round(c.value, 6) AS click_value,
        c.ts AS click_ts
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+    d["events_asof_forward"] = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       round(c.value, 6) AS next_click_value,
+       c.ts AS next_click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
 """
     d["events_range_join"] = """
 WITH p AS (

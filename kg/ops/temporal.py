@@ -63,22 +63,29 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     tolerance_sec: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks up ``right_cols`` from
-    the latest right row with ``right.ts <= left.ts`` for the same key
-    (inclusive), or nulls if none (left-join semantics; DuckDB
-    ``ASOF LEFT JOIN`` equivalence is pinned by the contract oracle).
+    """As-of join: each left row picks up ``right_cols`` from the
+    closest right row for the same key — ``direction='backward'`` (the
+    default): the latest right with ``right.ts <= left.ts``;
+    ``direction='forward'``: the earliest right with ``right.ts >=
+    left.ts``. Both inclusive; unmatched left rows keep nulls
+    (left-join semantics; DuckDB ``ASOF LEFT JOIN`` equivalence is
+    pinned by the contract oracles).
 
-    ``tolerance_sec``: matches older than this horizon are nulled out
+    ``tolerance_sec``: matches farther than this horizon are nulled out
     (pandas ``merge_asof(tolerance=...)`` semantics) — applied as a
     post-filter on the carried match timestamp, so it changes no join
     shape.
 
     Ties: multiple right rows on the same (key, ts) resolve to the one
-    latest in (ts, row-order) — callers needing a total order should
+    closest in window order — callers needing a total order should
     dedupe the right side first (``upsert_latest``); the contract query
     uses a right side unique per (key, ts).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    fwd = direction == "forward"
     keys = list(keys)
     right_cols = list(right_cols)
     lcols = [c for c in left.columns if c not in keys]
@@ -98,11 +105,21 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         F.col(right_ts).alias("_r_ts"),
     )
-    # right rows sort BEFORE left rows at equal ts => backward-inclusive
+    # tag ordering makes equal-ts matches inclusive: backward sorts right
+    # BEFORE left (right at the same ts lands in the preceding frame);
+    # forward sorts left before right (same ts lands in the following
+    # frame, which is scanned with first() instead of last())
+    tag_order = -F.col("_is_left") if fwd else F.col("_is_left")
+    if fwd:
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        carry = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        carry = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts"), F.col("_is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col("_ts"), tag_order)
+        .rowsBetween(*frame)
     )
     carried = l_tag.unionByName(r_tag).select(
         *keys,
@@ -110,17 +127,16 @@ def asof_join(
         "_is_left",
         *lcols,
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            carry(f"_r_{c}").over(w).alias(f"_r_{c}")
             for c in right_cols
         ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_r_ts"),
+        carry("_r_ts").over(w).alias("_r_ts"),
     )
     out = carried.where(F.col("_is_left") == 1)
     if tolerance_sec is not None:
-        in_tol = (
-            _epoch_sec(F.col("_ts")) - _epoch_sec(F.col("_r_ts"))
-            <= F.lit(float(tolerance_sec))
-        )
+        gap = _epoch_sec(F.col("_r_ts")) - _epoch_sec(F.col("_ts")) if fwd \
+            else _epoch_sec(F.col("_ts")) - _epoch_sec(F.col("_r_ts"))
+        in_tol = gap <= F.lit(float(tolerance_sec))
         out = out.select(
             *keys,
             "_ts",

@@ -320,3 +320,67 @@ class TestAsofVsPandas:
             ).collect()
         }
         assert got == want
+
+
+class TestAsofForward:
+    def test_forward_inclusive(self, spark):
+        trades = spark.createDataFrame(
+            [(1, _ts(10), "t1"), (1, _ts(26), "t2"), (1, _ts(40), "t3")],
+            "k long, ts timestamp, tag string",
+        )
+        quotes = spark.createDataFrame(
+            [(1, _ts(10), 100.0), (1, _ts(25), 101.0), (1, _ts(30), 102.0)],
+            "k long, ts timestamp, px double",
+        )
+        out = {
+            r["tag"]: r["r_px"]
+            for r in asof_join(
+                trades, quotes, keys=["k"], right_cols=["px"],
+                direction="forward",
+            ).collect()
+        }
+        # t1 matches the ts-equal quote (inclusive); t2 the next at 30;
+        # t3 has nothing ahead
+        assert out == {"t1": 100.0, "t2": 102.0, "t3": None}
+
+    def test_matches_pandas_forward(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(13)
+        base = pd.Timestamp("2024-01-01").value // 1000
+        left = pd.DataFrame({
+            "k": rng.integers(0, 11, 400),
+            "ts": pd.to_datetime(base + rng.integers(0, 10**8, 400),
+                                 unit="us"),
+            "lid": np.arange(400),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, 11, 300),
+            "ts": pd.to_datetime(base + rng.integers(0, 10**8, 300),
+                                 unit="us"),
+            "px": rng.random(300).round(6),
+        }).drop_duplicates(["k", "ts"])
+        expect = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="k", direction="forward",
+        )
+        want = {
+            (r.k, r.lid): (None if pd.isna(r.px) else r.px)
+            for r in expect.itertuples()
+        }
+        got = {
+            (r["k"], r["lid"]): r["r_px"]
+            for r in asof_join(
+                spark.createDataFrame(left).repartition(5),
+                spark.createDataFrame(right).repartition(3),
+                keys=["k"], right_cols=["px"], direction="forward",
+            ).collect()
+        }
+        assert got == want
+
+    def test_bad_direction_raises(self, spark):
+        trades = spark.createDataFrame(
+            [(1, _ts(0), "x")], "k long, ts timestamp, tag string")
+        with pytest.raises(ValueError):
+            asof_join(trades, trades, keys=["k"], direction="nearest")
