@@ -912,6 +912,27 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals per (user, event_type) from the events
+    stream: valid_from/valid_to half-open versions with an is_current
+    flag (lead() over the key partition, event_id tie-break)."""
+    from kg.ops.merge import history_intervals
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = events.select("user_id", "event_type", "ts", "event_id", "value")
+    return history_intervals(
+        src, keys=["user_id", "event_type"], order_cols=["event_id"]
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round("value", 6).alias("value"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card (docs / exact-dup rate / mean
     quality / language mode) — the composed rollup every curation run
@@ -1880,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental_refresh": q_kg_incremental_refresh,
         "doc_simhash_near_dup": q_doc_simhash_near_dup,
         "corpus_report": q_corpus_report,
+        "events_history": q_events_history,
         "media_metadata": q_media_metadata,
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
@@ -2641,6 +2663,16 @@ SELECT CAST(p.event_id AS BIGINT) AS event_id,
        round(c.value, 6) AS click_value,
        c.ts AS click_ts
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+    d["events_history"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(event_id AS BIGINT) AS event_id,
+       round(value, 6) AS value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 """
     d["events_asof_forward"] = """
 WITH p AS (

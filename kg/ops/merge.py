@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["upsert_latest", "snapshot_diff"]
+__all__ = ["upsert_latest", "snapshot_diff", "history_intervals"]
 
 
 def upsert_latest(
@@ -90,3 +90,34 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(*keys, status.alias("status"))
+
+
+def history_intervals(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts: str = "ts",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """SCD2-style validity intervals from a change-event stream: each
+    event's attributes are valid from its own timestamp until the key's
+    next event (``valid_to`` null for the open, current version;
+    ``is_current`` flags it).
+
+    This is how a KG tracks entity-attribute history across crawls: feed
+    it the per-crawl snapshots' change rows and as-of join consumers
+    against the intervals (or use kg.ops.temporal.asof_join directly on
+    the raw events). One shuffle on the key; the lead() window reuses the
+    groupBy partitioning. ``order_cols`` breaks timestamp ties
+    deterministically (e.g. an event id).
+    """
+    keys = list(keys)
+    order = [F.col(ts), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = events.withColumn("_valid_to", F.lead(ts).over(w))
+    return out.select(
+        *keys,
+        *[c for c in events.columns if c not in keys and c != ts],
+        F.col(ts).alias("valid_from"),
+        F.col("_valid_to").alias("valid_to"),
+        F.col("_valid_to").isNull().alias("is_current"),
+    )

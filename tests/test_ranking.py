@@ -135,3 +135,28 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, None)], "id long, s string")
         got = snapshot_diff(old, new, ["id"], ["s"]).collect()
         assert got[0]["status"] == "unchanged"
+
+
+class TestHistoryIntervals:
+    def test_versions_chain_and_current_flag(self, spark):
+        import datetime as dt
+
+        from kg.ops.merge import history_intervals
+
+        t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa
+        rows = [
+            (1, t(0), 10, "a"), (1, t(10), 11, "b"), (1, t(20), 12, "c"),
+            (2, t(5), 20, "x"),
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, ts timestamp, eid long, v string")
+        got = {
+            r["eid"]: (r["valid_from"], r["valid_to"], r["is_current"])
+            for r in history_intervals(
+                df, keys=["k"], order_cols=["eid"]).collect()
+        }
+        assert got[10] == (t(0), t(10), False)
+        assert got[11] == (t(10), t(20), False)
+        assert got[12] == (t(20), None, True)
+        assert got[20] == (t(5), None, True)
+        # intervals chain: each version's valid_to is the next valid_from
