@@ -1157,6 +1157,36 @@ def q_parts_never_shipped_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query authored through the
+    spark.sql SURFACE (temp views + ANSI SQL) rather than the DataFrame
+    API — pinning that the SQL entry point plans identically (Catalyst
+    sees one logical plan either way; the oracle is the same SQL in
+    DuckDB)."""
+    for t in ("customer", "orders", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(
+            f"sql_{t}"
+        )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey AS orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue,
+               o.o_orderdate AS orderdate,
+               o.o_orderpriority AS orderpriority
+        FROM sql_customer c
+        JOIN sql_orders o ON c.c_custkey = o.o_custkey
+        JOIN sql_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND l.l_shipdate > DATE '1995-03-15'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, orderkey
+        LIMIT 10
+        """
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -1896,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kmv_distinct": q_doc_kmv_distinct,
         "events_value_quantiles": q_events_value_quantiles,
         "tpch_rollup": q_tpch_rollup,
+        "tpch_shipping_priority": q_tpch_shipping_priority,
         "events_pivot": q_events_pivot,
         "stream_interval_join": q_stream_interval_join,
         "kg_incremental_refresh": q_kg_incremental_refresh,
@@ -2777,6 +2808,21 @@ WHERE h NOT IN ('c','d','e','f')
 UNION ALL
 SELECT url, subj, pred, obj FROM b
 WHERE h NOT IN ('0','1','2','3','4','5','6','7')
+"""
+    d["tpch_shipping_priority"] = """
+SELECT CAST(o.o_orderkey AS BIGINT) AS orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 10
 """
     d["events_pivot"] = """
 SELECT CAST(user_id AS BIGINT) AS user_id,
