@@ -825,7 +825,7 @@ def q_doc_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.sketch import kmv_distinct
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return kmv_distinct(docs, ["lang"], "text", k=64)
+    return kmv_distinct(docs, ["lang"], "text", k=64, n_shards=8)
 
 
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

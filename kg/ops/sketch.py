@@ -47,6 +47,7 @@ def kmv_distinct(
     group_cols: Sequence[str],
     value_col: str,
     k: int = 256,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Per-group KMV (bottom-k) distinct-count estimate.
 
@@ -59,10 +60,15 @@ def kmv_distinct(
       else n_seen; rounded to 6 places.
 
     Shape: project to (group, hash) -> groupBy collecting
-    ``array_sort(collect_set)`` truncated to K via slice. Partial
-    aggregation keeps map-side state at <= |values per partition|;
-    at extreme scale swap the collect_set for a two-level
-    min-k-of-min-k (groupBy twice) — same estimate, same oracle.
+    ``array_sort(collect_set)`` truncated to K via slice. With
+    ``n_shards=1`` the aggregation state grows with per-group distinct
+    values before the slice; ``n_shards>1`` switches to the TWO-LEVEL
+    min-k-of-min-k — a first groupBy on (group, hash mod n_shards)
+    keeps each aggregation's input to ~distinct/n_shards values, then a
+    second pass merges the per-shard bottom-k arrays. The result is
+    IDENTICAL (any global bottom-k element is in its shard's bottom-k;
+    shards partition distinct hashes disjointly), so the same oracle
+    checks both; the contract query runs the two-level path.
     """
     groups = list(group_cols)
     h = F.conv(
@@ -70,13 +76,24 @@ def kmv_distinct(
         16,
         10,
     ).cast("long")
-    sk = (
-        df.select(*groups, h.alias("_h"))
-        .groupBy(*groups)
-        .agg(
+    base = df.select(*groups, h.alias("_h"))
+    if n_shards > 1:
+        partial = base.groupBy(
+            *groups, F.pmod("_h", F.lit(n_shards)).alias("_shard")
+        ).agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_pm"))
+        sk = (
+            partial.select(*groups, F.explode("_pm").alias("_h"))
+            .groupBy(*groups)
+            .agg(
+                F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias(
+                    "_mins"
+                )
+            )
+        )
+    else:
+        sk = base.groupBy(*groups).agg(
             F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins")
         )
-    )
     n_seen = F.size("_mins")
     kth = F.element_at("_mins", n_seen)
     est = F.when(

@@ -384,3 +384,15 @@ class TestAsofForward:
             [(1, _ts(0), "x")], "k long, ts timestamp, tag string")
         with pytest.raises(ValueError):
             asof_join(trades, trades, keys=["k"], direction="nearest")
+
+
+class TestKMVTwoLevel:
+    def test_two_level_equals_single_level(self, spark):
+        df = spark.createDataFrame(
+            [(f"g{i % 3}", f"value-{i % 700}") for i in range(3000)],
+            "g string, v string",
+        ).repartition(11)
+        one = sorted(map(tuple, kmv_distinct(df, ["g"], "v", k=64).collect()))
+        two = sorted(map(tuple, kmv_distinct(
+            df, ["g"], "v", k=64, n_shards=8).collect()))
+        assert one == two
