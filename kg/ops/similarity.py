@@ -266,6 +266,111 @@ def ann_lsh_topk(
     )
 
 
+def _unit_vectors(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vid, unit) L2-normalized vectors; zero vectors dropped."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("arr"),
+    ).withColumn("nrm", _norm_col("arr")).where(F.col("nrm") > 0)
+    return base.withColumn(
+        "unit", F.transform("arr", lambda x: x / F.col("nrm"))
+    ).select("vid", "unit")
+
+
+def _ivf_fit(
+    embeddings: DataFrame, n_lists: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the IVF coarse quantizer (seeded k-means on unit vectors).
+    Returns (assignments(vid, unit, list_id), centroids(probe_list,
+    centroid)) — shared by the one-shot ann_ivf_topk and the persisted
+    build_ivf_index/ann_ivf_search pair."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = _unit_vectors(embeddings, id_col, vec_col)
+    feats = unit.withColumn("fv", array_to_vector("unit"))
+    model = KMeans(
+        k=n_lists, seed=11, featuresCol="fv", predictionCol="list_id"
+    ).fit(feats)
+    assigned = model.transform(feats).select("vid", "unit", "list_id")
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        "probe_list int, centroid array<double>",
+    )
+    return assigned, cents
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST an IVF index: ``{path}/centroids`` (n_lists
+    rows) and ``{path}/lists`` — unit vectors written partitioned BY
+    list_id, so a later probe's `list_id IN (...)` filter prunes at the
+    parquet scan and reads only its n_probe partition directories (the
+    inverted-list seek, as partition pruning). Build once per corpus
+    snapshot (one k-means fit + one assignment pass); serve many query
+    batches with :func:`ann_ivf_search` without refitting."""
+    assigned, cents = _ivf_fit(embeddings, n_lists, id_col, vec_col)
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+        f"{path}/lists"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` index with an arbitrary query
+    table — queries need not come from the indexed corpus. Same output
+    shape as the other top-k functions: (query_id, neighbor_id, rank).
+    Self-matches (same id) are excluded, mirroring ann_ivf_topk."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists")
+    q = _unit_vectors(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("unit").alias("qunit")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cdot", dot_product_col("qunit", "centroid"))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("cdot"), F.asc("probe_list")
+                )
+            ),
+        )
+        .where(F.col("probe_rank") <= n_probe)
+        .select("qid", "qunit", F.col("probe_list").alias("list_id"))
+    )
+    cands = probed.join(lists, "list_id").where(F.col("qid") != F.col("vid"))
+    scored = cands.withColumn("cos", dot_product_col("qunit", "unit"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            "rank",
+        )
+    )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -293,27 +398,7 @@ def ann_ivf_topk(
     Output: (query_id, neighbor_id, rank) — same shape as the brute-force
     baseline so recall is directly measurable.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    base = embeddings.select(
-        F.col(id_col).cast("long").alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("arr"),
-    ).withColumn("nrm", _norm_col("arr")).where(F.col("nrm") > 0)
-    unit = base.withColumn(
-        "unit", F.transform("arr", lambda x: x / F.col("nrm"))
-    ).select("vid", "unit")
-    feats = unit.withColumn("fv", array_to_vector("unit"))
-    model = KMeans(
-        k=n_lists, seed=11, featuresCol="fv", predictionCol="list_id"
-    ).fit(feats)
-    assigned = model.transform(feats).select("vid", "unit", "list_id")
-
-    spark = embeddings.sparkSession
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "probe_list int, centroid array<double>",
-    )
+    assigned, cents = _ivf_fit(embeddings, n_lists, id_col, vec_col)
     q = assigned.select(
         F.col("vid").alias("qid"), F.col("unit").alias("qunit"), "list_id"
     )

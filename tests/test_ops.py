@@ -434,3 +434,30 @@ def test_simhash_near_dup_rejects_lossy_config(spark):
 
     with _pytest.raises(ValueError):
         simhash_near_dup(docs, max_hamming=4, n_bands=4)
+
+
+def test_ivf_index_build_search_matches_oneshot(spark, embeddings, tmp_path):
+    """A persisted IVF index probed by ann_ivf_search returns exactly the
+    one-shot ann_ivf_topk results (same seeded quantizer), and the lists
+    table is partitioned by list_id so probes prune at the scan."""
+    from kg.ops.similarity import (
+        ann_ivf_search,
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, idx, n_lists=8)
+    queries = embeddings.where(F.col("vec_id") < 30)
+    got = sorted(map(tuple, ann_ivf_search(
+        spark, idx, queries, k=5, n_probe=3).collect()))
+    want = sorted(map(tuple, ann_ivf_topk(
+        embeddings, k=5, n_lists=8, n_probe=3,
+        query_filter=F.col("qid") < 30).collect()))
+    assert got == want
+    # layout: one directory per inverted list
+    import pathlib
+
+    dirs = {p.name for p in pathlib.Path(idx, "lists").iterdir()
+            if p.is_dir()}
+    assert all(d.startswith("list_id=") for d in dirs) and len(dirs) == 8
