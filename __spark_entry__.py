@@ -2766,7 +2766,8 @@ WITH q AS ({d["doc_quality"]}),
 l AS ({d["doc_lang_id"]}),
 h AS (
   SELECT doc_id, source,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS th
+         md5(coalesce(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      '')) AS th
   FROM documents
 ),
 k AS (SELECT th, min(doc_id) AS keep_id FROM h GROUP BY th),

@@ -76,7 +76,11 @@ def kmv_distinct(
         16,
         10,
     ).cast("long")
-    base = df.select(*groups, h.alias("_h"))
+    # explicit null semantics: null values are NOT a distinct value
+    # (matches the oracle's WHERE value IS NOT NULL)
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *groups, h.alias("_h")
+    )
     if n_shards > 1:
         partial = base.groupBy(
             *groups, F.pmod("_h", F.lit(n_shards)).alias("_shard")
@@ -122,6 +126,7 @@ WITH hashed AS (
          ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1,
                          {_HEX_DIGITS}))::BIGINT AS h
   FROM {table_expr}
+  WHERE {value_expr} IS NOT NULL
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY {groups} ORDER BY h) AS rn

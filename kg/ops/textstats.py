@@ -284,7 +284,9 @@ def corpus_report(
         F.col(group_col).alias("_g"),
         _quality_cols()["quality"].alias("_q"),
         _lang_cols()["lang_pred"].alias("_lang"),
-        F.md5(_norm_text()).alias("_th"),
+        # coalesce: a null text hashes like the empty doc in BOTH engines
+        # (md5(null) is null, and SQL null-joins would silently drop rows)
+        F.md5(F.coalesce(_norm_text(), F.lit(""))).alias("_th"),
     )
     per_doc = per_doc.withColumn(
         "_keep", F.min("_id").over(Window.partitionBy("_th"))

@@ -396,3 +396,24 @@ class TestKMVTwoLevel:
         two = sorted(map(tuple, kmv_distinct(
             df, ["g"], "v", k=64, n_shards=8).collect()))
         assert one == two
+
+
+class TestNullSemantics:
+    def test_kmv_ignores_null_values(self, spark):
+        df = spark.createDataFrame(
+            [("g", "a"), ("g", None), ("g", "b"), ("g", None)],
+            "g string, v string",
+        )
+        r = kmv_distinct(df, ["g"], "v", k=16).first()
+        assert (r["n_seen"], r["est_distinct"]) == (2, 2.0)
+
+    def test_corpus_report_null_text_counts_as_empty(self, spark):
+        from kg.ops.textstats import corpus_report
+
+        df = spark.createDataFrame(
+            [(1, None, "s"), (2, None, "s"), (3, "real text here ok", "s")],
+            "doc_id long, text string, source string",
+        )
+        r = corpus_report(df).first()
+        # both null docs hash to the empty doc: one keeper, one dup
+        assert (r["n_docs"], r["n_dups"]) == (3, 1)
