@@ -139,7 +139,7 @@ def bm25_search(
     # two scalar aggregates, computed once per query batch in practice
     lens = p.groupBy("doc").agg(F.sum("tf").alias("dl"))
     n_docs = docs.count()
-    avgdl = lens.agg(F.avg("dl")).first()[0]
+    avgdl = lens.agg(F.avg("dl")).first()[0] or 1.0  # empty corpus guard
 
     hits = p.where(F.col("term").isin(qs))
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
