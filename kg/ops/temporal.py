@@ -244,6 +244,11 @@ def time_rollup(
     coarse grains do not accumulate rounding error).
     """
     dims = list(dims)
+    unknown = [g for g in grains if g not in _GRAINS]
+    if unknown:
+        raise ValueError(
+            f"unknown grains {unknown}; supported: {sorted(_GRAINS)}"
+        )
     order = sorted(set(grains), key=lambda g: _GRAINS[g])
     if list(grains) != order:
         raise ValueError(f"grains must be finest->coarsest: {order}")
