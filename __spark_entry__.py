@@ -933,6 +933,18 @@ def q_events_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 related documents per doc by token-set Jaccard >= 0.5 over
+    capped banded-MinHash candidates; 64 single-hash bands put the
+    per-pair miss below 6e-20 at the threshold, so the oracle is the
+    exact all-pairs computation."""
+    from kg.ops.dedup import similar_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return similar_topk(docs, k=5, min_jaccard=0.5,
+                        max_bucket=1_000_000_000)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card (docs / exact-dup rate / mean
     quality / language mode) — the composed rollup every curation run
@@ -1932,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental_refresh": q_kg_incremental_refresh,
         "doc_simhash_near_dup": q_doc_simhash_near_dup,
         "corpus_report": q_corpus_report,
+        "doc_similar_topk": q_doc_similar_topk,
         "events_history": q_events_history,
         "media_metadata": q_media_metadata,
         "media_frame_sample": q_media_frame_sample,
@@ -2694,6 +2707,36 @@ SELECT CAST(p.event_id AS BIGINT) AS event_id,
        round(c.value, 6) AS click_value,
        c.ts AS click_ts
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+    d["doc_similar_topk"] = """
+WITH w AS (
+  SELECT doc_id, list_sort(list_distinct(
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')))
+    AS ts
+  FROM documents
+),
+nz AS MATERIALIZED (SELECT * FROM w WHERE len(ts) > 0),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         round(len(list_intersect(a.ts, b.ts))::DOUBLE
+               / greatest(len(a.ts) + len(b.ts)
+                          - len(list_intersect(a.ts, b.ts)), 1), 4)
+           AS jaccard
+  FROM nz a, nz b WHERE a.doc_id < b.doc_id
+),
+kept AS (SELECT * FROM pairs WHERE jaccard >= 0.5),
+sym AS (
+  SELECT a, b, jaccard FROM kept
+  UNION ALL SELECT b, a, jaccard FROM kept
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY a ORDER BY jaccard DESC, b ASC
+  ) AS rank FROM sym
+)
+SELECT CAST(a AS BIGINT) AS doc_id, CAST(b AS BIGINT) AS neighbor_id,
+       jaccard, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
 """
     d["events_history"] = """
 SELECT CAST(user_id AS BIGINT) AS user_id, event_type,

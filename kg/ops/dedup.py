@@ -21,6 +21,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kg.cc import connected_components
 from kg.session import materialize
@@ -484,6 +485,71 @@ def simhash_band_candidates(
         )
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
+    )
+
+
+def similar_topk(
+    docs: DataFrame,
+    k: int = 5,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    minhash_k: int = 64,
+    bands: int = 64,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Top-``k`` most similar documents per document by exact token-set
+    Jaccard — the "related articles" primitive. Returns
+    (doc_id, neighbor_id, jaccard, rank), only pairs >= min_jaccard;
+    docs with no neighbor above threshold emit nothing.
+
+    Shape: banded-MinHash candidates (capped) -> exact Jaccard scored
+    once per unordered pair -> symmetrized -> per-doc top-k window.
+    With r = minhash_k/bands rows per band the per-pair miss probability
+    at similarity j is (1 - j^r)^bands — the default 64 single-hash
+    bands give < 6e-20 at j >= 0.5, so the result equals the exact
+    all-pairs computation (the contract oracle) when the bucket cap is
+    above corpus scale; production runs keep the cap for skew safety.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.array_sort(F.array_distinct(_words())).alias("tokset"),
+    ).where(F.size("tokset") > 0)
+    toks = materialize(toks)
+    sigs = materialize(
+        minhash_signatures(toks, id_col="doc_id", tok_col="tokset",
+                           k=minhash_k)
+    )
+    cand = minhash_band_candidates(
+        toks, id_col="doc_id", tok_col="tokset",
+        k=minhash_k, bands=bands, max_bucket=max_bucket, signatures=sigs,
+    )
+    ta = toks.select(F.col("doc_id").alias("a"), F.col("tokset").alias("_ta"))
+    tb = toks.select(F.col("doc_id").alias("b"), F.col("tokset").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    scored = (
+        cand.join(ta, "a").join(tb, "b")
+        .select(
+            "a", "b",
+            F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("jaccard"), F.asc("b"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("a").alias("doc_id"),
+            F.col("b").alias("neighbor_id"),
+            "jaccard",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 

@@ -461,3 +461,23 @@ def test_ivf_index_build_search_matches_oneshot(spark, embeddings, tmp_path):
     dirs = {p.name for p in pathlib.Path(idx, "lists").iterdir()
             if p.is_dir()}
     assert all(d.startswith("list_id=") for d in dirs) and len(dirs) == 8
+
+
+def test_similar_topk_related_docs(spark):
+    from kg.ops.dedup import similar_topk
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),      # j=4/6 with 1
+        (3, "alpha beta gamma delta epsilon"),   # exact dup of 1
+        (4, "unrelated totally different words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["neighbor_id"], r["jaccard"])
+        for r in similar_topk(docs, k=2, min_jaccard=0.5).collect()
+    }
+    assert got[(1, 1)] == (3, 1.0)
+    assert got[(1, 2)] == (2, 0.6667)
+    assert got[(3, 1)] == (1, 1.0)
+    assert (4, 1) not in got  # nothing >= 0.5
