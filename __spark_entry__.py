@@ -564,6 +564,59 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PPR_ITERS = 6
+PRW_ITERS = 6
+
+
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank (rank split proportionally to edge weight —
+    the co-occurrence-graph use) with deterministic synthetic weights
+    1 + (src+dst) % 3; oracle unrolls the weighted recurrence."""
+    from kg.graphstats import pagerank
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet").withColumn(
+        "wt", (F.lit(1) + (F.col("src") + F.col("dst")) % 3).cast("double")
+    )
+    return pagerank(
+        edges, iterations=PRW_ITERS, weight_col="wt"
+    ).select(F.col("node").cast("long").alias("node"), "rank")
+
+
+def _pagerank_weighted_oracle_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled WEIGHTED PageRank recurrence (w = wt / sum_wt(src))."""
+    d = damping
+    parts = [
+        f"WITH e AS (SELECT src, dst,"
+        f" CAST(1 + (src + dst) % 3 AS DOUBLE) AS wt"
+        f" FROM '{FIX}/edges.parquet')",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "sw AS (SELECT src, sum(wt) AS out_wt FROM e GROUP BY src)",
+        "w AS (SELECT e.src, e.dst, e.wt / sw.out_wt AS w"
+        " FROM e JOIN sw ON e.src = sw.src)",
+        "p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM p) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dang FROM r{i-1}"
+            " WHERE node NOT IN (SELECT src FROM w))"
+        )
+        parts.append(
+            f"c{i} AS (SELECT w.dst, sum(r.rank * w.w) AS c"
+            f" FROM w JOIN r{i-1} r ON w.src = r.node GROUP BY w.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" (1 - {d}) / (SELECT n FROM p)"
+            f" + {d} * (SELECT dang FROM d{i}) / (SELECT n FROM p)"
+            f" + {d} * coalesce(c.c, 0) AS rank"
+            f" FROM nodes LEFT JOIN c{i} c ON nodes.node = c.dst)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(rank, 9) AS rank"
+        f" FROM r{iters}"
+    )
 
 
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1925,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_khop": q_graph_khop,
         "graph_ppr": q_graph_ppr,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "kg_entity_cooccur": q_kg_entity_cooccur,
         "events_upsert_latest": q_events_upsert_latest,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -2574,6 +2628,7 @@ FROM deg LEFT JOIN pern ON deg.node = pern.node
 """
     d["graph_khop"] = _khop_oracle_sql(KHOP_K)
     d["graph_ppr"] = _ppr_oracle_sql(PPR_ITERS)
+    d["graph_pagerank_weighted"] = _pagerank_weighted_oracle_sql(PRW_ITERS)
     d["kg_snapshot_diff"] = """
 WITH o_snap AS (
   SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 7 <> 0

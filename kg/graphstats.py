@@ -46,6 +46,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank on a directed edge list.
 
@@ -53,22 +54,41 @@ def pagerank(
     (nodes with no out-edges) is redistributed uniformly each iteration.
     Fixed iteration count keeps the result deterministic and
     oracle-expressible (the DuckDB oracle unrolls the same recurrence).
+
+    ``weight_col``: edge-weighted variant — each node splits its rank
+    over out-edges proportionally to the weight (e.g. co-occurrence
+    counts from :func:`entity_cooccurrence`), i.e. transition
+    probability w / sum_w(src) instead of 1 / out_deg. Same shuffle
+    shape; zero/negative weights are rejected.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("wt"))
+    e = edges.select(*cols)
     nodes = materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # normalize once: every iteration reuses this materialized weighted
     # edge set instead of re-joining degrees
-    w_edges = materialize(
-        e.join(out_deg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    if weight_col is None:
+        out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+        w_edges = materialize(
+            e.join(out_deg, "src").select(
+                "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+            )
         )
-    )
+    else:
+        if e.where(F.col("wt") <= 0).limit(1).count() > 0:
+            raise ValueError("edge weights must be positive")
+        out_wt = e.groupBy("src").agg(F.sum("wt").alias("out_wt"))
+        w_edges = materialize(
+            e.join(out_wt, "src").select(
+                "src", "dst", (F.col("wt") / F.col("out_wt")).alias("w")
+            )
+        )
     has_out = w_edges.select(F.col("src").alias("node")).distinct()
 
     ranks = materialize(

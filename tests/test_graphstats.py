@@ -241,3 +241,36 @@ class TestPPR:
 
         with pytest.raises(ValueError):
             personalized_pagerank(tiny_edges, [999])
+
+
+class TestWeightedPagerank:
+    def test_vs_numpy(self, spark):
+        import numpy as np
+
+        edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0),
+                 (2, 4, 1.0)]
+        df = spark.createDataFrame(edges, "src long, dst long, wt double")
+        iters, d = 6, 0.85
+        nodes = sorted({u for a, b, _ in edges for u in (a, b)})
+        idx = {u: i for i, u in enumerate(nodes)}
+        n = len(nodes)
+        out_w = {u: sum(w for a, _, w in edges if a == u) for u in nodes}
+        rank = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            dang = sum(rank[idx[u]] for u in nodes if out_w[u] == 0)
+            nxt = np.full(n, (1 - d) / n + d * dang / n)
+            for a, b, w in edges:
+                nxt[idx[b]] += d * rank[idx[a]] * w / out_w[a]
+            rank = nxt
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, iterations=iters,
+                                 weight_col="wt").collect()}
+        for u in nodes:
+            assert abs(got[u] - rank[idx[u]]) < 1e-8, u
+        assert abs(sum(got.values()) - 1.0) < 1e-8
+
+    def test_rejects_nonpositive_weights(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2, 0.0)], "src long, dst long, wt double")
+        with pytest.raises(ValueError):
+            pagerank(df, weight_col="wt")
