@@ -524,6 +524,16 @@ def q_kg_entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_cooccurrence(mentions, doc_col="url", min_count=2)
 
 
+def q_kg_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI relatedness weights over the co-mention graph (broadcast
+    entity-count joins on the capped pair table); oracle recomputes
+    counts + ln ratio in SQL."""
+    from kg.graphstats import cooccurrence_pmi
+
+    mentions = spark.read.parquet(f"{FIX}/expected_mentions_small.parquet")
+    return cooccurrence_pmi(mentions, doc_col="url", min_count=2)
+
+
 def q_events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental snapshot merge (MERGE INTO semantics): the even-id half
     of events is the standing table, the odd-id half the delta; latest row
@@ -1980,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "kg_entity_cooccur": q_kg_entity_cooccur,
+        "kg_cooccur_pmi": q_kg_cooccur_pmi,
         "events_upsert_latest": q_events_upsert_latest,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "corpus_vocab": q_corpus_vocab,
@@ -2729,6 +2740,28 @@ SELECT a.entity AS entity_a, b2.entity AS entity_b,
 FROM b a JOIN b b2 USING (doc)
 WHERE a.entity < b2.entity
 GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+    d["kg_cooccur_pmi"] = f"""
+WITH ents AS (
+  SELECT DISTINCT url AS doc, entity_name AS entity
+  FROM '{FIX}/expected_mentions_small.parquet'
+), keep_docs AS (
+  SELECT doc FROM ents GROUP BY doc HAVING count(*) <= 1000
+), b AS (SELECT ents.* FROM ents JOIN keep_docs USING (doc)),
+n AS (SELECT CAST(count(DISTINCT doc) AS DOUBLE) AS n FROM b),
+ec AS (SELECT entity, count(*) AS c FROM b GROUP BY entity),
+pairs AS (
+  SELECT a.entity AS entity_a, b2.entity AS entity_b,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM b a JOIN b b2 USING (doc)
+  WHERE a.entity < b2.entity
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.entity_a, p.entity_b, p.n_docs,
+       round(ln(p.n_docs * (SELECT n FROM n) / (ca.c * cb.c)), 6) AS pmi
+FROM pairs p
+JOIN ec ca ON ca.entity = p.entity_a
+JOIN ec cb ON cb.entity = p.entity_b
 """
     d["events_upsert_latest"] = """
 WITH unioned AS (

@@ -35,6 +35,7 @@ __all__ = [
     "personalized_pagerank",
     "degree_stats",
     "entity_cooccurrence",
+    "cooccurrence_pmi",
     "triangle_stats",
     "khop_reachability",
 ]
@@ -383,13 +384,8 @@ def entity_cooccurrence(
     otherwise contribute quadratically many pairs while carrying no
     signal).
     """
-    ents = mentions.select(
-        F.col(doc_col).alias("doc"), F.col(entity_col).alias("entity")
-    ).distinct()
-    per_doc = ents.groupBy("doc").agg(F.count("*").alias("n_ents"))
-    bounded = ents.join(
-        per_doc.where(F.col("n_ents") <= max_entities_per_doc).select("doc"),
-        "doc",
+    bounded = _bounded_entities(
+        mentions, doc_col, entity_col, max_entities_per_doc
     )
     a = bounded.select("doc", F.col("entity").alias("entity_a"))
     b = bounded.select("doc", F.col("entity").alias("entity_b"))
@@ -399,4 +395,71 @@ def entity_cooccurrence(
         .groupBy("entity_a", "entity_b")
         .agg(F.count("*").cast("long").alias("n_docs"))
         .where(F.col("n_docs") >= min_count)
+    )
+
+
+def _bounded_entities(
+    mentions: DataFrame, doc_col: str, entity_col: str, cap: int
+) -> DataFrame:
+    """(doc, entity) distinct pairs with over-cap docs dropped — shared
+    by the co-occurrence count and its PMI scoring."""
+    ents = mentions.select(
+        F.col(doc_col).alias("doc"), F.col(entity_col).alias("entity")
+    ).distinct()
+    per_doc = ents.groupBy("doc").agg(F.count("*").alias("n_ents"))
+    return ents.join(
+        per_doc.where(F.col("n_ents") <= cap).select("doc"), "doc"
+    )
+
+
+def cooccurrence_pmi(
+    mentions: DataFrame,
+    doc_col: str = "url",
+    entity_col: str = "entity_name",
+    min_count: int = 1,
+    max_entities_per_doc: int = 1000,
+) -> DataFrame:
+    """Pointwise mutual information over entity co-mentions:
+    (entity_a, entity_b, n_docs, pmi) with
+    pmi = ln(n_docs · N / (c_a · c_b)), N = docs surviving the skew cap,
+    c_x = docs mentioning x — the standard relatedness edge weight for
+    the KG graph (feed exp(pmi) into pagerank(weight_col=...)).
+
+    Shape: the pair counts are :func:`entity_cooccurrence`'s one capped
+    self-join; the per-entity doc counts are a vocabulary-sized
+    aggregate joined back broadcast; N is one scalar count. Rounded to
+    6 places (deterministic cross-engine: exact-int ratios through ln).
+    """
+    bounded = materialize(
+        _bounded_entities(mentions, doc_col, entity_col,
+                          max_entities_per_doc)
+    )
+    n_docs_total = bounded.select("doc").distinct().count()
+    ent_counts = bounded.groupBy("entity").agg(F.count("*").alias("c"))
+    a = bounded.select("doc", F.col("entity").alias("entity_a"))
+    b = bounded.select("doc", F.col("entity").alias("entity_b"))
+    pairs = (
+        a.join(b, "doc")
+        .where(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_count)
+    )
+    ca = ent_counts.select(
+        F.col("entity").alias("entity_a"), F.col("c").alias("_ca")
+    )
+    cb = ent_counts.select(
+        F.col("entity").alias("entity_b"), F.col("c").alias("_cb")
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n_docs") * F.lit(float(n_docs_total))
+            / (F.col("_ca") * F.col("_cb"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(ca), "entity_a")
+        .join(F.broadcast(cb), "entity_b")
+        .select("entity_a", "entity_b", "n_docs", pmi.alias("pmi"))
     )
