@@ -1262,6 +1262,24 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel completion (signup -> click -> purchase as a
+    strictly increasing chain, greedy-earliest anchors); oracle chains
+    the same per-step min-after-previous aggregates."""
+    from kg.ops.events import funnel_steps
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_steps(events, FUNNEL_STEPS).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "steps_completed",
+        "t_first",
+        "t_last",
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -2025,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_orders_semi": q_late_orders_semi,
         "parts_never_shipped_anti": q_parts_never_shipped_anti,
         "events_window": q_events_window,
+        "events_funnel": q_events_funnel,
         "events_sessionize": q_events_sessionize,
         "kg_extract": q_kg_extract,
         "kg_ner_mentions": q_kg_ner_mentions,
@@ -2431,6 +2450,29 @@ WHERE NOT EXISTS (
   SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45
 )
 GROUP BY p_brand ORDER BY p_brand
+""",
+        "events_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT CAST(s1.user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+         AS steps_completed,
+       s1.t1 AS t_first,
+       coalesce(t3, t2, s1.t1) AS t_last
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """,
         "events_window": """
 SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,

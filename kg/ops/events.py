@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize"]
+__all__ = ["sessionize", "funnel_steps"]
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -58,4 +58,68 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "t_end_us",
             "total_value_cents",
         )
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    ts: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion per user: how far each user progressed
+    through ``steps`` as a strictly-increasing event-time chain (the
+    windowFunnel-style sequential-pattern operator).
+
+    Step i is satisfied by the user's EARLIEST step-i event strictly
+    after the chosen step-(i-1) time — greedy-earliest is optimal for a
+    strict chain (an earlier anchor only weakens later constraints), so
+    the result is both deterministic and maximal. Returns
+    (user, steps_completed >= 1, t_first, t_last); users who never hit
+    step 1 are absent.
+
+    Shape: one filtered min-aggregate + one join per step, every stage
+    keyed on the user column so the shuffles co-partition; no window
+    over full event streams and no per-row Python. |steps| is small and
+    fixed — the plan is |steps| hash-joins of user-sized (not
+    event-sized) frames after the first aggregate.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("etype"),
+        F.col(ts).alias("t"),
+    )
+    reached = (
+        ev.where(F.col("etype") == steps[0])
+        .groupBy("user")
+        .agg(F.min("t").alias("t_1"))
+    )
+    levels = [reached]
+    for i, step in enumerate(steps[1:], start=2):
+        prev = levels[-1].select("user", F.col(f"t_{i-1}").alias("_pt"))
+        nxt = (
+            ev.where(F.col("etype") == step)
+            .join(prev, "user")
+            .where(F.col("t") > F.col("_pt"))
+            .groupBy("user")
+            .agg(F.min("t").alias(f"t_{i}"))
+        )
+        levels.append(nxt)
+    out = levels[0]
+    for i, lvl in enumerate(levels[1:], start=2):
+        out = out.join(lvl, "user", "left")
+    t_cols = [F.col(f"t_{i}") for i in range(1, len(steps) + 1)]
+    completed = sum(
+        (c.isNotNull().cast("int") for c in t_cols),
+        F.lit(0),
+    )
+    t_last = F.coalesce(*reversed(t_cols))
+    return out.select(
+        F.col("user").alias(user_col),
+        completed.cast("long").alias("steps_completed"),
+        F.col("t_1").alias("t_first"),
+        t_last.alias("t_last"),
     )

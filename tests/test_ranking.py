@@ -160,3 +160,41 @@ class TestHistoryIntervals:
         assert got[12] == (t(20), None, True)
         assert got[20] == (t(5), None, True)
         # intervals chain: each version's valid_to is the next valid_from
+
+
+class TestFunnel:
+    def test_chain_semantics(self, spark):
+        import datetime as dt
+
+        from kg.ops.events import funnel_steps
+
+        t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa
+        rows = [
+            # u1 completes all three in order
+            (1, t(0), "signup"), (1, t(5), "click"), (1, t(9), "purchase"),
+            # u2: purchase BEFORE the click -> only 2 steps
+            (2, t(0), "signup"), (2, t(8), "click"), (2, t(3), "purchase"),
+            # u3: signup only
+            (3, t(1), "signup"),
+            # u4: click/purchase but never signed up -> absent
+            (4, t(0), "click"), (4, t(1), "purchase"),
+            # u5: greedy-earliest anchor still completes (click@2 after
+            # the EARLIEST signup@1, purchase@3)
+            (5, t(4), "signup"), (5, t(1), "signup"),
+            (5, t(2), "click"), (5, t(3), "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            [(u, ts, et, float(u), "{}", u) for u, ts, et in rows],
+            "user_id long, ts timestamp, event_type string, value double,"
+            " props string, event_id long",
+        )
+        got = {
+            r["user_id"]: (r["steps_completed"], r["t_first"], r["t_last"])
+            for r in funnel_steps(
+                ev, ["signup", "click", "purchase"]).collect()
+        }
+        assert got[1] == (3, t(0), t(9))
+        assert got[2] == (2, t(0), t(8))
+        assert got[3] == (1, t(1), t(1))
+        assert 4 not in got
+        assert got[5] == (3, t(1), t(3))
