@@ -1280,6 +1280,16 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix (first-activity cohorts, distinct
+    active users per later week); oracle recomputes with date_trunc
+    week buckets."""
+    from kg.ops.events import cohort_retention
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(events)
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -2044,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_never_shipped_anti": q_parts_never_shipped_anti,
         "events_window": q_events_window,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "events_sessionize": q_events_sessionize,
         "kg_extract": q_kg_extract,
         "kg_ner_mentions": q_kg_ner_mentions,
@@ -2450,6 +2461,33 @@ WHERE NOT EXISTS (
   SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45
 )
 GROUP BY p_brand ORDER BY p_brand
+""",
+        "events_retention": """
+WITH fu AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+j AS (
+  SELECT a.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+           AS week_n
+  FROM act a JOIN fu f USING (user_id)
+),
+active AS (
+  SELECT cohort_week, week_n,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM j GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM fu GROUP BY 1
+)
+SELECT a.cohort_week, a.week_n, a.n_active, s.n_cohort,
+       round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 4) AS retention
+FROM active a JOIN sizes s USING (cohort_week)
 """,
         "events_funnel": """
 WITH s1 AS (

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "funnel_steps"]
+__all__ = ["sessionize", "funnel_steps", "cohort_retention"]
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -122,4 +122,51 @@ def funnel_steps(
         completed.cast("long").alias("steps_completed"),
         F.col("t_1").alias("t_first"),
         t_last.alias("t_last"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users are grouped into the cohort
+    of their first-activity ISO week; for each later week the matrix
+    reports how many and what fraction were active.
+
+    Returns (cohort_week, week_n, n_active, n_cohort, retention) with
+    week_n = whole weeks since the cohort week (0 = the cohort week
+    itself, retention 1.0 by construction).
+
+    Shape: one groupBy(user) for first-activity (corpus shuffle), one
+    distinct over (user, week) — same keyed shuffle — then a user-keyed
+    join and a cohort-sized aggregation; cohort sizes join back
+    broadcast. No windows over full event streams.
+    """
+    wk = F.date_trunc("week", F.col(ts))
+    first = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.min(wk).alias("cohort_week")
+    )
+    activity = events.select(
+        F.col(user_col).alias("user"), wk.alias("week")
+    ).distinct()
+    joined = activity.join(first, "user").select(
+        "user",
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("week_n"),
+    )
+    active = joined.groupBy("cohort_week", "week_n").agg(
+        F.countDistinct("user").cast("long").alias("n_active")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    return active.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_n",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
     )

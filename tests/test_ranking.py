@@ -198,3 +198,35 @@ class TestFunnel:
         assert got[3] == (1, t(1), t(1))
         assert 4 not in got
         assert got[5] == (3, t(1), t(3))
+
+
+class TestRetention:
+    def test_cohort_matrix(self, spark):
+        import datetime as dt
+
+        from kg.ops.events import cohort_retention
+
+        # week starting Mon 2024-01-01; u1,u2 cohort week0; u3 week1.
+        # u1 active weeks 0,1,2; u2 weeks 0,2; u3 weeks 1 only
+        def t(day):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+        rows = [
+            (1, t(0)), (1, t(7)), (1, t(15)),
+            (2, t(2)), (2, t(14)),
+            (3, t(8)),
+        ]
+        ev = spark.createDataFrame(
+            [(u, ts, "click", 1.0, "{}", i) for i, (u, ts) in enumerate(rows)],
+            "user_id long, ts timestamp, event_type string, value double,"
+            " props string, event_id long",
+        )
+        got = {
+            (r["cohort_week"].date().isoformat(), r["week_n"]):
+                (r["n_active"], r["n_cohort"], r["retention"])
+            for r in cohort_retention(ev).collect()
+        }
+        assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+        assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+        assert got[("2024-01-01", 2)] == (2, 2, 1.0)
+        assert got[("2024-01-08", 0)] == (1, 1, 1.0)
