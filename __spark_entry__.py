@@ -476,6 +476,22 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin
+    family): every doc pair with token-set Jaccard >= 0.8, with the value.
+    Unlike the MinHash path this has NO probabilistic miss — prefix-filter
+    blocking is exact-recall by construction, so the oracle (DuckDB exact
+    all-pairs over identical-tokset representatives, expanded back to
+    members) must match bit-for-bit with no LSH-parameter argument."""
+    from kg.ops.dedup import jaccard_join_exact
+
+    return jaccard_join_exact(_docs(spark, sf_dir), min_jaccard=0.8).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "jaccard",
+    )
+
+
 def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-star/small-star CC over the committed edge fixture. The DuckDB
     oracle recomputes components with a recursive-CTE transitive closure —
@@ -2010,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_jaccard_join": q_doc_jaccard_join,
         "graph_connected_components": q_graph_connected_components,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
@@ -2322,6 +2339,52 @@ WITH w AS (
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
   round(inter / greatest(un, 1), 4) AS jaccard
 FROM pairs WHERE round(inter / greatest(un, 1), 4) >= 0.05
+""",
+        # Exact all-pairs Jaccard >= 0.8, computed over identical-tokset
+        # REPRESENTATIVES (j between members of two groups equals j between
+        # the groups' reps, identical sets within a group) then expanded
+        # back to member pairs — same collapse trick as the minhash oracle,
+        # which keeps the quadratic part O(reps^2) at every test SF. The
+        # >= filter runs on the UNROUNDED division exactly like the Spark
+        # side (rounding only on output).
+        "doc_jaccard_join": """
+WITH w AS (
+  SELECT doc_id, list_sort(list_distinct(
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS ts
+  FROM documents
+), nz AS MATERIALIZED (SELECT * FROM w WHERE len(ts) > 0),
+grp AS MATERIALIZED (
+  SELECT doc_id, md5(array_to_string(ts, chr(31))) AS bow FROM nz
+),
+rep_of AS MATERIALIZED (SELECT bow, min(doc_id) AS rep FROM grp GROUP BY bow),
+member AS MATERIALIZED (
+  SELECT g.doc_id, r.rep FROM grp g JOIN rep_of r USING (bow)
+),
+reps AS MATERIALIZED (
+  SELECT nz.doc_id, nz.ts FROM nz JOIN rep_of r ON nz.doc_id = r.rep
+),
+rpairs AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT a.doc_id AS ra, b.doc_id AS rb,
+      len(list_intersect(a.ts, b.ts))
+        / greatest(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)), 1)
+        AS j
+    FROM reps a, reps b
+    WHERE a.doc_id < b.doc_id
+      AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts))
+  ) WHERE j >= 0.8
+)
+SELECT CAST(least(m1.doc_id, m2.doc_id) AS BIGINT) AS a,
+       CAST(greatest(m1.doc_id, m2.doc_id) AS BIGINT) AS b,
+       round(p.j, 4) AS jaccard
+FROM rpairs p
+JOIN member m1 ON m1.rep = p.ra
+JOIN member m2 ON m2.rep = p.rb
+UNION ALL
+SELECT CAST(m1.doc_id AS BIGINT) AS a, CAST(m2.doc_id AS BIGINT) AS b,
+       1.0 AS jaccard
+FROM member m1
+JOIN member m2 ON m1.rep = m2.rep AND m1.doc_id < m2.doc_id
 """,
         "graph_connected_components": f"""
 WITH RECURSIVE sym AS (

@@ -652,3 +652,127 @@ def ngram_jaccard_pairs(
         joined.select("a", "b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= min_jaccard)
     )
+
+
+# ---- Exact set-similarity self-join (prefix filtering) ----
+
+
+def prefix_filter_candidates(
+    toksets: DataFrame,
+    min_jaccard: float,
+    id_col: str = "doc_id",
+    tok_col: str = "tokset",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate (a, b) pairs from PREFIX FILTERING (the AllPairs/PPJoin
+    family — Bayardo et al. WWW'07, Xiao et al. WWW'08), the EXACT-recall
+    counterpart of the LSH blockers on the dedup ladder.
+
+    Tokens get a global total order by ascending document frequency
+    (ties broken by the token string); a doc's prefix is its first
+    ``|s| - ceil(t*|s|) + 1`` tokens under that order. For any pair with
+    jaccard >= t, ``|A∩B| >= t*|A∪B| >= t*max(|A|,|B|)``, so the
+    globally-minimum-rank common token sits within the first
+    ``|A| - |A∩B| + 1 <= |A| - ceil(t*|A|) + 1`` positions of A's order
+    (and symmetrically B's) — i.e. inside BOTH prefixes. Joining prefixes
+    on token therefore loses NO true pair, unlike MinHash banding.
+
+    Scale shape: token df = one partial-aggregated groupBy; the per-doc
+    ordering joins df back by token (one vocab-keyed shuffle) and
+    re-aggregates; candidates = one self-join on exploded prefix tokens.
+    Rarest-first ordering is what bounds the join: a prefix token present
+    in d docs costs <= d^2/2 pairs, and high-df boilerplate tokens are
+    pushed out of every prefix, so buckets shrink as the corpus grows
+    boilerplate-heavy — the opposite of LSH band buckets.
+
+    ``max_bucket``: optional count-then-filter cap on prefix-token
+    buckets. OFF (None) by default because the cap trades exact recall
+    for boundedness; production corpora with degenerate prefix skew
+    (e.g. near-empty docs whose whole set is one rare token) can set it
+    and accept the documented miss.
+    """
+    t = float(min_jaccard)
+    toks = toksets.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(tok_col).alias("_ts")
+    ).where(F.size("_ts") > 0)
+    ex = toks.select("_id", F.explode("_ts").alias("tok"))
+    # toksets are distinct-per-doc, so count(*) IS document frequency
+    df_tok = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(df_tok, "tok")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("_p"))
+        .select(
+            "_id", F.transform("_p", lambda s: s["tok"]).alias("sorted_toks")
+        )
+    )
+    n = F.size("sorted_toks")
+    plen = (n - F.ceil(F.lit(t) * n).cast("int") + 1).cast("int")
+    pref = ordered.select(
+        "_id", F.explode(F.slice("sorted_toks", F.lit(1), plen)).alias("tok")
+    )
+    if max_bucket is not None:
+        pref = materialize(pref)
+        sizes = pref.groupBy("tok").agg(F.count("*").alias("n"))
+        pref = pref.join(
+            sizes.where(F.col("n") <= int(max_bucket)).select("tok"), "tok"
+        )
+    left = pref.select(F.col("tok"), F.col("_id").alias("a"))
+    right = pref.select(F.col("tok"), F.col("_id").alias("b"))
+    return (
+        left.join(right, "tok")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_join_exact(
+    docs: DataFrame,
+    min_jaccard: float = 0.8,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT distributed set-similarity self-join: every pair (a < b) of
+    docs whose token-set Jaccard >= ``min_jaccard``, with the similarity.
+
+    This is the deterministic end of the near-dup ladder: prefix-filter
+    blocking (exact recall — see prefix_filter_candidates) feeding the
+    same size-ratio-prefiltered exact verification the MinHash path uses
+    (exact precision). Use it when a probabilistic miss is not acceptable
+    (contamination audits, legal dedup); use minhash_near_dup when an
+    ~1e-14 per-pair miss is acceptable and the corpus carries mega-groups
+    (the clusterer collapses identical token sets before blocking, the
+    pair join by definition must emit every pair of an identical group).
+
+    Returns (a, b, jaccard) with jaccard rounded to 4dp; the >= filter is
+    applied on the UNROUNDED value so blocking recall and the filter agree.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.array_sort(F.array_distinct(_words())).alias("_ts"),
+    ).where(F.size("_ts") > 0)
+    # two consumers (blocking + both sides of verify): compute tokens once
+    toks = materialize(toks)
+    cand = prefix_filter_candidates(
+        toks, min_jaccard, id_col="_id", tok_col="_ts", max_bucket=max_bucket
+    )
+    sizes = toks.select("_id", F.size("_ts").alias("_sz"))
+    survivors = (
+        cand.join(sizes.select(F.col("_id").alias("a"), F.col("_sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("_id").alias("b"), F.col("_sz").alias("sz_b")), "b")
+        .where(
+            F.least("sz_a", "sz_b")
+            >= F.lit(float(min_jaccard)) * F.greatest("sz_a", "sz_b")
+        )
+    )
+    ta = toks.select(F.col("_id").alias("a"), F.col("_ts").alias("ts_a"))
+    tb = toks.select(F.col("_id").alias("b"), F.col("_ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        survivors.join(ta, "a").join(tb, "b")
+        .where(jac >= F.lit(float(min_jaccard)))
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -481,3 +481,73 @@ def test_similar_topk_related_docs(spark):
     assert got[(1, 2)] == (2, 0.6667)
     assert got[(3, 1)] == (1, 1.0)
     assert (4, 1) not in got  # nothing >= 0.5
+
+
+# ---- exact set-similarity join (prefix filtering) ----
+
+
+def _bruteforce_jaccard_pairs(docs, t):
+    from kg.ops.dedup import _words
+
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.array_sort(F.array_distinct(_words())).alias("ts"),
+    ).where(F.size("ts") > 0)
+    a = toks.select(F.col("id").alias("a"), F.col("ts").alias("ta"))
+    b = toks.select(F.col("id").alias("b"), F.col("ts").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    jac = inter / F.greatest(union, F.lit(1))
+    return {
+        (r["a"], r["b"], r["jaccard"])
+        for r in a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .where(jac >= F.lit(float(t)))
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("t", [0.3, 0.6, 0.9])
+def test_jaccard_join_exact_equals_bruteforce(spark, documents, t):
+    """Prefix filtering is EXACT-recall blocking: at every threshold the
+    prefix-join + verify output must equal the all-pairs brute force —
+    no LSH-style miss-probability argument allowed."""
+    from kg.ops.dedup import jaccard_join_exact
+
+    docs = documents.where(F.col("doc_id") < 120)
+    got = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in jaccard_join_exact(docs, min_jaccard=t).collect()
+    }
+    assert got == _bruteforce_jaccard_pairs(docs, t)
+
+
+def test_jaccard_join_identical_docs_always_pair(spark, dup_docs):
+    from kg.ops.dedup import jaccard_join_exact
+
+    got = {
+        (r["a"], r["b"])
+        for r in jaccard_join_exact(dup_docs, min_jaccard=0.99).collect()
+    }
+    # the two exact-dup groups (1,2) and (4,5) must surface at j=1.0
+    assert {(1, 2), (4, 5)} <= got
+
+
+def test_prefix_filter_cap_only_shrinks_candidates(spark, documents):
+    from kg.ops.dedup import _words, prefix_filter_candidates
+
+    docs = documents.where(F.col("doc_id") < 80)
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_sort(F.array_distinct(_words())).alias("tokset"),
+    ).where(F.size("tokset") > 0)
+    full = {
+        (r["a"], r["b"])
+        for r in prefix_filter_candidates(toks, 0.7).collect()
+    }
+    capped = {
+        (r["a"], r["b"])
+        for r in prefix_filter_candidates(toks, 0.7, max_bucket=4).collect()
+    }
+    assert capped <= full

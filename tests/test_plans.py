@@ -186,3 +186,15 @@ def test_graph_table_partition_pruning(spark, tmp_path):
             "PartitionFilters:")[1].split("]")[0]
     # and nothing of the filter leaks into the row-level data filters
     assert "PushedFilters: []" in plan
+
+
+def test_jaccard_join_exact_no_cartesian_all_jvm(spark):
+    """The prefix-filter similarity join must stay an equi-join plan:
+    no cartesian/nested-loop node anywhere, no Python eval in the path."""
+    from kg.ops.dedup import jaccard_join_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(jaccard_join_exact(docs, min_jaccard=0.8))
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in p, node
