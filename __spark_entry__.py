@@ -704,6 +704,61 @@ def _ppr_oracle_sql(iters: int, damping: float = 0.85) -> str:
     )
 
 
+SSSP_ROUNDS = 12
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (bounded-round Bellman-Ford)
+    from the {node % 50 == 0} seed set, deterministic weights
+    1 + (src+dst) % 3 (same scheme as graph_pagerank_weighted). The graph
+    converges by round 6 (verified vs rounds up to 20); rounds=12 is a
+    2x bound, and the oracle unrolls the identical min-plus recurrence."""
+    from kg.graphstats import shortest_paths
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet").withColumn(
+        "wt", (F.lit(1) + (F.col("src") + F.col("dst")) % 3).cast("double")
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .where(F.col("node") % 50 == 0)
+        .distinct()
+    )
+    return shortest_paths(
+        edges, seeds, rounds=SSSP_ROUNDS, weight_col="wt"
+    ).select(F.col("node").cast("long").alias("node"), "dist")
+
+
+def _sssp_oracle_sql(rounds: int) -> str:
+    """Unrolled min-plus relaxation: d_i(v) = min(d_{i-1}(v),
+    min over edges (u,v) of d_{i-1}(u) + wt) — textbook Bellman-Ford,
+    independent of the Spark frontier-delta implementation."""
+    parts = [
+        f"WITH raw AS (SELECT src, dst,"
+        f" CAST(1 + (src + dst) % 3 AS DOUBLE) AS wt"
+        f" FROM '{FIX}/edges.parquet')",
+        "e AS (SELECT src, dst, min(wt) AS wt FROM raw"
+        " WHERE src <> dst GROUP BY src, dst)",
+        "r0 AS (SELECT DISTINCT node, 0.0 AS dist FROM ("
+        "  SELECT src AS node FROM raw UNION ALL SELECT dst FROM raw)"
+        " WHERE node % 50 = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            # MATERIALIZED: r{i-1} is referenced twice; inlining doubles
+            # the tree per round (2^rounds blowup)
+            f"r{i} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            f" SELECT node, dist FROM r{i-1}"
+            f" UNION ALL"
+            f" SELECT e.dst AS node, r.dist + e.wt AS dist"
+            f" FROM e JOIN r{i-1} r ON e.src = r.node) GROUP BY node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, dist FROM r{rounds}"
+    )
+
+
 KHOP_K = 3
 
 
@@ -2032,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
         "graph_khop": q_graph_khop,
+        "graph_sssp": q_graph_sssp,
         "graph_ppr": q_graph_ppr,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "kg_entity_cooccur": q_kg_entity_cooccur,
@@ -2781,6 +2837,7 @@ SELECT CAST(deg.node AS BIGINT) AS node,
 FROM deg LEFT JOIN pern ON deg.node = pern.node
 """
     d["graph_khop"] = _khop_oracle_sql(KHOP_K)
+    d["graph_sssp"] = _sssp_oracle_sql(SSSP_ROUNDS)
     d["graph_ppr"] = _ppr_oracle_sql(PPR_ITERS)
     d["graph_pagerank_weighted"] = _pagerank_weighted_oracle_sql(PRW_ITERS)
     d["kg_snapshot_diff"] = """

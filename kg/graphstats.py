@@ -38,6 +38,7 @@ __all__ = [
     "cooccurrence_pmi",
     "triangle_stats",
     "khop_reachability",
+    "shortest_paths",
 ]
 
 
@@ -463,3 +464,86 @@ def cooccurrence_pmi(
         .join(F.broadcast(cb), "entity_b")
         .select("entity_a", "entity_b", "n_docs", pmi.alias("pmi"))
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds,
+    rounds: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source weighted shortest paths (bounded-round delta-stepping
+    Bellman-Ford): (node, dist) with dist = minimum total edge weight from
+    any seed (hop count when ``weight_col`` is None — the weighted
+    generalization of :func:`khop_reachability`). ``seeds`` is a DataFrame
+    with a ``node`` column or a Python sequence of ids.
+
+    KG use: proximity ranking over relatedness-weighted edges ("which
+    entities sit within weight w of this set"), where hop count alone
+    over-counts weak co-occurrence links.
+
+    Exactness: non-negative weights assumed. After r rounds every path of
+    <= r hops has been relaxed, so the result is exact SSSP once
+    ``rounds`` reaches the shortest-path-tree hop depth; the converged
+    state is a fixed point (the frontier empties and the loop exits), so
+    a generous bound costs nothing extra.
+
+    Scale shape — frontier-only relaxation: each round joins ONLY the
+    nodes improved last round against edges (one shuffle co-partitioned
+    on the edge source key), takes a partial-aggregated min per dst, and
+    keeps strict improvements via one broadcast-or-shuffle join against
+    the current state. State is (node, dist) — tiny next to edges at any
+    scale — and is materialized per round so round i+1 never replays
+    1..i's lineage (reliable checkpoint when a dir is set, kg.session.
+    materialize). Frontier size follows the BFS wave: grows, saturates,
+    empties.
+    """
+    spark = edges.sparkSession
+    if not isinstance(seeds, DataFrame):
+        seeds = spark.createDataFrame([(int(s),) for s in seeds], "node long")
+    wt = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ).alias("wt")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), wt)
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"), wt)
+        )
+    # parallel edges collapse to their min weight once, up front
+    e = materialize(
+        e.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("wt").alias("wt"))
+    )
+    dist = materialize(
+        seeds.select("node", F.lit(0.0).alias("dist")).distinct()
+    )
+    frontier = dist
+    for _ in range(int(rounds)):
+        cand = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("wt")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = materialize(
+            cand.join(
+                dist.withColumnRenamed("dist", "_old"), "node", "left"
+            )
+            .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("node", "dist")
+        )
+        if improved.isEmpty():
+            break
+        dist = materialize(
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+        )
+        frontier = improved
+    return dist

@@ -274,3 +274,47 @@ class TestWeightedPagerank:
             [(1, 2, 0.0)], "src long, dst long, wt double")
         with pytest.raises(ValueError):
             pagerank(df, weight_col="wt")
+
+
+class TestShortestPaths:
+    def test_weighted_beats_fewer_hops(self, spark):
+        from kg.graphstats import shortest_paths
+
+        # 1->3 direct costs 10; 1->2->3 costs 2+3=5: weighted min wins
+        edges = spark.createDataFrame(
+            [(1, 3, 10.0), (1, 2, 2.0), (2, 3, 3.0)],
+            "src long, dst long, wt double")
+        got = {r["node"]: r["dist"] for r in shortest_paths(
+            edges, [1], rounds=5, weight_col="wt").collect()}
+        assert got == {1: 0.0, 2: 2.0, 3: 5.0}
+
+    def test_unweighted_matches_khop(self, spark, tiny_edges):
+        from kg.graphstats import shortest_paths
+
+        hop = {r["node"]: r["dist"]
+               for r in khop_reachability(tiny_edges, [1], k=4).collect()}
+        sp = {r["node"]: int(r["dist"]) for r in shortest_paths(
+            tiny_edges, [1], rounds=4).collect()}
+        assert sp == hop
+
+    def test_multi_seed_undirected_and_parallel_edges(self, spark):
+        from kg.graphstats import shortest_paths
+
+        # parallel edges collapse to min weight; undirected doubles them
+        edges = spark.createDataFrame(
+            [(2, 1, 9.0), (2, 1, 4.0), (3, 2, 1.0), (9, 9, 1.0)],
+            "src long, dst long, wt double")
+        got = {r["node"]: r["dist"] for r in shortest_paths(
+            edges, [1, 9], rounds=6, weight_col="wt",
+            directed=False).collect()}
+        assert got == {1: 0.0, 9: 0.0, 2: 4.0, 3: 5.0}
+
+    def test_early_exit_and_partition_invariant(self, spark, tiny_edges):
+        from kg.graphstats import shortest_paths
+
+        # rounds far beyond convergence: loop exits on empty frontier
+        a = sorted(map(tuple, shortest_paths(
+            tiny_edges, [1], rounds=50).collect()))
+        b = sorted(map(tuple, shortest_paths(
+            tiny_edges.repartition(7), [1], rounds=50).collect()))
+        assert a == b
