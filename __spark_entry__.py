@@ -1419,6 +1419,21 @@ def q_kg_triples_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_svo_triples(docs).select("url", "subj", "pred", "obj")
 
 
+def q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate shape profile computed from RAW pages through the full
+    extract→triples pipeline; the oracle aggregates the independently-built
+    golden triples fixture, so this checks the whole pipeline's aggregate
+    shape, not just the stats op."""
+    from kg.graphstats import predicate_stats
+    from kg.stages.extract import extract_docs
+    from kg.stages.triples import extract_svo_triples
+
+    pages = spark.read.parquet(f"{FIX}/pages_small.parquet")
+    docs = extract_docs(pages).select("url", "text")
+    triples = extract_svo_triples(docs)
+    return predicate_stats(triples)
+
+
 def q_kg_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.stages.extract import extract_docs
     from kg.stages.triples import tokenize_docs
@@ -2134,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_custom_ner": q_kg_custom_ner,
         "kg_mentions_e2e": q_kg_mentions_e2e,
         "kg_triples_e2e": q_kg_triples_e2e,
+        "kg_predicate_stats": q_kg_predicate_stats,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_ner_errors": q_kg_ner_errors,
@@ -2678,6 +2694,17 @@ FROM '{FIX}/expected_mentions_tiny.parquet'
 """,
         "kg_triples_e2e": f"""
 SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
+""",
+        "kg_predicate_stats": f"""
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_docs,
+       count(DISTINCT subj) / CAST(count(*) AS DOUBLE) AS fun,
+       count(DISTINCT obj) / CAST(count(*) AS DOUBLE) AS inv_fun
+FROM '{FIX}/expected_triples_small.parquet'
+GROUP BY pred
 """,
         "kg_tokenize": f"""
 SELECT url, tokens_joined FROM '{FIX}/expected_tokens_tiny.parquet'

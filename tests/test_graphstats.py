@@ -318,3 +318,36 @@ class TestShortestPaths:
         b = sorted(map(tuple, shortest_paths(
             tiny_edges.repartition(7), [1], rounds=50).collect()))
         assert a == b
+
+
+class TestPredicateStats:
+    def test_known_profile(self, spark):
+        from kg.graphstats import predicate_stats
+
+        rows = [  # works_for: 3 triples, 2 subj, 3 obj, 2 docs
+            ("u1", "a", "works_for", "x"),
+            ("u1", "a", "works_for", "y"),
+            ("u2", "b", "works_for", "z"),
+            ("u2", "c", "born_in", "p"),  # fully functional: 1/1/1
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, subj string, pred string, obj string")
+        got = {r["pred"]: r.asDict() for r in predicate_stats(df).collect()}
+        w = got["works_for"]
+        assert (w["n_triples"], w["n_subj"], w["n_obj"], w["n_docs"]) == (
+            3, 2, 3, 2)
+        assert w["fun"] == pytest.approx(2 / 3)
+        assert w["inv_fun"] == pytest.approx(1.0)
+        b = got["born_in"]
+        assert (b["n_triples"], b["fun"], b["inv_fun"]) == (1, 1.0, 1.0)
+
+    def test_partition_invariant(self, spark):
+        from kg.graphstats import predicate_stats
+
+        rows = [(f"u{i % 5}", f"s{i % 7}", f"p{i % 3}", f"o{i % 11}")
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "url string, subj string, pred string, obj string")
+        a = sorted(map(tuple, predicate_stats(df).collect()))
+        b = sorted(map(tuple, predicate_stats(df.repartition(9)).collect()))
+        assert a == b
