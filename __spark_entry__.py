@@ -286,6 +286,84 @@ def q_web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_urls(df).select("url", "url_norm", "host")
 
 
+def q_web_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction + URL resolution + normalization over raw page
+    HTML; the oracle replays the identical spec in DuckDB dialect
+    (regexp_extract_all over decoded bytes, CASE-based resolution, the
+    webnorm normalization re-expressed with list_filter)."""
+    from kg.ops.weblinks import extract_links
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    return extract_links(pages).select("src_url", "href", "dst_url")
+
+
+def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph (one partial-agged groupBy over the pure-map
+    link extraction) at the 10k-page fixture scale."""
+    from kg.ops.weblinks import host_link_graph
+
+    pages = spark.read.parquet(f"{FIX}/pages_small.parquet")
+    return host_link_graph(pages)
+
+
+def _weblinks_oracle_cte(pages_path: str) -> str:
+    """WITH-prefix producing links(src_url, href, dst_url): an independent
+    DuckDB replay of kg/ops/weblinks.py's extract+resolve+normalize spec."""
+    return f"""
+WITH hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(decode(html),
+                '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+  FROM '{pages_path}'
+), res AS (
+  SELECT src_url, href,
+    CASE
+      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+      WHEN href LIKE '//%' THEN
+        regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+        || ':' || href
+      WHEN href LIKE '/%' THEN
+        regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+        || href
+      WHEN href = '' OR href LIKE '#%' THEN src_url
+      ELSE regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+        || '/' || href
+    END AS raw
+  FROM hrefs
+), parts AS (
+  SELECT src_url, href, raw,
+    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(raw,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+    regexp_extract(raw,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(raw, '(\\?[^#]*)', 1) AS query0
+  FROM res
+), norm AS (
+  SELECT src_url, href,
+    CASE WHEN scheme = '' THEN raw ELSE
+      scheme || '://'
+      || CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+                THEN host0[1:length(host0) - 3]
+              WHEN scheme = 'https' AND host0 LIKE '%:443'
+                THEN host0[1:length(host0) - 4]
+              ELSE host0 END
+      || CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+                THEN path0[1:length(path0) - 1] ELSE path0 END
+      || CASE WHEN len(kept) > 0
+                THEN '?' || array_to_string(kept, '&') ELSE '' END
+    END AS dst_url
+  FROM (
+    SELECT *, list_filter(string_split(query0[2:], '&'),
+      p -> p <> '' AND NOT regexp_matches(
+        p, '^(utm_[^=]*|gclid|fbclid)(=.*)?$')) AS kept
+    FROM parts)
+), links AS (
+  SELECT src_url, href, dst_url FROM norm
+)
+"""
+
+
 # literal PII corpus for the scrubbing contract — the oracle RECOMPUTES the
 # sequential redaction pipeline in DuckDB over the same literals (RE2 and
 # Java regex agree on these lookaround-free patterns)
@@ -2150,6 +2228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_e2e": q_kg_mentions_e2e,
         "kg_triples_e2e": q_kg_triples_e2e,
         "kg_predicate_stats": q_kg_predicate_stats,
+        "web_links": q_web_links,
+        "web_link_graph": q_web_link_graph,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_ner_errors": q_kg_ner_errors,
@@ -2334,6 +2414,17 @@ FROM s3
             for row in MESSY_URLS
         )
         + ") t(url, url_norm, host)",
+        "web_links": _weblinks_oracle_cte(f"{FIX}/pages_tiny.parquet")
+        + "SELECT src_url, href, dst_url FROM links",
+        "web_link_graph": _weblinks_oracle_cte(f"{FIX}/pages_small.parquet")
+        + """
+SELECT regexp_extract(src_url, '://([^/?#]+)', 1) AS src_host,
+       regexp_extract(dst_url, '://([^/?#]+)', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src_url) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT dst_url) AS BIGINT) AS n_targets
+FROM links GROUP BY 1, 2
+""",
         "doc_exact_dedup": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
   CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id

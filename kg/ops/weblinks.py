@@ -1,0 +1,100 @@
+"""Hyperlink extraction and host-level link-graph construction over raw
+Common-Crawl-style pages — the web-graph side of KG construction (the
+reference extracts entities from text, /root/reference/src/hu_entity/
+entity_finder.py; a crawl corpus also carries explicit edges in its
+anchors, which feed PageRank-style entity/host importance and crawl
+frontier ranking).
+
+Spec (replayed verbatim by the DuckDB contract oracle):
+
+1. Decode ``html`` (binary, UTF-8) and pull every double-quoted
+   ``<a ... href="...">`` value with one JVM regex — no HTML parse. This
+   is the standard crawl-scale trade (WAT extraction does the same); a
+   single-quoted/unquoted href is out of scope and documented as such.
+2. Resolve each href against the page url:
+   absolute (``scheme://...``) as-is; protocol-relative (``//h/p``) gets
+   the page scheme; root-relative (``/p``) gets ``scheme://host``;
+   empty/fragment-only resolves to the page itself; anything else is
+   treated root-relative (no dot-segment arithmetic — synth pages emit
+   none, and crawl pipelines commonly normalize these away upstream).
+3. Normalize the resolved url with the SAME expression as
+   :func:`kg.ops.webnorm.normalize_urls` (fragment/port/tracking-param/
+   trailing-slash rules), so link targets and crawled page urls land in
+   one key space and the graph joins against the pages table directly.
+
+Scale shape: ``extract_links`` is a pure map — decode + regexp_extract_all
++ explode, all whole-stage-codegen JVM expressions, no Python, no shuffle;
+it streams over any number of pages. ``host_link_graph`` is one
+partial-aggregated groupBy over (src_host, dst_host) — host-pair
+cardinality is tiny next to the link count, so the shuffle is the
+pre-aggregated pairs, not the raw links.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kg.ops.webnorm import _norm_expr
+
+__all__ = ["extract_links", "host_link_graph", "HREF_RE", "HOST_RE"]
+
+#: double-quoted href attribute of an anchor tag (group 1 = the value)
+HREF_RE = r'<a\s[^>]*href="([^"]*)"'
+#: host component of an absolute URL (group 1)
+HOST_RE = r"://([^/?#]+)"
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_ORIGIN_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def _resolve(href: Column, page_url: Column) -> Column:
+    """Resolve ``href`` against ``page_url`` per the module spec."""
+    scheme = F.regexp_extract(page_url, _SCHEME_RE, 1)
+    origin = F.regexp_extract(page_url, _ORIGIN_RE, 1)
+    return (
+        F.when(href.rlike(_SCHEME_RE), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when((href == "") | href.startswith("#"), page_url)
+        .otherwise(F.concat(origin, F.lit("/"), href))
+    )
+
+
+def extract_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per anchor: (src_url, href, dst_url) with ``dst_url``
+    resolved and normalized. Pages without anchors emit nothing."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(html_str, F.lit(HREF_RE), F.lit(1))
+    exploded = df.select(
+        F.col(url_col).alias("src_url"), F.explode(hrefs).alias("href")
+    )
+    return exploded.withColumn(
+        "dst_url", _norm_expr(_resolve(F.col("href"), F.col("src_url")))
+    )
+
+
+def host_link_graph(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Host-level link graph: (src_host, dst_host, n_links, n_pages,
+    n_targets) — total anchors, distinct linking pages, distinct
+    normalized targets. Self-loops (in-site links) are kept; callers
+    filter ``src_host != dst_host`` for the cross-site graph."""
+    links = extract_links(df, url_col=url_col, html_col=html_col)
+    return (
+        links.select(
+            F.regexp_extract("src_url", HOST_RE, 1).alias("src_host"),
+            F.regexp_extract("dst_url", HOST_RE, 1).alias("dst_host"),
+            "src_url",
+            "dst_url",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("src_url").alias("n_pages"),
+            F.countDistinct("dst_url").alias("n_targets"),
+        )
+    )

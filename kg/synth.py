@@ -144,14 +144,40 @@ def make_sentences(
     return sentences
 
 
+#: external hosts linked from footers — the cross-site edges of the link graph
+EXTERNAL_HOSTS = ("wiki.test", "news.test", "cdn.test")
+
+
 def page_html(doc_id: int, sentences: list[str]) -> bytes:
-    paras = "".join(f"<p>{escape(s)}</p>" for s in sentences)
+    """Page HTML with a deterministic link structure (doc_id-derived, so the
+    link graph is reproducible without an RNG):
+
+    - nav: a relative next-page link and a relative jump link carrying a
+      tracking param (exercises resolution + utm stripping),
+    - first paragraph: the first word wrapped in a fragment-only anchor —
+      inside ``<p>`` but TEXT-PRESERVING, so ``extract_text`` byte-identity
+      (BASELINE.json input_hint) is unaffected,
+    - footer: an absolute link to one of three external hosts.
+    """
+    paras = []
+    for i, s in enumerate(sentences):
+        esc = escape(s)
+        if i == 0:
+            head, sep, rest = esc.partition(" ")
+            esc = f'<a href="#s0">{head}</a>{sep}{rest}'
+        paras.append(f"<p>{esc}</p>")
+    ext = EXTERNAL_HOSTS[doc_id % len(EXTERNAL_HOSTS)]
     html = (
         f"<html><head><title>t{doc_id}</title>"
         f"<script>var x={doc_id};</script></head>"
-        f"<body><nav>site navigation boilerplate</nav>"
-        f"{paras}"
-        f"<footer>copyright boilerplate {doc_id % 7}</footer></body></html>"
+        f"<body><nav>site navigation boilerplate"
+        f' <a href="/{doc_id + 1:08d}">next</a>'
+        f' <a href="/{doc_id * 2 + 1:08d}?utm_source=nav&page={doc_id % 9}">'
+        f"jump</a></nav>"
+        f"{''.join(paras)}"
+        f"<footer>copyright boilerplate {doc_id % 7}"
+        f' <a href="https://{ext}/ref/{doc_id % 53}">source</a></footer>'
+        f"</body></html>"
     )
     return html.encode("utf-8")
 

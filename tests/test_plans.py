@@ -198,3 +198,17 @@ def test_jaccard_join_exact_no_cartesian_all_jvm(spark):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in p, node
+
+
+def test_link_graph_pure_map_plus_one_partial_agged_shuffle(spark):
+    from kg.ops.weblinks import host_link_graph
+
+    pages = spark.read.parquet("fixtures/pages_tiny.parquet")
+    p = _plan(host_link_graph(pages))
+    # extraction is all JVM expressions: no Python workers anywhere
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    # exactly the distinct-agg expand shuffle pair; no join at all
+    assert "Join" not in p
+    assert "partial_count" in p  # map-side combine before the exchange
+    # column pruning reaches the scan: url + html only
+    assert "ReadSchema: struct<url:string,html:binary>" in p

@@ -1,0 +1,85 @@
+"""Hyperlink extraction / host link graph (kg/ops/weblinks.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg.ops.weblinks import extract_links, host_link_graph
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode()) for u, h in rows], "url string, html binary"
+    )
+
+
+class TestExtractLinks:
+    def test_resolution_matrix(self, spark):
+        html = (
+            '<a href="https://Other.test:443/x?utm_source=a&q=1#f">abs</a>'
+            '<a href="//proto.test/p/">pr</a>'
+            '<a href="/root">rel</a>'
+            '<a href="#frag">self</a>'
+            '<a href="">empty</a>'
+            '<a href="bare?gclid=z">bare</a>'
+        )
+        df = _pages(spark, [("https://src.test/dir/page", html)])
+        got = {r["href"]: r["dst_url"] for r in extract_links(df).collect()}
+        assert got == {
+            # fragment + default port + tracking param all normalized away
+            "https://Other.test:443/x?utm_source=a&q=1#f":
+                "https://other.test/x?q=1",
+            # protocol-relative inherits the page scheme; trailing / stripped
+            "//proto.test/p/": "https://proto.test/p",
+            "/root": "https://src.test/root",
+            "#frag": "https://src.test/dir/page",
+            "": "https://src.test/dir/page",
+            # bare path resolves root-relative; gclid-only query dropped
+            "bare?gclid=z": "https://src.test/bare",
+        }
+
+    def test_no_anchors_no_rows_and_multiline(self, spark):
+        df = _pages(spark, [
+            ("https://a.test/1", "<html><p>plain</p></html>"),
+            ("https://a.test/2", '<a class="x"\n href="/y">two-attr</a>'),
+        ])
+        rows = extract_links(df).collect()
+        assert [(r["src_url"], r["dst_url"]) for r in rows] == [
+            ("https://a.test/2", "https://a.test/y")]
+
+    def test_synth_pages_link_shape(self, spark):
+        # every synth page emits exactly 4 anchors: next, jump, self, ext
+        from kg.synth import EXTERNAL_HOSTS
+
+        pages = spark.read.parquet("fixtures/pages_tiny.parquet")
+        links = extract_links(pages)
+        per_page = links.groupBy("src_url").count().select("count").distinct()
+        assert [r[0] for r in per_page.collect()] == [4]
+        hosts = {
+            r[0] for r in links.select(
+                F.regexp_extract("dst_url", "://([^/?#]+)", 1)
+            ).distinct().collect()
+        }
+        assert hosts == {"ex42.test", *EXTERNAL_HOSTS}
+
+
+class TestHostLinkGraph:
+    def test_counts(self, spark):
+        df = _pages(spark, [
+            ("https://a.test/1", '<a href="/x">i</a><a href="https://b.test/y">o</a>'),
+            ("https://a.test/2", '<a href="/x">i</a>'),
+        ])
+        got = {(r["src_host"], r["dst_host"]): (r["n_links"], r["n_pages"],
+                                                r["n_targets"])
+               for r in host_link_graph(df).collect()}
+        assert got == {
+            ("a.test", "a.test"): (2, 2, 1),
+            ("a.test", "b.test"): (1, 1, 1),
+        }
+
+    def test_partition_invariant(self, spark):
+        pages = spark.read.parquet("fixtures/pages_tiny.parquet")
+        a = sorted(map(tuple, host_link_graph(pages).collect()))
+        b = sorted(map(tuple, host_link_graph(
+            pages.repartition(7)).collect()))
+        assert a == b
