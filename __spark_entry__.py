@@ -36,6 +36,20 @@ def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
     d = damping
     parts = [
         f"WITH e AS (SELECT src, dst FROM '{FIX}/edges.parquet')",
+        *_pagerank_unroll_parts(iters, d),
+    ]
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(rank, 9) AS rank"
+        f" FROM r{iters}"
+    )
+
+
+def _pagerank_unroll_parts(iters: int, d: float) -> list[str]:
+    """Power-iteration CTE unroll over a preceding ``e(src, dst)`` CTE —
+    node type agnostic (shared by the fixture-edges and web-link-graph
+    PageRank oracles)."""
+    parts = [
         "nodes AS (SELECT DISTINCT node FROM "
         "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
         "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)",
@@ -46,25 +60,23 @@ def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dang FROM r{i-1}"
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dang FROM r{i-1}"
             " WHERE node NOT IN (SELECT src FROM w))"
         )
         parts.append(
-            f"c{i} AS (SELECT w.dst, sum(r.rank * w.w) AS c"
+            f"c{i} AS MATERIALIZED (SELECT w.dst, sum(r.rank * w.w) AS c"
             f" FROM w JOIN r{i-1} r ON w.src = r.node GROUP BY w.dst)"
         )
         parts.append(
-            f"r{i} AS (SELECT nodes.node,"
+            # MATERIALIZED: r{i-1} is referenced by d/c/r each round; inlining
+            # grows the tree ~3x per iteration and stalls the optimizer
+            f"r{i} AS MATERIALIZED (SELECT nodes.node,"
             f" (1 - {d}) / (SELECT n FROM p)"
             f" + {d} * (SELECT dang FROM d{i}) / (SELECT n FROM p)"
             f" + {d} * coalesce(c.c, 0) AS rank"
             f" FROM nodes LEFT JOIN c{i} c ON nodes.node = c.dst)"
         )
-    return (
-        ",\n".join(parts)
-        + f"\nSELECT CAST(node AS BIGINT) AS node, round(rank, 9) AS rank"
-        f" FROM r{iters}"
-    )
+    return parts
 
 # ---------------------------------------------------------------- dims ----
 
@@ -362,6 +374,40 @@ WITH hrefs AS (
   SELECT src_url, href, dst_url FROM norm
 )
 """
+
+
+WEBPR_ITERS = 8
+
+
+def q_web_page_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship web-graph composition: raw HTML → anchor extraction →
+    resolved/normalized page-level edge list (deduped, self-loops dropped)
+    → fixed-iteration PageRank. The oracle replays link extraction in
+    DuckDB and unrolls the identical power iteration, so this pins the
+    whole html→rank path end-to-end."""
+    from kg.graphstats import pagerank
+    from kg.ops.weblinks import extract_links
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    edges = (
+        extract_links(pages)
+        .select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iterations=WEBPR_ITERS).select(
+        F.col("node").alias("url"), F.round("rank", 9).alias("rank")
+    )
+
+
+def _web_pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
+    return (
+        _weblinks_oracle_cte(f"{FIX}/pages_tiny.parquet").rstrip()
+        + ",\ne AS MATERIALIZED (SELECT DISTINCT src_url AS src, dst_url AS dst"
+        " FROM links WHERE src_url <> dst_url),\n"
+        + ",\n".join(_pagerank_unroll_parts(iters, damping))
+        + f"\nSELECT node AS url, round(rank, 9) AS rank FROM r{iters}"
+    )
 
 
 # literal PII corpus for the scrubbing contract — the oracle RECOMPUTES the
@@ -702,15 +748,17 @@ def _pagerank_weighted_oracle_sql(iters: int, damping: float = 0.85) -> str:
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dang FROM r{i-1}"
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dang FROM r{i-1}"
             " WHERE node NOT IN (SELECT src FROM w))"
         )
         parts.append(
-            f"c{i} AS (SELECT w.dst, sum(r.rank * w.w) AS c"
+            f"c{i} AS MATERIALIZED (SELECT w.dst, sum(r.rank * w.w) AS c"
             f" FROM w JOIN r{i-1} r ON w.src = r.node GROUP BY w.dst)"
         )
         parts.append(
-            f"r{i} AS (SELECT nodes.node,"
+            # MATERIALIZED: r{i-1} is referenced by d/c/r each round; inlining
+            # grows the tree ~3x per iteration and stalls the optimizer
+            f"r{i} AS MATERIALIZED (SELECT nodes.node,"
             f" (1 - {d}) / (SELECT n FROM p)"
             f" + {d} * (SELECT dang FROM d{i}) / (SELECT n FROM p)"
             f" + {d} * coalesce(c.c, 0) AS rank"
@@ -759,15 +807,17 @@ def _ppr_oracle_sql(iters: int, damping: float = 0.85) -> str:
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dang FROM r{i-1}"
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dang FROM r{i-1}"
             " WHERE node NOT IN (SELECT src FROM w))"
         )
         parts.append(
-            f"c{i} AS (SELECT w.dst, sum(r.rank * w.w) AS c"
+            f"c{i} AS MATERIALIZED (SELECT w.dst, sum(r.rank * w.w) AS c"
             f" FROM w JOIN r{i-1} r ON w.src = r.node GROUP BY w.dst)"
         )
         parts.append(
-            f"r{i} AS (SELECT nodes.node,"
+            # MATERIALIZED: r{i-1} is referenced by d/c/r each round; inlining
+            # grows the tree ~3x per iteration and stalls the optimizer
+            f"r{i} AS MATERIALIZED (SELECT nodes.node,"
             f" CASE WHEN nodes.node IN (SELECT node FROM s)"
             f" THEN (1 - {d}) / (SELECT ns FROM p)"
             f" + {d} * (SELECT dang FROM d{i}) / (SELECT ns FROM p)"
@@ -2230,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_stats": q_kg_predicate_stats,
         "web_links": q_web_links,
         "web_link_graph": q_web_link_graph,
+        "web_page_rank": q_web_page_rank,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_ner_errors": q_kg_ner_errors,
@@ -2425,6 +2476,7 @@ SELECT regexp_extract(src_url, '://([^/?#]+)', 1) AS src_host,
        CAST(count(DISTINCT dst_url) AS BIGINT) AS n_targets
 FROM links GROUP BY 1, 2
 """,
+        "web_page_rank": _web_pagerank_oracle_sql(WEBPR_ITERS),
         "doc_exact_dedup": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
   CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id
