@@ -318,17 +318,36 @@ def q_web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_link_graph(pages)
 
 
-def _weblinks_oracle_cte(pages_path: str) -> str:
-    """WITH-prefix producing links(src_url, href, dst_url): an independent
-    DuckDB replay of kg/ops/weblinks.py's extract+resolve+normalize spec."""
-    return f"""
+def _weblinks_oracle_cte(pages_path: str, with_text: bool = False) -> str:
+    """WITH-prefix producing links(src_url, href, dst_url[, anchor_text]):
+    an independent DuckDB replay of kg/ops/weblinks.py's
+    extract+resolve+normalize spec (whole-element extraction and
+    whitespace-collapsed anchor text when ``with_text``)."""
+    if with_text:
+        hrefs = f"""
+WITH anchors AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(decode(html),
+                '<a\\s[^>]*href="[^"]*"[^>]*>[^<]*</a>', 0)) AS a
+  FROM '{pages_path}'
+), hrefs AS (
+  SELECT src_url,
+         regexp_extract(a, '<a\\s[^>]*href="([^"]*)"', 1) AS href,
+         trim(regexp_replace(regexp_extract(a, '>([^<]*)<', 1),
+              '\\s+', ' ', 'g')) AS anchor_text
+  FROM anchors
+)"""
+    else:
+        hrefs = f"""
 WITH hrefs AS (
   SELECT url AS src_url,
          unnest(regexp_extract_all(decode(html),
                 '<a\\s[^>]*href="([^"]*)"', 1)) AS href
   FROM '{pages_path}'
-), res AS (
-  SELECT src_url, href,
+)"""
+    t = ", anchor_text" if with_text else ""
+    return f"""{hrefs}, res AS (
+  SELECT src_url, href{t},
     CASE
       WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
       WHEN href LIKE '//%' THEN
@@ -343,7 +362,7 @@ WITH hrefs AS (
     END AS raw
   FROM hrefs
 ), parts AS (
-  SELECT src_url, href, raw,
+  SELECT src_url, href{t}, raw,
     lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
     lower(regexp_extract(raw,
           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
@@ -352,7 +371,7 @@ WITH hrefs AS (
     regexp_extract(raw, '(\\?[^#]*)', 1) AS query0
   FROM res
 ), norm AS (
-  SELECT src_url, href,
+  SELECT src_url, href{t},
     CASE WHEN scheme = '' THEN raw ELSE
       scheme || '://'
       || CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
@@ -371,9 +390,22 @@ WITH hrefs AS (
         p, '^(utm_[^=]*|gclid|fbclid)(=.*)?$')) AS kept
     FROM parts)
 ), links AS (
-  SELECT src_url, href, dst_url FROM norm
+  SELECT src_url, href{t}, dst_url FROM norm
 )
 """
+
+
+ANCHOR_MAX_TEXTS = 32
+
+
+def q_web_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index per normalized link target (the off-page naming
+    signal); oracle replays whole-element extraction + the bounded
+    sorted-distinct text sample in DuckDB."""
+    from kg.ops.weblinks import anchor_text_index
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    return anchor_text_index(pages, max_texts=ANCHOR_MAX_TEXTS)
 
 
 WEBPR_ITERS = 8
@@ -2281,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_links": q_web_links,
         "web_link_graph": q_web_link_graph,
         "web_page_rank": q_web_page_rank,
+        "web_anchor_index": q_web_anchor_index,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_ner_errors": q_kg_ner_errors,
@@ -2477,6 +2510,18 @@ SELECT regexp_extract(src_url, '://([^/?#]+)', 1) AS src_host,
 FROM links GROUP BY 1, 2
 """,
         "web_page_rank": _web_pagerank_oracle_sql(WEBPR_ITERS),
+        "web_anchor_index": _weblinks_oracle_cte(
+            f"{FIX}/pages_tiny.parquet", with_text=True
+        )
+        + f"""
+SELECT dst_url,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src_url) AS BIGINT) AS n_pages,
+       array_to_string(
+         list_sort(list_distinct(list(anchor_text)))[1:{ANCHOR_MAX_TEXTS}],
+         '|') AS anchor_texts
+FROM links GROUP BY dst_url
+""",
         "doc_exact_dedup": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
   CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_id

@@ -37,10 +37,18 @@ from pyspark.sql import functions as F
 
 from kg.ops.webnorm import _norm_expr
 
-__all__ = ["extract_links", "host_link_graph", "HREF_RE", "HOST_RE"]
+__all__ = [
+    "extract_links",
+    "host_link_graph",
+    "anchor_text_index",
+    "HREF_RE",
+    "HOST_RE",
+]
 
 #: double-quoted href attribute of an anchor tag (group 1 = the value)
 HREF_RE = r'<a\s[^>]*href="([^"]*)"'
+#: a whole simple anchor element (no nested tags in the body)
+ANCHOR_RE = r'<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
 #: host component of an absolute URL (group 1)
 HOST_RE = r"://([^/?#]+)"
 
@@ -98,3 +106,68 @@ def host_link_graph(
             F.countDistinct("dst_url").alias("n_targets"),
         )
     )
+
+
+def anchor_text_index(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_texts: int = 32,
+) -> DataFrame:
+    """Anchor-text index: for every normalized link target, how many pages
+    link to it, with how many anchors, under which (sorted, distinct)
+    anchor texts. Anchor text is the classic off-page naming signal — a
+    KG linker uses it as extra surface forms for the target entity/page,
+    and rankers as an endorsement feature.
+
+    Extraction matches simple anchors only (``<a ... href="...">text</a>``
+    with no nested markup, text whitespace-collapsed and trimmed) — the
+    documented crawl-scale simplification, same scope as :data:`HREF_RE`.
+
+    Scale shape: pure-map extraction (decode + regexp_extract_all over
+    whole elements, then per-element href/text extracts — all JVM). The
+    count stats are one partial-aggregated groupBy; the text sample is
+    distinct-ed then window-ranked to the lexicographically-first
+    ``max_texts`` BEFORE collect_list, so no aggregation buffer ever
+    holds more than ``max_texts`` strings even for a hub target every
+    page links to under a different text.
+    """
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    anchors = F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), F.lit(0))
+    per_anchor = df.select(
+        F.col(url_col).alias("src_url"), F.explode(anchors).alias("a")
+    ).select(
+        "src_url",
+        F.regexp_extract("a", HREF_RE, 1).alias("href"),
+        F.trim(
+            F.regexp_replace(F.regexp_extract("a", r">([^<]*)<", 1),
+                             r"\s+", " ")
+        ).alias("anchor_text"),
+    )
+    resolved = per_anchor.withColumn(
+        "dst_url", _norm_expr(_resolve(F.col("href"), F.col("src_url")))
+    )
+    stats = resolved.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("src_url").alias("n_pages"),
+    )
+    from pyspark.sql.window import Window
+
+    texts = (
+        resolved.select("dst_url", "anchor_text")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("dst_url").orderBy("anchor_text")
+            ),
+        )
+        .where(F.col("rn") <= int(max_texts))
+        .groupBy("dst_url")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("anchor_text")), "|"
+            ).alias("anchor_texts")
+        )
+    )
+    return stats.join(texts, "dst_url")

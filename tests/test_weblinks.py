@@ -83,3 +83,31 @@ class TestHostLinkGraph:
         b = sorted(map(tuple, host_link_graph(
             pages.repartition(7)).collect()))
         assert a == b
+
+
+class TestAnchorTextIndex:
+    def test_texts_collapsed_sorted_distinct_and_capped(self, spark):
+        from kg.ops.weblinks import anchor_text_index
+
+        df = _pages(spark, [
+            ("https://a.test/1",
+             '<a href="/t">b  text</a><a href="/t">a</a><a href="/t">a</a>'),
+            ("https://a.test/2", '<a href="/t">c</a>'),
+        ])
+        full = anchor_text_index(df).collect()
+        assert [tuple(r) for r in full] == [
+            ("https://a.test/t", 4, 2, "a|b text|c")]
+        capped = anchor_text_index(df, max_texts=2).collect()
+        assert capped[0]["anchor_texts"] == "a|b text"
+        # counts are unaffected by the text cap
+        assert (capped[0]["n_links"], capped[0]["n_pages"]) == (4, 2)
+
+    def test_synth_first_word_is_self_anchor(self, spark):
+        from kg.ops.weblinks import anchor_text_index
+
+        pages = spark.read.parquet("fixtures/pages_tiny.parquet")
+        idx = anchor_text_index(pages)
+        # the fragment anchor names the page by its own first word
+        row = idx.where(
+            F.col("dst_url") == "https://ex42.test/00000003").first()
+        assert "12345" in row["anchor_texts"].split("|")
