@@ -1621,6 +1621,28 @@ def q_kg_linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ENTITY_PROFILE_MAX_SURFACES = 16
+
+
+def q_kg_entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-card rollup over the linked KG at the 10k-page fixture
+    scale: link the golden triples against the alias dictionary, then
+    profile each canonical entity (role counts, doc count, modal
+    predicate, bounded surface sample). Oracle recomputes the link join
+    and all three aggregations in SQL."""
+    from kg.graphstats import entity_profile
+    from kg.stages.link import link_triples
+
+    triples = spark.read.parquet(
+        f"{FIX}/expected_triples_small.parquet"
+    ).withColumn("conf", F.lit(1.0))
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    linked = link_triples(triples, alias_dim).withColumn(
+        "subj_id", F.col("subj_id").cast("long")
+    ).withColumn("obj_id", F.col("obj_id").cast("long"))
+    return entity_profile(linked, max_surfaces=ENTITY_PROFILE_MAX_SURFACES)
+
+
 def q_kg_ner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.stages.extract import extract_docs
     from kg.stages.triples import detect_ner_mentions
@@ -2316,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_index": q_web_anchor_index,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
+        "kg_entity_profile": q_kg_entity_profile,
         "kg_ner_errors": q_kg_ner_errors,
         "kg_annotate": q_kg_annotate,
         "kg_stream_triples": q_kg_stream_triples,
@@ -2906,6 +2929,42 @@ SELECT t.url, t.subj, t.pred, t.obj, s.entity_id AS subj_id, o.entity_id AS obj_
 FROM '{FIX}/expected_triples_tiny.parquet' t
 LEFT JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
 LEFT JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+""",
+        "kg_entity_profile": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT t.url, t.subj, t.pred, t.obj,
+         s.entity_id AS subj_id, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  LEFT JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  LEFT JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), roles AS (
+  SELECT subj_id AS entity_id, url, pred, subj AS surface, 1 AS is_subj
+  FROM t WHERE subj_id IS NOT NULL
+  UNION ALL
+  SELECT obj_id, url, NULL, obj, 0 FROM t WHERE obj_id IS NOT NULL
+), counts AS (
+  SELECT entity_id,
+         CAST(sum(is_subj) AS BIGINT) AS n_as_subj,
+         CAST(sum(1 - is_subj) AS BIGINT) AS n_as_obj,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+  FROM roles GROUP BY entity_id
+), tp AS (
+  SELECT entity_id, pred AS top_pred FROM (
+    SELECT entity_id, pred, row_number() OVER (
+      PARTITION BY entity_id ORDER BY count(*) DESC, pred) AS rn
+    FROM roles WHERE is_subj = 1 GROUP BY entity_id, pred)
+  WHERE rn = 1
+), sf AS (
+  SELECT entity_id, array_to_string(
+    list_sort(list_distinct(list(surface)))
+      [1:{ENTITY_PROFILE_MAX_SURFACES}], '|') AS surfaces
+  FROM roles GROUP BY entity_id
+)
+SELECT counts.entity_id, n_as_subj, n_as_obj, n_docs, top_pred, surfaces
+FROM counts LEFT JOIN tp USING (entity_id) JOIN sf USING (entity_id)
 """,
         "kg_ner_errors": """
 SELECT 'poison://doc-1' AS url, 'ner_mentions' AS stage,

@@ -40,6 +40,7 @@ __all__ = [
     "khop_reachability",
     "shortest_paths",
     "predicate_stats",
+    "entity_profile",
 ]
 
 
@@ -587,4 +588,82 @@ def predicate_stats(
             (F.countDistinct(subj) / n).alias("fun"),
             (F.countDistinct(obj) / n).alias("inv_fun"),
         )
+    )
+
+
+def entity_profile(
+    linked: DataFrame,
+    max_surfaces: int = 16,
+) -> DataFrame:
+    """Per-canonical-entity profile over linked triples
+    (url, subj, pred, obj, subj_id, obj_id — the output of
+    :func:`kg.stages.link.link_triples`): how often the entity appears in
+    each role, in how many documents, its most frequent predicate as
+    subject (ties broken lexicographically), and a bounded sample of the
+    surface forms it was linked from. This is the entity-card a KG
+    consumer renders and the linker's feedback table (surface variety
+    per id exposes alias-dictionary gaps). Unlinked rows (null id on the
+    relevant side) are ignored.
+
+    Scale shape: one union of the two role projections, then three
+    partial-aggregated groupBys joined on entity_id — each keyed by the
+    entity, so AQE's skew handling applies to hot entities. The surface
+    sample is distinct-ed and window-ranked to ``max_surfaces`` BEFORE
+    collect_list (no unbounded agg buffer for celebrity entities, same
+    discipline as kg.ops.weblinks.anchor_text_index). top_pred is a
+    count + row_number, not a collect.
+    """
+    subj = linked.where(F.col("subj_id").isNotNull()).select(
+        F.col("subj_id").alias("entity_id"),
+        "url",
+        "pred",
+        F.col("subj").alias("surface"),
+        F.lit(1).alias("is_subj"),
+    )
+    obj = linked.where(F.col("obj_id").isNotNull()).select(
+        F.col("obj_id").alias("entity_id"),
+        "url",
+        F.lit(None).cast("string").alias("pred"),
+        F.col("obj").alias("surface"),
+        F.lit(0).alias("is_subj"),
+    )
+    both = subj.unionByName(obj)
+    counts = both.groupBy("entity_id").agg(
+        F.sum("is_subj").alias("n_as_subj"),
+        F.sum(1 - F.col("is_subj")).alias("n_as_obj"),
+        F.countDistinct("url").alias("n_docs"),
+    )
+    top_pred = (
+        subj.groupBy("entity_id", "pred")
+        .count()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("entity_id").orderBy(
+                    F.col("count").desc(), F.col("pred")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("entity_id", F.col("pred").alias("top_pred"))
+    )
+    surfaces = (
+        both.select("entity_id", "surface")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("entity_id").orderBy("surface")
+            ),
+        )
+        .where(F.col("rn") <= int(max_surfaces))
+        .groupBy("entity_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("surface")), "|").alias(
+                "surfaces"
+            )
+        )
+    )
+    return (
+        counts.join(top_pred, "entity_id", "left").join(surfaces, "entity_id")
     )

@@ -351,3 +351,42 @@ class TestPredicateStats:
         a = sorted(map(tuple, predicate_stats(df).collect()))
         b = sorted(map(tuple, predicate_stats(df.repartition(9)).collect()))
         assert a == b
+
+
+class TestEntityProfile:
+    def test_profile_counts_top_pred_and_surface_cap(self, spark):
+        from kg.graphstats import entity_profile
+
+        rows = [
+            # entity 1: subj twice (pred a, b tie -> 'a' wins lexically),
+            # obj once, 2 docs, surfaces Acme/ACME/acme-corp
+            ("u1", "Acme", "a", "X", 1, None),
+            ("u2", "ACME", "b", "Y", 1, 2),
+            ("u2", "Z", "c", "acme-corp", 9, 1),
+            # entity 2: never a subject -> top_pred null
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, subj string, pred string, obj string,"
+                  " subj_id long, obj_id long")
+        got = {r["entity_id"]: r.asDict()
+               for r in entity_profile(df).collect()}
+        e1 = got[1]
+        assert (e1["n_as_subj"], e1["n_as_obj"], e1["n_docs"]) == (2, 1, 2)
+        assert e1["top_pred"] == "a"
+        assert e1["surfaces"] == "ACME|Acme|acme-corp"
+        assert got[2]["top_pred"] is None
+        capped = {r["entity_id"]: r["surfaces"]
+                  for r in entity_profile(df, max_surfaces=2).collect()}
+        assert capped[1] == "ACME|Acme"
+
+    def test_partition_invariant(self, spark):
+        from kg.graphstats import entity_profile
+
+        rows = [(f"u{i % 4}", f"s{i % 3}", f"p{i % 2}", f"o{i % 5}",
+                 i % 3, i % 5) for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "url string, subj string, pred string, obj string,"
+                  " subj_id long, obj_id long")
+        a = sorted(map(tuple, entity_profile(df).collect()))
+        b = sorted(map(tuple, entity_profile(df.repartition(7)).collect()))
+        assert a == b
