@@ -1643,6 +1643,26 @@ def q_kg_entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_profile(linked, max_surfaces=ENTITY_PROFILE_MAX_SURFACES)
 
 
+NEGSAMPLE_K = 4
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic filtered corrupted-tail negative sampling over the
+    linked KG (k=4 per distinct positive); the oracle recomputes the
+    md5-indexed draw, the vocab rank join and the false-negative filter
+    in SQL — including the distributed two-phase rank's equivalence to a
+    plain global row_number."""
+    from kg.ops.kgtrain import negative_sample_triples
+    from kg.stages.link import link_triples
+
+    triples = spark.read.parquet(
+        f"{FIX}/expected_triples_small.parquet"
+    ).withColumn("conf", F.lit(1.0))
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    linked = link_triples(triples, alias_dim)
+    return negative_sample_triples(linked, k=NEGSAMPLE_K)
+
+
 def q_kg_ner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.stages.extract import extract_docs
     from kg.stages.triples import detect_ner_mentions
@@ -2339,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_entity_profile": q_kg_entity_profile,
+        "kg_negative_samples": q_kg_negative_samples,
         "kg_ner_errors": q_kg_ner_errors,
         "kg_annotate": q_kg_annotate,
         "kg_stream_triples": q_kg_stream_triples,
@@ -2965,6 +2986,36 @@ WITH dim AS (
 )
 SELECT counts.entity_id, n_as_subj, n_as_obj, n_docs, top_pred, surfaces
 FROM counts LEFT JOIN tp USING (entity_id) JOIN sf USING (entity_id)
+""",
+        "kg_negative_samples": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), pos AS (
+  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), vocab AS (
+  SELECT entity_id, row_number() OVER (ORDER BY entity_id) - 1 AS idx
+  FROM (SELECT subj_id AS entity_id FROM pos
+        UNION SELECT obj_id FROM pos)
+), expd AS (
+  SELECT subj_id, pred, obj_id, i AS neg_rank,
+    ('0x' || substr(md5(subj_id || '|' || pred || '|' || obj_id || '|' || i),
+      1, 15))::BIGINT % (SELECT count(*) FROM vocab) AS idx
+  FROM pos, (SELECT unnest(generate_series(1, {NEGSAMPLE_K})) AS i)
+), cand AS (
+  SELECT e.subj_id, e.pred, e.obj_id,
+         CAST(e.neg_rank AS INT) AS neg_rank,
+         v.entity_id AS neg_obj_id
+  FROM expd e JOIN vocab v USING (idx)
+  WHERE v.entity_id <> e.obj_id
+)
+SELECT c.* FROM cand c
+LEFT JOIN pos p ON c.subj_id = p.subj_id AND c.pred = p.pred
+               AND c.neg_obj_id = p.obj_id
+WHERE p.subj_id IS NULL
 """,
         "kg_ner_errors": """
 SELECT 'poison://doc-1' AS url, 'ner_mentions' AS stage,

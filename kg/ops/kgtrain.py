@@ -1,0 +1,158 @@
+"""Training-example construction over the linked KG — the step between a
+materialized triple store and a KG-embedding trainer (TransE/DistMult
+style), where each positive (subj, pred, obj) needs k corrupted-tail
+negatives drawn from the entity vocabulary.
+
+The sampler is DETERMINISTIC (md5-derived indices, no RNG) so runs are
+reproducible and the DuckDB contract oracle can recompute it exactly —
+the same design choice as kg/ops/sketch.py's 60-bit md5 hashes and the
+hash-based token-budget sampler (kg/ops/curation.py).
+
+Semantics (filtered negative sampling, Bordes et al. 2013 §3 "corrupted
+triplets", the standard KG-embedding recipe):
+
+- entity vocabulary = distinct entity ids over both roles of the input,
+  ranked contiguously 0..n-1 by id (rank join, not a driver collect);
+- candidate i (i = 1..k) for a positive replaces the tail with
+  vocab[md5(subj_id|pred|obj_id|i) mod n];
+- a candidate is dropped when it reproduces the positive's own tail or
+  collides with ANY true triple (subj_id, pred, candidate) — the
+  "filtered" setting, so the trainer never sees a false negative.
+  Dropping (not resampling) keeps the op one-pass and deterministic;
+  with a uniform hash the loss is ~density of the (subj, pred) slice,
+  negligible on a real KG.
+
+Scale shape: the k-way expansion is a pure map (posexplode of a
+sequence, all JVM); the vocab index join broadcasts when the vocabulary
+fits (Spark's planner decides via AQE; at 10^9 entities it degrades to
+one shuffle join keyed by the uniform hash index — no skew by
+construction); the false-negative filter is one left_anti join against
+the positives on (subj_id, pred, neg_obj_id), co-partitioned with the
+expansion's own key order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kg.session import materialize
+
+__all__ = ["negative_sample_triples"]
+
+_HEX_DIGITS = 15  # 60 bits: exact in a signed long, '0x'-parseable in DuckDB
+
+
+def _md5_long(col) -> F.Column:  # noqa: ANN001
+    return F.conv(F.substring(F.md5(col), 1, _HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
+def _contiguous_rank(df: DataFrame, col: str = "entity_id") -> DataFrame:
+    """(col, idx) with idx = the 0-based global rank of ``col`` — WITHOUT a
+    global single-partition window. Range-partition on the key (global
+    order preserved across partitions), rank locally per partition, then
+    add each partition's cumulative offset (the per-partition counts are
+    a tiny driver-side table broadcast back). Equivalent to
+    ``row_number() OVER (ORDER BY col) - 1`` at any scale.
+    """
+    spark = df.sparkSession
+    parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    # materialize: repartitionByRange samples split points per execution,
+    # so the counts job and the final plan MUST read the same physical
+    # partitioning (the baked _pid column), not two re-samples
+    ranged = materialize(
+        df.repartitionByRange(parts, col).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    counts = sorted(
+        (r["_pid"], r["count"])
+        for r in ranged.groupBy("_pid").count().collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            "_pid int, _off long",
+        )
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(col)
+    ) - F.lit(1)
+    return (
+        ranged.join(off_df, "_pid")
+        .select(col, (local + F.col("_off")).alias("idx"))
+    )
+
+
+def negative_sample_triples(
+    linked: DataFrame,
+    k: int = 4,
+    subj: str = "subj_id",
+    pred: str = "pred",
+    obj: str = "obj_id",
+) -> DataFrame:
+    """k corrupted-tail negatives per positive triple.
+
+    Returns (subj_id, pred, obj_id, neg_rank, neg_obj_id) with
+    neg_rank in 1..k (gaps where a candidate was filtered). Input rows
+    with a null id on either side are ignored; duplicate positives are
+    collapsed first (a triple asserted in many documents is still one
+    training positive).
+    """
+    pos = (
+        linked.where(F.col(subj).isNotNull() & F.col(obj).isNotNull())
+        .select(
+            F.col(subj).cast("long").alias("subj_id"),
+            F.col(pred).alias("pred"),
+            F.col(obj).cast("long").alias("obj_id"),
+        )
+        .distinct()
+    )
+    vocab = _contiguous_rank(
+        pos.select(F.col("subj_id").alias("entity_id"))
+        .union(pos.select(F.col("obj_id").alias("entity_id")))
+        .distinct()
+    )
+    n_entities = vocab.count()
+    expanded = pos.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("neg_rank")
+    ).select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "neg_rank",
+        F.pmod(
+            _md5_long(
+                F.concat_ws(
+                    "|", F.col("subj_id"), F.col("pred"), F.col("obj_id"),
+                    F.col("neg_rank"),
+                )
+            ),
+            F.lit(n_entities),
+        ).alias("idx"),
+    )
+    cand = (
+        expanded.join(vocab, "idx")
+        .select(
+            "subj_id",
+            "pred",
+            "obj_id",
+            "neg_rank",
+            F.col("entity_id").alias("neg_obj_id"),
+        )
+        .where(F.col("neg_obj_id") != F.col("obj_id"))
+    )
+    return cand.join(
+        pos.select(
+            "subj_id", "pred", F.col("obj_id").alias("neg_obj_id")
+        ).distinct(),
+        ["subj_id", "pred", "neg_obj_id"],
+        "left_anti",
+    ).select("subj_id", "pred", "obj_id", "neg_rank", "neg_obj_id")
