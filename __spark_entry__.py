@@ -395,6 +395,31 @@ WITH hrefs AS (
 """
 
 
+def q_web_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier ranking: normalized link targets NOT present in the
+    crawled pages table, ordered by how many distinct pages endorse them
+    — the discovery loop a crawl-driven KG pipeline runs each cycle.
+    Anti-join keyed on the normalized url (page urls are already in
+    normalized form — kg.ops.webnorm is idempotent on them), one
+    partial-agged groupBy; the pages side is keys-only."""
+    from kg.ops.weblinks import extract_links
+    from kg.ops.webnorm import normalize_urls
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    crawled = normalize_urls(pages.select("url")).select(
+        F.col("url_norm").alias("dst_url")
+    )
+    links = extract_links(pages)
+    return (
+        links.join(crawled, "dst_url", "left_anti")
+        .groupBy("dst_url")
+        .agg(
+            F.countDistinct("src_url").alias("n_referrers"),
+            F.count(F.lit(1)).alias("n_links"),
+        )
+    )
+
+
 ANCHOR_MAX_TEXTS = 32
 
 
@@ -2356,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_graph": q_web_link_graph,
         "web_page_rank": q_web_page_rank,
         "web_anchor_index": q_web_anchor_index,
+        "web_crawl_frontier": q_web_crawl_frontier,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_entity_profile": q_kg_entity_profile,
@@ -2565,6 +2591,17 @@ SELECT dst_url,
          list_sort(list_distinct(list(anchor_text)))[1:{ANCHOR_MAX_TEXTS}],
          '|') AS anchor_texts
 FROM links GROUP BY dst_url
+""",
+        "web_crawl_frontier": _weblinks_oracle_cte(
+            f"{FIX}/pages_tiny.parquet"
+        )
+        + f"""
+SELECT dst_url,
+       CAST(count(DISTINCT src_url) AS BIGINT) AS n_referrers,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM links
+WHERE dst_url NOT IN (SELECT url FROM '{FIX}/pages_tiny.parquet')
+GROUP BY dst_url
 """,
         "doc_exact_dedup": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
