@@ -40,7 +40,9 @@ BENCH_SEED = 42
 def ensure_corpus() -> str:
     """Generate the bench pages corpus once; reuse across runs/parallelisms
     (both scaling runs must read identical input)."""
-    path = Path(f"/tmp/kg_bench_corpus_{BENCH_N}_{BENCH_SEED}.parquet")
+    # v2: synth pages gained a deterministic anchor/link structure (text
+    # unchanged); versioned path invalidates pre-link cached corpora
+    path = Path(f"/tmp/kg_bench_corpus_{BENCH_N}_{BENCH_SEED}_v2.parquet")
     if not path.exists():
         from kg import synth
 
@@ -246,6 +248,19 @@ def run_suite(spark, sf_dir: str) -> dict:
     )
     kg_edges.unpersist()
     triples_cached.unpersist()
+
+    # --- web link graph over raw page HTML (new r3): pure-map JVM regex
+    # extraction (decode + regexp_extract_all + explode, no Python) + one
+    # partial-agged host-pair groupBy ---
+    from kg.ops.weblinks import extract_links, host_link_graph
+
+    def w_weblinks():
+        counts["links"] = extract_links(pages).count()
+        host_link_graph(pages).count()
+
+    timings["weblinks"] = timed_twice(w_weblinks)
+    extra["weblinks_pages_per_sec"] = round(2 * n_pages / timings["weblinks"], 1)
+    extra["n_links"] = counts["links"]
 
     # --- lexical ranking over the full bench corpus (new r3): BM25 with
     # pre-shuffle query-term pruning + top-V vocab, both off one
