@@ -40,6 +40,7 @@ from kg.ops.webnorm import _norm_expr
 __all__ = [
     "extract_links",
     "host_link_graph",
+    "aggregate_host_graph",
     "anchor_text_index",
     "HREF_RE",
     "HOST_RE",
@@ -92,6 +93,13 @@ def host_link_graph(
     normalized targets. Self-loops (in-site links) are kept; callers
     filter ``src_host != dst_host`` for the cross-site graph."""
     links = extract_links(df, url_col=url_col, html_col=html_col)
+    return aggregate_host_graph(links)
+
+
+def aggregate_host_graph(links: DataFrame) -> DataFrame:
+    """Host-pair aggregation over an already-extracted links table
+    (src_url, dst_url, ...) — e.g. the pipeline's checkpointed ``links``
+    stage output — so the extraction pass isn't repeated per rollup."""
     return (
         links.select(
             F.regexp_extract("src_url", HOST_RE, 1).alias("src_host"),

@@ -11,6 +11,9 @@ Usage (cluster):
 
 Stages (each checkpointed per url_hash_bucket; see kg/checkpoint.py):
   extract   pages -> docs (Arrow mapInPandas, byte-identical extraction)
+  links     pages -> hyperlink table (pure-map anchor extraction +
+            URL resolution/normalization), plus derived link_host_graph
+            and crawl_frontier rollup tables
   mentions  docs -> dictionary/regex mentions (relational, broadcast joins)
   triples   docs -> OpenIE SVO triples (Arrow mapInPandas)
   link      triples + alias dict -> linked triples (broadcast or salted join)
@@ -39,7 +42,7 @@ def parse_args(argv):
     p.add_argument("--alias-dict", default=None, help="alias dict parquet (default: built-in fixture dict)")
     p.add_argument(
         "--stages",
-        default="extract,mentions,triples,link,canon,graph,analytics",
+        default="extract,links,mentions,triples,link,canon,graph,analytics",
         help="comma list of stages to run",
     )
     return p.parse_args(argv)
@@ -58,6 +61,10 @@ def main(argv=None) -> int:
     from kg.stages.mentions import detect_mentions, gazetteer_dim, regex_dim
     from kg.stages.triples import extract_svo_triples
 
+    from pyspark.sql import SparkSession
+
+    # embedding-safe: only stop the session if this run created it
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(master=args.master, app_name="kg-pipeline")
     stages = set(args.stages.split(","))
     t_start = time.monotonic()
@@ -82,6 +89,37 @@ def main(argv=None) -> int:
         )
     else:
         docs = pipe.read_stage("docs")
+
+    if "links" in stages:
+        from kg.ops.weblinks import aggregate_host_graph, extract_links
+        from kg.ops.webnorm import normalize_urls
+
+        links = pipe.run_stage(
+            "links",
+            pages.select("url", "html", "url_hash_bucket"),
+            lambda df: extract_links(df).join(
+                df.select(F.col("url").alias("src_url"), "url_hash_bucket"),
+                "src_url",
+            ),
+        )
+        # derived rollups off the checkpointed links table (tiny next to
+        # the links themselves; recomputed cheaply on every run)
+        aggregate_host_graph(links).write.mode("overwrite").parquet(
+            f"{args.out}/link_host_graph"
+        )
+        crawled = normalize_urls(pages.select("url")).select(
+            F.col("url_norm").alias("dst_url")
+        )
+        (
+            links.join(crawled, "dst_url", "left_anti")
+            .groupBy("dst_url")
+            .agg(
+                F.countDistinct("src_url").alias("n_referrers"),
+                F.count(F.lit(1)).alias("n_links"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{args.out}/crawl_frontier")
+        )
 
     if "mentions" in stages:
         from kg.stages.mentions import plan_gazetteer
@@ -216,7 +254,8 @@ def main(argv=None) -> int:
         f'{{"pipeline_wall_s": {wall:.2f}, "pages": {n_pages}, '
         f'"docs_per_sec": {n_pages / wall:.1f}}}'
     )
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

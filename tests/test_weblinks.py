@@ -111,3 +111,35 @@ class TestAnchorTextIndex:
         row = idx.where(
             F.col("dst_url") == "https://ex42.test/00000003").first()
         assert "12345" in row["anchor_texts"].split("|")
+
+
+class TestLinksPipelineStage:
+    def test_checkpointed_stage_and_rollups(self, spark, tmp_path):
+        import run_pipeline
+        from kg.ops.weblinks import extract_links, host_link_graph
+
+        out = str(tmp_path / "kgout")
+        rc = run_pipeline.main([
+            "--pages", "fixtures/pages_tiny.parquet", "--out", out,
+            "--buckets", "4", "--stages", "extract,links",
+        ])
+        assert rc == 0
+        pages = spark.read.parquet("fixtures/pages_tiny.parquet")
+        got = spark.read.parquet(f"{out}/links")
+        want = extract_links(pages)
+        assert got.count() == want.count()
+        assert (got.select("src_url", "href", "dst_url")
+                .exceptAll(want).count() == 0)
+        hg = spark.read.parquet(f"{out}/link_host_graph")
+        assert (hg.exceptAll(host_link_graph(pages)).count() == 0)
+        fr = spark.read.parquet(f"{out}/crawl_frontier")
+        # frontier never contains a crawled page
+        crawled = {r["url"] for r in pages.select("url").collect()}
+        assert not ({r["dst_url"] for r in fr.collect()} & crawled)
+        # resume is a no-op: all buckets already committed
+        rc2 = run_pipeline.main([
+            "--pages", "fixtures/pages_tiny.parquet", "--out", out,
+            "--buckets", "4", "--stages", "links",
+        ])
+        assert rc2 == 0
+        assert spark.read.parquet(f"{out}/links").count() == want.count()
