@@ -139,7 +139,8 @@ def main() -> int:
     lo, hi = n_low, n_high
 
     effs = {}
-    for key in ("pipeline_docs_per_sec", "mentions_docs_per_sec", "triples_per_sec"):
+    for key in ("pipeline_docs_per_sec", "mentions_docs_per_sec",
+                "triples_per_sec", "weblinks_pages_per_sec"):
         effs[key] = round(tp(hi, key) / tp(lo, key) / 4.0, 3)
 
     out_path = Path(args.out)
@@ -184,7 +185,8 @@ def main() -> int:
         f"| metric | local[{lo}] | local[{hi}] | speedup | efficiency (/4) |",
         "|---|---|---|---|---|",
     ]
-    for key in ("pipeline_docs_per_sec", "mentions_docs_per_sec", "triples_per_sec"):
+    for key in ("pipeline_docs_per_sec", "mentions_docs_per_sec",
+                "triples_per_sec", "weblinks_pages_per_sec"):
         s_lo, s_hi = tp(lo, key), tp(hi, key)
         lines.append(
             f"| {key} | {s_lo} | {s_hi} | {s_hi / s_lo:.2f}x | {effs[key]} |"
@@ -223,7 +225,8 @@ def main() -> int:
         " dominate — their walls are reported for completeness, not as"
         " scaling evidence; the scaling metrics are the three"
         " corpus-throughput rows above (ranking DOES run corpus-sized:"
-        " its wall ratio is reported in the stage table).",
+        " its wall ratio is reported in the stage table; weblinks runs"
+        " corpus-sized too and is a scaling row).",
         "- loadavg_start/loadavg_end in the raw JSON record neighbor"
         " pressure on this shared box at run time.",
         "- legs run in ABBA order (lo, hi, hi, lo), fresh JVM each;"
