@@ -516,6 +516,43 @@ def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SEQ_LEN = 256
+PACK_SHARDS = 8
+
+
+def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (fixed-length training-example
+    layout); oracle recomputes the sharded hash-ordered window cumsum and
+    the chunk/offset arithmetic."""
+    from kg.ops.curation import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), seq_len=PACK_SEQ_LEN, n_shards=PACK_SHARDS
+    )
+
+
+def q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: near-dup clusters (same
+    config as doc_minhash_dedup) keep their argmax-quality member instead
+    of the min id. Oracle composes the exact all-pairs clustering with the
+    quality recompute and a window argmax."""
+    from kg.ops.dedup import keep_best_per_cluster, minhash_near_dup
+    from kg.ops.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    clusters = minhash_near_dup(
+        docs, min_jaccard=0.8, k=64, bands=32, max_bucket=8192
+    )
+    return keep_best_per_cluster(
+        clusters, quality_score(docs), score_col="quality"
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("best_id").cast("long").alias("best_id"),
+        "keep",
+    )
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.dedup import exact_dedup
 
@@ -1859,6 +1896,99 @@ def q_stream_mention_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (url, ts, batch, dst_hosts) — each page's html carries one anchor per
+# listed host; timing mirrors STREAM_PAGES (same watermark semantics)
+STREAM_LINK_PAGES: list[tuple[str, str, int, list[str]]] = [
+    ("l1", "2024-01-01 10:00:10", 1, ["a.test", "b.test"]),
+    ("l2", "2024-01-01 10:01:10", 1, ["a.test", "a.test"]),
+    ("l3", "2024-01-01 10:05:00", 1, ["b.test"]),
+    ("l4", "2024-01-01 10:00:30", 2, ["a.test"]),
+    ("l5", "2024-01-01 10:03:30", 2, ["c.test", "b.test"]),
+    ("l6", "2024-01-01 10:30:00", 2, ["c.test"]),
+]
+
+
+def q_stream_link_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming contract over the web-graph path: windowed
+    outbound-link counts per destination host, watermarked. Same two-run
+    availableNow checkpoint-restore protocol as q_stream_mention_rates;
+    the late batch-2 row whose window the batch-1 watermark closed is
+    dropped. Oracle recomputes the windowed counts + cutoffs in SQL."""
+    import tempfile
+
+    import pandas as pd
+
+    from kg.streaming import (
+        read_pages_stream,
+        run_stream_to_parquet,
+        stream_link_rates,
+    )
+
+    src = tempfile.mkdtemp(prefix="kg_stream_links_src_")
+    out = tempfile.mkdtemp(prefix="kg_stream_links_out_")
+    ckpt = tempfile.mkdtemp(prefix="kg_stream_links_ckpt_")
+
+    def land(batch: int) -> None:
+        rows = [r for r in STREAM_LINK_PAGES if r[2] == batch]
+        pdf = pd.DataFrame(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": pd.to_datetime(
+                    [r[1] for r in rows]
+                ).astype("datetime64[us]"),
+                "html": [
+                    "".join(
+                        f'<a href="https://{h}/p">x</a>' for h in r[3]
+                    ).encode()
+                    for r in rows
+                ],
+                "text": [""] * len(rows),
+                "lang": ["en"] * len(rows),
+            }
+        )
+        pdf.to_parquet(f"{src}/batch{batch}.parquet", index=False)
+
+    for batch in (1, 2):
+        land(batch)
+        q = run_stream_to_parquet(
+            stream_link_rates(read_pages_stream(spark, src)), out, ckpt
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "start", "end", "dst_host",
+        F.col("n_links").cast("long").alias("n_links"),
+    )
+
+
+def _stream_link_rates_oracle_sql() -> str:
+    vals = ", ".join(
+        f"('{u}', TIMESTAMP '{ts}', {b}, '{','.join(hosts)}')"
+        for u, ts, b, hosts in STREAM_LINK_PAGES
+    )
+    return f"""
+WITH pages(url, ts, batch, hosts) AS (VALUES {vals}),
+wm1 AS (SELECT max(ts) - INTERVAL 2 MINUTE AS wm FROM pages WHERE batch = 1),
+final_wm AS (SELECT max(ts) - INTERVAL 2 MINUTE AS wm FROM pages),
+kept AS (
+  SELECT p.* FROM pages p, wm1
+  WHERE NOT (p.batch = 2
+             AND date_trunc('minute', p.ts) + INTERVAL 1 MINUTE <= wm1.wm)
+),
+links AS (
+  SELECT ts, unnest(string_split(hosts, ',')) AS dst_host FROM kept
+),
+agg AS (
+  SELECT date_trunc('minute', ts) AS wstart,
+         date_trunc('minute', ts) + INTERVAL 1 MINUTE AS wend,
+         dst_host, count(*) AS n
+  FROM links GROUP BY 1, 2, 3
+)
+SELECT wstart AS "start", wend AS "end", dst_host,
+       CAST(n AS BIGINT) AS n_links
+FROM agg, final_wm WHERE wend <= final_wm.wm
+"""
+
+
 def _stream_rates_oracle_sql() -> str:
     vals = ", ".join(
         f"('{u}', TIMESTAMP '{ts}', {b}, '{t}')" for u, ts, b, t in STREAM_PAGES
@@ -2317,6 +2447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_filter": q_doc_corpus_filter,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_token_budget": q_doc_token_budget,
+        "doc_pack_chunks": q_doc_pack_chunks,
+        "doc_dedup_keep_best": q_doc_dedup_keep_best,
         "web_url_normalize": q_web_url_normalize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_shingle_dedup": q_doc_shingle_dedup,
@@ -2390,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_annotate": q_kg_annotate,
         "kg_stream_triples": q_kg_stream_triples,
         "stream_mention_rates": q_stream_mention_rates,
+        "stream_link_rates": q_stream_link_rates,
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup_pages": q_stream_dedup_pages,
         "kg_gazetteer_snapshots": q_kg_gazetteer_snapshots,
@@ -3082,6 +3215,7 @@ SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
 SELECT url, subj, pred, obj FROM '{FIX}/expected_triples_tiny.parquet'
 """,
         "stream_mention_rates": _stream_rates_oracle_sql(),
+        "stream_link_rates": _stream_link_rates_oracle_sql(),
         "stream_sessionize": _stream_sessionize_oracle_sql(),
         "stream_dedup_pages": _stream_dedup_oracle_sql(),
         "kg_annotate": f"""
@@ -3563,5 +3697,42 @@ j AS (
 SELECT doc_id, len(rs) = 0 AS keep,
   coalesce(array_to_string(rs, ','), '') AS reasons
 FROM flags
+"""
+    d["doc_pack_chunks"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % {PACK_SHARDS} AS shard,
+    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         x -> x <> '')) AS BIGINT) AS n_tokens,
+    md5('7:' || CAST(doc_id AS VARCHAR)) AS _h
+  FROM documents
+), placed AS (
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY _h, doc_id ROWS UNBOUNDED PRECEDING
+    ) - n_tokens AS start
+  FROM base
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+  CAST(floor(start / {PACK_SEQ_LEN}) AS BIGINT) AS chunk_id,
+  CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS "offset"
+FROM placed
+"""
+    d["doc_dedup_keep_best"] = f"""
+WITH nd AS (
+  SELECT doc_id, component FROM ({_minhash_oracle_sql(min_jaccard=0.8)}) t
+), j AS (
+  SELECT nd.doc_id, nd.component, q.quality
+  FROM nd JOIN ({d["doc_quality"]}) q USING (doc_id)
+), best AS (
+  SELECT component, doc_id AS best_id FROM (
+    SELECT component, doc_id, row_number() OVER (
+      PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+    FROM j) WHERE rn = 1
+)
+SELECT j.doc_id, j.component, best.best_id,
+       j.doc_id = best.best_id AS keep
+FROM j JOIN best USING (component)
 """
     return d

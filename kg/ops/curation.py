@@ -28,6 +28,7 @@ __all__ = [
     "benchmark_contamination",
     "token_budget_sample",
     "token_budget_sample_approx",
+    "pack_sequences",
 ]
 
 
@@ -183,4 +184,63 @@ def token_budget_sample_approx(
     u = (F.col("_h").cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
     return base.join(F.broadcast(totals), "stratum").select(
         id_col, "stratum", "n_tokens", (u < frac).alias("keep")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the layout step that turns a
+    filtered corpus into fixed-length training examples: documents are
+    concatenated in a deterministic order and the stream is sliced into
+    ``seq_len``-token chunks (the standard LM pretraining packing; docs
+    cross chunk boundaries rather than leaving pad waste).
+
+    Each doc gets its placement: (doc_id, shard, n_tokens, chunk_id,
+    offset) where ``chunk_id``/``offset`` locate the doc's FIRST token in
+    its shard's chunk stream (chunk_id = floor(start/seq_len), offset =
+    start mod seq_len, start = running token total of all docs ordered
+    before it). A loader can reconstruct every chunk's members from this
+    table with one range predicate.
+
+    Determinism + scale: the order key is md5(seed:id) — a function of
+    the data alone, stable under any partitioning/retry (same discipline
+    as :func:`token_budget_sample`). Packing is sharded by a hash of the
+    id into ``n_shards`` independent streams, so the window cumsum never
+    funnels the corpus through one partition; shard count scales with
+    the cluster while each shard's chunk stream stays internally exact.
+
+    Tokens = whitespace word count (swap in a BPE count column upstream
+    if available; the layout math is token-definition-agnostic).
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+            F.lit(int(n_shards)),
+        ).alias("shard"),
+        F.size(_words(text_col)).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_start")
+    placed = base.select(id_col, "shard", "n_tokens", start)
+    return placed.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(F.col("_start") / seq_len).cast("long").alias("chunk_id"),
+        F.pmod(F.col("_start"), F.lit(int(seq_len))).cast("long").alias(
+            "offset"
+        ),
     )

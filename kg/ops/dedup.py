@@ -776,3 +776,47 @@ def jaccard_join_exact(
         .where(jac >= F.lit(float(min_jaccard)))
         .select("a", "b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def keep_best_per_cluster(
+    assignments: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Survivor selection for dedup clusters by QUALITY instead of min-id:
+    real pipelines keep the best copy of a near-dup group (longest /
+    cleanest / highest-scoring), not the one with the smallest id.
+
+    ``assignments``: (id, cluster) — e.g. :func:`minhash_near_dup` output;
+    ``scores``: (id, score) — e.g. kg.ops.textstats.quality_score.
+    Returns (doc_id, component, best_id, keep) where best_id is the
+    cluster's argmax score, ties broken to the SMALLEST id (deterministic).
+
+    Scale shape: argmax is a partial-aggregable max over a (score, -id)
+    struct — no per-cluster window, so a pathological mega-cluster
+    pre-aggregates map-side instead of serializing through one window
+    partition; then one broadcast-or-shuffle join back.
+    """
+    joined = assignments.select(id_col, cluster_col).join(
+        scores.select(id_col, score_col), id_col
+    )
+    best = joined.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("negid"),
+            )
+        ).alias("b")
+    ).select(cluster_col, (-F.col("b.negid")).cast("long").alias("best_id"))
+    return (
+        assignments.select(id_col, cluster_col)
+        .join(best, cluster_col)
+        .select(
+            id_col,
+            cluster_col,
+            "best_id",
+            (F.col(id_col) == F.col("best_id")).alias("keep"),
+        )
+    )

@@ -71,14 +71,22 @@ def _resolve(href: Column, page_url: Column) -> Column:
 
 
 def extract_links(
-    df: DataFrame, url_col: str = "url", html_col: str = "html"
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """One row per anchor: (src_url, href, dst_url) with ``dst_url``
-    resolved and normalized. Pages without anchors emit nothing."""
+    """One row per anchor: (src_url, [keep_cols...,] href, dst_url) with
+    ``dst_url`` resolved and normalized. Pages without anchors emit
+    nothing. ``keep_cols`` carries page attributes (e.g. ``warc_ts`` for
+    the streaming rate aggregation) through the explode, avoiding a
+    self-join back onto the pages table."""
     html_str = F.decode(F.col(html_col), "UTF-8")
     hrefs = F.regexp_extract_all(html_str, F.lit(HREF_RE), F.lit(1))
     exploded = df.select(
-        F.col(url_col).alias("src_url"), F.explode(hrefs).alias("href")
+        F.col(url_col).alias("src_url"),
+        *[F.col(c) for c in keep_cols],
+        F.explode(hrefs).alias("href"),
     )
     return exploded.withColumn(
         "dst_url", _norm_expr(_resolve(F.col("href"), F.col("src_url")))

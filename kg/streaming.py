@@ -90,6 +90,37 @@ def stream_mention_rates(
     )
 
 
+def stream_link_rates(
+    pages_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed outbound-link counts per destination host with late-data
+    handling — crawl monitoring (a sudden link spike toward one host is a
+    crawler trap / spam cluster / hot-news signal, and the frontier
+    scheduler throttles on it).
+
+    Link extraction (kg.ops.weblinks.extract_links) is a stateless pure
+    map, with ``warc_ts`` carried through the explode via ``keep_cols`` so
+    there is NO stream-stream self-join; the only stateful operator is the
+    single windowed aggregation, whose state the watermark bounds."""
+    from kg.ops.weblinks import HOST_RE, extract_links
+
+    links = extract_links(
+        pages_stream.select("url", "html", "warc_ts"),
+        keep_cols=("warc_ts",),
+    )
+    return (
+        links.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("w"),
+            F.regexp_extract("dst_url", HOST_RE, 1).alias("dst_host"),
+        )
+        .agg(F.count("*").alias("n_links"))
+        .select("w.start", "w.end", "dst_host", "n_links")
+    )
+
+
 def stream_dedup_pages(
     pages_stream: DataFrame, watermark: str = "2 minutes"
 ) -> DataFrame:

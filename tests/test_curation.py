@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from kg.ops.curation import (
     benchmark_contamination,
+    pack_sequences,
     token_budget_sample,
     token_budget_sample_approx,
 )
@@ -109,3 +110,45 @@ class TestTokenBudget:
         a = sorted(r["doc_id"] for r in out1.filter("keep").collect())
         b = sorted(r["doc_id"] for r in out2.filter("keep").collect())
         assert a == b
+
+
+class TestPackSequences:
+    def test_layout_matches_python_recompute(self, spark):
+        import hashlib
+
+        rows = [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["shard"], r["n_tokens"], r["chunk_id"],
+                             r["offset"])
+               for r in pack_sequences(df, seq_len=10, n_shards=3).collect()}
+        # independent recompute: same hash order, per-shard cumsum
+        def h(i):
+            return hashlib.md5(f"7:{i}".encode()).hexdigest()
+        shards = {}
+        for i, t in rows:
+            shard = int(h(i)[:15], 16) % 3
+            shards.setdefault(shard, []).append(i)
+        want = {}
+        for shard, ids in shards.items():
+            start = 0
+            for i in sorted(ids, key=lambda x: (h(x), x)):
+                n = len(rows[i][1].split())
+                want[i] = (shard, n, start // 10, start % 10)
+                start += n
+        assert got == want
+
+    def test_partition_invariant_and_chunks_contiguous(self, spark):
+        rows = [(i, " ".join(["tok"] * 5)) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, pack_sequences(df, 8, n_shards=2).collect()))
+        b = sorted(map(tuple, pack_sequences(
+            df.repartition(7), 8, n_shards=2).collect()))
+        assert a == b
+        # per shard, every chunk index up to the max is populated (the
+        # concatenated stream has no holes)
+        from collections import defaultdict
+        by_shard = defaultdict(set)
+        for _, shard, _, chunk_id, _ in a:
+            by_shard[shard].add(chunk_id)
+        for chunks in by_shard.values():
+            assert chunks == set(range(max(chunks) + 1))

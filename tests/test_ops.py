@@ -551,3 +551,33 @@ def test_prefix_filter_cap_only_shrinks_candidates(spark, documents):
         for r in prefix_filter_candidates(toks, 0.7, max_bucket=4).collect()
     }
     assert capped <= full
+
+
+class TestKeepBestPerCluster:
+    def test_argmax_with_min_id_tiebreak(self, spark):
+        from kg.ops.dedup import keep_best_per_cluster
+
+        assign = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)],
+            "doc_id long, component long")
+        scores = spark.createDataFrame(
+            [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.1)],
+            "doc_id long, quality double")
+        got = {r["doc_id"]: (r["best_id"], r["keep"])
+               for r in keep_best_per_cluster(assign, scores).collect()}
+        # cluster 10: 2 and 3 tie at 0.9 -> min id 2 wins
+        assert got == {1: (2, False), 2: (2, True), 3: (2, False),
+                       4: (4, True), 5: (4, False)}
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.dedup import keep_best_per_cluster
+
+        assign = spark.createDataFrame(
+            [(i, i % 4) for i in range(40)], "doc_id long, component long")
+        scores = spark.createDataFrame(
+            [(i, float((i * 7) % 5)) for i in range(40)],
+            "doc_id long, quality double")
+        a = sorted(map(tuple, keep_best_per_cluster(assign, scores).collect()))
+        b = sorted(map(tuple, keep_best_per_cluster(
+            assign.repartition(9), scores.repartition(3)).collect()))
+        assert a == b
