@@ -518,6 +518,53 @@ def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_SEQ_LEN = 256
 PACK_SHARDS = 8
+CHUNK_LEN = 32
+CHUNK_OVERLAP = 8
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (RAG / context prep): 32-token windows,
+    8-token overlap, short tail kept. Pure JVM array map — no shuffle;
+    oracle recomputes the window arithmetic with DuckDB list slicing."""
+    from kg.ops.curation import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_len=CHUNK_LEN, overlap=CHUNK_OVERLAP
+    )
+
+
+def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (0.9/0.05/0.05):
+    md5(seed:id) -> [0,1) cut at cumulative weights. Stable under corpus
+    growth (docs never migrate splits), unlike randomSplit."""
+    from kg.ops.curation import train_val_test_split
+
+    return train_val_test_split(_docs(spark, sf_dir))
+
+
+MIXTURE_TARGETS = {"en": 0.55, "zh": 0.15, "es": 0.15, "de": 0.15}
+
+
+def q_doc_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing re-weighting: per-lang sampling factors toward a target
+    token mixture + deterministic per-doc repeat counts ('fr' absent from
+    targets -> factor 0, dropped). Oracle recomputes group totals, factors,
+    and the md5 Bernoulli draw."""
+    from kg.ops.curation import mixture_weights
+
+    return mixture_weights(
+        _docs(spark, sf_dir), targets=MIXTURE_TARGETS, group_col="lang"
+    )
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization per embedding with per-vector
+    max-abs reconstruction error; floor(x/scale+0.5) round is identical
+    IEEE arithmetic in Spark and DuckDB, so the full layout (scale, codes,
+    error) is hash-compared, not just shapes."""
+    from kg.ops.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf_dir))
 
 
 def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +754,56 @@ def q_doc_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
         "jaccard",
+    )
+
+
+LPA_ROUNDS = 5
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (max-count/min-label
+    vote) over the committed edge fixture, 5 rounds. Oracle unrolls the
+    identical recurrence round by round in SQL (materialized CTEs)."""
+    from kg.graphstats import label_propagation
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return label_propagation(edges, rounds=LPA_ROUNDS).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    """Synchronous LPA unroll: one votes/best/labels CTE trio per round.
+    MATERIALIZED so DuckDB doesn't inline r{i-1} (referenced twice per
+    round) into a 2^rounds expansion."""
+    parts = [
+        f"WITH raw AS (SELECT src, dst FROM '{FIX}/edges.parquet')",
+        "e AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM raw"
+        " UNION ALL SELECT dst AS u, src AS v FROM raw) WHERE u <> v)",
+        "r0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"v{i} AS (SELECT e.u AS node, r{i - 1}.label, count(*) AS n"
+            f" FROM e JOIN r{i - 1} ON e.v = r{i - 1}.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT node, label AS new_label FROM ("
+            f"SELECT node, label, row_number() OVER ("
+            f"PARTITION BY node ORDER BY n DESC, label ASC) AS rn FROM v{i}"
+            f") WHERE rn = 1)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT r{i - 1}.node,"
+            f" coalesce(b{i}.new_label, r{i - 1}.label) AS label"
+            f" FROM r{i - 1} LEFT JOIN b{i} USING (node))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(label AS BIGINT) AS label FROM r{rounds}"
     )
 
 
@@ -2449,6 +2546,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget": q_doc_token_budget,
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_dedup_keep_best": q_doc_dedup_keep_best,
+        "doc_chunks": q_doc_chunks,
+        "doc_train_split": q_doc_train_split,
+        "doc_mixture": q_doc_mixture,
+        "emb_quantize": q_emb_quantize,
         "web_url_normalize": q_web_url_normalize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_shingle_dedup": q_doc_shingle_dedup,
@@ -2457,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_jaccard_join": q_doc_jaccard_join,
         "graph_connected_components": q_graph_connected_components,
+        "graph_communities": q_graph_communities,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
@@ -3290,6 +3392,7 @@ SELECT doc_id, stratum, n_tokens,
 FROM base
 """
     d["graph_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS)
+    d["graph_communities"] = _lpa_oracle_sql(LPA_ROUNDS)
     d["graph_degrees"] = f"""
 WITH deg_rows AS (
   SELECT src AS node, 1 AS out_d, 0 AS in_d FROM '{FIX}/edges.parquet'
@@ -3718,6 +3821,83 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
   CAST(floor(start / {PACK_SEQ_LEN}) AS BIGINT) AS chunk_id,
   CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS "offset"
 FROM placed
+"""
+    _stride = CHUNK_LEN - CHUNK_OVERLAP
+    d["doc_chunks"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), meta AS (
+  SELECT doc_id, t,
+    CASE WHEN len(t) <= 0 THEN 0
+         ELSE 1 + (greatest(len(t) - {CHUNK_LEN}, 0) + {_stride - 1})
+                  // {_stride} END AS n_chunks
+  FROM toks
+)
+SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+  CAST(g.i * {_stride} AS BIGINT) AS start_tok,
+  CAST(len(t[g.i * {_stride} + 1 : g.i * {_stride} + {CHUNK_LEN}])
+       AS BIGINT) AS n_tokens,
+  array_to_string(t[g.i * {_stride} + 1 : g.i * {_stride} + {CHUNK_LEN}],
+                  ' ') AS chunk_text
+FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
+"""
+    d["doc_train_split"] = """
+WITH u AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT doc_id, round(u, 9) AS u,
+  CASE WHEN u < 0.9 THEN 'train'
+       WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+FROM u
+"""
+    _mix_case = (
+        "CASE grp "
+        + " ".join(
+            f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_TARGETS.items()
+        )
+        + " ELSE 0.0 END"
+    )
+    d["doc_mixture"] = f"""
+WITH base AS (
+  SELECT doc_id, CAST(lang AS VARCHAR) AS grp,
+    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         x -> x <> '')) AS BIGINT) AS n_tokens,
+    ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS u
+  FROM documents
+), gt AS (
+  SELECT grp, CAST(sum(n_tokens) AS BIGINT) AS gtok FROM base GROUP BY grp
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM base),
+f AS (
+  SELECT grp, ({_mix_case} * total) / greatest(gtok, 1) AS factor
+  FROM gt, tot
+)
+SELECT b.doc_id, b.grp AS lang, b.n_tokens, round(f.factor, 9) AS factor,
+  CAST(floor(f.factor)
+       + CASE WHEN b.u < f.factor - floor(f.factor) THEN 1 ELSE 0 END
+       AS BIGINT) AS n_repeats
+FROM base b JOIN f USING (grp)
+"""
+    d["emb_quantize"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sc AS (
+  SELECT vec_id, e,
+    greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max'), 1e-30)
+      / 127.0 AS s
+  FROM v
+)
+SELECT vec_id, CAST(len(e) AS BIGINT) AS dim, round(s, 9) AS scale,
+  array_to_string(
+    list_transform(e, x -> CAST(floor(x / s + 0.5) AS INT)), ',') AS q,
+  round(list_aggregate(
+    list_transform(e, x -> abs(x - floor(x / s + 0.5) * s)), 'max'),
+    9) AS max_abs_err
+FROM sc
 """
     d["doc_dedup_keep_best"] = f"""
 WITH nd AS (

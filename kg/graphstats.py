@@ -41,6 +41,7 @@ __all__ = [
     "shortest_paths",
     "predicate_stats",
     "entity_profile",
+    "label_propagation",
 ]
 
 
@@ -667,3 +668,61 @@ def entity_profile(
     return (
         counts.join(top_pred, "entity_id", "left").join(surfaces, "entity_id")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (community detection):
+    every node starts with its own id as label; each round, every node
+    adopts the most frequent label among its neighbors, ties broken to the
+    SMALLEST label; isolated nodes keep their label. Returns (node, label)
+    after ``rounds`` rounds.
+
+    Classic async LPA is run-order-dependent; the synchronous
+    max-count/min-label update is a pure function of the previous round,
+    so the result is reproducible across partitionings and clusters (the
+    property every other operator here pins), at the cost of possible
+    bipartite oscillation — callers pick a fixed round budget, as GraphX's
+    LPA does.
+
+    Scale shape per round: one shuffle join (labels ⋈ edges, both keyed on
+    the node id) + one partial-agged count + one partial-aggable argmax
+    (max over a (count, -label) struct — no per-node window), with the
+    label state (|V| rows) materialized per round so round i+1 never
+    replays round i's lineage. Undirected: edges are symmetrized once.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = materialize(e)
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    labels = materialize(nodes.select("node", F.col("node").alias("label")))
+    for _ in range(int(rounds)):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        best = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("n"), (-F.col("label")).alias("neg"))
+                ).alias("b")
+            )
+            .select("node", (-F.col("b.neg")).alias("new_label"))
+        )
+        labels = materialize(
+            labels.join(best, "node", "left").select(
+                "node",
+                F.coalesce("new_label", "label").cast("long").alias("label"),
+            )
+        )
+    return labels

@@ -29,6 +29,9 @@ __all__ = [
     "token_budget_sample",
     "token_budget_sample_approx",
     "pack_sequences",
+    "chunk_documents",
+    "train_val_test_split",
+    "mixture_weights",
 ]
 
 
@@ -243,4 +246,156 @@ def pack_sequences(
         F.pmod(F.col("_start"), F.lit(int(seq_len))).cast("long").alias(
             "offset"
         ),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_len: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / context-window prep): each
+    doc's whitespace-token stream is cut into windows of ``chunk_len``
+    tokens advancing by ``stride = chunk_len - overlap``; the final window
+    is the short tail. One row per chunk: (id, chunk_id, start_tok,
+    n_tokens, chunk_text). Empty docs emit nothing.
+
+    Everything is JVM-side array algebra (split / sequence / posexplode /
+    slice / array_join) — a pure narrow map, no shuffle, no Python. Chunk
+    count per doc is 1 + ceil(max(0, n - chunk_len) / stride), so output
+    size is bounded by n_tokens / stride + 1 per doc; the explode is safe
+    at corpus scale because it is linear in the corpus token count (the
+    same data volume a tokenizer pass reads anyway).
+    """
+    if not 0 <= overlap < chunk_len:
+        raise ValueError("require 0 <= overlap < chunk_len")
+    stride = chunk_len - overlap
+    toks = _words(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - chunk_len, F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        )
+    )
+    base = docs.select(
+        F.col(id_col), toks.alias("_t"), n_chunks.alias("_nc")
+    ).where(F.col("_nc") > 0)
+    i = F.explode(F.sequence(F.lit(0), (F.col("_nc") - 1).cast("int")))
+    piece = F.slice(F.col("_t"), F.col("_start") + 1, chunk_len)
+    return (
+        base.select(id_col, "_t", i.alias("_i"))
+        .withColumn("_start", (F.col("_i") * stride).cast("long"))
+        .select(
+            id_col,
+            F.col("_i").cast("long").alias("chunk_id"),
+            F.col("_start").alias("start_tok"),
+            F.size(piece).cast("long").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    seed: int = 13,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: u = md5(seed:id) mapped to
+    [0, 1), split by cumulative ``weights``. A pure function of the data —
+    stable under repartitioning, retries, incremental re-runs (a doc never
+    migrates between splits when the corpus grows, unlike randomSplit), and
+    reproducible across clusters. Pure map, no shuffle.
+    """
+    if len(weights) != 3 or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must be 3 fractions summing to 1")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    u = F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    c1, c2 = weights[0], weights[0] + weights[1]
+    return docs.select(
+        F.col(id_col),
+        F.round(u, 9).alias("u"),
+        F.when(u < c1, "train").when(u < c2, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 11,
+) -> DataFrame:
+    """Data-mixing re-weighting: given target token fractions per group
+    (domain/lang/source), compute each group's sampling factor
+    ``factor = target_frac * total_tokens / group_tokens`` and a per-doc
+    integer ``n_repeats`` = floor(factor) + Bernoulli(frac(factor)) drawn
+    deterministically from md5(seed:id) — so repeating each doc n_repeats
+    times yields the target mixture in expectation, exactly reproducibly
+    (the standard up/down-sampling step behind "epochs per source" tables
+    in LM training recipes).
+
+    Groups absent from ``targets`` get factor 0 (dropped). Returns
+    (id, group, n_tokens, factor, n_repeats).
+
+    Scale shape: one partial-agged groupBy for group token totals (a
+    handful of rows) broadcast back onto the corpus — the corpus itself
+    never shuffles; the Bernoulli draw is a pure hash map.
+    """
+    if not targets:
+        raise ValueError("targets must be a non-empty {group: fraction}")
+    grp = F.col(group_col).cast("string")
+    base = docs.select(
+        F.col(id_col),
+        grp.alias("grp"),
+        F.size(_words(text_col)).cast("long").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{seed}:"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 60))
+        ).alias("_u"),
+    )
+    totals = base.groupBy("grp").agg(F.sum("n_tokens").alias("_gt"))
+    target_map = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    with_t = totals.withColumn(
+        "_target", F.coalesce(target_map[F.col("grp")], F.lit(0.0))
+    )
+    grand = with_t.agg(F.sum("_gt").alias("_total"))
+    factors = with_t.crossJoin(F.broadcast(grand)).select(
+        "grp",
+        (F.col("_target") * F.col("_total") / F.greatest("_gt", F.lit(1)))
+        .alias("_factor"),
+    )
+    out = base.join(F.broadcast(factors), "grp")
+    n_rep = F.floor("_factor") + F.when(
+        F.col("_u") < F.col("_factor") - F.floor("_factor"), 1
+    ).otherwise(0)
+    return out.select(
+        id_col,
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        F.round("_factor", 9).alias("factor"),
+        n_rep.cast("long").alias("n_repeats"),
     )

@@ -32,6 +32,7 @@ __all__ = [
     "ann_ivf_topk",
     "embedding_cosine_near_dup",
     "dot_product_col",
+    "quantize_embeddings",
 ]
 
 
@@ -493,4 +494,49 @@ def embedding_stats(embeddings: DataFrame, id_col: str = "vec_id",
             F.round(F.avg("nrm"), 4).alias("avg_norm"),
         )
         .orderBy("label")
+    )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization (the int8 storage format a
+    100-TB vector corpus actually ships to its ANN index: 4x smaller scans,
+    SIMD-friendly dot products): q_i = round(x_i / scale) with
+    scale = max|x| / (2^(bits-1) - 1), so the quantized range is
+    [-(2^(bits-1)-1), +(2^(bits-1)-1)] and dequantization is q_i * scale.
+
+    Returns (id, dim, scale, q (csv string), max_abs_err). ``max_abs_err``
+    = max_i |x_i - dequant(q_i)| <= scale/2 — reported per vector so a
+    downstream recall budget can be checked without re-reading floats.
+
+    Pure narrow map, all JVM array expressions — no shuffle, no Python.
+    round() is floor(x/scale + 0.5): identical IEEE ops in any engine, so
+    the layout is bit-reproducible (and oracle-checkable) cross-engine;
+    max-abs (not a float SUM) keeps the error metric order-independent.
+    """
+    levels = (1 << (bits - 1)) - 1
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(F.col(id_col), e.alias("_e"))
+    scale = (
+        F.greatest(F.array_max(F.transform("_e", F.abs)), F.lit(1e-30))
+        / F.lit(float(levels))
+    )
+    with_scale = base.withColumn("_s", scale)
+    s = F.col("_s")
+    q = F.transform(
+        "_e", lambda x: F.floor(x / s + F.lit(0.5)).cast("int").cast("string")
+    )
+    err = F.array_max(
+        F.transform("_e", lambda x: F.abs(x - F.floor(x / s + F.lit(0.5)) * s))
+    )
+    return with_scale.select(
+        id_col,
+        F.size("_e").cast("long").alias("dim"),
+        F.round(s, 9).alias("scale"),
+        F.array_join(q, ",").alias("q"),
+        F.round(err, 9).alias("max_abs_err"),
     )

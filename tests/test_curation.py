@@ -152,3 +152,129 @@ class TestPackSequences:
             by_shard[shard].add(chunk_id)
         for chunks in by_shard.values():
             assert chunks == set(range(max(chunks) + 1))
+
+
+class TestChunkDocuments:
+    def test_chunks_match_python_recompute(self, spark):
+        from kg.ops.curation import chunk_documents
+
+        rows = [(0, "a b c d e f g"), (1, "x"), (2, ""), (3, "  "),
+                (4, " ".join(f"t{i}" for i in range(12)))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            map(tuple, chunk_documents(df, chunk_len=5, overlap=2).collect())
+        )
+        want = []
+        for doc_id, text in rows:
+            toks = text.split()
+            if not toks:
+                continue  # empty docs emit nothing
+            stride = 3
+            n_chunks = 1 + max(0, (len(toks) - 5 + stride - 1)) // stride \
+                if len(toks) > 5 else 1
+            starts = [i * stride for i in range(n_chunks)]
+            for i, s in enumerate(starts):
+                piece = toks[s:s + 5]
+                want.append((doc_id, i, s, len(piece), " ".join(piece)))
+        assert got == sorted(want)
+
+    def test_every_token_covered_and_overlap_consistent(self, spark):
+        from kg.ops.curation import chunk_documents
+
+        df = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 40)],
+            "doc_id long, text string")
+        out = chunk_documents(df, chunk_len=8, overlap=3).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["chunk_id"])
+            covered = set()
+            for r in chunks:
+                covered |= set(range(r["start_tok"],
+                                     r["start_tok"] + r["n_tokens"]))
+            assert covered == set(range(doc_id)), doc_id
+            # consecutive chunks overlap by exactly overlap tokens except
+            # possibly the short tail
+            for a, b in zip(chunks, chunks[1:]):
+                assert b["start_tok"] - a["start_tok"] == 5
+
+    def test_bad_overlap_raises(self, spark):
+        from kg.ops.curation import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        import pytest
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_len=4, overlap=4)
+
+
+class TestTrainValTestSplit:
+    def test_fractions_and_determinism(self, spark):
+        from kg.ops.curation import train_val_test_split
+
+        df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        out = train_val_test_split(df).collect()
+        counts = {}
+        for r in out:
+            counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assert abs(counts["train"] / 5000 - 0.9) < 0.02
+        assert abs(counts["val"] / 5000 - 0.05) < 0.01
+        assert abs(counts["test"] / 5000 - 0.05) < 0.01
+        # stable under corpus growth: the first 1000 docs keep their split
+        sub = {r["doc_id"]: r["split"]
+               for r in train_val_test_split(
+                   spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+               ).collect()}
+        full = {r["doc_id"]: r["split"] for r in out}
+        assert all(full[i] == sub[i] for i in sub)
+
+    def test_bad_weights_raise(self, spark):
+        from kg.ops.curation import train_val_test_split
+        import pytest
+
+        df = spark.range(1).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            train_val_test_split(df, weights=(0.5, 0.2, 0.2))
+
+
+class TestMixtureWeights:
+    def test_expected_mixture_and_determinism(self, spark):
+        from kg.ops.curation import mixture_weights
+
+        rows = [(i, "en" if i % 2 == 0 else "de",
+                 " ".join(["w"] * 10)) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = mixture_weights(df, {"en": 0.75, "de": 0.25}).collect()
+        # both groups have 2000 tokens; factors = target * 4000 / 2000
+        fac = {r["lang"]: r["factor"] for r in out}
+        assert fac == {"en": 1.5, "de": 0.5}
+        # expected token mixture after repeating ~ targets
+        tok = {}
+        for r in out:
+            tok[r["lang"]] = tok.get(r["lang"], 0) + r["n_tokens"] * r["n_repeats"]
+        total = sum(tok.values())
+        assert abs(tok["en"] / total - 0.75) < 0.05
+        # deterministic under repartitioning
+        out2 = mixture_weights(df.repartition(13), {"en": 0.75, "de": 0.25})
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2.collect()))
+
+    def test_absent_group_dropped(self, spark):
+        from kg.ops.curation import mixture_weights
+
+        df = spark.createDataFrame(
+            [(1, "en", "a b"), (2, "xx", "c d")],
+            "doc_id long, lang string, text string")
+        out = {r["lang"]: r for r in
+               mixture_weights(df, {"en": 1.0}).collect()}
+        assert out["xx"]["factor"] == 0.0 and out["xx"]["n_repeats"] == 0
+        assert out["en"]["n_repeats"] >= 2  # factor 2.0 (4 total / 2 en)
+
+    def test_empty_targets_raise(self, spark):
+        from kg.ops.curation import mixture_weights
+        import pytest
+
+        df = spark.createDataFrame([(1, "en", "a")],
+                                   "doc_id long, lang string, text string")
+        with pytest.raises(ValueError):
+            mixture_weights(df, {})

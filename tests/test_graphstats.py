@@ -390,3 +390,49 @@ class TestEntityProfile:
         a = sorted(map(tuple, entity_profile(df).collect()))
         b = sorted(map(tuple, entity_profile(df.repartition(7)).collect()))
         assert a == b
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from kg.graphstats import label_propagation
+
+        # two triangles {0,1,2} and {10,11,12} joined by a single bridge
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)],
+            "src long, dst long")
+        got = {r["node"]: r["label"]
+               for r in label_propagation(edges, rounds=5).collect()}
+        # each clique converges to its min label; min-label tie-breaks make
+        # label 0 win inside the left triangle and 10 inside the right
+        assert got[0] == got[1] == got[2] == 0
+        assert got[10] == got[11] == got[12]
+
+    def test_partition_invariant_and_matches_python(self, spark):
+        from kg.graphstats import label_propagation
+
+        import itertools
+        edges_py = [(i, (i + 1) % 7) for i in range(7)] + [(20, 21)]
+        edges = spark.createDataFrame(edges_py, "src long, dst long")
+        a = sorted(map(tuple, label_propagation(edges, rounds=4).collect()))
+        b = sorted(map(tuple, label_propagation(
+            edges.repartition(5), rounds=4).collect()))
+        assert a == b
+        # independent python recompute of the synchronous recurrence
+        adj = {}
+        for u, v in edges_py:
+            if u != v:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+        labels = {n: n for n in adj}
+        for _ in range(4):
+            new = {}
+            for n, nbrs in adj.items():
+                counts = {}
+                for m in nbrs:
+                    counts[labels[m]] = counts.get(labels[m], 0) + 1
+                new[n] = min(
+                    (l for l in counts
+                     if counts[l] == max(counts.values()))
+                )
+            labels = new
+        assert a == sorted((n, l) for n, l in labels.items())

@@ -581,3 +581,33 @@ class TestKeepBestPerCluster:
         b = sorted(map(tuple, keep_best_per_cluster(
             assign.repartition(9), scores.repartition(3)).collect()))
         assert a == b
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_error_bounded(self, spark, embeddings):
+        from kg.ops.similarity import quantize_embeddings
+
+        out = quantize_embeddings(embeddings).collect()
+        assert len(out) == embeddings.count()
+        for r in out:
+            codes = [int(x) for x in r["q"].split(",")]
+            assert len(codes) == r["dim"]
+            assert all(-127 <= c <= 127 for c in codes)
+            # max-abs reconstruction error is within half a quantization step
+            assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+
+    def test_exact_vs_numpy(self, spark):
+        import numpy as np
+        from kg.ops.similarity import quantize_embeddings
+
+        vecs = [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0]),
+                (2, [-3.25, 3.25, 1.625])]
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        for vid, v in vecs:
+            e = np.array(v, dtype=np.float64)
+            s = max(np.abs(e).max(), 1e-30) / 127.0
+            q = np.floor(e / s + 0.5).astype(int)
+            assert got[vid]["q"] == ",".join(str(int(x)) for x in q)
+            assert abs(got[vid]["scale"] - round(s, 9)) < 1e-12
