@@ -212,3 +212,75 @@ def test_link_graph_pure_map_plus_one_partial_agged_shuffle(spark):
     assert "partial_count" in p  # map-side combine before the exchange
     # column pruning reaches the scan: url + html only
     assert "ReadSchema: struct<url:string,html:binary>" in p
+
+
+@pytest.fixture(scope="module")
+def documents_sf(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_chunk_documents_pure_narrow_map(spark, documents_sf):
+    from kg.ops.curation import chunk_documents
+
+    p = _plan(chunk_documents(documents_sf, chunk_len=16, overlap=4))
+    assert "Exchange" not in p  # embarrassingly parallel
+    assert "MapInPandas" not in p and "EvalPython" not in p  # all JVM
+    # column pruning reaches the scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_train_split_and_quantize_no_shuffle_no_python(
+    spark, documents_sf, embeddings
+):
+    from kg.ops.curation import train_val_test_split
+    from kg.ops.similarity import quantize_embeddings
+
+    for df, schema in (
+        (train_val_test_split(documents_sf), "struct<doc_id:bigint>"),
+        (
+            quantize_embeddings(embeddings),
+            "struct<vec_id:bigint,embedding:array<float>>",
+        ),
+    ):
+        p = _plan(df)
+        assert "Exchange" not in p
+        assert "MapInPandas" not in p and "EvalPython" not in p
+        assert f"ReadSchema: {schema}" in p
+
+
+def test_pack_sequences_single_shuffle(spark, documents_sf):
+    from kg.ops.curation import pack_sequences
+
+    p = _plan(pack_sequences(documents_sf, seq_len=64, n_shards=4))
+    # exactly the window-by-shard exchange; the cumsum itself is one
+    # Window over the sharded layout
+    assert p.count("Exchange") == 1
+    assert p.count("Window") == 1
+
+
+def test_mixture_weights_corpus_never_shuffles_for_join(spark, documents_sf):
+    from kg.ops.curation import mixture_weights
+
+    p = _plan(mixture_weights(documents_sf, {"en": 0.6, "de": 0.4}))
+    # per-group factors come back onto the corpus via broadcast, never a
+    # corpus-sized sort-merge join; the only exchanges feed the tiny
+    # (partial-agged) totals/grand-total aggregations
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_keep_best_per_cluster_no_window(spark):
+    from pyspark.sql import functions as F
+
+    from kg.ops.dedup import keep_best_per_cluster
+
+    assign = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("component"))
+    scores = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("double").alias("quality"))
+    p = _plan(keep_best_per_cluster(assign, scores))
+    # argmax is a partial-aggregable struct max: a mega-cluster combines
+    # map-side instead of serializing through one window partition
+    assert "Window" not in p
+    assert "partial_max" in p or "HashAggregate" in p
