@@ -600,6 +600,19 @@ def q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_K = 8
+
+
+def q_doc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact substring duplication: 8-token spans occurring
+    in >= 2 distinct docs, with spread + occurrence counts. One
+    partial-agged shuffle keyed on md5(gram); oracle regenerates the
+    spans and counts in SQL."""
+    from kg.ops.dedup import substring_duplicates
+
+    return substring_duplicates(_docs(spark, sf_dir), k=SUBSTR_K, min_docs=2)
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.dedup import exact_dedup
 
@@ -2551,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture": q_doc_mixture,
         "emb_quantize": q_emb_quantize,
         "web_url_normalize": q_web_url_normalize,
+        "doc_substring_dups": q_doc_substring_dups,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_shingle_dedup": q_doc_shingle_dedup,
         "doc_simhash": q_doc_simhash,
@@ -3821,6 +3835,22 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
   CAST(floor(start / {PACK_SEQ_LEN}) AS BIGINT) AS chunk_id,
   CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS "offset"
 FROM placed
+"""
+    d["doc_substring_dups"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[g.i : g.i + {SUBSTR_K - 1}], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - {SUBSTR_K - 1})) AS g(i)
+  WHERE len(t) >= {SUBSTR_K}
+)
+SELECT md5(gram) AS gram_h, min(gram) AS gram,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY md5(gram)
+HAVING count(DISTINCT doc_id) >= 2
 """
     _stride = CHUNK_LEN - CHUNK_OVERLAP
     d["doc_chunks"] = f"""

@@ -820,3 +820,56 @@ def keep_best_per_cluster(
             (F.col(id_col) == F.col("best_id")).alias("keep"),
         )
     )
+
+
+def substring_duplicates(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document EXACT substring duplication: every k-token span that
+    occurs in at least ``min_docs`` distinct documents, with how widely it
+    spreads — the span-level signal document-level near-dup misses
+    (boilerplate headers, license blocks, templated paragraphs repeated
+    inside otherwise-distinct pages; the dedup granularity Lee et al.'s
+    "Deduplicating Training Data" argues for).
+
+    Returns (gram_h, gram, n_docs, n_occurrences): md5 of the space-joined
+    lowercased k-gram (the shuffle key — 32 hex chars instead of k words),
+    one exemplar surface (min, deterministic), distinct-doc spread, and
+    total occurrence count (within-doc repeats included).
+
+    Scale shape: the gram explode is linear in corpus tokens (the same
+    volume a tokenizer pass reads); ONE partial-agged shuffle keyed on the
+    hash does the counting (count-distinct docs is exact two-phase). The
+    ``min_docs`` HAVING drops the long unique tail at the reducer, so the
+    output is only the duplicated spans.
+    """
+    w = _words(text_col)
+    spans = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(id_col), F.explode(spans).alias("gram")
+    ).select(id_col, "gram", F.md5("gram").alias("gram_h"))
+    return (
+        exploded.groupBy("gram_h")
+        .agg(
+            F.min("gram").alias("gram"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= int(min_docs))
+        .select(
+            "gram_h",
+            "gram",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+    )

@@ -611,3 +611,39 @@ class TestQuantizeEmbeddings:
             q = np.floor(e / s + 0.5).astype(int)
             assert got[vid]["q"] == ",".join(str(int(x)) for x in q)
             assert abs(got[vid]["scale"] - round(s, 9)) < 1e-12
+
+
+class TestSubstringDuplicates:
+    def test_matches_python_recompute(self, spark):
+        from kg.ops.dedup import substring_duplicates
+
+        rows = [
+            (0, "the quick brown fox jumps"),
+            (1, "a the quick brown fox leaps"),
+            (2, "the quick brown fox jumps the quick brown fox jumps"),
+            (3, "short"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["gram"]: (r["n_docs"], r["n_occurrences"])
+               for r in substring_duplicates(df, k=4, min_docs=2).collect()}
+        from collections import defaultdict
+        occ, docs = defaultdict(int), defaultdict(set)
+        for i, t in rows:
+            toks = t.split()
+            for s in range(len(toks) - 3):
+                g = " ".join(toks[s:s + 4])
+                occ[g] += 1
+                docs[g].add(i)
+        want = {g: (len(docs[g]), occ[g]) for g in occ if len(docs[g]) >= 2}
+        assert got == want
+        # the shared span is found; doc 2's internal repeat counts twice
+        assert got["the quick brown fox"] == (3, 4)
+
+    def test_partition_invariant(self, spark, documents):
+        from kg.ops.dedup import substring_duplicates
+
+        a = sorted(map(tuple,
+                       substring_duplicates(documents, k=6).collect()))
+        b = sorted(map(tuple, substring_duplicates(
+            documents.repartition(11), k=6).collect()))
+        assert a == b and len(a) > 0
