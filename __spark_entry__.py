@@ -1742,6 +1742,16 @@ def q_kg_mentions_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_mentions(docs, gaz, rx)
 
 
+def q_kg_alias_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commonness priors P(entity | surface) voted over the full mentions
+    pipeline output (raw pages -> extract -> dictionary/regex mentions ->
+    per-surface entity distribution + argmax). Oracle wraps the
+    kg_mentions_e2e SQL with the same count/total/argmax recompute."""
+    from kg.stages.link import alias_priors
+
+    return alias_priors(q_kg_mentions_e2e(spark, sf_dir))
+
+
 def q_kg_triples_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.stages.extract import extract_docs
     from kg.stages.triples import extract_svo_triples
@@ -2623,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ner_mentions": q_kg_ner_mentions,
         "kg_custom_ner": q_kg_custom_ner,
         "kg_mentions_e2e": q_kg_mentions_e2e,
+        "kg_alias_priors": q_kg_alias_priors,
         "kg_triples_e2e": q_kg_triples_e2e,
         "kg_predicate_stats": q_kg_predicate_stats,
         "web_links": q_web_links,
@@ -3835,6 +3846,19 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
   CAST(floor(start / {PACK_SEQ_LEN}) AS BIGINT) AS chunk_id,
   CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS "offset"
 FROM placed
+"""
+    d["kg_alias_priors"] = f"""
+WITH m AS ({d["kg_mentions_e2e"]}),
+c AS (
+  SELECT matched_word AS surface, entity_name AS entity, count(*) AS n
+  FROM m GROUP BY 1, 2
+)
+SELECT surface, entity, CAST(n AS BIGINT) AS n,
+  CAST(sum(n) OVER (PARTITION BY surface) AS BIGINT) AS n_total,
+  round(n / CAST(sum(n) OVER (PARTITION BY surface) AS BIGINT), 9) AS prior,
+  row_number() OVER (PARTITION BY surface ORDER BY n DESC, entity) = 1
+    AS top_entity
+FROM c
 """
     d["doc_substring_dups"] = f"""
 WITH toks AS (

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from kg.normalize import PUNCT
 from kg.salt import salted_join
 
-__all__ = ["link_triples", "norm_surface_col"]
+__all__ = ["link_triples", "norm_surface_col", "alias_priors"]
 
 
 def norm_surface_col(col: str | Column) -> Column:
@@ -77,4 +77,44 @@ def link_triples(
         "subj_canonical",
         "obj_id",
         "obj_canonical",
+    )
+
+
+def alias_priors(
+    mentions: DataFrame,
+    surface_col: str = "matched_word",
+    entity_col: str = "entity_name",
+) -> DataFrame:
+    """Commonness priors for entity linking: P(entity | surface) estimated
+    by corpus vote over detected mentions — the standard disambiguation
+    prior ("jaguar" -> the car 70% / the cat 30%) a linker combines with
+    context. Returns one row per (surface, entity):
+    (surface, entity, n, n_total, prior, top_entity) where ``prior`` =
+    n / n_total and ``top_entity`` marks the argmax (ties -> smallest
+    entity string, deterministic).
+
+    Scale shape: one partial-agged groupBy on (surface, entity); the
+    per-surface totals + argmax reduce further to one row per surface
+    (min over a (-n, entity) struct — partial-aggregable, no window), and
+    the join back is keyed on surface, which both sides are already
+    hash-partitioned by from their own aggregations, so AQE elides the
+    extra exchange. No skew pileup: the group key includes the entity.
+    """
+    counts = mentions.groupBy(
+        F.col(surface_col).alias("surface"),
+        F.col(entity_col).alias("entity"),
+    ).agg(F.count("*").alias("n"))
+    totals = counts.groupBy("surface").agg(
+        F.sum("n").alias("n_total"),
+        F.min(
+            F.struct((-F.col("n")).alias("negn"), F.col("entity").alias("e"))
+        ).alias("b"),
+    )
+    return counts.join(totals, "surface").select(
+        "surface",
+        "entity",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round(F.col("n") / F.col("n_total"), 9).alias("prior"),
+        (F.col("entity") == F.col("b.e")).alias("top_entity"),
     )

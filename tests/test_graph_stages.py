@@ -137,3 +137,34 @@ def test_cc_threshold_boundary(spark):
     a = sorted(map(tuple, connected_components(df, local_threshold=6).collect()))
     b = sorted(map(tuple, connected_components(df, local_threshold=5).collect()))
     assert a == b == [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)]
+
+
+class TestAliasPriors:
+    def test_priors_and_argmax(self, spark):
+        from kg.stages.link import alias_priors
+
+        rows = (
+            [("u1", "Jaguar", "cars", "gazetteer")] * 7
+            + [("u2", "Jaguar", "animals", "gazetteer")] * 3
+            + [("u3", "Pear", "fruits", "gazetteer")]
+        )
+        df = spark.createDataFrame(
+            rows, "url string, matched_word string, entity_name string,"
+            " detector string")
+        got = {(r["surface"], r["entity"]):
+               (r["n"], r["n_total"], r["prior"], r["top_entity"])
+               for r in alias_priors(df).collect()}
+        assert got[("Jaguar", "cars")] == (7, 10, 0.7, True)
+        assert got[("Jaguar", "animals")] == (3, 10, 0.3, False)
+        assert got[("Pear", "fruits")] == (1, 1, 1.0, True)
+
+    def test_tie_breaks_to_smallest_entity(self, spark):
+        from kg.stages.link import alias_priors
+
+        rows = [("u1", "x", "bbb", "g"), ("u2", "x", "aaa", "g")]
+        df = spark.createDataFrame(
+            rows, "url string, matched_word string, entity_name string,"
+            " detector string")
+        got = {r["entity"]: r["top_entity"]
+               for r in alias_priors(df).collect()}
+        assert got == {"aaa": True, "bbb": False}
