@@ -309,6 +309,28 @@ def run_suite(spark, sf_dir: str) -> dict:
     timings["dedup"] = timed_twice(w_dedup)
     extra["dedup_docs_per_sec"] = round(2 * n_pages / timings["dedup"], 1)
 
+    # --- curation: the training-data layout ladder over the full corpus
+    # (sliding-window chunking + concat-and-chunk packing + hash split);
+    # chunk/split are pure narrow maps, packing is one window-by-shard
+    # shuffle — all corpus-sized, so this is a scaling-relevant stage
+    from kg.ops.curation import (
+        chunk_documents,
+        pack_sequences,
+        train_val_test_split,
+    )
+
+    def w_curation():
+        chunk_documents(docs_x, chunk_len=64, overlap=16,
+                        id_col="doc_id").count()
+        pack_sequences(docs_x, seq_len=2048, n_shards=cpus * 2,
+                       id_col="doc_id").count()
+        train_val_test_split(docs_x, id_col="doc_id").count()
+
+    timings["curation"] = timed_twice(w_curation)
+    extra["curation_docs_per_sec"] = round(
+        3 * n_pages / timings["curation"], 1
+    )
+
     # --- near-dup: capped banded MinHash + exact-Jaccard verify + CC over
     # the full corpus (production config: 16x4 bands, max_bucket=64).
     # SPARK_GRAFT_NEARDUP_FRAC < 1 keeps a deterministic hash-slice of the

@@ -102,7 +102,8 @@ def hw_probe(nprocs: list[int]) -> dict[int, float]:
 HISTORY = REPO / "BENCH" / "history.jsonl"
 
 EFF_KEYS = ("pipeline_docs_per_sec", "mentions_docs_per_sec",
-            "triples_per_sec", "weblinks_pages_per_sec")
+            "triples_per_sec", "weblinks_pages_per_sec",
+            "curation_docs_per_sec")
 
 
 def _load_history() -> list[dict]:
@@ -166,6 +167,8 @@ def main() -> int:
 
         effs = {}
         for key in EFF_KEYS:
+            if key not in results[hi]["extra"]:
+                continue
             effs[key] = round(
                 results[hi]["extra"][key] / results[lo]["extra"][key] / 4.0,
                 3,
@@ -231,8 +234,9 @@ def main() -> int:
         f"| metric | local[{lo}] | local[{hi}] | speedup | efficiency (/4) |",
         "|---|---|---|---|---|",
     ]
-    for key in ("pipeline_docs_per_sec", "mentions_docs_per_sec",
-                "triples_per_sec", "weblinks_pages_per_sec"):
+    for key in EFF_KEYS:
+        if key not in results[lo]["extra"]:
+            continue
         s_lo, s_hi = tp(lo, key), tp(hi, key)
         lines.append(
             f"| {key} | {s_lo} | {s_hi} | {s_hi / s_lo:.2f}x | {effs[key]} |"
@@ -264,15 +268,17 @@ def main() -> int:
         "property; every window's full raw JSON is in BENCH/history.jsonl.",
         "",
         "| window (UTC) | pipeline eff | mentions eff | triples eff |"
-        " weblinks eff | hw ceiling | hw-normalized pipeline |",
-        "|---|---|---|---|---|---|---|",
+        " weblinks eff | curation eff | hw ceiling |"
+        " hw-normalized pipeline |",
+        "|---|---|---|---|---|---|---|---|",
     ] + [
-        "| {ts} | {p} | {m} | {t} | {w} | {h} | {n} |".format(
+        "| {ts} | {p} | {m} | {t} | {w} | {c} | {h} | {n} |".format(
             ts=w["ts"],
             p=w["effs"]["pipeline_docs_per_sec"],
             m=w["effs"]["mentions_docs_per_sec"],
             t=w["effs"]["triples_per_sec"],
             w=w["effs"].get("weblinks_pages_per_sec", "-"),
+            c=w["effs"].get("curation_docs_per_sec", "-"),
             h=w.get("hw_eff", "-"),
             n=round(
                 w["effs"]["pipeline_docs_per_sec"] / w["hw_eff"], 3
