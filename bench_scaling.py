@@ -316,8 +316,11 @@ def main() -> int:
         " dominate — their walls are reported for completeness, not as"
         " scaling evidence; the scaling metrics are the three"
         " corpus-throughput rows above (ranking DOES run corpus-sized:"
-        " its wall ratio is reported in the stage table; weblinks runs"
-        " corpus-sized too and is a scaling row).",
+        " its wall ratio is reported in the stage table; weblinks and"
+        " curation run corpus-sized too and are scaling rows — note"
+        " curation's high-parallelism wall is ~2s where 3 job launches +"
+        " scheduler overhead are a large fraction, so its row understates"
+        " the operators' scaling; chunk/split are pure narrow maps).",
         "- loadavg_start/loadavg_end in the raw JSON record neighbor"
         " pressure on this shared box at run time.",
         "- legs run in ABBA order (lo, hi, hi, lo), fresh JVM each;"
