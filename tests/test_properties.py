@@ -227,3 +227,44 @@ def test_spark_matches_oracle_on_random_corpus(spark, seed):
         map(tuple, got[["url", "matched_word", "entity_name", "detector"]].values)
     )
     assert got_rows == want
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_chunk_layout_reconstructs_any_corpus(spark, seed):
+    """Fuzz the chunk arithmetic: for random doc lengths and random
+    (chunk_len, overlap), the chunks of every doc tile its token stream —
+    starts advance by exactly stride, every token is covered, and
+    re-assembling [chunk[:stride] ... + last chunk] reproduces the doc."""
+    from kg.ops.curation import chunk_documents
+
+    rng = random.Random(seed)
+    chunk_len = rng.randint(2, 12)
+    overlap = rng.randint(0, chunk_len - 1)
+    stride = chunk_len - overlap
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(rng.randint(0, 40))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_len=chunk_len, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        toks = text.split()
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_id"])
+        if not toks:
+            assert chunks == []
+            continue
+        assert [c["start_tok"] for c in chunks] == [
+            i * stride for i in range(len(chunks))
+        ]
+        rebuilt: list[str] = []
+        for c in chunks[:-1]:
+            rebuilt += c["chunk_text"].split()[:stride]
+        rebuilt += chunks[-1]["chunk_text"].split()
+        start_last = chunks[-1]["start_tok"]
+        assert rebuilt[:start_last] == toks[:start_last]
+        assert rebuilt[start_last:] == toks[start_last:]
+        # full coverage and nothing beyond the doc
+        assert chunks[-1]["start_tok"] + chunks[-1]["n_tokens"] == len(toks)
