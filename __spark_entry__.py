@@ -2552,6 +2552,48 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# bigram-LM / Naive-Bayes contract config: vocab small enough that <unk>
+# genuinely fires on the sf0.01 corpus (so the OOV path is oracle-covered)
+LM_VOCAB_SIZE = 64
+LM_ADD_K = 0.5
+
+
+def q_doc_lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM training counts over the vocab-mapped corpus
+    (kg/ops/lm.py train_bigram_lm): the CCNet-style quality-filter model.
+    Oracle recomputes vocab selection, <unk> mapping, and the counts."""
+    from kg.ops.lm import lm_vocab, train_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    vocab = lm_vocab(docs, vocab_size=LM_VOCAB_SIZE)
+    return train_bigram_lm(docs, vocab).select("w1", "w2", "c12")
+
+
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram log-likelihood under the corpus-trained LM
+    (kg/ops/lm.py lm_score) — the perplexity-bucket quality signal.
+    Self-train/self-score; the oracle replays train + score end-to-end."""
+    from kg.ops.lm import lm_score, lm_vocab, train_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    vocab = lm_vocab(docs, vocab_size=LM_VOCAB_SIZE)
+    bg = train_bigram_lm(docs, vocab)
+    return lm_score(docs, bg, vocab, add_k=LM_ADD_K)
+
+
+def q_doc_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes lang classifier, self-trained on the
+    documents table's lang labels (kg/ops/lm.py nb_train/nb_predict):
+    (doc_id, pred_label, n_tokens). Argmax ties break to the smallest
+    label in both engines."""
+    from kg.ops.lm import lm_vocab, nb_predict, nb_train
+
+    docs = _docs(spark, sf_dir)
+    vocab = lm_vocab(docs, vocab_size=LM_VOCAB_SIZE)
+    priors, lik = nb_train(docs, vocab, label_col="lang")
+    return nb_predict(docs, priors, lik, vocab)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_gazetteer_match": q_doc_gazetteer,
@@ -2563,6 +2605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow_fp": q_doc_winnow_fp,
         "doc_repetition": q_doc_repetition,
+        "doc_lm_bigrams": q_doc_lm_bigrams,
+        "doc_lm_score": q_doc_lm_score,
+        "doc_nb_lang": q_doc_nb_lang,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_corpus_filter": q_doc_corpus_filter,
         "doc_decontaminate": q_doc_decontaminate,
@@ -3968,5 +4013,104 @@ WITH nd AS (
 SELECT j.doc_id, j.component, best.best_id,
        j.doc_id = best.best_id AS keep
 FROM j JOIN best USING (component)
+"""
+    # shared CTE block for the bigram-LM queries: tokenize -> top-V vocab ->
+    # <unk>-map adjacent pairs -> count. Mirrors kg/ops/lm.py step for step.
+    _lm_ctes = rf"""
+w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(words) AS word FROM w
+), vc AS (
+  SELECT word, count(*) AS c FROM tok GROUP BY word
+), vocab AS (
+  SELECT word FROM vc ORDER BY c DESC, word LIMIT {LM_VOCAB_SIZE}
+), vsize AS (SELECT count(*) + 1 AS v1 FROM vocab),
+bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 2 THEN
+      list_transform(generate_series(1, len(words) - 1),
+        i -> words[i] || ' ' || words[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM w
+), pairs AS (
+  SELECT t.doc_id,
+    coalesce(v1.word, '<unk>') AS w1,
+    coalesce(v2.word, '<unk>') AS w2
+  FROM (SELECT doc_id, split_part(g, ' ', 1) AS a,
+               split_part(g, ' ', 2) AS b FROM bg) t
+  LEFT JOIN vocab v1 ON t.a = v1.word
+  LEFT JOIN vocab v2 ON t.b = v2.word
+), counts AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+)"""
+    d["doc_lm_bigrams"] = f"""
+WITH {_lm_ctes}
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12 FROM counts
+"""
+    d["doc_lm_score"] = f"""
+WITH {_lm_ctes},
+ctx AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY w1),
+scored AS (
+  SELECT p.doc_id,
+    ln((coalesce(c.c12, 0) + {LM_ADD_K})
+       / (coalesce(x.c1, 0) + {LM_ADD_K} * (SELECT v1 FROM vsize))) AS lp
+  FROM pairs p
+  LEFT JOIN counts c ON p.w1 = c.w1 AND p.w2 = c.w2
+  LEFT JOIN ctx x ON p.w1 = x.w1
+), agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       a.avg_logp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+    d["doc_nb_lang"] = rf"""
+WITH w AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), tok AS (
+  SELECT doc_id, lang, unnest(words) AS word FROM w
+), vc AS (
+  SELECT word, count(*) AS c FROM tok GROUP BY word
+), vocab AS (
+  SELECT word FROM vc ORDER BY c DESC, word LIMIT {LM_VOCAB_SIZE}
+), vsize AS (SELECT count(*) + 1 AS v1 FROM vocab),
+mt AS (
+  SELECT t.doc_id, t.lang, coalesce(v.word, '<unk>') AS word
+  FROM tok t LEFT JOIN vocab v USING (word)
+), labels AS (
+  SELECT lang AS label, count(*) AS n FROM documents GROUP BY lang
+), priors AS (
+  SELECT label, ln(n / (SELECT count(*) FROM documents)) AS log_prior
+  FROM labels
+), cnts AS (
+  SELECT lang AS label, word, count(*) AS c FROM mt GROUP BY lang, word
+), tots AS (SELECT label, sum(c) AS tot FROM cnts GROUP BY label),
+vu AS (SELECT word FROM vocab UNION ALL SELECT '<unk>'),
+dense AS (
+  SELECT vu.word, l.label,
+    ln((coalesce(c.c, 0) + 1.0)
+       / (coalesce(t.tot, 0) + 1.0 * (SELECT v1 FROM vsize))) AS ll
+  FROM vu CROSS JOIN labels l
+  LEFT JOIN cnts c ON c.label = l.label AND c.word = vu.word
+  LEFT JOIN tots t ON t.label = l.label
+), perlab AS (
+  SELECT m.doc_id, dn.label, sum(dn.ll) AS s, count(*) AS n_tokens
+  FROM (SELECT doc_id, word FROM mt) m JOIN dense dn USING (word)
+  GROUP BY m.doc_id, dn.label
+), ranked AS (
+  SELECT p.doc_id, p.label, p.n_tokens,
+    row_number() OVER (PARTITION BY p.doc_id
+      ORDER BY pr.log_prior + p.s DESC, p.label ASC) AS rn
+  FROM perlab p JOIN priors pr USING (label)
+), best AS (SELECT doc_id, label, n_tokens FROM ranked WHERE rn = 1),
+dflt AS (SELECT label FROM priors ORDER BY log_prior DESC, label ASC LIMIT 1)
+SELECT d.doc_id, coalesce(b.label, (SELECT label FROM dflt)) AS pred_label,
+  CAST(coalesce(b.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN best b USING (doc_id)
 """
     return d
