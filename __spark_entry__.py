@@ -2464,7 +2464,9 @@ def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_sql(min_jaccard: float = 0.8, rounds: int = 8) -> str:
+def _minhash_oracle_sql(
+    min_jaccard: float = 0.8, rounds: int = 8, where: str = "TRUE"
+) -> str:
     """EXACT all-pairs-Jaccard clustering oracle for doc_minhash_dedup, as a
     single DuckDB statement that stays tractable at every test SF.
 
@@ -2486,7 +2488,7 @@ WITH w AS (
   SELECT doc_id, list_sort(list_distinct(
     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS ts
   FROM documents
-), nz AS MATERIALIZED (SELECT * FROM w WHERE len(ts) > 0),
+), nz AS MATERIALIZED (SELECT * FROM w WHERE len(ts) > 0 AND ({where})),
 grp AS MATERIALIZED (SELECT doc_id, md5(array_to_string(ts, chr(31))) AS bow FROM nz),
 rep_of AS MATERIALIZED (SELECT bow, min(doc_id) AS rep FROM grp GROUP BY bow),
 member AS MATERIALIZED (SELECT g.doc_id, r.rep FROM grp g JOIN rep_of r USING (bow)),
@@ -2552,6 +2554,29 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (kg/ops/dedup.py incremental_near_dup):
+    docs with doc_id % 4 == 0 are the NEW batch, the rest are the accepted
+    corpus index (minhash_index_build). Contract config mirrors
+    doc_minhash_dedup: 32 bands (per-pair LSH miss ~7e-15 at j>=0.8) and
+    max_bucket above the corpus size, so the blocked result equals the
+    oracle's exact all-pairs computation (within-batch clustering AND the
+    batch-vs-index probe)."""
+    from kg.ops.dedup import incremental_near_dup, minhash_index_build
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    index = minhash_index_build(docs.where(F.col("doc_id") % 4 != 0))
+    return incremental_near_dup(
+        new, index, min_jaccard=0.8, k=64, bands=32, max_bucket=8192
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "keep",
+        "reason",
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+
+
 # bigram-LM / Naive-Bayes contract config: vocab small enough that <unk>
 # genuinely fires on the sf0.01 corpus (so the OOV path is oracle-covered)
 LM_VOCAB_SIZE = 64
@@ -2605,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow_fp": q_doc_winnow_fp,
         "doc_repetition": q_doc_repetition,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_lm_bigrams": q_doc_lm_bigrams,
         "doc_lm_score": q_doc_lm_score,
         "doc_nb_lang": q_doc_nb_lang,
@@ -4013,6 +4039,38 @@ WITH nd AS (
 SELECT j.doc_id, j.component, best.best_id,
        j.doc_id = best.best_id AS keep
 FROM j JOIN best USING (component)
+"""
+    # incremental ingestion dedup: the within-batch clustering reuses the
+    # exact all-pairs + min-label-propagation oracle scoped to the NEW
+    # split; the index probe is recomputed as exact Jaccard new x index.
+    d["doc_incremental_dedup"] = rf"""
+WITH bcc AS MATERIALIZED (
+  SELECT * FROM ({_minhash_oracle_sql(0.8, where="doc_id % 4 = 0")}) t
+), aw AS (
+  SELECT doc_id, list_sort(list_distinct(
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS ts
+  FROM documents
+), anz AS MATERIALIZED (SELECT * FROM aw WHERE len(ts) > 0),
+newd AS (SELECT * FROM anz WHERE doc_id % 4 = 0),
+idx AS (SELECT * FROM anz WHERE doc_id % 4 <> 0),
+hits AS MATERIALIZED (
+  SELECT n.doc_id AS new_id, min(i.doc_id) AS dup_of
+  FROM newd n, idx i
+  WHERE least(len(n.ts), len(i.ts)) >= 0.8 * greatest(len(n.ts), len(i.ts))
+    AND len(list_intersect(n.ts, i.ts))
+        >= 0.8 * (len(n.ts) + len(i.ts) - len(list_intersect(n.ts, i.ts)))
+  GROUP BY n.doc_id
+), comp_hit AS (
+  SELECT b.component, min(h.dup_of) AS dup_of
+  FROM bcc b JOIN hits h ON h.new_id = b.doc_id GROUP BY b.component
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+  (ch.component IS NULL AND b.doc_id = b.keep_id) AS keep,
+  CASE WHEN ch.component IS NOT NULL THEN 'index_dup'
+       WHEN b.doc_id = b.keep_id THEN 'kept' ELSE 'batch_dup' END AS reason,
+  CAST(CASE WHEN ch.component IS NOT NULL THEN ch.dup_of
+       WHEN b.doc_id <> b.keep_id THEN b.keep_id END AS BIGINT) AS dup_of
+FROM bcc b LEFT JOIN comp_hit ch USING (component)
 """
     # shared CTE block for the bigram-LM queries: tokenize -> top-V vocab ->
     # <unk>-map adjacent pairs -> count. Mirrors kg/ops/lm.py step for step.

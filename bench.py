@@ -331,6 +331,27 @@ def run_suite(spark, sf_dir: str) -> dict:
         3 * n_pages / timings["curation"], 1
     )
 
+    # --- LM quality scoring: train the add-k bigram LM on the full corpus
+    # and score every doc under it (the CCNet-style perplexity-bucket
+    # filter). Train = one token-count shuffle + one pair-count shuffle;
+    # score = broadcast model joins + one per-doc agg — all corpus-sized,
+    # so this is a scaling-relevant stage. The vocab dim and the count
+    # table are per-job state a production run persists once: cached /
+    # materialized inside the timed fn (their build IS part of the wall),
+    # released between iterations.
+    from kg.ops.lm import lm_score, lm_vocab, train_bigram_lm
+    from kg.session import materialize
+
+    def w_lm():
+        vocab = lm_vocab(docs_x, vocab_size=4096).cache()
+        vocab.count()
+        bg = materialize(train_bigram_lm(docs_x, vocab))
+        counts["lm"] = lm_score(docs_x, bg, vocab).count()
+        vocab.unpersist()
+
+    timings["lm"] = timed_twice(w_lm)
+    extra["lm_docs_per_sec"] = round(n_pages / timings["lm"], 1)
+
     # --- near-dup: capped banded MinHash + exact-Jaccard verify + CC over
     # the full corpus (production config: 16x4 bands, max_bucket=64).
     # SPARK_GRAFT_NEARDUP_FRAC < 1 keeps a deterministic hash-slice of the

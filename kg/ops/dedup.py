@@ -141,6 +141,22 @@ def minhash_signatures(
     )
 
 
+def _band_key_structs(k: int, bands: int):
+    """Array of (band, bkey) structs over a ``sig`` column — the banded-LSH
+    bucket keys (xxhash64 over k/bands-wide signature slices). Single source
+    of truth for batch blocking (minhash_band_candidates) and the
+    incremental index probe (incremental_near_dup), so a persisted index
+    and a fresh batch always hash to the same buckets."""
+    r = k // bands
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r)).alias("bkey"),
+        )
+        for b in range(bands)
+    ])
+
+
 def minhash_band_candidates(
     toksets: DataFrame,
     id_col: str = "doc_id",
@@ -169,13 +185,7 @@ def minhash_band_candidates(
     if signatures is None:
         signatures = minhash_signatures(toksets, id_col, tok_col, k)
     sig = signatures
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r)).alias("bkey"),
-        )
-        for b in range(bands)
-    ])
+    band_structs = _band_key_structs(k, bands)
     buckets = sig.select("_id", F.explode(band_structs).alias("bk")).select(
         "_id", "bk.band", "bk.bkey"
     )
@@ -394,6 +404,133 @@ def minhash_near_dup(
 
 # round-1 name for the banded implementation (kept for callers/tests)
 minhash_band_near_dup = minhash_near_dup
+
+
+def minhash_index_build(
+    docs: DataFrame, id_col: str = "doc_id", k: int = 64
+) -> DataFrame:
+    """The persisted dedup INDEX for incremental ingestion:
+    (doc_id, tokset, sig) — one row per non-empty doc of the accepted
+    corpus. Write this partitioned parquet once per ingest; the next
+    batch probes it instead of re-deduplicating the whole corpus (at
+    10^12 docs, re-clustering the world per crawl increment is the
+    difference between an hourly job and an impossible one). Band keys
+    are NOT stored: they derive from ``sig`` array-locally at probe time
+    (_band_key_structs), so the index stays compact and the band count
+    can change between ingests without rebuilding it."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.array_sort(F.array_distinct(_words())).alias("tokset"),
+    ).where(F.size("tokset") > 0)
+    sigs = minhash_signatures(toks, id_col="doc_id", tok_col="tokset", k=k)
+    return toks.join(
+        sigs.withColumnRenamed("_id", "doc_id"), "doc_id"
+    ).select("doc_id", "tokset", "sig")
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.8,
+    max_bucket: int = 64,
+    est_margin: float | None = 0.3,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against the EXISTING corpus index —
+    the shape a production pipeline actually runs (a crawl increment vs
+    the accepted corpus), not batch-global re-clustering.
+
+    ``index`` is ``minhash_index_build`` output (typically read back from
+    parquet). Doc ids must be disjoint between batch and index — the
+    caller's ingest protocol guarantees it (url-hash ids are).
+
+    Returns one row per NON-EMPTY new doc (same non-empty domain as
+    minhash_near_dup): (doc_id, keep, reason, dup_of) with reason in
+    {'kept', 'batch_dup', 'index_dup'}:
+    - the batch is first clustered within itself (minhash_near_dup);
+    - every new doc is probed against the index (capped band join on the
+      shared _band_key_structs buckets, then the exact-Jaccard verify
+      ladder);
+    - a component ANY member of which matches the index is dropped whole
+      ('index_dup', dup_of = the smallest matching index doc id across
+      the component — deterministic);
+    - otherwise the component keeps its min-id representative ('kept',
+      dup_of NULL) and drops the rest ('batch_dup', dup_of = keep_id).
+
+    Scale shape: the index side never re-shuffles as a whole — the probe
+    explodes band keys on BOTH sides, caps oversized buckets per side
+    (the same boilerplate-skew guard as the batch path), and equi-joins
+    on (band, bkey). Cost per ingest is O(batch + matched buckets), not
+    O(corpus)."""
+    batch = materialize(
+        minhash_near_dup(
+            new_docs, id_col=id_col, k=k, bands=bands,
+            min_jaccard=min_jaccard, max_bucket=max_bucket,
+            est_margin=est_margin,
+        )
+    )
+
+    # probe EVERY new doc (not just cluster representatives: near-dup is
+    # not transitive, so a non-representative member may be the one that
+    # matches the index)
+    new_index = materialize(minhash_index_build(new_docs, id_col=id_col, k=k))
+    bk = _band_key_structs(k, bands)
+
+    def _buckets(side: DataFrame) -> DataFrame:
+        b = materialize(
+            side.select("doc_id", F.explode(bk).alias("b")).select(
+                "doc_id", F.col("b.band").alias("band"),
+                F.col("b.bkey").alias("bkey"),
+            )
+        )
+        sizes = b.groupBy("band", "bkey").agg(F.count("*").alias("n"))
+        return b.join(
+            sizes.where(F.col("n") <= max_bucket).select("band", "bkey"),
+            ["band", "bkey"],
+        )
+
+    cand = (
+        _buckets(new_index).alias("n")
+        .join(_buckets(index).alias("i"), ["band", "bkey"])
+        .select(F.col("n.doc_id").alias("a"), F.col("i.doc_id").alias("b"))
+        .distinct()
+    )
+    union_toks = new_index.select("doc_id", "tokset").unionByName(
+        index.select("doc_id", "tokset")
+    )
+    union_sigs = new_index.select(
+        F.col("doc_id").alias("_id"), "sig"
+    ).unionByName(index.select(F.col("doc_id").alias("_id"), "sig"))
+    hits = (
+        jaccard_verified_edges(
+            union_toks, cand, min_jaccard, id_col="doc_id",
+            tok_col="tokset", signatures=union_sigs, est_margin=est_margin,
+        )
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("_hit"))
+    )
+    comp_hit = (
+        batch.join(hits, "doc_id")
+        .groupBy("component")
+        .agg(F.min("_hit").alias("_dup_of_index"))
+    )
+    out = batch.join(comp_hit, ["component"], "left")
+    is_index_dup = F.col("_dup_of_index").isNotNull()
+    is_rep = F.col("doc_id") == F.col("keep_id")
+    return out.select(
+        "doc_id",
+        (~is_index_dup & is_rep).alias("keep"),
+        F.when(is_index_dup, F.lit("index_dup"))
+        .when(is_rep, F.lit("kept"))
+        .otherwise(F.lit("batch_dup"))
+        .alias("reason"),
+        F.when(is_index_dup, F.col("_dup_of_index"))
+        .when(~is_rep, F.col("keep_id"))
+        .cast("long")
+        .alias("dup_of"),
+    )
 
 
 # ---- SimHash ----

@@ -82,6 +82,96 @@ def test_minhash_near_dup_clusters(spark, dup_docs):
     assert keep[3] == 1 and keep[5] == 4
 
 
+def test_incremental_near_dup_semantics(spark):
+    """Batch-vs-index ingestion dedup: index hits drop whole components,
+    clean clusters keep their min-id representative, empty docs are out of
+    domain (same as the batch op)."""
+    from kg.ops.dedup import incremental_near_dup, minhash_index_build
+
+    index = minhash_index_build(
+        spark.createDataFrame(
+            [(100, "a b c d e"), (101, "z y x w v")],
+            "doc_id long, text string",
+        )
+    )
+    new = spark.createDataFrame(
+        [
+            (0, "a b c d e"),  # matches index doc 100
+            (4, "a b c d e"),  # same component as 0 -> index_dup too
+            (8, "p q r s t"),  # fresh cluster representative
+            (12, "p q r s t"),  # batch dup of 8
+            (16, ""),  # empty: excluded from the domain
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.keep, r.reason, r.dup_of)
+        for r in incremental_near_dup(
+            new, index, min_jaccard=0.8, max_bucket=10_000
+        ).collect()
+    }
+    assert out == {
+        0: (False, "index_dup", 100),
+        4: (False, "index_dup", 100),
+        8: (True, "kept", None),
+        12: (False, "batch_dup", 8),
+    }
+
+
+def test_incremental_near_dup_clean_batch_matches_batch_op(spark, dup_docs):
+    """Against an index the batch shares nothing with, incremental keep
+    decisions == the batch-global operator's keep_id semantics."""
+    from kg.ops.dedup import incremental_near_dup, minhash_index_build
+
+    index = minhash_index_build(
+        spark.createDataFrame(
+            [(1000, "totally disjoint vocabulary qq ww ee rr")],
+            "doc_id long, text string",
+        )
+    )
+    inc = {
+        r.doc_id: (r.keep, r.reason)
+        for r in incremental_near_dup(
+            dup_docs, index, min_jaccard=0.5, max_bucket=10_000
+        ).collect()
+    }
+    batch = {
+        r.doc_id: r.keep_id
+        for r in minhash_near_dup(dup_docs, min_jaccard=0.5).collect()
+    }
+    assert set(inc) == set(batch)
+    for i, keep_id in batch.items():
+        assert inc[i] == ((i == keep_id), "kept" if i == keep_id else "batch_dup")
+    assert all(r != "index_dup" for _, r in inc.values())
+
+
+def test_incremental_index_bucket_cap_bounds_probe(spark):
+    """An oversized index bucket (boilerplate pile-up) is dropped from the
+    probe on the INDEX side: the op stays bounded and still returns a
+    total verdict for every new doc."""
+    from kg.ops.dedup import incremental_near_dup, minhash_index_build
+
+    rows = [(100 + i, "same boilerplate text everywhere") for i in range(50)]
+    index = minhash_index_build(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    new = spark.createDataFrame(
+        [(0, "same boilerplate text everywhere"), (1, "fresh unique words")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.reason
+        for r in incremental_near_dup(
+            new, index, min_jaccard=0.9, max_bucket=4
+        ).collect()
+    }
+    # the cap drops the oversized buckets -> the boilerplate match is
+    # missed BY DESIGN (recall traded for boundedness, counted like the
+    # batch op); both docs still get a verdict
+    assert set(out) == {0, 1}
+    assert out[1] == "kept"
+
+
 def test_minhash_ml_variant_cross_checks_banded(spark, dup_docs):
     banded = {tuple(r) for r in minhash_near_dup(dup_docs, min_jaccard=0.5).collect()}
     ml = {tuple(r) for r in minhash_near_dup_ml(dup_docs, min_jaccard=0.5).collect()}

@@ -53,6 +53,25 @@ def test_minhash_candidates_all_jvm_no_cartesian(spark):
         assert node not in p, node
 
 
+def test_incremental_probe_all_jvm_equi_join_no_cartesian(spark):
+    """The batch-vs-index probe must stay an equi hash join on
+    (band, bkey) with no Python and no nested-loop path — the index side
+    is the whole accepted corpus at scale."""
+    from pyspark.sql import functions as F
+
+    from kg.ops.dedup import incremental_near_dup, minhash_index_build
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    index = minhash_index_build(docs.where(F.col("doc_id") % 4 != 0))
+    out = incremental_near_dup(
+        docs.where(F.col("doc_id") % 4 == 0), index, min_jaccard=0.8
+    )
+    p = _plan(out)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in p, node
+
+
 def test_nonbroadcast_mentions_plan_uses_shuffle_join(spark):
     from kg import synth
     from kg.stages.mentions import detect_mentions, gazetteer_dim
