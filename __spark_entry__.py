@@ -2554,6 +2554,17 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap (kg/ops/curation.py cap_per_group):
+    at most 10 docs per source, hash-order deterministic. Oracle replays
+    the md5 ranking in SQL."""
+    from kg.ops.curation import cap_per_group
+
+    return cap_per_group(
+        _docs(spark, sf_dir), group_col="source", max_per_group=10
+    )
+
+
 def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup (kg/ops/dedup.py incremental_near_dup):
     docs with doc_id % 4 == 0 are the NEW batch, the rest are the accepted
@@ -2630,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow_fp": q_doc_winnow_fp,
         "doc_repetition": q_doc_repetition,
+        "doc_domain_cap": q_doc_domain_cap,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_lm_bigrams": q_doc_lm_bigrams,
         "doc_lm_score": q_doc_lm_score,
@@ -4039,6 +4051,19 @@ WITH nd AS (
 SELECT j.doc_id, j.component, best.best_id,
        j.doc_id = best.best_id AS keep
 FROM j JOIN best USING (component)
+"""
+    d["doc_domain_cap"] = """
+WITH r AS (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS grp_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(grp_rank AS BIGINT) AS grp_rank,
+       grp_rank <= 10 AS keep
+FROM r
 """
     # incremental ingestion dedup: the within-batch clustering reuses the
     # exact all-pairs + min-label-propagation oracle scoped to the NEW

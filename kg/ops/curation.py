@@ -153,6 +153,49 @@ def token_budget_sample(
     )
 
 
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str,
+    max_per_group: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic per-group contribution cap: at most ``max_per_group``
+    docs survive per group — the "no domain dominates the mixture" guard
+    every web-corpus recipe applies per host/source before mixing.
+
+    Returns (id, group_col, grp_rank, keep): keep = grp_rank <=
+    max_per_group, with grp_rank = row_number ordered by the md5 of the
+    doc id (same engine-portable hash-order idiom as
+    ``token_budget_sample``, which is the token-weighted generalization
+    of this op). Deterministic under any partitioning/cluster size and
+    stable as the corpus grows only in OTHER groups.
+
+    One shuffle (the window partition by group). Mega-groups serialize
+    through their window partition — exactly the domains the cap targets —
+    but the state is one running count, and the window sort is bounded by
+    the group, not the corpus; for pathological single-host corpora, cap
+    approximately first with a hash-range cut (see
+    ``token_budget_sample_approx``) and run this exact pass on the rest.
+    """
+    w = Window.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ).alias("_h"),
+        )
+        .select(
+            id_col,
+            group_col,
+            F.row_number().over(w).cast("long").alias("grp_rank"),
+        )
+        .withColumn("keep", F.col("grp_rank") <= F.lit(int(max_per_group)))
+    )
+
+
 def token_budget_sample_approx(
     docs: DataFrame,
     budget_tokens: int,

@@ -278,3 +278,39 @@ class TestMixtureWeights:
                                    "doc_id long, lang string, text string")
         with pytest.raises(ValueError):
             mixture_weights(df, {})
+
+
+class TestCapPerGroup:
+    def test_cap_and_hash_order_match_python(self, spark, documents):
+        import hashlib
+
+        from kg.ops.curation import cap_per_group
+
+        out = cap_per_group(
+            documents, group_col="source", max_per_group=10
+        ).collect()
+        by_group: dict = {}
+        for r in out:
+            by_group.setdefault(r.source, []).append(r)
+        src = [(r.doc_id, r.source) for r in
+               documents.select("doc_id", "source").collect()]
+        for g, rows in by_group.items():
+            ids = [i for i, s in src if s == g]
+            order = sorted(
+                ids,
+                key=lambda i: (hashlib.md5(f"7:{i}".encode()).hexdigest(), i),
+            )
+            expect_rank = {i: k + 1 for k, i in enumerate(order)}
+            for r in rows:
+                assert r.grp_rank == expect_rank[r.doc_id]
+                assert r.keep == (r.grp_rank <= 10)
+            assert sum(r.keep for r in rows) == min(10, len(ids))
+
+    def test_partition_invariant(self, spark, documents):
+        from kg.ops.curation import cap_per_group
+
+        a = {(r.doc_id, r.grp_rank, r.keep) for r in cap_per_group(
+            documents, "source", 10).collect()}
+        b = {(r.doc_id, r.grp_rank, r.keep) for r in cap_per_group(
+            documents.repartition(13), "source", 10).collect()}
+        assert a == b
