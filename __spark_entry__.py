@@ -2554,6 +2554,18 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed ingestion-curation verdict (kg/ops/curation.py
+    curate_corpus): quality filter -> exact dedup -> per-source cap, first
+    failing stage recorded per doc. The oracle replays the same sequential
+    ladder from the existing per-stage oracle pieces."""
+    from kg.ops.curation import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir), group_col="source", max_per_group=10
+    )
+
+
 def q_doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source contribution cap (kg/ops/curation.py cap_per_group):
     at most 10 docs per source, hash-order deterministic. Oracle replays
@@ -2641,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow_fp": q_doc_winnow_fp,
         "doc_repetition": q_doc_repetition,
+        "doc_curate": q_doc_curate,
         "doc_domain_cap": q_doc_domain_cap,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_lm_bigrams": q_doc_lm_bigrams,
@@ -4195,5 +4208,45 @@ dflt AS (SELECT label FROM priors ORDER BY log_prior DESC, label ASC LIMIT 1)
 SELECT d.doc_id, coalesce(b.label, (SELECT label FROM dflt)) AS pred_label,
   CAST(coalesce(b.n_tokens, 0) AS BIGINT) AS n_tokens
 FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+    # composed curation ladder: quality filter (reused oracle) -> exact
+    # dedup (min-id survivor per normalized-text hash) -> per-source cap,
+    # first failing stage recorded — mirrors curate_corpus step for step
+    d["doc_curate"] = rf"""
+WITH cf AS MATERIALIZED (SELECT * FROM ({d["doc_corpus_filter"]}) t),
+th AS (
+  SELECT doc_id, source,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS th
+  FROM documents
+), b AS (
+  SELECT th.doc_id, th.source, th.th, cf.keep AS qk, cf.reasons
+  FROM th JOIN cf USING (doc_id)
+), reps AS (
+  SELECT th, min(doc_id) AS keep_id FROM b WHERE qk GROUP BY th
+), s2 AS (
+  SELECT b.doc_id, b.source
+  FROM b JOIN reps r ON b.th = r.th AND b.doc_id = r.keep_id
+  WHERE b.qk
+), cap AS (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+  ) AS grp_rank
+  FROM s2
+)
+SELECT b.doc_id,
+  CASE WHEN NOT b.qk THEN false
+       WHEN b.doc_id <> r.keep_id THEN false
+       WHEN c.grp_rank > 10 THEN false ELSE true END AS keep,
+  CASE WHEN NOT b.qk THEN 'quality'
+       WHEN b.doc_id <> r.keep_id THEN 'exact_dup'
+       WHEN c.grp_rank > 10 THEN 'domain_cap' ELSE 'kept' END AS stage,
+  CASE WHEN NOT b.qk THEN b.reasons
+       WHEN b.doc_id <> r.keep_id THEN CAST(r.keep_id AS VARCHAR)
+       WHEN c.grp_rank > 10 THEN CAST(c.grp_rank AS VARCHAR)
+       ELSE '' END AS detail
+FROM b
+LEFT JOIN reps r ON b.th = r.th
+LEFT JOIN cap c USING (doc_id)
 """
     return d

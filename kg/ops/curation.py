@@ -196,6 +196,78 @@ def cap_per_group(
     )
 
 
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    max_per_group: int | None = None,
+) -> DataFrame:
+    """The composed ingestion-curation verdict — the ladder a web corpus
+    actually runs, in order, with the FIRST failing stage recorded:
+
+      1. quality/repetition filter (``kg.ops.textstats.corpus_filter``,
+         C4/Gopher-style rules) -> stage 'quality', detail = the failed
+         rule list;
+      2. exact dedup after whitespace/case normalization (min-id survivor,
+         same normalization as ``kg.ops.dedup.exact_dedup``) -> stage
+         'exact_dup', detail = the surviving doc id;
+      3. optional per-group contribution cap (``cap_per_group`` on
+         ``group_col``) -> stage 'domain_cap', detail = the doc's rank.
+
+    Returns one row per doc: (id, keep, stage, detail) with stage 'kept'
+    and detail '' for survivors. Later stages only see earlier survivors
+    (the cap ranks deduped docs, not raw ones), so the output is exactly
+    what a sequential pipeline would write — but computed in one plan:
+    two column passes + three hash-keyed shuffles (filter join, dedup
+    groupBy, cap window), the corpus never shuffling twice for the same
+    key."""
+    from kg.ops.dedup import _norm_text
+    from kg.ops.textstats import corpus_filter
+
+    group_cols = [group_col] if group_col else []
+    f = corpus_filter(docs, id_col=id_col).withColumnRenamed("keep", "_qk")
+    base = docs.select(
+        id_col, *group_cols, F.md5(_norm_text()).alias("_th")
+    ).join(f, id_col)
+    kept1 = base.where(F.col("_qk"))
+    reps = kept1.groupBy("_th").agg(F.min(id_col).alias("_keep_id"))
+    j = base.join(reps, "_th", "left")
+
+    if group_col:
+        if max_per_group is None:
+            raise ValueError("max_per_group required with group_col")
+        survivors2 = kept1.join(reps, "_th").where(
+            F.col(id_col) == F.col("_keep_id")
+        )
+        cap = cap_per_group(
+            survivors2, group_col=group_col, max_per_group=max_per_group,
+            id_col=id_col,
+        ).select(id_col, "grp_rank", F.col("keep").alias("_ck"))
+        j = j.join(cap, [id_col], "left")
+    else:
+        j = j.withColumn("_ck", F.lit(True)).withColumn(
+            "grp_rank", F.lit(None).cast("long")
+        )
+
+    is_quality_drop = ~F.col("_qk")
+    is_exact_drop = F.col(id_col) != F.col("_keep_id")
+    is_cap_drop = ~F.coalesce("_ck", F.lit(True))
+    return j.select(
+        id_col,
+        (~is_quality_drop & ~is_exact_drop & ~is_cap_drop).alias("keep"),
+        F.when(is_quality_drop, F.lit("quality"))
+        .when(is_exact_drop, F.lit("exact_dup"))
+        .when(is_cap_drop, F.lit("domain_cap"))
+        .otherwise(F.lit("kept"))
+        .alias("stage"),
+        F.when(is_quality_drop, F.col("reasons"))
+        .when(is_exact_drop, F.col("_keep_id").cast("string"))
+        .when(is_cap_drop, F.col("grp_rank").cast("string"))
+        .otherwise(F.lit(""))
+        .alias("detail"),
+    )
+
+
 def token_budget_sample_approx(
     docs: DataFrame,
     budget_tokens: int,

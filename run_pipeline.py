@@ -20,6 +20,9 @@ Stages (each checkpointed per url_hash_bucket; see kg/checkpoint.py):
   canon     linked surfaces -> canonical entities (MinHash-LSH + CC)
   graph     final (subj, pred, obj) materialization, partitioned by
             (pred, url_hash_bucket)
+  curate    docs -> training-corpus verdict table (quality filter ->
+            exact dedup -> per-host cap; derived overwrite table,
+            opt-in via --stages)
   analytics graph -> pagerank / degree stats / triangle+clustering tables
             (KG consumption layer, kg/graphstats.py)
 """
@@ -43,7 +46,11 @@ def parse_args(argv):
     p.add_argument(
         "--stages",
         default="extract,links,mentions,triples,link,canon,graph,analytics",
-        help="comma list of stages to run",
+        help="comma list of stages to run (also available: curate)",
+    )
+    p.add_argument(
+        "--max-docs-per-host", type=int, default=1000,
+        help="per-host contribution cap for the curate stage",
     )
     return p.parse_args(argv)
 
@@ -184,6 +191,23 @@ def main(argv=None) -> int:
         universe = alias_dim.select("alias", "alias_norm").union(surfaces).distinct()
         canon = canonicalize_aliases(universe)
         canon.write.mode("overwrite").parquet(f"{args.out}/entities_canonical")
+
+    if "curate" in stages:
+        # training-corpus verdict over the extracted docs: quality filter ->
+        # exact dedup -> per-host cap. A GLOBAL decision (dedup/cap span
+        # buckets), so like the link rollups it is a derived overwrite
+        # table recomputed off the checkpointed docs stage, not a
+        # per-bucket-resumable stage.
+        from kg.ops.curation import curate_corpus
+        from kg.ops.webnorm import normalize_urls
+
+        hosted = normalize_urls(docs.select("url", "text")).select(
+            "url", "text", "host"
+        )
+        curate_corpus(
+            hosted, id_col="url", group_col="host",
+            max_per_group=args.max_docs_per_host,
+        ).write.mode("overwrite").parquet(f"{args.out}/corpus_kept")
 
     if "graph" in stages:
         canon = spark.read.parquet(f"{args.out}/entities_canonical")

@@ -314,3 +314,90 @@ class TestCapPerGroup:
         b = {(r.doc_id, r.grp_rank, r.keep) for r in cap_per_group(
             documents.repartition(13), "source", 10).collect()}
         assert a == b
+
+
+class TestCurateCorpus:
+    def test_ladder_order_and_all_verdicts(self, spark):
+        from kg.ops.curation import curate_corpus
+
+        rows = [
+            # group g1: 3 good docs, one an exact dup (ws/case normalized)
+            (1, "alpha beta gamma delta epsilon zeta", "g1"),
+            (2, "ALPHA  beta gamma delta epsilon zeta", "g1"),  # dup of 1
+            (3, "one two three four five six seven", "g1"),
+            (4, "completely different text with many fine words", "g1"),
+            # quality drop that is ALSO a dup of 6 -> 'quality' must win
+            (5, "!!", "g1"),
+            (6, "!!", "g1"),
+            # group g2: enough survivors to hit the cap
+            (10, "red orange yellow green blue indigo violet", "g2"),
+            (11, "north south east west upward downward inward", "g2"),
+            (12, "spring summer autumn winter morning evening night", "g2"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {
+            r.doc_id: (r.keep, r.stage, r.detail)
+            for r in curate_corpus(
+                docs, group_col="source", max_per_group=2
+            ).collect()
+        }
+        assert len(out) == len(rows)  # total: one verdict per doc
+        assert out[2] == (False, "exact_dup", "1")
+        assert out[5][1] == "quality" and not out[5][0]
+        assert out[6][1] == "quality"  # dup-of-quality-dropped is still quality
+        # g1 survivors: 1, 3, 4 -> cap 2 drops exactly one, rank 3
+        g1 = [out[i] for i in (1, 3, 4)]
+        assert sum(1 for v in g1 if v[0]) == 2
+        capped = [v for v in g1 if v[1] == "domain_cap"]
+        assert capped == [(False, "domain_cap", "3")]
+        # g2: all three good and distinct -> cap keeps 2
+        g2 = [out[i] for i in (10, 11, 12)]
+        assert sum(1 for v in g2 if v[0]) == 2
+
+    def test_no_group_skips_cap(self, spark):
+        from kg.ops.curation import curate_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "one two three four five six seven")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.stage for r in curate_corpus(docs).collect()}
+        assert out == {1: "kept", 2: "kept"}
+
+    def test_group_without_cap_raises(self, spark):
+        from kg.ops.curation import curate_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", "g")], "doc_id long, text string, source string")
+        with pytest.raises(ValueError):
+            curate_corpus(docs, group_col="source")
+
+
+class TestCuratePipelineStage:
+    def test_run_pipeline_curate_stage(self, spark, tmp_path):
+        """run_pipeline --stages extract,curate writes a total corpus_kept
+        verdict table (one row per doc, per-host cap applied)."""
+        import run_pipeline
+
+        out = str(tmp_path / "kg_out")
+        rc = run_pipeline.main([
+            "--pages", "/root/repo/fixtures/pages_tiny.parquet",
+            "--out", out, "--buckets", "4",
+            "--stages", "extract,curate", "--max-docs-per-host", "3",
+        ])
+        assert rc == 0
+        kept = spark.read.parquet(f"{out}/corpus_kept")
+        n_docs = spark.read.parquet(f"{out}/docs").count()
+        assert kept.count() == n_docs  # total verdict
+        assert kept.select("url").distinct().count() == n_docs
+        stages = {r.stage for r in kept.select("stage").distinct().collect()}
+        assert stages <= {"kept", "quality", "exact_dup", "domain_cap"}
+        assert "kept" in stages and "domain_cap" in stages
+        # cap respected per host among kept docs
+        from pyspark.sql import functions as F
+        from kg.ops.webnorm import normalize_urls
+
+        hosts = normalize_urls(kept.where("keep").select("url")).groupBy(
+            "host").count()
+        assert hosts.agg(F.max("count")).first()[0] <= 3
