@@ -2554,6 +2554,46 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_stream_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATELESS stream-static contract: arriving docs flagged against the
+    accepted-corpus exact-dup hash index (kg/streaming.py
+    stream_index_dedup). Docs with doc_id % 4 != 0 form the static index;
+    the stream carries the % 4 == 0 batch PLUS the % 8 == 1 re-crawls, so
+    both verdicts (fresh and is_known) are exercised. availableNow +
+    exactly-once sink; oracle recomputes the hash membership in SQL."""
+    import tempfile
+
+    from kg.ops.dedup import _norm_text
+    from kg.streaming import run_stream_to_parquet, stream_index_dedup
+
+    docs = _docs(spark, sf_dir)
+    index_hashes = docs.where(F.col("doc_id") % 4 != 0).select(
+        F.md5(_norm_text()).alias("text_hash")
+    )
+    new = docs.where(
+        (F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 8 == 1)
+    ).select("doc_id", "text")
+
+    src = tempfile.mkdtemp(prefix="kg_stream_idx_src_")
+    out = tempfile.mkdtemp(prefix="kg_stream_idx_out_")
+    ckpt = tempfile.mkdtemp(prefix="kg_stream_idx_ckpt_")
+    new.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = run_stream_to_parquet(
+        stream_index_dedup(
+            stream, index_hashes, keep_cols=("doc_id",),
+            broadcast_index=True,
+        ),
+        out, ckpt,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text_hash",
+        "is_known",
+    )
+
+
 def q_doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed ingestion-curation verdict (kg/ops/curation.py
     curate_corpus): quality filter -> exact dedup -> per-source cap, first
@@ -2748,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_link_rates": q_stream_link_rates,
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup_pages": q_stream_dedup_pages,
+        "stream_index_dedup": q_stream_index_dedup,
         "kg_gazetteer_snapshots": q_kg_gazetteer_snapshots,
         "kg_checkpoint_resume": q_kg_checkpoint_resume,
         "kg_canonical": q_kg_canonical,
@@ -4208,6 +4249,17 @@ dflt AS (SELECT label FROM priors ORDER BY log_prior DESC, label ASC LIMIT 1)
 SELECT d.doc_id, coalesce(b.label, (SELECT label FROM dflt)) AS pred_label,
   CAST(coalesce(b.n_tokens, 0) AS BIGINT) AS n_tokens
 FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+    d["stream_index_dedup"] = r"""
+WITH h AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS th
+  FROM documents
+), idx AS (SELECT DISTINCT th FROM h WHERE doc_id % 4 <> 0)
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id, n.th AS text_hash,
+  (i.th IS NOT NULL) AS is_known
+FROM h n LEFT JOIN idx i ON n.th = i.th
+WHERE n.doc_id % 4 = 0 OR n.doc_id % 8 = 1
 """
     # composed curation ladder: quality filter (reused oracle) -> exact
     # dedup (min-id survivor per normalized-text hash) -> per-source cap,

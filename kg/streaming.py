@@ -141,6 +141,48 @@ def stream_dedup_pages(
     ).dropDuplicatesWithinWatermark(["url"])
 
 
+def stream_index_dedup(
+    stream: DataFrame,
+    index_hashes: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("url", "warc_ts"),
+    broadcast_index: bool = False,
+) -> DataFrame:
+    """Streaming front door of incremental ingestion: flag each arriving
+    page whose normalized text already exists in the ACCEPTED corpus.
+
+    A stream-STATIC left join on the exact-dup hash (md5 of the
+    whitespace/case-normalized text — the same key as
+    ``kg.ops.dedup.exact_dedup``). STATELESS: no watermark, no state
+    store — the static side is re-planned per micro-batch, the stream
+    holds nothing. Division of labor on the dedup ladder:
+    - this op: exact re-crawls bounce at the door (is_known=true);
+    - ``stream_dedup_pages``: bounded within-stream url dedup;
+    - ``incremental_near_dup``: near-dups settle in the batch layer
+      against the persisted MinHash index.
+
+    ``index_hashes``: any DataFrame with a ``text_hash`` column (e.g.
+    ``exact_dedup`` output, or md5(_norm_text) over the accepted docs).
+    ``broadcast_index=True`` hints the join when the index is dim-sized;
+    leave False at corpus scale and let AQE pick the stream-static
+    shuffle join (the static side is a compact fixed-width hash table
+    either way)."""
+    from kg.ops.dedup import _norm_text
+
+    hashed = stream.withColumn("text_hash", F.md5(_norm_text(text_col)))
+    dim = (
+        index_hashes.select("text_hash").distinct()
+        .withColumn("is_known", F.lit(True))
+    )
+    if broadcast_index:
+        dim = F.broadcast(dim)
+    return hashed.join(dim, "text_hash", "left").select(
+        *keep_cols,
+        "text_hash",
+        F.coalesce("is_known", F.lit(False)).alias("is_known"),
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_seq long, n_events long, t_start_us long, "
     "t_end_us long, total_value_cents long"

@@ -349,3 +349,42 @@ def test_stream_interval_join_drops_late_rows(spark, tmp_path):
     )
     assert (5, 4) not in got, "late click must be dropped at the watermark"
     assert (2, 1) in got and (7, 6) in got
+
+
+def test_stream_index_dedup_stateless_across_batches(spark, tmp_path):
+    """Stream-static exact-dup gate: re-crawls of indexed content flag
+    is_known in EVERY micro-batch (no state involved), fresh content never
+    does, and an idle re-run appends nothing (exactly-once sink)."""
+    import pandas as pd
+
+    from kg.streaming import run_stream_to_parquet, stream_index_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "src").mkdir()
+
+    index = spark.createDataFrame(
+        [("the quick brown fox",)], ["text"]
+    ).selectExpr("md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))) AS text_hash")
+
+    def land(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            f"{src}/{name}.parquet", index=False
+        )
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = run_stream_to_parquet(
+            stream_index_dedup(stream, index, keep_cols=("doc_id",)),
+            out, ckpt,
+        )
+        q.awaitTermination(120)
+
+    land("b1", [(1, "The  quick BROWN fox"), (2, "something new entirely")])
+    run()
+    land("b2", [(3, "the quick brown fox"), (4, "another fresh doc")])
+    run()
+    run()  # idle re-run: nothing new lands, nothing new appends
+    got = {r.doc_id: r.is_known for r in spark.read.parquet(out).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False}
