@@ -2554,6 +2554,23 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_web_anchor_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text alias mining (kg/ops/weblinks.py mine_anchor_aliases)
+    from RAW pages through the full extract→triples pipeline: each page's
+    primary triple subject becomes the entity the anchors pointing at it
+    alias. The oracle replays anchor extraction in SQL and takes primary
+    subjects from the independently-built golden triples fixture (whose
+    urls are normalization fixed-points, so the raw-url join is exact)."""
+    from kg.ops.weblinks import mine_anchor_aliases
+    from kg.stages.extract import extract_docs
+    from kg.stages.triples import extract_svo_triples
+
+    pages = spark.read.parquet(f"{FIX}/pages_small.parquet")
+    docs = extract_docs(pages).select("url", "text")
+    triples = extract_svo_triples(docs)
+    return mine_anchor_aliases(pages, triples, min_refs=2)
+
+
 def q_stream_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATELESS stream-static contract: arriving docs flagged against the
     accepted-corpus exact-dup hash index (kg/streaming.py
@@ -2789,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup_pages": q_stream_dedup_pages,
         "stream_index_dedup": q_stream_index_dedup,
+        "web_anchor_aliases": q_web_anchor_aliases,
         "kg_gazetteer_snapshots": q_kg_gazetteer_snapshots,
         "kg_checkpoint_resume": q_kg_checkpoint_resume,
         "kg_canonical": q_kg_canonical,
@@ -4250,6 +4268,34 @@ SELECT d.doc_id, coalesce(b.label, (SELECT label FROM dflt)) AS pred_label,
   CAST(coalesce(b.n_tokens, 0) AS BIGINT) AS n_tokens
 FROM documents d LEFT JOIN best b USING (doc_id)
 """
+    # anchor-alias mining: links CTE = the SQL replay of anchor extraction;
+    # primary subjects from the golden triples fixture (fixture urls are
+    # normalization fixed-points — pinned in tests — so joining the raw
+    # url against the normalized dst_url is exact)
+    d["web_anchor_aliases"] = (
+        _weblinks_oracle_cte(f"{FIX}/pages_small.parquet", with_text=True)
+        + f"""
+, prim AS (
+  SELECT dst_url, subj AS entity_surface FROM (
+    SELECT url AS dst_url, subj, row_number() OVER (
+      PARTITION BY url ORDER BY count(*) DESC, subj) AS rn
+    FROM '{FIX}/expected_triples_small.parquet'
+    GROUP BY url, subj) t WHERE rn = 1
+), cand AS (
+  SELECT l.src_url, p.entity_surface,
+    lower(trim(l.anchor_text, '{_PUNCT_SQL}')) AS alias_norm
+  FROM links l JOIN prim p USING (dst_url)
+  WHERE lower(trim(l.anchor_text, '{_PUNCT_SQL}')) <> ''
+    AND lower(trim(l.anchor_text, '{_PUNCT_SQL}'))
+        <> lower(trim(p.entity_surface, '{_PUNCT_SQL}'))
+)
+SELECT entity_surface, alias_norm,
+  CAST(count(*) AS BIGINT) AS n_refs,
+  CAST(count(DISTINCT regexp_extract(src_url, '://([^/?#]+)', 1)) AS BIGINT)
+    AS n_hosts
+FROM cand GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+    )
     d["stream_index_dedup"] = r"""
 WITH h AS (
   SELECT doc_id,

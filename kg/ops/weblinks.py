@@ -39,6 +39,7 @@ from kg.ops.webnorm import _norm_expr
 
 __all__ = [
     "extract_links",
+    "mine_anchor_aliases",
     "host_link_graph",
     "aggregate_host_graph",
     "anchor_text_index",
@@ -124,6 +125,30 @@ def aggregate_host_graph(links: DataFrame) -> DataFrame:
     )
 
 
+def _resolved_anchors(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, href, anchor_text, dst_url): whole simple anchors with
+    whitespace-collapsed text and the target resolved + normalized — the
+    shared pure-map extraction behind anchor_text_index and
+    mine_anchor_aliases (same scope as :data:`ANCHOR_RE`)."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    anchors = F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), F.lit(0))
+    per_anchor = df.select(
+        F.col(url_col).alias("src_url"), F.explode(anchors).alias("a")
+    ).select(
+        "src_url",
+        F.regexp_extract("a", HREF_RE, 1).alias("href"),
+        F.trim(
+            F.regexp_replace(F.regexp_extract("a", r">([^<]*)<", 1),
+                             r"\s+", " ")
+        ).alias("anchor_text"),
+    )
+    return per_anchor.withColumn(
+        "dst_url", _norm_expr(_resolve(F.col("href"), F.col("src_url")))
+    )
+
+
 def anchor_text_index(
     df: DataFrame,
     url_col: str = "url",
@@ -148,21 +173,7 @@ def anchor_text_index(
     holds more than ``max_texts`` strings even for a hub target every
     page links to under a different text.
     """
-    html_str = F.decode(F.col(html_col), "UTF-8")
-    anchors = F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), F.lit(0))
-    per_anchor = df.select(
-        F.col(url_col).alias("src_url"), F.explode(anchors).alias("a")
-    ).select(
-        "src_url",
-        F.regexp_extract("a", HREF_RE, 1).alias("href"),
-        F.trim(
-            F.regexp_replace(F.regexp_extract("a", r">([^<]*)<", 1),
-                             r"\s+", " ")
-        ).alias("anchor_text"),
-    )
-    resolved = per_anchor.withColumn(
-        "dst_url", _norm_expr(_resolve(F.col("href"), F.col("src_url")))
-    )
+    resolved = _resolved_anchors(df, url_col, html_col)
     stats = resolved.groupBy("dst_url").agg(
         F.count(F.lit(1)).alias("n_links"),
         F.countDistinct("src_url").alias("n_pages"),
@@ -187,3 +198,81 @@ def anchor_text_index(
         )
     )
     return stats.join(texts, "dst_url")
+
+
+def mine_anchor_aliases(
+    pages: DataFrame,
+    triples: DataFrame,
+    min_refs: int = 2,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Alias-dictionary enrichment from anchor text — the classic KG trick
+    (Wikipedia-anchor alias mining, Cucerzan 2007): what the web CALLS a
+    page is a surface form of the page's primary entity, so anchors feed
+    the linker's alias dictionary.
+
+    1. Each page's PRIMARY entity = its most frequent triple subject
+       (tie -> lexicographically smallest; deterministic).
+    2. Anchors whose normalized target is that page become alias
+       candidates for the entity.
+    3. Candidates are normalized exactly like the linker dictionary
+       (``kg.stages.link.norm_surface_col``); empties and self-aliases
+       (candidate == the entity's own normalized surface) are dropped.
+    4. Aggregate per (entity_surface, alias_norm): ``n_refs`` anchors and
+       ``n_hosts`` distinct referring hosts; keep ``n_refs >= min_refs``
+       (multi-reference evidence gates out one-off anchor noise).
+
+    Returns (entity_surface, alias_norm, n_refs, n_hosts) — rows shaped
+    for appending to the alias dict after an entity-id assignment pass.
+
+    Scale shape: anchor extraction is the shared pure map
+    (``_resolved_anchors``); the primary-entity table is one window over
+    the per-(url, subj) counts (triples-table sized, never the corpus);
+    the candidate join is an equi join on the high-cardinality url; the
+    final rollup is one partial-aggregated groupBy.
+    """
+    from pyspark.sql.window import Window
+
+    from kg.stages.link import norm_surface_col
+
+    prim = (
+        triples.groupBy("url", "subj")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy(
+                    F.desc("_n"), F.asc("subj")
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            _norm_expr(F.col("url")).alias("dst_url"),
+            F.col("subj").alias("entity_surface"),
+        )
+    )
+    cand = (
+        _resolved_anchors(pages, url_col, html_col)
+        .join(prim, "dst_url")
+        .select(
+            "src_url",
+            "entity_surface",
+            norm_surface_col("anchor_text").alias("alias_norm"),
+        )
+        .where(
+            (F.col("alias_norm") != "")
+            & (F.col("alias_norm") != norm_surface_col("entity_surface"))
+        )
+    )
+    return (
+        cand.groupBy("entity_surface", "alias_norm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_refs"),
+            F.countDistinct(
+                F.regexp_extract("src_url", HOST_RE, 1)
+            ).cast("long").alias("n_hosts"),
+        )
+        .where(F.col("n_refs") >= int(min_refs))
+    )

@@ -143,3 +143,63 @@ class TestLinksPipelineStage:
         ])
         assert rc2 == 0
         assert spark.read.parquet(f"{out}/links").count() == want.count()
+
+
+class TestMineAnchorAliases:
+    def test_mining_semantics(self, spark):
+        from kg.ops.weblinks import mine_anchor_aliases
+
+        def page(url, anchors):
+            body = "".join(
+                f'<a href="{h}">{t}</a>' for h, t in anchors
+            )
+            return (url, f"<html><body>{body}</body></html>".encode())
+
+        pages = spark.createDataFrame(
+            [
+                page("http://a.com/acme", []),
+                # two hosts call the acme page "ACME Inc." (>= min_refs),
+                # one calls it by the entity's own surface (self-alias ->
+                # dropped), one one-off alias (below min_refs -> dropped)
+                page("http://b.com/1", [("http://a.com/acme", "ACME  Inc.")]),
+                page("http://c.com/1", [("http://a.com/acme", "acme inc"),
+                                        ("http://a.com/acme", "Acme Corp!")]),
+                page("http://d.com/1", [("http://a.com/acme", "Acme Corp")]),
+                page("http://e.com/1", [("http://a.com/acme", "one-off name")]),
+            ],
+            "url string, html binary",
+        )
+        triples = spark.createDataFrame(
+            # primary subject of /acme: tie on count -> lexicographically
+            # smallest ("Acme Corp" < "Zeta") wins deterministically
+            [("http://a.com/acme", "Zeta", "p", "o"),
+             ("http://a.com/acme", "Acme Corp", "p", "o")],
+            "url string, subj string, pred string, obj string",
+        )
+        out = {
+            (r.entity_surface, r.alias_norm): (r.n_refs, r.n_hosts)
+            for r in mine_anchor_aliases(pages, triples, min_refs=2).collect()
+        }
+        # 'acme inc' normalization collapses "ACME  Inc." -> wait: norm is
+        # lower+strip-punct only (no inner-space collapse beyond the anchor
+        # whitespace collapse), so "acme inc." and "acme inc" both norm to
+        # "acme inc" -> 2 refs from 2 hosts
+        assert out == {("Acme Corp", "acme inc"): (2, 2)}
+        # self-alias ("Acme Corp"/"Acme Corp!") and the one-off are gone
+        assert ("Acme Corp", "acme corp") not in out
+
+    def test_fixture_urls_are_normalization_fixed_points(self, spark):
+        """The web_anchor_aliases oracle joins golden-fixture urls RAW
+        against normalized anchor targets; valid iff fixture urls are
+        fixed points of the url normalization — pinned here."""
+        from pyspark.sql import functions as F
+
+        from kg.ops.webnorm import normalize_urls
+
+        for fx in ("pages_tiny", "pages_small"):
+            pages = spark.read.parquet(f"/root/repo/fixtures/{fx}.parquet")
+            n = pages.count()
+            eq = normalize_urls(pages.select("url")).where(
+                F.col("url") == F.col("url_norm")
+            ).count()
+            assert eq == n, fx
