@@ -1825,6 +1825,47 @@ def q_kg_entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_profile(linked, max_surfaces=ENTITY_PROFILE_MAX_SURFACES)
 
 
+FACT_EVIDENCE_MAX_URLS = 8
+
+
+def q_kg_fact_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-fact rollup with provenance over the linked KG: dedup
+    fully-linked triples into (subj_id, pred, obj_id) facts carrying
+    evidence counts, doc counts, first/last-seen timestamps (from the
+    page warc_ts) and a bounded deterministic URL sample. Oracle
+    recomputes the link join, the page-ts join and both aggregations in
+    SQL (URL sample = first 8 of the sorted distinct list)."""
+    from kg.graphstats import fact_evidence
+    from kg.stages.link import link_triples
+
+    triples = spark.read.parquet(
+        f"{FIX}/expected_triples_small.parquet"
+    ).withColumn("conf", F.lit(1.0))
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    page_ts = spark.read.parquet(f"{FIX}/pages_small.parquet").select(
+        "url", "warc_ts"
+    )
+    linked = (
+        link_triples(triples, alias_dim)
+        .withColumn("subj_id", F.col("subj_id").cast("long"))
+        .withColumn("obj_id", F.col("obj_id").cast("long"))
+        .join(page_ts, "url")
+    )
+    facts = fact_evidence(
+        linked, ts_col="warc_ts", max_urls=FACT_EVIDENCE_MAX_URLS
+    )
+    return facts.select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "n_evidence",
+        "n_docs",
+        F.unix_micros("first_seen").alias("first_seen_us"),
+        F.unix_micros("last_seen").alias("last_seen_us"),
+        F.array_join("sample_urls", "|").alias("sample_urls"),
+    )
+
+
 NEGSAMPLE_K = 4
 
 
@@ -2797,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_entity_profile": q_kg_entity_profile,
+        "kg_fact_evidence": q_kg_fact_evidence,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_ner_errors": q_kg_ner_errors,
         "kg_annotate": q_kg_annotate,
@@ -3438,6 +3480,34 @@ WITH dim AS (
 )
 SELECT counts.entity_id, n_as_subj, n_as_obj, n_docs, top_pred, surfaces
 FROM counts LEFT JOIN tp USING (entity_id) JOIN sf USING (entity_id)
+""",
+        "kg_fact_evidence": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT t.url, s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id,
+         p.warc_ts
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+  JOIN '{FIX}/pages_small.parquet' p ON t.url = p.url
+), counts AS (
+  SELECT subj_id, pred, obj_id,
+         CAST(count(*) AS BIGINT) AS n_evidence,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_docs,
+         CAST(epoch_us(min(warc_ts)) AS BIGINT) AS first_seen_us,
+         CAST(epoch_us(max(warc_ts)) AS BIGINT) AS last_seen_us
+  FROM t GROUP BY subj_id, pred, obj_id
+), urls AS (
+  SELECT subj_id, pred, obj_id, array_to_string(
+    list_sort(list_distinct(list(url)))[1:{FACT_EVIDENCE_MAX_URLS}],
+    '|') AS sample_urls
+  FROM t GROUP BY subj_id, pred, obj_id
+)
+SELECT counts.subj_id, counts.pred, counts.obj_id, n_evidence, n_docs,
+       first_seen_us, last_seen_us, sample_urls
+FROM counts JOIN urls USING (subj_id, pred, obj_id)
 """,
         "kg_negative_samples": f"""
 WITH dim AS (

@@ -41,6 +41,7 @@ __all__ = [
     "shortest_paths",
     "predicate_stats",
     "entity_profile",
+    "fact_evidence",
     "label_propagation",
 ]
 
@@ -726,3 +727,59 @@ def label_propagation(
             )
         )
     return labels
+
+
+def fact_evidence(
+    linked: DataFrame,
+    ts_col: str = "warc_ts",
+    max_urls: int = 8,
+) -> DataFrame:
+    """Aggregate linked triples into canonical FACTS with provenance: one
+    row per (subj_id, pred, obj_id) with evidence counts, the document
+    span of the claim (first/last seen timestamp), and a bounded,
+    deterministic sample of source URLs. This is the dedup step between
+    "extraction emitted a triple" and "the KG asserts a fact" — the
+    reference stops at per-request entity rows
+    (/root/reference/src/hu_entity/named_entity.py:25-42); a standing KG
+    needs the corpus-level rollup with provenance so downstream consumers
+    can rank facts by support and audit any assertion back to pages.
+
+    Input is the output of :func:`kg.stages.link.link_triples` joined
+    with a page timestamp (``ts_col``); only fully-linked rows (both ids
+    resolved) become facts — half-linked triples stay in the mention
+    table, they are not assertable facts.
+
+    Scale shape: two exchanges total and no join. A partial-aggregated
+    pre-aggregation on (fact, url) collapses per-document repeats (and is
+    what countDistinct would have shuffled anyway), then one exchange on
+    the fact key feeds a window rank whose partitioning the final groupBy
+    reuses (zero further shuffles — verified in the plan: 2 Exchange
+    nodes, no SortMergeJoin). The URL sample is row_number-bounded to
+    ``max_urls`` BEFORE collect_list (no unbounded agg buffer for viral
+    facts — the same discipline as entity_profile / anchor_text_index).
+    AQE skew handling applies to hot facts.
+    """
+    keys = ["subj_id", "pred", "obj_id"]
+    facts = linked.where(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    )
+    per_url = facts.groupBy(*keys, "url").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+    ranked = per_url.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(*keys).orderBy("url")),
+    )
+    return ranked.groupBy(*keys).agg(
+        F.sum("_n").alias("n_evidence"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("_first").alias("first_seen"),
+        F.max("_last").alias("last_seen"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rn") <= int(max_urls), F.col("url"))
+            )
+        ).alias("sample_urls"),
+    )

@@ -436,3 +436,62 @@ class TestLabelPropagation:
                 )
             labels = new
         assert a == sorted((n, l) for n, l in labels.items())
+
+
+class TestFactEvidence:
+    def _linked(self, spark):
+        t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        rows = []
+        # fact (1, works_for, 2): 3 evidence rows across 2 docs
+        rows.append(("u1", "Ada", "works_for", "Acme", 1, 2, t0))
+        rows.append(("u1", "Ada L", "works_for", "Acme", 1, 2, t0))
+        rows.append(
+            ("u2", "Ada", "works_for", "Acme Co", 1, 2,
+             t0 + dt.timedelta(days=3))
+        )
+        # half-linked rows: never become facts
+        rows.append(("u3", "Ada", "knows", "Nobody", 1, None, t0))
+        rows.append(("u3", "Nobody", "knows", "Acme", None, 2, t0))
+        # fact (2, sued, 1): 1 row
+        rows.append(
+            ("u9", "Acme", "sued", "Ada", 2, 1, t0 + dt.timedelta(days=9))
+        )
+        return spark.createDataFrame(
+            rows,
+            "url string, subj string, pred string, obj string, "
+            "subj_id long, obj_id long, warc_ts timestamp",
+        )
+
+    def test_counts_span_and_half_linked_excluded(self, spark):
+        from kg.graphstats import fact_evidence
+
+        out = fact_evidence(self._linked(spark)).collect()
+        by_key = {(r.subj_id, r.pred, r.obj_id): r for r in out}
+        assert set(by_key) == {(1, "works_for", 2), (2, "sued", 1)}
+        f = by_key[(1, "works_for", 2)]
+        assert f.n_evidence == 3 and f.n_docs == 2
+        assert f.first_seen.day == 1 and f.last_seen.day == 4
+        assert f.sample_urls == ["u1", "u2"]
+        g = by_key[(2, "sued", 1)]
+        assert g.n_evidence == 1 and g.n_docs == 1
+        assert g.first_seen == g.last_seen
+
+    def test_url_sample_bounded_and_deterministic(self, spark):
+        from kg.graphstats import fact_evidence
+
+        t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        rows = [
+            (f"u{i:03d}", "A", "p", "B", 1, 2, t0) for i in range(50)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "url string, subj string, pred string, obj string, "
+            "subj_id long, obj_id long, warc_ts timestamp",
+        )
+        for parts in (1, 7):
+            out = fact_evidence(df.repartition(parts), max_urls=5).collect()
+            assert len(out) == 1
+            r = out[0]
+            assert r.n_evidence == 50 and r.n_docs == 50
+            # smallest 5 urls, sorted — invariant to partitioning
+            assert r.sample_urls == [f"u{i:03d}" for i in range(5)]

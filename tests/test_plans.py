@@ -303,3 +303,25 @@ def test_keep_best_per_cluster_no_window(spark):
     # map-side instead of serializing through one window partition
     assert "Window" not in p
     assert "partial_max" in p or "HashAggregate" in p
+
+
+def test_fact_evidence_two_exchanges_no_join(spark):
+    """fact_evidence is a pre-agg on (fact, url) + one fact-key exchange
+    whose partitioning the window AND the final agg both reuse: exactly
+    two Exchange nodes, no Join, no Python."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kg.graphstats import fact_evidence
+
+    t0 = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("u1", "A", "p", "B", 1, 2, t0)],
+        "url string, subj string, pred string, obj string, "
+        "subj_id long, obj_id long, warc_ts timestamp",
+    )
+    p = _plan(fact_evidence(df))
+    assert p.count("Exchange") == 2
+    assert "Join" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
