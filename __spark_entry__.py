@@ -1866,6 +1866,94 @@ def q_kg_fact_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INFER_PRED = "located_in"
+INFER_DEPTH = 3
+
+# (pred, role, etype) — predicate-signature typing rules for the synth
+# corpus's 8 relations; the oracle re-emits the same list as VALUES.
+TYPE_RULES = [
+    ("works_for", "subj", "PERSON"),
+    ("works_for", "obj", "ORG"),
+    ("ceo_of", "subj", "PERSON"),
+    ("ceo_of", "obj", "ORG"),
+    ("founded", "subj", "PERSON"),
+    ("founded", "obj", "ORG"),
+    ("born_in", "subj", "PERSON"),
+    ("born_in", "obj", "PLACE"),
+    ("located_in", "obj", "PLACE"),
+    ("acquired", "subj", "ORG"),
+    ("acquired", "obj", "ORG"),
+    ("part_of", "subj", "ORG"),
+    ("part_of", "obj", "ORG"),
+    ("produces", "subj", "ORG"),
+    ("produces", "obj", "PRODUCT"),
+]
+
+_TYPE_RULES_SQL = ", ".join(
+    f"('{p}', '{r}', '{t}')" for p, r, t in TYPE_RULES
+)
+
+
+def _linked_facts_small(spark: SparkSession) -> DataFrame:
+    """Fully-linked triples over the small fixture (shared by the
+    reasoning contracts)."""
+    from kg.stages.link import link_triples
+
+    triples = spark.read.parquet(
+        f"{FIX}/expected_triples_small.parquet"
+    ).withColumn("conf", F.lit(1.0))
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    return (
+        link_triples(triples, alias_dim)
+        .withColumn("subj_id", F.col("subj_id").cast("long"))
+        .withColumn("obj_id", F.col("obj_id").cast("long"))
+    )
+
+
+def q_kg_infer_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive inference over located_in facts (semi-naive
+    frontier evaluation, min-depth provenance); the oracle is a bounded
+    recursive CTE grouped to min depth."""
+    from kg.reason import infer_transitive
+
+    facts = _linked_facts_small(spark).where(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    )
+    return infer_transitive(facts, pred=INFER_PRED, max_depth=INFER_DEPTH)
+
+
+def q_kg_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-type induction from predicate signatures: modal vote per
+    entity with deterministic tie-break; oracle recomputes votes + argmax
+    from the same VALUES rule list."""
+    from kg.reason import induce_entity_types
+
+    rules = spark.createDataFrame(
+        TYPE_RULES, "pred string, role string, etype string"
+    )
+    return induce_entity_types(_linked_facts_small(spark), rules)
+
+
+def q_kg_fact_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-or evidence combination per fact, with per-row confidences
+    synthesized deterministically from md5 (no RNG) so the oracle can
+    replay them bit-for-bit."""
+    from kg.reason import fact_confidence
+
+    linked = _linked_facts_small(spark)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "url", "subj", "pred", "obj")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    ev = linked.withColumn(
+        "conf", F.lit(0.5) + (h % 1000).cast("double") / F.lit(2000.0)
+    )
+    return fact_confidence(ev, conf_col="conf")
+
+
 NEGSAMPLE_K = 4
 
 
@@ -2839,6 +2927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked_triples": q_kg_linked_triples,
         "kg_entity_profile": q_kg_entity_profile,
         "kg_fact_evidence": q_kg_fact_evidence,
+        "kg_infer_transitive": q_kg_infer_transitive,
+        "kg_entity_types": q_kg_entity_types,
+        "kg_fact_confidence": q_kg_fact_confidence,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_ner_errors": q_kg_ner_errors,
         "kg_annotate": q_kg_annotate,
@@ -3508,6 +3599,77 @@ WITH dim AS (
 SELECT counts.subj_id, counts.pred, counts.obj_id, n_evidence, n_docs,
        first_seen_us, last_seen_us, sample_urls
 FROM counts JOIN urls USING (subj_id, pred, obj_id)
+""",
+        "kg_infer_transitive": f"""
+WITH RECURSIVE dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), base AS (
+  SELECT DISTINCT s.entity_id AS subj_id, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+  WHERE t.pred = '{INFER_PRED}'
+), paths AS (
+  SELECT subj_id, obj_id, 1 AS depth FROM base
+  UNION ALL
+  SELECT p.subj_id, b.obj_id, p.depth + 1
+  FROM paths p JOIN base b ON p.obj_id = b.subj_id
+  WHERE p.depth < {INFER_DEPTH} AND p.subj_id <> b.obj_id
+)
+SELECT subj_id, '{INFER_PRED}' AS pred, obj_id,
+       CAST(min(depth) AS INT) AS depth
+FROM paths GROUP BY subj_id, obj_id
+""",
+        "kg_entity_types": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT t.pred, s.entity_id AS subj_id, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  LEFT JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  LEFT JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), rules(pred, role, etype) AS (
+  SELECT * FROM (VALUES {_TYPE_RULES_SQL})
+), votes AS (
+  SELECT v.entity_id, r.etype, CAST(count(*) AS BIGINT) AS n_votes
+  FROM (
+    SELECT subj_id AS entity_id, pred, 'subj' AS role
+    FROM t WHERE subj_id IS NOT NULL
+    UNION ALL
+    SELECT obj_id, pred, 'obj' FROM t WHERE obj_id IS NOT NULL
+  ) v JOIN rules r ON v.pred = r.pred AND v.role = r.role
+  GROUP BY v.entity_id, r.etype
+), ranked AS (
+  SELECT entity_id, etype, n_votes,
+    row_number() OVER (
+      PARTITION BY entity_id ORDER BY n_votes DESC, etype) AS rn,
+    sum(n_votes) OVER (PARTITION BY entity_id) AS n_total
+  FROM votes
+)
+SELECT entity_id, etype AS entity_type, n_votes,
+       CAST(n_total AS BIGINT) AS n_total
+FROM ranked WHERE rn = 1
+""",
+        "kg_fact_confidence": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), ev AS (
+  SELECT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id,
+    least(0.5 + CAST(('0x' || substr(md5(
+        t.url || '|' || t.subj || '|' || t.pred || '|' || t.obj
+      ), 1, 15))::BIGINT % 1000 AS DOUBLE) / 2000.0, 0.999999) AS conf
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+)
+SELECT subj_id, pred, obj_id,
+  CAST(count(*) AS BIGINT) AS n_evidence,
+  round(max(conf), 4) AS conf_max,
+  round(1 - exp(sum(ln(1 - conf))), 4) AS conf_noisy_or
+FROM ev GROUP BY subj_id, pred, obj_id
 """,
         "kg_negative_samples": f"""
 WITH dim AS (

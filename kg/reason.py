@@ -1,0 +1,189 @@
+"""KG reasoning/enrichment over linked, canonical facts: bounded
+transitive inference, entity-type induction from predicate signatures,
+and evidence-combination confidence.
+
+These are the construction steps AFTER linking that the reference's
+per-request entity service never needs (it stops at NamedEntity rows,
+/root/reference/src/hu_entity/named_entity.py:25-42) but a standing KG
+does: materializing implied edges (A located_in B, B located_in C =>
+A located_in C), typing entities no gazetteer covered, and collapsing
+noisy per-page extractions into a calibrated fact score.
+
+Scale shapes:
+- infer_transitive: SEMI-NAIVE Datalog evaluation — each round joins only
+  the frontier (pairs first discovered last round) against the base
+  relation, anti-joins against the known set, and materializes both, so
+  round k does O(|delta_k| * avg_fanout) work instead of re-deriving the
+  whole closure, and lineage never grows across rounds (same barrier
+  discipline as kg.graphstats.pagerank / label_propagation). All joins are
+  keyed equi-joins (mid node, then the pair) — AQE skew handling applies
+  to hub nodes; a popularity cap is deliberately NOT applied because the
+  closure's output is the product, not a candidate set.
+- induce_entity_types: facts x rules is a broadcast join (rules are a
+  hand-sized dim), then one partial-agged groupBy + one window argmax
+  keyed by entity — two exchanges end-to-end.
+- fact_confidence: a single partial-aggregable groupBy on the fact key
+  (sum of ln-survivals IS the noisy-or in log space, so no collect and no
+  window). Transcendental-derived floats are rounded to 4 places, the
+  same grain as kg/ops/lm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kg.session import materialize
+
+__all__ = [
+    "infer_transitive",
+    "induce_entity_types",
+    "fact_confidence",
+]
+
+_FACT_KEYS = ["subj_id", "pred", "obj_id"]
+
+
+def infer_transitive(
+    facts: DataFrame,
+    pred: str,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Bounded-depth transitive closure of one predicate, with provenance.
+
+    Input: fact rows carrying (subj_id, pred, obj_id) — e.g. the output
+    of :func:`kg.graphstats.fact_evidence` or any linked-triple table.
+    Output: one row per (subj_id, obj_id) pair reachable through
+    ``pred``-edges in at most ``max_depth`` hops, with ``depth`` = the
+    MINIMUM number of hops (1 = asserted, >1 = inferred). Derived
+    self-pairs (a, a) are dropped — a cycle never asserts an entity
+    relates to itself; asserted self-loops, if any, pass through as
+    depth 1. Deterministic for any input partitioning.
+    """
+    base = materialize(
+        facts.where(F.col("pred") == pred)
+        .select("subj_id", "obj_id")
+        .distinct()
+    )
+    known = base.withColumn("depth", F.lit(1))
+    frontier = base
+    for d in range(2, int(max_depth) + 1):
+        step = (
+            frontier.select("subj_id", F.col("obj_id").alias("_mid"))
+            .join(
+                base.select(
+                    F.col("subj_id").alias("_mid"), "obj_id"
+                ),
+                "_mid",
+            )
+            .select("subj_id", "obj_id")
+            .where(F.col("subj_id") != F.col("obj_id"))
+            .distinct()
+            .join(
+                known.select("subj_id", "obj_id"),
+                ["subj_id", "obj_id"],
+                "left_anti",
+            )
+        )
+        step = materialize(step)
+        if step.isEmpty():
+            break
+        known = materialize(
+            known.unionByName(step.withColumn("depth", F.lit(d)))
+        )
+        frontier = step
+    return known.select(
+        "subj_id",
+        F.lit(pred).alias("pred"),
+        "obj_id",
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
+def induce_entity_types(
+    linked: DataFrame,
+    rules: DataFrame,
+) -> DataFrame:
+    """Assign each linked entity a type from predicate signatures.
+
+    ``rules`` is a small dim (pred, role, etype) with role in
+    {'subj', 'obj'}: e.g. (works_for, subj, PERSON), (works_for, obj,
+    ORG). Every fully-or-half-linked triple row casts one vote per
+    matching rule for the entity on that side; the entity's type is the
+    modal vote (ties broken by type name ascending, so the result is
+    deterministic). Returns (entity_id, entity_type, n_votes, n_total)
+    where n_total counts all votes the entity received across types —
+    n_votes/n_total is the signature purity a KG curator reviews.
+    """
+    subj_votes = (
+        linked.where(F.col("subj_id").isNotNull())
+        .select(F.col("subj_id").alias("entity_id"), "pred")
+        .join(
+            F.broadcast(
+                rules.where(F.col("role") == "subj").select("pred", "etype")
+            ),
+            "pred",
+        )
+    )
+    obj_votes = (
+        linked.where(F.col("obj_id").isNotNull())
+        .select(F.col("obj_id").alias("entity_id"), "pred")
+        .join(
+            F.broadcast(
+                rules.where(F.col("role") == "obj").select("pred", "etype")
+            ),
+            "pred",
+        )
+    )
+    votes = (
+        subj_votes.unionByName(obj_votes)
+        .groupBy("entity_id", "etype")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("entity_id")
+    ranked = votes.withColumn(
+        "rn",
+        F.row_number().over(
+            w.orderBy(F.col("n_votes").desc(), F.col("etype"))
+        ),
+    ).withColumn("n_total", F.sum("n_votes").over(w))
+    return ranked.where(F.col("rn") == 1).select(
+        "entity_id",
+        F.col("etype").alias("entity_type"),
+        "n_votes",
+        "n_total",
+    )
+
+
+def fact_confidence(
+    evidence: DataFrame,
+    conf_col: str = "conf",
+    max_conf: float = 0.999999,
+) -> DataFrame:
+    """Combine per-extraction confidences into a per-fact score.
+
+    Treats each evidence row as an independent noisy witness:
+    P(fact) = 1 - prod(1 - conf_i), computed in log space
+    (sum of ln(1-conf)) so it is a plain partial-aggregable SUM — no
+    collect_list buffer, no window, one shuffle. Per-row confidences are
+    clamped to ``max_conf`` so a single conf=1.0 row stays finite; a
+    clamped row already pushes the noisy-or to 1.0 at the 4-decimal
+    output grain. Returns (subj_id, pred, obj_id, n_evidence,
+    conf_max, conf_noisy_or) with floats rounded to 4 places (the
+    kg/ops/lm.py grain for transcendental-derived values).
+    """
+    c = F.least(F.col(conf_col).cast("double"), F.lit(float(max_conf)))
+    return (
+        evidence.where(
+            F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+        )
+        .groupBy(*_FACT_KEYS)
+        .agg(
+            F.count(F.lit(1)).alias("n_evidence"),
+            F.round(F.max(c), 4).alias("conf_max"),
+            F.round(
+                F.lit(1.0) - F.exp(F.sum(F.log(F.lit(1.0) - c))), 4
+            ).alias("conf_noisy_or"),
+        )
+    )

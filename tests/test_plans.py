@@ -325,3 +325,36 @@ def test_fact_evidence_two_exchanges_no_join(spark):
     assert p.count("Exchange") == 2
     assert "Join" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_fact_confidence_single_exchange_no_window(spark):
+    """Noisy-or in log space is a plain partial-aggregable SUM: one
+    Exchange, no Window, no Join, no Python."""
+    from kg.reason import fact_confidence
+
+    ev = spark.createDataFrame(
+        [("u1", 1, "p", 2, 0.5)],
+        "url string, subj_id long, pred string, obj_id long, conf double",
+    )
+    p = _plan(fact_confidence(ev))
+    assert p.count("Exchange") == 1
+    assert "Window" not in p and "Join" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_induce_entity_types_broadcasts_rules(spark):
+    """The rules dim joins broadcast; the only exchanges key on the
+    entity (vote agg + window argmax)."""
+    from kg.reason import induce_entity_types
+
+    linked = spark.createDataFrame(
+        [("u1", "works_for", 1, 2)],
+        "url string, pred string, subj_id long, obj_id long",
+    )
+    rules = spark.createDataFrame(
+        [("works_for", "subj", "PERSON"), ("works_for", "obj", "ORG")],
+        "pred string, role string, etype string",
+    )
+    p = _plan(induce_entity_types(linked, rules))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -1,0 +1,147 @@
+"""KG reasoning operators (kg/reason.py): bounded transitive inference,
+type induction, noisy-or fact confidence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg.reason import fact_confidence, induce_entity_types, infer_transitive
+
+FACT_SCHEMA = "subj_id long, pred string, obj_id long"
+
+
+def _facts(spark, rows, parts=3):
+    return spark.createDataFrame(rows, FACT_SCHEMA).repartition(parts)
+
+
+class TestInferTransitive:
+    def test_chain_min_depth(self, spark):
+        # a->b->c->d plus a shortcut a->c: depth is the MINIMUM hop count
+        rows = [
+            (1, "located_in", 2),
+            (2, "located_in", 3),
+            (3, "located_in", 4),
+            (1, "located_in", 3),
+            (1, "other", 9),  # other predicates ignored
+        ]
+        out = {
+            (r.subj_id, r.obj_id): r.depth
+            for r in infer_transitive(
+                _facts(spark, rows), "located_in", max_depth=3
+            ).collect()
+        }
+        assert out == {
+            (1, 2): 1,
+            (2, 3): 1,
+            (3, 4): 1,
+            (1, 3): 1,  # asserted shortcut wins over the 2-hop path
+            (2, 4): 2,
+            (1, 4): 2,  # via the shortcut, not the 3-hop chain
+        }
+
+    def test_cycle_drops_derived_self_pairs_and_early_exits(self, spark):
+        rows = [(1, "p", 2), (2, "p", 1)]
+        # max_depth far beyond the closure: the frontier empties and the
+        # loop exits — no (1,1)/(2,2) rows, no infinite derivations
+        out = sorted(
+            (r.subj_id, r.obj_id, r.depth)
+            for r in infer_transitive(
+                _facts(spark, rows), "p", max_depth=10
+            ).collect()
+        )
+        assert out == [(1, 2, 1), (2, 1, 1)]
+
+    def test_partition_invariant(self, spark):
+        rows = [(i, "p", i + 1) for i in range(1, 8)]
+        a = infer_transitive(_facts(spark, rows, 1), "p", 4).collect()
+        b = infer_transitive(_facts(spark, rows, 7), "p", 4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # closure size: all pairs (i, j) with i < j <= min(i+4, 8)
+        assert len(a) == sum(min(i + 4, 8) - i for i in range(1, 8))
+
+
+class TestInduceEntityTypes:
+    def test_modal_vote_and_tie_break(self, spark):
+        linked = spark.createDataFrame(
+            [
+                # entity 1: 2 PERSON votes (subj of works_for/ceo_of)
+                ("u1", "works_for", 1, 10),
+                ("u2", "ceo_of", 1, 10),
+                # entity 10: obj ORG votes from the same rows, plus one
+                # PLACE vote (obj of born_in) -> ORG wins 2:1
+                ("u3", "born_in", 7, 10),
+                # entity 7: 1 PERSON vote (subj of born_in)
+            ],
+            "url string, pred string, subj_id long, obj_id long",
+        )
+        rules = spark.createDataFrame(
+            [
+                ("works_for", "subj", "PERSON"),
+                ("works_for", "obj", "ORG"),
+                ("ceo_of", "subj", "PERSON"),
+                ("ceo_of", "obj", "ORG"),
+                ("born_in", "subj", "PERSON"),
+                ("born_in", "obj", "PLACE"),
+            ],
+            "pred string, role string, etype string",
+        )
+        out = {
+            r.entity_id: (r.entity_type, r.n_votes, r.n_total)
+            for r in induce_entity_types(linked, rules).collect()
+        }
+        assert out[1] == ("PERSON", 2, 2)
+        assert out[10] == ("ORG", 2, 3)
+        assert out[7] == ("PERSON", 1, 1)
+
+    def test_tie_breaks_by_type_name(self, spark):
+        linked = spark.createDataFrame(
+            [("u1", "p", 1, 2), ("u2", "q", 1, 2)],
+            "url string, pred string, subj_id long, obj_id long",
+        )
+        rules = spark.createDataFrame(
+            [("p", "subj", "ZED"), ("q", "subj", "ALPHA")],
+            "pred string, role string, etype string",
+        )
+        out = induce_entity_types(linked, rules).collect()
+        row = next(r for r in out if r.entity_id == 1)
+        assert row.entity_type == "ALPHA" and row.n_total == 2
+
+
+class TestFactConfidence:
+    def test_noisy_or_known_values(self, spark):
+        ev = spark.createDataFrame(
+            [
+                ("u1", 1, "p", 2, 0.5),
+                ("u2", 1, "p", 2, 0.5),
+                ("u3", 3, "p", 4, 0.9),
+            ],
+            "url string, subj_id long, pred string, obj_id long,"
+            " conf double",
+        )
+        out = {
+            (r.subj_id, r.obj_id): r for r in fact_confidence(ev).collect()
+        }
+        a = out[(1, 2)]
+        assert a.n_evidence == 2
+        assert a.conf_noisy_or == pytest.approx(0.75)
+        assert a.conf_max == 0.5
+        b = out[(3, 4)]
+        assert b.conf_noisy_or == pytest.approx(0.9)
+
+    def test_conf_one_clamped_not_nan(self, spark):
+        ev = spark.createDataFrame(
+            [("u1", 1, "p", 2, 1.0), ("u2", 1, "p", 2, 0.2)],
+            "url string, subj_id long, pred string, obj_id long,"
+            " conf double",
+        )
+        r = fact_confidence(ev).collect()[0]
+        assert r.conf_noisy_or == 1.0 and r.conf_max == 1.0
+
+    def test_half_linked_rows_excluded(self, spark):
+        ev = spark.createDataFrame(
+            [("u1", 1, "p", None, 0.5), ("u2", None, "p", 2, 0.5)],
+            "url string, subj_id long, pred string, obj_id long,"
+            " conf double",
+        )
+        assert fact_confidence(ev).count() == 0
