@@ -1934,6 +1934,23 @@ def q_kg_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return induce_entity_types(_linked_facts_small(spark), rules)
 
 
+def q_kg_type_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature QA end-to-end: induce entity types from the corpus vote,
+    then flag facts whose argument type contradicts the predicate
+    signature. Oracle replays vote -> argmax -> violation join in SQL."""
+    from kg.reason import induce_entity_types, type_violations
+
+    linked = _linked_facts_small(spark)
+    rules = spark.createDataFrame(
+        TYPE_RULES, "pred string, role string, etype string"
+    )
+    et = induce_entity_types(linked, rules)
+    facts = linked.where(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    ).select("subj_id", "pred", "obj_id").distinct()
+    return type_violations(facts, et, rules)
+
+
 def q_kg_fact_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Noisy-or evidence combination per fact, with per-row confidences
     synthesized deterministically from md5 (no RNG) so the oracle can
@@ -2929,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_evidence": q_kg_fact_evidence,
         "kg_infer_transitive": q_kg_infer_transitive,
         "kg_entity_types": q_kg_entity_types,
+        "kg_type_violations": q_kg_type_violations,
         "kg_fact_confidence": q_kg_fact_confidence,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_ner_errors": q_kg_ner_errors,
@@ -3651,6 +3669,48 @@ WITH dim AS (
 SELECT entity_id, etype AS entity_type, n_votes,
        CAST(n_total AS BIGINT) AS n_total
 FROM ranked WHERE rn = 1
+""",
+        "kg_type_violations": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT t.pred, s.entity_id AS subj_id, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  LEFT JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  LEFT JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), rules(pred, role, etype) AS (
+  SELECT * FROM (VALUES {_TYPE_RULES_SQL})
+), votes AS (
+  SELECT v.entity_id, r.etype, count(*) AS n_votes
+  FROM (
+    SELECT subj_id AS entity_id, pred, 'subj' AS role
+    FROM t WHERE subj_id IS NOT NULL
+    UNION ALL
+    SELECT obj_id, pred, 'obj' FROM t WHERE obj_id IS NOT NULL
+  ) v JOIN rules r ON v.pred = r.pred AND v.role = r.role
+  GROUP BY v.entity_id, r.etype
+), et AS (
+  SELECT entity_id, etype AS entity_type FROM (
+    SELECT entity_id, etype, row_number() OVER (
+      PARTITION BY entity_id ORDER BY n_votes DESC, etype) AS rn
+    FROM votes
+  ) WHERE rn = 1
+), facts AS (
+  SELECT DISTINCT subj_id, pred, obj_id FROM t
+  WHERE subj_id IS NOT NULL AND obj_id IS NOT NULL
+), sides AS (
+  SELECT subj_id, pred, obj_id, 'subj' AS role, subj_id AS entity_id
+  FROM facts
+  UNION ALL
+  SELECT subj_id, pred, obj_id, 'obj', obj_id FROM facts
+)
+SELECT v.subj_id, v.pred, v.obj_id, v.role, v.entity_id,
+       r.etype AS expected_type, e.entity_type AS actual_type
+FROM sides v
+JOIN rules r ON v.pred = r.pred AND v.role = r.role
+JOIN et e ON v.entity_id = e.entity_id
+WHERE e.entity_type <> r.etype
 """,
         "kg_fact_confidence": f"""
 WITH dim AS (

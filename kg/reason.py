@@ -40,6 +40,7 @@ __all__ = [
     "infer_transitive",
     "induce_entity_types",
     "fact_confidence",
+    "type_violations",
 ]
 
 _FACT_KEYS = ["subj_id", "pred", "obj_id"]
@@ -185,5 +186,67 @@ def fact_confidence(
             F.round(
                 F.lit(1.0) - F.exp(F.sum(F.log(F.lit(1.0) - c))), 4
             ).alias("conf_noisy_or"),
+        )
+    )
+
+
+def type_violations(
+    facts: DataFrame,
+    entity_types: DataFrame,
+    rules: DataFrame,
+) -> DataFrame:
+    """Flag facts whose argument types contradict the predicate signature
+    — the KG-curation QA step that catches linker mistakes (a PLACE
+    linked where works_for expects an ORG means the alias dictionary
+    collided two surfaces).
+
+    ``entity_types`` is (entity_id, entity_type) — typically the output
+    of :func:`induce_entity_types` (or a curated registry); ``rules`` is
+    the same (pred, role, etype) signature dim. A fact row violates when
+    a rule exists for (pred, role) but the linked entity's induced type
+    differs; entities with no induced type and predicates with no rule
+    are NOT violations (open-world). Returns one row per violating
+    (fact, role) with the expected and actual type.
+
+    Scale shape: rules broadcast both times; entity_types is
+    entity-keyed and usually small next to facts (broadcast below the
+    auto threshold, hash join above — both equi-joins). One union of the
+    two role projections; no window, no aggregation.
+    """
+    et = entity_types.select("entity_id", "entity_type")
+
+    def side(id_col: str, role: str) -> DataFrame:
+        return (
+            facts.where(F.col(id_col).isNotNull())
+            .select(
+                "subj_id",
+                "pred",
+                "obj_id",
+                F.col(id_col).alias("entity_id"),
+                F.lit(role).alias("role"),
+            )
+            .join(
+                F.broadcast(
+                    rules.where(F.col("role") == role).select(
+                        "pred", F.col("etype").alias("expected_type")
+                    )
+                ),
+                "pred",
+            )
+            .join(et, "entity_id")
+            .where(F.col("entity_type") != F.col("expected_type"))
+        )
+
+    return (
+        side("subj_id", "subj")
+        .unionByName(side("obj_id", "obj"))
+        .select(
+            "subj_id",
+            "pred",
+            "obj_id",
+            "role",
+            "entity_id",
+            "expected_type",
+            F.col("entity_type").alias("actual_type"),
         )
     )

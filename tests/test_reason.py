@@ -145,3 +145,42 @@ class TestFactConfidence:
             " conf double",
         )
         assert fact_confidence(ev).count() == 0
+
+
+class TestTypeViolations:
+    def test_flags_only_contradictions(self, spark):
+        facts = spark.createDataFrame(
+            [(1, "works_for", 2), (3, "works_for", 2), (1, "unknown_pred", 2)],
+            FACT_SCHEMA,
+        )
+        et = spark.createDataFrame(
+            [(1, "PERSON"), (2, "ORG"), (3, "PLACE")],
+            "entity_id long, entity_type string",
+        )
+        rules = spark.createDataFrame(
+            [("works_for", "subj", "PERSON"), ("works_for", "obj", "ORG")],
+            "pred string, role string, etype string",
+        )
+        from kg.reason import type_violations
+
+        out = type_violations(facts, et, rules).collect()
+        # only (3 works_for 2) violates, on the subj side; unknown preds
+        # and untyped entities are open-world (no rule -> no violation)
+        assert len(out) == 1
+        v = out[0]
+        assert (v.subj_id, v.role, v.expected_type, v.actual_type) == (
+            3, "subj", "PERSON", "PLACE",
+        )
+
+    def test_untyped_entity_not_flagged(self, spark):
+        facts = spark.createDataFrame([(9, "works_for", 2)], FACT_SCHEMA)
+        et = spark.createDataFrame(
+            [(2, "ORG")], "entity_id long, entity_type string"
+        )
+        rules = spark.createDataFrame(
+            [("works_for", "subj", "PERSON"), ("works_for", "obj", "ORG")],
+            "pred string, role string, etype string",
+        )
+        from kg.reason import type_violations
+
+        assert type_violations(facts, et, rules).count() == 0
