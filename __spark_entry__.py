@@ -1971,6 +1971,31 @@ def q_kg_fact_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_confidence(ev, conf_col="conf")
 
 
+WALK_LEN = 3
+WALKS_PER_NODE = 2
+
+
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style deterministic random-walk corpus over the linked
+    entity graph (md5-derived neighbor choice, variable-length on dead
+    ends); the oracle unrolls all 3 steps in SQL with the same hash."""
+    from kg.ops.kgtrain import random_walks
+
+    edges = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+    )
+    w = random_walks(
+        edges, walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE
+    )
+    return w.select(
+        "walk_id",
+        "start_id",
+        F.array_join(F.col("walk").cast("array<string>"), "|").alias("walk"),
+    )
+
+
 NEGSAMPLE_K = 4
 
 
@@ -2948,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_types": q_kg_entity_types,
         "kg_type_violations": q_kg_type_violations,
         "kg_fact_confidence": q_kg_fact_confidence,
+        "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_ner_errors": q_kg_ner_errors,
         "kg_annotate": q_kg_annotate,
@@ -3730,6 +3756,47 @@ SELECT subj_id, pred, obj_id,
   round(max(conf), 4) AS conf_max,
   round(1 - exp(sum(ln(1 - conf))), 4) AS conf_noisy_or
 FROM ev GROUP BY subj_id, pred, obj_id
+""",
+        "kg_random_walks": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), e AS (
+  SELECT DISTINCT s.entity_id AS u, o.entity_id AS v
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), adj AS (
+  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk
+  FROM e
+), deg AS (
+  SELECT u, count(*) AS deg FROM e GROUP BY u
+), nodes AS (
+  SELECT u FROM e UNION SELECT v FROM e
+), w0 AS (
+  SELECT u * {WALKS_PER_NODE} + i AS walk_id, u AS start_id, u AS n0
+  FROM nodes,
+       (SELECT unnest(generate_series(0, {WALKS_PER_NODE - 1})) AS i)
+), s1 AS (
+  SELECT w0.*, a.v AS n1 FROM w0
+  LEFT JOIN deg d ON d.u = w0.n0
+  LEFT JOIN adj a ON a.u = w0.n0 AND a.rnk =
+    ('0x' || substr(md5(CAST(w0.walk_id AS VARCHAR) || '|1'),
+      1, 15))::BIGINT % d.deg
+), s2 AS (
+  SELECT s1.*, a.v AS n2 FROM s1
+  LEFT JOIN deg d ON d.u = s1.n1
+  LEFT JOIN adj a ON a.u = s1.n1 AND a.rnk =
+    ('0x' || substr(md5(CAST(s1.walk_id AS VARCHAR) || '|2'),
+      1, 15))::BIGINT % d.deg
+), s3 AS (
+  SELECT s2.*, a.v AS n3 FROM s2
+  LEFT JOIN deg d ON d.u = s2.n2
+  LEFT JOIN adj a ON a.u = s2.n2 AND a.rnk =
+    ('0x' || substr(md5(CAST(s2.walk_id AS VARCHAR) || '|3'),
+      1, 15))::BIGINT % d.deg
+)
+SELECT walk_id, start_id, concat_ws('|', n0, n1, n2, n3) AS walk FROM s3
 """,
         "kg_negative_samples": f"""
 WITH dim AS (

@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 
 from kg.session import materialize
 
-__all__ = ["negative_sample_triples"]
+__all__ = ["negative_sample_triples", "random_walks"]
 
 _HEX_DIGITS = 15  # 60 bits: exact in a signed long, '0x'-parseable in DuckDB
 
@@ -156,3 +156,87 @@ def negative_sample_triples(
         ["subj_id", "pred", "neg_obj_id"],
         "left_anti",
     ).select("subj_id", "pred", "obj_id", "neg_rank", "neg_obj_id")
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DeepWalk-style uniform random-walk corpus over a directed edge
+    list — the training sentences for skip-gram node embeddings
+    (Perozzi et al. 2014). DETERMINISTIC like everything else in this
+    module: step t of walk w moves to sorted-neighbor index
+    ``md5(walk_id|t) mod out_degree`` — no RNG, so reruns are identical,
+    partitioning never changes the corpus, and the contract oracle can
+    replay every step in SQL.
+
+    Starts ``walks_per_node`` walks at EVERY node (walk_id =
+    node * walks_per_node + i, unique because node ids are nonnegative);
+    a walk reaching a node with no out-edges simply ends (paths are
+    variable-length up to walk_len+1 nodes). Returns
+    (walk_id, start_id, walk ARRAY<LONG>).
+
+    Scale shape: adjacency is ranked ONCE per neighbor (one window keyed
+    by the source node) and materialized with the degree dim; each step
+    is then two keyed equi-joins (state x degree to pick the rank,
+    then x adjacency on (node, rank) — never a per-neighbor explosion)
+    plus a materialize barrier so lineage stays flat across steps, the
+    pagerank/LPA discipline. Walk state is one row per walk regardless
+    of length. Hot hubs are join keys, so AQE skew-split applies.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    adj = materialize(
+        e.withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1,
+        )
+    )
+    deg = materialize(adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+    nodes = (
+        e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
+    )
+    wpn = int(walks_per_node)
+    state = materialize(
+        nodes.select(
+            F.posexplode(
+                F.array(*[F.col("u") for _ in range(wpn)])
+            ).alias("i", "_n"),
+            F.col("u").alias("start_id"),
+        ).select(
+            (F.col("start_id") * wpn + F.col("i")).alias("walk_id"),
+            "start_id",
+            F.col("start_id").alias("cur"),
+            F.array(F.col("start_id")).alias("walk"),
+        )
+    )
+    for t in range(1, int(walk_len) + 1):
+        h = _md5_long(
+            F.concat_ws("|", F.col("walk_id").cast("string"), F.lit(str(t)))
+        )
+        picked = (
+            state.join(deg, state["cur"] == deg["u"], "left")
+            .withColumn("_rank", h % F.col("deg"))
+            .drop("u", "deg")
+        )
+        stepped = picked.join(
+            adj,
+            (picked["cur"] == adj["u"]) & (picked["_rank"] == adj["rank"]),
+            "left",
+        )
+        state = materialize(
+            stepped.select(
+                "walk_id",
+                "start_id",
+                F.col("v").alias("cur"),
+                F.when(
+                    F.col("v").isNotNull(),
+                    F.concat(F.col("walk"), F.array(F.col("v"))),
+                )
+                .otherwise(F.col("walk"))
+                .alias("walk"),
+            )
+        )
+    return state.select("walk_id", "start_id", "walk")

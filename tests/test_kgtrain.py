@@ -60,3 +60,72 @@ class TestNegativeSamples:
                     want.add((s, p, o, i, neg))
         got = {tuple(r) for r in negative_sample_triples(df, k=2).collect()}
         assert got == want
+
+
+class TestRandomWalks:
+    def _walks(self, spark, rows, **kw):
+        from kg.ops.kgtrain import random_walks
+
+        e = spark.createDataFrame(rows, "src long, dst long")
+        return random_walks(e, **kw)
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        rows = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4)]
+        a = sorted(
+            (r.walk_id, tuple(r.walk))
+            for r in self._walks(spark, rows, walk_len=4).collect()
+        )
+        from kg.ops.kgtrain import random_walks
+
+        e7 = spark.createDataFrame(rows, "src long, dst long").repartition(7)
+        b = sorted(
+            (r.walk_id, tuple(r.walk))
+            for r in random_walks(e7, walk_len=4).collect()
+        )
+        assert a == b and len(a) == 4  # one walk per node (1,2,3,4)
+
+    def test_walk_follows_md5_rule_and_dead_end_stops(self, spark):
+        # node 4 has no out-edges: every walk reaching it ends there
+        rows = [(1, 2), (2, 4)]
+        out = {r.walk_id: list(r.walk) for r in self._walks(
+            spark, rows, walk_len=5).collect()}
+        # degree-1 chains are forced regardless of the hash draw
+        assert out[1] == [1, 2, 4]
+        assert out[2] == [2, 4]
+        assert out[4] == [4]
+
+    def test_walks_per_node_ids_unique(self, spark):
+        rows = [(1, 2), (2, 1)]
+        out = self._walks(spark, rows, walk_len=2, walks_per_node=3).collect()
+        assert len(out) == 6
+        assert len({r.walk_id for r in out}) == 6
+        # forced 2-cycle: all walks alternate
+        for r in out:
+            exp = [r.start_id]
+            while len(exp) < 3:
+                exp.append(3 - exp[-1])
+            assert list(r.walk) == exp
+
+    def test_python_replay_matches(self, spark):
+        import hashlib
+
+        rows = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (2, 4), (4, 1)]
+        adj = {}
+        for s, d in rows:
+            adj.setdefault(s, []).append(d)
+        for v in adj.values():
+            v.sort()
+        got = {r.walk_id: list(r.walk) for r in self._walks(
+            spark, rows, walk_len=3, walks_per_node=2).collect()}
+        for node in (1, 2, 3, 4):
+            for i in (0, 1):
+                wid = node * 2 + i
+                path = [node]
+                for t in range(1, 4):
+                    nbrs = adj.get(path[-1])
+                    if not nbrs:
+                        break
+                    h = int(hashlib.md5(
+                        f"{wid}|{t}".encode()).hexdigest()[:15], 16)
+                    path.append(nbrs[h % len(nbrs)])
+                assert got[wid] == path, wid
