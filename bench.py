@@ -247,6 +247,29 @@ def run_suite(spark, sf_dir: str) -> dict:
         2 * extra["n_kg_edges"] / timings["graph"], 1
     )
     kg_edges.unpersist()
+
+    # --- fact materialization + reasoning over the linked triple stream
+    # (new r3): link (broadcast) -> page-ts join -> fact rollup (2
+    # exchanges, no join inside fact_evidence) + bounded semi-naive
+    # transitive closure over the located_in facts. Corpus-sized input,
+    # so scaling-relevant.
+    from kg.graphstats import fact_evidence
+    from kg.reason import infer_transitive
+
+    page_ts = pages.select("url", "warc_ts")
+
+    def w_facts():
+        linked = link_triples(triples_cached, alias_dim).join(page_ts, "url")
+        counts["facts"] = fact_evidence(linked).count()
+        full = link_triples(triples_cached, alias_dim).where(
+            F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+        )
+        infer_transitive(full, pred="located_in", max_depth=3).count()
+
+    timings["facts"] = timed_twice(w_facts)
+    extra["facts_docs_per_sec"] = round(2 * n_pages / timings["facts"], 1)
+    extra["n_facts"] = counts["facts"]
+
     triples_cached.unpersist()
 
     # --- web link graph over raw page HTML (new r3): pure-map JVM regex
