@@ -1871,23 +1871,7 @@ INFER_DEPTH = 3
 
 # (pred, role, etype) — predicate-signature typing rules for the synth
 # corpus's 8 relations; the oracle re-emits the same list as VALUES.
-TYPE_RULES = [
-    ("works_for", "subj", "PERSON"),
-    ("works_for", "obj", "ORG"),
-    ("ceo_of", "subj", "PERSON"),
-    ("ceo_of", "obj", "ORG"),
-    ("founded", "subj", "PERSON"),
-    ("founded", "obj", "ORG"),
-    ("born_in", "subj", "PERSON"),
-    ("born_in", "obj", "PLACE"),
-    ("located_in", "obj", "PLACE"),
-    ("acquired", "subj", "ORG"),
-    ("acquired", "obj", "ORG"),
-    ("part_of", "subj", "ORG"),
-    ("part_of", "obj", "ORG"),
-    ("produces", "subj", "ORG"),
-    ("produces", "obj", "PRODUCT"),
-]
+from kg.reason import DEFAULT_TYPE_RULES as TYPE_RULES  # noqa: E402
 
 _TYPE_RULES_SQL = ", ".join(
     f"('{p}', '{r}', '{t}')" for p, r, t in TYPE_RULES

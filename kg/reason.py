@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 from kg.session import materialize
 
 __all__ = [
+    "DEFAULT_TYPE_RULES",
     "infer_transitive",
     "induce_entity_types",
     "fact_confidence",
@@ -44,6 +45,27 @@ __all__ = [
 ]
 
 _FACT_KEYS = ["subj_id", "pred", "obj_id"]
+
+# (pred, role, etype) predicate-signature typing rules for the synth
+# corpus's 8 relations — the default rule dim for induce_entity_types /
+# type_violations (callers substitute their ontology's own table).
+DEFAULT_TYPE_RULES = [
+    ("works_for", "subj", "PERSON"),
+    ("works_for", "obj", "ORG"),
+    ("ceo_of", "subj", "PERSON"),
+    ("ceo_of", "obj", "ORG"),
+    ("founded", "subj", "PERSON"),
+    ("founded", "obj", "ORG"),
+    ("born_in", "subj", "PERSON"),
+    ("born_in", "obj", "PLACE"),
+    ("located_in", "obj", "PLACE"),
+    ("acquired", "subj", "ORG"),
+    ("acquired", "obj", "ORG"),
+    ("part_of", "subj", "ORG"),
+    ("part_of", "obj", "ORG"),
+    ("produces", "subj", "ORG"),
+    ("produces", "obj", "PRODUCT"),
+]
 
 
 def infer_transitive(

@@ -20,6 +20,9 @@ Stages (each checkpointed per url_hash_bucket; see kg/checkpoint.py):
   canon     linked surfaces -> canonical entities (MinHash-LSH + CC)
   graph     final (subj, pred, obj) materialization, partitioned by
             (pred, url_hash_bucket)
+  facts     graph -> facts with provenance (evidence/doc counts,
+            first/last-seen, bounded URL sample) + bounded transitive
+            closure (facts_inferred) + induced entity types
   curate    docs -> training-corpus verdict table (quality filter ->
             exact dedup -> per-host cap; derived overwrite table,
             opt-in via --stages)
@@ -45,7 +48,7 @@ def parse_args(argv):
     p.add_argument("--alias-dict", default=None, help="alias dict parquet (default: built-in fixture dict)")
     p.add_argument(
         "--stages",
-        default="extract,links,mentions,triples,link,canon,graph,analytics",
+        default="extract,links,mentions,triples,link,canon,graph,facts,analytics",
         help="comma list of stages to run (also available: curate)",
     )
     p.add_argument(
@@ -252,6 +255,43 @@ def main(argv=None) -> int:
         g.write.partitionBy("pred", "url_hash_bucket").mode("overwrite").parquet(
             f"{args.out}/graph"
         )
+
+    if "facts" in stages:
+        # fact materialization + reasoning over the graph table: facts
+        # with provenance (evidence/doc counts, first/last-seen, bounded
+        # URL sample), bounded transitive closure, induced entity types.
+        # Global aggregations (facts span buckets), so like analytics
+        # these are derived overwrite tables off the checkpointed graph.
+        from kg.graphstats import fact_evidence
+        from kg.reason import induce_entity_types, infer_transitive
+
+        g = spark.read.parquet(f"{args.out}/graph")
+        linked_g = g.select(
+            "url",
+            "subj",
+            "pred",
+            "obj",
+            F.col("subj_entity").alias("subj_id"),
+            F.col("obj_entity").alias("obj_id"),
+        )
+        with_ts = linked_g.join(pages.select("url", "warc_ts"), "url")
+        fact_evidence(with_ts).write.mode("overwrite").parquet(
+            f"{args.out}/facts"
+        )
+        full = linked_g.where(
+            F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+        )
+        infer_transitive(full, pred="located_in", max_depth=3).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/facts_inferred")
+        from kg.reason import DEFAULT_TYPE_RULES
+
+        rules = spark.createDataFrame(
+            DEFAULT_TYPE_RULES, "pred string, role string, etype string"
+        )
+        induce_entity_types(linked_g, rules).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/entity_types")
 
     if "analytics" in stages:
         from kg.graphstats import degree_stats, pagerank, triangle_stats
