@@ -1955,6 +1955,32 @@ def q_kg_fact_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_confidence(ev, conf_col="conf")
 
 
+def q_kg_alias_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-arm of canonicalization: FastSS deletion-neighborhood blocking
+    + exact levenshtein<=1 verify over the alias dictionary augmented
+    with deterministic md5-positioned single-deletion typo surfaces; the
+    oracle brute-forces all pairs with DuckDB's levenshtein."""
+    from kg.stages.canon import fuzzy_alias_pairs
+
+    base = (
+        spark.read.parquet(f"{FIX}/alias_dict.parquet")
+        .select("alias_norm")
+        .where(F.col("alias_norm") != "")
+        .distinct()
+    )
+    s = F.col("alias_norm")
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    p = (h % F.length(s)) + F.lit(1)
+    typos = base.where(F.length(s) >= 4).select(
+        F.concat(
+            F.substr(s, F.lit(1), p - F.lit(1)),
+            F.substr(s, p + F.lit(1), F.length(s)),
+        ).alias("alias_norm")
+    )
+    uni = base.unionByName(typos).distinct()
+    return fuzzy_alias_pairs(uni)
+
+
 WALK_LEN = 3
 WALKS_PER_NODE = 2
 
@@ -2957,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_types": q_kg_entity_types,
         "kg_type_violations": q_kg_type_violations,
         "kg_fact_confidence": q_kg_fact_confidence,
+        "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_ner_errors": q_kg_ner_errors,
@@ -3740,6 +3767,21 @@ SELECT subj_id, pred, obj_id,
   round(max(conf), 4) AS conf_max,
   round(1 - exp(sum(ln(1 - conf))), 4) AS conf_noisy_or
 FROM ev GROUP BY subj_id, pred, obj_id
+""",
+        "kg_alias_fuzzy": f"""
+WITH base AS (
+  SELECT DISTINCT alias_norm AS s FROM '{FIX}/alias_dict.parquet'
+  WHERE alias_norm <> ''
+), typos AS (
+  SELECT substr(s, 1, p - 1) || substr(s, p + 1) AS s FROM (
+    SELECT s, CAST(('0x' || substr(md5(s), 1, 15))::BIGINT
+                   % length(s) + 1 AS INT) AS p
+    FROM base WHERE length(s) >= 4)
+), uni AS (
+  SELECT s FROM base UNION SELECT s FROM typos
+)
+SELECT x.s AS a, y.s AS b
+FROM uni x JOIN uni y ON x.s < y.s AND levenshtein(x.s, y.s) <= 1
 """,
         "kg_random_walks": f"""
 WITH dim AS (

@@ -38,7 +38,7 @@ from kg.ops.dedup import (
 )
 from kg.session import materialize
 
-__all__ = ["canonicalize_aliases"]
+__all__ = ["canonicalize_aliases", "fuzzy_alias_pairs"]
 
 
 def canonicalize_aliases(
@@ -124,3 +124,61 @@ def canonicalize_aliases(
         )
         .select("entity_id", "canonical", "aliases", "n_aliases")
     )
+
+
+def fuzzy_alias_pairs(
+    aliases: DataFrame,
+    norm_col: str = "alias_norm",
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Alias pairs within Levenshtein distance 1 — the typo/OCR arm of the
+    canonicalization ladder (banded MinHash catches word-level overlap;
+    this catches character-level noise MinHash token sets cannot see,
+    e.g. 'globex' vs 'globx').
+
+    Blocking is the FastSS deletion neighborhood (Bocek et al. 2007):
+    every string is exploded to itself plus each single-character
+    deletion; two strings at edit distance <= 1 ALWAYS share a variant
+    (substitution: delete the differing position from both; indel: the
+    shorter string IS a deletion variant of the longer), so blocking
+    loses nothing and the exact ``levenshtein`` verify only removes
+    false positives (distance-2 strings can share a variant).
+
+    Scale shape: the variant explosion is a pure JVM array map (O(len)
+    variants per alias, dim-sized input); buckets get the same
+    count-then-filter cap as every band join in this repo (a corpus
+    where 10^5 aliases share a variant — single-char names — would
+    otherwise go quadratic); the verify is the built-in levenshtein
+    expression, no Python. Returns (a, b) normalized-surface pairs,
+    a < b lexicographically.
+    """
+    uniq = (
+        aliases.select(F.col(norm_col).alias("_s"))
+        .where(F.col("_s") != "")
+        .distinct()
+    )
+    s = F.col("_s")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - F.lit(1)),
+            F.substr(s, i + F.lit(1), F.length(s)),
+        ),
+    )
+    variants = F.array_distinct(F.concat(F.array(s), dels))
+    v = materialize(uniq.select("_s", F.explode(variants).alias("_v")))
+    sizes = v.groupBy("_v").agg(F.count(F.lit(1)).alias("n"))
+    kept = v.join(
+        sizes.where(F.col("n") <= int(max_bucket)).select("_v"), "_v"
+    )
+    left, right = kept.alias("l"), kept.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l._v") == F.col("r._v"))
+            & (F.col("l._s") < F.col("r._s")),
+        )
+        .select(F.col("l._s").alias("a"), F.col("r._s").alias("b"))
+        .distinct()
+    )
+    return cand.where(F.levenshtein("a", "b") <= 1)

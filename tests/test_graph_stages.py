@@ -168,3 +168,50 @@ class TestAliasPriors:
         got = {r["entity"]: r["top_entity"]
                for r in alias_priors(df).collect()}
         assert got == {"aaa": True, "bbb": False}
+
+
+class TestFuzzyAliasPairs:
+    def test_matches_bruteforce(self, spark):
+        import itertools
+
+        def ed(a, b):
+            # classic DP levenshtein
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[-1]
+
+        from kg.stages.canon import fuzzy_alias_pairs
+
+        names = [
+            "globex", "globx", "glovex", "acme", "acmee", "acme corp",
+            "acme corps", "initech", "intech", "a", "b", "ab", "ba",
+        ]
+        df = spark.createDataFrame([(n,) for n in names], "alias_norm string")
+        got = sorted(map(tuple, fuzzy_alias_pairs(df.repartition(5)).collect()))
+        want = sorted(
+            (x, y)
+            for x, y in itertools.combinations(sorted(names), 2)
+            if ed(x, y) <= 1
+        )
+        assert got == want and len(want) >= 6
+
+    def test_bucket_cap_drops_megavariant(self, spark):
+        from kg.stages.canon import fuzzy_alias_pairs
+
+        # 20 two-char strings all sharing the "" deletion variant: with
+        # max_bucket=4 the ""-bucket is dropped, but pairs still surface
+        # through their other (single-char) shared variants
+        names = [c + "x" for c in "abcdefghij"] + ["xa", "xb"]
+        df = spark.createDataFrame([(n,) for n in names], "alias_norm string")
+        uncapped = set(map(tuple, fuzzy_alias_pairs(df).collect()))
+        capped = set(
+            map(tuple, fuzzy_alias_pairs(df, max_bucket=4).collect())
+        )
+        assert capped <= uncapped
+        # 'ax'/'xa'-style pairs (ed 2) never appear in either
+        assert ("ax", "xa") not in uncapped
