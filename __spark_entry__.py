@@ -1955,6 +1955,25 @@ def q_kg_fact_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_confidence(ev, conf_col="conf")
 
 
+def q_kg_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-predicate truth discovery: ceo_of keyed on the obj side
+    (one CEO per org) — rank asserted values by evidence, keep the
+    best-supported. Oracle replays fact counts + the window rank."""
+    from kg.reason import resolve_functional_conflicts
+
+    facts = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .groupBy("subj_id", "pred", "obj_id")
+        .agg(F.count(F.lit(1)).alias("n_evidence"))
+    )
+    out = resolve_functional_conflicts(facts, pred="ceo_of", key_role="obj")
+    return out.select(
+        "subj_id", "pred", "obj_id", "n_evidence", "rank",
+        F.col("is_kept").cast("int").alias("is_kept"),
+    )
+
+
 def q_kg_alias_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-arm of canonicalization: FastSS deletion-neighborhood blocking
     + exact levenshtein<=1 verify over the alias dictionary augmented
@@ -2983,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_types": q_kg_entity_types,
         "kg_type_violations": q_kg_type_violations,
         "kg_fact_confidence": q_kg_fact_confidence,
+        "kg_fact_conflicts": q_kg_fact_conflicts,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -3767,6 +3787,27 @@ SELECT subj_id, pred, obj_id,
   round(max(conf), 4) AS conf_max,
   round(1 - exp(sum(ln(1 - conf))), 4) AS conf_noisy_or
 FROM ev GROUP BY subj_id, pred, obj_id
+""",
+        "kg_fact_conflicts": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), facts AS (
+  SELECT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id,
+         CAST(count(*) AS BIGINT) AS n_evidence
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+  GROUP BY s.entity_id, t.pred, o.entity_id
+)
+SELECT subj_id, pred, obj_id, n_evidence,
+       CAST(rank AS INT) AS rank,
+       CAST(CASE WHEN rank = 1 THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY obj_id ORDER BY n_evidence DESC, subj_id) AS rank
+  FROM facts WHERE pred = 'ceo_of'
+)
 """,
         "kg_alias_fuzzy": f"""
 WITH base AS (

@@ -42,6 +42,7 @@ __all__ = [
     "induce_entity_types",
     "fact_confidence",
     "type_violations",
+    "resolve_functional_conflicts",
 ]
 
 _FACT_KEYS = ["subj_id", "pred", "obj_id"]
@@ -271,4 +272,44 @@ def type_violations(
             "expected_type",
             F.col("entity_type").alias("actual_type"),
         )
+    )
+
+
+def resolve_functional_conflicts(
+    facts: DataFrame,
+    pred: str,
+    key_role: str = "subj",
+    evidence_col: str = "n_evidence",
+) -> DataFrame:
+    """Truth discovery for FUNCTIONAL predicates: when ``pred`` admits at
+    most one object per subject (key_role='subj'; e.g. a company has one
+    CEO when keyed on the obj side, a person one birthplace keyed on
+    subj) but extraction asserted several, keep the best-supported value
+    and flag the rest — majority-vote fact fusion, the last QA step
+    before publishing a fact table.
+
+    Input is a per-fact table carrying an evidence weight (typically
+    :func:`kg.graphstats.fact_evidence` output). Winner per key = max
+    ``evidence_col``, ties broken by the smaller opposite-side id
+    (deterministic). Returns every ``pred`` row with ``rank`` (1 =
+    winner) and ``is_kept``; keys with a single value are rank-1
+    trivially, so downstream can filter ``is_kept`` without caring
+    whether there was a conflict.
+
+    Scale shape: one window keyed by the functional side — a single
+    exchange; no joins, no collect. Hot keys are single-window
+    partitions, which is exactly the functional assumption (a key with
+    10^6 distinct values signals the predicate is NOT functional — run
+    kg.graphstats.predicate_stats first).
+    """
+    if key_role not in ("subj", "obj"):
+        raise ValueError(f"key_role must be subj|obj, got {key_role!r}")
+    key = f"{key_role}_id"
+    other = "obj_id" if key_role == "subj" else "subj_id"
+    rows = facts.where(F.col("pred") == pred)
+    w = Window.partitionBy(key).orderBy(
+        F.col(evidence_col).desc(), F.col(other)
+    )
+    return rows.withColumn("rank", F.row_number().over(w)).withColumn(
+        "is_kept", (F.col("rank") == 1)
     )

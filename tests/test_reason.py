@@ -184,3 +184,36 @@ class TestTypeViolations:
         from kg.reason import type_violations
 
         assert type_violations(facts, et, rules).count() == 0
+
+
+class TestResolveFunctionalConflicts:
+    def test_winner_by_evidence_then_tiebreak(self, spark):
+        facts = spark.createDataFrame(
+            [
+                (10, "ceo_of", 1, 5),
+                (11, "ceo_of", 1, 2),  # loser: less evidence
+                (12, "ceo_of", 2, 3),
+                (13, "ceo_of", 2, 3),  # tie -> smaller subj_id (12) wins
+                (14, "works_for", 1, 9),  # other pred filtered out
+            ],
+            "subj_id long, pred string, obj_id long, n_evidence long",
+        )
+        from kg.reason import resolve_functional_conflicts
+
+        out = resolve_functional_conflicts(
+            facts, pred="ceo_of", key_role="obj"
+        ).collect()
+        kept = {r.obj_id: r.subj_id for r in out if r.is_kept}
+        assert kept == {1: 10, 2: 12}
+        assert all(r.pred == "ceo_of" for r in out) and len(out) == 4
+
+    def test_key_role_validation(self, spark):
+        import pytest as pt
+
+        from kg.reason import resolve_functional_conflicts
+
+        facts = spark.createDataFrame(
+            [], "subj_id long, pred string, obj_id long, n_evidence long"
+        )
+        with pt.raises(ValueError):
+            resolve_functional_conflicts(facts, "p", key_role="both")
