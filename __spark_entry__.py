@@ -1955,6 +1955,52 @@ def q_kg_fact_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_confidence(ev, conf_col="conf")
 
 
+def q_kg_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fact maintenance: split the corpus into two disjoint
+    url batches, roll each up with fact_evidence, then monoid-merge —
+    the oracle is the single-pass batch recompute (same SQL as
+    kg_fact_evidence), so a green row PROVES merged increments equal the
+    batch answer field-for-field."""
+    from kg.graphstats import fact_evidence, merge_fact_evidence
+    from kg.stages.link import link_triples
+
+    triples = spark.read.parquet(
+        f"{FIX}/expected_triples_small.parquet"
+    ).withColumn("conf", F.lit(1.0))
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    page_ts = spark.read.parquet(f"{FIX}/pages_small.parquet").select(
+        "url", "warc_ts"
+    )
+    linked = (
+        link_triples(triples, alias_dim)
+        .withColumn("subj_id", F.col("subj_id").cast("long"))
+        .withColumn("obj_id", F.col("obj_id").cast("long"))
+        .join(page_ts, "url")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long") % 2
+    )
+    parts = [
+        fact_evidence(
+            linked.where(bucket == i),
+            ts_col="warc_ts",
+            max_urls=FACT_EVIDENCE_MAX_URLS,
+        )
+        for i in (0, 1)
+    ]
+    merged = merge_fact_evidence(parts, max_urls=FACT_EVIDENCE_MAX_URLS)
+    return merged.select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "n_evidence",
+        "n_docs",
+        F.unix_micros("first_seen").alias("first_seen_us"),
+        F.unix_micros("last_seen").alias("last_seen_us"),
+        F.array_join("sample_urls", "|").alias("sample_urls"),
+    )
+
+
 def q_kg_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-predicate truth discovery: ceo_of keyed on the obj side
     (one CEO per org) — rank asserted values by evidence, keep the
@@ -3002,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_types": q_kg_entity_types,
         "kg_type_violations": q_kg_type_violations,
         "kg_fact_confidence": q_kg_fact_confidence,
+        "kg_fact_merge": q_kg_fact_merge,
         "kg_fact_conflicts": q_kg_fact_conflicts,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
@@ -4773,4 +4820,6 @@ FROM b
 LEFT JOIN reps r ON b.th = r.th
 LEFT JOIN cap c USING (doc_id)
 """
+    # incremental merge must equal the batch recompute — same oracle
+    d["kg_fact_merge"] = d["kg_fact_evidence"]
     return d

@@ -42,6 +42,7 @@ __all__ = [
     "predicate_stats",
     "entity_profile",
     "fact_evidence",
+    "merge_fact_evidence",
     "label_propagation",
 ]
 
@@ -781,5 +782,42 @@ def fact_evidence(
             F.collect_list(
                 F.when(F.col("rn") <= int(max_urls), F.col("url"))
             )
+        ).alias("sample_urls"),
+    )
+
+
+def merge_fact_evidence(
+    parts: list[DataFrame],
+    max_urls: int = 8,
+) -> DataFrame:
+    """Monoid merge of :func:`fact_evidence` tables — the incremental
+    path for a standing fact store: fold each crawl batch's rollup into
+    the running table instead of re-aggregating the whole corpus.
+
+    PRECONDITION: the inputs cover DISJOINT url sets per fact (the
+    checkpoint/incremental-refresh machinery guarantees per-url
+    delete-insert for re-crawls, kg/ops/merge.py). Under that invariant
+    every field merges exactly: counts add, the timeline is min/max, and
+    the bounded URL sample is closed under merge (each side's sample
+    holds its k smallest urls, so the union's k smallest is a subset of
+    the concatenated samples) — merged output == batch recompute,
+    row-for-row, which the contract oracle asserts.
+
+    Scale shape: one union (no shuffle) + one partial-aggregable groupBy
+    on the fact key. The sample merge is a collect_list of ≤ n_parts
+    bounded arrays per fact — flatten, sort, slice, all JVM.
+    """
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*["subj_id", "pred", "obj_id"]).agg(
+        F.sum("n_evidence").alias("n_evidence"),
+        F.sum("n_docs").alias("n_docs"),
+        F.min("first_seen").alias("first_seen"),
+        F.max("last_seen").alias("last_seen"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("sample_urls"))),
+            1,
+            int(max_urls),
         ).alias("sample_urls"),
     )

@@ -495,3 +495,45 @@ class TestFactEvidence:
             assert r.n_evidence == 50 and r.n_docs == 50
             # smallest 5 urls, sorted — invariant to partitioning
             assert r.sample_urls == [f"u{i:03d}" for i in range(5)]
+
+
+class TestMergeFactEvidence:
+    def test_three_way_merge_equals_batch(self, spark):
+        import datetime as dt
+
+        from kg.graphstats import fact_evidence, merge_fact_evidence
+
+        t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        rows = [
+            (f"u{i:02d}", "A", "p", "B", 1, 2, t0 + dt.timedelta(hours=i))
+            for i in range(30)
+        ] + [
+            (f"v{i}", "C", "q", "D", 3, 4, t0 + dt.timedelta(days=i))
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "url string, subj string, pred string, obj string, "
+            "subj_id long, obj_id long, warc_ts timestamp",
+        )
+        batch = {
+            (r.subj_id, r.pred, r.obj_id): r
+            for r in fact_evidence(df, max_urls=5).collect()
+        }
+        # disjoint url batches by hash: merge of per-batch rollups
+        parts = [
+            fact_evidence(
+                df.where(F.abs(F.xxhash64("url")) % 3 == i), max_urls=5
+            )
+            for i in range(3)
+        ]
+        merged = {
+            (r.subj_id, r.pred, r.obj_id): r
+            for r in merge_fact_evidence(parts, max_urls=5).collect()
+        }
+        assert set(merged) == set(batch)
+        for k, b in batch.items():
+            m = merged[k]
+            assert (m.n_evidence, m.n_docs) == (b.n_evidence, b.n_docs)
+            assert (m.first_seen, m.last_seen) == (b.first_seen, b.last_seen)
+            assert m.sample_urls == b.sample_urls
