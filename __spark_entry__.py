@@ -1955,6 +1955,69 @@ def q_kg_fact_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_confidence(ev, conf_col="conf")
 
 
+def q_kg_stream_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental fact store: pages land as two disjoint
+    micro-batches (maxFilesPerTrigger=1, availableNow); each epoch's
+    rollup monoid-merges into a versioned store via foreachBatch. The
+    latest store version must equal the batch recompute — oracle = the
+    single-pass fact rollup over the golden triples + page timestamps."""
+    import shutil
+    import tempfile
+
+    import duckdb as _ddb
+    import pandas as _pd
+
+    from kg.streaming import (
+        read_fact_store,
+        read_pages_stream,
+        stream_fact_merge,
+    )
+
+    src = tempfile.mkdtemp(prefix="kg_streamfacts_src_")
+    store = tempfile.mkdtemp(prefix="kg_streamfacts_store_")
+    ckpt = tempfile.mkdtemp(prefix="kg_streamfacts_ckpt_")
+    # two disjoint url batches, deterministic split, microsecond ts
+    pdf = _ddb.sql(
+        f"SELECT url, CAST(warc_ts AS TIMESTAMP) AS warc_ts, html, text,"
+        f" lang FROM '{FIX}/pages_tiny.parquet'"
+    ).df()
+    pdf["warc_ts"] = _pd.to_datetime(pdf["warc_ts"]).astype("datetime64[us]")
+    half = pdf["url"].map(_url_half)
+    for b in (0, 1):
+        pdf[half == b].to_parquet(f"{src}/batch{b}.parquet", index=False)
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    fold = stream_fact_merge(
+        alias_dim, store, max_urls=FACT_EVIDENCE_MAX_URLS
+    )
+    q = (
+        read_pages_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = read_fact_store(spark, store).select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "n_evidence",
+        "n_docs",
+        F.unix_micros("first_seen").alias("first_seen_us"),
+        F.unix_micros("last_seen").alias("last_seen_us"),
+        F.array_join("sample_urls", "|").alias("sample_urls"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+def _url_half(u: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % 2
+
+
 def q_kg_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental fact maintenance: split the corpus into two disjoint
     url batches, roll each up with fact_evidence, then monoid-merge —
@@ -3049,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_violations": q_kg_type_violations,
         "kg_fact_confidence": q_kg_fact_confidence,
         "kg_fact_merge": q_kg_fact_merge,
+        "kg_stream_facts": q_kg_stream_facts,
         "kg_fact_conflicts": q_kg_fact_conflicts,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
@@ -3834,6 +3898,34 @@ SELECT subj_id, pred, obj_id,
   round(max(conf), 4) AS conf_max,
   round(1 - exp(sum(ln(1 - conf))), 4) AS conf_noisy_or
 FROM ev GROUP BY subj_id, pred, obj_id
+""",
+        "kg_stream_facts": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT t.url, s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id,
+         p.warc_ts
+  FROM '{FIX}/expected_triples_tiny.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+  JOIN '{FIX}/pages_tiny.parquet' p ON t.url = p.url
+), counts AS (
+  SELECT subj_id, pred, obj_id,
+         CAST(count(*) AS BIGINT) AS n_evidence,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_docs,
+         CAST(epoch_us(min(warc_ts)) AS BIGINT) AS first_seen_us,
+         CAST(epoch_us(max(warc_ts)) AS BIGINT) AS last_seen_us
+  FROM t GROUP BY subj_id, pred, obj_id
+), urls AS (
+  SELECT subj_id, pred, obj_id, array_to_string(
+    list_sort(list_distinct(list(url)))[1:{FACT_EVIDENCE_MAX_URLS}],
+    '|') AS sample_urls
+  FROM t GROUP BY subj_id, pred, obj_id
+)
+SELECT counts.subj_id, counts.pred, counts.obj_id, n_evidence, n_docs,
+       first_seen_us, last_seen_us, sample_urls
+FROM counts JOIN urls USING (subj_id, pred, obj_id)
 """,
         "kg_fact_conflicts": f"""
 WITH dim AS (

@@ -367,3 +367,74 @@ def run_stream_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_fact_merge(
+    alias_dim: DataFrame,
+    store_dir: str,
+    max_urls: int = 8,
+):
+    """Streaming incremental fact store: every micro-batch of pages is
+    extracted -> linked -> rolled up with kg.graphstats.fact_evidence and
+    MONOID-MERGED (merge_fact_evidence) into a versioned parquet store —
+    the standing KG that stays current as the crawl streams in, without
+    ever re-aggregating history.
+
+    Returns a foreachBatch function for the caller's writeStream. The
+    store is versioned by epoch (``store_dir/v{epoch}``): each epoch
+    merges the latest EARLIER version with its own batch rollup and
+    overwrites only its own version directory, so a replayed epoch (the
+    foreachBatch at-least-once contract) rewrites the same bytes —
+    idempotent, and the newest version is always a consistent full
+    table. Disjoint url sets across batches (the file-source contract
+    for a crawl landing zone; re-crawls go through the batch
+    delete-insert path) make merged == batch-recompute exact.
+
+    Scale shape per batch: the batch extraction/link plan is the fused
+    batch plan (one Arrow pass + broadcast dim join); the merge is one
+    union + one partial-aggregated groupBy on the fact key, sized by
+    |store| + |batch rollup| — never the raw corpus.
+    """
+    import os
+    import re
+
+    from kg.graphstats import fact_evidence, merge_fact_evidence
+    from kg.stages.link import link_triples
+    from kg.stages.triples import extract_triples_from_pages
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        triples = extract_triples_from_pages(batch_df)
+        linked = (
+            link_triples(triples, alias_dim)
+            .withColumn("subj_id", F.col("subj_id").cast("long"))
+            .withColumn("obj_id", F.col("obj_id").cast("long"))
+            .join(batch_df.select("url", "warc_ts"), "url")
+        )
+        roll = fact_evidence(linked, max_urls=max_urls)
+        prev_ids = [
+            int(m.group(1))
+            for d in (
+                os.listdir(store_dir) if os.path.isdir(store_dir) else []
+            )
+            if (m := re.fullmatch(r"v(\d+)", d)) and int(m.group(1)) < epoch_id
+        ]
+        if prev_ids:
+            prev = spark.read.parquet(f"{store_dir}/v{max(prev_ids)}")
+            roll = merge_fact_evidence([prev, roll], max_urls=max_urls)
+        roll.write.mode("overwrite").parquet(f"{store_dir}/v{epoch_id}")
+
+    return fold
+
+
+def read_fact_store(spark, store_dir: str) -> DataFrame:
+    """Latest consistent version of a stream_fact_merge store."""
+    import os
+    import re
+
+    ids = [
+        int(m.group(1))
+        for d in os.listdir(store_dir)
+        if (m := re.fullmatch(r"v(\d+)", d))
+    ]
+    return spark.read.parquet(f"{store_dir}/v{max(ids)}")

@@ -388,3 +388,38 @@ def test_stream_index_dedup_stateless_across_batches(spark, tmp_path):
     run()  # idle re-run: nothing new lands, nothing new appends
     got = {r.doc_id: r.is_known for r in spark.read.parquet(out).collect()}
     assert got == {1: True, 2: False, 3: True, 4: False}
+
+
+class TestStreamFactMerge:
+    def test_fold_replay_idempotent_and_equals_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from kg.graphstats import fact_evidence
+        from kg.stages.link import link_triples
+        from kg.stages.triples import extract_triples_from_pages
+        from kg.streaming import read_fact_store, stream_fact_merge
+
+        pages = spark.read.parquet("fixtures/pages_tiny.parquet")
+        half = F.abs(F.xxhash64("url")) % 2
+        alias_dim = spark.read.parquet("fixtures/alias_dict.parquet")
+        store = str(tmp_path / "store")
+        fold = stream_fact_merge(alias_dim, store, max_urls=8)
+        b0, b1 = pages.where(half == 0), pages.where(half == 1)
+        fold(b0, 0)
+        fold(b1, 1)
+        # replay epoch 1 (foreachBatch at-least-once): store unchanged
+        first = sorted(map(tuple, read_fact_store(spark, store).collect()))
+        fold(b1, 1)
+        again = sorted(map(tuple, read_fact_store(spark, store).collect()))
+        assert first == again
+        # merged streaming store == batch recompute over all pages
+        linked = (
+            link_triples(extract_triples_from_pages(pages), alias_dim)
+            .withColumn("subj_id", F.col("subj_id").cast("long"))
+            .withColumn("obj_id", F.col("obj_id").cast("long"))
+            .join(pages.select("url", "warc_ts"), "url")
+        )
+        batch = sorted(
+            map(tuple, fact_evidence(linked, max_urls=8).collect())
+        )
+        assert first == batch and len(batch) > 0
