@@ -1575,6 +1575,31 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery, decorrelated the way
+    Catalyst/DuckDB both rewrite it): average yearly revenue lost if
+    small-quantity orders of one brand's parts were not taken. Threshold
+    math is bitwise deterministic (integer-valued quantities sum exactly
+    in IEEE double), so the boundary filter cannot flip between engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    brand_parts = part.where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li_b = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    )
+    thresholds = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li_b.join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -3066,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kmv_distinct": q_doc_kmv_distinct,
         "events_value_quantiles": q_events_value_quantiles,
         "tpch_rollup": q_tpch_rollup,
+        "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "events_pivot": q_events_pivot,
         "stream_interval_join": q_stream_interval_join,
@@ -3557,6 +3583,21 @@ SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
   round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
     AS avg_norm
 FROM embeddings GROUP BY label ORDER BY label
+""",
+        "tpch_small_qty_revenue": """
+WITH bp AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'
+), li_b AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
+), th AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+  FROM li_b GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small_orders
+FROM li_b l JOIN th USING (l_partkey)
+WHERE l.l_quantity < th.qty_threshold
 """,
         "tpch_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
