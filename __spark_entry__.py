@@ -2195,6 +2195,32 @@ def q_kg_ner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_pronoun_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coref-lite end-to-end: NER mentions from the pipeline, pronoun
+    occurrences from a running-offset word fold, nearest-preceding
+    compatible antecedent via the as-of join. Oracle replays offsets
+    (window cumsum) + the backward pick (row_number lateral) over the
+    committed NER golden."""
+    from kg.reason import resolve_pronouns
+    from kg.stages.extract import extract_docs
+    from kg.stages.triples import detect_ner_mentions
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    docs = extract_docs(pages).join(
+        pages.select("url", F.col("lang").alias("lang_in")), "url"
+    ).select("url", "text", F.col("lang_in").alias("lang"))
+    mentions = detect_ner_mentions(docs)
+    out = resolve_pronouns(docs.select("url", "text"), mentions)
+    return out.select(
+        "url",
+        F.col("start").cast("long").alias("start"),
+        "pron",
+        "antecedent",
+        "antecedent_category",
+        F.col("antecedent_end").cast("long").alias("antecedent_end"),
+    )
+
+
 def q_kg_custom_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom phrase matcher + overlap resolution (O3+O4) in the NER pass:
     'fred bloggs' ties the backend PERSON span -> custom wins."""
@@ -3138,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_violations": q_kg_type_violations,
         "kg_fact_confidence": q_kg_fact_confidence,
         "kg_fact_merge": q_kg_fact_merge,
+        "kg_pronoun_coref": q_kg_pronoun_coref,
         "kg_stream_facts": q_kg_stream_facts,
         "kg_fact_conflicts": q_kg_fact_conflicts,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
@@ -3939,6 +3966,41 @@ SELECT subj_id, pred, obj_id,
   round(max(conf), 4) AS conf_max,
   round(1 - exp(sum(ln(1 - conf))), 4) AS conf_noisy_or
 FROM ev GROUP BY subj_id, pred, obj_id
+""",
+        "kg_pronoun_coref": rf"""
+WITH ws AS (
+  SELECT url, string_split_regex(text, '[ \n]') AS w FROM
+  (SELECT url, text FROM '{FIX}/pages_tiny.parquet')
+), idx AS (
+  SELECT url, unnest(generate_series(1, len(w))) AS i, w FROM ws
+), offs AS (
+  SELECT url, i, w[i] AS word,
+    CAST(coalesce(sum(length(w[i]) + 1) OVER (
+      PARTITION BY url ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start
+  FROM idx
+), prons AS (
+  SELECT url, start, trim(lower(word), '{_PUNCT_SQL}') AS pron
+  FROM offs
+  WHERE trim(lower(word), '{_PUNCT_SQL}') IN ('he', 'she', 'it', 'they')
+), res AS (
+  SELECT p.url, p.start, p.pron, m.value, m.category, m."end",
+    row_number() OVER (
+      PARTITION BY p.url, p.start ORDER BY m."end" DESC) AS rn
+  FROM prons p LEFT JOIN '{FIX}/expected_ner_tiny.parquet' m
+    ON m.url = p.url AND m."end" <= p.start
+   AND CASE p.pron
+         WHEN 'he' THEN m.category = 'sys.person'
+         WHEN 'she' THEN m.category = 'sys.person'
+         WHEN 'it' THEN m.category IN ('sys.organization', 'sys.places')
+         ELSE m.category IN ('sys.person', 'sys.organization')
+       END
+)
+SELECT url, start, pron, value AS antecedent,
+       category AS antecedent_category,
+       CAST("end" AS BIGINT) AS antecedent_end
+FROM res WHERE rn = 1
 """,
         "kg_stream_facts": f"""
 WITH dim AS (

@@ -88,7 +88,9 @@ def asof_join(
     fwd = direction == "forward"
     keys = list(keys)
     right_cols = list(right_cols)
-    lcols = [c for c in left.columns if c not in keys]
+    # left_ts is re-emitted from _ts in the final select; carrying it in
+    # lcols too would duplicate the column in the output schema
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
     l_tag = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),

@@ -43,6 +43,8 @@ __all__ = [
     "fact_confidence",
     "type_violations",
     "resolve_functional_conflicts",
+    "resolve_pronouns",
+    "DEFAULT_PRONOUN_CATEGORIES",
 ]
 
 _FACT_KEYS = ["subj_id", "pred", "obj_id"]
@@ -312,4 +314,111 @@ def resolve_functional_conflicts(
     )
     return rows.withColumn("rank", F.row_number().over(w)).withColumn(
         "is_kept", (F.col("rank") == 1)
+    )
+
+
+# pronoun -> antecedent category restriction (None = any mention). The
+# synth corpus uses the reference's sys.* categories
+# (/root/reference/src/hu_entity/named_entity.py:4-22).
+DEFAULT_PRONOUN_CATEGORIES: dict[str, tuple[str, ...] | None] = {
+    "he": ("sys.person",),
+    "she": ("sys.person",),
+    "it": ("sys.organization", "sys.places"),
+    "they": ("sys.person", "sys.organization"),
+}
+
+
+def resolve_pronouns(
+    docs: DataFrame,
+    mentions: DataFrame,
+    pronoun_categories: dict[str, tuple[str, ...] | None] | None = None,
+    id_col: str = "url",
+) -> DataFrame:
+    """Coref-lite: resolve each pronoun occurrence to the NEAREST
+    PRECEDING entity mention of a compatible category in the same
+    document — the cheap recall step that turns "She founded Acme" into
+    a (person, founded, Acme) triple candidate when the person was named
+    a sentence earlier. Heuristic by design (no model): document-local,
+    backward-only, category-gated.
+
+    ``docs`` is (id, text); ``mentions`` is the NER output
+    (id, value, category, start, end) with char offsets —
+    overlap-resolved, so ``end`` values are unique per doc and the
+    as-of tie rule never fires. Returns one row per pronoun occurrence:
+    (id, start, pron, antecedent, antecedent_category, antecedent_end),
+    antecedent columns null when nothing precedes.
+
+    Scale shape: pronoun offsets come from ONE pass over the split-word
+    array (a running-offset fold via ``aggregate`` — pure JVM, no
+    shuffle); each distinct category restriction then reuses
+    kg.ops.temporal.asof_join, i.e. ONE co-shuffle of pronouns+mentions
+    keyed by the doc and a single window — never a per-pronoun probe
+    join. Word separators are the single-char [ \\n] class, so offset =
+    running sum of word lengths + 1.
+    """
+    from kg.ops.temporal import asof_join
+
+    rules = (
+        DEFAULT_PRONOUN_CATEGORIES
+        if pronoun_categories is None
+        else pronoun_categories
+    )
+    base = docs.select(id_col, F.split("text", r"[ \n]").alias("_ws"))
+    offs = F.aggregate(
+        F.col("_ws"),
+        F.struct(
+            F.lit([]).cast("array<int>").alias("o"),
+            F.lit(0).alias("p"),
+        ),
+        lambda acc, w: F.struct(
+            F.concat(acc["o"], F.array(acc["p"])).alias("o"),
+            (acc["p"] + F.length(w) + F.lit(1)).cast("int").alias("p"),
+        ),
+    )["o"]
+    from kg.normalize import PUNCT
+
+    occ = (
+        base.withColumn("_offs", offs)
+        .select(id_col, F.explode(F.arrays_zip("_ws", "_offs")).alias("z"))
+        .select(
+            id_col,
+            F.btrim(F.lower(F.col("z._ws")), F.lit(PUNCT)).alias("pron"),
+            F.col("z._offs").alias("start"),
+        )
+        .where(F.col("pron").isin(*rules.keys()))
+    )
+    m = mentions.select(
+        id_col,
+        F.col("value").alias("antecedent"),
+        F.col("category").alias("antecedent_category"),
+        F.col("end"),
+    )
+    # one as-of pass per DISTINCT category restriction (2-3 in practice)
+    groups: dict[tuple[str, ...] | None, list[str]] = {}
+    for pron, cats in rules.items():
+        groups.setdefault(cats, []).append(pron)
+    parts = []
+    for cats, prons in groups.items():
+        right = m if cats is None else m.where(
+            F.col("antecedent_category").isin(*cats)
+        )
+        j = asof_join(
+            occ.where(F.col("pron").isin(*prons)),
+            right,
+            keys=[id_col],
+            left_ts="start",
+            right_ts="end",
+            right_cols=["antecedent", "antecedent_category"],
+        )
+        parts.append(j)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        id_col,
+        "start",
+        "pron",
+        F.col("r_antecedent").alias("antecedent"),
+        F.col("r_antecedent_category").alias("antecedent_category"),
+        F.col("r_end").alias("antecedent_end"),
     )

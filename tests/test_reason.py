@@ -217,3 +217,68 @@ class TestResolveFunctionalConflicts:
         )
         with pt.raises(ValueError):
             resolve_functional_conflicts(facts, "p", key_role="both")
+
+
+class TestResolvePronouns:
+    MENTIONS_SCHEMA = (
+        "url string, value string, category string, start int, end int"
+    )
+
+    def test_nearest_preceding_compatible(self, spark):
+        from kg.reason import resolve_pronouns
+
+        docs = spark.createDataFrame(
+            [
+                ("u1",
+                 "Ada Lovelace wrote programs\nShe founded Acme\nIt thrived"),
+                ("u2", "She arrived early"),
+            ],
+            "url string, text string",
+        )
+        mentions = spark.createDataFrame(
+            [
+                ("u1", "Ada Lovelace", "sys.person", 0, 12),
+                ("u1", "Acme", "sys.organization", 40, 44),
+            ],
+            self.MENTIONS_SCHEMA,
+        )
+        out = {
+            (r.url, r.start): r
+            for r in resolve_pronouns(docs, mentions).collect()
+        }
+        assert out[("u1", 28)].antecedent == "Ada Lovelace"
+        assert out[("u1", 45)].antecedent == "Acme"  # 'it' skips the person
+        r2 = out[("u2", 0)]
+        assert r2.antecedent is None and r2.pron == "she"
+
+    def test_category_gate_blocks_incompatible(self, spark):
+        from kg.reason import resolve_pronouns
+
+        docs = spark.createDataFrame(
+            [("u1", "Acme grew fast\nShe left")], "url string, text string"
+        )
+        mentions = spark.createDataFrame(
+            [("u1", "Acme", "sys.organization", 0, 4)], self.MENTIONS_SCHEMA
+        )
+        out = resolve_pronouns(docs, mentions).collect()
+        # 'she' requires sys.person; the org mention does NOT resolve it
+        assert len(out) == 1 and out[0].antecedent is None
+
+    def test_partition_invariant(self, spark):
+        from kg.reason import resolve_pronouns
+
+        docs = spark.createDataFrame(
+            [(f"u{i}", "Bob Smith spoke\nHe paused\nThen he left")
+             for i in range(20)],
+            "url string, text string",
+        )
+        mentions = spark.createDataFrame(
+            [(f"u{i}", "Bob Smith", "sys.person", 0, 9) for i in range(20)],
+            self.MENTIONS_SCHEMA,
+        )
+        a = sorted(map(tuple, resolve_pronouns(
+            docs.repartition(1), mentions).collect()))
+        b = sorted(map(tuple, resolve_pronouns(
+            docs.repartition(13), mentions.repartition(7)).collect()))
+        assert a == b and len(a) == 40  # two pronouns per doc, all resolved
+        assert all(t[3] == "Bob Smith" for t in a)
