@@ -1828,6 +1828,34 @@ def q_kg_linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_link_disambiguated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prior-weighted linking: the dictionary is poisoned with a decoy
+    entity (id 0) for the 'acme' surface — the min-id fallback would
+    pick the decoy; the commonness-prior weight row steers the linker to
+    the true entity. Oracle replays the argmax-weight resolution."""
+    from kg.stages.link import link_triples
+
+    triples = spark.read.parquet(
+        f"{FIX}/expected_triples_tiny.parquet"
+    ).withColumn("conf", F.lit(1.0))
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet").unionByName(
+        spark.createDataFrame(
+            [("ACME-decoy", "acme", 0, "Decoy Corp")],
+            "alias string, alias_norm string, entity_id long,"
+            " canonical string",
+        )
+    )
+    weights = spark.createDataFrame(
+        [("acme", 1, 1.0)], "alias_norm string, entity_id long, weight double"
+    )
+    linked = link_triples(triples, alias_dim, weights=weights)
+    return linked.select(
+        "url", "subj", "pred", "obj",
+        F.col("subj_id").cast("long").alias("subj_id"),
+        F.col("obj_id").cast("long").alias("obj_id"),
+    )
+
+
 ENTITY_PROFILE_MAX_SURFACES = 16
 
 
@@ -3157,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl_frontier": q_web_crawl_frontier,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
+        "kg_link_disambiguated": q_kg_link_disambiguated,
         "kg_entity_profile": q_kg_entity_profile,
         "kg_fact_evidence": q_kg_fact_evidence,
         "kg_infer_transitive": q_kg_infer_transitive,
@@ -3786,6 +3815,28 @@ WITH dim AS (
   FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
 )
 SELECT t.url, t.subj, t.pred, t.obj, s.entity_id AS subj_id, o.entity_id AS obj_id
+FROM '{FIX}/expected_triples_tiny.parquet' t
+LEFT JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+LEFT JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+""",
+        "kg_link_disambiguated": f"""
+WITH dim0 AS (
+  SELECT DISTINCT alias_norm, CAST(entity_id AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet'
+  UNION SELECT 'acme', 0
+), wts(alias_norm, entity_id, weight) AS (
+  SELECT * FROM (VALUES ('acme', 1, 1.0))
+), dim AS (
+  SELECT alias_norm, entity_id FROM (
+    SELECT d.alias_norm, d.entity_id,
+      row_number() OVER (PARTITION BY d.alias_norm
+        ORDER BY coalesce(w.weight, 0) DESC, d.entity_id) AS rn
+    FROM dim0 d LEFT JOIN wts w
+      ON d.alias_norm = w.alias_norm AND d.entity_id = w.entity_id
+  ) WHERE rn = 1
+)
+SELECT t.url, t.subj, t.pred, t.obj,
+       s.entity_id AS subj_id, o.entity_id AS obj_id
 FROM '{FIX}/expected_triples_tiny.parquet' t
 LEFT JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
 LEFT JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm

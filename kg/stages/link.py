@@ -29,12 +29,36 @@ def norm_surface_col(col: str | Column) -> Column:
     return F.btrim(F.lower(c), F.lit(PUNCT))
 
 
-def _alias_side(alias_dim: DataFrame, prefix: str) -> DataFrame:
-    # deterministic one-row-per-norm: min entity_id wins (dropDuplicates
-    # keeps an arbitrary row and would be partitioning-dependent)
+def _alias_side(
+    alias_dim: DataFrame, prefix: str, weights: DataFrame | None = None
+) -> DataFrame:
+    # deterministic one-row-per-norm. Without weights: min entity_id wins
+    # (dropDuplicates keeps an arbitrary row and would be
+    # partitioning-dependent). With weights (alias_norm, entity_id,
+    # weight — e.g. commonness priors from alias_priors): the
+    # highest-weight entity wins an ambiguous surface, ties -> min
+    # entity_id; aliases with no weight row weigh 0.0, so unambiguous
+    # aliases and cold entities keep the min-id behavior.
+    dim = alias_dim.select("alias_norm", "entity_id", "canonical")
+    if weights is None:
+        w = F.lit(0.0)
+    else:
+        dim = dim.join(
+            weights.select("alias_norm", "entity_id",
+                           F.col("weight").cast("double").alias("_w")),
+            ["alias_norm", "entity_id"],
+            "left",
+        )
+        w = F.coalesce(F.col("_w"), F.lit(0.0))
     return (
-        alias_dim.groupBy(F.col("alias_norm").alias(f"{prefix}_norm"))
-        .agg(F.min(F.struct("entity_id", "canonical")).alias("_e"))
+        dim.groupBy(F.col("alias_norm").alias(f"{prefix}_norm"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-w).alias("negw"), "entity_id", "canonical"
+                )
+            ).alias("_e")
+        )
         .select(
             f"{prefix}_norm",
             F.col("_e.entity_id").alias(f"{prefix}_id"),
@@ -48,14 +72,21 @@ def link_triples(
     alias_dim: DataFrame,
     use_salting: bool = False,
     n_salts: int = 16,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """triples(url, subj, pred, obj, conf) + alias_dim(alias_norm, entity_id,
-    canonical) -> linked triples with subj_id/obj_id/canonical columns."""
+    canonical) -> linked triples with subj_id/obj_id/canonical columns.
+
+    ``weights``: optional (alias_norm, entity_id, weight) dim —
+    commonness priors (kg.stages.link.alias_priors) or any curated
+    score; ambiguous surfaces resolve to the highest-weight entity
+    instead of the min-id fallback. The weight join is dim x dim
+    (dictionary-sized), so the fact side's plan is unchanged."""
     t = triples.withColumn("subj_norm", norm_surface_col("subj")).withColumn(
         "obj_norm", norm_surface_col("obj")
     )
-    subj_dim = _alias_side(alias_dim, "subj")
-    obj_dim = _alias_side(alias_dim, "obj")
+    subj_dim = _alias_side(alias_dim, "subj", weights)
+    obj_dim = _alias_side(alias_dim, "obj", weights)
     if use_salting:
         linked = salted_join(
             t, subj_dim, "subj_norm", n_salts=n_salts, how="left", entropy_col="url"

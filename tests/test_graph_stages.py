@@ -215,3 +215,54 @@ class TestFuzzyAliasPairs:
         assert capped <= uncapped
         # 'ax'/'xa'-style pairs (ed 2) never appear in either
         assert ("ax", "xa") not in uncapped
+
+
+class TestWeightedLinking:
+    def test_priors_override_min_id_fallback(self, spark):
+        from pyspark.sql import functions as F
+
+        from kg.stages.link import link_triples
+
+        triples = spark.createDataFrame(
+            [("u1", "Acme", "acquired", "Globex", 1.0)],
+            "url string, subj string, pred string, obj string, conf double",
+        )
+        dim = spark.createDataFrame(
+            [
+                ("Acme", "acme", 7, "Acme Corp"),
+                ("acme-decoy", "acme", 0, "Decoy"),
+                ("Globex", "globex", 2, "Globex"),
+            ],
+            "alias string, alias_norm string, entity_id long,"
+            " canonical string",
+        )
+        # without weights: min entity_id picks the decoy (0)
+        plain = link_triples(triples, dim).collect()[0]
+        assert plain.subj_id == 0 and plain.subj_canonical == "Decoy"
+        # with a prior on the true entity: weight wins over min-id
+        w = spark.createDataFrame(
+            [("acme", 7, 0.9)],
+            "alias_norm string, entity_id long, weight double",
+        )
+        prior = link_triples(triples, dim, weights=w).collect()[0]
+        assert prior.subj_id == 7 and prior.subj_canonical == "Acme Corp"
+        assert prior.obj_id == 2  # unweighted aliases keep min-id behavior
+
+    def test_weight_ties_break_by_min_id(self, spark):
+        from kg.stages.link import link_triples
+
+        triples = spark.createDataFrame(
+            [("u1", "Acme", "p", "x", 1.0)],
+            "url string, subj string, pred string, obj string, conf double",
+        )
+        dim = spark.createDataFrame(
+            [("a", "acme", 5, "A5"), ("b", "acme", 3, "A3")],
+            "alias string, alias_norm string, entity_id long,"
+            " canonical string",
+        )
+        w = spark.createDataFrame(
+            [("acme", 5, 0.5), ("acme", 3, 0.5)],
+            "alias_norm string, entity_id long, weight double",
+        )
+        out = link_triples(triples, dim, weights=w).collect()[0]
+        assert out.subj_id == 3
