@@ -2136,6 +2136,42 @@ def q_kg_fact_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coref-rewrite contract inputs — one source of truth for the Spark side
+# (createDataFrame) and the oracle (VALUES). Extraction and coref carry
+# their own oracles (kg_triples_e2e, kg_pronoun_coref); this contract
+# isolates the REWRITE semantics: agreement gate, both sides, pass-through.
+COREF_TRIPLES = [
+    ("u1", "She", "founded", "Acme", 1.0),
+    ("u1", "Acme", "acquired", "it", 1.0),
+    ("u1", "Bob", "works_for", "Acme", 1.0),
+    ("u2", "She", "founded", "Initech", 1.0),
+    ("u3", "They", "acquired", "Globex", 1.0),
+]
+COREF_RESOLUTIONS = [
+    ("u1", "she", "Ada Lovelace"),
+    ("u1", "it", "Globex"),
+    ("u2", "she", "Ada"),
+    ("u2", "she", "Eve"),  # disagreement -> u2 not rewritten
+    ("u3", "they", "Initech"),
+]
+
+
+def q_kg_coref_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kg.reason import rewrite_pronoun_triples
+
+    triples = spark.createDataFrame(
+        COREF_TRIPLES,
+        "url string, subj string, pred string, obj string, conf double",
+    )
+    res = spark.createDataFrame(
+        [(u, 0, p, a, "sys.person", 0) for u, p, a in COREF_RESOLUTIONS],
+        "url string, start long, pron string, antecedent string,"
+        " antecedent_category string, antecedent_end long",
+    )
+    out = rewrite_pronoun_triples(triples, res)
+    return out.select("url", "subj", "pred", "obj", "coref_rewritten")
+
+
 def q_kg_alias_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-arm of canonicalization: FastSS deletion-neighborhood blocking
     + exact levenshtein<=1 verify over the alias dictionary augmented
@@ -3194,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_confidence": q_kg_fact_confidence,
         "kg_fact_merge": q_kg_fact_merge,
         "kg_pronoun_coref": q_kg_pronoun_coref,
+        "kg_coref_rewrite": q_kg_coref_rewrite,
         "kg_stream_facts": q_kg_stream_facts,
         "kg_fact_conflicts": q_kg_fact_conflicts,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
@@ -4101,6 +4138,30 @@ FROM (
     PARTITION BY obj_id ORDER BY n_evidence DESC, subj_id) AS rank
   FROM facts WHERE pred = 'ceo_of'
 )
+""",
+        "kg_coref_rewrite": f"""
+WITH triples(url, subj, pred, obj) AS (
+  SELECT * FROM (VALUES {", ".join(
+      f"('{u}', '{s}', '{p}', '{o}')" for u, s, p, o, _ in COREF_TRIPLES)})
+), res(url, pron, antecedent) AS (
+  SELECT * FROM (VALUES {", ".join(
+      f"('{u}', '{p}', '{a}')" for u, p, a in COREF_RESOLUTIONS)})
+), agreed AS (
+  SELECT url, pron, max(antecedent) AS antecedent
+  FROM res WHERE antecedent IS NOT NULL
+  GROUP BY url, pron HAVING count(DISTINCT antecedent) = 1
+)
+SELECT t.url,
+       coalesce(s.antecedent, t.subj) AS subj,
+       t.pred,
+       coalesce(o.antecedent, t.obj) AS obj,
+       CAST((s.antecedent IS NOT NULL)::INT
+            + (o.antecedent IS NOT NULL)::INT AS INT) AS coref_rewritten
+FROM triples t
+LEFT JOIN agreed s
+  ON t.url = s.url AND lower(trim(t.subj, '{_PUNCT_SQL}')) = s.pron
+LEFT JOIN agreed o
+  ON t.url = o.url AND lower(trim(t.obj, '{_PUNCT_SQL}')) = o.pron
 """,
         "kg_alias_fuzzy": f"""
 WITH base AS (

@@ -44,6 +44,7 @@ __all__ = [
     "type_violations",
     "resolve_functional_conflicts",
     "resolve_pronouns",
+    "rewrite_pronoun_triples",
     "DEFAULT_PRONOUN_CATEGORIES",
 ]
 
@@ -421,4 +422,66 @@ def resolve_pronouns(
         F.col("r_antecedent").alias("antecedent"),
         F.col("r_antecedent_category").alias("antecedent_category"),
         F.col("r_end").alias("antecedent_end"),
+    )
+
+
+def rewrite_pronoun_triples(
+    triples: DataFrame,
+    resolutions: DataFrame,
+    id_col: str = "url",
+) -> DataFrame:
+    """Recover facts whose extraction surfaced a pronoun: rewrite a
+    triple's pronoun subject/object to the document's resolved
+    antecedent ("She founded Acme" + she->Ada Lovelace =>
+    (Ada Lovelace, founded, Acme)) so linking can resolve it.
+
+    Conservative by construction: triples carry no span offsets, so a
+    pronoun is rewritten ONLY when every resolved occurrence of that
+    pronoun in the document agrees on one antecedent (a doc where 'she'
+    refers to two different people is left alone). Adds
+    ``coref_rewritten`` (0/1/2 = sides rewritten) for downstream
+    provenance; non-pronoun triples pass through unchanged.
+
+    Scale shape: the agreement table is one partial-agged groupBy on
+    (doc, pronoun) — tiny; both rewrite joins are keyed on
+    (doc, pronoun), broadcastable when the resolution table is
+    dim-sized, plain hash joins otherwise. No window, no Python.
+    """
+    from kg.normalize import PUNCT
+
+    agreed = (
+        resolutions.where(F.col("antecedent").isNotNull())
+        .groupBy(id_col, "pron")
+        .agg(
+            F.count_distinct("antecedent").alias("_n"),
+            F.max("antecedent").alias("antecedent"),
+        )
+        .where(F.col("_n") == 1)
+        .select(id_col, "pron", "antecedent")
+    )
+    norm = lambda c: F.btrim(F.lower(F.col(c)), F.lit(PUNCT))  # noqa: E731
+    s_dim = agreed.select(
+        id_col,
+        F.col("pron").alias("_s_pron"),
+        F.col("antecedent").alias("_s_ante"),
+    )
+    o_dim = agreed.select(
+        id_col,
+        F.col("pron").alias("_o_pron"),
+        F.col("antecedent").alias("_o_ante"),
+    )
+    out = (
+        triples.withColumn("_s_pron", norm("subj"))
+        .withColumn("_o_pron", norm("obj"))
+        .join(s_dim, [id_col, "_s_pron"], "left")
+        .join(o_dim, [id_col, "_o_pron"], "left")
+    )
+    return out.select(
+        *[c for c in triples.columns if c not in ("subj", "obj")],
+        F.coalesce("_s_ante", "subj").alias("subj"),
+        F.coalesce("_o_ante", "obj").alias("obj"),
+        (
+            F.col("_s_ante").isNotNull().cast("int")
+            + F.col("_o_ante").isNotNull().cast("int")
+        ).alias("coref_rewritten"),
     )

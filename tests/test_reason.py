@@ -282,3 +282,68 @@ class TestResolvePronouns:
             docs.repartition(13), mentions.repartition(7)).collect()))
         assert a == b and len(a) == 40  # two pronouns per doc, all resolved
         assert all(t[3] == "Bob Smith" for t in a)
+
+
+class TestRewritePronounTriples:
+    TRIPLES_SCHEMA = (
+        "url string, subj string, pred string, obj string, conf double"
+    )
+    RES_SCHEMA = (
+        "url string, start long, pron string, antecedent string,"
+        " antecedent_category string, antecedent_end long"
+    )
+
+    def test_rewrites_agreed_pronouns_only(self, spark):
+        from kg.reason import rewrite_pronoun_triples
+
+        triples = spark.createDataFrame(
+            [
+                ("u1", "She", "founded", "Acme", 1.0),
+                ("u1", "Acme", "acquired", "it", 1.0),
+                ("u1", "Bob", "works_for", "Acme", 1.0),
+                ("u2", "She", "founded", "Initech", 1.0),  # ambiguous doc
+            ],
+            self.TRIPLES_SCHEMA,
+        )
+        res = spark.createDataFrame(
+            [
+                ("u1", 30, "she", "Ada", "sys.person", 3),
+                ("u1", 60, "it", "Globex", "sys.organization", 50),
+                # u2: two different 'she' antecedents -> no rewrite
+                ("u2", 10, "she", "Ada", "sys.person", 3),
+                ("u2", 40, "she", "Eve", "sys.person", 25),
+                # unresolved occurrences never vote
+                ("u2", 70, "she", None, None, None),
+            ],
+            self.RES_SCHEMA,
+        )
+        out = {
+            (r.url, r.pred): r
+            for r in rewrite_pronoun_triples(triples, res).collect()
+        }
+        a = out[("u1", "founded")]
+        assert (a.subj, a.obj, a.coref_rewritten) == ("Ada", "Acme", 1)
+        b = out[("u1", "acquired")]
+        assert (b.subj, b.obj, b.coref_rewritten) == ("Acme", "Globex", 1)
+        c = out[("u1", "works_for")]
+        assert (c.subj, c.coref_rewritten) == ("Bob", 0)
+        d = out[("u2", "founded")]
+        assert (d.subj, d.coref_rewritten) == ("She", 0)
+
+    def test_end_to_end_recovers_linkable_fact(self, spark):
+        from kg.reason import resolve_pronouns, rewrite_pronoun_triples
+        from kg.stages.triples import extract_svo_triples
+
+        docs = spark.createDataFrame(
+            [("u1", "Ada Lovelace wrote programs\nShe founded Acme Corp")],
+            "url string, text string",
+        )
+        mentions = spark.createDataFrame(
+            [("u1", "Ada Lovelace", "sys.person", 0, 12)],
+            "url string, value string, category string, start int, end int",
+        )
+        triples = extract_svo_triples(docs)
+        res = resolve_pronouns(docs, mentions)
+        out = rewrite_pronoun_triples(triples, res).collect()
+        founded = [r for r in out if r.pred == "founded"]
+        assert founded and founded[0].subj == "Ada Lovelace"
