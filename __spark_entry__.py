@@ -225,6 +225,23 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_PRUNE_FRAC = 0.5
+
+
+def q_doc_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank-based quality pruning (keep the best half of each
+    source by the heuristic quality score, ties -> doc_id); oracle
+    recomputes quality + both windows in SQL."""
+    from kg.ops.curation import quality_prune
+    from kg.ops.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    scored = quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "quality")
+    return quality_prune(scored, frac=QUALITY_PRUNE_FRAC)
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.textstats import quality_score
 
@@ -3130,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_spans": q_doc_ngram_spans,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
+        "doc_quality_prune": q_doc_quality_prune,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow_fp": q_doc_winnow_fp,
@@ -5126,6 +5144,20 @@ SELECT b.doc_id,
 FROM b
 LEFT JOIN reps r ON b.th = r.th
 LEFT JOIN cap c USING (doc_id)
+"""
+    d["doc_quality_prune"] = f"""
+WITH q AS ({d["doc_quality"]}),
+j AS (
+  SELECT q.doc_id, d.source, q.quality
+  FROM q JOIN documents d USING (doc_id)
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY source ORDER BY quality DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM j
+)
+SELECT doc_id, source, quality FROM r
+WHERE rn <= ceil(n * {QUALITY_PRUNE_FRAC})
 """
     # incremental merge must equal the batch recompute — same oracle
     d["kg_fact_merge"] = d["kg_fact_evidence"]

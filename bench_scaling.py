@@ -101,10 +101,14 @@ def hw_probe(nprocs: list[int]) -> dict[int, float]:
 
 HISTORY = REPO / "BENCH" / "history.jsonl"
 
+# facts_docs_per_sec is deliberately NOT an efficiency key: the facts
+# stage at bench scale is fixed-cost dominated (semi-naive closure
+# barriers + ~1.5k facts, measured 2.7s -> 1.4s local[2]->local[8]),
+# the same disposition as near_dup — its wall stays in the stage table
+# and in history.jsonl, but it is not scaling evidence either way.
 EFF_KEYS = ("pipeline_docs_per_sec", "mentions_docs_per_sec",
             "triples_per_sec", "weblinks_pages_per_sec",
-            "curation_docs_per_sec", "lm_docs_per_sec",
-            "facts_docs_per_sec")
+            "curation_docs_per_sec", "lm_docs_per_sec")
 
 
 def _load_history() -> list[dict]:
@@ -269,11 +273,11 @@ def main() -> int:
         "property; every window's full raw JSON is in BENCH/history.jsonl.",
         "",
         "| window (UTC) | pipeline eff | mentions eff | triples eff |"
-        " weblinks eff | curation eff | lm eff | facts eff | hw ceiling |"
+        " weblinks eff | curation eff | lm eff | hw ceiling |"
         " hw-normalized pipeline |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|",
     ] + [
-        "| {ts} | {p} | {m} | {t} | {w} | {c} | {l} | {f} | {h} | {n} |".format(
+        "| {ts} | {p} | {m} | {t} | {w} | {c} | {l} | {h} | {n} |".format(
             ts=w["ts"],
             p=w["effs"]["pipeline_docs_per_sec"],
             m=w["effs"]["mentions_docs_per_sec"],
@@ -281,7 +285,6 @@ def main() -> int:
             w=w["effs"].get("weblinks_pages_per_sec", "-"),
             c=w["effs"].get("curation_docs_per_sec", "-"),
             l=w["effs"].get("lm_docs_per_sec", "-"),
-            f=w["effs"].get("facts_docs_per_sec", "-"),
             h=w.get("hw_eff", "-"),
             n=round(
                 w["effs"]["pipeline_docs_per_sec"] / w["hw_eff"], 3
@@ -305,6 +308,12 @@ def main() -> int:
         " the docs repartition is the only corpus-sized shuffle in the"
         " mentions tree (aggregations/distinct/anti-join are all"
         " exchange-free under HashPartitioning(id)).",
+        "- the facts stage (fact rollup + bounded transitive closure) is"
+        " in the stage-wall table but NOT the efficiency table: at this"
+        " corpus size its wall is fixed-cost dominated (closure"
+        " materialize barriers over ~1.5k facts), the same disposition"
+        " as near_dup; the corpus-sized part of its plan is the same"
+        " link+join shape the pipeline metric already measures.",
         "- cpu_busy_frac_start/_end in the raw JSON are /proc/stat busy"
         " fractions sampled over 0.5s at run start/end; a run with"
         " busy>0.35 at start is flagged `contended` and should not be"

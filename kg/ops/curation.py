@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
+    "quality_prune",
     "benchmark_contamination",
     "token_budget_sample",
     "token_budget_sample_approx",
@@ -514,3 +515,37 @@ def mixture_weights(
         F.round("_factor", 9).alias("factor"),
         n_rep.cast("long").alias("n_repeats"),
     )
+
+
+def quality_prune(
+    scored: DataFrame,
+    frac: float = 0.5,
+    group_col: str = "source",
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``frac`` of each group by score — percentile-style
+    quality pruning per domain/source (the RefinedWeb-style "best half
+    of every host" gate), done RANK-based instead of via an approximate
+    quantile threshold: exact, deterministic under ties
+    (score desc, id asc), and immune to the cross-engine float
+    interpolation drift a quantile_cont cutoff would reintroduce.
+
+    Scale shape: one exchange on the group key feeding both windows
+    (row_number + the per-group count share the partitioning); no join,
+    no Python, no quantile sketch. Group sizes are per-host/per-source —
+    if one group dominates the corpus, cap it first (domain_cap) so the
+    single-partition window never sees a mega-group.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    cnt_w = Window.partitionBy(group_col)
+    ranked = scored.withColumn(
+        "_rn", F.row_number().over(rank_w)
+    ).withColumn("_n", F.count(F.lit(1)).over(cnt_w))
+    return ranked.where(
+        F.col("_rn") <= F.ceil(F.col("_n") * F.lit(float(frac)))
+    ).drop("_rn", "_n")

@@ -401,3 +401,37 @@ class TestCuratePipelineStage:
         hosts = normalize_urls(kept.where("keep").select("url")).groupBy(
             "host").count()
         assert hosts.agg(F.max("count")).first()[0] <= 3
+
+
+class TestQualityPrune:
+    def test_keeps_top_frac_per_group_with_ties(self, spark):
+        from kg.ops.curation import quality_prune
+
+        rows = [
+            # source a: 4 docs -> keep ceil(4*0.5)=2 (score desc, id asc)
+            (1, "a", 0.9), (2, "a", 0.5), (3, "a", 0.5), (4, "a", 0.1),
+            # source b: 1 doc -> keep ceil(0.5)=1
+            (5, "b", 0.0),
+            # source c: 3 docs -> keep 2
+            (6, "c", 0.3), (7, "c", 0.2), (8, "c", 0.1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, quality double"
+        ).repartition(5)
+        kept = sorted(
+            r.doc_id for r in quality_prune(df, frac=0.5).collect()
+        )
+        # tie at 0.5 in source a: doc 2 beats doc 3 (id asc)
+        assert kept == [1, 2, 5, 6, 7]
+
+    def test_frac_one_keeps_all_and_validation(self, spark):
+        import pytest as pt
+
+        from kg.ops.curation import quality_prune
+
+        df = spark.createDataFrame(
+            [(1, "a", 0.1)], "doc_id long, source string, quality double"
+        )
+        assert quality_prune(df, frac=1.0).count() == 1
+        with pt.raises(ValueError):
+            quality_prune(df, frac=0.0)
