@@ -44,6 +44,10 @@ def parse_args(argv):
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--master", default=None, help="override spark master")
     p.add_argument("--salted-linking", action="store_true")
+    p.add_argument(
+        "--coref", action="store_true",
+        help="rewrite pronoun triples to agreed antecedents before linking",
+    )
     p.add_argument("--n-salts", type=int, default=16)
     p.add_argument("--alias-dict", default=None, help="alias dict parquet (default: built-in fixture dict)")
     p.add_argument(
@@ -166,16 +170,33 @@ def main(argv=None) -> int:
             alias_dim = spark.read.parquet(args.alias_dict)
         else:
             alias_dim = spark.createDataFrame(synth.alias_df())
-        linked = pipe.run_stage(
-            "linked",
-            triples,
-            lambda df: link_triples(
-                df.select("url", "subj", "pred", "obj", "conf"),
+
+        def _prep(df):
+            t = df.select("url", "subj", "pred", "obj", "conf")
+            if args.coref:
+                # recover pronoun facts before linking: NER mentions ->
+                # nearest-preceding antecedent -> agreement-gated rewrite
+                from kg.reason import (
+                    resolve_pronouns,
+                    rewrite_pronoun_triples,
+                )
+                from kg.stages.triples import detect_ner_mentions
+
+                d = docs.select("url", "text").join(
+                    pages.select("url", "lang"), "url"
+                )
+                res = resolve_pronouns(
+                    docs.select("url", "text"), detect_ner_mentions(d)
+                )
+                t = rewrite_pronoun_triples(t, res).drop("coref_rewritten")
+            return link_triples(
+                t,
                 alias_dim,
                 use_salting=args.salted_linking,
                 n_salts=args.n_salts,
-            ).join(df.select("url", "url_hash_bucket").distinct(), "url"),
-        )
+            ).join(df.select("url", "url_hash_bucket").distinct(), "url")
+
+        linked = pipe.run_stage("linked", triples, _prep)
     elif "graph" in stages:
         linked = pipe.read_stage("linked")
 
@@ -275,9 +296,16 @@ def main(argv=None) -> int:
             F.col("obj_entity").alias("obj_id"),
         )
         with_ts = linked_g.join(pages.select("url", "warc_ts"), "url")
-        fact_evidence(with_ts).write.mode("overwrite").parquet(
-            f"{args.out}/facts"
-        )
+        # partition the standing fact table by predicate: per-pred scans
+        # (closure, conflict resolution, per-relation exports) prune at
+        # the directory level instead of reading the whole store.
+        # STATIC overwrite (the checkpoint pipeline sets the session to
+        # dynamic): this is a full recompute, so the whole table must be
+        # replaced — dynamic mode would leave partitions of predicates
+        # absent from this run (and any pre-partitioning flat files).
+        fact_evidence(with_ts).write.partitionBy("pred").option(
+            "partitionOverwriteMode", "static"
+        ).mode("overwrite").parquet(f"{args.out}/facts")
         full = linked_g.where(
             F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
         )
