@@ -1296,6 +1296,38 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_OVERLAP_K = 16
+
+
+def q_doc_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between the even- and odd-numbered sources via
+    theta-sketch set algebra over deterministic KMV sketches (two-level
+    shard merge on the Spark side); the oracle recomputes both sketches
+    and the intersection/union/Jaccard estimates bit-for-bit. k=16 <
+    the 31-word sf0.01 vocabulary, so the contract exercises the
+    ESTIMATOR branch with a live intersection (accuracy itself is
+    pinned by tests/test_temporal.py::TestKMVOverlap on a 6k-element
+    truth)."""
+    from kg.ops.sketch import kmv_overlap
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        (F.substring("source", 4, 10).cast("int") % 2).alias("half"),
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+            )
+        ).alias("w"),
+    )
+    return kmv_overlap(
+        words.where(F.col("half") == 0),
+        words.where(F.col("half") == 1),
+        "w",
+        k=KMV_OVERLAP_K,
+        n_shards=4,
+    )
+
+
 def q_doc_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) distinct-term sketch per language. Deterministic
     (md5) by construction, so the ORACLE CHECKS THE SKETCH ITSELF —
@@ -3197,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_time_rollup": q_events_time_rollup,
         "doc_kmv_distinct": q_doc_kmv_distinct,
+        "doc_corpus_overlap": q_doc_corpus_overlap,
         "events_value_quantiles": q_events_value_quantiles,
         "tpch_rollup": q_tpch_rollup,
         "tpch_small_qty_revenue": q_tpch_small_qty_revenue,
@@ -5144,6 +5177,56 @@ SELECT b.doc_id,
 FROM b
 LEFT JOIN reps r ON b.th = r.th
 LEFT JOIN cap c USING (doc_id)
+"""
+    _MAXH = 16 ** 15
+    d["doc_corpus_overlap"] = rf"""
+WITH w AS (
+  SELECT CAST(substr(source, 4) AS INT) % 2 AS half,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS w
+  FROM documents
+), hs AS (
+  SELECT half,
+    list_sort(list(DISTINCT ('0x' || substr(md5(w), 1, 15))::BIGINT))
+      [1:{KMV_OVERLAP_K}] AS h
+  FROM w WHERE w IS NOT NULL GROUP BY half
+), pair AS (
+  SELECT a.h AS ha, b.h AS hb,
+    least(
+      CASE WHEN len(a.h) >= {KMV_OVERLAP_K}
+           THEN CAST(a.h[{KMV_OVERLAP_K}] AS DOUBLE)
+           ELSE CAST({_MAXH} AS DOUBLE) END,
+      CASE WHEN len(b.h) >= {KMV_OVERLAP_K}
+           THEN CAST(b.h[{KMV_OVERLAP_K}] AS DOUBLE)
+           ELSE CAST({_MAXH} AS DOUBLE) END) AS t
+  FROM (SELECT h FROM hs WHERE half = 0) a,
+       (SELECT h FROM hs WHERE half = 1) b
+), flt AS (
+  SELECT ha, hb, t,
+    list_filter(ha, x -> CAST(x AS DOUBLE) < t) AS fa,
+    list_filter(hb, x -> CAST(x AS DOUBLE) < t) AS fb
+  FROM pair
+), sets AS (
+  SELECT *,
+    list_filter(fa, x -> list_contains(fb, x)) AS inter,
+    list_distinct(list_concat(fa, fb)) AS un
+  FROM flt
+)
+SELECT CAST(len(ha) AS BIGINT) AS n_a, CAST(len(hb) AS BIGINT) AS n_b,
+  CASE WHEN len(ha) >= {KMV_OVERLAP_K}
+       THEN round({KMV_OVERLAP_K - 1}
+                  / (CAST(ha[{KMV_OVERLAP_K}] AS DOUBLE) / {_MAXH}), 6)
+       ELSE CAST(len(ha) AS DOUBLE) END AS est_distinct_a,
+  CASE WHEN len(hb) >= {KMV_OVERLAP_K}
+       THEN round({KMV_OVERLAP_K - 1}
+                  / (CAST(hb[{KMV_OVERLAP_K}] AS DOUBLE) / {_MAXH}), 6)
+       ELSE CAST(len(hb) AS DOUBLE) END AS est_distinct_b,
+  round(len(inter) / (t / {_MAXH}), 6) AS est_intersect,
+  round(len(un) / (t / {_MAXH}), 6) AS est_union,
+  round(CASE WHEN len(un) > 0
+             THEN len(inter) / CAST(len(un) AS DOUBLE)
+             ELSE 0.0 END, 6) AS est_jaccard
+FROM sets
 """
     d["doc_quality_prune"] = f"""
 WITH q AS ({d["doc_quality"]}),

@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "grouped_quantiles"]
+__all__ = ["kmv_distinct", "kmv_overlap", "grouped_quantiles"]
 
 # 15 hex chars = 60 bits: fits a signed 64-bit long exactly, and both
 # engines parse it identically (Spark conv(x,16,10); DuckDB '0x'||x cast)
@@ -173,4 +173,106 @@ def grouped_quantiles(
         *groups,
         F.col("_pq.p").alias("p"),
         F.round(F.col("_pq.q").cast("double"), 6).alias("q"),
+    )
+
+
+def kmv_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 256,
+    n_shards: int = 1,
+) -> DataFrame:
+    """Cross-corpus overlap estimation from two KMV (theta) sketches —
+    "how much does corpus B's vocabulary / url space / shingle set
+    overlap corpus A's?" at sketch cost instead of a distinct-join. The
+    theta-sketch set algebra (Dasgupta et al. 2016): with both sketches
+    full, theta = min(kth_min_a, kth_min_b) scaled to (0,1]; every
+    retained hash below theta is a uniform sample of the union, so
+    |intersection sample| / theta estimates the true intersection, and
+    the Jaccard estimate is the sample ratio. When a side's sketch is
+    not full it IS its exact distinct set (theta = 1), so small inputs
+    degrade to exact answers — same fallback as kmv_distinct.
+
+    Deterministic (md5, no seeds): the contract oracle recomputes both
+    sketches and the set algebra bit-for-bit. Returns one row:
+    (n_a, n_b, est_distinct_a, est_distinct_b, est_intersect, est_union,
+    est_jaccard), estimates rounded to 6 places.
+
+    Shape: one groupBy-collect per side bounded to k values (use
+    ``n_shards`` > 1 for the two-level bottom-k merge when per-side
+    distinct counts are huge — identical result, see kmv_distinct), then
+    a 1-row x 1-row join; all set algebra on <= k-element arrays.
+    """
+
+    def _sketch(df: DataFrame, name: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.col(value_col).cast("string")), 1, _HEX_DIGITS
+            ),
+            16,
+            10,
+        ).cast("long")
+        base = df.where(F.col(value_col).isNotNull()).select(h.alias("_h"))
+        if n_shards > 1:
+            partial = base.groupBy(
+                F.pmod("_h", F.lit(n_shards)).alias("_shard")
+            ).agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_pm"))
+            base = partial.select(F.explode("_pm").alias("_h"))
+        return base.agg(
+            F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias(name)
+        )
+
+    j = _sketch(a, "ha").crossJoin(_sketch(b, "hb"))
+    max_h = F.lit(_MAX_HASH)
+
+    def _theta(arr: str):
+        return F.when(
+            F.size(arr) >= k, F.element_at(arr, k).cast("double")
+        ).otherwise(max_h)
+
+    theta = F.least(_theta("ha"), _theta("hb"))
+    j = j.withColumn("_t", theta)
+    below = lambda arr: F.filter(  # noqa: E731
+        F.col(arr), lambda x: x.cast("double") < F.col("_t")
+    )
+    j = (
+        j.withColumn("_fa", below("ha"))
+        .withColumn("_fb", below("hb"))
+        .withColumn(
+            "_inter", F.array_intersect(F.col("_fa"), F.col("_fb"))
+        )
+        .withColumn("_union", F.array_union(F.col("_fa"), F.col("_fb")))
+    )
+    tf = F.col("_t") / max_h
+
+    def _est(size_col):
+        return F.round(size_col / tf, 6)
+
+    def _own_est(arr: str):
+        # same estimator as kmv_distinct: (k-1)/(kth/2^60) when full,
+        # exact count otherwise
+        return F.when(
+            F.size(arr) >= k,
+            F.round(
+                F.lit(float(k - 1))
+                / (F.element_at(arr, k).cast("double") / max_h),
+                6,
+            ),
+        ).otherwise(F.size(arr).cast("double"))
+
+    return j.select(
+        F.size("ha").cast("long").alias("n_a"),
+        F.size("hb").cast("long").alias("n_b"),
+        _own_est("ha").alias("est_distinct_a"),
+        _own_est("hb").alias("est_distinct_b"),
+        _est(F.size("_inter")).alias("est_intersect"),
+        _est(F.size("_union")).alias("est_union"),
+        F.round(
+            F.when(
+                F.size("_union") > 0,
+                F.size("_inter") / F.size("_union").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("est_jaccard"),
     )

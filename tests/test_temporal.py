@@ -417,3 +417,34 @@ class TestNullSemantics:
         r = corpus_report(df).first()
         # both null docs hash to the empty doc: one keeper, one dup
         assert (r["n_docs"], r["n_dups"]) == (3, 1)
+
+
+class TestKMVOverlap:
+    def test_estimates_close_to_truth_and_shard_invariant(self, spark):
+        from kg.ops.sketch import kmv_overlap
+
+        # A = 0..3999, B = 2000..5999 -> |A|=|B|=4000, inter=2000,
+        # union=6000, jaccard=1/3
+        a = spark.range(0, 4000).select(F.col("id").cast("string").alias("v"))
+        b = spark.range(2000, 6000).select(
+            F.col("id").cast("string").alias("v")
+        )
+        r1 = kmv_overlap(a, b, "v", k=256).collect()[0]
+        r4 = kmv_overlap(a, b, "v", k=256, n_shards=4).collect()[0]
+        assert tuple(r1) == tuple(r4)  # two-level merge is exact
+        assert r1.n_a == 256 and r1.n_b == 256  # estimator branch
+        assert abs(r1.est_distinct_a - 4000) / 4000 < 0.25
+        assert abs(r1.est_intersect - 2000) / 2000 < 0.35
+        assert abs(r1.est_union - 6000) / 6000 < 0.25
+        assert abs(r1.est_jaccard - 1 / 3) < 0.15
+
+    def test_small_inputs_exact(self, spark):
+        from kg.ops.sketch import kmv_overlap
+
+        a = spark.createDataFrame([("x",), ("y",), ("z",)], "v string")
+        b = spark.createDataFrame([("y",), ("z",), ("w",)], "v string")
+        r = kmv_overlap(a, b, "v", k=256).collect()[0]
+        # sketches not full -> exact set algebra
+        assert (r.n_a, r.n_b) == (3, 3)
+        assert r.est_distinct_a == 3.0 and r.est_intersect == 2.0
+        assert r.est_union == 4.0 and r.est_jaccard == 0.5
