@@ -358,3 +358,29 @@ def test_induce_entity_types_broadcasts_rules(spark):
     p = _plan(induce_entity_types(linked, rules))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_quality_prune_single_exchange(spark):
+    """Both windows (rank + group count) share one group-key exchange;
+    no join, no Python."""
+    from kg.ops.curation import quality_prune
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5)], "doc_id long, source string, quality double"
+    )
+    p = _plan(quality_prune(df))
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_kmv_overlap_sketch_sized_join_only(spark):
+    """The only join is the 1-row x 1-row sketch cross join; per-side
+    aggregations are partial-aggregated collects, no Python."""
+    from kg.ops.sketch import kmv_overlap
+
+    a = spark.range(10).selectExpr("cast(id as string) as v")
+    b = spark.range(10).selectExpr("cast(id as string) as v")
+    p = _plan(kmv_overlap(a, b, "v", k=8))
+    assert p.count("Join") == 1  # the sketch pair join, nothing else
+    assert "InPandas" not in p and "BatchEvalPython" not in p
