@@ -2120,6 +2120,29 @@ def _url_half(u: str) -> int:
     return int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % 2
 
 
+def q_kg_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic graph pattern over the linked facts: CEOs of
+    orgs located where they were born (a cyclic 3-atom conjunction).
+    Oracle = the same conjunctive join in SQL."""
+    from kg.query import match_pattern
+
+    facts = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    out = match_pattern(
+        facts,
+        [
+            ("?x", "ceo_of", "?y"),
+            ("?y", "located_in", "?z"),
+            ("?x", "born_in", "?z"),
+        ],
+    )
+    return out.select("x", "y", "z")
+
+
 def q_kg_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental fact maintenance: split the corpus into two disjoint
     url batches, roll each up with fact_evidence, then monoid-merge —
@@ -3279,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_types": q_kg_entity_types,
         "kg_type_violations": q_kg_type_violations,
         "kg_fact_confidence": q_kg_fact_confidence,
+        "kg_pattern_match": q_kg_pattern_match,
         "kg_fact_merge": q_kg_fact_merge,
         "kg_pronoun_coref": q_kg_pronoun_coref,
         "kg_coref_rewrite": q_kg_coref_rewrite,
@@ -4168,6 +4192,23 @@ WITH dim AS (
 SELECT counts.subj_id, counts.pred, counts.obj_id, n_evidence, n_docs,
        first_seen_us, last_seen_us, sample_urls
 FROM counts JOIN urls USING (subj_id, pred, obj_id)
+""",
+        "kg_pattern_match": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+)
+SELECT DISTINCT a.subj_id AS x, a.obj_id AS y, b.obj_id AS z
+FROM t a
+JOIN t b ON b.subj_id = a.obj_id AND b.pred = 'located_in'
+JOIN t c ON c.subj_id = a.subj_id AND c.obj_id = b.obj_id
+        AND c.pred = 'born_in'
+WHERE a.pred = 'ceo_of'
 """,
         "kg_fact_conflicts": f"""
 WITH dim AS (
