@@ -347,3 +347,39 @@ class TestRewritePronounTriples:
         out = rewrite_pronoun_triples(triples, res).collect()
         founded = [r for r in out if r.pred == "founded"]
         assert founded and founded[0].subj == "Ada Lovelace"
+
+
+class TestFactsPipelineStage:
+    def test_run_pipeline_facts_and_coref(self, spark, tmp_path):
+        """run_pipeline with the facts stage writes a pred-partitioned
+        fact table + closure + entity types; --coref leaves the link
+        output unchanged on a pronoun-free corpus (pass-through safety)."""
+        import run_pipeline
+
+        out = str(tmp_path / "kg_out")
+        rc = run_pipeline.main([
+            "--pages", "/root/repo/fixtures/pages_tiny.parquet",
+            "--out", out, "--buckets", "4", "--coref",
+            "--stages", "extract,triples,link,canon,graph,facts",
+        ])
+        assert rc == 0
+        facts = spark.read.parquet(f"{out}/facts")
+        assert facts.count() > 0
+        # pred is a PARTITION column (directory-level pruning at rest)
+        import os
+
+        assert any(
+            d.startswith("pred=") for d in os.listdir(f"{out}/facts")
+        )
+        inferred = spark.read.parquet(f"{out}/facts_inferred")
+        assert inferred.where("depth > 1").count() > 0
+        et = spark.read.parquet(f"{out}/entity_types")
+        assert et.count() > 0
+        # coref pass-through: same linked rows as the golden triples
+        from pyspark.sql import functions as F  # noqa: F401
+
+        linked = spark.read.parquet(f"{out}/linked")
+        golden = spark.read.parquet(
+            "/root/repo/fixtures/expected_triples_tiny.parquet"
+        )
+        assert linked.count() == golden.count()
