@@ -268,3 +268,77 @@ def test_chunk_layout_reconstructs_any_corpus(spark, seed):
         assert rebuilt[start_last:] == toks[start_last:]
         # full coverage and nothing beyond the doc
         assert chunks[-1]["start_tok"] + chunks[-1]["n_tokens"] == len(toks)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_transitive_closure_matches_python_bfs(spark, seed):
+    """infer_transitive == min-depth BFS closure computed in Python, on
+    random sparse digraphs (cycles, hubs, dead ends included)."""
+    from kg.reason import infer_transitive
+
+    rng = random.Random(seed)
+    n = 30
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(60)}
+    max_depth = 4
+    facts = spark.createDataFrame(
+        [(a, "p", b) for a, b in sorted(edges)],
+        "subj_id long, pred string, obj_id long",
+    ).repartition(7)
+    got = {
+        (r.subj_id, r.obj_id): r.depth
+        for r in infer_transitive(facts, "p", max_depth).collect()
+    }
+    # python BFS per source, bounded depth, derived self-pairs dropped
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want: dict[tuple[int, int], int] = {}
+    for (a, b) in edges:
+        want[(a, b)] = 1
+    for src in range(n):
+        seen = {src: 0}
+        frontier = [src]
+        for d in range(1, max_depth + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in seen:
+                        seen[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for v, d in seen.items():
+            if d >= 1 and v != src and (src, v) not in want:
+                want[(src, v)] = d
+    # asserted edges always depth 1; BFS may find a longer-first path,
+    # min() semantics: take the min of asserted (1) and BFS depth
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_pattern_match_equals_bruteforce(spark, seed):
+    from itertools import product
+
+    from kg.query import match_pattern
+
+    rng = random.Random(seed)
+    preds = ["p", "q", "r"]
+    facts = {
+        (rng.randrange(8), rng.choice(preds), rng.randrange(8))
+        for _ in range(40)
+    }
+    sdf = spark.createDataFrame(
+        sorted(facts), "subj_id long, pred string, obj_id long"
+    ).repartition(5)
+    pattern = [("?x", "p", "?y"), ("?y", "q", "?z"), ("?x", "?w", "?z")]
+    got = sorted(
+        (r.x, r.y, r.z, r.w)
+        for r in match_pattern(sdf, pattern).collect()
+    )
+    want = sorted({
+        (s1, o1, o2, p3)
+        for (s1, p1, o1), (s2, p2, o2), (s3, p3, o3) in product(
+            facts, facts, facts)
+        if p1 == "p" and p2 == "q" and s2 == o1
+        and s3 == s1 and o3 == o2
+    })
+    assert got == want and len(want) > 0
