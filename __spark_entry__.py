@@ -687,9 +687,13 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-capped sign-LSH ANN (blocking + exact cosine re-rank). No SQL
-    oracle — the result depends on the random-projection blocking; recall vs
-    the brute-force baseline is asserted in tests/test_ops.py."""
+    """Bucket-capped sign-LSH ANN (blocking + exact cosine re-rank).
+    FULLY oracle-backed since the hyperplanes became md5-derived (round
+    3): the oracle regenerates all 128 planes, the sign-bit band keys,
+    the bucket cap, the candidate join and the exact re-rank in SQL.
+    Sign-bit safety: min |dot| on the fixtures is ~5e-6 (pinned in
+    tests/test_ops.py), 7 orders above summation-order float noise.
+    Recall vs brute force is still asserted in tests/test_ops.py."""
     from kg.ops.similarity import ann_lsh_topk
 
     return ann_lsh_topk(
@@ -3680,6 +3684,52 @@ SELECT media_id,
   CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled,
   CAST(((n_frames + 1) // 2) * width * height AS BIGINT) AS frame_bytes
 FROM '{FIX}/media.parquet' WHERE kind = 'video'
+""",
+        "emb_ann_lsh": """
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS e
+  FROM embeddings
+), nd AS (SELECT max(len(e)) AS n FROM v),
+h AS (
+  SELECT j, d,
+    ('0x' || substr(md5('29|' || j || '|' || d), 1, 15))::BIGINT
+      / CAST(1152921504606846976 AS DOUBLE) * 2 - 1 AS hv
+  FROM (SELECT unnest(generate_series(0, 127)) AS j),
+       (SELECT unnest(generate_series(0, (SELECT n FROM nd) - 1)) AS d)
+), dots AS (
+  SELECT v.vid, h.j, sum(v.e[h.d + 1] * h.hv) AS dp
+  FROM v, h GROUP BY v.vid, h.j
+), keys AS (
+  SELECT vid, CAST(j // 4 AS INT) AS band,
+    CAST(sum(CASE WHEN dp > 0 THEN 1 << (j % 4) ELSE 0 END) AS BIGINT)
+      AS key
+  FROM dots GROUP BY vid, j // 4
+), sizes AS (
+  SELECT band, key, count(*) AS n FROM keys GROUP BY band, key
+), kept AS (
+  SELECT k.vid, k.band, k.key
+  FROM keys k JOIN sizes s USING (band, key) WHERE s.n <= 512
+), cand AS (
+  SELECT DISTINCT l.vid AS src, r.vid AS dst
+  FROM kept l
+  JOIN kept r ON l.band = r.band AND l.key = r.key AND l.vid < r.vid
+), pairs AS (
+  SELECT src AS qid, dst AS nid FROM cand
+  UNION ALL SELECT dst, src FROM cand
+), scored AS (
+  SELECT p.qid, p.nid,
+    list_dot_product(q.e, n.e)
+      / (sqrt(list_dot_product(q.e, q.e))
+         * sqrt(list_dot_product(n.e, n.e))) AS cos
+  FROM pairs p JOIN v q ON q.vid = p.qid JOIN v n ON n.vid = p.nid
+  WHERE p.qid < 20
+), ranked AS (
+  SELECT qid, nid, row_number() OVER (
+    PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
 """,
         "emb_ann_topk": """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

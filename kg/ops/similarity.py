@@ -95,6 +95,26 @@ def cosine_topk_bruteforce(
     )
 
 
+def _md5_hyperplanes(seed: int, total: int, dim: int):
+    """(total, dim) hyperplane matrix with components md5-uniform in
+    [-1, 1): h[j, d] = md5_60bit(f"{seed}|{j}|{d}") / 2^60 * 2 - 1.
+    Deterministic, seedable, and exactly replayable in SQL (the same
+    '0x'+substr(md5(...),1,15) parse every md5-derived oracle here uses).
+    Cost: total*dim md5 calls once per worker (~10 ms at 128x64)."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty((total, dim), dtype=np.float64)
+    for j in range(total):
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}|{j}|{d}".encode()).hexdigest()[:15], 16
+            )
+            out[j, d] = h / float(16 ** 15) * 2.0 - 1.0
+    return out
+
+
 def sign_bands(
     embeddings: DataFrame,
     n_bits: int = 2,
@@ -105,19 +125,28 @@ def sign_bands(
 ) -> DataFrame:
     """Signed-random-projection signature, banded: (vid, band, key).
 
-    ``n_bits * n_bands`` hyperplanes are drawn deterministically from
-    ``numpy.RandomState(seed)`` (every worker regenerates the identical
-    matrix — nothing is shipped); each vector's sign bits are packed
-    ``n_bits`` per band into an integer key. Two vectors at angle theta agree
-    on one bit with p = 1 - theta/pi, so they share a given band with p^n_bits
-    and at least one of n_bands bands with 1-(1-p^n_bits)^n_bands — tune
-    (n_bits, n_bands) to the target cosine the same way (bands, rows) tune
-    MinHash-LSH to Jaccard.
+    ``n_bits * n_bands`` hyperplane components are derived from
+    ``md5(seed|plane|dim)`` mapped to uniform [-1, 1) (every worker
+    regenerates the identical matrix — nothing is shipped, and — unlike
+    the round-2 numpy.RandomState draw — the SQL contract oracle can
+    recompute the planes bit-for-bit, which is what lifted emb_ann_lsh
+    from rows-only to a full oracle row). Each vector's sign bits are
+    packed ``n_bits`` per band into an integer key. Two vectors at angle
+    theta agree on one bit with p ≈ 1 - theta/pi, so they share a given
+    band with p^n_bits and at least one of n_bands bands with
+    1-(1-p^n_bits)^n_bands — tune (n_bits, n_bands) to the target cosine
+    the same way (bands, rows) tune MinHash-LSH to Jaccard. (Cube-uniform
+    components are not sphere-uniform directions, but sign agreement
+    stays monotone in angle — the recall gates in tests/test_ops.py hold
+    unchanged.)
 
     The projection is an Arrow-batched numpy matmul — one BLAS call per
     batch; evaluating n_bits*n_bands aggregate-fold expressions per row
     JVM-side would be far slower. Everything downstream (bucket sizing,
-    candidate join, verification) is JVM-side.
+    candidate join, verification) is JVM-side. Sign-bit robustness: BLAS
+    and the oracle's SQL SUM add in different orders, so equality relies
+    on no |dot| being within float noise of 0 — the contract harness
+    asserts a >=1e-9 margin on the fixture (float error is ~1e-13).
     """
     total = n_bits * n_bands
     src = embeddings.select(
@@ -135,9 +164,7 @@ def sign_bands(
                 continue
             vecs = np.array(pdf["vec"].tolist(), dtype=np.float64)
             if hyper is None:
-                hyper = np.random.RandomState(seed).standard_normal(
-                    (total, vecs.shape[1])
-                )
+                hyper = _md5_hyperplanes(seed, total, vecs.shape[1])
             bits = (vecs @ hyper.T) > 0  # (n, total)
             keys = np.empty((len(pdf), n_bands), dtype=np.int64)
             for b in range(n_bands):

@@ -737,3 +737,23 @@ class TestSubstringDuplicates:
         b = sorted(map(tuple, substring_duplicates(
             documents.repartition(11), k=6).collect()))
         assert a == b and len(a) > 0
+
+
+def test_sign_bit_margin_far_above_float_noise():
+    """The ann_lsh oracle equality relies on no |vec . hyperplane| being
+    within summation-order float noise of 0 (BLAS vs SQL SUM add in
+    different orders). Pin the margin at >= 1e-7 on both fixture scales
+    (measured ~5e-6; float error is ~1e-13)."""
+    import duckdb
+    import numpy as np
+
+    from kg.ops.similarity import _md5_hyperplanes
+
+    for sf in ("0.001", "0.01"):
+        emb = duckdb.sql(
+            f"SELECT embedding FROM "
+            f"'/root/testdata/sf{sf}/embeddings.parquet'"
+        ).fetchnumpy()["embedding"]
+        vecs = np.array([np.asarray(e, dtype=np.float64) for e in emb])
+        hyper = _md5_hyperplanes(29, 128, vecs.shape[1])
+        assert np.abs(vecs @ hyper.T).min() > 1e-7, sf
