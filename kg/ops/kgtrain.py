@@ -212,6 +212,12 @@ def random_walks(
             F.array(F.col("start_id")).alias("walk"),
         )
     )
+    # finished walks (dead-end reached) drop out of the live set — they
+    # are accumulated and unioned back at the end instead of riding
+    # along through every remaining round's joins (at walk_len 80 the
+    # long tail of finished walks would otherwise dominate the join
+    # input). materialize barriers keep lineage flat per round.
+    finished = []
     for t in range(1, int(walk_len) + 1):
         h = _md5_long(
             F.concat_ws("|", F.col("walk_id").cast("string"), F.lit(str(t)))
@@ -221,13 +227,13 @@ def random_walks(
             .withColumn("_rank", h % F.col("deg"))
             .drop("u", "deg")
         )
-        stepped = picked.join(
-            adj,
-            (picked["cur"] == adj["u"]) & (picked["_rank"] == adj["rank"]),
-            "left",
-        )
-        state = materialize(
-            stepped.select(
+        stepped = materialize(
+            picked.join(
+                adj,
+                (picked["cur"] == adj["u"])
+                & (picked["_rank"] == adj["rank"]),
+                "left",
+            ).select(
                 "walk_id",
                 "start_id",
                 F.col("v").alias("cur"),
@@ -239,4 +245,9 @@ def random_walks(
                 .alias("walk"),
             )
         )
-    return state.select("walk_id", "start_id", "walk")
+        finished.append(stepped.where(F.col("cur").isNull()))
+        state = stepped.where(F.col("cur").isNotNull())
+    out = state
+    for f in finished:
+        out = out.unionByName(f)
+    return out.select("walk_id", "start_id", "walk")

@@ -350,13 +350,16 @@ def resolve_pronouns(
     antecedent columns null when nothing precedes.
 
     Scale shape: pronoun offsets come from ONE pass over the split-word
-    array (a running-offset fold via ``aggregate`` — pure JVM, no
-    shuffle); each distinct category restriction then reuses
-    kg.ops.temporal.asof_join, i.e. ONE co-shuffle of pronouns+mentions
-    keyed by the doc and a single window — never a per-pronoun probe
-    join. Word separators are the single-char [ \\n] class, so offset =
-    running sum of word lengths + 1.
+    array (a running-offset fold via ``aggregate`` whose accumulator
+    keeps the char position plus ONLY the pronoun hits — the array grows
+    per pronoun, not per word, so the fold is linear in document length;
+    pure JVM, no shuffle). Each distinct category restriction then
+    reuses kg.ops.temporal.asof_join, i.e. ONE co-shuffle of
+    pronouns+mentions keyed by the doc and a single window — never a
+    per-pronoun probe join. Word separators are the single-char [ \\n]
+    class, so offset = running sum of word lengths + 1.
     """
+    from kg.normalize import PUNCT
     from kg.ops.temporal import asof_join
 
     rules = (
@@ -365,28 +368,38 @@ def resolve_pronouns(
         else pronoun_categories
     )
     base = docs.select(id_col, F.split("text", r"[ \n]").alias("_ws"))
-    offs = F.aggregate(
+    hit_type = "array<struct<pron:string,start:int>>"
+
+    def _step(acc, w):  # noqa: ANN001
+        norm = F.btrim(F.lower(w), F.lit(PUNCT))
+        hit = F.struct(
+            norm.alias("pron"), acc["p"].cast("int").alias("start")
+        )
+        return F.struct(
+            F.when(
+                norm.isin(*rules.keys()),
+                F.concat(acc["h"], F.array(hit)),
+            )
+            .otherwise(acc["h"])
+            .alias("h"),
+            (acc["p"] + F.length(w) + F.lit(1)).cast("int").alias("p"),
+        )
+
+    hits = F.aggregate(
         F.col("_ws"),
         F.struct(
-            F.lit([]).cast("array<int>").alias("o"),
+            F.lit([]).cast(hit_type).alias("h"),
             F.lit(0).alias("p"),
         ),
-        lambda acc, w: F.struct(
-            F.concat(acc["o"], F.array(acc["p"])).alias("o"),
-            (acc["p"] + F.length(w) + F.lit(1)).cast("int").alias("p"),
-        ),
-    )["o"]
-    from kg.normalize import PUNCT
-
+        _step,
+    )["h"]
     occ = (
-        base.withColumn("_offs", offs)
-        .select(id_col, F.explode(F.arrays_zip("_ws", "_offs")).alias("z"))
+        base.select(id_col, F.explode(hits).alias("z"))
         .select(
             id_col,
-            F.btrim(F.lower(F.col("z._ws")), F.lit(PUNCT)).alias("pron"),
-            F.col("z._offs").alias("start"),
+            F.col("z.pron").alias("pron"),
+            F.col("z.start").alias("start"),
         )
-        .where(F.col("pron").isin(*rules.keys()))
     )
     m = mentions.select(
         id_col,
