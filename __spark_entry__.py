@@ -686,6 +686,132 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ROUNDS = 3
+KMEANS_SEED = 17
+
+
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed spherical k-means (fixed-round Lloyd,
+    md5-hash init — no engine-internal randomness): final cluster
+    assignment per vector. Oracle unrolls init + all 3 rounds
+    (assign -> mean -> renormalize) in SQL."""
+    from kg.ops.similarity import lloyd_kmeans
+
+    assigned, _ = lloyd_kmeans(
+        _emb(spark, sf_dir), k=KMEANS_K, rounds=KMEANS_ROUNDS,
+        seed=KMEANS_SEED,
+    )
+    return assigned.select(
+        F.col("vid").cast("long").alias("vid"),
+        F.col("list_id").cast("int").alias("list_id"),
+    )
+
+
+def _lloyd_oracle_sql(k: int, rounds: int, seed: int) -> str:
+    """Unrolled-SQL replay of lloyd_kmeans: c0 from md5-rank init, then
+    per round an assignment CTE (argmax dot, ties -> smaller list) and a
+    centroid update CTE (per-dim mean, renormalized; emptied clusters
+    keep the previous centroid), and a FINAL assignment under the last
+    centroids (the fit+transform contract lloyd_kmeans implements)."""
+    parts = [f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS e
+  FROM embeddings
+), nrm AS (
+  SELECT vid, sqrt(list_dot_product(e, e)) AS n FROM v
+), u AS (
+  SELECT v.vid, list_transform(v.e, x -> x / nrm.n) AS unit
+  FROM v JOIN nrm USING (vid) WHERE nrm.n > 0
+), nd AS (SELECT max(len(unit)) AS n FROM u),
+hh AS (
+  SELECT vid,
+    ('0x' || substr(md5(CAST(vid AS VARCHAR) || '|{seed}'), 1, 15))::BIGINT
+      AS h
+  FROM u
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vid) - 1 AS INT)
+           AS probe_list,
+         unit AS centroid
+  FROM u JOIN hh USING (vid) ORDER BY h, vid LIMIT {k}
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", a{r} AS (
+  SELECT vid, list_id FROM (
+    SELECT u.vid, c.probe_list AS list_id,
+      row_number() OVER (PARTITION BY u.vid
+        ORDER BY list_dot_product(u.unit, c.centroid) DESC,
+                 c.probe_list) AS rn
+    FROM u, c{r - 1} c
+  ) WHERE rn = 1
+), m{r} AS (
+  SELECT a.list_id, d.d, avg(u.unit[d.d + 1]) AS m
+  FROM a{r} a JOIN u USING (vid),
+       (SELECT unnest(generate_series(0, (SELECT n FROM nd) - 1)) AS d) d
+  GROUP BY a.list_id, d.d
+), mm{r} AS (
+  SELECT list_id, list(m ORDER BY d) AS mean FROM m{r} GROUP BY list_id
+), c{r} AS (
+  SELECT c.probe_list,
+    CASE WHEN mm.mean IS NULL THEN c.centroid
+         ELSE list_transform(mm.mean,
+                x -> x / sqrt(list_dot_product(mm.mean, mm.mean)))
+    END AS centroid
+  FROM c{r - 1} c LEFT JOIN mm{r} mm ON mm.list_id = c.probe_list
+)""")
+    parts.append(f""", af AS (
+  SELECT vid, list_id FROM (
+    SELECT u.vid, c.probe_list AS list_id,
+      row_number() OVER (PARTITION BY u.vid
+        ORDER BY list_dot_product(u.unit, c.centroid) DESC,
+                 c.probe_list) AS rn
+    FROM u, c{rounds} c
+  ) WHERE rn = 1
+)""")
+    return "".join(parts)
+
+
+def _lloyd_kmeans_oracle_sql(k: int, rounds: int, seed: int) -> str:
+    return (
+        _lloyd_oracle_sql(k, rounds, seed)
+        + "\nSELECT vid, CAST(list_id AS INT) AS list_id FROM af\n"
+    )
+
+
+def _ivf_oracle_sql(
+    n_lists: int, rounds: int, seed: int, n_probe: int, topk: int,
+    max_qid: int,
+) -> str:
+    """emb_ann_ivf oracle: the unrolled Lloyd quantizer, then multi-probe
+    centroid ranking and the exact unit-dot re-rank — the whole IVF path
+    in SQL."""
+    return _lloyd_oracle_sql(n_lists, rounds, seed) + f""", probes AS (
+  SELECT vid AS qid, list_id FROM (
+    SELECT u.vid, c.probe_list AS list_id,
+      row_number() OVER (PARTITION BY u.vid
+        ORDER BY list_dot_product(u.unit, c.centroid) DESC,
+                 c.probe_list) AS rn
+    FROM u, c{rounds} c WHERE u.vid < {max_qid}
+  ) WHERE rn <= {n_probe}
+), cands AS (
+  SELECT p.qid, a.vid AS nid
+  FROM probes p JOIN af a ON a.list_id = p.list_id
+  WHERE a.vid <> p.qid
+), scored AS (
+  SELECT c.qid, c.nid, list_dot_product(uq.unit, un.unit) AS cos
+  FROM cands c
+  JOIN u uq ON uq.vid = c.qid
+  JOIN u un ON un.vid = c.nid
+), ranked AS (
+  SELECT qid, nid, row_number() OVER (
+    PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {topk}
+"""
+
+
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-capped sign-LSH ANN (blocking + exact cosine re-rank).
     FULLY oracle-backed since the hyperplanes became md5-derived (round
@@ -707,14 +833,16 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means cells + multi-probe). No SQL oracle — the quantizer
-    is iterative; the driver applies the rows-only check, and recall vs the
-    brute-force baseline is asserted in tests/test_ops.py."""
+    """IVF ANN (k-means cells + multi-probe), FULLY oracle-backed since
+    round 3: the coarse quantizer is the deterministic md5-seeded Lloyd
+    (quantizer='lloyd'), so the oracle unrolls the k-means rounds, the
+    multi-probe centroid ranking AND the exact re-rank in SQL. Recall vs
+    brute force is still asserted in tests/test_ops.py."""
     from kg.ops.similarity import ann_ivf_topk
 
     return ann_ivf_topk(
         _emb(spark, sf_dir), k=5, n_lists=8, n_probe=4,
-        query_filter=F.col("qid") < 20,
+        query_filter=F.col("qid") < 20, quantizer="lloyd",
     ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -3271,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
+        "emb_kmeans": q_emb_kmeans,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "emb_cosine_near_dup": q_emb_cosine_near_dup,
@@ -3685,6 +3814,12 @@ SELECT media_id,
   CAST(((n_frames + 1) // 2) * width * height AS BIGINT) AS frame_bytes
 FROM '{FIX}/media.parquet' WHERE kind = 'video'
 """,
+        "emb_kmeans": _lloyd_kmeans_oracle_sql(
+            KMEANS_K, KMEANS_ROUNDS, KMEANS_SEED
+        ),
+        "emb_ann_ivf": _ivf_oracle_sql(
+            n_lists=8, rounds=3, seed=17, n_probe=4, topk=5, max_qid=20
+        ),
         "emb_ann_lsh": """
 WITH v AS (
   SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS e

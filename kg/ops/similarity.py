@@ -30,6 +30,7 @@ __all__ = [
     "cosine_band_candidates",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "lloyd_kmeans",
     "embedding_cosine_near_dup",
     "dot_product_col",
     "quantize_embeddings",
@@ -308,12 +309,29 @@ def _unit_vectors(
 
 
 def _ivf_fit(
-    embeddings: DataFrame, n_lists: int, id_col: str, vec_col: str
+    embeddings: DataFrame,
+    n_lists: int,
+    id_col: str,
+    vec_col: str,
+    quantizer: str = "ml",
+    rounds: int = 3,
+    kseed: int = 17,
 ) -> tuple[DataFrame, DataFrame]:
-    """Fit the IVF coarse quantizer (seeded k-means on unit vectors).
-    Returns (assignments(vid, unit, list_id), centroids(probe_list,
-    centroid)) — shared by the one-shot ann_ivf_topk and the persisted
-    build_ivf_index/ann_ivf_search pair."""
+    """Fit the IVF coarse quantizer. Returns (assignments(vid, unit,
+    list_id), centroids(probe_list, centroid)) — shared by the one-shot
+    ann_ivf_topk and the persisted build_ivf_index/ann_ivf_search pair.
+
+    ``quantizer='ml'`` (default): pyspark.ml seeded k-means — the
+    battle-tested scale path, but its k-means|| init is engine-internal
+    randomness, so results are only pinned by recall tests.
+    ``quantizer='lloyd'``: the from-scratch deterministic
+    :func:`lloyd_kmeans` — bit-reproducible and SQL-replayable, which is
+    what lets the emb_ann_ivf contract carry a full oracle."""
+    if quantizer == "lloyd":
+        return lloyd_kmeans(
+            embeddings, k=n_lists, rounds=rounds, seed=kseed,
+            id_col=id_col, vec_col=vec_col,
+        )
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -407,6 +425,7 @@ def ann_ivf_topk(
     query_filter: Column | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "ml",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
     vectors into ``n_lists`` cells; each query probes its ``n_probe``
@@ -426,7 +445,9 @@ def ann_ivf_topk(
     Output: (query_id, neighbor_id, rank) — same shape as the brute-force
     baseline so recall is directly measurable.
     """
-    assigned, cents = _ivf_fit(embeddings, n_lists, id_col, vec_col)
+    assigned, cents = _ivf_fit(
+        embeddings, n_lists, id_col, vec_col, quantizer=quantizer
+    )
     q = assigned.select(
         F.col("vid").alias("qid"), F.col("unit").alias("qunit"), "list_id"
     )
@@ -567,3 +588,121 @@ def quantize_embeddings(
         F.array_join(q, ",").alias("q"),
         F.round(err, 9).alias("max_abs_err"),
     )
+
+
+def lloyd_kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic distributed spherical k-means (fixed-round Lloyd):
+    the from-scratch quantizer behind IVF cells, topical corpus
+    clustering, and cluster-balanced sampling — with NO engine-internal
+    randomness, unlike pyspark.ml's k-means|| init, so the contract
+    oracle can unroll every round in SQL and reruns are bit-identical.
+
+    Semantics: vectors are L2-normalized; initial centroids are the unit
+    vectors of the k ids with the smallest md5(vid|seed) (list_id =
+    hash-rank 0..k-1); each round assigns every vector to the centroid
+    with the highest dot product (ties -> smaller list_id) and recomputes
+    each centroid as the renormalized element-wise mean of its members
+    (an emptied cluster keeps its previous centroid); after the last
+    update every vector is assigned once more under the FINAL centroids
+    (assignments and centroids are mutually consistent, the ml.KMeans
+    fit+transform contract). Returns
+    (assignments(vid, unit, list_id), centroids(probe_list, centroid)).
+
+    Scale shape per round: one broadcast crossJoin of the corpus with k
+    centroid rows + a partial-aggregable max_by argmax (no window), then
+    one (list, dim) groupBy for the means — the classic two-job Lloyd
+    round; centroids (k x dim doubles) are driver-collected and
+    re-broadcast, exactly what ml.KMeans does internally. Cross-engine
+    float note: means sum in engine-specific order, so oracle equality
+    rests on assignment/probe margins far above float noise — pinned on
+    the fixtures by tests/test_ops.py.
+    """
+    unit = _unit_vectors(embeddings, id_col, vec_col)
+    hashed = unit.withColumn(
+        "_h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("vid").cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    init_rows = (
+        hashed.orderBy("_h", "vid").limit(int(k)).select("unit").collect()
+    )
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, list(r.unit)) for i, r in enumerate(init_rows)],
+        "probe_list int, centroid array<double>",
+    )
+    def _assign(cents_df: DataFrame) -> DataFrame:
+        scored = unit.crossJoin(F.broadcast(cents_df)).withColumn(
+            "_dot", dot_product_col("unit", "centroid")
+        )
+        return (
+            scored.groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_dot"),
+                        (-F.col("probe_list")).alias("_neg"),
+                    )
+                ).alias("_b"),
+                F.first("unit").alias("unit"),
+            )
+            .select(
+                "vid", "unit", (-F.col("_b._neg")).alias("list_id")
+            )
+        )
+
+    for _ in range(int(rounds)):
+        assigned = _assign(cents)
+        sums = (
+            assigned.select(
+                "list_id", F.posexplode("unit").alias("pos", "val")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("_pm")
+            )
+            .select(
+                "list_id",
+                F.transform("_pm", lambda s: s["m"]).alias("mean"),
+            )
+        )
+        new_rows = {
+            r.list_id: list(r.mean) for r in sums.collect()
+        }
+        next_cents = []
+        for r in cents.collect():
+            m = new_rows.get(r.probe_list)
+            if m is None:
+                next_cents.append((r.probe_list, list(r.centroid)))
+            else:
+                nrm = sum(x * x for x in m) ** 0.5
+                next_cents.append(
+                    (r.probe_list, [x / nrm for x in m])
+                )
+        cents = spark.createDataFrame(
+            next_cents, "probe_list int, centroid array<double>"
+        )
+    final = _assign(cents)
+    return final.select("vid", "unit", "list_id"), cents

@@ -266,6 +266,15 @@ def test_ann_ivf_recall_against_bruteforce(spark, embeddings):
     # random (unclustered) vectors are IVF's worst case: neighbors scatter
     # across cells, so recall tracks the probed fraction (6/8 here)
     assert recall >= 0.8, recall
+    # the deterministic lloyd quantizer (the oracle-backed contract path)
+    # must clear the same gate
+    approx_l = ann_ivf_topk(
+        embeddings, k=5, n_lists=8, n_probe=6,
+        query_filter=F.col("qid") < 20, quantizer="lloyd",
+    ).toPandas()
+    lloyd_set = set(map(tuple, approx_l[["query_id", "neighbor_id"]].values))
+    recall_l = len(exact_set & lloyd_set) / len(exact_set)
+    assert recall_l >= 0.8, recall_l
 
 
 def test_embedding_cosine_near_dup(spark):
@@ -757,3 +766,85 @@ def test_sign_bit_margin_far_above_float_noise():
         vecs = np.array([np.asarray(e, dtype=np.float64) for e in emb])
         hyper = _md5_hyperplanes(29, 128, vecs.shape[1])
         assert np.abs(vecs @ hyper.T).min() > 1e-7, sf
+
+
+class TestLloydKMeans:
+    def _py_lloyd(self, vecs, k, rounds, seed):
+        import hashlib
+
+        import numpy as np
+
+        ids = sorted(vecs)
+        unit = {
+            i: np.asarray(vecs[i], dtype=np.float64)
+            / np.sqrt(np.dot(vecs[i], vecs[i]))
+            for i in ids
+        }
+        ranked = sorted(
+            ids,
+            key=lambda i: (
+                int(hashlib.md5(f"{i}|{seed}".encode()).hexdigest()[:15],
+                    16), i),
+        )
+        cents = {j: unit[ranked[j]].copy() for j in range(k)}
+        assign, margins = {}, []
+        for _ in range(rounds):
+            for i in ids:
+                dots = sorted(
+                    ((float(unit[i] @ cents[j]), -j) for j in cents),
+                    reverse=True,
+                )
+                assign[i] = -dots[0][1]
+                if len(dots) > 1:
+                    margins.append(dots[0][0] - dots[1][0])
+            for j in cents:
+                members = [unit[i] for i in ids if assign[i] == j]
+                if members:
+                    m = np.mean(members, axis=0)
+                    cents[j] = m / np.sqrt(m @ m)
+        # final assignment under the final centroids (the fit+transform
+        # contract lloyd_kmeans implements)
+        for i in ids:
+            dots = sorted(
+                ((float(unit[i] @ cents[j]), -j) for j in cents),
+                reverse=True,
+            )
+            assign[i] = -dots[0][1]
+            if len(dots) > 1:
+                margins.append(dots[0][0] - dots[1][0])
+        return assign, min(margins)
+
+    def test_matches_python_replay_and_margin(self, spark):
+        import duckdb
+
+        from kg.ops.similarity import lloyd_kmeans
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        assigned, cents = lloyd_kmeans(emb, k=8, rounds=3, seed=17)
+        got = {r.vid: r.list_id for r in assigned.collect()}
+        raw = duckdb.sql(
+            "SELECT vec_id, embedding FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet'"
+        ).fetchall()
+        want, margin = self._py_lloyd(
+            {int(v): list(e) for v, e in raw}, 8, 3, 17
+        )
+        assert got == want
+        # assignment margins far above cross-engine float noise (~1e-13):
+        # this is what makes the unrolled SQL oracle safe
+        assert margin > 1e-6
+        assert cents.count() == 8
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.similarity import lloyd_kmeans
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        a, _ = lloyd_kmeans(emb.repartition(1), k=4, rounds=2)
+        b, _ = lloyd_kmeans(emb.repartition(13), k=4, rounds=2)
+        assert sorted((r.vid, r.list_id) for r in a.collect()) == sorted(
+            (r.vid, r.list_id) for r in b.collect()
+        )
