@@ -708,6 +708,21 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_SAMPLE_PER = 40
+
+
+def q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity subsampling (DataComp-style): Lloyd
+    cells + md5-rank cap per cell, total verdict table. Oracle = the
+    unrolled quantizer + the same window cap in SQL."""
+    from kg.ops.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _emb(spark, sf_dir), k=KMEANS_K, per_cluster=CLUSTER_SAMPLE_PER,
+        rounds=KMEANS_ROUNDS, seed=KMEANS_SEED,
+    )
+
+
 def _lloyd_oracle_sql(k: int, rounds: int, seed: int) -> str:
     """Unrolled-SQL replay of lloyd_kmeans: c0 from md5-rank init, then
     per round an assignment CTE (argmax dot, ties -> smaller list) and a
@@ -3400,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_kmeans": q_emb_kmeans,
+        "emb_cluster_sample": q_emb_cluster_sample,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "emb_cosine_near_dup": q_emb_cosine_near_dup,
@@ -3820,6 +3836,20 @@ FROM '{FIX}/media.parquet' WHERE kind = 'video'
         "emb_ann_ivf": _ivf_oracle_sql(
             n_lists=8, rounds=3, seed=17, n_probe=4, topk=5, max_qid=20
         ),
+        "emb_cluster_sample": _lloyd_oracle_sql(
+            KMEANS_K, KMEANS_ROUNDS, KMEANS_SEED
+        ) + f""", ranked AS (
+  SELECT vid, list_id, row_number() OVER (
+    PARTITION BY list_id
+    ORDER BY ('0x' || substr(md5(CAST(vid AS VARCHAR)
+        || '|samp{KMEANS_SEED}'), 1, 15))::BIGINT, vid) AS rn
+  FROM af
+)
+SELECT vid, CAST(list_id AS INT) AS list_id,
+       CAST(CASE WHEN rn <= {CLUSTER_SAMPLE_PER} THEN 1 ELSE 0 END AS INT)
+         AS kept
+FROM ranked
+""",
         "emb_ann_lsh": """
 WITH v AS (
   SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS e

@@ -31,6 +31,7 @@ __all__ = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "lloyd_kmeans",
+    "cluster_balanced_sample",
     "embedding_cosine_near_dup",
     "dot_product_col",
     "quantize_embeddings",
@@ -706,3 +707,56 @@ def lloyd_kmeans(
         )
     final = _assign(cents)
     return final.select("vid", "unit", "list_id"), cents
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    k: int = 8,
+    per_cluster: int = 64,
+    rounds: int = 3,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity subsampling for training corpora: cluster the embedding
+    space with the deterministic Lloyd quantizer, then keep at most
+    ``per_cluster`` vectors per cell, chosen by md5-hash rank (ties ->
+    vid) — so no semantic region dominates the sample and the draw is
+    reproducible and oracle-replayable (the DataComp-style
+    cluster-balanced sampler, the embedding-space analogue of
+    kg/ops/curation.py's per-host domain_cap).
+
+    Returns (vid, list_id, kept) for EVERY vector (total verdict table,
+    same contract as curate_corpus) — filter kept=1 for the sample.
+
+    Scale shape: lloyd_kmeans's rounds (broadcast crossJoin + argmax +
+    (list, dim) groupBy each), then ONE window keyed by the cluster for
+    the rank. Cluster sizes are corpus/k — if k is small relative to the
+    corpus, raise k (the quantizer cost grows linearly in k, the window
+    partitions shrink).
+    """
+    assigned, _ = lloyd_kmeans(
+        embeddings, k=k, rounds=rounds, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("vid").cast("string"),
+                              F.lit(f"samp{seed}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ranked = assigned.select("vid", "list_id").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("list_id").orderBy(h.asc(), F.col("vid"))
+        ),
+    )
+    return ranked.select(
+        "vid",
+        "list_id",
+        (F.col("_rn") <= int(per_cluster)).cast("int").alias("kept"),
+    )

@@ -848,3 +848,22 @@ class TestLloydKMeans:
         assert sorted((r.vid, r.list_id) for r in a.collect()) == sorted(
             (r.vid, r.list_id) for r in b.collect()
         )
+
+
+def test_cluster_balanced_sample_caps_and_total(spark):
+    from kg.ops.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    out = cluster_balanced_sample(emb, k=4, per_cluster=5, rounds=2)
+    rows = out.collect()
+    assert len(rows) == n  # total verdict table
+    from collections import Counter
+
+    kept = Counter(r.list_id for r in rows if r.kept == 1)
+    assert all(v <= 5 for v in kept.values())
+    assert sum(kept.values()) >= 5  # at least one full-ish cell
+    # partition-invariant
+    again = sorted(map(tuple, cluster_balanced_sample(
+        emb.repartition(9), k=4, per_cluster=5, rounds=2).collect()))
+    assert again == sorted(map(tuple, rows))
