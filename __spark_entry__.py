@@ -3329,6 +3329,25 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, bg, vocab, add_k=LM_ADD_K)
 
 
+LM_N_BUCKETS = 3
+
+
+def q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity buckets: rank docs by LM score within each
+    language and cut into 3 equal-count buckets (0 = head). Oracle =
+    the lm_score oracle as a CTE + the same floor-rank cut."""
+    from kg.ops.lm import lm_score, lm_vocab, perplexity_buckets, train_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    vocab = lm_vocab(docs, vocab_size=LM_VOCAB_SIZE)
+    bg = train_bigram_lm(docs, vocab)
+    scored = lm_score(docs, bg, vocab, add_k=LM_ADD_K).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    out = perplexity_buckets(scored, n_buckets=LM_N_BUCKETS)
+    return out.select("doc_id", "lang", "avg_logp", "bucket")
+
+
 def q_doc_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes lang classifier, self-trained on the
     documents table's lang labels (kg/ops/lm.py nb_train/nb_predict):
@@ -3359,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_lm_bigrams": q_doc_lm_bigrams,
         "doc_lm_score": q_doc_lm_score,
+        "doc_lm_buckets": q_doc_lm_buckets,
         "doc_nb_lang": q_doc_nb_lang,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_corpus_filter": q_doc_corpus_filter,
@@ -5433,6 +5453,22 @@ SELECT b.doc_id,
 FROM b
 LEFT JOIN reps r ON b.th = r.th
 LEFT JOIN cap c USING (doc_id)
+"""
+    d["doc_lm_buckets"] = f"""
+WITH s AS ({d["doc_lm_score"]}),
+j AS (
+  SELECT s.doc_id, d.lang, s.avg_logp
+  FROM s JOIN documents d USING (doc_id)
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY avg_logp DESC NULLS LAST, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM j
+)
+SELECT doc_id, lang, avg_logp,
+  CAST(least(floor((rn - 1) * {LM_N_BUCKETS} / n),
+             {LM_N_BUCKETS - 1}) AS INT) AS bucket
+FROM r
 """
     _MAXH = 16 ** 15
     d["doc_corpus_overlap"] = rf"""

@@ -58,7 +58,7 @@ __all__ = [
     "lm_score",
     "nb_train",
     "nb_predict",
-]
+ "perplexity_buckets",]
 
 UNK = "<unk>"
 
@@ -310,4 +310,42 @@ def nb_predict(
             F.coalesce(pred_col, F.lit(default_label)).alias(pred_col),
             F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
         )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "avg_logp",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: within each group (language),
+    rank documents by LM score and cut into ``n_buckets`` equal-count
+    buckets — bucket 0 = best-scored ("head"), last = "tail". Rank-based
+    (exact, deterministic ties on id) rather than a quantile threshold,
+    the same interpolation-free discipline as
+    kg.ops.curation.quality_prune. Null scores (docs with no bigrams)
+    sort worst.
+
+    Returns the input plus ``bucket`` (int). Scale shape: one group-key
+    exchange shared by the rank and count windows; no join, no Python.
+    """
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col)
+    )
+    cnt_w = Window.partitionBy(group_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(rank_w))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt_w))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.floor(
+                    (F.col("_rn") - 1) * int(n_buckets) / F.col("_n")
+                ).cast("int"),
+                F.lit(int(n_buckets) - 1),
+            ),
+        )
+        .drop("_rn", "_n")
     )

@@ -176,3 +176,21 @@ def test_nb_predict_plan_model_broadcast(spark, docs):
     # be an equi hash join (asserted above) and nothing may plan as a
     # shuffle CartesianProduct.
     assert p.count("BroadcastNestedLoopJoin") == 1
+
+
+class TestPerplexityBuckets:
+    def test_equal_cuts_ties_and_nulls(self, spark):
+        from kg.ops.lm import perplexity_buckets
+
+        rows = [
+            # lang a: 6 docs -> buckets of 2
+            (1, "a", -1.0), (2, "a", -2.0), (3, "a", -3.0),
+            (4, "a", -4.0), (5, "a", -5.0), (6, "a", None),
+            # lang b: 1 doc -> bucket 0
+            (7, "b", -9.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, avg_logp double"
+        ).repartition(4)
+        out = {r.doc_id: r.bucket for r in perplexity_buckets(df).collect()}
+        assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 0}
