@@ -1023,6 +1023,34 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard / Adamic-Adar link-prediction scores over
+    the committed edge fixture (max_degree above the graph's max, so the
+    hub cap is a no-op and the scores are exact); the DuckDB oracle
+    recomputes the wedge counts and degree ratios in SQL."""
+    from kg.graphstats import link_prediction_scores
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return link_prediction_scores(
+        edges, max_degree=100_000, min_common=2
+    ).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        "common_neighbors", "jaccard", "adamic_adar",
+    )
+
+
+def q_web_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal over the
+    synth page corpus: lines (lower+trim) shared by >= 8 pages are dropped
+    and the text reassembled; the DuckDB oracle replays the same
+    split/df/filter/reassemble pipeline."""
+    from kg.ops.textstats import remove_boilerplate_lines
+
+    pages = spark.read.parquet(f"{FIX}/pages_small.parquet")
+    return remove_boilerplate_lines(pages, id_col="url", min_docs=8)
+
+
 def q_kg_entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-mention edges over the committed mentions golden (skew-
     capped self-join co-partitioned on the doc key)."""
@@ -3399,6 +3427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_jaccard_join": q_doc_jaccard_join,
         "graph_connected_components": q_graph_connected_components,
+        "graph_link_prediction": q_graph_link_prediction,
+        "web_boilerplate": q_web_boilerplate,
         "graph_communities": q_graph_communities,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
@@ -4691,6 +4721,69 @@ SELECT CAST(node AS BIGINT) AS node,
        CAST(sum(in_d) AS BIGINT) AS in_degree,
        CAST(sum(out_d) + sum(in_d) AS BIGINT) AS degree
 FROM deg_rows GROUP BY node
+"""
+    d["graph_link_prediction"] = f"""
+WITH raw AS (SELECT src, dst FROM '{FIX}/edges.parquet'),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+adj AS (SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY node),
+capped AS (
+  SELECT a.node, a.nbr, d.degree FROM adj a JOIN deg d USING (node)
+  WHERE d.degree <= 100000
+),
+scored AS (
+  SELECT a1.nbr AS u, a2.nbr AS v, count(*) AS cn,
+    sum(1.0 / ln(a1.degree)) AS aa
+  FROM capped a1 JOIN capped a2
+    ON a1.node = a2.node AND a1.nbr < a2.nbr
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+cand AS (
+  SELECT s.* FROM scored s LEFT JOIN und e ON s.u = e.u AND s.v = e.v
+  WHERE e.u IS NULL
+)
+SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+  CAST(cn AS BIGINT) AS common_neighbors,
+  round(cn / (du.degree + dv.degree - cn), 9) AS jaccard,
+  round(aa, 9) AS adamic_adar
+FROM cand c
+JOIN deg du ON c.u = du.node
+JOIN deg dv ON c.v = dv.node
+"""
+    d["web_boilerplate"] = f"""
+WITH split AS (
+  SELECT url, string_split(text, chr(10)) AS parts
+  FROM '{FIX}/pages_small.parquet'
+),
+lines AS (
+  SELECT url, unnest(generate_series(1, len(parts))) AS pos,
+    unnest(parts) AS line
+  FROM split
+),
+nl AS (SELECT url, pos, line, lower(trim(line)) AS norm FROM lines),
+boiler AS (
+  SELECT norm FROM (
+    SELECT norm, count(DISTINCT url) AS df FROM nl
+    WHERE norm <> '' GROUP BY norm
+  ) WHERE df >= 8
+),
+kept AS (
+  SELECT nl.* FROM nl LEFT JOIN boiler b ON nl.norm = b.norm
+  WHERE b.norm IS NULL
+),
+agg AS (
+  SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+    count(*) AS n_kept
+  FROM kept GROUP BY url
+),
+tot AS (SELECT url, count(*) AS n_lines FROM nl GROUP BY url)
+SELECT t.url, coalesce(a.clean_text, '') AS clean_text,
+  CAST(t.n_lines AS BIGINT) AS n_lines,
+  CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN agg a ON t.url = a.url
 """
     d["graph_triangles"] = f"""
 WITH raw AS (SELECT src, dst FROM '{FIX}/edges.parquet'),

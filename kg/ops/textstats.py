@@ -263,6 +263,75 @@ def corpus_filter(
     )
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: a line whose
+    normalized form (lower + trim) appears in >= ``min_docs`` distinct
+    documents is boilerplate (nav bars, cookie banners, footers) and is
+    dropped from every document; the text is reassembled in original line
+    order. Blank lines are document structure, never counted or removed.
+
+    ``scope_col`` (e.g. host) restricts "appears in N documents" to within
+    each scope value — the CCNet per-shard / RefinedWeb per-site variant;
+    default is corpus-wide.
+
+    Returns (id, clean_text, n_lines, n_removed). Whole documents made of
+    boilerplate come back with clean_text = ''.
+
+    Scale shape: the line explode is a flatMap (no shuffle); the document
+    frequency is one distinct + one partial-aggregated groupBy on the
+    normalized line; membership is a left-anti join on the same key (the
+    optimizer's runtime bloom filter prunes scanned lines before the
+    shuffle); reassembly is one groupBy on the doc id with an in-group
+    array_sort — no window, no driver collection. Line strings as shuffle
+    keys dictionary-encode well; the boilerplate side is tiny after the
+    ``min_docs`` filter, so AQE usually broadcasts it.
+    """
+    scope = [scope_col] if scope_col else []
+    lines = docs.select(
+        id_col,
+        *scope,
+        F.posexplode(F.split(text_col, "\n", -1)).alias("pos", "line"),
+    ).withColumn("norm", F.lower(F.trim("line")))
+    boiler = (
+        lines.where(F.col("norm") != "")
+        .select(*scope, "norm", id_col)
+        .distinct()
+        .groupBy(*scope, "norm")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select(*scope, "norm")
+    )
+    kept = lines.join(boiler, scope + ["norm"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def corpus_report(
     docs: DataFrame, id_col: str = "doc_id", group_col: str = "source"
 ) -> DataFrame:

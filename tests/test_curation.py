@@ -435,3 +435,78 @@ class TestQualityPrune:
         assert quality_prune(df, frac=1.0).count() == 1
         with pt.raises(ValueError):
             quality_prune(df, frac=0.0)
+
+
+class TestRemoveBoilerplateLines:
+    def _docs(self, spark):
+        banner = "Accept cookies to continue"
+        rows = [
+            (1, f"{banner}\nUnique opening line\n\nBody one"),
+            (2, f"  {banner.upper()}  \nAnother body"),
+            (3, f"{banner}\nThird body text"),
+            (4, "No boilerplate here\n\nJust content"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_drops_shared_lines_keeps_blanks_and_order(self, spark):
+        from kg.ops.textstats import remove_boilerplate_lines
+
+        got = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(
+                self._docs(spark), min_docs=3
+            ).collect()
+        }
+        # banner normalizes identically across case/whitespace -> df=3
+        assert got[1].clean_text == "Unique opening line\n\nBody one"
+        assert (got[1].n_lines, got[1].n_removed) == (4, 1)
+        assert got[2].clean_text == "Another body"
+        assert got[3].clean_text == "Third body text"
+        # untouched doc keeps its blank line verbatim
+        assert got[4].clean_text == "No boilerplate here\n\nJust content"
+        assert got[4].n_removed == 0
+
+    def test_all_boilerplate_doc_becomes_empty(self, spark):
+        from kg.ops.textstats import remove_boilerplate_lines
+
+        rows = [(i, "same line") for i in range(1, 4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in remove_boilerplate_lines(df, min_docs=2).collect()
+        }
+        assert all(r.clean_text == "" and r.n_removed == 1 for r in got.values())
+        assert len(got) == 3
+
+    def test_scope_col_restricts_df_to_host(self, spark):
+        from kg.ops.textstats import remove_boilerplate_lines
+
+        rows = [
+            (1, "a.com", "footer\nalpha"),
+            (2, "a.com", "footer\nbeta"),
+            (3, "b.com", "footer\ngamma"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+        got = {
+            r.doc_id: r.clean_text
+            for r in remove_boilerplate_lines(
+                df, min_docs=2, scope_col="host"
+            ).collect()
+        }
+        # footer hits df=2 only within a.com; b.com's copy survives
+        assert got == {1: "alpha", 2: "beta", 3: "footer\ngamma"}
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.textstats import remove_boilerplate_lines
+
+        docs = self._docs(spark)
+        a = sorted(map(tuple, remove_boilerplate_lines(docs, min_docs=3).collect()))
+        b = sorted(
+            map(
+                tuple,
+                remove_boilerplate_lines(
+                    docs.repartition(7), min_docs=3
+                ).collect(),
+            )
+        )
+        assert a == b

@@ -537,3 +537,74 @@ class TestMergeFactEvidence:
             assert (m.n_evidence, m.n_docs) == (b.n_evidence, b.n_docs)
             assert (m.first_seen, m.last_seen) == (b.first_seen, b.last_seen)
             assert m.sample_urls == b.sample_urls
+
+
+class TestLinkPrediction:
+    def test_known_scores_on_two_wedges(self, spark):
+        import math
+
+        from kg.graphstats import link_prediction_scores
+
+        # square 1-2-3-4-1: non-adjacent diagonals (1,3) and (2,4) each
+        # share exactly the two square corners; all degrees are 2
+        rows = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        got = {
+            (r.u, r.v): r
+            for r in link_prediction_scores(edges, min_common=1).collect()
+        }
+        assert set(got) == {(1, 3), (2, 4)}
+        aa = round(2 * (1.0 / math.log(2)), 9)
+        for r in got.values():
+            assert r.common_neighbors == 2
+            assert r.jaccard == round(2 / (2 + 2 - 2), 9) == 1.0
+            assert r.adamic_adar == aa
+
+    def test_existing_edges_excluded_and_direction_collapsed(self, spark):
+        from kg.graphstats import link_prediction_scores
+
+        # triangle (all pairs adjacent) -> no candidates, even with
+        # duplicate and reversed raw edges
+        rows = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        assert link_prediction_scores(edges, min_common=1).count() == 0
+
+    def test_hub_cap_excludes_hub_centers_not_ends(self, spark):
+        from kg.graphstats import link_prediction_scores
+
+        # star center 0 with leaves 1..5, plus leaf pair (1,2) through a
+        # side node 9: with max_degree below the hub degree, wedges
+        # through 0 vanish but the wedge through 9 survives, and jaccard
+        # still uses the ends' FULL degrees
+        rows = [(0, i) for i in range(1, 6)] + [(9, 1), (9, 2)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        capped = {
+            (r.u, r.v): r
+            for r in link_prediction_scores(
+                edges, max_degree=2, min_common=1
+            ).collect()
+        }
+        # leaf pairs through hub 0 ((1,3), (3,4), ...) are gone; what
+        # remains goes through degree-2 centers: (1,2) via 9, and (0,9)
+        # via 1 and 2 (both legitimately non-adjacent common-neighbor
+        # pairs)
+        assert set(capped) == {(1, 2), (0, 9)}
+        r = capped[(1, 2)]
+        # deg(1) = deg(2) = 2 (hub + side), cn = 1 via node 9
+        assert r.common_neighbors == 1 and r.jaccard == round(1 / 3, 9)
+
+    def test_partition_invariant(self, spark):
+        from kg.graphstats import link_prediction_scores
+
+        rows = [(i, (i * 7 + 3) % 23) for i in range(60)] + [(2, 11), (5, 17)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        a = sorted(
+            map(tuple, link_prediction_scores(edges).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                link_prediction_scores(edges.repartition(13)).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
