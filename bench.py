@@ -332,6 +332,21 @@ def run_suite(spark, sf_dir: str) -> dict:
     timings["dedup"] = timed_twice(w_dedup)
     extra["dedup_docs_per_sec"] = round(2 * n_pages / timings["dedup"], 1)
 
+    # --- boilerplate line removal (CCNet-style): corpus-wide line
+    # document-frequency + anti-join + per-doc reassembly — three
+    # corpus-sized shuffles over the extracted text, scaling-relevant ---
+    from kg.ops.textstats import remove_boilerplate_lines
+
+    def w_boilerplate():
+        counts["boilerplate"] = remove_boilerplate_lines(
+            docs_x, id_col="doc_id", min_docs=8
+        ).count()
+
+    timings["boilerplate"] = timed_twice(w_boilerplate)
+    extra["boilerplate_docs_per_sec"] = round(
+        n_pages / timings["boilerplate"], 1
+    )
+
     # --- curation: the training-data layout ladder over the full corpus
     # (sliding-window chunking + concat-and-chunk packing + hash split);
     # chunk/split are pure narrow maps, packing is one window-by-shard

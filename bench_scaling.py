@@ -108,7 +108,8 @@ HISTORY = REPO / "BENCH" / "history.jsonl"
 # and in history.jsonl, but it is not scaling evidence either way.
 EFF_KEYS = ("pipeline_docs_per_sec", "mentions_docs_per_sec",
             "triples_per_sec", "weblinks_pages_per_sec",
-            "curation_docs_per_sec", "lm_docs_per_sec")
+            "curation_docs_per_sec", "lm_docs_per_sec",
+            "boilerplate_docs_per_sec")
 
 
 def _load_history() -> list[dict]:

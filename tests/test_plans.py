@@ -384,3 +384,30 @@ def test_kmv_overlap_sketch_sized_join_only(spark):
     p = _plan(kmv_overlap(a, b, "v", k=8))
     assert p.count("Join") == 1  # the sketch pair join, nothing else
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_remove_boilerplate_all_jvm_no_window_no_cartesian(spark, documents_sf):
+    from kg.ops.textstats import remove_boilerplate_lines
+
+    p = _plan(remove_boilerplate_lines(documents_sf, min_docs=3))
+    # pure column expressions end to end: no Python, no window, and the
+    # frequency/membership/reassembly aggregations all partial-aggregate
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p  # map-side combine on the df groupBy
+
+
+def test_link_prediction_equi_joins_only(spark):
+    from kg.graphstats import link_prediction_scores
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 23) for i in range(60)], "src long, dst long"
+    )
+    p = _plan(link_prediction_scores(edges))
+    # wedge join, anti-join, and degree joins are all equi-joins; the
+    # (u, v) score aggregation partial-aggregates before its exchange
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
