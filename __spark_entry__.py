@@ -1051,6 +1051,18 @@ def q_web_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(pages, id_col="url", min_docs=8)
 
 
+def q_web_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution over the committed redirect fixture
+    (chains, a cycle, a self-loop, a duplicate src, a 40-hop over-budget
+    chain): pointer doubling in ceil(log2(max_hops)) rounds; the DuckDB
+    oracle walks the same functional map with a bounded recursive CTE —
+    a different algorithm, a genuine cross-check."""
+    from kg.ops.webnorm import resolve_redirects
+
+    redirects = spark.read.parquet(f"{FIX}/redirects.parquet")
+    return resolve_redirects(redirects, max_hops=32)
+
+
 def q_kg_entity_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-mention edges over the committed mentions golden (skew-
     capped self-join co-partitioned on the doc key)."""
@@ -3429,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_connected_components": q_graph_connected_components,
         "graph_link_prediction": q_graph_link_prediction,
         "web_boilerplate": q_web_boilerplate,
+        "web_redirects": q_web_redirects,
         "graph_communities": q_graph_communities,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
@@ -4784,6 +4797,28 @@ SELECT t.url, coalesce(a.clean_text, '') AS clean_text,
   CAST(t.n_lines AS BIGINT) AS n_lines,
   CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
 FROM tot t LEFT JOIN agg a ON t.url = a.url
+"""
+    d["web_redirects"] = f"""
+WITH RECURSIVE m AS (
+  SELECT src_url AS src, min(dst_url) AS nxt
+  FROM '{FIX}/redirects.parquet'
+  WHERE src_url <> dst_url GROUP BY src_url
+),
+walk AS (
+  SELECT src, nxt, 1 AS h FROM m
+  UNION ALL
+  SELECT w.src, m.nxt, w.h + 1
+  FROM walk w JOIN m ON w.nxt = m.src
+  WHERE w.h <= 32
+),
+last AS (
+  SELECT src, arg_max(nxt, h) AS nxt, max(h) AS h FROM walk GROUP BY src
+)
+SELECT l.src AS src,
+  CASE WHEN t.src IS NULL AND l.h <= 32 THEN l.nxt END AS target,
+  CASE WHEN t.src IS NULL AND l.h <= 32 THEN CAST(l.h AS BIGINT) END AS hops,
+  (t.src IS NULL AND l.h <= 32) AS resolved
+FROM last l LEFT JOIN m t ON l.nxt = t.src
 """
     d["graph_triangles"] = f"""
 WITH raw AS (SELECT src, dst FROM '{FIX}/edges.parquet'),

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_urls", "TRACKING_PARAM_RE"]
+__all__ = ["normalize_urls", "resolve_redirects", "TRACKING_PARAM_RE"]
 
 #: query params dropped as tracking noise (anchored per param)
 TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid)(=.*)?$"
@@ -75,4 +75,71 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("url_norm", _norm_expr(url)).withColumn(
         "host",
         F.lower(F.regexp_extract(F.col("url_norm"), _URL_RE, 2)),
+    )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Resolve HTTP redirect chains to their terminal (canonical) URL —
+    the step between URL normalization and url-keyed dedup/linking when
+    the crawl carries a redirect edge table.
+
+    The map is made functional first (self-loops dropped; duplicate srcs
+    collapse to the MIN dst — deterministic). A src is resolved when its
+    chain reaches a url with no outgoing redirect in <= ``max_hops``
+    hops; cycles and over-budget chains come back resolved=false with
+    NULL target/hops. Returns one row per functional src:
+    (src, target, hops, resolved).
+
+    Scale shape: pointer doubling — each round composes the current
+    mapping with itself (one equi self-join), so chains of length up to
+    max_hops collapse in ceil(log2(max_hops)) rounds, not max_hops
+    sequential joins; every round is one shuffle co-partitioned on the
+    join key, with a materialize barrier (web redirect graphs are a few
+    % the size of the crawl, so the per-round table is cheap). The
+    DuckDB oracle walks the same map with a bounded recursive CTE — a
+    different algorithm, a genuine cross-check.
+    """
+    import math
+
+    from kg.session import materialize
+
+    base = materialize(
+        redirects.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("nxt"))
+    )
+    cur = base.select("src", "nxt", F.lit(1).cast("long").alias("h"))
+    rounds = max(1, math.ceil(math.log2(max(max_hops, 2))))
+    for _ in range(rounds):
+        jump = cur.select(
+            F.col("src").alias("j_src"),
+            F.col("nxt").alias("j_nxt"),
+            F.col("h").alias("j_h"),
+        )
+        cur = materialize(
+            cur.join(jump, cur["nxt"] == jump["j_src"], "left").select(
+                "src",
+                F.coalesce("j_nxt", "nxt").alias("nxt"),
+                (F.col("h") + F.coalesce("j_h", F.lit(0))).alias("h"),
+            )
+        )
+    terminal = cur.join(
+        base.select(F.col("src").alias("t_src")),
+        cur["nxt"] == F.col("t_src"),
+        "left",
+    )
+    ok = F.col("t_src").isNull() & (F.col("h") <= max_hops)
+    return terminal.select(
+        "src",
+        F.when(ok, F.col("nxt")).alias("target"),
+        F.when(ok, F.col("h")).cast("long").alias("hops"),
+        ok.alias("resolved"),
     )

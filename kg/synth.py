@@ -307,6 +307,37 @@ def edges_df(n_chains: int = 30, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["src", "dst"]).astype("int64")
 
 
+def redirects_df() -> pd.DataFrame:
+    """Deterministic redirect-edge fixture for resolve_redirects: 12 chains
+    of length 1..5 ending at a terminal url, a 3-cycle, a self-loop (not a
+    redirect — dropped), a duplicate-src pair (functional violation — the
+    min dst wins), and a 40-hop chain exceeding the default max_hops=32
+    (terminal but unresolvable within budget)."""
+    rows: list[tuple[str, str]] = []
+    for c in range(12):
+        length = (c % 5) + 1
+        for i in range(length):
+            nxt = (
+                f"http://r{c}.example/hop{i + 1}"
+                if i + 1 < length
+                else f"http://final{c}.example/"
+            )
+            rows.append((f"http://r{c}.example/hop{i}", nxt))
+    rows += [
+        ("http://cyc.example/0", "http://cyc.example/1"),
+        ("http://cyc.example/1", "http://cyc.example/2"),
+        ("http://cyc.example/2", "http://cyc.example/0"),
+        ("http://self.example/", "http://self.example/"),
+        ("http://dup.example/", "http://zzz.example/"),
+        ("http://dup.example/", "http://aaa.example/"),
+    ]
+    rows += [
+        (f"http://long.example/{i}", f"http://long.example/{i + 1}")
+        for i in range(40)
+    ]
+    return pd.DataFrame(rows, columns=["src_url", "dst_url"])
+
+
 def media_df(n: int = 60, seed: int = 42) -> pd.DataFrame:
     """Media fixture WITH generation-time ground truth: the payload header
     is parsed by the query under test; the truth columns (width/height/
@@ -390,6 +421,7 @@ def materialize_extras(outdir: str, seed: int = 42) -> None:
     out.mkdir(parents=True, exist_ok=True)
     edges_df(seed=seed).to_parquet(out / "edges.parquet", index=False)
     media_df(seed=seed).to_parquet(out / "media.parquet", index=False)
+    redirects_df().to_parquet(out / "redirects.parquet", index=False)
     pages = pd.read_parquet(out / "pages_tiny.parquet")
     expected_ner(pages).to_parquet(out / "expected_ner_tiny.parquet", index=False)
     expected_ner(pages, CUSTOM_ENTITIES).to_parquet(

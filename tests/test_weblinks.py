@@ -203,3 +203,50 @@ class TestMineAnchorAliases:
                 F.col("url") == F.col("url_norm")
             ).count()
             assert eq == n, fx
+
+
+class TestResolveRedirects:
+    def _resolve(self, spark, rows, **kw):
+        from kg.ops.webnorm import resolve_redirects
+
+        df = spark.createDataFrame(rows, "src_url string, dst_url string")
+        return {r.src: r for r in resolve_redirects(df, **kw).collect()}
+
+    def test_chain_resolves_with_exact_hops(self, spark):
+        rows = [("a", "b"), ("b", "c"), ("c", "d")]
+        got = self._resolve(spark, rows)
+        assert (got["a"].target, got["a"].hops, got["a"].resolved) == ("d", 3, True)
+        assert (got["b"].target, got["b"].hops) == ("d", 2)
+        assert (got["c"].target, got["c"].hops) == ("d", 1)
+        assert set(got) == {"a", "b", "c"}  # terminal d is not a src
+
+    def test_cycle_and_over_budget_chain_unresolved(self, spark):
+        rows = [("x", "y"), ("y", "x")] + [
+            (f"n{i}", f"n{i + 1}") for i in range(10)
+        ]
+        got = self._resolve(spark, rows, max_hops=4)
+        for s in ("x", "y", "n0"):  # cycle, and 10 hops > budget 4
+            assert not got[s].resolved
+            assert got[s].target is None and got[s].hops is None
+        assert got["n7"].resolved and got["n7"].hops == 3
+
+    def test_self_loop_dropped_and_min_dst_wins(self, spark):
+        rows = [("s", "s"), ("d", "zz"), ("d", "aa")]
+        got = self._resolve(spark, rows)
+        assert "s" not in got
+        assert (got["d"].target, got["d"].hops, got["d"].resolved) == ("aa", 1, True)
+
+    def test_long_chain_within_budget_and_partition_invariance(self, spark):
+        from kg.ops.webnorm import resolve_redirects
+
+        rows = [(f"u{i}", f"u{i + 1}") for i in range(31)]
+        df = spark.createDataFrame(rows, "src_url string, dst_url string")
+        got = {r.src: r for r in resolve_redirects(df, max_hops=32).collect()}
+        assert (got["u0"].target, got["u0"].hops) == ("u31", 31)
+        rep = {
+            r.src: r
+            for r in resolve_redirects(df.repartition(7), max_hops=32).collect()
+        }
+        assert {k: tuple(v) for k, v in got.items()} == {
+            k: tuple(v) for k, v in rep.items()
+        }
