@@ -1051,6 +1051,58 @@ def q_web_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(pages, id_col="url", min_docs=8)
 
 
+HITS_ITERS = 8
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hubs/authorities over the committed edge
+    fixture; the DuckDB oracle unrolls the identical L1-normalized
+    mutual-reinforcement recurrence, so values must agree to the 9-dp
+    rounding."""
+    from kg.graphstats import hits
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return hits(edges, iterations=HITS_ITERS).select(
+        F.col("node").cast("long").alias("node"), "hub", "authority"
+    )
+
+
+def _hits_oracle_sql(iters: int) -> str:
+    parts = [
+        f"raw AS MATERIALIZED (SELECT DISTINCT src, dst FROM '{FIX}/edges.parquet'"
+        " WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM raw UNION ALL SELECT dst FROM raw))",
+        "s0 AS MATERIALIZED (SELECT node,"
+        " 1.0 / (SELECT count(*) FROM nodes) AS hub,"
+        " 1.0 / (SELECT count(*) FROM nodes) AS auth FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i}r AS MATERIALIZED (SELECT n.node, coalesce(sum(s.hub), 0) AS a"
+            f" FROM nodes n LEFT JOIN raw e ON e.dst = n.node"
+            f" LEFT JOIN s{i - 1} s ON s.node = e.src GROUP BY n.node)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node, a / (SELECT sum(a) FROM a{i}r) AS auth"
+            f" FROM a{i}r)"
+        )
+        parts.append(
+            f"h{i}r AS MATERIALIZED (SELECT n.node, coalesce(sum(a.auth), 0) AS h"
+            f" FROM nodes n LEFT JOIN raw e ON e.src = n.node"
+            f" LEFT JOIN a{i} a ON a.node = e.dst GROUP BY n.node)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT h.node, h.h / (SELECT sum(h) FROM h{i}r)"
+            f" AS hub, a.auth FROM h{i}r h JOIN a{i} a USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(hub, 9) AS hub,"
+        f" round(auth, 9) AS authority FROM s{iters}"
+    )
+
+
 def q_web_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution over the committed redirect fixture
     (chains, a cycle, a self-loop, a duplicate src, a 40-hop over-budget
@@ -3442,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_prediction": q_graph_link_prediction,
         "web_boilerplate": q_web_boilerplate,
         "web_redirects": q_web_redirects,
+        "graph_hits": q_graph_hits,
         "graph_communities": q_graph_communities,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
@@ -4798,6 +4851,7 @@ SELECT t.url, coalesce(a.clean_text, '') AS clean_text,
   CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
 FROM tot t LEFT JOIN agg a ON t.url = a.url
 """
+    d["graph_hits"] = _hits_oracle_sql(HITS_ITERS)
     d["web_redirects"] = f"""
 WITH RECURSIVE m AS (
   SELECT src_url AS src, min(dst_url) AS nxt

@@ -206,6 +206,81 @@ def personalized_pagerank(
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over the
+    deduplicated directed edge list — the web-graph complement to
+    PageRank: authorities are pointed at by good hubs, hubs point at
+    good authorities. Returns (node, hub, authority), each vector
+    L1-normalized (sums to 1), rounded to 9 places.
+
+    Per iteration: auth(v) = Σ_{u→v} hub(u), then L1-normalize; hub(u) =
+    Σ_{u→v} auth(v), then L1-normalize — two shuffle joins + two
+    partial-agged groupBys + two scalar normalization aggregates, with
+    materialize barriers, the :func:`pagerank` scale shape. Fixed
+    iterations keep it deterministic and oracle-expressible (the DuckDB
+    oracle unrolls the identical recurrence).
+    """
+    e = materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = materialize(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    scores = materialize(
+        nodes.select(
+            "node",
+            F.lit(1.0 / n).alias("hub"),
+            F.lit(1.0 / n).alias("auth"),
+        )
+    )
+    for _ in range(iterations):
+        a_raw = (
+            e.join(scores, e["src"] == scores["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a"))
+        )
+        auth = materialize(
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left").select(
+                "node", F.coalesce("a", F.lit(0.0)).alias("a")
+            )
+        )
+        a_sum = auth.agg(F.sum("a")).first()[0]
+        auth = materialize(
+            auth.select("node", (F.col("a") / a_sum).alias("auth"))
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h"))
+        )
+        hub = materialize(
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left").select(
+                "node", F.coalesce("h", F.lit(0.0)).alias("h")
+            )
+        )
+        h_sum = hub.agg(F.sum("h")).first()[0]
+        scores = materialize(
+            hub.join(auth, "node").select(
+                "node", (F.col("h") / h_sum).alias("hub"), "auth"
+            )
+        )
+    return scores.select(
+        "node",
+        F.round("hub", 9).alias("hub"),
+        F.round("auth", 9).alias("authority"),
+    )
+
+
 def degree_stats(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

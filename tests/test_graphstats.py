@@ -608,3 +608,43 @@ class TestLinkPrediction:
             )
         )
         assert a == b and len(a) > 0
+
+
+class TestHits:
+    def _numpy_hits(self, edge_list, iters):
+        nodes = sorted({u for e in edge_list for u in e})
+        idx = {u: i for i, u in enumerate(nodes)}
+        es = {(s, t) for s, t in edge_list if s != t}
+        n = len(nodes)
+        hub = np.full(n, 1.0 / n)
+        auth = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            a = np.zeros(n)
+            for s, t in es:
+                a[idx[t]] += hub[idx[s]]
+            auth = a / a.sum()
+            h = np.zeros(n)
+            for s, t in es:
+                h[idx[s]] += auth[idx[t]]
+            hub = h / h.sum()
+        return {u: (hub[idx[u]], auth[idx[u]]) for u in nodes}
+
+    def test_matches_numpy_recurrence(self, spark, tiny_edges):
+        from kg.graphstats import hits
+
+        edge_list = [(r.src, r.dst) for r in tiny_edges.collect()]
+        want = self._numpy_hits(edge_list, iters=6)
+        got = {r.node: r for r in hits(tiny_edges, iterations=6).collect()}
+        assert set(got) == set(want)
+        for u, (h, a) in want.items():
+            assert abs(got[u].hub - h) < 1e-9
+            assert abs(got[u].authority - a) < 1e-9
+
+    def test_l1_normalized_and_partition_invariant(self, spark, tiny_edges):
+        from kg.graphstats import hits
+
+        rows = hits(tiny_edges, iterations=4).collect()
+        assert abs(sum(r.hub for r in rows) - 1.0) < 1e-6
+        assert abs(sum(r.authority for r in rows) - 1.0) < 1e-6
+        rep = hits(tiny_edges.repartition(5), iterations=4).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, rep))
