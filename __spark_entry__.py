@@ -1001,6 +1001,26 @@ def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: the edge fixture arrives as three
+    hash-split crawl increments, each folded into the standing (node,
+    component) assignment via incremental_components — per-increment cost
+    O(assignment + batch), never O(history). The oracle is the SAME
+    recursive-CTE closure over ALL edges as graph_connected_components:
+    the fold must equal the full recompute exactly."""
+    from kg.cc import incremental_components
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    assign = spark.createDataFrame([], "node long, component long")
+    for i in range(3):
+        batch = edges.where(F.abs(F.xxhash64("src", "dst")) % 3 == i)
+        assign = incremental_components(assign, batch)
+    return assign.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the committed edge fixture; the DuckDB
     oracle unrolls the identical power-iteration recurrence (dangling mass
@@ -3491,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_jaccard_join": q_doc_jaccard_join,
         "graph_connected_components": q_graph_connected_components,
+        "graph_cc_incremental": q_graph_cc_incremental,
         "graph_link_prediction": q_graph_link_prediction,
         "web_boilerplate": q_web_boilerplate,
         "web_redirects": q_web_redirects,
@@ -4852,6 +4873,8 @@ SELECT t.url, coalesce(a.clean_text, '') AS clean_text,
 FROM tot t LEFT JOIN agg a ON t.url = a.url
 """
     d["graph_hits"] = _hits_oracle_sql(HITS_ITERS)
+    # incremental fold must equal the full recompute: same closure oracle
+    d["graph_cc_incremental"] = d["graph_connected_components"]
     d["web_redirects"] = f"""
 WITH RECURSIVE m AS (
   SELECT src_url AS src, min(dst_url) AS nxt

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from kg.session import materialize
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "incremental_components"]
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -143,4 +143,38 @@ def connected_components(
     roots = current.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
     return members.union(roots).groupBy("node").agg(
         F.min("component").alias("component")
+    )
+
+
+def incremental_components(
+    prev: DataFrame, new_edges: DataFrame, **cc_kwargs
+) -> DataFrame:
+    """Fold a batch of new edges into an existing (node, component)
+    assignment without re-running CC over the full historical edge set —
+    the crawl-increment path for alias canonicalization: per increment,
+    cost is O(assignment + batch), never O(all edges ever seen).
+
+    Correctness: the previous assignment is itself a spanning star of the
+    historical graph (every node linked to its component root), so CC over
+    (assignment-as-edges UNION new batch) equals CC over (full history
+    UNION new batch). Component ids stay stable across increments —
+    component = min node id, so an id changes only when a batch genuinely
+    merges components (the survivor is the min of the two).
+
+    Returns (node, component) covering every previously assigned node and
+    every node in the batch; singletons keep component = node.
+    """
+    star = prev.select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    combined = star.union(new_edges.select("src", "dst"))
+    assign = connected_components(combined, **cc_kwargs)
+    all_nodes = (
+        prev.select("node")
+        .union(new_edges.select(F.col("src").alias("node")))
+        .union(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return all_nodes.join(assign, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
     )

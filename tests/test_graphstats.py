@@ -648,3 +648,44 @@ class TestHits:
         assert abs(sum(r.authority for r in rows) - 1.0) < 1e-6
         rep = hits(tiny_edges.repartition(5), iterations=4).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, rep))
+
+
+class TestIncrementalComponents:
+    def test_fold_equals_full_recompute_and_merges_components(self, spark):
+        from kg.cc import connected_components, incremental_components
+
+        # batch 1: two separate chains; batch 2: a bridge merging them,
+        # plus a brand-new singleton pair
+        b1 = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+        )
+        b2 = spark.createDataFrame(
+            [(3, 10), (20, 21)], "src long, dst long"
+        )
+        a1 = incremental_components(
+            spark.createDataFrame([], "node long, component long"), b1
+        )
+        got1 = {r.node: r.component for r in a1.collect()}
+        assert got1 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        a2 = incremental_components(a1, b2)
+        got2 = {r.node: r.component for r in a2.collect()}
+        full = {
+            r.node: r.component
+            for r in connected_components(b1.union(b2)).collect()
+        }
+        assert got2 == full
+        assert got2[11] == 1  # merged component keeps the min id
+
+    def test_nodes_persist_across_increments_without_new_edges(self, spark):
+        from kg.cc import incremental_components
+
+        prev = spark.createDataFrame(
+            [(5, 5), (7, 6), (6, 6)], "node long, component long"
+        )
+        batch = spark.createDataFrame([(100, 101)], "src long, dst long")
+        got = {
+            r.node: r.component
+            for r in incremental_components(prev, batch).collect()
+        }
+        # untouched nodes (incl. the singleton 5) keep their assignment
+        assert got == {5: 5, 6: 6, 7: 6, 100: 100, 101: 100}
