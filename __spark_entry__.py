@@ -1072,6 +1072,47 @@ def q_web_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HITS_ITERS = 8
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=2) of the edge fixture via iterative peeling — chains and
+    star leaves peel away, rings and dense cross-linked cores survive; the
+    DuckDB oracle unrolls the same bounded peel, integer-exact."""
+    from kg.graphstats import kcore
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return kcore(edges, k=KCORE_K, max_rounds=KCORE_ROUNDS).select(
+        F.col("node").cast("long").alias("node"), "degree"
+    )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    parts = [
+        f"und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,"
+        f" greatest(src, dst) AS v FROM '{FIX}/edges.parquet'"
+        f" WHERE src <> dst)",
+        "a0 AS MATERIALIZED (SELECT u AS node, v AS nbr FROM und"
+        " UNION ALL SELECT v, u FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT node FROM"
+            f" (SELECT node, count(*) AS c FROM a{i - 1} GROUP BY node)"
+            f" WHERE c >= {k})"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT a.node, a.nbr FROM a{i - 1} a"
+            f" JOIN k{i} x ON a.node = x.node"
+            f" JOIN k{i} y ON a.nbr = y.node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(count(*) AS BIGINT) AS degree"
+        f" FROM a{rounds} GROUP BY node HAVING count(*) >= {k}"
+    )
 
 
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3516,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_boilerplate": q_web_boilerplate,
         "web_redirects": q_web_redirects,
         "graph_hits": q_graph_hits,
+        "graph_kcore": q_graph_kcore,
         "graph_communities": q_graph_communities,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
@@ -4873,6 +4915,7 @@ SELECT t.url, coalesce(a.clean_text, '') AS clean_text,
 FROM tot t LEFT JOIN agg a ON t.url = a.url
 """
     d["graph_hits"] = _hits_oracle_sql(HITS_ITERS)
+    d["graph_kcore"] = _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS)
     # incremental fold must equal the full recompute: same closure oracle
     d["graph_cc_incremental"] = d["graph_connected_components"]
     d["web_redirects"] = f"""

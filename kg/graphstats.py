@@ -459,6 +459,66 @@ def link_prediction_scores(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core of the undirected simple projection: the maximal subgraph
+    where every node keeps degree >= k — the standard dense-subgraph
+    filter for KG pruning (peripheral chains/leaves peel away, reliable
+    well-connected entities remain). Returns (node, degree) with degree
+    measured INSIDE the core.
+
+    Scale shape: iterative peeling — each round is one partial-aggregated
+    degree groupBy plus two left-semi joins that shrink the adjacency to
+    surviving endpoints, with a materialize barrier; rounds needed =
+    peeling depth (graph diameter bound), convergence is a count check on
+    just-materialized partitions, not a collect. Integer-only semantics,
+    so the unrolled DuckDB oracle is bit-exact.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = materialize(
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+            und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+    )
+    n_adj = adj.count()
+    for _ in range(max_rounds):
+        if n_adj == 0:
+            break
+        alive = (
+            adj.groupBy("node")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= k)
+            .select("node")
+        )
+        nxt = materialize(
+            adj.join(alive, "node", "left_semi").join(
+                alive.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+            )
+        )
+        n_nxt = nxt.count()
+        adj, stable = nxt, n_nxt == n_adj
+        n_adj = n_nxt
+        if stable:
+            break
+    return (
+        adj.groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .where(F.col("degree") >= k)
+    )
+
+
 def khop_reachability(
     edges: DataFrame,
     seeds,

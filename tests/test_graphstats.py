@@ -689,3 +689,45 @@ class TestIncrementalComponents:
         }
         # untouched nodes (incl. the singleton 5) keep their assignment
         assert got == {5: 5, 6: 6, 7: 6, 100: 100, 101: 100}
+
+
+class TestKcore:
+    def test_ring_survives_chain_and_star_peel(self, spark):
+        from kg.graphstats import kcore
+
+        ring = [(i, (i + 1) % 5) for i in range(5)]          # 0..4 cycle
+        chain = [(4, 10), (10, 11), (11, 12)]                # tail off node 4
+        star = [(20, 21), (20, 22), (20, 23)]                # all leaves
+        edges = spark.createDataFrame(
+            ring + chain + star, "src long, dst long"
+        )
+        got = {r.node: r.degree for r in kcore(edges, k=2).collect()}
+        assert got == {i: 2 for i in range(5)}
+
+    def test_k3_core_of_k4_with_pendant(self, spark):
+        from kg.graphstats import kcore
+
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges = spark.createDataFrame(k4 + [(5, 1)], "src long, dst long")
+        got = {r.node: r.degree for r in kcore(edges, k=3).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_bounded_rounds_reach_fixpoint_and_partition_invariant(self, spark):
+        from kg.graphstats import kcore
+
+        edges = spark.read.parquet("fixtures/edges.parquet")
+        a = sorted(map(tuple, kcore(edges, k=2, max_rounds=8).collect()))
+        b = sorted(map(tuple, kcore(edges, k=2, max_rounds=13).collect()))
+        assert a == b and len(a) > 0
+        c = sorted(
+            map(tuple, kcore(edges.repartition(9), k=2, max_rounds=8).collect())
+        )
+        assert a == c
+
+    def test_empty_core_when_k_exceeds_connectivity(self, spark):
+        from kg.graphstats import kcore
+
+        chain = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        )
+        assert kcore(chain, k=2).count() == 0
