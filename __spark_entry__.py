@@ -437,6 +437,182 @@ def q_web_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: extra URL-template probes: id-segment collapse ({h}/{n}), query-string
+#: exclusion, root path, host case-folding, template cardinality
+TRAP_URLS: list[str] = [
+    "https://shop.test/item/123",
+    "https://shop.test/item/456",
+    "https://shop.test/item/123?page=2",
+    "https://shop.test/item/9/review",
+    "https://cdn.test/obj/deadbeef01234567/x.jpg",
+    "https://cdn.test/obj/CAFEBABE99887766/y.jpg",
+    "http://plain.test/",
+    "HTTP://Plain.Test/",
+    "https://mixed.test/v2/page7",
+]
+
+
+def q_web_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-template mining / crawler-trap detection (kg/ops/webnorm.py
+    url_templates): host + path with long hex runs -> {h} and digit runs
+    -> {n}, one partial-agged groupBy. Input = the 10k-page fixture urls
+    plus literal probes covering every rule. Oracle replays the regex
+    chain + distinct-count rollup in DuckDB."""
+    from kg.ops.webnorm import url_templates
+
+    pages = spark.read.parquet(f"{FIX}/pages_small.parquet").select("url")
+    extra = spark.createDataFrame(
+        [(u,) for u in TRAP_URLS], "url string"
+    )
+    return url_templates(pages.unionByName(extra), min_count=1).select(
+        "template", "n_urls", "sample_url"
+    )
+
+
+def _url_templates_oracle_sql() -> str:
+    from kg.ops.webnorm import _URL_RE
+
+    vals = ", ".join(f"('{u}')" for u in TRAP_URLS)
+    return f"""
+WITH urls AS (
+  SELECT url FROM '{FIX}/pages_small.parquet'
+  UNION ALL SELECT url FROM (VALUES {vals}) t(url)
+),
+parsed AS (
+  SELECT url,
+    lower(regexp_extract(url, '{_URL_RE}', 2)) AS host,
+    regexp_replace(
+      regexp_replace(
+        regexp_extract(url, '{_URL_RE}', 3),
+        '[0-9a-fA-F]{{8,}}', '{{h}}', 'g'),
+      '[0-9]+', '{{n}}', 'g') AS t
+  FROM urls WHERE url IS NOT NULL
+),
+tpl AS (
+  SELECT url,
+    host || (CASE WHEN t = '' THEN '/' ELSE t END) AS template
+  FROM parsed
+)
+SELECT template, CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+  min(url) AS sample_url
+FROM tpl WHERE template <> '' GROUP BY template
+"""
+
+
+#: robots fixtures: multi-UA group sharing, per-agent groups, comments,
+#: empty Disallow (allow-all), non-matching agent, no robots at all
+ROBOTS_FIXTURE: list[tuple[str, str]] = [
+    (
+        "a.test",
+        "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n\n"
+        "User-agent: evilbot\nDisallow: /",
+    ),
+    (
+        "b.test",
+        "User-agent: googlebot\nUser-agent: *\nDisallow: /search"
+        " # trailing comment\nAllow: /search/about\nDisallow:",
+    ),
+    ("c.test", "User-agent: otherbot\nDisallow: /all"),
+]
+
+FRONTIER_URLS: list[str] = [
+    "https://a.test/private/x.html",
+    "https://a.test/public/x.html",
+    "https://a.test/tmpfile",
+    "https://A.test/TMP",
+    "https://b.test/search?q=1",
+    "https://b.test/searching",
+    "https://b.test/about",
+    "https://c.test/all/x",
+    "https://d.test/anything",
+]
+
+
+def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt politeness gate (kg/ops/weblinks.py robots_rules +
+    robots_filter_frontier): window-based REP group parse, then ONE
+    broadcast left-anti join (equi host + startswith filter) over the
+    frontier. Oracle replays the same grammar with DuckDB window
+    functions and a NOT EXISTS prefix probe."""
+    from kg.ops.weblinks import robots_filter_frontier, robots_rules
+
+    robots = spark.createDataFrame(
+        ROBOTS_FIXTURE, "host string, body string"
+    )
+    frontier = spark.createDataFrame(
+        [(u,) for u in FRONTIER_URLS], "url string"
+    )
+    return robots_filter_frontier(frontier, robots_rules(robots)).select(
+        "url"
+    )
+
+
+def _robots_filter_oracle_sql() -> str:
+    from kg.ops.webnorm import _URL_RE
+    from kg.ops.weblinks import ROBOTS_LINE_RE
+
+    rvals = ", ".join(
+        "('%s', '%s')" % (h, b.replace("\n", "' || chr(10) || '"))
+        for h, b in ROBOTS_FIXTURE
+    )
+    fvals = ", ".join(f"('{u}')" for u in FRONTIER_URLS)
+    # DuckDB standard strings keep backslashes literal, so the Python
+    # regex embeds verbatim
+    line_re = ROBOTS_LINE_RE
+    return f"""
+WITH robots(host, body) AS (VALUES {rvals}),
+split AS (SELECT host, string_split(body, chr(10)) AS parts FROM robots),
+lines0 AS (
+  SELECT host, unnest(generate_series(1, len(parts))) AS pos,
+    unnest(parts) AS raw
+  FROM split
+),
+nl AS (
+  SELECT host, pos,
+    lower(regexp_extract(clean, '{line_re}', 1)) AS directive,
+    regexp_extract(clean, '{line_re}', 2) AS value
+  FROM (SELECT host, pos, regexp_replace(raw, '#.*', '') AS clean
+        FROM lines0)
+  WHERE trim(clean) <> ''
+),
+g AS (
+  SELECT host, pos, directive, value,
+    (directive = 'user-agent') AS is_ua,
+    (directive = 'user-agent')
+      AND NOT coalesce(lag(directive = 'user-agent') OVER w, FALSE)
+      AS new_group
+  FROM nl WINDOW w AS (PARTITION BY host ORDER BY pos)
+),
+gg AS (
+  SELECT *, sum(CASE WHEN new_group THEN 1 ELSE 0 END)
+    OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING)
+    AS group_id
+  FROM g
+),
+matched AS (
+  SELECT DISTINCT host, group_id FROM gg
+  WHERE is_ua AND (value = '*' OR lower(value) = '*')
+),
+rules AS (
+  SELECT DISTINCT gg.host, gg.value AS prefix
+  FROM gg JOIN matched USING (host, group_id)
+  WHERE gg.directive = 'disallow' AND gg.value <> ''
+),
+frontier(url) AS (VALUES {fvals}),
+fr AS (
+  SELECT url,
+    lower(regexp_extract(url, '{_URL_RE}', 2)) AS host,
+    regexp_extract(url, '{_URL_RE}', 3) AS path
+  FROM frontier
+)
+SELECT f.url AS url FROM fr f
+WHERE NOT EXISTS (
+  SELECT 1 FROM rules r
+  WHERE r.host = f.host AND starts_with(f.path, r.prefix)
+)
+"""
+
+
 ANCHOR_MAX_TEXTS = 32
 
 
@@ -1452,6 +1628,67 @@ def _khop_oracle_sql(k: int) -> str:
         ",\n".join(parts)
         + f"\nSELECT CAST(node AS BIGINT) AS node,"
         f" CAST(dist AS BIGINT) AS dist FROM r{k}"
+    )
+
+
+HARMONIC_LANDMARKS = 8
+HARMONIC_ROUNDS = 6
+
+
+def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic centrality (kg/graphstats.py
+    harmonic_centrality): 8 md5-chosen landmark BFS sweeps, distances
+    accumulated as integers sum(lcm/d) and divided once — so the double
+    is bit-identical to the oracle's, no float-sum order sensitivity.
+    The oracle unrolls the same (landmark, node) frontier recurrence."""
+    from kg.graphstats import harmonic_centrality
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return harmonic_centrality(
+        edges, n_landmarks=HARMONIC_LANDMARKS, rounds=HARMONIC_ROUNDS
+    ).select(
+        F.col("node").cast("long").alias("node"),
+        "n_reached",
+        "harmonic",
+    )
+
+
+def _harmonic_oracle_sql(k: int, rounds: int) -> str:
+    import math as _math
+
+    lcm = _math.lcm(*range(1, rounds + 1))
+    parts = [
+        f"WITH raw AS (SELECT src, dst FROM '{FIX}/edges.parquet')",
+        "e AS (SELECT DISTINCT src, dst FROM ("
+        " SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)"
+        " WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        f"lms AS (SELECT node AS lm FROM nodes"
+        f" ORDER BY md5(CAST(node AS VARCHAR)) LIMIT {k})",
+        "r0 AS (SELECT lm, lm AS node, 0 AS dist FROM lms)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"f{i} AS (SELECT DISTINCT r.lm, e.dst AS node"
+            f" FROM e JOIN r{i-1} r ON e.src = r.node AND r.dist = {i-1}"
+            f" WHERE NOT EXISTS (SELECT 1 FROM r{i-1} v"
+            f" WHERE v.lm = r.lm AND v.node = e.dst))"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT lm, node, dist FROM r{i-1}"
+            f" UNION ALL SELECT lm, node, {i} FROM f{i})"
+        )
+    parts.append(
+        f"sums AS (SELECT node, count(*) AS n_reached,"
+        f" sum(CAST({lcm} / dist AS BIGINT)) AS inv"
+        f" FROM r{rounds} WHERE dist > 0 GROUP BY node)"
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(n.node AS BIGINT) AS node,"
+        f" CAST(coalesce(s.n_reached, 0) AS BIGINT) AS n_reached,"
+        f" coalesce(s.inv, 0) / {float(lcm)} AS harmonic"
+        f" FROM nodes n LEFT JOIN sums s ON n.node = s.node"
     )
 
 
@@ -3621,6 +3858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_page_rank": q_web_page_rank,
         "web_anchor_index": q_web_anchor_index,
         "web_crawl_frontier": q_web_crawl_frontier,
+        "web_url_templates": q_web_url_templates,
+        "web_robots_filter": q_web_robots_filter,
+        "graph_harmonic": q_graph_harmonic,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_link_disambiguated": q_kg_link_disambiguated,
@@ -4971,6 +5211,11 @@ SELECT CAST(deg.node AS BIGINT) AS node,
 FROM deg LEFT JOIN pern ON deg.node = pern.node
 """
     d["graph_khop"] = _khop_oracle_sql(KHOP_K)
+    d["graph_harmonic"] = _harmonic_oracle_sql(
+        HARMONIC_LANDMARKS, HARMONIC_ROUNDS
+    )
+    d["web_url_templates"] = _url_templates_oracle_sql()
+    d["web_robots_filter"] = _robots_filter_oracle_sql()
     d["graph_sssp"] = _sssp_oracle_sql(SSSP_ROUNDS)
     d["graph_ppr"] = _ppr_oracle_sql(PPR_ITERS)
     d["graph_pagerank_weighted"] = _pagerank_weighted_oracle_sql(PRW_ITERS)

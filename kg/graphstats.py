@@ -38,6 +38,7 @@ __all__ = [
     "cooccurrence_pmi",
     "triangle_stats",
     "khop_reachability",
+    "harmonic_centrality",
     "shortest_paths",
     "predicate_stats",
     "entity_profile",
@@ -516,6 +517,102 @@ def kcore(
         adj.groupBy("node")
         .agg(F.count("*").cast("long").alias("degree"))
         .where(F.col("degree") >= k)
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    n_landmarks: int = 16,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Landmark-approximated harmonic centrality: for each node v,
+    ``harmonic = sum over reached landmarks l of 1/d(l, v)`` (distance 0,
+    i.e. v itself a landmark, contributes nothing). Returns
+    (node, n_reached, harmonic) for EVERY node (unreached nodes get 0/0.0).
+    The Eppstein–Wang estimator scales this by (N-1)/k to approximate the
+    full harmonic centrality; we return the raw landmark sum — the scale
+    factor is a constant that does not change the ranking.
+
+    Landmarks are chosen deterministically: the ``n_landmarks`` smallest
+    nodes by md5(node as string) — an unbiased sample that any SQL engine
+    reproduces exactly.
+
+    Exactness across engines: distances are integers <= ``rounds``, so the
+    sum is accumulated in INTEGER space as sum(L/d) with L = lcm(1..rounds)
+    and divided by L once at the end — one correctly-rounded IEEE division,
+    no float-summation order sensitivity, bit-identical in Spark and the
+    DuckDB oracle.
+
+    Scale shape: k simultaneous BFS sweeps in one frontier — state is
+    (landmark, node, dist), at most k·V rows; each round is ONE shuffle
+    join (frontier ⋈ edges, co-partitioned on the edge source key) + a
+    partial-aggregated distinct + an anti-join against visited, with a
+    materialize barrier so round i+1 never replays 1..i. Total work is
+    O(k·E) regardless of graph size — the standard way to get centrality
+    at 10^9-node scale where exact all-pairs is impossible. Nodes beyond
+    ``rounds`` hops from a landmark contribute 0 for it (document the
+    bound; at crawl scale 6 rounds cover the small-world core).
+    """
+    import math
+
+    lcm = math.lcm(*range(1, int(rounds) + 1))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.union(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = materialize(e.where(F.col("src") != F.col("dst")).distinct())
+    nodes = materialize(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    landmarks = materialize(
+        nodes.orderBy(F.md5(F.col("node").cast("string"))).limit(
+            int(n_landmarks)
+        ).select(F.col("node").alias("lm"))
+    )
+    visited = materialize(
+        landmarks.select(
+            "lm", F.col("lm").alias("node"), F.lit(0).alias("dist")
+        )
+    )
+    frontier = visited.select("lm", "node")
+    for i in range(1, int(rounds) + 1):
+        nxt = materialize(
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select("lm", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("lm", "node"), ["lm", "node"], "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        visited = materialize(
+            visited.union(nxt.select("lm", "node", F.lit(i).alias("dist")))
+        )
+        frontier = nxt
+    sums = (
+        visited.where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum(
+                (F.lit(lcm) / F.col("dist")).cast("long")
+            ).alias("_inv_sum"),
+        )
+    )
+    return nodes.join(sums, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_reached"), F.lit(0).cast("long")).alias(
+            "n_reached"
+        ),
+        (
+            F.coalesce(F.col("_inv_sum"), F.lit(0).cast("long"))
+            / F.lit(float(lcm))
+        ).alias("harmonic"),
     )
 
 

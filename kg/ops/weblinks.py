@@ -43,6 +43,8 @@ __all__ = [
     "host_link_graph",
     "aggregate_host_graph",
     "anchor_text_index",
+    "robots_rules",
+    "robots_filter_frontier",
     "HREF_RE",
     "HOST_RE",
 ]
@@ -276,3 +278,116 @@ def mine_anchor_aliases(
         )
         .where(F.col("n_refs") >= int(min_refs))
     )
+
+
+#: robots.txt line: directive ':' value (comments stripped first)
+ROBOTS_LINE_RE = r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$"
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse robots.txt bodies into (host, prefix) Disallow rules that
+    apply to ``agent`` — the politeness gate in front of the crawl
+    frontier.
+
+    Grammar (REP subset, deterministic and window-expressible so the
+    DuckDB oracle replays it with the same window functions):
+    comments (``# ...``) stripped, blank lines dropped; a GROUP is a run
+    of consecutive ``User-agent:`` lines plus the non-UA lines that
+    follow until the next UA run; a group's Disallow rules apply iff one
+    of its UA values is ``*`` or equals ``agent`` (case-insensitive).
+    Empty ``Disallow:`` (allow-all) contributes no rule. ``Allow:`` and
+    wildcard/$ patterns are out of scope — prefixes only, the common
+    case — and documented as such.
+
+    Scale shape: split + posexplode is a pure map; group assignment is
+    two window functions over (host, line_no) — robots bodies are a few
+    KB, so per-host windows are trivially bounded; the output rule table
+    is tiny (it broadcasts in :func:`robots_filter_frontier`).
+    """
+    from pyspark.sql.window import Window
+
+    lines = (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(
+                F.split(F.col(body_col), "\n")
+            ).alias("pos", "raw"),
+        )
+        .withColumn("clean", F.regexp_replace("raw", "#.*", ""))
+        .withColumn(
+            "directive",
+            F.lower(F.regexp_extract("clean", ROBOTS_LINE_RE, 1)),
+        )
+        .withColumn("value", F.regexp_extract("clean", ROBOTS_LINE_RE, 2))
+        .where(F.trim("clean") != "")
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = (
+        lines.withColumn("is_ua", F.col("directive") == "user-agent")
+        .withColumn(
+            "new_group",
+            F.col("is_ua")
+            & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "group_id",
+            F.sum(F.col("new_group").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    matched = (
+        grouped.where(
+            F.col("is_ua")
+            & (
+                (F.col("value") == "*")
+                | (F.lower(F.col("value")) == agent.lower())
+            )
+        )
+        .select("host", "group_id")
+        .distinct()
+    )
+    return (
+        grouped.where(
+            (F.col("directive") == "disallow") & (F.col("value") != "")
+        )
+        .join(matched, ["host", "group_id"], "left_semi")
+        .select("host", F.col("value").alias("prefix"))
+        .distinct()
+    )
+
+
+def robots_filter_frontier(
+    frontier: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop frontier URLs whose path starts with a Disallowed prefix for
+    their host (``rules`` from :func:`robots_rules`). Returns ``frontier``
+    rows that remain fetchable, columns unchanged.
+
+    Scale shape: the rule table is tiny (hosts x few prefixes) and is
+    BROADCAST — the frontier never shuffles: ONE broadcast left-anti
+    join, equi on host with the prefix startswith as a join filter (JVM
+    expression inside the hash probe, no fan-out materialized).
+    """
+    from kg.ops.webnorm import _URL_RE
+
+    url = F.col(url_col)
+    fr = frontier.withColumn(
+        "_host", F.lower(F.regexp_extract(url, _URL_RE, 2))
+    ).withColumn("_path", F.regexp_extract(url, _URL_RE, 3))
+    r = rules.select(
+        F.col("host").alias("_host"), F.col("prefix").alias("_prefix")
+    )
+    return fr.join(
+        F.broadcast(r),
+        (fr["_host"] == r["_host"])
+        & fr["_path"].startswith(r["_prefix"]),
+        "left_anti",
+    ).drop("_host", "_path")

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_urls", "resolve_redirects", "TRACKING_PARAM_RE"]
+__all__ = [
+    "normalize_urls",
+    "resolve_redirects",
+    "url_templates",
+    "TRACKING_PARAM_RE",
+]
 
 #: query params dropped as tracking noise (anchored per param)
 TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid)(=.*)?$"
@@ -142,4 +147,61 @@ def resolve_redirects(
         F.when(ok, F.col("nxt")).alias("target"),
         F.when(ok, F.col("h")).cast("long").alias("hops"),
         ok.alias("resolved"),
+    )
+
+
+#: template rules (applied in order): long hex runs first (they contain
+#: digits), then digit runs. Kept to two dialect-neutral regexes so the
+#: DuckDB oracle replays them verbatim.
+TEMPLATE_HEX_RE = "[0-9a-fA-F]{8,}"
+TEMPLATE_NUM_RE = "[0-9]+"
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    min_count: int = 1,
+) -> DataFrame:
+    """Mine structural URL templates: host + path with long hex runs
+    (>= 8 chars — session ids, uuids, content hashes) replaced by ``{h}``
+    and digit runs by ``{n}``. Returns one row per template with
+    ``n_urls`` (distinct URLs matching it) and ``sample_url`` (the
+    lexicographic min — deterministic).
+
+    Crawl use: the crawler-trap / pagination detector. A template whose
+    n_urls explodes (calendar pages, faceted search, session-id mirrors)
+    marks URLs that should be frontier-throttled or collapsed before
+    fetch — at 10^12-document scale, trap templates are where crawl
+    budget dies. Downstream, templates are also the unit for per-section
+    quality stats (one news site's /video/{n} vs /article/{n}).
+
+    Scale shape: template derivation is a pure JVM regex map (no Python,
+    no shuffle); the rollup is ONE partial-aggregated groupBy on the
+    template key. Distinct-URL counting uses count(DISTINCT url) — two-
+    phase hash aggregation, no window. Skew note: a mega-template (one
+    host's {n} pages at 10^9 URLs) lands on one reducer only for its
+    final count; partial aggregation has already collapsed each map
+    partition to one row per template, so the reduce-side row count is
+    bounded by template cardinality, not URL count.
+    """
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    path = F.regexp_extract(url, _URL_RE, 3)
+    templated = F.regexp_replace(
+        F.regexp_replace(path, TEMPLATE_HEX_RE, "{h}"),
+        TEMPLATE_NUM_RE,
+        "{n}",
+    )
+    tpl = F.concat(
+        host, F.when(templated == "", F.lit("/")).otherwise(templated)
+    )
+    return (
+        df.select(url.alias("_url"), tpl.alias("template"))
+        .where(F.col("_url").isNotNull() & (F.col("template") != ""))
+        .groupBy("template")
+        .agg(
+            F.countDistinct("_url").cast("long").alias("n_urls"),
+            F.min("_url").alias("sample_url"),
+        )
+        .where(F.col("n_urls") >= int(min_count))
     )

@@ -731,3 +731,90 @@ class TestKcore:
             [(1, 2), (2, 3)], "src long, dst long"
         )
         assert kcore(chain, k=2).count() == 0
+
+
+class TestHarmonicCentrality:
+    def test_path_graph_exact_when_all_nodes_are_landmarks(self, spark):
+        from kg.graphstats import harmonic_centrality
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        got = {
+            r["node"]: (r["n_reached"], r["harmonic"])
+            for r in harmonic_centrality(
+                edges, n_landmarks=10, rounds=6
+            ).collect()
+        }
+        # path 1-2-3-4 undirected, every node a landmark:
+        # ends: 1 + 1/2 + 1/3 = 110/60; middles: 1 + 1 + 1/2 = 150/60
+        assert got[1] == (3, pytest.approx(110 / 60))
+        assert got[2] == (3, pytest.approx(150 / 60))
+        assert got[3] == (3, pytest.approx(150 / 60))
+        assert got[4] == (3, pytest.approx(110 / 60))
+
+    def test_landmark_choice_is_md5_deterministic(self, spark):
+        import hashlib
+
+        from kg.graphstats import harmonic_centrality
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        lm = min(
+            range(1, 5), key=lambda n: hashlib.md5(str(n).encode()).hexdigest()
+        )
+        got = {
+            r["node"]: (r["n_reached"], r["harmonic"])
+            for r in harmonic_centrality(
+                edges, n_landmarks=1, rounds=6
+            ).collect()
+        }
+        # the landmark reaches nobody's sum (dist 0 excluded)
+        assert got[lm] == (0, 0.0)
+        for node in range(1, 5):
+            if node != lm:
+                assert got[node] == (1, pytest.approx(1.0 / abs(node - lm)))
+
+    def test_directed_unreached_nodes_get_zero(self, spark):
+        from kg.graphstats import harmonic_centrality
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        )
+        got = {
+            r["node"]: (r["n_reached"], r["harmonic"])
+            for r in harmonic_centrality(
+                edges, n_landmarks=10, rounds=6, directed=True
+            ).collect()
+        }
+        assert got[1] == (0, 0.0)  # no in-edges: unreached, still a row
+        assert got[2] == (1, pytest.approx(1.0))
+        assert got[3] == (2, pytest.approx(1.5))
+
+    def test_rounds_bound_caps_distance_contributions(self, spark):
+        from kg.graphstats import harmonic_centrality
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+        )
+        got = {
+            r["node"]: r["n_reached"]
+            for r in harmonic_centrality(
+                edges, n_landmarks=1, rounds=2
+            ).collect()
+        }
+        # only nodes within 2 hops of the single landmark contribute
+        assert max(got.values()) == 1
+        assert 0 in set(got.values())
+
+    def test_partition_invariant(self, spark, tiny_edges):
+        from kg.graphstats import harmonic_centrality
+
+        a = harmonic_centrality(tiny_edges, n_landmarks=3, rounds=4)
+        b = harmonic_centrality(
+            tiny_edges.repartition(7), n_landmarks=3, rounds=4
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )

@@ -250,3 +250,134 @@ class TestResolveRedirects:
         assert {k: tuple(v) for k, v in got.items()} == {
             k: tuple(v) for k, v in rep.items()
         }
+
+
+class TestRobotsRules:
+    BODY_A = (
+        "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n\n"
+        "User-agent: evilbot\nDisallow: /"
+    )
+    BODY_B = (
+        "User-agent: googlebot\nUser-agent: *\nDisallow: /search"
+        " # trailing comment\nAllow: /search/about\nDisallow:"
+    )
+
+    def _robots(self, spark):
+        from kg.ops.weblinks import robots_rules
+
+        df = spark.createDataFrame(
+            [("a.test", self.BODY_A), ("b.test", self.BODY_B),
+             ("c.test", "User-agent: otherbot\nDisallow: /all")],
+            "host string, body string",
+        )
+        return robots_rules(df)
+
+    def test_star_groups_only_and_comments_stripped(self, spark):
+        rules = {(r["host"], r["prefix"]) for r in self._robots(spark).collect()}
+        assert rules == {
+            ("a.test", "/private/"),
+            ("a.test", "/tmp"),
+            # multi-UA run (googlebot + *) shares its rules; comment and
+            # empty Disallow dropped
+            ("b.test", "/search"),
+        }
+
+    def test_specific_agent_gets_star_and_own_groups(self, spark):
+        from kg.ops.weblinks import robots_rules
+
+        df = spark.createDataFrame(
+            [("a.test", self.BODY_A)], "host string, body string"
+        )
+        rules = {
+            (r["host"], r["prefix"])
+            for r in robots_rules(df, agent="EvilBot").collect()
+        }
+        assert rules == {
+            ("a.test", "/private/"),
+            ("a.test", "/tmp"),
+            ("a.test", "/"),
+        }
+
+    def test_filter_frontier_prefix_and_host_semantics(self, spark):
+        from kg.ops.weblinks import robots_filter_frontier
+
+        frontier = spark.createDataFrame(
+            [
+                ("https://a.test/private/x.html",),  # blocked
+                ("https://a.test/public/x.html",),  # kept
+                ("https://a.test/tmpfile",),  # blocked: prefix match
+                ("https://A.test/TMP",),  # kept: path case-sensitive
+                ("https://b.test/search?q=1",),  # blocked: query not in path
+                ("https://b.test/about",),  # kept
+                ("https://c.test/all/x",),  # kept: group is otherbot's
+                ("https://d.test/x",),  # kept: no robots for host
+            ],
+            "url string",
+        )
+        kept = {
+            r["url"]
+            for r in robots_filter_frontier(
+                frontier, self._robots(spark)
+            ).collect()
+        }
+        assert kept == {
+            "https://a.test/public/x.html",
+            "https://A.test/TMP",
+            "https://b.test/about",
+            "https://c.test/all/x",
+            "https://d.test/x",
+        }
+        # frontier schema unchanged
+        assert robots_filter_frontier(
+            frontier, self._robots(spark)
+        ).columns == ["url"]
+
+    def test_filter_is_broadcast_anti_join_no_shuffle(self, spark):
+        from kg.ops.weblinks import robots_filter_frontier
+
+        frontier = spark.createDataFrame(
+            [("https://a.test/x",)], "url string"
+        )
+        plan = robots_filter_frontier(
+            frontier, self._robots(spark)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestUrlTemplates:
+    def test_rules_and_rollup(self, spark):
+        from kg.ops.webnorm import url_templates
+
+        urls = [
+            "https://shop.test/item/123",
+            "https://shop.test/item/456",
+            "https://shop.test/item/123?page=2",
+            "https://shop.test/item/9/review",
+            "https://cdn.test/obj/deadbeef01234567/x.jpg",
+            "http://plain.test/",
+            "HTTP://Plain.Test/",
+            "https://mixed.test/v2/page7",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {
+            r["template"]: (r["n_urls"], r["sample_url"])
+            for r in url_templates(df).collect()
+        }
+        assert got["shop.test/item/{n}"] == (3, "https://shop.test/item/123")
+        assert got["shop.test/item/{n}/review"][0] == 1
+        assert got["cdn.test/obj/{h}/x.jpg"][0] == 1
+        # host case folds; two raw spellings of the root url both count
+        assert got["plain.test/"][0] == 2
+        assert got["mixed.test/v{n}/page{n}"][0] == 1
+        assert len(got) == 5
+
+    def test_min_count_filters_singletons(self, spark):
+        from kg.ops.webnorm import url_templates
+
+        df = spark.createDataFrame(
+            [("https://h.test/a/1",), ("https://h.test/a/2",),
+             ("https://h.test/b",)],
+            "url string",
+        )
+        got = [r["template"] for r in url_templates(df, min_count=2).collect()]
+        assert got == ["h.test/a/{n}"]
