@@ -45,36 +45,56 @@ def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
     )
 
 
-def _pagerank_unroll_parts(iters: int, d: float) -> list[str]:
+def _pagerank_unroll_parts(
+    iters: int,
+    d: float,
+    prefix: str = "",
+    e: str = "e",
+    r0_sql: list[str] | None = None,
+) -> list[str]:
     """Power-iteration CTE unroll over a preceding ``e(src, dst)`` CTE —
     node type agnostic (shared by the fixture-edges and web-link-graph
-    PageRank oracles)."""
+    PageRank oracles). ``prefix`` namespaces every CTE so two unrolls can
+    coexist in one query (the warm-start oracle); ``r0_sql`` overrides
+    the uniform seed with custom CTEs that must end by defining
+    ``{prefix}r0(node, rank)``."""
+    P = prefix
     parts = [
-        "nodes AS (SELECT DISTINCT node FROM "
-        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
-        "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)",
-        "w AS (SELECT e.src, e.dst, 1.0 / deg.out_deg AS w"
-        " FROM e JOIN deg ON e.src = deg.src)",
-        "p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        "r0 AS (SELECT node, 1.0 / (SELECT n FROM p) AS rank FROM nodes)",
+        f"{P}nodes AS (SELECT DISTINCT node FROM "
+        f"(SELECT src AS node FROM {e} UNION ALL SELECT dst FROM {e}))",
+        f"{P}deg AS (SELECT src, count(*) AS out_deg FROM {e} GROUP BY src)",
+        f"{P}w AS (SELECT {e}.src, {e}.dst, 1.0 / {P}deg.out_deg AS w"
+        f" FROM {e} JOIN {P}deg ON {e}.src = {P}deg.src)",
+        f"{P}p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {P}nodes)",
+        *(
+            r0_sql
+            if r0_sql is not None
+            else [
+                f"{P}r0 AS (SELECT node, 1.0 / (SELECT n FROM {P}p)"
+                f" AS rank FROM {P}nodes)"
+            ]
+        ),
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dang FROM r{i-1}"
-            " WHERE node NOT IN (SELECT src FROM w))"
+            f"{P}d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0)"
+            f" AS dang FROM {P}r{i-1}"
+            f" WHERE node NOT IN (SELECT src FROM {P}w))"
         )
         parts.append(
-            f"c{i} AS MATERIALIZED (SELECT w.dst, sum(r.rank * w.w) AS c"
-            f" FROM w JOIN r{i-1} r ON w.src = r.node GROUP BY w.dst)"
+            f"{P}c{i} AS MATERIALIZED (SELECT {P}w.dst,"
+            f" sum(r.rank * {P}w.w) AS c"
+            f" FROM {P}w JOIN {P}r{i-1} r ON {P}w.src = r.node"
+            f" GROUP BY {P}w.dst)"
         )
         parts.append(
             # MATERIALIZED: r{i-1} is referenced by d/c/r each round; inlining
             # grows the tree ~3x per iteration and stalls the optimizer
-            f"r{i} AS MATERIALIZED (SELECT nodes.node,"
-            f" (1 - {d}) / (SELECT n FROM p)"
-            f" + {d} * (SELECT dang FROM d{i}) / (SELECT n FROM p)"
+            f"{P}r{i} AS MATERIALIZED (SELECT {P}nodes.node,"
+            f" (1 - {d}) / (SELECT n FROM {P}p)"
+            f" + {d} * (SELECT dang FROM {P}d{i}) / (SELECT n FROM {P}p)"
             f" + {d} * coalesce(c.c, 0) AS rank"
-            f" FROM nodes LEFT JOIN c{i} c ON nodes.node = c.dst)"
+            f" FROM {P}nodes LEFT JOIN {P}c{i} c ON {P}nodes.node = c.dst)"
         )
     return parts
 
@@ -1206,6 +1226,57 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.read.parquet(f"{FIX}/edges.parquet")
     return pagerank(edges, iterations=PAGERANK_ITERS).select(
         F.col("node").cast("long").alias("node"), "rank"
+    )
+
+
+PRWARM_ITERS = 4
+
+
+def q_graph_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start PageRank for crawl increments (kg/graphstats.py
+    pagerank(init_ranks=)): standing ranks from the old graph ((src+dst)%5
+    != 0 edges) seed a 4-iteration run over the full graph — new nodes
+    seed at 1/n, the seed is L1-renormalized. The oracle unrolls BOTH
+    phases (old-graph power iteration, then the seeded one) in one
+    namespaced CTE chain."""
+    from kg.graphstats import pagerank
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    old = edges.where((F.col("src") + F.col("dst")) % 5 != 0)
+    standing = pagerank(old, iterations=PAGERANK_ITERS)
+    return pagerank(
+        edges, iterations=PRWARM_ITERS, init_ranks=standing
+    ).select(F.col("node").cast("long").alias("node"), "rank")
+
+
+def _pagerank_warm_oracle_sql(
+    i_old: int, i_warm: int, d: float = 0.85
+) -> str:
+    parts = [
+        f"WITH e1 AS (SELECT src, dst FROM '{FIX}/edges.parquet'"
+        f" WHERE (src + dst) % 5 <> 0)",
+        *_pagerank_unroll_parts(i_old, d, prefix="a_", e="e1"),
+        # the Spark side feeds pagerank()'s ROUNDED output into the warm
+        # start, so the oracle seeds from the same 9-dp values
+        f"old AS (SELECT node, round(rank, 9) AS rank FROM a_r{i_old})",
+        f"e AS (SELECT src, dst FROM '{FIX}/edges.parquet')",
+        *_pagerank_unroll_parts(
+            i_warm,
+            d,
+            r0_sql=[
+                "seed AS (SELECT nodes.node, coalesce(old.rank,"
+                " 1.0 / (SELECT n FROM p)) AS rank"
+                " FROM nodes LEFT JOIN old ON nodes.node = old.node)",
+                "seedsum AS (SELECT sum(rank) AS s FROM seed)",
+                "r0 AS (SELECT node, rank / (SELECT s FROM seedsum)"
+                " AS rank FROM seed)",
+            ],
+        ),
+    ]
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(rank, 9) AS rank"
+        f" FROM r{i_warm}"
     )
 
 
@@ -3797,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_communities": q_graph_communities,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_warm": q_graph_pagerank_warm,
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
         "graph_khop": q_graph_khop,
@@ -5078,6 +5150,9 @@ SELECT doc_id, stratum, n_tokens,
 FROM base
 """
     d["graph_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS)
+    d["graph_pagerank_warm"] = _pagerank_warm_oracle_sql(
+        PAGERANK_ITERS, PRWARM_ITERS
+    )
     d["graph_communities"] = _lpa_oracle_sql(LPA_ROUNDS)
     d["graph_degrees"] = f"""
 WITH deg_rows AS (

@@ -55,6 +55,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank on a directed edge list.
 
@@ -68,6 +69,16 @@ def pagerank(
     counts from :func:`entity_cooccurrence`), i.e. transition
     probability w / sum_w(src) instead of 1 / out_deg. Same shuffle
     shape; zero/negative weights are rejected.
+
+    ``init_ranks``: warm start for incremental crawls — a (node, rank)
+    table (typically the previous crawl's pagerank output). Nodes absent
+    from it seed at 1/n; the seed vector is L1-renormalized (one scalar
+    aggregate) so it is a probability distribution over the CURRENT node
+    set. Power iteration contracts toward the fixed point at rate
+    ~damping per round regardless of start, so seeding from standing
+    ranks lets a crawl increment re-converge in a few iterations instead
+    of a full cold run — the PageRank analogue of the incremental-CC
+    fold (kg/cc.py cc_incremental). Same per-iteration plan either way.
     """
     cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
     if weight_col is not None:
@@ -99,9 +110,22 @@ def pagerank(
         )
     has_out = w_edges.select(F.col("src").alias("node")).distinct()
 
-    ranks = materialize(
-        nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    )
+    if init_ranks is not None:
+        seed = nodes.join(
+            init_ranks.select("node", F.col("rank").alias("_init")),
+            "node",
+            "left",
+        ).select(
+            "node", F.coalesce("_init", F.lit(1.0 / n)).alias("rank")
+        )
+        total = seed.agg(F.sum("rank")).first()[0]
+        ranks = materialize(
+            seed.select("node", (F.col("rank") / F.lit(total)).alias("rank"))
+        )
+    else:
+        ranks = materialize(
+            nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        )
     for _ in range(iterations):
         dangling = (
             ranks.join(has_out, "node", "left_anti")

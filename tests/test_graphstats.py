@@ -818,3 +818,83 @@ class TestHarmonicCentrality:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+
+class TestPagerankWarmStart:
+    def _graph(self, spark):
+        # degree-IRREGULAR graph (hub at 0) so uniform is NOT already the
+        # fixed point; a regular graph would make cold start exact
+        n = 60
+        rows = (
+            [(i, (i * i + 1) % n) for i in range(n)]
+            + [(i, (i * 3 + 7) % n) for i in range(n)]
+            + [(i, 0) for i in range(0, n, 5)]
+        )
+        return spark.createDataFrame(
+            [(a, b) for a, b in rows if a != b], "src long, dst long"
+        )
+
+    def test_warm_start_converges_faster_than_cold(self, spark):
+        from kg.graphstats import pagerank
+
+        full = self._graph(spark)
+        # crawl increment: nodes 0-2's out-edges are new this crawl
+        old = full.where(~F.col("src").isin(0, 1, 2))
+        fixed = {
+            r["node"]: r["rank"]
+            for r in pagerank(full, iterations=24).collect()
+        }
+        standing = pagerank(old, iterations=12)
+        warm = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                full, iterations=2, init_ranks=standing
+            ).collect()
+        }
+        cold = {
+            r["node"]: r["rank"]
+            for r in pagerank(full, iterations=2).collect()
+        }
+        l1_warm = sum(abs(warm[n] - fixed[n]) for n in fixed)
+        l1_cold = sum(abs(cold[n] - fixed[n]) for n in fixed)
+        assert l1_warm < 0.5 * l1_cold
+
+    def test_warm_ranks_are_a_distribution_and_new_nodes_seeded(self, spark):
+        from kg.graphstats import pagerank
+
+        old = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        full = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 1)], "src long, dst long"
+        )
+        standing = pagerank(old, iterations=8)
+        got = pagerank(full, iterations=2, init_ranks=standing)
+        rows = got.collect()
+        assert {r["node"] for r in rows} == {1, 2, 3}
+        assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-6)
+
+    def test_warm_equals_cold_when_seed_is_uniform(self, spark):
+        from kg.graphstats import pagerank
+
+        full = self._graph(spark)
+        n = (
+            full.select(F.col("src").alias("n"))
+            .union(full.select("dst"))
+            .distinct()
+            .count()
+        )
+        uniform = (
+            full.select(F.col("src").alias("node"))
+            .union(full.select("dst"))
+            .distinct()
+            .withColumn("rank", F.lit(1.0 / n))
+        )
+        a = sorted(
+            map(tuple, pagerank(full, iterations=4).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                pagerank(full, iterations=4, init_ranks=uniform).collect(),
+            )
+        )
+        assert a == b
