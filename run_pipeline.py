@@ -12,8 +12,9 @@ Usage (cluster):
 Stages (each checkpointed per url_hash_bucket; see kg/checkpoint.py):
   extract   pages -> docs (Arrow mapInPandas, byte-identical extraction)
   links     pages -> hyperlink table (pure-map anchor extraction +
-            URL resolution/normalization), plus derived link_host_graph
-            and crawl_frontier rollup tables
+            URL resolution/normalization), plus derived link_host_graph,
+            crawl_frontier (robots-gated when --robots is set) and
+            url_templates (crawler-trap report) rollup tables
   mentions  docs -> dictionary/regex mentions (relational, broadcast joins)
   triples   docs -> OpenIE SVO triples (Arrow mapInPandas)
   link      triples + alias dict -> linked triples (broadcast or salted join)
@@ -50,6 +51,11 @@ def parse_args(argv):
     )
     p.add_argument("--n-salts", type=int, default=16)
     p.add_argument("--alias-dict", default=None, help="alias dict parquet (default: built-in fixture dict)")
+    p.add_argument(
+        "--robots", default=None,
+        help="(host, body) robots.txt parquet; when set, the crawl "
+        "frontier is filtered by its User-agent:* Disallow rules",
+    )
     p.add_argument(
         "--stages",
         default="extract,links,mentions,triples,link,canon,graph,facts,analytics",
@@ -124,16 +130,39 @@ def main(argv=None) -> int:
         crawled = normalize_urls(pages.select("url")).select(
             F.col("url_norm").alias("dst_url")
         )
-        (
+        frontier = (
             links.join(crawled, "dst_url", "left_anti")
             .groupBy("dst_url")
             .agg(
                 F.countDistinct("src_url").alias("n_referrers"),
                 F.count(F.lit(1)).alias("n_links"),
             )
-            .write.mode("overwrite")
-            .parquet(f"{args.out}/crawl_frontier")
         )
+        if args.robots:
+            # politeness gate: (host, body) robots.txt table -> Disallow
+            # prefix rules, one broadcast anti-join over the frontier
+            from kg.ops.weblinks import (
+                robots_filter_frontier,
+                robots_rules,
+            )
+
+            rules = robots_rules(spark.read.parquet(args.robots))
+            frontier = robots_filter_frontier(
+                frontier, rules, url_col="dst_url"
+            )
+        frontier.write.mode("overwrite").parquet(
+            f"{args.out}/crawl_frontier"
+        )
+        # crawler-trap / URL-shape report over everything this crawl saw
+        # (page urls + normalized link targets) — pure map + one groupBy
+        from kg.ops.webnorm import url_templates
+
+        url_templates(
+            pages.select("url").unionByName(
+                links.select(F.col("dst_url").alias("url"))
+            ),
+            min_count=2,
+        ).write.mode("overwrite").parquet(f"{args.out}/url_templates")
 
     if "mentions" in stages:
         from kg.stages.mentions import plan_gazetteer

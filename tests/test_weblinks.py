@@ -144,6 +144,45 @@ class TestLinksPipelineStage:
         assert rc2 == 0
         assert spark.read.parquet(f"{out}/links").count() == want.count()
 
+    def test_robots_gate_and_url_templates_rollup(self, spark, tmp_path):
+        import run_pipeline
+        from kg.ops.weblinks import extract_links
+
+        pages = spark.read.parquet("fixtures/pages_tiny.parquet")
+        # disallow one real frontier host entirely
+        a_host = (
+            extract_links(pages)
+            .select(F.regexp_extract("dst_url", r"://([^/?#]+)", 1)
+                    .alias("h"))
+            .where(F.col("h") != "ex42.test")
+            .first()["h"]
+        )
+        robots_pq = str(tmp_path / "robots.parquet")
+        spark.createDataFrame(
+            [(a_host, "User-agent: *\nDisallow: /")],
+            "host string, body string",
+        ).write.parquet(robots_pq)
+        out = str(tmp_path / "kgout_rb")
+        rc = run_pipeline.main([
+            "--pages", "fixtures/pages_tiny.parquet", "--out", out,
+            "--buckets", "4", "--stages", "extract,links",
+            "--robots", robots_pq,
+        ])
+        assert rc == 0
+        fr = spark.read.parquet(f"{out}/crawl_frontier")
+        hosts = {
+            r["h"] for r in fr.select(
+                F.regexp_extract("dst_url", r"://([^/?#]+)", 1).alias("h")
+            ).collect()
+        }
+        assert a_host not in hosts and hosts  # gated host gone, rest kept
+        tpl = spark.read.parquet(f"{out}/url_templates")
+        assert tpl.count() > 0
+        # the numeric page-id family collapses to one template row
+        assert tpl.where(
+            F.col("template").contains("ex42.test/{")
+        ).count() == 1
+
 
 class TestMineAnchorAliases:
     def test_mining_semantics(self, spark):
