@@ -411,3 +411,37 @@ def test_link_prediction_equi_joins_only(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p
+
+
+def test_url_templates_pure_map_plus_one_partial_agged_shuffle(spark):
+    from kg.ops.webnorm import url_templates
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 3}.test/p/{i}",) for i in range(50)],
+        "url string",
+    )
+    p = _plan(url_templates(urls))
+    # template derivation is JVM expressions — no Python anywhere
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+    # count(DISTINCT url) compiles to two-phase aggregation: at most the
+    # distinct-expand exchange plus the final group exchange, with a
+    # partial aggregate before the first shuffle (map-side collapse)
+    assert p.count("Exchange") <= 2
+    # map-side collapse exists at both levels (per-url dedup + rollup)
+    assert "partial_count" in p and "partial_min" in p
+
+
+def test_harmonic_round_is_one_shuffle_join_plus_anti(spark):
+    from pyspark.sql import functions as F
+
+    from kg.graphstats import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    out = harmonic_centrality(edges, n_landmarks=2, rounds=2)
+    p = _plan(out)
+    # all relational — no Python, no cartesian blowup anywhere in the tree
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
