@@ -1097,6 +1097,54 @@ def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass ingest-QA table profile (kg/ops/profile.py): one row
+    per column with null/distinct counts, numeric range/mean, string
+    length stats — every statistic partial-aggregable, one job.
+    exact_distinct=True here so the oracle can replay count(DISTINCT);
+    production uses the HLL path in the same single pass."""
+    from kg.ops.profile import profile_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(docs, exact_distinct=True)
+
+
+def _profile_oracle_sql() -> str:
+    def num(col: str, dtype: str) -> str:
+        return f"""
+  SELECT '{col}' AS "column", '{dtype}' AS dtype,
+    count(*) AS n_rows,
+    sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+    count(DISTINCT {col}) AS n_distinct,
+    CAST(min({col}) AS DOUBLE) AS min_num,
+    CAST(max({col}) AS DOUBLE) AS max_num,
+    round(avg(CAST({col} AS DOUBLE)), 6) AS mean_num,
+    CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+    CAST(NULL AS DOUBLE) AS avg_len
+  FROM documents"""
+
+    def strc(col: str) -> str:
+        return f"""
+  SELECT '{col}' AS "column", 'string' AS dtype,
+    count(*) AS n_rows,
+    sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+    count(DISTINCT {col}) AS n_distinct,
+    CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+    CAST(NULL AS DOUBLE) AS mean_num,
+    min(length({col})) AS min_len, max(length({col})) AS max_len,
+    round(avg(CAST(length({col}) AS DOUBLE)), 6) AS avg_len
+  FROM documents"""
+
+    parts = [
+        num("doc_id", "bigint"),
+        strc("text"),
+        strc("lang"),
+        strc("source"),
+        num("n_chars", "bigint"),
+    ]
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ")"
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-gram Jaccard verification over a bounded candidate set (the
     verify half of blocking+verify near-dup)."""
@@ -3828,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mentions_full": q_doc_mentions_full,
         "doc_ngram_spans": q_doc_ngram_spans,
         "doc_token_stats": q_doc_token_stats,
+        "doc_profile": q_doc_profile,
         "doc_quality": q_doc_quality,
         "doc_quality_prune": q_doc_quality_prune,
         "doc_lang_id": q_doc_lang_id,
@@ -5149,6 +5198,7 @@ SELECT doc_id, stratum, n_tokens,
   ) <= 5000 AS keep
 FROM base
 """
+    d["doc_profile"] = _profile_oracle_sql()
     d["graph_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS)
     d["graph_pagerank_warm"] = _pagerank_warm_oracle_sql(
         PAGERANK_ITERS, PRWARM_ITERS

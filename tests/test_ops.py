@@ -867,3 +867,47 @@ def test_cluster_balanced_sample_caps_and_total(spark):
     again = sorted(map(tuple, cluster_balanced_sample(
         emb.repartition(9), k=4, per_cluster=5, rounds=2).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+class TestProfileTable:
+    def test_known_profile(self, spark):
+        from kg.ops.profile import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "ab", 2.0), (2, None, 4.0), (2, "wxyz", None)],
+            "id long, s string, x double",
+        )
+        got = {r["column"]: r.asDict() for r in
+               profile_table(df, exact_distinct=True).collect()}
+        assert set(got) == {"id", "s", "x"}
+        i = got["id"]
+        assert (i["n_rows"], i["n_nulls"], i["n_distinct"]) == (3, 0, 2)
+        assert (i["min_num"], i["max_num"]) == (1.0, 2.0)
+        assert i["mean_num"] == pytest.approx(5 / 3, abs=1e-6)
+        assert i["min_len"] is None and i["avg_len"] is None
+        s = got["s"]
+        assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+        assert (s["min_len"], s["max_len"], s["avg_len"]) == (2, 4, 3.0)
+        assert s["min_num"] is None
+        x = got["x"]
+        assert (x["n_nulls"], x["min_num"], x["max_num"]) == (1, 2.0, 4.0)
+        assert x["dtype"] == "double"
+
+    def test_single_job_one_aggregate_pass(self, spark):
+        from kg.ops.profile import profile_table
+
+        df = spark.range(100).withColumn(
+            "s", F.concat(F.lit("v"), F.col("id"))
+        )
+        plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+        # HLL path: the whole profile is ONE aggregation — a single
+        # exchange to the 1-row reduce, no per-column jobs, no Python
+        assert plan.count("Exchange") == 1
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+    def test_column_subset(self, spark):
+        from kg.ops.profile import profile_table
+
+        df = spark.createDataFrame([(1, "a")], "id long, s string")
+        got = profile_table(df, columns=["s"]).collect()
+        assert [r["column"] for r in got] == ["s"]
