@@ -1145,6 +1145,84 @@ def _profile_oracle_sql() -> str:
     return "SELECT * FROM (" + " UNION ALL ".join(parts) + ")"
 
 
+def _dsir_lm_agg_chain(P: str, where_sql: str) -> str:
+    """Namespaced DuckDB CTE chain: train an add-k bigram LM on
+    ``documents`` rows matching ``where_sql``, score ALL docs (via the
+    shared ``allw`` words CTE), ending in {P}agg(doc_id, avg_logp) — the
+    same recurrence as the doc_lm_score oracle, prefixed so the DSIR
+    oracle can hold two LMs in one query."""
+    bg_expr = (
+        "unnest(CASE WHEN len(words) >= 2 THEN"
+        " list_transform(generate_series(1, len(words) - 1),"
+        " i -> words[i] || ' ' || words[i+1])"
+        " ELSE CAST([] AS VARCHAR[]) END) AS g"
+    )
+    return rf"""
+{P}tw AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents{where_sql}
+),
+{P}tok AS (SELECT unnest(words) AS word FROM {P}tw),
+{P}vc AS (SELECT word, count(*) AS c FROM {P}tok GROUP BY word),
+{P}vocab AS (SELECT word FROM {P}vc ORDER BY c DESC, word LIMIT {LM_VOCAB_SIZE}),
+{P}vsize AS (SELECT count(*) + 1 AS v1 FROM {P}vocab),
+{P}tbg AS (SELECT {bg_expr} FROM {P}tw),
+{P}counts AS (
+  SELECT w1, w2, count(*) AS c12 FROM (
+    SELECT coalesce(v1.word, '<unk>') AS w1, coalesce(v2.word, '<unk>') AS w2
+    FROM (SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b
+          FROM {P}tbg) t
+    LEFT JOIN {P}vocab v1 ON t.a = v1.word
+    LEFT JOIN {P}vocab v2 ON t.b = v2.word
+  ) GROUP BY w1, w2
+),
+{P}ctx AS (SELECT w1, sum(c12) AS c1 FROM {P}counts GROUP BY w1),
+{P}sbg AS (SELECT doc_id, {bg_expr} FROM allw),
+{P}spairs AS (
+  SELECT t.doc_id, coalesce(v1.word, '<unk>') AS w1,
+         coalesce(v2.word, '<unk>') AS w2
+  FROM (SELECT doc_id, split_part(g, ' ', 1) AS a,
+               split_part(g, ' ', 2) AS b FROM {P}sbg) t
+  LEFT JOIN {P}vocab v1 ON t.a = v1.word
+  LEFT JOIN {P}vocab v2 ON t.b = v2.word
+),
+{P}agg AS (
+  SELECT p.doc_id,
+    round(avg(ln((coalesce(c.c12, 0) + {LM_ADD_K})
+      / (coalesce(x.c1, 0) + {LM_ADD_K} * (SELECT v1 FROM {P}vsize)))), 4)
+      AS avg_logp
+  FROM {P}spairs p
+  LEFT JOIN {P}counts c ON p.w1 = c.w1 AND p.w2 = c.w2
+  LEFT JOIN {P}ctx x ON p.w1 = x.w1
+  GROUP BY p.doc_id
+)"""
+
+
+def _dsir_oracle_sql() -> str:
+    return rf"""
+WITH allw AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+{_dsir_lm_agg_chain("t_", " WHERE lang = 'en'")},
+{_dsir_lm_agg_chain("b_", "")},
+imp AS (
+  SELECT t.doc_id, t.avg_logp - b.avg_logp AS importance
+  FROM t_agg t JOIN b_agg b USING (doc_id)
+),
+kk AS (SELECT CAST(ceil({DSIR_FRAC} * count(*)) AS BIGINT) AS k FROM imp),
+ranked AS (
+  SELECT doc_id, importance,
+    row_number() OVER (ORDER BY importance DESC, doc_id) AS rn
+  FROM imp
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, importance
+FROM ranked WHERE rn <= (SELECT k FROM kk)
+"""
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-gram Jaccard verification over a bounded candidate set (the
     verify half of blocking+verify near-dup)."""
@@ -3870,6 +3948,27 @@ def q_doc_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_predict(docs, priors, lik, vocab)
 
 
+DSIR_FRAC = 0.25
+
+
+def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (kg/ops/lm.py dsir_select): target LM =
+    English docs, base LM = whole corpus; keep the top 25% of docs by
+    log importance ratio (avg_logp_target - avg_logp_base), ties on
+    doc_id. The oracle replays BOTH LM train+score chains under
+    namespaced CTEs and applies the same exact rank cut."""
+    from kg.ops.lm import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    return dsir_select(
+        docs, target, frac=DSIR_FRAC, vocab_size=LM_VOCAB_SIZE,
+        add_k=LM_ADD_K,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "importance"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_gazetteer_match": q_doc_gazetteer,
@@ -3890,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": q_doc_lm_score,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_nb_lang": q_doc_nb_lang,
+        "doc_dsir": q_doc_dsir,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_corpus_filter": q_doc_corpus_filter,
         "doc_decontaminate": q_doc_decontaminate,
@@ -5199,6 +5299,7 @@ SELECT doc_id, stratum, n_tokens,
 FROM base
 """
     d["doc_profile"] = _profile_oracle_sql()
+    d["doc_dsir"] = _dsir_oracle_sql()
     d["graph_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS)
     d["graph_pagerank_warm"] = _pagerank_warm_oracle_sql(
         PAGERANK_ITERS, PRWARM_ITERS

@@ -58,7 +58,10 @@ __all__ = [
     "lm_score",
     "nb_train",
     "nb_predict",
- "perplexity_buckets",]
+    "perplexity_buckets",
+    "dsir_importance",
+    "dsir_select",
+]
 
 UNK = "<unk>"
 
@@ -348,4 +351,83 @@ def perplexity_buckets(
             ),
         )
         .drop("_rn", "_n")
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    vocab_size: int = 4096,
+    add_k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection: score every doc
+    under a TARGET-domain bigram LM and under the BASE LM (trained on
+    ``docs`` itself), importance = avg_logp_target - avg_logp_base — the
+    log importance ratio that upweights base-corpus documents resembling
+    the target domain (Xie et al.'s Data Selection via Importance
+    Resampling, reduced to the same hashed-ngram spirit with the engine's
+    add-k bigram LM). Returns (id, importance) for every doc with >= 2
+    tokens under both scorings.
+
+    Scale shape: two LM trainings (one shuffle each over the TRAINING
+    corpora — the target is typically tiny) and two scorings of the base
+    corpus; each scoring is the lm_score plan (array-local pair build,
+    broadcast model joins, one per-doc groupBy). Nothing new shuffles the
+    corpus beyond the scoring groupBys.
+    """
+    tv = lm_vocab(target, vocab_size=vocab_size, text_col=text_col)
+    tb = train_bigram_lm(target, tv, id_col=id_col, text_col=text_col)
+    st = lm_score(
+        docs, tb, tv, add_k=add_k, id_col=id_col, text_col=text_col
+    ).select(id_col, F.col("avg_logp").alias("_lp_t"))
+    bv = lm_vocab(docs, vocab_size=vocab_size, text_col=text_col)
+    bb = train_bigram_lm(docs, bv, id_col=id_col, text_col=text_col)
+    sb = lm_score(
+        docs, bb, bv, add_k=add_k, id_col=id_col, text_col=text_col
+    ).select(id_col, F.col("avg_logp").alias("_lp_b"))
+    return (
+        st.join(sb, [id_col])
+        .where(F.col("_lp_t").isNotNull() & F.col("_lp_b").isNotNull())
+        .select(
+            id_col, (F.col("_lp_t") - F.col("_lp_b")).alias("importance")
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    frac: float = 0.25,
+    vocab_size: int = 4096,
+    add_k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the ceil(frac * n) docs with the highest DSIR importance
+    (ties broken by id — fully deterministic). Returns (id, importance)
+    of the selected docs.
+
+    The exact top-fraction cut is a global row_number — single-reducer
+    rank over the (id, importance) pairs only (tiny next to the corpus),
+    the same disposition as token_budget_sample; at 10^12 docs use a
+    percentile_approx threshold on ``dsir_importance`` instead (the
+    approx variant of the same cut, cf. token_budget_sample_approx).
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    imp = dsir_importance(
+        docs, target, vocab_size=vocab_size, add_k=add_k,
+        id_col=id_col, text_col=text_col,
+    )
+    n = imp.count()
+    k = math.ceil(float(frac) * n)
+    w = Window.orderBy(F.desc("importance"), F.col(id_col))
+    return (
+        imp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )

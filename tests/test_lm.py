@@ -8,6 +8,7 @@ import math
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from kg.ops.lm import (
     UNK,
@@ -194,3 +195,44 @@ class TestPerplexityBuckets:
         ).repartition(4)
         out = {r.doc_id: r.bucket for r in perplexity_buckets(df).collect()}
         assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 0}
+
+
+class TestDsirSelection:
+    def _corpus(self, spark):
+        in_dom = [
+            (i, "the cat sat on the mat and the cat slept", "en")
+            for i in range(6)
+        ]
+        out_dom = [
+            (10 + i, "zx qv %s wk jr pl mn bt" % i, "xx") for i in range(6)
+        ]
+        return spark.createDataFrame(
+            in_dom + out_dom, "doc_id long, text string, lang string"
+        )
+
+    def test_importance_prefers_target_domain(self, spark):
+        from kg.ops.lm import dsir_importance
+
+        docs = self._corpus(spark)
+        target = docs.where(F.col("lang") == "en")
+        imp = {
+            r["doc_id"]: r["importance"]
+            for r in dsir_importance(docs, target, vocab_size=32).collect()
+        }
+        in_avg = sum(imp[i] for i in range(6)) / 6
+        out_avg = sum(imp[10 + i] for i in range(6)) / 6
+        assert in_avg > out_avg
+
+    def test_select_keeps_exact_fraction_deterministically(self, spark):
+        from kg.ops.lm import dsir_select
+
+        docs = self._corpus(spark)
+        target = docs.where(F.col("lang") == "en")
+        a = dsir_select(docs, target, frac=0.25, vocab_size=32).collect()
+        b = dsir_select(
+            docs.repartition(5), target, frac=0.25, vocab_size=32
+        ).collect()
+        assert len(a) == 3  # ceil(0.25 * 12)
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # everything kept is in-domain
+        assert all(r["doc_id"] < 10 for r in a)
