@@ -826,6 +826,18 @@ def q_doc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_duplicates(_docs(spark, sf_dir), k=SUBSTR_K, min_docs=2)
 
 
+def q_doc_substring_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (kg/ops/dedup.py remove_duplicate_substrings):
+    rewrite each doc with every non-first occurrence of a duplicated
+    8-token span stripped (global first = min (doc_id, pos)). Oracle
+    replays the rank-1-keeps rule and the positional token removal with
+    a NOT EXISTS range probe (the Spark side merges intervals instead —
+    same kept set)."""
+    from kg.ops.dedup import remove_duplicate_substrings
+
+    return remove_duplicate_substrings(_docs(spark, sf_dir), k=SUBSTR_K)
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.dedup import exact_dedup
 
@@ -4002,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "web_url_normalize": q_web_url_normalize,
         "doc_substring_dups": q_doc_substring_dups,
+        "doc_substring_rm": q_doc_substring_rm,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_shingle_dedup": q_doc_shingle_dedup,
         "doc_simhash": q_doc_simhash,
@@ -5856,6 +5869,43 @@ SELECT md5(gram) AS gram_h, min(gram) AS gram,
   CAST(count(*) AS BIGINT) AS n_occurrences
 FROM grams GROUP BY md5(gram)
 HAVING count(DISTINCT doc_id) >= 2
+"""
+    d["doc_substring_rm"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), spans AS (
+  SELECT doc_id, g.i - 1 AS pos,
+    md5(array_to_string(t[g.i : g.i + {SUBSTR_K - 1}], ' ')) AS gram_h
+  FROM toks, unnest(generate_series(1, len(t) - {SUBSTR_K - 1})) AS g(i)
+  WHERE len(t) >= {SUBSTR_K}
+), marked AS (
+  SELECT doc_id, pos,
+    row_number() OVER (PARTITION BY gram_h ORDER BY doc_id, pos) AS rn,
+    count(*) OVER (PARTITION BY gram_h) AS c
+  FROM spans
+), dups AS (
+  SELECT doc_id, pos FROM marked WHERE c >= 2 AND rn > 1
+), tok AS (
+  SELECT doc_id, g.i - 1 AS idx, t[g.i] AS word
+  FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+), kept AS (
+  SELECT x.doc_id, x.idx, x.word
+  FROM tok x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dups d
+    WHERE d.doc_id = x.doc_id AND d.pos <= x.idx
+      AND x.idx < d.pos + {SUBSTR_K})
+), agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS txt,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT k.doc_id AS doc_id,
+  coalesce(a.txt, '') AS text_clean,
+  CAST(len(k.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks k LEFT JOIN agg a USING (doc_id)
 """
     _stride = CHUNK_LEN - CHUNK_OVERLAP
     d["doc_chunks"] = f"""

@@ -1010,3 +1010,125 @@ def substring_duplicates(
             F.col("n_occurrences").cast("long").alias("n_occurrences"),
         )
     )
+
+
+def remove_duplicate_substrings(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the rewrite half of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better"; the
+    detection half is ``substring_duplicates``): every k-token span that
+    occurs >= 2 times in the corpus (cross- OR within-doc) keeps exactly
+    its globally-first occurrence — min (doc_id, pos), fully
+    deterministic — and every other occurrence has its k tokens removed
+    from the rewritten document.
+
+    Returns (id, text_clean, n_removed): the doc rewritten from its kept
+    tokens (lowercased, single-space joined — the same normalization the
+    grams hash), plus how many tokens were dropped. Docs shorter than k
+    tokens pass through unchanged (modulo normalization).
+
+    Scale shape: the gram explode is linear in corpus tokens; ONE
+    partial-agged count shuffle keyed on md5(gram) finds duplicated
+    grams and their canonical first occurrence; the duplicate-occurrence
+    join lands on the same gram_h partitioning (one row per gram on the
+    aggregated side -- no per-key blowup even for mega-duplicated
+    boilerplate grams); then one per-doc groupBy collects duplicate
+    positions and an id-keyed join rewrites the text ARRAY-LOCALLY:
+    sorted positions -> merged [p, p+k) intervals via a linear aggregate
+    fold (never the O(n*m) exists-per-token probe) -> gap slices
+    reassembled. Total: 1 gram shuffle + 2 id shuffles, everything else
+    narrow JVM expressions.
+    """
+    k = int(k)
+    base = docs.select(F.col(id_col), _words(text_col).alias("_w"))
+    pairs = F.when(
+        F.size("_w") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_w") - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice("_w", i + 1, k), " ")).alias(
+                    "gram_h"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram_h:string>>"))
+    exploded = base.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.pos").alias("pos"), F.col("p.gram_h").alias("gram_h")
+    )
+    firsts = (
+        exploded.groupBy("gram_h")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("keep"),
+            F.count("*").alias("_c"),
+        )
+        .where(F.col("_c") >= 2)
+        .select("gram_h", "keep")
+    )
+    dup_pos = (
+        exploded.join(firsts, "gram_h")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("keep.d"))
+                & (F.col("pos") == F.col("keep.p"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_dp"))
+    )
+
+    def _last(acc: Column) -> Column:
+        # null-safe tail access (F.get, not element_at: empty acc must
+        # yield NULL, not an ANSI out-of-bounds error)
+        return F.get(acc, F.size(acc) - 1)
+
+    iv = F.aggregate(
+        F.coalesce(F.col("_dp"), F.array().cast("array<int>")),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= _last(acc)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        _last(acc)["s"].alias("s"),
+                        F.greatest(_last(acc)["e"], p + k).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(p.alias("s"), (p + k).alias("e"))),
+            )
+        ),
+    )
+    rewritten = base.join(dup_pos, [id_col], "left").withColumn("_iv", iv)
+    gap = F.transform(
+        F.sequence(F.lit(0), F.size("_iv")),
+        lambda i: F.slice(
+            F.col("_w"),
+            F.when(i == 0, F.lit(0)).otherwise(F.get("_iv", i - 1)["e"]) + 1,
+            F.greatest(
+                F.when(i == F.size("_iv"), F.size("_w")).otherwise(
+                    F.get("_iv", i)["s"]
+                )
+                - F.when(i == 0, F.lit(0)).otherwise(
+                    F.get("_iv", i - 1)["e"]
+                ),
+                F.lit(0),
+            ),
+        ),
+    )
+    kept = F.flatten(gap)
+    return rewritten.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        (F.size("_w") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -748,6 +748,70 @@ class TestSubstringDuplicates:
         assert a == b and len(a) > 0
 
 
+class TestRemoveDuplicateSubstrings:
+    @staticmethod
+    def _py(rows, k):
+        from collections import defaultdict
+
+        toks = {i: t.lower().split() for i, t in rows}
+        occ = defaultdict(list)
+        for i, _ in rows:
+            w = toks[i]
+            for p in range(len(w) - k + 1):
+                occ[" ".join(w[p:p + k])].append((i, p))
+        dup = defaultdict(set)
+        for lst in occ.values():
+            if len(lst) >= 2:
+                keep = min(lst)
+                dup_positions = [x for x in lst if x != keep]
+                for d, p in dup_positions:
+                    dup[d].add(p)
+        out = {}
+        for i, _ in rows:
+            w = toks[i]
+            removed = [False] * len(w)
+            for p in dup.get(i, ()):
+                for j in range(p, min(p + k, len(w))):
+                    removed[j] = True
+            kept = [x for x, r in zip(w, removed) if not r]
+            out[i] = (" ".join(kept), len(w) - len(kept))
+        return out
+
+    def test_matches_python_recompute(self, spark):
+        from kg.ops.dedup import remove_duplicate_substrings
+
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "intro words the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "short"),
+            (4, "rep rep rep rep rep rep rep rep rep rep rep"),
+            (5, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+               for r in remove_duplicate_substrings(df, k=4).collect()}
+        assert got == self._py(rows, 4)
+        # global-first wins: doc 0 intact, doc 2 (its full dup) emptied
+        assert got[0][1] == 0 and got[2][0] == ""
+        # within-doc repetition: dup windows at pos 1..7 cover tokens
+        # [1, 11), so only the first token of the kept window survives
+        assert got[4] == ("rep", 10)
+
+    def test_partition_invariant_and_conserves_tokens(self, spark,
+                                                      documents):
+        from kg.ops.dedup import remove_duplicate_substrings
+
+        a = sorted(map(tuple,
+                       remove_duplicate_substrings(documents, k=6)
+                       .collect()))
+        b = sorted(map(tuple, remove_duplicate_substrings(
+            documents.repartition(11), k=6).collect()))
+        assert a == b and len(a) == documents.count()
+        for _, clean, n_removed in a:
+            assert n_removed >= 0
+
+
 def test_sign_bit_margin_far_above_float_noise():
     """The ann_lsh oracle equality relies on no |vec . hyperplane| being
     within summation-order float noise of 0 (BLAS vs SQL SUM add in
