@@ -3960,6 +3960,132 @@ def q_doc_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_predict(docs, priors, lik, vocab)
 
 
+# sized to the synthetic corpus's 31-word vocabulary so the greedy
+# matcher actually splits: ~19 words fall through to trigram/bigram/char
+# pieces (256/128/128 on a real corpus would be the production shape)
+SW_TOP_WORDS = 12
+SW_TOP_TRI = 16
+SW_TOP_BI = 8
+
+
+def q_corpus_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subword piece vocabulary (kg/ops/subword.py): top-12
+    whole words + top-16 within-word char trigrams + top-8 bigrams
+    (occurrence-weighted, ties lexicographic) + every single word char;
+    a piece keeps its highest-priority kind. Oracle replays the tiered
+    tops and the priority dedup."""
+    from kg.ops.subword import subword_vocab
+
+    return subword_vocab(
+        _docs(spark, sf_dir), top_words=SW_TOP_WORDS,
+        top_trigrams=SW_TOP_TRI, top_bigrams=SW_TOP_BI,
+    )
+
+
+def q_doc_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy longest-match subword stats per doc over the
+    corpus-derived vocab: (doc_id, n_words, n_subwords, fertility). The
+    Arrow-batched matcher runs over the DISTINCT-WORD dim, not the corpus.
+    Oracle = recursive-CTE pointer walk over a precomputed
+    longest-match-per-(word,pos) table — same greedy rule."""
+    from kg.ops.subword import subword_tokenize
+
+    return subword_tokenize(
+        _docs(spark, sf_dir), top_words=SW_TOP_WORDS,
+        top_trigrams=SW_TOP_TRI, top_bigrams=SW_TOP_BI,
+    )
+
+
+def _subword_vocab_ctes() -> str:
+    """Shared DuckDB CTE chain ending in vocab(piece, kind); assumes a
+    preceding WITH (RECURSIVE) introducer."""
+    return rf"""toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT w AS word, count(*) AS n
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+topw AS (
+  SELECT word AS piece, 'word' AS kind FROM occ
+  ORDER BY n DESC, word LIMIT {SW_TOP_WORDS}
+),
+tri AS (
+  SELECT substr(word, g.i, 3) AS piece, sum(n) AS n
+  FROM occ, unnest(generate_series(1, len(word) - 2)) AS g(i)
+  GROUP BY 1
+),
+toptri AS (
+  SELECT piece, 'trigram' AS kind FROM tri
+  ORDER BY n DESC, piece LIMIT {SW_TOP_TRI}
+),
+bi AS (
+  SELECT substr(word, g.i, 2) AS piece, sum(n) AS n
+  FROM occ, unnest(generate_series(1, len(word) - 1)) AS g(i)
+  GROUP BY 1
+),
+topbi AS (
+  SELECT piece, 'bigram' AS kind FROM bi
+  ORDER BY n DESC, piece LIMIT {SW_TOP_BI}
+),
+chs AS (
+  SELECT DISTINCT substr(word, g.i, 1) AS piece, 'char' AS kind
+  FROM occ, unnest(generate_series(1, len(word))) AS g(i)
+),
+vocab AS (
+  SELECT piece, kind FROM (
+    SELECT piece, kind, row_number() OVER (
+      PARTITION BY piece
+      ORDER BY CASE kind WHEN 'word' THEN 0 WHEN 'trigram' THEN 1
+                         WHEN 'bigram' THEN 2 ELSE 3 END) AS rn
+    FROM (SELECT * FROM topw UNION ALL SELECT * FROM toptri
+          UNION ALL SELECT * FROM topbi UNION ALL SELECT * FROM chs)
+  ) WHERE rn = 1
+)"""
+
+
+def _subword_tokenize_oracle_sql() -> str:
+    return rf"""
+WITH RECURSIVE {_subword_vocab_ctes()},
+lmax AS (SELECT max(len(piece)) AS m FROM vocab),
+dwords AS (SELECT DISTINCT word FROM occ),
+best AS (
+  SELECT word, pos, max(L) AS step FROM (
+    SELECT d.word, g.pos, l.L
+    FROM dwords d,
+         unnest(generate_series(1, len(d.word))) AS g(pos),
+         unnest(generate_series(1, (SELECT m FROM lmax))) AS l(L)
+    WHERE g.pos + l.L - 1 <= len(d.word)
+      AND substr(d.word, g.pos, l.L) IN (SELECT piece FROM vocab)
+  ) GROUP BY word, pos
+),
+walk AS (
+  SELECT word, CAST(1 AS BIGINT) AS pos, 0 AS n FROM dwords
+  UNION ALL
+  SELECT w.word, w.pos + coalesce(b.step, 1), w.n + 1
+  FROM walk w LEFT JOIN best b ON b.word = w.word AND b.pos = w.pos
+  WHERE w.pos <= len(w.word)
+),
+ppw AS (SELECT word, max(n) AS n_pieces FROM walk GROUP BY word),
+docw AS (
+  SELECT doc_id, w AS word, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2
+),
+stats AS (
+  SELECT doc_id, sum(c) AS n_words, sum(c * n_pieces) AS n_subwords
+  FROM docw JOIN ppw USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+  CAST(coalesce(s.n_subwords, 0) AS BIGINT) AS n_subwords,
+  CASE WHEN coalesce(s.n_words, 0) > 0
+       THEN round(s.n_subwords / s.n_words, 4) END AS fertility
+FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+
 DSIR_FRAC = 0.25
 
 
@@ -4002,6 +4128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_nb_lang": q_doc_nb_lang,
         "doc_dsir": q_doc_dsir,
+        "corpus_subword_vocab": q_corpus_subword_vocab,
+        "doc_subword_tokenize": q_doc_subword_tokenize,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_corpus_filter": q_doc_corpus_filter,
         "doc_decontaminate": q_doc_decontaminate,
@@ -5313,6 +5441,10 @@ FROM base
 """
     d["doc_profile"] = _profile_oracle_sql()
     d["doc_dsir"] = _dsir_oracle_sql()
+    d["corpus_subword_vocab"] = (
+        "WITH " + _subword_vocab_ctes() + "\nSELECT piece, kind FROM vocab"
+    )
+    d["doc_subword_tokenize"] = _subword_tokenize_oracle_sql()
     d["graph_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS)
     d["graph_pagerank_warm"] = _pagerank_warm_oracle_sql(
         PAGERANK_ITERS, PRWARM_ITERS

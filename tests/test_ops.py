@@ -812,6 +812,93 @@ class TestRemoveDuplicateSubstrings:
             assert n_removed >= 0
 
 
+class TestSubword:
+    ROWS = [
+        (1, "the theory of the theatre"),
+        (2, "xyzzy"),
+        (3, ""),
+        (4, "the the the"),
+        (5, "of of theory"),
+    ]
+
+    @staticmethod
+    def _py_vocab(rows, top_w, top_t, top_b):
+        from collections import Counter
+
+        occ = Counter()
+        for _, t in rows:
+            occ.update(t.lower().split())
+        def top(counter, k):
+            return [p for p, _ in sorted(
+                counter.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+        tri, bi = Counter(), Counter()
+        for w, n in occ.items():
+            for i in range(len(w) - 2):
+                tri[w[i:i + 3]] += n
+            for i in range(len(w) - 1):
+                bi[w[i:i + 2]] += n
+        chars = {c for w in occ for c in w}
+        out = {}
+        for kind, pieces in [("char", chars), ("bigram", top(bi, top_b)),
+                             ("trigram", top(tri, top_t)),
+                             ("word", top(occ, top_w))]:
+            for p in pieces:
+                out[p] = kind  # later (higher-priority) kinds overwrite
+        return out
+
+    @staticmethod
+    def _py_count(word, pieces, lmax):
+        pos, n = 0, 0
+        while pos < len(word):
+            step = 1
+            for ln in range(min(lmax, len(word) - pos), 0, -1):
+                if word[pos:pos + ln] in pieces:
+                    step = ln
+                    break
+            pos += step
+            n += 1
+        return n
+
+    def test_vocab_matches_python_recompute(self, spark):
+        from kg.ops.subword import subword_vocab
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {r["piece"]: r["kind"]
+               for r in subword_vocab(df, 3, 4, 4).collect()}
+        assert got == self._py_vocab(self.ROWS, 3, 4, 4)
+
+    def test_tokenize_matches_python_recompute(self, spark):
+        from kg.ops.subword import subword_tokenize, subword_vocab
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        v = subword_vocab(df, 3, 4, 4)
+        got = {r["doc_id"]: (r["n_words"], r["n_subwords"], r["fertility"])
+               for r in subword_tokenize(df, v).collect()}
+        pieces = set(self._py_vocab(self.ROWS, 3, 4, 4))
+        lmax = max(map(len, pieces))
+        for i, t in self.ROWS:
+            words = t.lower().split()
+            n_sub = sum(self._py_count(w, pieces, lmax) for w in words)
+            fert = (round(n_sub / len(words), 4) if words else None)
+            assert got[i] == (len(words), n_sub, fert), i
+        # empty doc: zero counts, NULL fertility
+        assert got[3] == (0, 0, None)
+
+    def test_partition_invariant_on_corpus(self, spark, documents):
+        from kg.ops.subword import subword_tokenize
+
+        a = sorted(map(tuple, subword_tokenize(documents).collect()))
+        b = sorted(map(tuple,
+                       subword_tokenize(documents.repartition(13))
+                       .collect()))
+        assert a == b and len(a) == documents.count()
+        # fertility >= 1 whenever there are words: a word is at least
+        # one piece
+        for _, n_words, n_subwords, fert in a:
+            if n_words:
+                assert n_subwords >= n_words and fert >= 1.0
+
+
 def test_sign_bit_margin_far_above_float_noise():
     """The ann_lsh oracle equality relies on no |vec . hyperplane| being
     within summation-order float noise of 0 (BLAS vs SQL SUM add in
