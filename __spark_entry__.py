@@ -4086,6 +4086,125 @@ FROM documents d LEFT JOIN stats s USING (doc_id)
 """
 
 
+LEAK_WEIGHTS = (0.8, 0.1, 0.1)
+LEAK_K = 13
+
+
+def q_doc_leak_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (kg/ops/curation.py
+    leakage_safe_split): hash split, then any TRAIN doc sharing a
+    13-gram with the held-out half is dropped (keep=false). Oracle
+    replays the md5 split and the broadcast gram guard."""
+    from kg.ops.curation import leakage_safe_split
+
+    return leakage_safe_split(
+        _docs(spark, sf_dir), weights=LEAK_WEIGHTS, k=LEAK_K
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "split", "keep", "n_hits",
+    )
+
+
+def q_doc_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase dense-ID assignment (kg/ops/ids.py assign_dense_ids):
+    0-based contiguous ids over documents in (lang, doc_id) order WITHOUT
+    a single-reducer global window — range repartition + per-partition
+    offsets + Arrow enumerator. Oracle is the window the op replaces:
+    row_number() OVER (ORDER BY lang, doc_id) - 1."""
+    from kg.ops.ids import assign_dense_ids
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return assign_dense_ids(docs, ["lang", "doc_id"])
+
+
+LR_DIM = 32
+LR_ITERS = 3
+LR_LR = 0.5
+
+
+def q_doc_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained LR quality classifier (kg/ops/lm.py lr_train/lr_score):
+    label = (lang = 'en') as the reference slice, 3 rounds of exact
+    full-batch GD over md5-hashed binary bag-of-words features, then
+    score every doc. Oracle unrolls all three gradient rounds in SQL
+    (round 1 is exp-free: zero weights => p = 0.5 exactly)."""
+    from kg.ops.lm import lr_score, lr_train
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "_lab", F.col("lang") == "en"
+    )
+    w, b = lr_train(docs, "_lab", dim=LR_DIM, iters=LR_ITERS, lr=LR_LR)
+    return lr_score(docs, w, b).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "score", "pred"
+    )
+
+
+def _lr_oracle_sql() -> str:
+    """Unrolled full-batch GD: namespaced CTEs per iteration, replaying
+    lr_train's arithmetic (w' = w - LR*g with g an exact mean) exactly."""
+    lr = LR_LR
+    parts = [
+        rf"""WITH feats AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(w), 1, 15))::BIGINT % {LR_DIM} AS bucket
+  FROM (SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '')) AS w
+        FROM documents)
+),
+lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+r0 AS (SELECT doc_id, 0.5 - y AS r FROM lab),
+g0 AS (
+  SELECT bucket, sum(r) / (SELECT n FROM nn) AS g
+  FROM feats JOIN r0 USING (doc_id) GROUP BY bucket
+),
+gb0 AS (SELECT sum(r) / (SELECT n FROM nn) AS g FROM r0),
+w1 AS (SELECT bucket, 0.0 - {lr} * g AS w FROM g0),
+b1 AS (SELECT 0.0 - {lr} * g AS b FROM gb0)"""
+    ]
+    for i in range(1, LR_ITERS):
+        parts.append(rf""",
+z{i} AS (
+  SELECT l.doc_id, l.y, (SELECT b FROM b{i}) + coalesce(s.s, 0.0) AS z
+  FROM lab l LEFT JOIN (
+    SELECT f.doc_id, sum(w.w) AS s
+    FROM feats f JOIN w{i} w USING (bucket) GROUP BY f.doc_id) s
+  USING (doc_id)
+),
+r{i} AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS r FROM z{i}),
+g{i} AS (
+  SELECT bucket, sum(r) / (SELECT n FROM nn) AS g
+  FROM feats JOIN r{i} USING (doc_id) GROUP BY bucket
+),
+gb{i} AS (SELECT sum(r) / (SELECT n FROM nn) AS g FROM r{i}),
+w{i + 1} AS (
+  SELECT bucket, coalesce(w.w, 0.0) - {lr} * coalesce(g.g, 0.0) AS w
+  FROM w{i} w FULL JOIN g{i} g USING (bucket)
+),
+b{i + 1} AS (
+  SELECT (SELECT b FROM b{i}) - {lr} * (SELECT g FROM gb{i}) AS b)""")
+    parts.append(rf""",
+zf AS (
+  SELECT l.doc_id,
+    (SELECT b FROM b{LR_ITERS}) + coalesce(s.s, 0.0) AS z
+  FROM lab l LEFT JOIN (
+    SELECT f.doc_id, sum(w.w) AS s
+    FROM feats f JOIN w{LR_ITERS} w USING (bucket) GROUP BY f.doc_id) s
+  USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  round(1.0 / (1.0 + exp(-z)), 4) AS score,
+  round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS pred
+FROM zf""")
+    return "".join(parts)
+
+
 DSIR_FRAC = 0.25
 
 
@@ -4128,6 +4247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_nb_lang": q_doc_nb_lang,
         "doc_dsir": q_doc_dsir,
+        "doc_lr_quality": q_doc_lr_quality,
+        "doc_leak_split": q_doc_leak_split,
+        "doc_dense_ids": q_doc_dense_ids,
         "corpus_subword_vocab": q_corpus_subword_vocab,
         "doc_subword_tokenize": q_doc_subword_tokenize,
         "doc_pii_redact": q_doc_pii_redact,
@@ -5441,6 +5563,55 @@ FROM base
 """
     d["doc_profile"] = _profile_oracle_sql()
     d["doc_dsir"] = _dsir_oracle_sql()
+    d["doc_lr_quality"] = _lr_oracle_sql()
+    d["doc_dense_ids"] = """
+SELECT doc_id, lang,
+  row_number() OVER (ORDER BY lang, doc_id) - 1 AS dense_id
+FROM documents
+"""
+    _lk = LEAK_K - 1
+    d["doc_leak_split"] = rf"""
+WITH sp AS (
+  SELECT doc_id, text,
+    CASE WHEN u < {LEAK_WEIGHTS[0]} THEN 'train'
+         WHEN u < {LEAK_WEIGHTS[0] + LEAK_WEIGHTS[1]} THEN 'val'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, text,
+      ('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        / 1152921504606846976.0 AS u
+    FROM documents)
+),
+w AS (
+  SELECT doc_id, split,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM sp
+),
+g AS (
+  SELECT doc_id, split,
+    CASE WHEN len(ws) >= {LEAK_K} THEN
+      [array_to_string(ws[i:i+{_lk}], ' ')
+       FOR i IN generate_series(1, len(ws) - {_lk})]
+    ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w
+),
+hg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE split <> 'train'
+),
+tg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE split = 'train'
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT gram) AS n_hits
+  FROM tg JOIN hg USING (gram) GROUP BY doc_id
+)
+SELECT s.doc_id, s.split,
+  CASE WHEN s.split <> 'train' THEN TRUE
+       ELSE coalesce(h.n_hits, 0) = 0 END AS keep,
+  CAST(CASE WHEN s.split <> 'train' THEN 0
+            ELSE coalesce(h.n_hits, 0) END AS BIGINT) AS n_hits
+FROM sp s LEFT JOIN hits h USING (doc_id)
+"""
     d["corpus_subword_vocab"] = (
         "WITH " + _subword_vocab_ctes() + "\nSELECT piece, kind FROM vocab"
     )

@@ -427,6 +427,15 @@ def train_val_test_split(
     migrates between splits when the corpus grows, unlike randomSplit), and
     reproducible across clusters. Pure map, no shuffle.
     """
+    u, split = _split_exprs(weights, seed, id_col)
+    return docs.select(
+        F.col(id_col), F.round(u, 9).alias("u"), split.alias("split")
+    )
+
+
+def _split_exprs(weights, seed: int, id_col: str):
+    """(u, split) column expressions — a pure function of the id, shared
+    by train_val_test_split and leakage_safe_split."""
     if len(weights) != 3 or abs(sum(weights) - 1.0) > 1e-9:
         raise ValueError("weights must be 3 fractions summing to 1")
     h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
@@ -434,13 +443,10 @@ def train_val_test_split(
         float(1 << 60)
     )
     c1, c2 = weights[0], weights[0] + weights[1]
-    return docs.select(
-        F.col(id_col),
-        F.round(u, 9).alias("u"),
-        F.when(u < c1, "train").when(u < c2, "val").otherwise("test").alias(
-            "split"
-        ),
+    split = (
+        F.when(u < c1, "train").when(u < c2, "val").otherwise("test")
     )
+    return u, split
 
 
 def mixture_weights(
@@ -549,3 +555,50 @@ def quality_prune(
     return ranked.where(
         F.col("_rn") <= F.ceil(F.col("_n") * F.lit(float(frac)))
     ).drop("_rn", "_n")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    k: int = 13,
+    seed: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val/test split with the leakage guard composed
+    in: after the hash split (``train_val_test_split`` semantics — docs
+    never migrate as the corpus grows), any TRAIN doc sharing a k-gram
+    with the held-out half (val + test) is dropped with reason
+    'eval_leak' — the split-time decontamination every pre-training
+    pipeline needs so the eval half stays a fair probe of its own train
+    half. Held-out docs always keep.
+
+    Returns (id, split, keep, n_hits): n_hits = distinct k-grams shared
+    with the held-out half (0 for held-out docs by definition).
+
+    Scale shape: the split is a pure map; the guard is
+    ``benchmark_contamination`` with the held-out grams distinct-ed and
+    broadcast (the held-out half is a small fraction by construction) —
+    the train corpus never shuffles.
+    """
+    _, split = _split_exprs(weights, seed, id_col)
+    with_split = docs.withColumn("_split", split)  # pure map, no join
+    heldout = with_split.where(F.col("_split") != "train")
+    train = with_split.where(F.col("_split") == "train")
+    flags = benchmark_contamination(
+        train, heldout, k=k, id_col=id_col,
+        text_col=text_col, bench_text_col=text_col,
+    )
+    train_out = flags.select(
+        id_col,
+        F.lit("train").alias("split"),
+        (~F.col("contaminated")).alias("keep"),
+        F.col("n_hits"),
+    )
+    held_out = heldout.select(
+        F.col(id_col),
+        F.col("_split").alias("split"),
+        F.lit(True).alias("keep"),
+        F.lit(0).cast("long").alias("n_hits"),
+    )
+    return train_out.unionByName(held_out)

@@ -61,6 +61,9 @@ __all__ = [
     "perplexity_buckets",
     "dsir_importance",
     "dsir_select",
+    "lr_features",
+    "lr_train",
+    "lr_score",
 ]
 
 UNK = "<unk>"
@@ -430,4 +433,135 @@ def dsir_select(
         imp.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def _lr_bucket(col: Column, dim: int) -> Column:
+    """md5-derived hashed-feature bucket in [0, dim) — the engine-portable
+    hash convention (DuckDB replays it as ('0x'||substr(md5,1,15))::BIGINT
+    % dim)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        % int(dim)
+    )
+
+
+def lr_features(
+    docs: DataFrame,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed binary bag-of-words features: DISTINCT (id, bucket) pairs,
+    bucket = md5(word) % dim. One partial-agged distinct shuffle; feature
+    count per doc bounded by dim."""
+    return (
+        docs.select(F.col(id_col), F.explode(_words(text_col)).alias("_w"))
+        .select(id_col, _lr_bucket(F.col("_w"), dim).alias("bucket"))
+        .distinct()
+    )
+
+
+def lr_train(
+    docs: DataFrame,
+    label_col: str,
+    dim: int = 32,
+    iters: int = 3,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[list[float], float]:
+    """Train a logistic-regression quality classifier (the CCNet/GPT-3-
+    style trained corpus filter: label a reference slice positive, score
+    everything) by ``iters`` rounds of full-batch gradient descent over
+    hashed binary bag-of-words features. Returns (weights[dim], bias).
+
+    Fully deterministic given the corpus: features are md5-hashed, the
+    gradient is an exact mean over all docs, no sampling. The model is
+    dim+1 doubles — driver-held and re-broadcast per round (the k-means
+    centroid pattern); each round costs TWO partial-agged shuffles (per-
+    doc score sum, per-bucket gradient sum) + a <= dim+1 row collect.
+    Iteration 1 needs no exp (all-zero weights => p = 0.5 exactly), which
+    the SQL oracle replays literally.
+
+    Scale shape: the corpus flows through the feature explode once
+    (cached by the caller if iterating many rounds); every join against
+    the model is a broadcast of dim+1 doubles; gradients partial-agg
+    map-side. No window, no driver-side row loops.
+    """
+    feats = lr_features(docs, dim=dim, id_col=id_col, text_col=text_col)
+    labels = docs.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y")
+    )
+    n = labels.count()
+    w = [0.0] * int(dim)
+    b = 0.0
+    for it in range(int(iters)):
+        if it == 0:
+            resid = labels.select(id_col, (0.5 - F.col("_y")).alias("_r"))
+        else:
+            warr = F.array(*[F.lit(float(x)) for x in w])
+            z = labels.join(
+                feats.select(
+                    id_col, F.get(warr, F.col("bucket")).alias("_wj")
+                ).groupBy(id_col).agg(F.sum("_wj").alias("_s")),
+                [id_col],
+                "left",
+            ).select(
+                id_col,
+                "_y",
+                (F.lit(float(b)) + F.coalesce("_s", F.lit(0.0))).alias("_z"),
+            )
+            resid = z.select(
+                id_col,
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z")))
+                    - F.col("_y")
+                ).alias("_r"),
+            )
+        grad = {
+            r["bucket"]: r["g"]
+            for r in feats.join(resid, [id_col])
+            .groupBy("bucket")
+            .agg((F.sum("_r") / F.lit(float(n))).alias("g"))
+            .collect()
+        }
+        gb = resid.agg((F.sum("_r") / F.lit(float(n))).alias("g")).first()[
+            "g"
+        ]
+        for j, g in grad.items():
+            w[j] = w[j] - lr * g
+        b = b - lr * gb
+    return w, b
+
+
+def lr_score(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    dim: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score docs under a trained LR model: (id, score, pred) with
+    score = round(sigmoid(bias + sum of bucket weights), 4) and
+    pred = score >= 0.5. One feature shuffle + one broadcast-array sum."""
+    dim = len(weights) if dim is None else int(dim)
+    warr = F.array(*[F.lit(float(x)) for x in weights])
+    feats = lr_features(docs, dim=dim, id_col=id_col, text_col=text_col)
+    sums = (
+        feats.select(id_col, F.get(warr, F.col("bucket")).alias("_wj"))
+        .groupBy(id_col)
+        .agg(F.sum("_wj").alias("_s"))
+    )
+    z = F.lit(float(bias)) + F.coalesce("_s", F.lit(0.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return (
+        docs.select(id_col)
+        .join(sums, [id_col], "left")
+        .select(
+            id_col,
+            score.alias("score"),
+            (score >= 0.5).alias("pred"),
+        )
     )

@@ -510,3 +510,76 @@ class TestRemoveBoilerplateLines:
             )
         )
         assert a == b
+
+
+class TestLeakageSafeSplit:
+    def _docs(self, spark):
+        leak = "one two three four five six seven eight nine ten " \
+               "eleven twelve thirteen"
+        rows = [(i, f"filler{i} " + leak) for i in range(40)]
+        rows += [(100 + i, f"unique words only here variant {i}")
+                 for i in range(10)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_train_leaks_dropped_heldout_always_kept(self, spark):
+        from kg.ops.curation import leakage_safe_split, train_val_test_split
+
+        docs = self._docs(spark)
+        splits = {r["doc_id"]: r["split"]
+                  for r in train_val_test_split(
+                      docs, weights=(0.6, 0.2, 0.2)).collect()}
+        got = {r["doc_id"]: (r["split"], r["keep"], r["n_hits"])
+               for r in leakage_safe_split(
+                   docs, weights=(0.6, 0.2, 0.2), k=13).collect()}
+        assert len(got) == docs.count()
+        heldout_sharers = [i for i in range(40)
+                           if splits[i] != "train"]
+        assert heldout_sharers, "fixture must put some sharers in heldout"
+        for i, (sp, keep, n_hits) in got.items():
+            assert sp == splits[i]
+            if sp != "train":
+                assert keep and n_hits == 0
+            elif i < 40:
+                # every train doc sharing the 13-gram with a held-out
+                # sharer is a leak
+                assert not keep and n_hits >= 1
+            else:
+                assert keep and n_hits == 0
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.curation import leakage_safe_split
+
+        docs = self._docs(spark)
+        a = sorted(map(tuple, leakage_safe_split(docs).collect()))
+        b = sorted(map(tuple,
+                       leakage_safe_split(docs.repartition(7)).collect()))
+        assert a == b
+
+
+class TestAssignDenseIds:
+    def test_matches_global_window_order(self, spark):
+        from kg.ops.ids import assign_dense_ids
+
+        rows = [(i, f"k{i % 7}", f"v{i}") for i in range(200)]
+        df = spark.createDataFrame(rows, "pk long, grp string, v string")
+        got = assign_dense_ids(df, ["grp", "pk"], num_partitions=8)
+        out = sorted((r["dense_id"], r["grp"], r["pk"], r["v"])
+                     for r in got.collect())
+        want = sorted(rows, key=lambda r: (r[1], r[0]))
+        assert [o[0] for o in out] == list(range(200))  # dense, 0-based
+        for (did, grp, pk, v), w in zip(out, want):
+            assert (pk, grp, v) == w
+
+    def test_partition_invariant_and_column_preserving(self, spark):
+        from kg.ops.ids import assign_dense_ids
+
+        rows = [(i, i % 3) for i in range(50)]
+        df = spark.createDataFrame(rows, "pk long, x long")
+        a = sorted(map(tuple,
+                       assign_dense_ids(df, ["pk"], num_partitions=4)
+                       .collect()))
+        b = sorted(map(tuple,
+                       assign_dense_ids(df.repartition(9), ["pk"],
+                                        num_partitions=13).collect()))
+        assert a == b
+        assert [r[-1] for r in a] == list(range(50))

@@ -236,3 +236,95 @@ class TestDsirSelection:
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         # everything kept is in-domain
         assert all(r["doc_id"] < 10 for r in a)
+
+
+class TestLrQualityClassifier:
+    ROWS = [
+        (0, "the cat sat on the mat and then the cat slept", True),
+        (1, "the dog sat on the log and then the dog slept", True),
+        (2, "the bird flew over the mat and the cat watched", True),
+        (10, "zx qv wk jr pl mn bt kq", False),
+        (11, "qv zx jr wk mn pl kq bt", False),
+        (12, "zx zx qv qv wk wk jr jr", False),
+        (20, "", False),  # empty doc: bias-only score
+    ]
+
+    @staticmethod
+    def _py_train_score(rows, dim, iters, lr):
+        import hashlib
+        import math
+
+        def bucket(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % dim
+
+        feats = {
+            i: sorted({bucket(w) for w in t.lower().split()})
+            for i, t, _ in rows
+        }
+        ys = {i: 1.0 if lab else 0.0 for i, _, lab in rows}
+        n = float(len(rows))
+        w = [0.0] * dim
+        b = 0.0
+        for it in range(iters):
+            resid = {}
+            for i in ys:
+                if it == 0:
+                    p = 0.5
+                else:
+                    z = b + sum(w[j] for j in feats[i])
+                    p = 1.0 / (1.0 + math.exp(-z))
+                resid[i] = p - ys[i]
+            grad = {}
+            for i, r in resid.items():
+                for j in feats[i]:
+                    grad[j] = grad.get(j, 0.0) + r
+            for j, g in grad.items():
+                w[j] = w[j] - lr * (g / n)
+            b = b - lr * (sum(resid.values()) / n)
+        scores = {}
+        for i in ys:
+            z = b + sum(w[j] for j in feats[i])
+            scores[i] = round(1.0 / (1.0 + math.exp(-z)), 4)
+        return w, b, scores
+
+    def test_matches_python_recompute(self, spark):
+        from kg.ops.lm import lr_score, lr_train
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, lab boolean"
+        )
+        w, b = lr_train(df, "lab", dim=16, iters=3, lr=0.5)
+        pw, pb, pscores = self._py_train_score(self.ROWS, 16, 3, 0.5)
+        assert abs(b - pb) < 1e-9
+        assert all(abs(a - c) < 1e-9 for a, c in zip(w, pw))
+        got = {r["doc_id"]: (r["score"], r["pred"])
+               for r in lr_score(df, w, b).collect()}
+        for i, s in pscores.items():
+            assert abs(got[i][0] - s) < 5e-4, i
+            assert got[i][1] == (got[i][0] >= 0.5)
+
+    def test_separates_reference_slice(self, spark):
+        from kg.ops.lm import lr_score, lr_train
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, lab boolean"
+        )
+        w, b = lr_train(df, "lab", dim=16, iters=8, lr=1.0)
+        got = {r["doc_id"]: r["score"] for r in lr_score(df, w, b).collect()}
+        pos = [got[i] for i in (0, 1, 2)]
+        neg = [got[i] for i in (10, 11, 12)]
+        assert min(pos) > max(neg)
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.lm import lr_score, lr_train
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, lab boolean"
+        )
+        w, b = lr_train(df, "lab", dim=16, iters=3, lr=0.5)
+        a = sorted(map(tuple, lr_score(df, w, b).collect()))
+        w2, b2 = lr_train(df.repartition(5), "lab", dim=16, iters=3,
+                          lr=0.5)
+        c = sorted(map(tuple,
+                       lr_score(df.repartition(3), w2, b2).collect()))
+        assert a == c
