@@ -445,3 +445,76 @@ def test_harmonic_round_is_one_shuffle_join_plus_anti(spark):
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_substring_removal_all_jvm_no_cartesian(spark, documents_sf):
+    """ExactSubstr removal: gram explode + count shuffle + equi joins —
+    no Python anywhere, no nested-loop path, and the interval-merge
+    rewrite is array-local (no Window)."""
+    from kg.ops.dedup import remove_duplicate_substrings
+
+    p = _plan(remove_duplicate_substrings(documents_sf, k=8))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "CartesianProduct", "BroadcastNestedLoopJoin", "Window"):
+        assert node not in p, node
+
+
+def test_subword_tokenize_python_touches_dim_not_corpus(spark,
+                                                        documents_sf):
+    """The greedy matcher is ONE Arrow pass positioned over the
+    distinct-word dim; the corpus side joins it broadcast."""
+    from kg.ops.subword import subword_tokenize
+
+    p = _plan(subword_tokenize(documents_sf))
+    assert p.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_leakage_split_train_corpus_never_shuffles(spark, documents_sf):
+    """Both the gram guard joins are broadcast: no Exchange may carry the
+    corpus (the only exchanges allowed are the tiny held-out gram
+    distinct + hit aggregation)."""
+    from pyspark.sql import functions as F
+
+    from kg.ops.curation import leakage_safe_split
+
+    p = _plan(leakage_safe_split(documents_sf))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the full-corpus text column never rides an exchange: every shuffle
+    # in this plan is over gram/id projections, not (id, text) rows
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in m.group(1)
+
+
+def test_dense_ids_no_global_single_partition_sort(spark, documents_sf,
+                                                   monkeypatch):
+    """The op's reason to exist: no Window and no single-partition global
+    sort — a rangepartitioning exchange + within-partition sort instead.
+    The materialize barrier normally truncates the visible plan, so pin
+    with it patched to identity (same dataflow, full lineage)."""
+    import kg.ops.ids as ids_mod
+    from kg.ops.ids import assign_dense_ids
+
+    monkeypatch.setattr(ids_mod, "materialize", lambda df: df)
+    df = documents_sf.select("doc_id", "lang")
+    p = _plan(assign_dense_ids(df, ["lang", "doc_id"], num_partitions=8))
+    assert "Window" not in p
+    assert "rangepartitioning" in p.lower()
+    assert "SinglePartition" not in p
+
+
+def test_lr_round_two_partial_agged_shuffles_no_window(spark,
+                                                       documents_sf):
+    """One LR scoring pass: feature distinct + per-doc sum are the only
+    exchanges; the model rides as an array literal (no join for it)."""
+    from kg.ops.lm import lr_score
+
+    p = _plan(lr_score(documents_sf, [0.1] * 16, 0.05))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_" in p.lower() or "HashAggregate" in p
