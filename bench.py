@@ -407,6 +407,25 @@ def run_suite(spark, sf_dir: str) -> dict:
     timings["lm"] = timed_twice(w_lm)
     extra["lm_docs_per_sec"] = round(n_pages / timings["lm"], 1)
 
+    # --- text ops (round 3): ExactSubstr removal (gram-count shuffle +
+    # two id shuffles, all JVM) + subword tokenization (the Python matcher
+    # touches only the distinct-word dim; corpus side = one shared token
+    # pass + broadcast join + one partial-agged per-doc sum). Both
+    # corpus-sized -> scaling-relevant. ---
+    from kg.ops.dedup import remove_duplicate_substrings
+    from kg.ops.subword import subword_tokenize
+
+    def w_textops():
+        counts["substring_rm"] = remove_duplicate_substrings(
+            docs_x, k=8
+        ).count()
+        counts["subword"] = subword_tokenize(docs_x).count()
+
+    timings["textops"] = timed_twice(w_textops)
+    extra["textops_docs_per_sec"] = round(
+        2 * n_pages / timings["textops"], 1
+    )
+
     # --- near-dup: capped banded MinHash + exact-Jaccard verify + CC over
     # the full corpus (production config: 16x4 bands, max_bucket=64).
     # SPARK_GRAFT_NEARDUP_FRAC < 1 keeps a deterministic hash-slice of the

@@ -109,7 +109,7 @@ HISTORY = REPO / "BENCH" / "history.jsonl"
 EFF_KEYS = ("pipeline_docs_per_sec", "mentions_docs_per_sec",
             "triples_per_sec", "weblinks_pages_per_sec",
             "curation_docs_per_sec", "lm_docs_per_sec",
-            "boilerplate_docs_per_sec")
+            "boilerplate_docs_per_sec", "textops_docs_per_sec")
 
 
 def _load_history() -> list[dict]:
@@ -274,11 +274,12 @@ def main() -> int:
         "property; every window's full raw JSON is in BENCH/history.jsonl.",
         "",
         "| window (UTC) | pipeline eff | mentions eff | triples eff |"
-        " weblinks eff | curation eff | lm eff | hw ceiling |"
-        " hw-normalized pipeline |",
-        "|---|---|---|---|---|---|---|---|---|",
+        " weblinks eff | curation eff | lm eff | textops eff |"
+        " hw ceiling | hw-normalized pipeline |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ] + [
-        "| {ts} | {p} | {m} | {t} | {w} | {c} | {l} | {h} | {n} |".format(
+        "| {ts} | {p} | {m} | {t} | {w} | {c} | {l} | {x} | {h} | {n} |"
+        .format(
             ts=w["ts"],
             p=w["effs"]["pipeline_docs_per_sec"],
             m=w["effs"]["mentions_docs_per_sec"],
@@ -286,6 +287,7 @@ def main() -> int:
             w=w["effs"].get("weblinks_pages_per_sec", "-"),
             c=w["effs"].get("curation_docs_per_sec", "-"),
             l=w["effs"].get("lm_docs_per_sec", "-"),
+            x=w["effs"].get("textops_docs_per_sec", "-"),
             h=w.get("hw_eff", "-"),
             n=round(
                 w["effs"]["pipeline_docs_per_sec"] / w["hw_eff"], 3

@@ -84,7 +84,17 @@ def subword_vocab(
 ) -> DataFrame:
     """The deterministic piece vocabulary: (piece, kind). See module
     docstring for the tiering + tie rules."""
-    occ = _occurrences(docs, text_col)
+    return _vocab_from_occ(
+        _occurrences(docs, text_col), top_words, top_trigrams, top_bigrams
+    )
+
+
+def _vocab_from_occ(
+    occ: DataFrame,
+    top_words: int,
+    top_trigrams: int,
+    top_bigrams: int,
+) -> DataFrame:
     words = (
         occ.orderBy(F.desc("n"), "word")
         .limit(int(top_words))
@@ -133,8 +143,20 @@ def subword_tokenize(
     (id, n_words, n_subwords, fertility). ``vocab`` defaults to
     ``subword_vocab(docs)``. Fertility is NULL for empty docs and rounded
     to 4dp (engine-portable)."""
+    dim = None
     if vocab is None:
-        vocab = subword_vocab(docs, text_col=text_col, **vocab_kwargs)
+        # share ONE corpus token pass between the vocab build and the
+        # distinct-word dim (occ already is the dim + counts)
+        from kg.session import materialize
+
+        occ = materialize(_occurrences(docs, text_col))
+        vocab = _vocab_from_occ(
+            occ,
+            vocab_kwargs.get("top_words", 256),
+            vocab_kwargs.get("top_trigrams", 128),
+            vocab_kwargs.get("top_bigrams", 128),
+        )
+        dim = occ.select("word")
     pieces = sorted(r["piece"] for r in vocab.select("piece").collect())
     pset = frozenset(pieces)
     lmax = max((len(p) for p in pieces), default=1)
@@ -163,17 +185,20 @@ def subword_tokenize(
                 }
             )
 
-    per_doc = (
-        docs.select(F.col(id_col), F.explode(_words(text_col)).alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count("*").alias("_c"))
+    toks = docs.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("word")
     )
-    dim = per_doc.select("word").distinct()
+    if dim is None:
+        dim = toks.select("word").distinct()
     dim_pieces = dim.mapInPandas(batches, "word string, n_pieces long")
-    joined = per_doc.join(F.broadcast(dim_pieces), "word")
+    # broadcast dim join straight onto the exploded tokens: the per-doc
+    # aggregation below is then the ONLY corpus-sized shuffle (a
+    # groupBy(id, word) pre-aggregation would add a second corpus shuffle
+    # and save nothing — the dim join is broadcast either way)
+    joined = toks.join(F.broadcast(dim_pieces), "word")
     stats = joined.groupBy(id_col).agg(
-        F.sum("_c").alias("n_words"),
-        F.sum(F.col("_c") * F.col("n_pieces")).alias("n_subwords"),
+        F.count("*").alias("n_words"),
+        F.sum("n_pieces").alias("n_subwords"),
     )
     return (
         docs.select(id_col)
