@@ -4086,6 +4086,22 @@ FROM documents d LEFT JOIN stats s USING (doc_id)
 """
 
 
+WSAMPLE_K = 200
+WSAMPLE_SEED = 29
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis deterministic weighted sample (kg/ops/
+    curation.py weighted_sample): 200 docs drawn without replacement with
+    probability proportional to n_chars; oracle replays key = u^(1/w)
+    and the (skey desc, id) top-k."""
+    from kg.ops.curation import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir), "n_chars", k=WSAMPLE_K, seed=WSAMPLE_SEED
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "weight", "skey")
+
+
 LEAK_WEIGHTS = (0.8, 0.1, 0.1)
 LEAK_K = 13
 
@@ -4250,6 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lr_quality": q_doc_lr_quality,
         "doc_leak_split": q_doc_leak_split,
         "doc_dense_ids": q_doc_dense_ids,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "corpus_subword_vocab": q_corpus_subword_vocab,
         "doc_subword_tokenize": q_doc_subword_tokenize,
         "doc_pii_redact": q_doc_pii_redact,
@@ -5564,6 +5581,16 @@ FROM base
     d["doc_profile"] = _profile_oracle_sql()
     d["doc_dsir"] = _dsir_oracle_sql()
     d["doc_lr_quality"] = _lr_oracle_sql()
+    d["doc_weighted_sample"] = f"""
+SELECT doc_id, weight, skey FROM (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+    round(pow(
+      ('0x' || substr(md5('{WSAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+       1, 15))::BIGINT / 1152921504606846976.0,
+      1.0 / n_chars), 9) AS skey
+  FROM documents WHERE n_chars > 0
+) ORDER BY skey DESC, doc_id LIMIT {WSAMPLE_K}
+"""
     d["doc_dense_ids"] = """
 SELECT doc_id, lang,
   row_number() OVER (ORDER BY lang, doc_id) - 1 AS dense_id

@@ -602,3 +602,41 @@ def leakage_safe_split(
         F.lit(0).cast("long").alias("n_hits"),
     )
     return train_out.unionByName(held_out)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: int = 29,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement, fully
+    deterministic: key = u^(1/w) with u the md5-uniform of (seed, id);
+    the k largest keys are exactly a sequential weighted draw of k items
+    (probability proportional to weight at every step), computed in one
+    distributed pass — the quality- or length-weighted corpus subsample
+    that randomSplit/sample cannot do deterministically or without
+    replacement. Rows with weight <= 0 are out of the domain.
+
+    Returns (id, weight, skey) of the selected rows. Keys round to 9dp
+    with an id tie-break so cross-engine pow() ULP noise cannot flip the
+    selection boundary (the train_val_test_split convention).
+
+    Scale shape: pure map + orderBy(limit k) = TakeOrdered (per-partition
+    k-heaps + one k-row merge on the driver) — never a full sort, never a
+    single-reducer window. k rows must fit on the driver, same bound as
+    any top-k.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    u = F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    return (
+        docs.where(w > 0)
+        .select(F.col(id_col), w.alias("weight"), key.alias("skey"))
+        .orderBy(F.desc("skey"), F.col(id_col))
+        .limit(int(k))
+    )

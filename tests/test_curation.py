@@ -583,3 +583,48 @@ class TestAssignDenseIds:
                                         num_partitions=13).collect()))
         assert a == b
         assert [r[-1] for r in a] == list(range(50))
+
+
+class TestWeightedSample:
+    def test_matches_python_recompute(self, spark):
+        import hashlib
+        import math
+
+        from kg.ops.curation import weighted_sample
+
+        rows = [(i, float(1 + (i * 7) % 50)) for i in range(100)]
+        rows.append((200, 0.0))   # zero weight: out of domain
+        rows.append((201, -3.0))  # negative: out of domain
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = [(r["doc_id"], r["weight"], r["skey"])
+               for r in weighted_sample(df, "w", k=10, seed=29).collect()]
+
+        def key(i, w):
+            u = int(hashlib.md5(f"29:{i}".encode()).hexdigest()[:15],
+                    16) / float(1 << 60)
+            return round(math.pow(u, 1.0 / w), 9)
+
+        want = sorted(((i, w, key(i, w)) for i, w in rows if w > 0),
+                      key=lambda t: (-t[2], t[0]))[:10]
+        assert got == want
+
+    def test_heavy_weights_dominate(self, spark):
+        from kg.ops.curation import weighted_sample
+
+        rows = [(i, 1000.0) for i in range(20)]
+        rows += [(100 + i, 0.001) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {r["doc_id"]
+               for r in weighted_sample(df, "w", k=10).collect()}
+        assert all(i < 20 for i in got)
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.curation import weighted_sample
+
+        rows = [(i, float(1 + i % 9)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        a = sorted(map(tuple, weighted_sample(df, "w", k=15).collect()))
+        b = sorted(map(tuple,
+                       weighted_sample(df.repartition(7), "w",
+                                       k=15).collect()))
+        assert a == b
