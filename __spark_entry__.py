@@ -2725,6 +2725,12 @@ _TYPE_RULES_SQL = ", ".join(
     f"('{p}', '{r}', '{t}')" for p, r, t in TYPE_RULES
 )
 
+from kg.reason import DEFAULT_RDFS_SCHEMA as RDFS_SCHEMA  # noqa: E402
+
+_RDFS_SCHEMA_SQL = ", ".join(
+    f"('{s}', '{p}', '{o}')" for s, p, o in RDFS_SCHEMA
+)
+
 
 def _linked_facts_small(spark: SparkSession) -> DataFrame:
     """Fully-linked triples over the small fixture (shared by the
@@ -2752,6 +2758,32 @@ def q_kg_infer_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
     )
     return infer_transitive(facts, pred=INFER_PRED, max_depth=INFER_DEPTH)
+
+
+def q_kg_rdfs_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS rdfs7 materialization (kg/reason.py rdfs_extend_facts):
+    facts held under subproperty_of+ superproperties too, asserted-wins
+    dedup. Oracle replays the closure as a recursive CTE over the same
+    VALUES schema."""
+    from kg.reason import rdfs_extend_facts
+
+    facts = _linked_facts_small(spark).where(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    )
+    return rdfs_extend_facts(facts)
+
+
+def q_kg_rdfs_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS domain/range + subclass entailment (kg/reason.py rdfs_types):
+    distinct (entity_id, etype) closed upward over subclass_of, computed
+    over the subproperty-extended facts. Bounded schema broadcasts; one
+    corpus distinct."""
+    from kg.reason import rdfs_types
+
+    facts = _linked_facts_small(spark).where(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    )
+    return rdfs_types(facts)
 
 
 def q_kg_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4368,6 +4400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_profile": q_kg_entity_profile,
         "kg_fact_evidence": q_kg_fact_evidence,
         "kg_infer_transitive": q_kg_infer_transitive,
+        "kg_rdfs_facts": q_kg_rdfs_facts,
+        "kg_rdfs_types": q_kg_rdfs_types,
         "kg_entity_types": q_kg_entity_types,
         "kg_type_violations": q_kg_type_violations,
         "kg_fact_confidence": q_kg_fact_confidence,
@@ -5151,6 +5185,83 @@ WITH dim AS (
 SELECT counts.subj_id, counts.pred, counts.obj_id, n_evidence, n_docs,
        first_seen_us, last_seen_us, sample_urls
 FROM counts JOIN urls USING (subj_id, pred, obj_id)
+""",
+        "kg_rdfs_facts": f"""
+WITH RECURSIVE dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), schema(s, p, o) AS (SELECT * FROM (VALUES {_RDFS_SCHEMA_SQL})),
+spc AS (
+  SELECT s AS pred, o AS sup FROM schema WHERE p = 'subproperty_of'
+  UNION ALL
+  SELECT c.pred, e.o FROM spc c
+  JOIN schema e ON c.sup = e.s AND e.p = 'subproperty_of'
+),
+ext AS (
+  SELECT subj_id, pred, obj_id, 'asserted' AS rule FROM t
+  UNION ALL
+  SELECT t.subj_id, c.sup, t.obj_id, 'subprop'
+  FROM t JOIN (SELECT DISTINCT pred, sup FROM spc) c USING (pred)
+)
+SELECT subj_id, pred, obj_id, min(rule) AS rule
+FROM ext GROUP BY subj_id, pred, obj_id
+""",
+        "kg_rdfs_types": f"""
+WITH RECURSIVE dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), schema(s, p, o) AS (SELECT * FROM (VALUES {_RDFS_SCHEMA_SQL})),
+spc AS (
+  SELECT s AS pred, o AS sup FROM schema WHERE p = 'subproperty_of'
+  UNION ALL
+  SELECT c.pred, e.o FROM spc c
+  JOIN schema e ON c.sup = e.s AND e.p = 'subproperty_of'
+),
+scc AS (
+  SELECT s AS etype, o AS sup FROM schema WHERE p = 'subclass_of'
+  UNION ALL
+  SELECT c.etype, e.o FROM scc c
+  JOIN schema e ON c.sup = e.s AND e.p = 'subclass_of'
+),
+ext AS (
+  SELECT DISTINCT subj_id, pred, obj_id FROM (
+    SELECT subj_id, pred, obj_id FROM t
+    UNION ALL
+    SELECT t.subj_id, c.sup, t.obj_id
+    FROM t JOIN (SELECT DISTINCT pred, sup FROM spc) c USING (pred))
+),
+sig AS (
+  SELECT s AS pred, 'subj' AS role, o AS etype FROM schema
+  WHERE p = 'domain'
+  UNION ALL
+  SELECT s, 'obj', o FROM schema WHERE p = 'range'
+),
+base_types AS (
+  SELECT CASE WHEN role = 'subj' THEN subj_id ELSE obj_id END
+           AS entity_id, etype
+  FROM ext JOIN sig USING (pred)
+),
+cls AS (
+  SELECT s AS c FROM schema WHERE p = 'subclass_of'
+  UNION SELECT o FROM schema WHERE p = 'subclass_of'
+  UNION SELECT o FROM schema WHERE p IN ('domain', 'range')
+),
+up AS (
+  SELECT DISTINCT etype, sup FROM scc
+  UNION SELECT c, c FROM cls
+)
+SELECT DISTINCT b.entity_id, u.sup AS etype
+FROM base_types b JOIN up u USING (etype)
 """,
         "kg_infer_transitive": f"""
 WITH RECURSIVE dim AS (

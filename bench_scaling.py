@@ -33,6 +33,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     # keeps the low-parallelism leg tractable while both legs still read
     # identical input
     env.setdefault("SPARK_GRAFT_NEARDUP_FRAC", "0.1")
+    env.setdefault("SPARK_GRAFT_TEXTOPS_FRAC", "0.25")
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_MASTER"] = f"local[{cpus}]"
     env["SPARK_GRAFT_SF_DIR"] = sf_dir

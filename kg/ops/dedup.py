@@ -1045,69 +1045,77 @@ def remove_duplicate_substrings(
     """
     k = int(k)
     base = docs.select(F.col(id_col), _words(text_col).alias("_w"))
-    pairs = F.when(
-        F.size("_w") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_w") - k),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.array_join(F.slice("_w", i + 1, k), " ")).alias(
-                    "gram_h"
-                ),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gram_h:string>>"))
-    exploded = base.select(F.col(id_col), F.explode(pairs).alias("p")).select(
-        id_col, F.col("p.pos").alias("pos"), F.col("p.gram_h").alias("gram_h")
+    # gram build: posexplode words + codegen lead() window (per-doc
+    # partitions, bounded sort) + concat_ws + md5. An array-local
+    # transform(i -> md5(array_join(slice(w, i, k)))) is the shuffle-free
+    # alternative, but higher-order-function lambdas evaluate interpreted
+    # (no whole-stage codegen) — measured ~2x slower than this window on
+    # the bench corpus; the window's doc-keyed exchange is high-
+    # cardinality and per-doc bounded, and md5 keeps the count shuffle
+    # key at 32 hex chars instead of k words.
+    toks = base.select(
+        F.col(id_col), F.posexplode("_w").alias("pos", "_w0")
     )
-    firsts = (
-        exploded.groupBy("gram_h")
-        .agg(
-            F.min(
-                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-            ).alias("keep"),
-            F.count("*").alias("_c"),
+    wspec = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("_w0")] + [
+        F.lead("_w0", j).over(wspec) for j in range(1, k)
+    ]
+    exploded = (
+        toks.select(
+            F.col(id_col),
+            "pos",
+            F.md5(F.concat_ws(" ", *parts)).alias("gram_h"),
+            F.lead("_w0", k - 1).over(wspec).alias("_tail"),
         )
-        .where(F.col("_c") >= 2)
-        .select("gram_h", "keep")
+        .where(F.col("_tail").isNotNull())
+        .drop("_tail")
     )
+    # duplicate occurrences via ONE window over the gram hash: the global
+    # first of each gram is rank 1 under (doc_id, pos); every later
+    # occurrence of a gram seen >= 2 times is a duplicate. This replaces
+    # the groupBy + self-join formulation (which consumed the gram
+    # subtree twice and shuffled it twice more) with a single gram_h
+    # exchange + per-gram sort. Hot boilerplate grams concentrate one
+    # gram's occurrences into one sort run — bounded by the gram's
+    # occurrence count, the same exposure the join's build side had.
+    gw = Window.partitionBy("gram_h").orderBy(id_col, "pos")
     dup_pos = (
-        exploded.join(firsts, "gram_h")
-        .where(
-            ~(
-                (F.col(id_col) == F.col("keep.d"))
-                & (F.col("pos") == F.col("keep.p"))
-            )
+        exploded.select(
+            F.col(id_col),
+            "pos",
+            F.row_number().over(gw).alias("_rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("gram_h")
+            ).alias("_c"),
         )
+        .where((F.col("_c") >= 2) & (F.col("_rn") > 1))
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_dp"))
     )
 
-    def _last(acc: Column) -> Column:
-        # null-safe tail access (F.get, not element_at: empty acc must
-        # yield NULL, not an ANSI out-of-bounds error)
-        return F.get(acc, F.size(acc) - 1)
-
-    iv = F.aggregate(
-        F.coalesce(F.col("_dp"), F.array().cast("array<int>")),
-        F.array().cast("array<struct<s:int,e:int>>"),
-        lambda acc, p: F.when(
-            (F.size(acc) > 0) & (p <= _last(acc)["e"]),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        _last(acc)["s"].alias("s"),
-                        F.greatest(_last(acc)["e"], p + k).alias("e"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(
-                acc,
-                F.array(F.struct(p.alias("s"), (p + k).alias("e"))),
-            )
-        ),
+    # Linear interval merge. All intervals are [p, p+k) with the SAME
+    # length k over sorted positions, so the running merged end is always
+    # lastpos + k — a break between consecutive positions happens exactly
+    # where next > p + k. starts/ends fall out of one zip_with against
+    # the 1-shifted array each (array-local, O(m)); an aggregate fold
+    # that concats the accumulator per element would copy it each step —
+    # O(m^2) per doc, which on a boilerplate-dense corpus (dup positions
+    # ~ token count) dominates the whole operator.
+    dp = F.coalesce(F.col("_dp"), F.array().cast("array<int>"))
+    tail = F.slice(dp, 2, F.greatest(F.size(dp) - 1, F.lit(0)))
+    prev = F.concat(F.array(F.lit(None).cast("int")),
+                    F.slice(dp, 1, F.greatest(F.size(dp) - 1, F.lit(0))))
+    nxt = F.concat(tail, F.array(F.lit(None).cast("int")))
+    starts = F.array_compact(
+        F.zip_with(dp, prev,
+                   lambda p, q: F.when(q.isNull() | (p > q + k), p))
+    )
+    ends = F.array_compact(
+        F.zip_with(dp, nxt,
+                   lambda p, nx: F.when(nx.isNull() | (nx > p + k), p + k))
+    )
+    iv = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
     )
     rewritten = base.join(dup_pos, [id_col], "left").withColumn("_iv", iv)
     gap = F.transform(

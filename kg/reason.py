@@ -46,6 +46,9 @@ __all__ = [
     "resolve_pronouns",
     "rewrite_pronoun_triples",
     "DEFAULT_PRONOUN_CATEGORIES",
+    "DEFAULT_RDFS_SCHEMA",
+    "rdfs_extend_facts",
+    "rdfs_types",
 ]
 
 _FACT_KEYS = ["subj_id", "pred", "obj_id"]
@@ -497,4 +500,149 @@ def rewrite_pronoun_triples(
             F.col("_s_ante").isNotNull().cast("int")
             + F.col("_o_ante").isNotNull().cast("int")
         ).alias("coref_rewritten"),
+    )
+
+
+# RDFS-lite schema for the synth corpus's 8 relations: subproperty chains
+# (ceo_of < works_for < affiliated_with, part_of < affiliated_with),
+# a multi-level class hierarchy, and domain/range signatures — the
+# default ontology dim for rdfs_extend_facts / rdfs_types (callers
+# substitute their own; the schema is a bounded dim, never corpus-sized).
+DEFAULT_RDFS_SCHEMA = [
+    ("ceo_of", "subproperty_of", "works_for"),
+    ("works_for", "subproperty_of", "affiliated_with"),
+    ("part_of", "subproperty_of", "affiliated_with"),
+    ("PERSON", "subclass_of", "AGENT"),
+    ("ORG", "subclass_of", "AGENT"),
+    ("AGENT", "subclass_of", "ENTITY"),
+    ("PLACE", "subclass_of", "LOCATION"),
+    ("LOCATION", "subclass_of", "ENTITY"),
+    ("PRODUCT", "subclass_of", "ENTITY"),
+    ("works_for", "domain", "PERSON"),
+    ("works_for", "range", "ORG"),
+    ("ceo_of", "domain", "PERSON"),
+    ("born_in", "domain", "PERSON"),
+    ("born_in", "range", "PLACE"),
+    ("located_in", "range", "PLACE"),
+    ("acquired", "domain", "ORG"),
+    ("acquired", "range", "ORG"),
+    ("produces", "domain", "ORG"),
+    ("produces", "range", "PRODUCT"),
+]
+
+
+def _transitive_pairs(edges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Driver-side transitive closure of a BOUNDED schema relation
+    (ontologies are KB-sized dims; the corpus never enters this loop).
+    Returns all (a, b) with a properly below b."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    out: set[tuple[str, str]] = set()
+    for a in adj:
+        stack, seen = list(adj[a]), set()
+        while stack:
+            b = stack.pop()
+            if b in seen:
+                continue
+            seen.add(b)
+            out.add((a, b))
+            stack.extend(adj.get(b, ()))
+    return sorted(out)
+
+
+def _schema_rows(
+    schema: DataFrame | list[tuple[str, str, str]] | None,
+) -> list[tuple[str, str, str]]:
+    if schema is None:
+        return DEFAULT_RDFS_SCHEMA
+    if isinstance(schema, list):
+        return schema
+    return [tuple(r) for r in schema.collect()]
+
+
+def rdfs_extend_facts(
+    facts: DataFrame,
+    schema: DataFrame | list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """RDFS rule rdfs7 materialization: every fact (s, p, o) with
+    p subproperty_of+ q also holds as (s, q, o). Returns
+    (subj_id, pred, obj_id, rule) with rule = 'asserted' | 'subprop'
+    (asserted wins when a derivation coincides with an asserted fact —
+    min-rule dedup, deterministic).
+
+    Scale shape: the subproperty closure is computed driver-side over the
+    BOUNDED schema dim and broadcast; derivation is one broadcast join
+    over the fact table; dedup is one partial-agged groupBy on the fact
+    key. The corpus shuffles once.
+    """
+    rows = _schema_rows(schema)
+    sub = _transitive_pairs(
+        [(s, o) for s, p, o in rows if p == "subproperty_of"]
+    )
+    spark = facts.sparkSession
+    asserted = facts.select(*_FACT_KEYS).withColumn(
+        "rule", F.lit("asserted")
+    )
+    if sub:
+        sup_dim = spark.createDataFrame(sub, "pred string, sup string")
+        derived = (
+            facts.join(F.broadcast(sup_dim), "pred")
+            .select(
+                "subj_id",
+                F.col("sup").alias("pred"),
+                "obj_id",
+                F.lit("subprop").alias("rule"),
+            )
+        )
+        asserted = asserted.unionByName(derived)
+    return (
+        asserted.groupBy(*_FACT_KEYS)
+        .agg(F.min("rule").alias("rule"))
+    )
+
+
+def rdfs_types(
+    facts: DataFrame,
+    schema: DataFrame | list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """RDFS domain/range + subclass entailment (rdfs2/3/9 over the
+    subproperty-extended facts): DISTINCT (entity_id, etype) where etype
+    is the domain (for subjects) / range (for objects) class of any held
+    predicate, closed upward over subclass_of (reflexive: the direct
+    class is included).
+
+    Scale shape: both the signature dim and the reflexive subclass
+    closure are bounded broadcasts; the corpus-sized work is one union of
+    two projections of the extended fact table + ONE distinct shuffle.
+    """
+    rows = _schema_rows(schema)
+    ext = rdfs_extend_facts(facts, rows)
+    spark = facts.sparkSession
+    sig = [(s, "subj", o) for s, p, o in rows if p == "domain"]
+    sig += [(s, "obj", o) for s, p, o in rows if p == "range"]
+    if not sig:
+        return spark.createDataFrame([], "entity_id long, etype string")
+    sig_dim = spark.createDataFrame(
+        sig, "pred string, role string, etype string"
+    )
+    classes = {c for s, p, o in rows for c in (s, o)
+               if p == "subclass_of"} | {t for _, _, t in sig}
+    up = _transitive_pairs(
+        [(s, o) for s, p, o in rows if p == "subclass_of"]
+    ) + [(c, c) for c in sorted(classes)]
+    up_dim = spark.createDataFrame(up, "etype string, sup string")
+    base = (
+        ext.join(F.broadcast(sig_dim), "pred")
+        .select(
+            F.when(F.col("role") == "subj", F.col("subj_id"))
+            .otherwise(F.col("obj_id"))
+            .alias("entity_id"),
+            "etype",
+        )
+    )
+    return (
+        base.join(F.broadcast(up_dim), "etype")
+        .select("entity_id", F.col("sup").alias("etype"))
+        .distinct()
     )

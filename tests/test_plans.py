@@ -448,15 +448,18 @@ def test_harmonic_round_is_one_shuffle_join_plus_anti(spark):
 
 
 def test_substring_removal_all_jvm_no_cartesian(spark, documents_sf):
-    """ExactSubstr removal: gram explode + count shuffle + equi joins —
-    no Python anywhere, no nested-loop path, and the interval-merge
-    rewrite is array-local (no Window)."""
+    """ExactSubstr removal: codegen lead() gram build (per-doc window —
+    high-cardinality keys, never SinglePartition), count shuffle, equi
+    joins; no Python anywhere, no nested-loop path; the interval merge
+    is linear zip_with (no aggregate fold)."""
     from kg.ops.dedup import remove_duplicate_substrings
 
     p = _plan(remove_duplicate_substrings(documents_sf, k=8))
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-                 "CartesianProduct", "BroadcastNestedLoopJoin", "Window"):
+                 "CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SinglePartition"):
         assert node not in p, node
+    assert "Window" in p  # the codegen gram build
 
 
 def test_subword_tokenize_python_touches_dim_not_corpus(spark,

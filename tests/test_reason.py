@@ -383,3 +383,62 @@ class TestFactsPipelineStage:
             "/root/repo/fixtures/expected_triples_tiny.parquet"
         )
         assert linked.count() == golden.count()
+
+
+class TestRdfsEntailment:
+    FACTS = [
+        (1, "ceo_of", 2),
+        (1, "works_for", 2),   # coincides with the rdfs7 derivation
+        (7, "part_of", 8),
+        (3, "born_in", 4),
+        (5, "produces", 6),
+    ]
+
+    def _facts(self, spark):
+        return spark.createDataFrame(
+            self.FACTS, "subj_id long, pred string, obj_id long"
+        )
+
+    def test_extend_facts_golden(self, spark):
+        from kg.reason import rdfs_extend_facts
+
+        got = {(r.subj_id, r.pred, r.obj_id): r.rule
+               for r in rdfs_extend_facts(self._facts(spark)).collect()}
+        assert got == {
+            (1, "ceo_of", 2): "asserted",
+            # asserted wins over the ceo_of -> works_for derivation
+            (1, "works_for", 2): "asserted",
+            # two-step chain ceo_of < works_for < affiliated_with
+            (1, "affiliated_with", 2): "subprop",
+            (7, "part_of", 8): "asserted",
+            (7, "affiliated_with", 8): "subprop",
+            (3, "born_in", 4): "asserted",
+            (5, "produces", 6): "asserted",
+        }
+
+    def test_types_golden_with_subclass_closure(self, spark):
+        from kg.reason import rdfs_types
+
+        got = {}
+        for r in rdfs_types(self._facts(spark)).collect():
+            got.setdefault(r.entity_id, set()).add(r.etype)
+        assert got == {
+            1: {"PERSON", "AGENT", "ENTITY"},
+            2: {"ORG", "AGENT", "ENTITY"},
+            3: {"PERSON", "AGENT", "ENTITY"},
+            4: {"PLACE", "LOCATION", "ENTITY"},
+            5: {"ORG", "AGENT", "ENTITY"},
+            6: {"PRODUCT", "ENTITY"},
+            # 7/8: affiliated_with carries no domain/range signature
+        }
+
+    def test_partition_invariant(self, spark):
+        from kg.reason import rdfs_extend_facts, rdfs_types
+
+        f = self._facts(spark)
+        a = sorted(map(tuple, rdfs_types(f).collect()))
+        b = sorted(map(tuple, rdfs_types(f.repartition(5)).collect()))
+        assert a == b
+        c = sorted(map(tuple, rdfs_extend_facts(f.repartition(3))
+                       .collect()))
+        assert sorted(map(tuple, rdfs_extend_facts(f).collect())) == c
