@@ -2760,6 +2760,22 @@ def q_kg_infer_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infer_transitive(facts, pred=INFER_PRED, max_depth=INFER_DEPTH)
 
 
+def q_kg_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path query (kg/query.py match_path): ceo_of /
+    located_in+ — 'places the org whose CEO this person is transitively
+    sits in'. One equi-join per step, DISTINCT set semantics; the +
+    closure is the bounded semi-naive infer_transitive. Oracle = the
+    recursive-CTE closure joined behind the ceo_of hop."""
+    from kg.query import match_path
+
+    facts = _linked_facts_small(spark).where(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    )
+    return match_path(
+        facts, ["ceo_of", ("+", INFER_PRED, INFER_DEPTH)]
+    )
+
+
 def q_kg_rdfs_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS rdfs7 materialization (kg/reason.py rdfs_extend_facts):
     facts held under subproperty_of+ superproperties too, asserted-wins
@@ -4402,6 +4418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_infer_transitive": q_kg_infer_transitive,
         "kg_rdfs_facts": q_kg_rdfs_facts,
         "kg_rdfs_types": q_kg_rdfs_types,
+        "kg_path_query": q_kg_path_query,
         "kg_entity_types": q_kg_entity_types,
         "kg_type_violations": q_kg_type_violations,
         "kg_fact_confidence": q_kg_fact_confidence,
@@ -5185,6 +5202,28 @@ WITH dim AS (
 SELECT counts.subj_id, counts.pred, counts.obj_id, n_evidence, n_docs,
        first_seen_us, last_seen_us, sample_urls
 FROM counts JOIN urls USING (subj_id, pred, obj_id)
+""",
+        "kg_path_query": f"""
+WITH RECURSIVE dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), li AS (
+  SELECT subj_id, obj_id FROM t WHERE pred = '{INFER_PRED}'
+), paths AS (
+  SELECT subj_id, obj_id, 1 AS depth FROM li
+  UNION ALL
+  SELECT p.subj_id, b.obj_id, p.depth + 1
+  FROM paths p JOIN li b ON p.obj_id = b.subj_id
+  WHERE p.depth < {INFER_DEPTH} AND p.subj_id <> b.obj_id
+), closure AS (SELECT DISTINCT subj_id, obj_id FROM paths)
+SELECT DISTINCT c.subj_id AS src, p.obj_id AS dst
+FROM (SELECT subj_id, obj_id FROM t WHERE pred = 'ceo_of') c
+JOIN closure p ON c.obj_id = p.subj_id
 """,
         "kg_rdfs_facts": f"""
 WITH RECURSIVE dim AS (

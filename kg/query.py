@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["match_pattern"]
+__all__ = ["match_pattern", "match_path"]
 
 _ROLES = ("subj_id", "pred", "obj_id")
 
@@ -84,3 +84,61 @@ def match_pattern(
             out = out.join(step, shared)
             bound |= set(seen_in_atom)
     return out.distinct()
+
+
+def match_path(
+    facts: DataFrame,
+    path: Sequence,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """SPARQL-style property-path evaluation over facts(subj_id, pred,
+    obj_id): DISTINCT (src, dst) pairs connected by the whole path.
+    Each step is one of
+
+    - ``"p"``            — one forward hop via predicate p,
+    - ``("inv", "p")``   — one inverse hop (object to subject),
+    - ``("+", "p", d)``  — bounded transitive closure p+ (1..d hops,
+      via :func:`kg.reason.infer_transitive` — semi-naive, frontier-only
+      joins).
+
+    Scale shape: one equi-join per step, each hop table pre-filtered to
+    its predicate (pred-partition pruning applies on a pred-partitioned
+    fact store), DISTINCT after every step so bindings stay a set and a
+    diamond-shaped graph can't multiply rows through later joins. No
+    cartesian path exists (every join is keyed on the running binding).
+    """
+    if not path:
+        raise ValueError("empty path")
+    from kg.reason import infer_transitive
+
+    pairs: DataFrame | None = None
+    for i, step in enumerate(path):
+        if isinstance(step, str):
+            hop = facts.where(F.col("pred") == step).select(
+                F.col("subj_id").alias("_a"), F.col("obj_id").alias("_b")
+            )
+        elif step[0] == "inv":
+            hop = facts.where(F.col("pred") == step[1]).select(
+                F.col("obj_id").alias("_a"), F.col("subj_id").alias("_b")
+            )
+        elif step[0] == "+":
+            hop = infer_transitive(
+                facts, pred=step[1], max_depth=int(step[2])
+            ).select(
+                F.col("subj_id").alias("_a"), F.col("obj_id").alias("_b")
+            )
+        else:
+            raise ValueError(f"step {i} not recognized: {step!r}")
+        hop = hop.distinct()
+        if pairs is None:
+            pairs = hop.select(
+                F.col("_a").alias(src_col), F.col("_b").alias("_cur")
+            )
+        else:
+            pairs = (
+                pairs.join(hop, pairs["_cur"] == hop["_a"])
+                .select(src_col, F.col("_b").alias("_cur"))
+            )
+        pairs = pairs.distinct()
+    return pairs.select(src_col, F.col("_cur").alias(dst_col))

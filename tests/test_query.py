@@ -51,3 +51,57 @@ class TestMatchPattern:
                                   ("?a", "knows", "?b")])
         with pytest.raises(ValueError):
             match_pattern(facts, [])
+
+
+class TestMatchPath:
+    def _facts(self, spark):
+        rows = [
+            (1, "ceo_of", 10),
+            (2, "ceo_of", 11),
+            (10, "located_in", 20),
+            (20, "located_in", 21),
+            (21, "located_in", 22),
+            (22, "located_in", 23),  # depth 4 from 10 — beyond max 3
+            (11, "works_for", 20),   # wrong predicate: not a hop
+            (30, "located_in", 31),  # disconnected from any ceo
+        ]
+        return spark.createDataFrame(
+            rows, "subj_id long, pred string, obj_id long"
+        )
+
+    def test_sequence_plus_bounded_closure(self, spark):
+        from kg.query import match_path
+
+        got = {(r.src, r.dst) for r in match_path(
+            self._facts(spark), ["ceo_of", ("+", "located_in", 3)]
+        ).collect()}
+        # ceo 1 -> org 10 -> 20 (d1), 21 (d2), 22 (d3); 23 is depth 4
+        assert got == {(1, 20), (1, 21), (1, 22)}
+
+    def test_inverse_step(self, spark):
+        from kg.query import match_path
+
+        got = {(r.src, r.dst) for r in match_path(
+            self._facts(spark), [("inv", "located_in"), "ceo_of"]
+        ).collect()}
+        # 20 -inv-> 10? no: inv goes obj->subj: (20 -> 10) then ceo_of
+        # from 10? none (10 is an org). Use: (10's ceo): 20 -inv-> 10,
+        # 10 has no ceo_of edge OUT. The pair (20, ...) needs
+        # subj_id=10 pred=ceo_of — absent. But (10 -inv ceo_of...) —
+        # check (org -> its ceo): inv(ceo_of) gives 10 -> 1.
+        got2 = {(r.src, r.dst) for r in match_path(
+            self._facts(spark), [("inv", "ceo_of")]
+        ).collect()}
+        assert got2 == {(10, 1), (11, 2)}
+        assert got == set()
+
+    def test_set_semantics_partition_invariant(self, spark):
+        from kg.query import match_path
+
+        f = self._facts(spark)
+        a = sorted(map(tuple, match_path(
+            f, ["ceo_of", ("+", "located_in", 3)]).collect()))
+        b = sorted(map(tuple, match_path(
+            f.repartition(5), ["ceo_of", ("+", "located_in", 3)]
+        ).collect()))
+        assert a == b
