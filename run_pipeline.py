@@ -59,7 +59,7 @@ def parse_args(argv):
     p.add_argument(
         "--stages",
         default="extract,links,mentions,triples,link,canon,graph,facts,analytics",
-        help="comma list of stages to run (also available: curate)",
+        help="comma list of stages to run (also: curate, rewrite)",
     )
     p.add_argument(
         "--max-docs-per-host", type=int, default=1000,
@@ -261,6 +261,21 @@ def main(argv=None) -> int:
             hosted, id_col="url", group_col="host",
             max_per_group=args.max_docs_per_host,
         ).write.mode("overwrite").parquet(f"{args.out}/corpus_kept")
+
+    if "rewrite" in stages:
+        # ExactSubstr-rewritten corpus + subword fertility stats — the
+        # training-data exports (global like curate: the dup decision and
+        # the piece vocab span buckets, so both are derived overwrite
+        # tables off the checkpointed docs stage).
+        from kg.ops.dedup import remove_duplicate_substrings
+        from kg.ops.subword import subword_tokenize
+
+        remove_duplicate_substrings(
+            docs.select("url", "text"), k=8, id_col="url"
+        ).write.mode("overwrite").parquet(f"{args.out}/corpus_rewritten")
+        subword_tokenize(
+            docs.select("url", "text"), id_col="url"
+        ).write.mode("overwrite").parquet(f"{args.out}/subword_stats")
 
     if "graph" in stages:
         canon = spark.read.parquet(f"{args.out}/entities_canonical")
