@@ -61,6 +61,7 @@ __all__ = [
     "perplexity_buckets",
     "dsir_importance",
     "dsir_select",
+    "dsir_select_approx",
     "lr_features",
     "lr_train",
     "lr_score",
@@ -564,4 +565,36 @@ def lr_score(
             score.alias("score"),
             (score >= 0.5).alias("pred"),
         )
+    )
+
+
+def dsir_select_approx(
+    docs: DataFrame,
+    target: DataFrame,
+    frac: float = 0.25,
+    vocab_size: int = 4096,
+    add_k: float = 0.5,
+    accuracy: int = 10000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scale variant of :func:`dsir_select` (the same disposition as
+    token_budget_sample_approx vs token_budget_sample): instead of an
+    exact global rank over the importance pairs, cut at the
+    (1 - frac) approx-percentile of the importance distribution —
+    one scalar aggregate + a broadcast threshold filter, no global
+    ordering anywhere. Returns (id, importance, keep): ``keep`` marks
+    docs at or above the threshold (>= frac of the corpus in
+    expectation, exact up to percentile_approx error)."""
+    imp = dsir_importance(
+        docs, target, vocab_size=vocab_size, add_k=add_k,
+        id_col=id_col, text_col=text_col,
+    )
+    thr = imp.agg(
+        F.percentile_approx(
+            "importance", 1.0 - float(frac), int(accuracy)
+        ).alias("t")
+    )
+    return imp.join(F.broadcast(thr)).select(
+        id_col, "importance", (F.col("importance") >= F.col("t")).alias("keep")
     )
