@@ -1157,6 +1157,121 @@ def _profile_oracle_sql() -> str:
     return "SELECT * FROM (" + " UNION ALL ".join(parts) + ")"
 
 
+def q_doc_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift QA (kg/ops/profile.py profile_diff): profile the
+    even-id half vs the odd-id half with `source` dropped and a derived
+    `n_words` added — exercising added/removed/common statuses and the
+    null-frac/distinct drift thresholds. Oracle replays both single-pass
+    profiles and the full-outer diff in SQL."""
+    from kg.ops.profile import profile_diff, profile_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .withColumn(
+            "n_words",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ),
+        )
+        .drop("source")
+    )
+    return profile_diff(
+        profile_table(old, exact_distinct=True),
+        profile_table(new, exact_distinct=True),
+    )
+
+
+def _profile_diff_oracle_sql() -> str:
+    def num(col: str, src: str) -> str:
+        return f"""
+  SELECT '{col}' AS "column", 'num' AS kind,
+    count(*) AS n_rows,
+    sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+    count(DISTINCT {col}) AS n_distinct,
+    round(avg(CAST({col} AS DOUBLE)), 6) AS mean_num,
+    CAST(NULL AS DOUBLE) AS avg_len
+  FROM {src}"""
+
+    def strc(col: str, src: str) -> str:
+        return f"""
+  SELECT '{col}' AS "column", 'str' AS kind,
+    count(*) AS n_rows,
+    sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+    count(DISTINCT {col}) AS n_distinct,
+    CAST(NULL AS DOUBLE) AS mean_num,
+    round(avg(CAST(length({col}) AS DOUBLE)), 6) AS avg_len
+  FROM {src}"""
+
+    old_src = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+    new_src = (
+        r"(SELECT doc_id, text, lang, n_chars,"
+        r" len(list_filter(string_split_regex(lower(text), '\s+'),"
+        r" x -> x <> '')) AS n_words"
+        r" FROM documents WHERE doc_id % 2 = 1)"
+    )
+    po = " UNION ALL ".join(
+        [
+            num("doc_id", old_src),
+            strc("text", old_src),
+            strc("lang", old_src),
+            strc("source", old_src),
+            num("n_chars", old_src),
+        ]
+    )
+    pn = " UNION ALL ".join(
+        [
+            num("doc_id", new_src),
+            strc("text", new_src),
+            strc("lang", new_src),
+            num("n_chars", new_src),
+            num("n_words", new_src),
+        ]
+    )
+    return f"""
+WITH po AS ({po}), pn AS ({pn}),
+j AS (
+  SELECT coalesce(o."column", n."column") AS "column",
+    o.kind AS k_o, n.kind AS k_n,
+    o.n_rows AS rows_o, n.n_rows AS rows_n,
+    o.n_nulls AS nulls_o, n.n_nulls AS nulls_n,
+    o.n_distinct AS dist_o, n.n_distinct AS dist_n,
+    o.mean_num AS mean_o, n.mean_num AS mean_n,
+    o.avg_len AS avgl_o, n.avg_len AS avgl_n
+  FROM po o FULL JOIN pn n ON o."column" = n."column"
+),
+s AS (
+  SELECT *,
+    CASE WHEN k_o IS NULL THEN 'added'
+         WHEN k_n IS NULL THEN 'removed'
+         WHEN k_o <> k_n THEN 'retyped' ELSE 'common' END AS status
+  FROM j
+)
+SELECT "column", status,
+  CASE WHEN status = 'common' THEN round(
+    nulls_n / greatest(rows_n, 1) - nulls_o / greatest(rows_o, 1), 6)
+  END AS null_frac_delta,
+  CASE WHEN status = 'common' THEN round(
+    (dist_n - dist_o) / greatest(dist_o, 1), 6) END AS dist_rel_delta,
+  CASE WHEN status = 'common' THEN round(mean_n - mean_o, 6)
+  END AS mean_num_delta,
+  CASE WHEN status = 'common' THEN round(avgl_n - avgl_o, 6)
+  END AS avg_len_delta,
+  status <> 'common'
+    OR abs(coalesce(CASE WHEN status = 'common' THEN round(
+         nulls_n / greatest(rows_n, 1) - nulls_o / greatest(rows_o, 1),
+         6) END, 0.0)) > 0.2
+    OR abs(coalesce(CASE WHEN status = 'common' THEN round(
+         (dist_n - dist_o) / greatest(dist_o, 1), 6) END, 0.0)) > 0.2
+  AS drift
+FROM s
+"""
+
+
 def _dsir_lm_agg_chain(P: str, where_sql: str) -> str:
     """Namespaced DuckDB CTE chain: train an add-k bigram LM on
     ``documents`` rows matching ``where_sql``, score ALL docs (via the
@@ -4311,6 +4426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_nb_lang": q_doc_nb_lang,
         "doc_dsir": q_doc_dsir,
+        "doc_profile_diff": q_doc_profile_diff,
         "doc_lr_quality": q_doc_lr_quality,
         "doc_leak_split": q_doc_leak_split,
         "doc_dense_ids": q_doc_dense_ids,
@@ -5730,6 +5846,7 @@ FROM base
 """
     d["doc_profile"] = _profile_oracle_sql()
     d["doc_dsir"] = _dsir_oracle_sql()
+    d["doc_profile_diff"] = _profile_diff_oracle_sql()
     d["doc_lr_quality"] = _lr_oracle_sql()
     d["doc_weighted_sample"] = f"""
 SELECT doc_id, weight, skey FROM (

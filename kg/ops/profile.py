@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "profile_diff"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -94,3 +94,78 @@ def profile_table(
     return wide.select(
         F.explode(F.array(*rows)).alias("p")
     ).select("p.*")
+
+
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    rel_threshold: float = 0.2,
+) -> DataFrame:
+    """Schema/statistics drift between two :func:`profile_table` outputs
+    (ingest QA across crawl increments): one row per column present in
+    either profile —
+
+    (column, status, null_frac_delta, dist_rel_delta, mean_num_delta,
+     avg_len_delta, drift)
+
+    status: 'added' | 'removed' | 'retyped' | 'common'. Deltas are NULL
+    unless status = 'common'; ``drift`` flags any non-common status or a
+    common column whose null fraction or relative distinct count moved
+    more than ``rel_threshold``. All deltas round to 6dp
+    (engine-portable doubles over exact counts).
+
+    Scale shape: the inputs are #columns-sized dims (the single-pass
+    profiles already reduced the corpus); the diff is one tiny full
+    outer join — nothing corpus-sized."""
+    thr = float(rel_threshold)
+
+    def side(df: DataFrame, suf: str) -> DataFrame:
+        return df.select(
+            F.col("column"),
+            F.col("dtype").alias(f"dtype_{suf}"),
+            F.col("n_rows").alias(f"rows_{suf}"),
+            F.col("n_nulls").alias(f"nulls_{suf}"),
+            F.col("n_distinct").alias(f"dist_{suf}"),
+            F.col("mean_num").alias(f"mean_{suf}"),
+            F.col("avg_len").alias(f"avgl_{suf}"),
+        )
+
+    j = side(old, "o").join(side(new, "n"), "column", "full_outer")
+    status = (
+        F.when(F.col("dtype_o").isNull(), "added")
+        .when(F.col("dtype_n").isNull(), "removed")
+        .when(F.col("dtype_o") != F.col("dtype_n"), "retyped")
+        .otherwise("common")
+    )
+    nf = lambda s: F.col(f"nulls_{s}") / F.greatest(  # noqa: E731
+        F.col(f"rows_{s}"), F.lit(1)
+    )
+    common = status == "common"
+    null_frac_delta = F.when(common, F.round(nf("n") - nf("o"), 6))
+    dist_rel_delta = F.when(
+        common,
+        F.round(
+            (F.col("dist_n") - F.col("dist_o"))
+            / F.greatest(F.col("dist_o"), F.lit(1)),
+            6,
+        ),
+    )
+    mean_num_delta = F.when(
+        common, F.round(F.col("mean_n") - F.col("mean_o"), 6)
+    )
+    avg_len_delta = F.when(
+        common, F.round(F.col("avgl_n") - F.col("avgl_o"), 6)
+    )
+    drift = (~common) | (
+        (F.abs(F.coalesce(null_frac_delta, F.lit(0.0))) > thr)
+        | (F.abs(F.coalesce(dist_rel_delta, F.lit(0.0))) > thr)
+    )
+    return j.select(
+        "column",
+        status.alias("status"),
+        null_frac_delta.alias("null_frac_delta"),
+        dist_rel_delta.alias("dist_rel_delta"),
+        mean_num_delta.alias("mean_num_delta"),
+        avg_len_delta.alias("avg_len_delta"),
+        drift.alias("drift"),
+    )

@@ -628,3 +628,42 @@ class TestWeightedSample:
                        weighted_sample(df.repartition(7), "w",
                                        k=15).collect()))
         assert a == b
+
+
+class TestProfileDiff:
+    def test_statuses_and_drift_flags(self, spark):
+        from kg.ops.profile import profile_diff, profile_table
+
+        old = spark.createDataFrame(
+            [(1, "aa", 5.0), (2, "bb", 7.0), (3, None, 9.0)],
+            "pk long, s string, x double",
+        )
+        new = spark.createDataFrame(
+            [(1, None, True), (2, None, False), (3, None, True),
+             (4, None, True)],
+            "pk long, s string, flag boolean",
+        )
+        got = {r["column"]: r for r in profile_diff(
+            profile_table(old, exact_distinct=True),
+            profile_table(new, exact_distinct=True),
+        ).collect()}
+        assert got["x"]["status"] == "removed" and got["x"]["drift"]
+        assert got["flag"]["status"] == "added" and got["flag"]["drift"]
+        assert got["pk"]["status"] == "common"
+        # pk: same null frac (0), distinct 3 -> 4 = +0.333 > 0.2 -> drift
+        assert got["pk"]["drift"] and abs(
+            got["pk"]["dist_rel_delta"] - 0.333333) < 1e-6
+        # s: null frac 1/3 -> 1 = +0.666; distinct 2 -> 0
+        assert got["s"]["status"] == "common" and got["s"]["drift"]
+        assert abs(got["s"]["null_frac_delta"] - (1 - 1 / 3)) < 1e-5
+
+    def test_identical_profiles_no_drift(self, spark):
+        from kg.ops.profile import profile_diff, profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "pk long, s string"
+        )
+        p = profile_table(df, exact_distinct=True)
+        out = profile_diff(p, p).collect()
+        assert all(r["status"] == "common" and not r["drift"] for r in out)
+        assert all(r["null_frac_delta"] == 0.0 for r in out)
