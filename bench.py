@@ -211,15 +211,27 @@ def run_suite(spark, sf_dir: str) -> dict:
     triples_cached = extract_triples_from_pages(pages).cache()
     triples_cached.count()
 
+    # payload-forcing aggregates everywhere a bare .count() would let
+    # Catalyst eliminate unique-key left joins / prune pure-map columns
+    # (see PLANS.md ExactSubstr note: measured 0.5s vs 32s on textops)
+    def _force_link(df):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum("subj_id").alias("_a"),
+            F.sum("obj_id").alias("_b"),
+            F.sum(F.length("subj_canonical")).alias("_c"),
+        ).first()
+        return r["n"]
+
     def w_link():
-        counts["linked"] = link_triples(triples_cached, alias_dim).count()
+        counts["linked"] = _force_link(link_triples(triples_cached, alias_dim))
 
     timings["link_broadcast"] = timed_twice(w_link)
 
     def w_link_salted():
-        counts["linked_salted"] = link_triples(
+        counts["linked_salted"] = _force_link(link_triples(
             triples_cached, alias_dim, use_salting=True, n_salts=8
-        ).count()
+        ))
 
     timings["link_salted"] = timed_twice(w_link_salted)
     assert counts["linked"] == counts["linked_salted"], "salted != broadcast"
@@ -314,7 +326,8 @@ def run_suite(spark, sf_dir: str) -> dict:
             "user_id", "ts", "value"
         )
         asof_join(purchases, clicks, keys=["user_id"],
-                  right_cols=["value"]).count()
+                  right_cols=["value"]).agg(
+            F.count("*"), F.sum("r_value")).first()
         time_rollup(events_b, dims=["event_type"],
                     grains=("hour", "day")).count()
 
@@ -326,8 +339,12 @@ def run_suite(spark, sf_dir: str) -> dict:
 
     # --- dedup ---
     def w_dedup():
-        exact_dedup(docs_x).count()
-        shingle_signature_dedup(docs_x).count()
+        exact_dedup(docs_x).agg(
+            F.count("*"), F.sum("n_docs"), F.min("keep_id")
+        ).first()
+        shingle_signature_dedup(docs_x).agg(
+            F.count("*"), F.count_distinct("shingle_sig")
+        ).first()
 
     timings["dedup"] = timed_twice(w_dedup)
     extra["dedup_docs_per_sec"] = round(2 * n_pages / timings["dedup"], 1)
@@ -356,7 +373,9 @@ def run_suite(spark, sf_dir: str) -> dict:
     def w_boilerplate():
         counts["boilerplate"] = remove_boilerplate_lines(
             docs_boiler, id_col="doc_id", min_docs=8 * boiler_repl
-        ).count()
+        ).agg(
+            F.count("*").alias("n"), F.sum(F.length("clean_text"))
+        ).first()["n"]
 
     timings["boilerplate"] = timed_twice(w_boilerplate)
     extra["boilerplate_docs_per_sec"] = round(
@@ -376,10 +395,15 @@ def run_suite(spark, sf_dir: str) -> dict:
 
     def w_curation():
         chunk_documents(docs_x, chunk_len=64, overlap=16,
-                        id_col="doc_id").count()
+                        id_col="doc_id").agg(
+            F.count("*"), F.sum(F.length("chunk_text")),
+            F.sum("n_tokens")).first()
         pack_sequences(docs_x, seq_len=2048, n_shards=cpus * 2,
-                       id_col="doc_id").count()
-        train_val_test_split(docs_x, id_col="doc_id").count()
+                       id_col="doc_id").agg(
+            F.count("*"), F.sum("chunk_id")).first()
+        train_val_test_split(docs_x, id_col="doc_id").agg(
+            F.count("*"), F.sum("u"),
+            F.count_distinct("split")).first()
 
     timings["curation"] = timed_twice(w_curation)
     extra["curation_docs_per_sec"] = round(
@@ -401,7 +425,10 @@ def run_suite(spark, sf_dir: str) -> dict:
         vocab = lm_vocab(docs_x, vocab_size=4096).cache()
         vocab.count()
         bg = materialize(train_bigram_lm(docs_x, vocab))
-        counts["lm"] = lm_score(docs_x, bg, vocab).count()
+        r = lm_score(docs_x, bg, vocab).agg(
+            F.count("*").alias("n"), F.sum("avg_logp"), F.sum("n_bigrams")
+        ).first()
+        counts["lm"] = r["n"]
         vocab.unpersist()
 
     timings["lm"] = timed_twice(w_lm)

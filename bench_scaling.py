@@ -339,6 +339,15 @@ def main() -> int:
         " the operators' scaling; chunk/split are pure narrow maps).",
         "- loadavg_start/loadavg_end in the raw JSON record neighbor"
         " pressure on this shared box at run time.",
+        "- HONESTY FIX (2026-08-19, mid-round-3): stage actions now force",
+        " the operator payload (aggregates over produced columns) — a bare",
+        " .count() let Catalyst eliminate unique-key left joins and prune",
+        " pure-map columns, so pre-fix walls for link/lm/boilerplate/",
+        " curation/dedup/temporal under-measured those stages (lm was",
+        " missing its 9 model joins entirely). pipeline/mentions/triples/",
+        " weblinks efficiencies are unaffected (their actions were already",
+        " forced); lm/curation/boilerplate/textops efficiency columns are",
+        " comparable only from this date's windows on.",
         "- legs run in ABBA order (lo, hi, hi, lo), fresh JVM each;"
         " reported walls/throughputs are the best of the two runs per"
         " parallelism, so a transient neighbor spike cannot read as a"
