@@ -1157,6 +1157,19 @@ def _profile_oracle_sql() -> str:
     return "SELECT * FROM (" + " UNION ALL ".join(parts) + ")"
 
 
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy quality signals (kg/ops/textstats.py doc_entropy):
+    word + char entropy per doc, computed ZERO-shuffle from sorted-array
+    run lengths; oracle recomputes via unnest + GROUP BY with the same
+    exact counts and ln."""
+    from kg.ops.textstats import doc_entropy
+
+    return doc_entropy(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens", "word_entropy", "char_entropy",
+    )
+
+
 def q_doc_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot drift QA (kg/ops/profile.py profile_diff): profile the
     even-id half vs the odd-id half with `source` dropped and a derived
@@ -4427,6 +4440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nb_lang": q_doc_nb_lang,
         "doc_dsir": q_doc_dsir,
         "doc_profile_diff": q_doc_profile_diff,
+        "doc_entropy": q_doc_entropy,
         "doc_lr_quality": q_doc_lr_quality,
         "doc_leak_split": q_doc_leak_split,
         "doc_dense_ids": q_doc_dense_ids,
@@ -5847,6 +5861,42 @@ FROM base
     d["doc_profile"] = _profile_oracle_sql()
     d["doc_dsir"] = _dsir_oracle_sql()
     d["doc_profile_diff"] = _profile_diff_oracle_sql()
+    d["doc_entropy"] = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS word FROM toks) GROUP BY 1, 2
+),
+went AS (
+  SELECT doc_id,
+    round(-sum((c / n) * ln(c / n)), 4) AS word_entropy
+  FROM (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM wc)
+  GROUP BY doc_id
+),
+cc AS (
+  SELECT doc_id, ch, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_filter(
+      string_split_regex(lower(text), ''),
+      x -> x <> '' AND NOT regexp_matches(x, '^\\s$'))) AS ch
+    FROM documents) GROUP BY 1, 2
+),
+cent AS (
+  SELECT doc_id,
+    round(-sum((c / n) * ln(c / n)), 4) AS char_entropy
+  FROM (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cc)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+  we.word_entropy, ce.char_entropy
+FROM toks t
+LEFT JOIN went we USING (doc_id)
+LEFT JOIN cent ce USING (doc_id)
+"""
+
     d["doc_lr_quality"] = _lr_oracle_sql()
     d["doc_weighted_sample"] = f"""
 SELECT doc_id, weight, skey FROM (

@@ -384,3 +384,68 @@ def corpus_report(
             "top_lang",
         )
     )
+
+
+def doc_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon-entropy quality signals per doc (the gibberish /
+    mono-token-spam detector a corpus filter ladder wants next to the
+    repetition stats): (id, n_tokens, word_entropy, char_entropy), each
+    entropy = -sum p ln p over the doc's own word / character
+    distribution, rounded 4dp; NULL for empty docs.
+
+    Scale shape: ZERO shuffles — the distributions come from sorting the
+    doc's own token/char arrays and extracting run lengths array-locally
+    (shift+zip_with boundaries, linear); entropy is one aggregate over
+    the bounded run-length list. The oracle recomputes via
+    unnest + GROUP BY (same exact integer counts, same ln)."""
+
+    def ent(arr: Column) -> Column:
+        s = F.array_sort(arr)
+        n = F.size(s)
+        prev = F.concat(
+            F.array(F.lit(None).cast("string")),
+            F.slice(s, 1, F.greatest(n - 1, F.lit(0))),
+        )
+        flags = F.zip_with(
+            s, prev, lambda x, p: F.when(p.isNull() | (x != p), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        # 0-based start positions of each run
+        starts = F.array_compact(
+            F.zip_with(
+                flags,
+                F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+                lambda fl, i: F.when(fl == 1, i),
+            )
+        )
+        nxt = F.concat(
+            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+            F.array(n),
+        )
+        lens = F.zip_with(starts, nxt, lambda a, b: b - a)
+        h = -F.aggregate(
+            lens,
+            F.lit(0.0),
+            lambda acc, c: acc
+            + (c.cast("double") / n) * F.log(c.cast("double") / n),
+        )
+        return F.when(n > 0, F.round(h, 4))
+
+    words = _words(text_col)
+    # characters of the lowercased text, whitespace excluded (the word
+    # separator carries no signal and its count would just track doc
+    # length)
+    chars = F.filter(
+        F.split(F.lower(text_col), "(?!^)"),
+        lambda c: (c != F.lit("")) & ~c.rlike(r"^\s$"),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_tokens"),
+        ent(words).alias("word_entropy"),
+        ent(chars).alias("char_entropy"),
+    )

@@ -1062,3 +1062,60 @@ class TestProfileTable:
         df = spark.createDataFrame([(1, "a")], "id long, s string")
         got = profile_table(df, columns=["s"]).collect()
         assert [r["column"] for r in got] == ["s"]
+
+
+class TestDocEntropy:
+    def test_matches_python_recompute(self, spark):
+        import math
+        from collections import Counter
+
+        from kg.ops.textstats import doc_entropy
+
+        rows = [
+            (1, "aa bb aa cc aa"),
+            (2, "xyz"),
+            (3, ""),
+            (4, "same same same same"),
+            (5, "Mixed CASE mixed case"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.word_entropy, r.char_entropy)
+               for r in doc_entropy(df).collect()}
+
+        def ent(items):
+            if not items:
+                return None
+            c = Counter(items)
+            n = len(items)
+            return round(-sum((k / n) * math.log(k / n)
+                              for k in c.values()), 4)
+
+        for i, t in rows:
+            words = t.lower().split()
+            chars = [c for c in t.lower() if not c.isspace()]
+            want = (len(words), ent(words), ent(chars))
+            g = got[i]
+            assert g[0] == want[0], i
+            for a, b in zip(g[1:], want[1:]):
+                if b is None:
+                    assert a is None, i
+                else:
+                    assert abs(a - b) < 1e-9, i
+        # monotone sanity: the all-same doc has zero word entropy
+        assert got[4][1] == 0.0
+
+    def test_zero_shuffle_plan(self, spark, documents):
+        from kg.ops.textstats import doc_entropy
+
+        p = doc_entropy(documents)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "Exchange" not in p
+        assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+    def test_partition_invariant(self, spark, documents):
+        from kg.ops.textstats import doc_entropy
+
+        a = sorted(map(tuple, doc_entropy(documents).collect()))
+        b = sorted(map(tuple,
+                       doc_entropy(documents.repartition(9)).collect()))
+        assert a == b
