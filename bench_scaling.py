@@ -33,7 +33,10 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     # keeps the low-parallelism leg tractable while both legs still read
     # identical input
     env.setdefault("SPARK_GRAFT_NEARDUP_FRAC", "0.1")
-    env.setdefault("SPARK_GRAFT_TEXTOPS_FRAC", "0.25")
+    # full corpus: at 0.25 the local[8] textops wall was ~8s and per-call
+    # fixed costs (vocab pieces collect + dim broadcast + action barriers)
+    # masqueraded as poor scaling (0.63-0.66 across two windows)
+    env.setdefault("SPARK_GRAFT_TEXTOPS_FRAC", "1.0")
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_MASTER"] = f"local[{cpus}]"
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
