@@ -251,8 +251,18 @@ def run_suite(spark, sf_dir: str) -> dict:
     extra["n_kg_edges"] = kg_edges.count()
 
     def w_graph():
-        pagerank(kg_edges, iterations=4).count()
-        triangle_stats(kg_edges).count()
+        # aggregate OVER the rank / triangle payloads: a bare .count()
+        # only needs group keys, so Catalyst may prune the per-node
+        # rank sum / wedge-count expressions (same honesty rule as the
+        # pipeline stages, d391bff)
+        pagerank(kg_edges, iterations=4).agg(
+            F.count("*").alias("n"), F.sum("rank").alias("_r")
+        ).first()
+        triangle_stats(kg_edges).agg(
+            F.count("*").alias("n"),
+            F.sum("triangles").alias("_t"),
+            F.sum("lcc").alias("_l"),
+        ).first()
 
     timings["graph"] = timed_twice(w_graph)
     extra["graph_edges_per_sec"] = round(
@@ -272,11 +282,21 @@ def run_suite(spark, sf_dir: str) -> dict:
 
     def w_facts():
         linked = link_triples(triples_cached, alias_dim).join(page_ts, "url")
-        counts["facts"] = fact_evidence(linked).count()
+        # force the provenance payload (evidence counts, timeline, URL
+        # sample) — .count() needs only the (s,p,o) group keys
+        r = fact_evidence(linked).agg(
+            F.count("*").alias("n"),
+            F.sum("n_evidence").alias("_e"),
+            F.min("first_seen").alias("_f"),
+            F.sum(F.size("sample_urls")).alias("_u"),
+        ).first()
+        counts["facts"] = r["n"]
         full = link_triples(triples_cached, alias_dim).where(
             F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
         )
-        infer_transitive(full, pred="located_in", max_depth=3).count()
+        infer_transitive(full, pred="located_in", max_depth=3).agg(
+            F.count("*").alias("n"), F.sum("depth").alias("_d")
+        ).first()
 
     timings["facts"] = timed_twice(w_facts)
     extra["facts_docs_per_sec"] = round(2 * n_pages / timings["facts"], 1)
@@ -290,8 +310,21 @@ def run_suite(spark, sf_dir: str) -> dict:
     from kg.ops.weblinks import extract_links, host_link_graph
 
     def w_weblinks():
-        counts["links"] = extract_links(pages).count()
-        host_link_graph(pages).count()
+        # sum over dst_url forces the resolve+normalize expressions a
+        # bare .count() would prune (row count is fixed by the href
+        # explode alone); the host-graph sums force the per-pair
+        # countDistinct payloads
+        r = extract_links(pages).agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("dst_url")).alias("_b"),
+        ).first()
+        counts["links"] = r["n"]
+        host_link_graph(pages).agg(
+            F.count("*").alias("n"),
+            F.sum("n_links").alias("_l"),
+            F.sum("n_pages").alias("_p"),
+            F.sum("n_targets").alias("_t"),
+        ).first()
 
     timings["weblinks"] = timed_twice(w_weblinks)
     extra["weblinks_pages_per_sec"] = round(2 * n_pages / timings["weblinks"], 1)
@@ -303,10 +336,14 @@ def run_suite(spark, sf_dir: str) -> dict:
     from kg.ops.ranking import bm25_search, corpus_vocab
 
     def w_ranking():
-        corpus_vocab(docs_x, top_v=1000, id_col="doc_id").count()
+        # the rank orderings already force cf/score computation; the sums
+        # keep the final projection unprunable for uniformity
+        corpus_vocab(docs_x, top_v=1000, id_col="doc_id").agg(
+            F.count("*").alias("n"), F.sum("cf").alias("_c")
+        ).first()
         bm25_search(
             docs_x, ["alice", "paris", "acme"], top_n=100, id_col="doc_id"
-        ).count()
+        ).agg(F.count("*").alias("n"), F.sum("score").alias("_s")).first()
 
     timings["ranking"] = timed_twice(w_ranking)
     extra["ranking_docs_per_sec"] = round(2 * n_pages / timings["ranking"], 1)
@@ -328,8 +365,14 @@ def run_suite(spark, sf_dir: str) -> dict:
         asof_join(purchases, clicks, keys=["user_id"],
                   right_cols=["value"]).agg(
             F.count("*"), F.sum("r_value")).first()
+        # force the per-bucket measures — .count() needs only the
+        # (grain, bucket, dims) keys and prunes the sum/min/max payload
         time_rollup(events_b, dims=["event_type"],
-                    grains=("hour", "day")).count()
+                    grains=("hour", "day")).agg(
+            F.count("*").alias("n"),
+            F.sum("sum_value").alias("_s"),
+            F.min("min_value").alias("_m"),
+        ).first()
 
     timings["temporal"] = timed_twice(w_temporal)
     extra["temporal_events_per_sec"] = round(
@@ -526,8 +569,16 @@ def run_suite(spark, sf_dir: str) -> dict:
 
     # --- relational TPC-H-ish ---
     def w_tpch():
-        entry_mod.q_tpch_pricing_summary(spark, sf_dir).count()
-        entry_mod.q_region_revenue(spark, sf_dir).count()
+        # .count() = distinct (returnflag, linestatus) — it prunes all
+        # seven pricing-summary aggregates; sum the payload instead
+        entry_mod.q_tpch_pricing_summary(spark, sf_dir).agg(
+            F.count("*").alias("n"),
+            F.sum("sum_disc_price").alias("_p"),
+            F.sum("count_order").alias("_c"),
+        ).first()
+        entry_mod.q_region_revenue(spark, sf_dir).agg(
+            F.count("*").alias("n"), F.sum("revenue").alias("_r")
+        ).first()
 
     timings["tpch"] = timed_twice(w_tpch)
 
