@@ -177,6 +177,36 @@ def _gaz_values(gaz: dict[str, list[str]]) -> str:
 
 _SPANS_SQL = _spans_sql(_GAZ_VALUES_SQL, DOC_MAX_PHRASE_WORDS)
 
+# occurrence-grain gazetteer matches (ALL positions, dim deduped to distinct
+# (entity, value_norm)) — the base for the salience / EL-context oracles
+# (kg/ops/salience.py gazetteer_occurrences)
+_OCC_SQL = f"""
+WITH {_WORDS_CTE},
+spans AS (
+  SELECT d.doc_id, s.i AS start_i, s.j AS end_j,
+         array_to_string(d.words[s.i+1:s.j+1], ' ') AS span
+  FROM docs d, LATERAL (
+    SELECT i.i, j.j
+    FROM (SELECT unnest(generate_series(0, len(d.words)-1)) AS i) i,
+         LATERAL (SELECT unnest(generate_series(i.i,
+                    least(len(d.words)-1, i.i + {DOC_MAX_PHRASE_WORDS - 1}))) AS j) j
+  ) s
+  WHERE len(d.words) > 0
+),
+gazraw(entity_name, value_norm) AS (VALUES {_GAZ_VALUES_SQL}),
+gaz AS (SELECT DISTINCT entity_name, value_norm FROM gazraw),
+norm AS (
+  SELECT doc_id, start_i, end_j,
+         trim(span, '{_PUNCT_SQL}') AS surface,
+         lower(trim(span, '{_PUNCT_SQL}')) AS key
+  FROM spans
+),
+occ AS (
+  SELECT n.doc_id, g.entity_name, n.surface, n.start_i, n.end_j
+  FROM norm n JOIN gaz g ON n.key = g.value_norm
+)
+"""
+
 _REGEX_SQL_TAIL = f"""
 matched_surfaces AS (SELECT DISTINCT doc_id, surface FROM joined),
 single_words AS (
@@ -231,6 +261,38 @@ def q_doc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spans = ngram_spans_df(_docs(spark, sf_dir), DOC_MAX_PHRASE_WORDS, id_col="doc_id")
     return spans.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_spans"))
+
+
+SALIENCE_CTX_K = 3
+
+
+def q_doc_mention_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, entity) salience over all gazetteer occurrences:
+    frequency share within the doc + earliness of the first mention
+    (kg/ops/salience.py mention_salience)."""
+    from kg.ops.salience import mention_salience
+    from kg.stages.mentions import gazetteer_dim
+
+    gaz = gazetteer_dim(spark, DOC_GAZETTEER)
+    return mention_salience(
+        _docs(spark, sf_dir), gaz, max_words=DOC_MAX_PHRASE_WORDS, id_col="doc_id"
+    )
+
+
+def q_doc_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EL training examples: first occurrence per (doc, entity, surface)
+    with k-word context windows (kg/ops/salience.py mention_contexts)."""
+    from kg.ops.salience import mention_contexts
+    from kg.stages.mentions import gazetteer_dim
+
+    gaz = gazetteer_dim(spark, DOC_GAZETTEER)
+    return mention_contexts(
+        _docs(spark, sf_dir),
+        gaz,
+        k=SALIENCE_CTX_K,
+        max_words=DOC_MAX_PHRASE_WORDS,
+        id_col="doc_id",
+    )
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4423,6 +4485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gazetteer_match": q_doc_gazetteer,
         "doc_mentions_full": q_doc_mentions_full,
         "doc_ngram_spans": q_doc_ngram_spans,
+        "doc_mention_salience": q_doc_mention_salience,
+        "doc_mention_contexts": q_doc_mention_contexts,
         "doc_token_stats": q_doc_token_stats,
         "doc_profile": q_doc_profile,
         "doc_quality": q_doc_quality,
@@ -4590,6 +4654,41 @@ SELECT doc_id, surface AS matched_word, entity_name, 'gazetteer' AS detector
 FROM winners WHERE rk = 1
 UNION ALL
 SELECT doc_id, matched_word, entity_name, 'regex' AS detector FROM regex_hits
+""",
+        "doc_mention_salience": _OCC_SQL
+        + """
+, per AS (
+  SELECT doc_id, entity_name, count(*) AS n_mentions,
+         min(start_i) AS first_start
+  FROM occ GROUP BY 1, 2
+),
+tot AS (
+  SELECT *, sum(n_mentions) OVER (PARTITION BY doc_id) AS doc_mentions
+  FROM per
+),
+dw AS (SELECT doc_id, len(words) AS n_words FROM docs WHERE len(words) > 0)
+SELECT t.doc_id, t.entity_name, CAST(t.n_mentions AS BIGINT) AS n_mentions,
+  CAST(t.first_start AS BIGINT) AS first_start,
+  round(0.6 * (t.n_mentions / t.doc_mentions)
+      + 0.4 * (1.0 - t.first_start / d.n_words), 4) AS salience
+FROM tot t JOIN dw d USING (doc_id)
+""",
+        "doc_mention_contexts": _OCC_SQL
+        + f"""
+, firsts AS (
+  SELECT doc_id, entity_name, surface, start_i, end_j,
+    row_number() OVER (PARTITION BY doc_id, entity_name, surface
+                       ORDER BY start_i, end_j) AS rn
+  FROM occ
+)
+SELECT f.doc_id, f.entity_name, f.surface, CAST(f.start_i AS BIGINT) AS start,
+  coalesce(array_to_string(
+    d.words[greatest(f.start_i - {SALIENCE_CTX_K}, 0) + 1 : f.start_i],
+    ' '), '') AS ctx_left,
+  coalesce(array_to_string(
+    d.words[f.end_j + 2 : f.end_j + 1 + {SALIENCE_CTX_K}], ' '), '')
+    AS ctx_right
+FROM firsts f JOIN docs d USING (doc_id) WHERE f.rn = 1
 """,
         "doc_ngram_spans": f"""
 WITH {_WORDS_CTE}
