@@ -3041,6 +3041,78 @@ def q_kg_fact_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_confidence(ev, conf_col="conf")
 
 
+NT_BASE = "http://kg.local/"
+
+
+def _nt_sql_quote(s: str) -> str:
+    if s == "\t":
+        return "chr(9)"
+    if s == "\n":
+        return "chr(10)"
+    if s == "\r":
+        return "chr(13)"
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _nt_chain_sql(expr: str, pairs: list[tuple[str, str]]) -> str:
+    """DuckDB replay of kg/ops/export.py's literal replace chain — built
+    from the SAME (char, escape) tables so the two can't drift."""
+    out = f"CAST({expr} AS VARCHAR)"
+    for ch, enc in pairs:
+        out = f"replace({out}, {_nt_sql_quote(ch)}, {_nt_sql_quote(enc)})"
+    return out
+
+
+def _nt_iri_sql(expr: str) -> str:
+    from kg.ops.export import _IRI_ENC
+
+    return _nt_chain_sql(expr, _IRI_ENC)
+
+
+def _nt_lit_sql(expr: str) -> str:
+    from kg.ops.export import _LIT_ENC
+
+    return _nt_chain_sql(expr, _LIT_ENC)
+
+
+def q_kg_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples serialization of the linked fact set (kg/ops/export.py
+    ntriples, resource objects); oracle replays the same literal replace
+    chain in SQL."""
+    from kg.ops.export import ntriples
+
+    facts = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    return ntriples(facts, base_iri=NT_BASE).select(
+        "subj_id", "pred", "obj_id", "line"
+    )
+
+
+def q_kg_export_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdfs:label-style literal triples for every alias (exercises the
+    ECHAR literal escaping path of kg/ops/export.py)."""
+    from kg.ops.export import ntriples
+
+    labels = (
+        spark.read.parquet(f"{FIX}/alias_dict.parquet")
+        .select("entity_id", F.col("alias").alias("label"))
+        .distinct()
+        .withColumn("pred", F.lit("label"))
+    )
+    return ntriples(
+        labels,
+        base_iri=NT_BASE,
+        subj_col="entity_id",
+        pred_col="pred",
+        obj_col="label",
+        obj_is_literal=True,
+    ).select("entity_id", "label", "line")
+
+
 def q_kg_stream_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental fact store: pages land as two disjoint
     micro-batches (maxFilesPerTrigger=1, availableNow); each epoch's
@@ -3125,6 +3197,30 @@ def q_kg_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.select("x", "y", "z")
+
+
+def q_kg_pattern_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with OPTIONAL + FILTER NOT EXISTS (kg/query.py match_pattern
+    optional=/anti=): CEOs with their org's location when known (-1 when
+    not), excluding CEOs who also works_for the same org. Oracle = LEFT
+    JOIN + NOT EXISTS in SQL."""
+    from kg.query import match_pattern
+
+    facts = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    out = match_pattern(
+        facts,
+        [("?x", "ceo_of", "?y")],
+        optional=[("?y", "located_in", "?z")],
+        anti=[("?x", "works_for", "?y")],
+    )
+    # unbound OPTIONAL var -> -1 so the cross-engine hash compare never
+    # sees a nullable numeric column (pandas would coerce it to float)
+    return out.select("x", "y", F.coalesce("z", F.lit(-1)).alias("z"))
 
 
 def q_kg_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4616,7 +4712,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_types": q_kg_entity_types,
         "kg_type_violations": q_kg_type_violations,
         "kg_fact_confidence": q_kg_fact_confidence,
+        "kg_export_ntriples": q_kg_export_ntriples,
+        "kg_export_labels": q_kg_export_labels,
         "kg_pattern_match": q_kg_pattern_match,
+        "kg_pattern_optional": q_kg_pattern_optional,
         "kg_fact_merge": q_kg_fact_merge,
         "kg_pronoun_coref": q_kg_pronoun_coref,
         "kg_coref_rewrite": q_kg_coref_rewrite,
@@ -5625,6 +5724,32 @@ JOIN rules r ON v.pred = r.pred AND v.role = r.role
 JOIN et e ON v.entity_id = e.entity_id
 WHERE e.entity_type <> r.etype
 """,
+        "kg_export_ntriples": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), facts AS (
+  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+)
+SELECT subj_id, pred, obj_id,
+  '<{NT_BASE}e/' || {_nt_iri_sql('subj_id')} || '> <{NT_BASE}p/'
+    || {_nt_iri_sql('pred')} || '> <{NT_BASE}e/'
+    || {_nt_iri_sql('obj_id')} || '> .' AS line
+FROM facts
+""",
+        "kg_export_labels": f"""
+WITH labels AS (
+  SELECT DISTINCT entity_id, alias AS label
+  FROM '{FIX}/alias_dict.parquet'
+)
+SELECT entity_id, label,
+  '<{NT_BASE}e/' || {_nt_iri_sql('entity_id')} || '> <{NT_BASE}p/label> "'
+    || {_nt_lit_sql('label')} || '" .' AS line
+FROM labels
+""",
         "kg_fact_confidence": f"""
 WITH dim AS (
   SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
@@ -5723,6 +5848,28 @@ JOIN t b ON b.subj_id = a.obj_id AND b.pred = 'located_in'
 JOIN t c ON c.subj_id = a.subj_id AND c.obj_id = b.obj_id
         AND c.pred = 'born_in'
 WHERE a.pred = 'ceo_of'
+""",
+        "kg_pattern_optional": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), kept AS (
+  SELECT a.subj_id AS x, a.obj_id AS y FROM t a
+  WHERE a.pred = 'ceo_of'
+    AND NOT EXISTS (
+      SELECT 1 FROM t w WHERE w.pred = 'works_for'
+        AND w.subj_id = a.subj_id AND w.obj_id = a.obj_id
+    )
+)
+SELECT DISTINCT k.x, k.y, coalesce(l.obj_id, -1) AS z
+FROM kept k
+LEFT JOIN (SELECT subj_id, obj_id FROM t WHERE pred = 'located_in') l
+  ON l.subj_id = k.y
 """,
         "kg_fact_conflicts": f"""
 WITH dim AS (

@@ -36,9 +36,31 @@ def _is_var(term) -> bool:  # noqa: ANN001
     return isinstance(term, str) and term.startswith("?")
 
 
+def _atom_step(facts: DataFrame, atom: tuple, i: int):
+    """One BGP atom -> (projected DataFrame, bare variable names)."""
+    if len(atom) != 3:
+        raise ValueError(f"atom {i} is not a triple: {atom!r}")
+    t = facts.select(*_ROLES)
+    # literal constraints filter; variables project/rename
+    proj = []
+    seen_in_atom: dict[str, str] = {}
+    for role, term in zip(_ROLES, atom):
+        if _is_var(term):
+            if term in seen_in_atom:  # intra-atom repeat: equality
+                t = t.where(F.col(role) == F.col(seen_in_atom[term]))
+            else:
+                seen_in_atom[term] = role
+                proj.append(F.col(role).alias(term[1:]))
+        else:
+            t = t.where(F.col(role) == F.lit(term))
+    return t.select(*proj), {v[1:] for v in seen_in_atom}
+
+
 def match_pattern(
     facts: DataFrame,
     pattern: Sequence[tuple],
+    optional: Sequence[tuple] = (),
+    anti: Sequence[tuple] = (),
 ) -> DataFrame:
     """Match a conjunction of (subj, pred, obj) atoms against
     facts(subj_id, pred, obj_id); terms starting with '?' are variables,
@@ -49,40 +71,58 @@ def match_pattern(
     A variable repeated INSIDE one atom constrains equality (e.g.
     (?x, knows, ?x)); across atoms it joins. Every atom after the first
     must share at least one variable with the atoms before it.
+
+    ``optional``: SPARQL OPTIONAL blocks of one atom each — a LEFT join:
+    bindings that match extend with the atom's new variables, bindings
+    that don't survive with nulls. Applied after the required pattern,
+    in order (each may chain on variables an earlier optional bound).
+
+    ``anti``: SPARQL FILTER NOT EXISTS atoms — a left-anti join on the
+    shared variables, applied LAST (after optionals, per SPARQL group
+    semantics); variables private to an anti atom are existential and
+    never appear in the output.
+
+    Scale shape unchanged: every optional/anti atom is one more keyed
+    equi-join on its pred-pruned fact slice — no new shuffle family, and
+    AQE still broadcasts selective slices.
     """
     if not pattern:
         raise ValueError("empty pattern")
     out: DataFrame | None = None
     bound: set[str] = set()
     for i, atom in enumerate(pattern):
-        if len(atom) != 3:
-            raise ValueError(f"atom {i} is not a triple: {atom!r}")
-        t = facts.select(*_ROLES)
-        # literal constraints filter; variables project/rename
-        proj = []
-        seen_in_atom: dict[str, str] = {}
-        for role, term in zip(_ROLES, atom):
-            if _is_var(term):
-                if term in seen_in_atom:  # intra-atom repeat: equality
-                    t = t.where(F.col(role) == F.col(seen_in_atom[term]))
-                else:
-                    seen_in_atom[term] = role
-                    proj.append(F.col(role).alias(term[1:]))
-            else:
-                t = t.where(F.col(role) == F.lit(term))
-        step = t.select(*proj)
+        step, atom_vars = _atom_step(facts, atom, i)
         if out is None:
             out = step
-            bound = set(seen_in_atom)
+            bound = atom_vars
         else:
-            shared = [v[1:] for v in seen_in_atom if v in bound]
+            shared = sorted(atom_vars & bound)
             if not shared:
                 raise ValueError(
                     f"atom {i} shares no variable with previous atoms "
                     "(would be a cartesian product)"
                 )
             out = out.join(step, shared)
-            bound |= set(seen_in_atom)
+            bound |= atom_vars
+    for i, atom in enumerate(optional):
+        step, atom_vars = _atom_step(facts, atom, i)
+        shared = sorted(atom_vars & bound)
+        if not shared:
+            raise ValueError(
+                f"optional atom {i} shares no variable with the pattern "
+                "(would be a cartesian product)"
+            )
+        out = out.join(step, shared, "left")
+        bound |= atom_vars
+    for i, atom in enumerate(anti):
+        step, atom_vars = _atom_step(facts, atom, i)
+        shared = sorted(atom_vars & bound)
+        if not shared:
+            raise ValueError(
+                f"anti atom {i} shares no variable with the pattern "
+                "(nothing to filter on)"
+            )
+        out = out.join(step.select(*shared).distinct(), shared, "left_anti")
     return out.distinct()
 
 

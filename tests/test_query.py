@@ -105,3 +105,52 @@ class TestMatchPath:
             f.repartition(5), ["ceo_of", ("+", "located_in", 3)]
         ).collect()))
         assert a == b
+
+
+class TestOptionalAnti:
+    def test_optional_extends_or_nulls(self, facts):
+        out = match_pattern(
+            facts,
+            [("?x", "born_in", "?z")],
+            optional=[("?z2", "located_in", "?z")],
+        )
+        rows = {(r.x, r.z, r.z2) for r in out.collect()}
+        # 100 is a located_in target (10 -> 100); 102 is not -> null
+        assert (1, 100, 10) in rows
+        assert (2, 102, None) in rows
+
+    def test_anti_filters_bindings(self, facts):
+        out = match_pattern(
+            facts,
+            [("?x", "ceo_of", "?y")],
+            anti=[("?x", "born_in", 102)],
+        ).collect()
+        # CEO 2 was born_in 102 and is filtered out
+        assert [(r.x, r.y) for r in out] == [(1, 10)]
+
+    def test_anti_private_vars_are_existential(self, facts):
+        out = match_pattern(
+            facts,
+            [("?x", "ceo_of", "?y")],
+            anti=[("?y", "located_in", "?anywhere")],
+        ).collect()
+        # both orgs have a located_in fact -> everything filtered
+        assert out == []
+
+    def test_optional_then_anti_composition(self, facts):
+        out = match_pattern(
+            facts,
+            [("?x", "ceo_of", "?y")],
+            optional=[("?y", "located_in", "?z")],
+            anti=[("?x", "born_in", "?z")],
+        ).collect()
+        # CEO 1's org sits where they were born -> filtered; CEO 2 stays
+        assert [(r.x, r.y, r.z) for r in out] == [(2, 11, 101)]
+
+    def test_disconnected_optional_and_anti_rejected(self, facts):
+        with pytest.raises(ValueError):
+            match_pattern(facts, [("?x", "ceo_of", "?y")],
+                          optional=[("?a", "knows", "?b")])
+        with pytest.raises(ValueError):
+            match_pattern(facts, [("?x", "ceo_of", "?y")],
+                          anti=[("?a", "knows", "?b")])
