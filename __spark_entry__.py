@@ -3113,6 +3113,31 @@ def q_kg_export_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("entity_id", "label", "line")
 
 
+def q_kg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the linked fact set to N-Triples lines, then parse the
+    lines back with kg/ops/export.py parse_ntriples (inverse replace
+    chains, pure regexp projection). Output = recovered (subj_id, pred,
+    obj_id); oracle = the original fact set, so a green hash row proves
+    parse∘serialize is the identity on the real KG."""
+    from kg.ops.export import ntriples, parse_ntriples
+
+    facts = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    lines = ntriples(facts, base_iri=NT_BASE).select(
+        F.col("line").alias("value")
+    )
+    e_pre, p_pre = len(NT_BASE) + 2, len(NT_BASE) + 2  # ".../e/", ".../p/"
+    return parse_ntriples(lines).select(
+        F.expr(f"substring(subj_iri, {e_pre + 1})").cast("long").alias("subj_id"),
+        F.expr(f"substring(pred_iri, {p_pre + 1})").alias("pred"),
+        F.expr(f"substring(obj_iri, {e_pre + 1})").cast("long").alias("obj_id"),
+    )
+
+
 def q_kg_stream_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental fact store: pages land as two disjoint
     micro-batches (maxFilesPerTrigger=1, availableNow); each epoch's
@@ -4714,6 +4739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_confidence": q_kg_fact_confidence,
         "kg_export_ntriples": q_kg_export_ntriples,
         "kg_export_labels": q_kg_export_labels,
+        "kg_export_roundtrip": q_kg_export_roundtrip,
         "kg_pattern_match": q_kg_pattern_match,
         "kg_pattern_optional": q_kg_pattern_optional,
         "kg_fact_merge": q_kg_fact_merge,
@@ -5739,6 +5765,16 @@ SELECT subj_id, pred, obj_id,
     || {_nt_iri_sql('pred')} || '> <{NT_BASE}e/'
     || {_nt_iri_sql('obj_id')} || '> .' AS line
 FROM facts
+""",
+        "kg_export_roundtrip": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+)
+SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+FROM '{FIX}/expected_triples_small.parquet' t
+JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
 """,
         "kg_export_labels": f"""
 WITH labels AS (

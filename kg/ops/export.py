@@ -17,9 +17,19 @@ is scan-bound. Escaping is implemented with enumerated literal
 it exactly:
 
 - IRIs: the characters N-Triples forbids inside ``<...>`` (space, <, >,
-  ", {, }, |, ^, `, \\, tab/newline/CR) are percent-encoded; backslash
-  first so later encodings aren't double-escaped.
+  ", {, }, |, ^, `, \\, tab/newline/CR) are percent-encoded; '%' itself
+  is encoded first so the chain is exactly invertible (every '%' in the
+  output is token-initial, so decoding replays the reversed chain with
+  '%25' last and can never mis-split a token).
 - String literals: the five ECHAR escapes (\\\\, \\", \\n, \\r, \\t).
+
+The module is also the INGEST side: :func:`read_ntriples` /
+:func:`parse_ntriples` parse N-Triples lines back to terms with the
+inverse chains — same pure-projection shape (regexp_extract + replace;
+no shuffle, no UDF), so parse(serialize(facts)) == facts and an external
+RDF dump loads at scan speed. Literal unescaping routes ``\\\\`` through
+a ``\\x01`` sentinel (a char valid N-Triples lines cannot contain raw)
+so ``\\\\n`` decodes to backslash+n, not newline.
 """
 
 from __future__ import annotations
@@ -27,10 +37,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["iri_escape", "literal_escape", "ntriples", "write_ntriples"]
+__all__ = [
+    "iri_escape",
+    "literal_escape",
+    "iri_unescape",
+    "literal_unescape",
+    "ntriples",
+    "write_ntriples",
+    "parse_ntriples",
+    "read_ntriples",
+]
 
-# (char, percent-encoding) — backslash MUST come first
+# (char, percent-encoding) — '%' MUST come first (so the encoding is
+# self-inverting: decoding replays the chain reversed, '%25' last),
+# then backslash before anything whose encoding introduces one
 _IRI_ENC = [
+    ("%", "%25"),
     ("\\", "%5C"),
     (" ", "%20"),
     ("\t", "%09"),
@@ -114,3 +136,78 @@ def write_ntriples(lines: DataFrame, path: str, mode: str = "error") -> None:
     directory of part files any RDF loader can cat together). The write
     preserves upstream partitioning — no extra shuffle."""
     lines.select("line").write.mode(mode).text(path)
+
+
+def iri_unescape(col: Column) -> Column:
+    """Invert :func:`iri_escape`: replay the chain reversed, '%25' last.
+    Exact because every '%' the encoder emits is token-initial."""
+    out = col
+    for ch, enc in reversed(_IRI_ENC):
+        out = F.replace(out, F.lit(enc), F.lit(ch))
+    return out
+
+
+_LIT_SENTINEL = "\x01"  # cannot appear raw in a valid N-Triples line
+
+
+def literal_unescape(col: Column) -> Column:
+    """Invert :func:`literal_escape`. ``\\\\`` goes through a sentinel
+    first so e.g. the four chars ``\\\\n`` decode to backslash+n rather
+    than a newline."""
+    out = F.replace(col, F.lit("\\\\"), F.lit(_LIT_SENTINEL))
+    for ch, enc in _LIT_ENC[1:]:
+        out = F.replace(out, F.lit(enc), F.lit(ch))
+    return F.replace(out, F.lit(_LIT_SENTINEL), F.lit("\\"))
+
+
+# one N-Triples statement: subj IRI, pred IRI, then an IRI or a quoted
+# literal with an optional @lang / ^^<datatype> qualifier, then ' .'
+_OBJ_TERM = r'(<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)'
+_STMT = r"^\s*<[^>]*>\s+<[^>]*>\s+" + _OBJ_TERM + r"\s*\.\s*$"
+
+
+def parse_ntriples(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """Parse N-Triples lines back to decoded terms. Comment/blank lines
+    are skipped; lines that don't parse as a statement are dropped (diff
+    input count vs output count to audit). Output columns:
+
+    - ``subj_iri``, ``pred_iri``: decoded IRIs.
+    - ``obj_iri``: decoded IRI, or null when the object is a literal.
+    - ``obj_literal``: unescaped literal body, or null for IRI objects.
+    - ``obj_qualifier``: the raw ``@lang`` / ``^^<datatype>`` suffix
+      ('' when absent, null for IRI objects).
+
+    Pure projection + filter (regexp_extract / replace): no shuffle, no
+    UDF — an external dump parses at scan speed and the plan inherits
+    the text source's split partitioning.
+    """
+    line = F.col(line_col)
+    parsed = (
+        lines.where(~line.rlike(r"^\s*(#.*)?$"))
+        .where(line.rlike(_STMT))
+        .select(
+            F.regexp_extract(line, r"^\s*<([^>]*)>", 1).alias("_s"),
+            F.regexp_extract(line, r"^\s*<[^>]*>\s+<([^>]*)>", 1).alias("_p"),
+            F.regexp_extract(line, _STMT, 1).alias("_o"),
+        )
+    )
+    is_iri = F.col("_o").startswith("<")
+    lit_body = F.regexp_extract(F.col("_o"), r'^"((?:[^"\\]|\\.)*)"', 1)
+    return parsed.select(
+        iri_unescape(F.col("_s")).alias("subj_iri"),
+        iri_unescape(F.col("_p")).alias("pred_iri"),
+        F.when(
+            is_iri,
+            iri_unescape(F.expr("substring(_o, 2, length(_o) - 2)")),
+        ).alias("obj_iri"),
+        F.when(~is_iri, literal_unescape(lit_body)).alias("obj_literal"),
+        F.when(
+            ~is_iri, F.regexp_extract(F.col("_o"), r'"((?:[^"\\]|\\.)*)"(.*)$', 2)
+        ).alias("obj_qualifier"),
+    )
+
+
+def read_ntriples(spark, path: str) -> DataFrame:  # noqa: ANN001
+    """Load an N-Triples dump (file or directory of part files) as a
+    DataFrame of decoded terms — see :func:`parse_ntriples`."""
+    return parse_ntriples(spark.read.text(path), "value")
