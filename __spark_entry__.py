@@ -1739,6 +1739,60 @@ def _hits_oracle_sql(iters: int) -> str:
     )
 
 
+TRUST_ITERS = 6
+
+
+def q_kg_source_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sums fact-finder source reliability (Pasternack & Roth 2010) over
+    the committed triple golden, source = emitting page URL; the DuckDB
+    oracle unrolls the identical max-normalized trust/belief recurrence
+    (kg/reason.py source_trust), so values agree to the 9-dp rounding."""
+    from kg.reason import source_trust
+
+    claims = spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+    return source_trust(claims, iterations=TRUST_ITERS, source_col="url")
+
+
+def q_kg_fact_beliefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fact belief + winner flag from the same Sums recurrence: for
+    each (subj, pred) slot the highest-belief object(s) at the 9-dp
+    grain get is_best = true — the conflicting-claim arbitration step a
+    multi-source KG needs before materializing facts."""
+    from kg.reason import fact_beliefs
+
+    claims = spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+    return fact_beliefs(claims, iterations=TRUST_ITERS, source_col="url")
+
+
+def _sums_oracle_sql(iters: int, final: str) -> str:
+    parts = [
+        f"c AS MATERIALIZED (SELECT DISTINCT url AS source, subj, pred, obj"
+        f" FROM '{FIX}/expected_triples_small.parquet')",
+        "t0 AS MATERIALIZED (SELECT source, 1.0 AS trust"
+        " FROM (SELECT DISTINCT source FROM c))",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"b{i}r AS MATERIALIZED (SELECT subj, pred, obj,"
+            f" sum(trust) AS b, count(*) AS n_sources"
+            f" FROM c JOIN t{i - 1} USING (source) GROUP BY subj, pred, obj)"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT subj, pred, obj, n_sources,"
+            f" b / (SELECT max(b) FROM b{i}r) AS belief FROM b{i}r)"
+        )
+        parts.append(
+            f"t{i}r AS MATERIALIZED (SELECT source, sum(belief) AS t,"
+            f" count(*) AS n_claims"
+            f" FROM c JOIN b{i} USING (subj, pred, obj) GROUP BY source)"
+        )
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT source,"
+            f" t / (SELECT max(t) FROM t{i}r) AS trust, n_claims FROM t{i}r)"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
 def q_web_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution over the committed redirect fixture
     (chains, a cycle, a self-loop, a duplicate src, a 40-hop over-budget
@@ -4747,6 +4801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref_rewrite": q_kg_coref_rewrite,
         "kg_stream_facts": q_kg_stream_facts,
         "kg_fact_conflicts": q_kg_fact_conflicts,
+        "kg_source_trust": q_kg_source_trust,
+        "kg_fact_beliefs": q_kg_fact_beliefs,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -6323,6 +6379,18 @@ SELECT t.url, coalesce(a.clean_text, '') AS clean_text,
 FROM tot t LEFT JOIN agg a ON t.url = a.url
 """
     d["graph_hits"] = _hits_oracle_sql(HITS_ITERS)
+    d["kg_source_trust"] = _sums_oracle_sql(
+        TRUST_ITERS,
+        f"SELECT source, CAST(n_claims AS BIGINT) AS n_claims,"
+        f" round(trust, 9) AS trust FROM t{TRUST_ITERS}",
+    )
+    d["kg_fact_beliefs"] = _sums_oracle_sql(
+        TRUST_ITERS,
+        f"SELECT subj, pred, obj, CAST(n_sources AS BIGINT) AS n_sources,"
+        f" round(belief, 9) AS belief,"
+        f" round(belief, 9) = max(round(belief, 9))"
+        f" OVER (PARTITION BY subj, pred) AS is_best FROM b{TRUST_ITERS}",
+    )
     d["graph_kcore"] = _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS)
     # incremental fold must equal the full recompute: same closure oracle
     d["graph_cc_incremental"] = d["graph_connected_components"]

@@ -521,3 +521,27 @@ def test_lr_round_two_partial_agged_shuffles_no_window(spark,
     assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "partial_" in p.lower() or "HashAggregate" in p
+
+
+def test_sums_truth_finder_round_equi_joins_only(spark):
+    """One Sums half-round (claims x trust -> fact belief): an equi-join
+    on the source key + a partial-agged groupBy on the fact key — no
+    window, no cartesian, nothing Python-side."""
+    from pyspark.sql import functions as F
+
+    claims = spark.createDataFrame(
+        [("s1", "a", "p", "x"), ("s2", "a", "p", "y")],
+        "source string, subj string, pred string, obj string",
+    )
+    trust = spark.createDataFrame(
+        [("s1", 1.0), ("s2", 1.0)], "source string, trust double"
+    )
+    p = _plan(
+        claims.join(trust, "source")
+        .groupBy("subj", "pred", "obj")
+        .agg(F.sum("trust").alias("b"), F.count("*").alias("n_sources"))
+    )
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "HashAggregate" in p

@@ -442,3 +442,71 @@ class TestRdfsEntailment:
         c = sorted(map(tuple, rdfs_extend_facts(f.repartition(3))
                        .collect()))
         assert sorted(map(tuple, rdfs_extend_facts(f).collect())) == c
+
+
+class TestSourceTrust:
+    CLAIMS = "source string, subj string, pred string, obj string"
+
+    def _claims(self, spark, parts=3):
+        # s1 and s2 corroborate each other on three facts; s3 is a lone
+        # outlier contradicting them on (acme, hq_in, *).
+        rows = [
+            ("s1", "acme", "hq_in", "berlin"),
+            ("s2", "acme", "hq_in", "berlin"),
+            ("s3", "acme", "hq_in", "paris"),
+            ("s1", "acme", "ceo", "ada"),
+            ("s2", "acme", "ceo", "ada"),
+            ("s1", "ada", "born_in", "london"),
+            ("s2", "ada", "born_in", "london"),
+            ("s3", "ada", "born_in", "oslo"),
+        ]
+        return spark.createDataFrame(rows, self.CLAIMS).repartition(parts)
+
+    def test_corroborated_fact_wins(self, spark):
+        from kg.reason import fact_beliefs
+
+        out = {
+            (r.subj, r.pred, r.obj): r
+            for r in fact_beliefs(self._claims(spark), iterations=4).collect()
+        }
+        assert out[("acme", "hq_in", "berlin")].is_best
+        assert not out[("acme", "hq_in", "paris")].is_best
+        assert out[("ada", "born_in", "london")].is_best
+        assert not out[("ada", "born_in", "oslo")].is_best
+        assert (
+            out[("acme", "hq_in", "berlin")].belief
+            > out[("acme", "hq_in", "paris")].belief
+        )
+        assert out[("acme", "hq_in", "berlin")].n_sources == 2
+
+    def test_outlier_source_less_trusted(self, spark):
+        from kg.reason import source_trust
+
+        t = {
+            r.source: r
+            for r in source_trust(self._claims(spark), iterations=4).collect()
+        }
+        assert t["s1"].trust == t["s2"].trust == 1.0  # max-normalized
+        assert t["s3"].trust < t["s1"].trust
+        assert t["s1"].n_claims == 3 and t["s3"].n_claims == 2
+
+    def test_duplicate_claims_collapse(self, spark):
+        # the same (source, fact) row twice must not double-count
+        from kg.reason import fact_beliefs
+
+        base = self._claims(spark)
+        doubled = base.unionByName(base)
+        a = sorted(map(tuple, fact_beliefs(base, iterations=3).collect()))
+        b = sorted(map(tuple, fact_beliefs(doubled, iterations=3).collect()))
+        assert a == b
+
+    def test_partition_invariant(self, spark):
+        from kg.reason import source_trust
+
+        a = sorted(
+            map(tuple, source_trust(self._claims(spark, 1), 4).collect())
+        )
+        b = sorted(
+            map(tuple, source_trust(self._claims(spark, 7), 4).collect())
+        )
+        assert a == b
