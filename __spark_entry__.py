@@ -1793,6 +1793,25 @@ def _sums_oracle_sql(iters: int, final: str) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+def q_web_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest driven as an exact inverse pair: pages → JVM-built
+    multi-record WARC segment blobs → Arrow-batched Content-Length
+    parser → pages (kg/ops/warc.py). The oracle is the identity
+    projection of the fixture, so any drift in header formatting,
+    payload slicing, or timestamp precision breaks the hash row — the
+    kg_export_roundtrip discipline applied to the crawl-native format."""
+    from kg.ops.warc import build_warc_segments, parse_warc_segments
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    out = parse_warc_segments(build_warc_segments(pages, n_segments=7))
+    return out.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_ts_us"),
+        "lang",
+        F.col("html").cast("string").alias("html_text"),
+    )
+
+
 def q_web_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution over the committed redirect fixture
     (chains, a cycle, a self-loop, a duplicate src, a 40-hop over-budget
@@ -4710,6 +4729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_prediction": q_graph_link_prediction,
         "web_boilerplate": q_web_boilerplate,
         "web_redirects": q_web_redirects,
+        "web_warc_roundtrip": q_web_warc_roundtrip,
         "graph_hits": q_graph_hits,
         "graph_kcore": q_graph_kcore,
         "graph_communities": q_graph_communities,
@@ -6379,6 +6399,11 @@ SELECT t.url, coalesce(a.clean_text, '') AS clean_text,
 FROM tot t LEFT JOIN agg a ON t.url = a.url
 """
     d["graph_hits"] = _hits_oracle_sql(HITS_ITERS)
+    d["web_warc_roundtrip"] = f"""
+SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_ts_us, lang,
+  decode(html) AS html_text
+FROM '{FIX}/pages_tiny.parquet'
+"""
     d["kg_source_trust"] = _sums_oracle_sql(
         TRUST_ITERS,
         f"SELECT source, CAST(n_claims AS BIGINT) AS n_claims,"
