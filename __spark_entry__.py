@@ -1739,6 +1739,53 @@ def _hits_oracle_sql(iters: int) -> str:
     )
 
 
+def q_kg_verbalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG→text linearization (KELM/TEKGEN-style) of the distinct triple
+    golden: template sentences for the 8 schema predicates, generic
+    '<subj> <pred> <obj>.' fallback otherwise; all-JVM broadcast join +
+    string expressions (kg/ops/kgtrain.py verbalize_facts)."""
+    from kg.ops.kgtrain import verbalize_facts
+
+    facts = (
+        spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    return verbalize_facts(facts)
+
+
+def q_kg_entity_descriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One training paragraph per subject entity: verbalized facts in
+    deterministic (pred, obj) order, row_number-capped BEFORE the string
+    fold so hub entities can't blow the buffer."""
+    from kg.ops.kgtrain import entity_descriptions
+
+    facts = spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+    return entity_descriptions(facts, max_sentences=5)
+
+
+def _verbalize_oracle_cte() -> str:
+    from kg.ops.kgtrain import DEFAULT_TEMPLATES
+
+    vals = ", ".join(
+        "('" + p + "', '" + t.replace("'", "''") + "')"
+        for p, t in DEFAULT_TEMPLATES
+    )
+    return f"""
+t AS (SELECT DISTINCT subj, pred, obj
+      FROM '{FIX}/expected_triples_small.parquet'),
+tmpl AS (SELECT * FROM (VALUES {vals}) v(pred, template)),
+v AS (
+  SELECT t.subj, t.pred, t.obj,
+    replace(replace(
+      coalesce(m.template,
+               '{{s}} ' || replace(t.pred, '_', ' ') || ' {{o}}.'),
+      '{{o}}', t.obj), '{{s}}', t.subj) AS sentence,
+    m.template IS NOT NULL AS templated
+  FROM t LEFT JOIN tmpl m USING (pred)
+)"""
+
+
 TRUST_ITERS = 6
 
 
@@ -4823,6 +4870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_conflicts": q_kg_fact_conflicts,
         "kg_source_trust": q_kg_source_trust,
         "kg_fact_beliefs": q_kg_fact_beliefs,
+        "kg_verbalize": q_kg_verbalize,
+        "kg_entity_descriptions": q_kg_entity_descriptions,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -6404,6 +6453,23 @@ SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_ts_us, lang,
   decode(html) AS html_text
 FROM '{FIX}/pages_tiny.parquet'
 """
+    d["kg_verbalize"] = (
+        "WITH " + _verbalize_oracle_cte()
+        + "\nSELECT subj, pred, obj, sentence, templated FROM v"
+    )
+    d["kg_entity_descriptions"] = (
+        "WITH " + _verbalize_oracle_cte()
+        + """,
+r AS (
+  SELECT subj, sentence,
+    row_number() OVER (PARTITION BY subj ORDER BY pred, obj) AS rn
+  FROM v
+)
+SELECT subj, string_agg(sentence, ' ' ORDER BY rn) AS description,
+  CAST(count(*) AS BIGINT) AS n_facts
+FROM r WHERE rn <= 5 GROUP BY subj
+"""
+    )
     d["kg_source_trust"] = _sums_oracle_sql(
         TRUST_ITERS,
         f"SELECT source, CAST(n_claims AS BIGINT) AS n_claims,"

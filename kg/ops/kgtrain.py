@@ -39,7 +39,13 @@ from pyspark.sql.window import Window
 
 from kg.session import materialize
 
-__all__ = ["negative_sample_triples", "random_walks"]
+__all__ = [
+    "negative_sample_triples",
+    "random_walks",
+    "DEFAULT_TEMPLATES",
+    "verbalize_facts",
+    "entity_descriptions",
+]
 
 _HEX_DIGITS = 15  # 60 bits: exact in a signed long, '0x'-parseable in DuckDB
 
@@ -251,3 +257,112 @@ def random_walks(
     for f in finished:
         out = out.unionByName(f)
     return out.select("walk_id", "start_id", "walk")
+
+
+# {s}/{o} sentence templates for the synth corpus's 8 relations — the
+# default dim for verbalize_facts (callers substitute their schema's own
+# table; unmatched predicates fall back to the generic pattern).
+DEFAULT_TEMPLATES = [
+    ("works_for", "{s} works for {o}."),
+    ("ceo_of", "{s} is the chief executive of {o}."),
+    ("founded", "{s} founded {o}."),
+    ("born_in", "{s} was born in {o}."),
+    ("located_in", "{s} is located in {o}."),
+    ("acquired", "{s} acquired {o}."),
+    ("part_of", "{s} is part of {o}."),
+    ("produces", "{s} produces {o}."),
+]
+
+
+def verbalize_facts(
+    facts: DataFrame,
+    templates: DataFrame | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """KG→text linearization: one natural-language sentence per fact —
+    the standard way a triple store feeds an LM training mix (the
+    KELM/TEKGEN recipe: verbalize, then pack with kg.ops.curation).
+
+    ``templates`` is a small (pred, template) dim with ``{s}``/``{o}``
+    placeholders; predicates without a template fall back to
+    ``"<subj> <pred with _ → space> <obj>."``. Placeholders are
+    substituted ``{o}`` first then ``{s}`` in both this op and the
+    contract oracle, so the (pathological) case of an entity surface
+    containing a literal placeholder still compares equal cross-engine.
+
+    Scale shape: one broadcast join against the hand-sized template dim
+    + pure string expressions — no shuffle of the fact table, nothing
+    Python-side. Returns (subj, pred, obj, sentence, templated).
+    """
+    spark = facts.sparkSession
+    if templates is None:
+        templates = spark.createDataFrame(
+            DEFAULT_TEMPLATES, "pred string, template string"
+        )
+    tdim = F.broadcast(
+        templates.select(F.col("pred").alias(pred_col), "template")
+    )
+    tmpl = F.coalesce(
+        F.col("template"),
+        F.concat(
+            F.lit("{s} "),
+            F.replace(F.col(pred_col), F.lit("_"), F.lit(" ")),
+            F.lit(" {o}."),
+        ),
+    )
+    sentence = F.replace(
+        F.replace(tmpl, F.lit("{o}"), F.col(obj_col)),
+        F.lit("{s}"),
+        F.col(subj_col),
+    )
+    return (
+        facts.join(tdim, pred_col, "left")
+        .select(
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"),
+            sentence.alias("sentence"),
+            F.col("template").isNotNull().alias("templated"),
+        )
+    )
+
+
+def entity_descriptions(
+    facts: DataFrame,
+    templates: DataFrame | None = None,
+    max_sentences: int = 20,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """One training paragraph per subject entity: its verbalized facts,
+    deterministically ordered (pred, obj ascending), capped at
+    ``max_sentences`` (row_number bound BEFORE the collect, so no
+    unbounded buffer on hub entities), joined with spaces.
+
+    Scale shape: the verbalization is map-side (see
+    :func:`verbalize_facts`); the fact distinct is one shuffle, then one
+    shuffle keyed by subject feeds BOTH the window and the string fold
+    (the groupBy reuses the window's partitioning — no third exchange,
+    pinned in test_plans). Returns (subj, description, n_facts).
+    """
+    v = verbalize_facts(
+        facts.select(subj_col, pred_col, obj_col).distinct(),
+        templates,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+    )
+    w = Window.partitionBy("subj").orderBy("pred", "obj")
+    ranked = v.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= max_sentences
+    )
+    return ranked.groupBy("subj").agg(
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("rn", "sentence")))
+            .getField("sentence")
+        ).alias("description"),
+        F.count(F.lit(1)).alias("n_facts"),
+    )

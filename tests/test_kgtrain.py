@@ -129,3 +129,74 @@ class TestRandomWalks:
                         f"{wid}|{t}".encode()).hexdigest()[:15], 16)
                     path.append(nbrs[h % len(nbrs)])
                 assert got[wid] == path, wid
+
+
+class TestVerbalize:
+    FACTS = "subj string, pred string, obj string"
+
+    def test_template_and_fallback_sentences(self, spark):
+        from kg.ops.kgtrain import verbalize_facts
+
+        facts = spark.createDataFrame(
+            [("Ada", "born_in", "London"), ("Acme", "rivals_with", "Bmbl")],
+            self.FACTS,
+        )
+        out = {r.pred: r for r in verbalize_facts(facts).collect()}
+        assert out["born_in"].sentence == "Ada was born in London."
+        assert out["born_in"].templated
+        assert out["rivals_with"].sentence == "Acme rivals with Bmbl."
+        assert not out["rivals_with"].templated
+
+    def test_descriptions_capped_and_ordered(self, spark):
+        from kg.ops.kgtrain import entity_descriptions
+
+        facts = spark.createDataFrame(
+            [("e", "produces", f"item{i:02d}") for i in range(8)]
+            + [("e", "acquired", "aaa")],
+            self.FACTS,
+        ).repartition(5)
+        row = entity_descriptions(facts, max_sentences=3).collect()[0]
+        # (pred, obj) ascending: acquired first, then produces item00/01
+        assert row.description == (
+            "e acquired aaa. e produces item00. e produces item01."
+        )
+        assert row.n_facts == 3
+
+    def test_duplicate_facts_collapse(self, spark):
+        from kg.ops.kgtrain import entity_descriptions
+
+        base = spark.createDataFrame(
+            [("e", "acquired", "x"), ("e", "acquired", "x")], self.FACTS
+        )
+        row = entity_descriptions(base).collect()[0]
+        assert row.n_facts == 1
+
+    def test_verbalize_no_fact_shuffle(self, spark):
+        from kg.ops.kgtrain import verbalize_facts
+
+        facts = spark.read.parquet(
+            "fixtures/expected_triples_small.parquet"
+        ).select("subj", "pred", "obj")
+        p = (
+            verbalize_facts(facts)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        # the only exchange is the broadcast of the template dim
+        assert p.count("Exchange hashpartitioning") == 0
+        assert "InPandas" not in p and "BatchEvalPython" not in p
+
+    def test_descriptions_two_data_exchanges(self, spark):
+        from kg.ops.kgtrain import entity_descriptions
+
+        facts = spark.read.parquet(
+            "fixtures/expected_triples_small.parquet"
+        )
+        p = (
+            entity_descriptions(facts)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # distinct + subject window; the groupBy reuses the window's
+        # partitioning rather than adding a third
+        assert p.count("Exchange hashpartitioning") == 2
