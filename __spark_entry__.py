@@ -1739,6 +1739,81 @@ def _hits_oracle_sql(iters: int) -> str:
     )
 
 
+PREDC_ROUNDS = 6
+
+
+def q_kg_predicate_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate canonicalization over a claims table derived from the
+    triple golden so extensional overlap is actually discriminative:
+    objects are tagged with the base predicate (pair spaces disjoint
+    across distinct predicates → cross-predicate Jaccard 0), then each
+    predicate re-asserts a deterministic md5-chosen half of its pairs
+    under a ``<pred>_alt`` synonym name (synonym Jaccard ≈ 0.5). Only
+    true synonyms clear the 0.2 gate. Pipeline: capped (subj, obj) pair
+    self-join → exact Jaccard → fixed-round min-label propagation; the
+    oracle recomputes the construction and unrolls the LP recurrence."""
+    from kg.stages.canon import canonicalize_predicates
+
+    t = spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+    base = t.select(
+        "subj",
+        "pred",
+        F.concat_ws("@", "obj", "pred").alias("obj"),
+    ).distinct()
+    claims = base.unionAll(
+        base.where(
+            F.substring(F.md5(F.concat_ws("|", "subj", "obj")), 1, 1) < "8"
+        ).select(
+            "subj", F.concat(F.col("pred"), F.lit("_alt")).alias("pred"), "obj"
+        )
+    )
+    return canonicalize_predicates(
+        claims, min_shared_pairs=5, min_jaccard=0.2, rounds=PREDC_ROUNDS
+    )
+
+
+def _predicate_canon_oracle_sql(rounds: int) -> str:
+    parts = [
+        "tagged AS (SELECT DISTINCT subj, pred, obj || '@' || pred AS obj"
+        f" FROM '{FIX}/expected_triples_small.parquet')",
+        "base AS (SELECT subj, pred, obj FROM tagged"
+        " UNION ALL SELECT subj, pred || '_alt', obj FROM tagged"
+        " WHERE substr(md5(subj || '|' || obj), 1, 1) < '8')",
+        "pairs AS MATERIALIZED (SELECT DISTINCT pred, subj AS s, obj AS o"
+        " FROM base)",
+        "sizes AS MATERIALIZED (SELECT pred, count(*) AS n_pairs"
+        " FROM pairs GROUP BY pred)",
+        "pp AS (SELECT s, o FROM (SELECT s, o, count(*) AS c FROM pairs"
+        " GROUP BY s, o) WHERE c <= 32)",
+        "kept AS MATERIALIZED (SELECT p.* FROM pairs p JOIN pp USING (s, o))",
+        "shared AS (SELECT a.pred AS p1, b.pred AS p2, count(*) AS n_shared"
+        " FROM kept a JOIN kept b ON a.s = b.s AND a.o = b.o"
+        " AND a.pred < b.pred GROUP BY 1, 2)",
+        "edges AS MATERIALIZED (SELECT p1, p2 FROM shared"
+        " JOIN sizes sa ON sa.pred = p1 JOIN sizes sb ON sb.pred = p2"
+        " WHERE n_shared >= 5 AND CAST(n_shared AS DOUBLE)"
+        " / (sa.n_pairs + sb.n_pairs - n_shared) >= 0.2)",
+        "und AS (SELECT p1, p2 FROM edges"
+        " UNION ALL SELECT p2, p1 FROM edges)",
+        "l0 AS MATERIALIZED (SELECT pred, pred AS canon FROM sizes)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.pred,"
+            f" least(l.canon, coalesce(m.nm, l.canon)) AS canon"
+            f" FROM l{i - 1} l LEFT JOIN"
+            f" (SELECT u.p1 AS pred, min(x.canon) AS nm FROM und u"
+            f" JOIN l{i - 1} x ON x.pred = u.p2 GROUP BY u.p1) m"
+            f" USING (pred))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT l.pred, l.canon AS canon_pred,"
+        f" CAST(s.n_pairs AS BIGINT) AS n_pairs"
+        f" FROM l{rounds} l JOIN sizes s USING (pred)"
+    )
+
+
 def q_kg_verbalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG→text linearization (KELM/TEKGEN-style) of the distinct triple
     golden: template sentences for the 8 schema predicates, generic
@@ -4872,6 +4947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_beliefs": q_kg_fact_beliefs,
         "kg_verbalize": q_kg_verbalize,
         "kg_entity_descriptions": q_kg_entity_descriptions,
+        "kg_predicate_canon": q_kg_predicate_canon,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -6453,6 +6529,7 @@ SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_ts_us, lang,
   decode(html) AS html_text
 FROM '{FIX}/pages_tiny.parquet'
 """
+    d["kg_predicate_canon"] = _predicate_canon_oracle_sql(PREDC_ROUNDS)
     d["kg_verbalize"] = (
         "WITH " + _verbalize_oracle_cte()
         + "\nSELECT subj, pred, obj, sentence, templated FROM v"

@@ -38,7 +38,11 @@ from kg.ops.dedup import (
 )
 from kg.session import materialize
 
-__all__ = ["canonicalize_aliases", "fuzzy_alias_pairs"]
+__all__ = [
+    "canonicalize_aliases",
+    "fuzzy_alias_pairs",
+    "canonicalize_predicates",
+]
 
 
 def canonicalize_aliases(
@@ -182,3 +186,109 @@ def fuzzy_alias_pairs(
         .distinct()
     )
     return cand.where(F.levenshtein("a", "b") <= 1)
+
+
+def canonicalize_predicates(
+    facts: DataFrame,
+    min_shared_pairs: int = 2,
+    min_jaccard: float = 0.5,
+    rounds: int = 6,
+    pair_cap: int = 32,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Schema canonicalization: merge synonym predicates by extensional
+    overlap (the PATTY/open-IE normalization step — two relation names
+    asserting largely the same (subj, obj) pairs denote one relation).
+
+    Ladder, mirroring the alias/near-dup ops:
+      pair sets --(pair_cap: drop (subj, obj) pairs asserted under more
+                   than ``pair_cap`` predicates — boilerplate/template
+                   guard, the dedup bucket-cap discipline)-->
+      candidate pred pairs (equi-self-join on the pair key) -->
+      exact Jaccard >= min_jaccard AND shared >= min_shared_pairs -->
+      fixed-``rounds`` min-label propagation --> canonical predicate =
+      the lexicographically smallest member reached.
+
+    Label propagation moves the minimum one hop per round, so components
+    with diameter <= rounds converge exactly; synonym clusters are
+    hand-sized in practice and the contract oracle unrolls the identical
+    recurrence, so the comparison is exact either way.
+
+    Scale shape: the self-join keys on the (subj, obj) pair — never a
+    cartesian; the cap is count-then-filter BEFORE the join, bounding
+    candidates at pairs * cap^2. Jaccard needs per-pred pair counts (a
+    pred-keyed dim, broadcastable: relation vocabularies are thousands,
+    not billions). Each LP round is one equi-join + one partial-agged
+    groupBy over the pred-node graph (dim-sized), with materialize
+    barriers. Returns (pred, canon_pred, n_pairs).
+    """
+    pairs = materialize(
+        facts.select(
+            F.col(pred_col).alias("pred"),
+            F.col(subj_col).alias("s"),
+            F.col(obj_col).alias("o"),
+        ).distinct()
+    )
+    sizes = pairs.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pairs"))
+    pair_preds = pairs.groupBy("s", "o").agg(
+        F.count(F.lit(1)).alias("_ppc")
+    )
+    kept = pairs.join(
+        pair_preds.where(F.col("_ppc") <= pair_cap).select("s", "o"),
+        ["s", "o"],
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.pred") < F.col("b.pred")),
+        )
+        .groupBy(F.col("a.pred").alias("p1"), F.col("b.pred").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("pred").alias("p1"), F.col("n_pairs").alias("n1"))
+    nb = sizes.select(F.col("pred").alias("p2"), F.col("n_pairs").alias("n2"))
+    edges = materialize(
+        shared.join(F.broadcast(na), "p1")
+        .join(F.broadcast(nb), "p2")
+        .where(
+            (F.col("n_shared") >= min_shared_pairs)
+            & (
+                F.col("n_shared")
+                / (F.col("n1") + F.col("n2") - F.col("n_shared"))
+                >= min_jaccard
+            )
+        )
+        .select("p1", "p2")
+    )
+    und = edges.union(edges.select(F.col("p2"), F.col("p1")))
+    labels = materialize(
+        sizes.select("pred", F.col("pred").alias("canon_pred"))
+    )
+    for _ in range(rounds):
+        nbr = (
+            und.join(
+                labels.select(
+                    F.col("pred").alias("p2"),
+                    F.col("canon_pred").alias("_nl"),
+                ),
+                "p2",
+            )
+            .groupBy(F.col("p1").alias("pred"))
+            .agg(F.min("_nl").alias("_nbr_min"))
+        )
+        labels = materialize(
+            labels.join(nbr, "pred", "left").select(
+                "pred",
+                F.least(
+                    "canon_pred", F.coalesce("_nbr_min", "canon_pred")
+                ).alias("canon_pred"),
+            )
+        )
+    return labels.join(F.broadcast(sizes), "pred").select(
+        "pred", "canon_pred", "n_pairs"
+    )

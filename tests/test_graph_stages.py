@@ -266,3 +266,69 @@ class TestWeightedLinking:
         )
         out = link_triples(triples, dim, weights=w).collect()[0]
         assert out.subj_id == 3
+
+
+class TestPredicateCanon:
+    """Schema canonicalization: extensional-overlap synonym merging."""
+
+    @staticmethod
+    def _claims(spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+
+    def test_synonyms_merge_distinct_stay(self, spark):
+        from kg.stages.canon import canonicalize_predicates
+
+        pairs = [(f"s{i}", f"o{i}") for i in range(10)]
+        rows = [(s, "works_for", o) for s, o in pairs]
+        rows += [(s, "employed_by", o) for s, o in pairs[:6]]  # J = 0.6
+        rows += [(f"t{i}", "born_in", f"p{i}") for i in range(10)]
+        got = {
+            r["pred"]: r
+            for r in canonicalize_predicates(
+                self._claims(spark, rows), min_shared_pairs=2,
+                min_jaccard=0.5,
+            ).collect()
+        }
+        assert got["employed_by"]["canon_pred"] == "employed_by"
+        assert got["works_for"]["canon_pred"] == "employed_by"
+        assert got["born_in"]["canon_pred"] == "born_in"
+        assert got["works_for"]["n_pairs"] == 10
+        assert got["employed_by"]["n_pairs"] == 6
+
+    def test_pair_cap_blocks_boilerplate_pair(self, spark):
+        from kg.stages.canon import canonicalize_predicates
+
+        # one hot (s, o) pair asserted under every predicate is the only
+        # overlap between p0..p4; with pair_cap below 5 it is dropped and
+        # nothing merges
+        rows = [(f"s{p}{i}", f"p{p}", f"o{p}{i}") for p in range(5)
+                for i in range(3)]
+        rows += [("hot", f"p{p}", "pair") for p in range(5)]
+        got = canonicalize_predicates(
+            self._claims(spark, rows), min_shared_pairs=1, min_jaccard=0.1,
+            pair_cap=4,
+        ).collect()
+        assert all(r["pred"] == r["canon_pred"] for r in got)
+        uncapped = canonicalize_predicates(
+            self._claims(spark, rows), min_shared_pairs=1, min_jaccard=0.1,
+            pair_cap=32,
+        ).collect()
+        assert {r["canon_pred"] for r in uncapped} == {"p0"}
+
+    def test_chain_converges_within_rounds(self, spark):
+        from kg.stages.canon import canonicalize_predicates
+
+        # a <-> b share pairs x0..x9, b <-> c share y0..y9: a-b-c chain,
+        # diameter 2 < rounds, so all three reach canon 'a'
+        rows = [(f"x{i}", p, f"xo{i}") for i in range(10) for p in ("a", "b")]
+        rows += [(f"y{i}", p, f"yo{i}") for i in range(10) for p in ("b", "c")]
+        got = canonicalize_predicates(
+            self._claims(spark, rows), min_shared_pairs=5, min_jaccard=0.2,
+            rounds=4,
+        ).collect()
+        assert {r["canon_pred"] for r in got} == {"a"}
+        assert {r["pred"]: r["n_pairs"] for r in got} == {
+            "a": 10, "b": 20, "c": 10,
+        }

@@ -545,3 +545,21 @@ def test_sums_truth_finder_round_equi_joins_only(spark):
     assert "Window" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert "HashAggregate" in p
+
+
+def test_predicate_canon_equi_joins_only_no_python(spark):
+    """canonicalize_predicates: the candidate stage is an equi-self-join
+    on the (s, o) pair key gated by the count-then-filter pair cap —
+    never a cartesian — and the whole ladder stays JVM-side; the
+    per-pred sizes dim joins broadcast."""
+    from kg.stages.canon import canonicalize_predicates
+
+    claims = spark.createDataFrame(
+        [("s1", "p1", "o1"), ("s1", "p2", "o1"), ("s2", "p1", "o2")],
+        "subj string, pred string, obj string",
+    )
+    p = _plan(canonicalize_predicates(claims, rounds=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
