@@ -708,6 +708,151 @@ def q_web_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_index(pages, max_texts=ANCHOR_MAX_TEXTS)
 
 
+_SCHEMA_PREDS = [
+    "acquired", "born_in", "ceo_of", "founded",
+    "located_in", "part_of", "produces", "works_for",
+]
+
+
+def q_web_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD (schema.org) markup extraction, pinned as a roundtrip:
+    the golden triples are serialized into real JSON-LD blocks (scalar
+    props, arrays — each (subj, pred)'s first two distinct objects —
+    and located_in as a nested Place object), embedded in HTML pages,
+    then re-extracted with extract_jsonld_blocks + jsonld_triples. The
+    oracle computes the expected triple set directly, so a green hash
+    row proves extract∘serialize = identity across all four value
+    shapes (scalar, array, nested, array-of-nested)."""
+    from kg.ops.structured import extract_jsonld_blocks, jsonld_triples
+
+    t = spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+    g = t.groupBy("subj", "pred").agg(
+        F.slice(F.array_sort(F.collect_set("obj")), 1, 2).alias("objs")
+    )
+    vals = F.when(
+        F.col("pred") == "located_in",
+        F.transform(
+            F.col("objs"),
+            lambda o: F.concat(
+                F.lit('{"@type":"Place","name":"'), o, F.lit('"}')
+            ),
+        ),
+    ).otherwise(
+        F.transform(
+            F.col("objs"),
+            lambda o: F.concat(F.lit('"'), o, F.lit('"')),
+        )
+    )
+    value = F.when(
+        F.size(F.col("objs")) == 1, F.element_at(vals, 1)
+    ).otherwise(F.concat(F.lit("["), F.concat_ws(",", vals), F.lit("]")))
+    props = g.select(
+        "subj",
+        F.concat(F.lit('"'), F.col("pred"), F.lit('":'), value).alias("p"),
+    )
+    pages = props.groupBy("subj").agg(
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'
+                  '{"@type":"Organization","name":"'),
+            F.col("subj"),
+            F.lit('",'),
+            F.concat_ws(",", F.sort_array(F.collect_list("p"))),
+            F.lit("}</script></head><body><p>x</p></body></html>"),
+        ).alias("html_s"),
+    ).select(
+        F.concat(F.lit("jsonld://"), F.col("subj")).alias("url"),
+        F.encode("html_s", "UTF-8").alias("html"),
+    )
+    return jsonld_triples(extract_jsonld_blocks(pages))
+
+
+_JSONLD_ORACLE = f"""
+WITH g AS (
+  SELECT subj, pred,
+         unnest(list_sort(list(DISTINCT obj))[1:2]) AS obj
+  FROM '{FIX}/expected_triples_small.parquet' GROUP BY subj, pred
+)
+SELECT 'jsonld://' || subj AS url, subj, pred, obj FROM g
+UNION ALL
+SELECT DISTINCT 'jsonld://' || subj, subj, '@type', 'Organization' FROM g
+"""
+
+
+def q_web_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables-style relational extraction, pinned as a roundtrip: the
+    golden triples are pivoted into real <table> markup (header row =
+    Name + the 8 schema predicates, one row per subject, min(obj) per
+    cell, absent pairs as empty cells, subjects md5-bucketed into pages
+    and sorted within each table), then re-extracted with table_triples.
+    The oracle recomputes the bucket, the pivot's non-empty cells, and
+    the within-table row numbering directly."""
+    from kg.ops.structured import table_triples
+
+    t = spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+    m = t.groupBy("subj", "pred").agg(F.min("obj").alias("obj"))
+    pm = m.groupBy("subj").agg(
+        F.map_from_entries(F.collect_list(F.struct("pred", "obj"))).alias(
+            "pm"
+        )
+    )
+    cells = F.concat(
+        F.lit("<tr><td>"),
+        F.col("subj"),
+        F.lit("</td>"),
+        *[
+            F.concat(
+                F.lit("<td>"),
+                F.coalesce(F.col("pm").getItem(p), F.lit("")),
+                F.lit("</td>"),
+            )
+            for p in _SCHEMA_PREDS
+        ],
+        F.lit("</tr>"),
+    )
+    rows = pm.select(
+        F.substring(F.md5("subj"), 1, 1).alias("b"),
+        F.struct(F.col("subj"), cells.alias("row_html")).alias("r"),
+    )
+    header = "<tr><th>Name</th>" + "".join(
+        f"<th>{p}</th>" for p in _SCHEMA_PREDS
+    ) + "</tr>"
+    pages = rows.groupBy("b").agg(
+        F.concat(
+            F.lit(f"<html><body><table>{header}"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list("r")),
+                    lambda s: s.getField("row_html"),
+                ),
+            ),
+            F.lit("</table></body></html>"),
+        ).alias("html_s"),
+    ).select(
+        F.concat(F.lit("table://"), F.col("b")).alias("url"),
+        F.encode("html_s", "UTF-8").alias("html"),
+    )
+    return table_triples(pages)
+
+
+_TABLE_ORACLE = f"""
+WITH m AS (
+  SELECT subj, pred, min(obj) AS obj
+  FROM '{FIX}/expected_triples_small.parquet' GROUP BY subj, pred
+),
+rows AS (
+  SELECT subj, substr(md5(subj), 1, 1) AS b,
+         row_number() OVER (
+           PARTITION BY substr(md5(subj), 1, 1) ORDER BY subj
+         ) AS rn
+  FROM (SELECT DISTINCT subj FROM m)
+)
+SELECT 'table://' || b AS url, 0 AS table_idx,
+       CAST(rn AS INT) AS row_idx, subj, pred, obj
+FROM rows JOIN m USING (subj)
+"""
+
+
 WEBPR_ITERS = 8
 
 
@@ -4916,6 +5061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_links": q_web_links,
         "web_link_graph": q_web_link_graph,
         "web_page_rank": q_web_page_rank,
+        "web_jsonld_triples": q_web_jsonld_triples,
+        "web_table_triples": q_web_table_triples,
         "web_anchor_index": q_web_anchor_index,
         "web_crawl_frontier": q_web_crawl_frontier,
         "web_url_templates": q_web_url_templates,
@@ -5183,6 +5330,8 @@ SELECT regexp_extract(src_url, '://([^/?#]+)', 1) AS src_host,
 FROM links GROUP BY 1, 2
 """,
         "web_page_rank": _web_pagerank_oracle_sql(WEBPR_ITERS),
+        "web_jsonld_triples": _JSONLD_ORACLE,
+        "web_table_triples": _TABLE_ORACLE,
         "web_anchor_index": _weblinks_oracle_cte(
             f"{FIX}/pages_tiny.parquet", with_text=True
         )

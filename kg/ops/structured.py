@@ -1,0 +1,265 @@
+"""Structured-data extraction from raw HTML: JSON-LD (schema.org) blocks
+and <table> markup → (subj, pred, obj) triples.
+
+This is the Web Data Commons path of KG construction — real-world KGs
+bootstrap from the embedded markup webmasters already publish, not only
+from OpenIE over prose (reference scope: the service extracts entities
+from caller-supplied text, e.g. entity_recogniser's ner/ner_custom
+endpoints; this module is the web-scale ingest generalization the north
+rule asks for).
+
+Scale shape (both families):
+- Block/row extraction is a PURE MAP: ``decode`` + ``regexp_extract_all``
+  + ``explode`` over the html column — no shuffle, no Python. A page's
+  blocks never leave its partition until the caller aggregates.
+- JSON parsing stays JVM-side via ``from_json`` to ``map<string,string>``:
+  Spark's JSON reader preserves nested objects/arrays as their raw JSON
+  text when the target value type is string, which gives exact one-level
+  flattening without a UDF; nested/array values are then unwrapped with a
+  second ``from_json`` on the value column.
+- Table parsing nests ``regexp_extract_all`` (page → tables → rows →
+  cells) inside ``transform``/higher-order functions; the row/cell
+  explosion is bounded by document size, the same bound the extract stage
+  already carries.
+
+Column pruning matters here exactly as in kg/stages/extract.py: callers
+should select only (url, html) before invoking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "extract_jsonld_blocks",
+    "jsonld_triples",
+    "extract_html_tables",
+    "table_triples",
+]
+
+# Non-greedy, DOTALL: scripts can span lines; content is captured verbatim
+# (JSON-LD payloads are not HTML-escaped inside <script>).
+_JSONLD_RE = (
+    r'(?is)<script[^>]*type="application/ld\+json"[^>]*>(.*?)</script>'
+)
+
+# Keys that identify rather than describe: not emitted as property triples.
+_ID_KEYS = ("@context", "@id", "@type", "name")
+
+
+def extract_jsonld_blocks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per JSON-LD script block: (url, block_idx, json). Pages
+    without blocks emit nothing (explode, not explode_outer — absence is
+    the common case at web scale and carrying nulls helps no consumer).
+    ``block_idx`` is the 0-based within-page position, so multi-block
+    pages (article + breadcrumb + org markup is typical) stay addressable.
+    Pure map: decode + one regexp_extract_all + posexplode."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    blocks = F.regexp_extract_all(html_str, F.lit(_JSONLD_RE), F.lit(1))
+    return pages.select(
+        F.col(url_col).alias("url"), F.posexplode(blocks).alias("block_idx", "json")
+    )
+
+
+def _nested_name(value: Column) -> Column:
+    """schema.org object values denote their entity by name (fallback
+    @id): {"@type":"Place","name":"Berlin"} → "Berlin"."""
+    m = F.from_json(value, "map<string,string>")
+    return F.coalesce(m.getItem("name"), m.getItem("@id"))
+
+
+def jsonld_triples(
+    blocks: DataFrame,
+    url_col: str = "url",
+    json_col: str = "json",
+    emit_type: bool = True,
+) -> DataFrame:
+    """Flatten JSON-LD objects into (url, subj, pred, obj) triples.
+
+    - subj = the object's ``name`` (fallback ``@id``); blocks with
+      neither are dropped (nothing to anchor the assertions to).
+    - one triple per non-identity property; nested object values unwrap
+      to THEIR name/@id, array values explode to one triple per element
+      (elements may themselves be nested objects).
+    - ``emit_type``: the ``@type`` key additionally yields one
+      (subj, "@type", <type>) triple PER BLOCK — the rdf:type edge the
+      reasoning layer's signature rules consume (identical blocks
+      repeated on a page repeat the row; dedup is the downstream fact
+      rollup's job, same as for property triples).
+    - malformed JSON (from_json → null) is dropped, not failed: at crawl
+      scale broken markup is data, not an error (the errors-table path is
+      for OUR stages failing, not for the web being wrong).
+
+    Everything is JVM expressions; no shuffle is introduced — output
+    retains the input's partitioning for the downstream groupBy/linking.
+    """
+    m = F.from_json(F.col(json_col), "map<string,string>")
+    parsed = (
+        blocks.select(F.col(url_col).alias("url"), m.alias("m"))
+        .where(F.col("m").isNotNull())
+        .select(
+            "url",
+            F.coalesce(
+                F.col("m").getItem("name"), F.col("m").getItem("@id")
+            ).alias("subj"),
+            F.col("m").getItem("@type").alias("_type"),
+            F.col("m").alias("m"),
+        )
+        .where(F.col("subj").isNotNull())
+    )
+    base = parsed.select(
+        "url", "subj", F.explode("m").alias("pred", "raw")
+    )
+    props = base.where(~F.col("pred").isin(*_ID_KEYS))
+    # array values: one triple per element; scalars pass through as a
+    # 1-element array so both shapes share the explode.
+    elems = F.when(
+        F.startswith(F.col("raw"), F.lit("[")),
+        F.from_json(F.col("raw"), "array<string>"),
+    ).otherwise(F.array(F.col("raw")))
+    flat = props.select(
+        "url", "subj", "pred", F.explode(elems).alias("val")
+    ).select(
+        "url",
+        "subj",
+        "pred",
+        F.when(
+            F.startswith(F.col("val"), F.lit("{")), _nested_name(F.col("val"))
+        )
+        .otherwise(F.col("val"))
+        .alias("obj"),
+    ).where(F.col("obj").isNotNull())
+    if not emit_type:
+        return flat
+    types = parsed.where(F.col("_type").isNotNull()).select(
+        "url", "subj", F.lit("@type").alias("pred"),
+        F.col("_type").alias("obj"),
+    )
+    return flat.unionByName(types)
+
+
+# ---------------------------------------------------------------------------
+# HTML tables (WebTables-style: header row + entity rows → triples)
+
+_TABLE_RE = r"(?is)<table[^>]*>(.*?)</table>"
+_TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
+_CELL_RE = r"(?is)<t[hd][^>]*>(.*?)</t[hd]>"
+_TAG_RE = r"(?s)<[^>]*>"
+
+
+def _cells_expr(html_col: str) -> Column:
+    """array<array<array<string>>>: tables → rows → tag-stripped cells.
+    One projection; no shuffle, no Python."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    tables = F.regexp_extract_all(html_str, F.lit(_TABLE_RE), F.lit(1))
+    return F.transform(
+        tables,
+        lambda t: F.transform(
+            F.regexp_extract_all(t, F.lit(_TR_RE), F.lit(1)),
+            lambda r: F.transform(
+                F.regexp_extract_all(r, F.lit(_CELL_RE), F.lit(1)),
+                lambda c: F.trim(F.regexp_replace(c, _TAG_RE, "")),
+            ),
+        ),
+    )
+
+
+def extract_html_tables(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per table CELL: (url, table_idx, row_idx, col_idx, cell).
+    Cell text is tag-stripped and trimmed (inner markup like <a>/<b> is
+    presentation, not content). Pure map — the nested table→row→cell
+    structure is walked with regexp_extract_all inside ``transform`` so
+    the whole parse is one projection; three posexplodes relationalize
+    it."""
+    t = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(_cells_expr(html_col)).alias("table_idx", "rows"),
+    )
+    r = t.select(
+        "url", "table_idx", F.posexplode("rows").alias("row_idx", "cells")
+    )
+    return r.select(
+        "url", "table_idx", "row_idx",
+        F.posexplode("cells").alias("col_idx", "cell"),
+    )
+
+
+def table_triples(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    key_col_idx: int = 0,
+    min_cols: int = 2,
+) -> DataFrame:
+    """WebTables relational interpretation: row 0 is the header, column
+    ``key_col_idx`` names the row's entity, every other column asserts
+    (entity, header, cell). Tables narrower than ``min_cols`` columns or
+    shorter than 2 rows (layout tables) emit nothing.
+
+    Scale shape: ZERO shuffle. Header lookup and subject resolution
+    happen inside the nested ``transform`` while the table is still one
+    array value — joining the relational cell view back to per-table
+    headers would shuffle the corpus three times for what is a purely
+    row-local computation. Empty subjects/headers/values are filtered
+    in-array; one flatten + posexplode relationalizes the result.
+    """
+    key = key_col_idx
+
+    def per_row(header: Column) -> "callable":
+        def f(r: Column, ri: Column) -> Column:
+            # try_element_at: ragged markup (rows wider than the header,
+            # rows narrower than the key column) is dropped, not crashed on
+            subj = F.try_element_at(r, F.lit(key + 1))
+            structs = F.transform(
+                r,
+                lambda c, ci: F.struct(
+                    (ri + 1).alias("row_idx"),
+                    subj.alias("subj"),
+                    F.try_element_at(header, ci + 1).alias("pred"),
+                    c.alias("obj"),
+                    ci.alias("_ci"),
+                ),
+            )
+            return F.filter(
+                structs,
+                lambda s: (s.getField("_ci") != key)
+                & s.getField("subj").isNotNull()
+                & (s.getField("subj") != "")
+                & s.getField("pred").isNotNull()
+                & (s.getField("pred") != "")
+                & (s.getField("obj") != ""),
+            )
+
+        return f
+
+    def per_table(t: Column) -> Column:
+        header = F.element_at(t, 1)
+        body = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+        ok = (F.size(t) >= 2) & (F.size(header) >= min_cols)
+        return F.when(
+            ok, F.flatten(F.transform(body, per_row(header)))
+        ).otherwise(F.array().cast(
+            "array<struct<row_idx:int,subj:string,pred:string,"
+            "obj:string,_ci:int>>"
+        ))
+
+    nested = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.transform(_cells_expr(html_col), lambda t: per_table(t))
+        ).alias("table_idx", "trips"),
+    )
+    return nested.select(
+        "url", "table_idx", F.explode("trips").alias("s")
+    ).select(
+        "url",
+        "table_idx",
+        F.col("s.row_idx").alias("row_idx"),
+        F.col("s.subj").alias("subj"),
+        F.col("s.pred").alias("pred"),
+        F.col("s.obj").alias("obj"),
+    )

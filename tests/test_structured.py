@@ -1,0 +1,182 @@
+"""Structured-data extraction (kg/ops/structured.py): JSON-LD blocks and
+HTML tables → triples. Edge cases the roundtrip contract queries don't
+reach: malformed JSON, blocks without a name, array-of-objects values,
+real (unquoted) nested objects, layout tables, non-zero key columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg.ops.structured import (
+    extract_html_tables,
+    extract_jsonld_blocks,
+    jsonld_triples,
+    table_triples,
+)
+
+
+def _pages(spark, *htmls: bytes):
+    return spark.createDataFrame(
+        [(f"u{i}", bytearray(h)) for i, h in enumerate(htmls)],
+        "url string, html binary",
+    )
+
+
+def _triples(df):
+    return sorted(
+        map(tuple, df.select("url", "subj", "pred", "obj").collect())
+    )
+
+
+class TestJsonLd:
+    def test_multiblock_nested_array_and_broken(self, spark):
+        html = b"""<html><head>
+<script type="application/ld+json">
+{"@context":"https://schema.org","@type":"Organization","name":"Acme",
+ "ceo":{"@type":"Person","name":"Bob"},
+ "sameAs":["https://a.example","https://b.example"]}
+</script></head><body>
+<script type="application/ld+json">{"@type":"Person","name":"Bob","birthPlace":{"name":"Berlin"}}</script>
+<script type="application/ld+json">{not json at all</script>
+<script type="application/ld+json">{"@type":"Thing","description":"no name key, dropped"}</script>
+</body></html>"""
+        pages = _pages(spark, html, b"<html><body>none</body></html>")
+        blocks = extract_jsonld_blocks(pages)
+        assert blocks.count() == 4  # broken block still extracted as text
+        got = _triples(jsonld_triples(blocks))
+        assert got == [
+            ("u0", "Acme", "@type", "Organization"),
+            ("u0", "Acme", "ceo", "Bob"),
+            ("u0", "Acme", "sameAs", "https://a.example"),
+            ("u0", "Acme", "sameAs", "https://b.example"),
+            ("u0", "Bob", "@type", "Person"),
+            ("u0", "Bob", "birthPlace", "Berlin"),
+        ]
+
+    def test_array_of_objects_and_id_fallback(self, spark):
+        html = (
+            b'<script type="application/ld+json">'
+            b'{"@id":"ent:1","subsidiary":[{"name":"A"},{"@id":"ent:2"}]}'
+            b"</script>"
+        )
+        got = _triples(jsonld_triples(extract_jsonld_blocks(_pages(spark, html))))
+        assert got == [
+            ("u0", "ent:1", "subsidiary", "A"),
+            ("u0", "ent:1", "subsidiary", "ent:2"),
+        ]
+
+    def test_emit_type_false_and_context_skipped(self, spark):
+        html = (
+            b'<script type="application/ld+json">'
+            b'{"@context":"https://schema.org","@type":"Org","name":"X","a":"1"}'
+            b"</script>"
+        )
+        got = _triples(
+            jsonld_triples(
+                extract_jsonld_blocks(_pages(spark, html)), emit_type=False
+            )
+        )
+        assert got == [("u0", "X", "a", "1")]
+
+    def test_block_idx_positions(self, spark):
+        html = (
+            b'<script type="application/ld+json">{"name":"A"}</script>'
+            b'<p>gap</p>'
+            b'<script TYPE="application/ld+json">{"name":"B"}</script>'
+        )
+        rows = extract_jsonld_blocks(_pages(spark, html)).collect()
+        # attribute matching is case-insensitive; positions are in order
+        assert [(r.block_idx, r.json) for r in rows] == [
+            (0, '{"name":"A"}'),
+            (1, '{"name":"B"}'),
+        ]
+
+
+class TestHtmlTables:
+    HTML = b"""<html><body>
+<table><tr><th>Company</th><th>CEO</th><th>HQ</th></tr>
+<tr><td><a href="/acme">Acme</a></td><td>Bob</td><td>Berlin</td></tr>
+<tr><td>Globex</td><td></td><td>Paris</td></tr></table>
+<table><tr><td>layout only</td></tr></table>
+<table><tr><th>just one header row</th><th>x</th></tr></table>
+</body></html>"""
+
+    def test_cell_view(self, spark):
+        cells = extract_html_tables(_pages(spark, self.HTML))
+        assert cells.where("table_idx = 0").count() == 9
+        r = cells.where(
+            "table_idx = 0 and row_idx = 1 and col_idx = 0"
+        ).first()
+        assert r.cell == "Acme"  # inner <a> stripped
+
+    def test_table_triples_semantics(self, spark):
+        got = sorted(
+            map(
+                tuple,
+                table_triples(_pages(spark, self.HTML))
+                .select("url", "table_idx", "row_idx", "subj", "pred", "obj")
+                .collect(),
+            )
+        )
+        # layout table (1 col) and header-only table emit nothing; the
+        # empty Globex CEO cell is dropped
+        assert got == [
+            ("u0", 0, 1, "Acme", "CEO", "Bob"),
+            ("u0", 0, 1, "Acme", "HQ", "Berlin"),
+            ("u0", 0, 2, "Globex", "HQ", "Paris"),
+        ]
+
+    def test_key_col_idx(self, spark):
+        html = (
+            b"<table><tr><th>Rank</th><th>City</th><th>Pop</th></tr>"
+            b"<tr><td>1</td><td>Berlin</td><td>3.7M</td></tr></table>"
+        )
+        got = sorted(
+            map(
+                tuple,
+                table_triples(_pages(spark, html), key_col_idx=1)
+                .select("subj", "pred", "obj")
+                .collect(),
+            )
+        )
+        assert got == [("Berlin", "Pop", "3.7M"), ("Berlin", "Rank", "1")]
+
+    def test_ragged_row_wider_than_header(self, spark):
+        # trailing cell with no header is dropped, not crashed on
+        html = (
+            b"<table><tr><th>A</th><th>B</th></tr>"
+            b"<tr><td>s</td><td>v</td><td>extra</td></tr></table>"
+        )
+        got = _triples_tbl(table_triples(_pages(spark, html)))
+        assert got == [("u0", "s", "B", "v")]
+
+
+def _triples_tbl(df):
+    return sorted(
+        map(tuple, df.select("url", "subj", "pred", "obj").collect())
+    )
+
+
+class TestStructuredPlans:
+    def test_jsonld_pure_map_no_shuffle_no_python(self, spark):
+        pages = _pages(spark, b"<p>x</p>")
+        p = (
+            jsonld_triples(extract_jsonld_blocks(pages))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in p.replace("BroadcastExchange", "")
+        assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+    def test_table_triples_zero_shuffle(self, spark):
+        pages = _pages(spark, b"<p>x</p>")
+        p = (
+            table_triples(pages)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in p
+        assert "Join" not in p  # header/subject resolved in-array
+        assert "MapInPandas" not in p and "BatchEvalPython" not in p
