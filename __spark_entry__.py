@@ -1959,6 +1959,101 @@ def _predicate_canon_oracle_sql(rounds: int) -> str:
     )
 
 
+_TAXO_NP_SHAPE = r"^[A-Z][A-Za-z0-9-]*( [A-Z][A-Za-z0-9-]*)*$"
+
+
+def q_kg_hearst_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hearst-pattern taxonomy mining, pinned as a roundtrip: the
+    gazetteer dim's (category, surface) pairs are verbalized into real
+    Hearst sentences (two rotating templates per md5 bucket out of
+    such_as/including/and_other/especially, plus one generic
+    "… and other things" decoy per bucket), mined back with
+    hearst_pairs, and aggregated with induce_taxonomy. The oracle
+    computes the expected evidence-counted edge set directly — category
+    hypernyms at n=2, the decoy at n=1 per category — and replays the
+    argmax/tie-break primary flag (surfaces in two categories, e.g.
+    Chocolate, pin the tie → min-hyper rule)."""
+    from kg.ops.taxonomy import hearst_pairs, induce_taxonomy
+
+    gaz = (
+        spark.read.parquet(f"{FIX}/gazetteer.parquet")
+        .select(F.col("entity_name").alias("cat"), "value")
+        .where(F.col("value").rlike(_TAXO_NP_SHAPE))
+        .distinct()
+    )
+    hyper = F.when(
+        F.endswith(F.lower("cat"), F.lit("s")), F.lower("cat")
+    ).otherwise(F.concat(F.lower("cat"), F.lit("s")))
+    grp = gaz.groupBy(
+        F.col("cat"),
+        hyper.alias("hyper"),
+        F.substring(F.md5("value"), 1, 1).alias("b"),
+    ).agg(F.sort_array(F.collect_set("value")).alias("vs"))
+    lst = F.when(
+        F.size("vs") == 1, F.element_at("vs", 1)
+    ).otherwise(
+        F.concat(
+            F.concat_ws(
+                ", ", F.slice("vs", 1, F.size("vs") - 1)
+            ),
+            F.lit(" and "),
+            F.element_at("vs", -1),
+        )
+    )
+    tidx = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", "cat", "b")), 1, 2), 16, 10)
+        .cast("int")
+        % 4
+    )
+
+    def sent(t):  # template t over (hyper, lst)
+        h, s = F.col("hyper"), F.col("_lst")
+        return (
+            F.when(t == 0, F.concat(h, F.lit(" such as "), s, F.lit(".")))
+            .when(t == 1, F.concat(h, F.lit(" including "), s, F.lit(".")))
+            .when(t == 2, F.concat(s, F.lit(" and other "), h, F.lit(".")))
+            .otherwise(
+                F.concat(h, F.lit(", especially "), s, F.lit("."))
+            )
+        )
+
+    docs = grp.withColumn("_lst", lst).select(
+        F.concat(F.lit("hearst://"), "cat", F.lit("/"), "b").alias("url"),
+        F.concat_ws(
+            " ",
+            sent(tidx),
+            sent((tidx + 1) % 4),
+            F.concat(F.col("_lst"), F.lit(" and other things.")),
+        ).alias("text"),
+    )
+    return induce_taxonomy(hearst_pairs(docs), min_evidence=1)
+
+
+_TAXO_ORACLE = f"""
+WITH g AS (
+  SELECT DISTINCT entity_name AS cat, value
+  FROM '{FIX}/gazetteer.parquet'
+  WHERE regexp_matches(value, '{_TAXO_NP_SHAPE}')
+),
+e AS (
+  SELECT value AS hypo,
+         CASE WHEN lower(cat) LIKE '%s' THEN lower(cat)
+              ELSE lower(cat) || 's' END AS hyper, 2 AS n
+  FROM g
+  UNION ALL SELECT value, 'things', 1 FROM g
+),
+agg AS (
+  SELECT hypo, hyper, CAST(sum(n) AS BIGINT) AS n_evidence
+  FROM e GROUP BY hypo, hyper
+)
+SELECT hypo, hyper, n_evidence,
+       row_number() OVER (
+         PARTITION BY hypo ORDER BY n_evidence DESC, hyper
+       ) = 1 AS is_primary
+FROM agg
+"""
+
+
 def q_kg_verbalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG→text linearization (KELM/TEKGEN-style) of the distinct triple
     golden: template sentences for the 8 schema predicates, generic
@@ -5095,6 +5190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_verbalize": q_kg_verbalize,
         "kg_entity_descriptions": q_kg_entity_descriptions,
         "kg_predicate_canon": q_kg_predicate_canon,
+        "kg_hearst_taxonomy": q_kg_hearst_taxonomy,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -6679,6 +6775,7 @@ SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS warc_ts_us, lang,
 FROM '{FIX}/pages_tiny.parquet'
 """
     d["kg_predicate_canon"] = _predicate_canon_oracle_sql(PREDC_ROUNDS)
+    d["kg_hearst_taxonomy"] = _TAXO_ORACLE
     d["kg_verbalize"] = (
         "WITH " + _verbalize_oracle_cte()
         + "\nSELECT subj, pred, obj, sentence, templated FROM v"
