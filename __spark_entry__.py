@@ -1959,6 +1959,81 @@ def _predicate_canon_oracle_sql(rounds: int) -> str:
     )
 
 
+_FS_SPECS = [
+    ("a_name", "b_name", "exact", 0.95, 0.01),
+    ("a_name", "b_name", "first_token", 0.9, 0.1),
+    ("a_name", "b_name", "lev1", 0.85, 0.05),
+]
+_FS_UPPER, _FS_LOWER = 4.0, -3.0
+
+
+def q_kg_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter linkage of the canonical entity records against
+    every alias surface: first-char blocking (count-then-filter cap),
+    three comparators (exact / first-token / levenshtein≤1) with fixed
+    m/u log2 evidence weights, match/possible/non_match bands. The
+    oracle replays blocking, comparators, weights, and bands in SQL —
+    scores are doubles, so the hash compare pins the arithmetic too."""
+    from kg.ops.recordlink import fs_link
+
+    d = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    a = (
+        d.select("entity_id", F.lower("canonical").alias("a_name"))
+        .distinct()
+        .withColumn("a_blk", F.substring("a_name", 1, 1))
+    )
+    b = (
+        d.select(
+            F.col("alias").alias("b_alias"),
+            F.col("alias_norm").alias("b_name"),
+        )
+        .distinct()
+        .withColumn("b_blk", F.substring("b_name", 1, 1))
+    )
+    return fs_link(
+        a, b, _FS_SPECS,
+        a_key="entity_id", b_key="b_alias",
+        block_a="a_blk", block_b="b_blk",
+        upper=_FS_UPPER, lower=_FS_LOWER,
+        keep_cols=("a_name", "b_name"),
+    )
+
+
+_FS_ORACLE = f"""
+WITH d AS (SELECT * FROM '{FIX}/alias_dict.parquet'),
+a AS (
+  SELECT DISTINCT entity_id, lower(canonical) AS a_name,
+         substr(lower(canonical), 1, 1) AS blk
+  FROM d
+),
+b AS (
+  SELECT DISTINCT alias AS b_alias, alias_norm AS b_name,
+         substr(alias_norm, 1, 1) AS blk
+  FROM d
+),
+af AS (SELECT * FROM a WHERE blk IN
+       (SELECT blk FROM a GROUP BY blk HAVING count(*) <= 256)),
+bf AS (SELECT * FROM b WHERE blk IN
+       (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 256)),
+p AS (SELECT entity_id, b_alias, a_name, b_name FROM af JOIN bf USING (blk)),
+s AS (
+  SELECT *,
+    (CASE WHEN a_name = b_name
+          THEN log2(0.95 / 0.01) ELSE log2(0.05 / 0.99) END)
+  + (CASE WHEN str_split(a_name, ' ')[1] = str_split(b_name, ' ')[1]
+          THEN log2(0.9 / 0.1) ELSE log2(0.1 / 0.9) END)
+  + (CASE WHEN levenshtein(a_name, b_name) <= 1
+          THEN log2(0.85 / 0.05) ELSE log2(0.15 / 0.95) END) AS score
+  FROM p
+)
+SELECT entity_id, b_alias, a_name, b_name, score,
+       CASE WHEN score >= 4.0 THEN 'match'
+            WHEN score > -3.0 THEN 'possible'
+            ELSE 'non_match' END AS label
+FROM s
+"""
+
+
 _TAXO_NP_SHAPE = r"^[A-Z][A-Za-z0-9-]*( [A-Z][A-Za-z0-9-]*)*$"
 
 
@@ -5191,6 +5266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_descriptions": q_kg_entity_descriptions,
         "kg_predicate_canon": q_kg_predicate_canon,
         "kg_hearst_taxonomy": q_kg_hearst_taxonomy,
+        "kg_record_linkage": q_kg_record_linkage,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -6776,6 +6852,7 @@ FROM '{FIX}/pages_tiny.parquet'
 """
     d["kg_predicate_canon"] = _predicate_canon_oracle_sql(PREDC_ROUNDS)
     d["kg_hearst_taxonomy"] = _TAXO_ORACLE
+    d["kg_record_linkage"] = _FS_ORACLE
     d["kg_verbalize"] = (
         "WITH " + _verbalize_oracle_cte()
         + "\nSELECT subj, pred, obj, sentence, templated FROM v"
