@@ -1976,20 +1976,7 @@ def q_kg_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores are doubles, so the hash compare pins the arithmetic too."""
     from kg.ops.recordlink import fs_link
 
-    d = spark.read.parquet(f"{FIX}/alias_dict.parquet")
-    a = (
-        d.select("entity_id", F.lower("canonical").alias("a_name"))
-        .distinct()
-        .withColumn("a_blk", F.substring("a_name", 1, 1))
-    )
-    b = (
-        d.select(
-            F.col("alias").alias("b_alias"),
-            F.col("alias_norm").alias("b_name"),
-        )
-        .distinct()
-        .withColumn("b_blk", F.substring("b_name", 1, 1))
-    )
+    a, b = _fs_records(spark)
     return fs_link(
         a, b, _FS_SPECS,
         a_key="entity_id", b_key="b_alias",
@@ -2032,6 +2019,124 @@ SELECT entity_id, b_alias, a_name, b_name, score,
             ELSE 'non_match' END AS label
 FROM s
 """
+
+
+_FS_EM_ITERS = 5
+_FS_FIELD_NAMES = ["exact", "first_token", "lev1"]
+
+
+def _fs_records(spark: SparkSession):
+    d = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    a = (
+        d.select("entity_id", F.lower("canonical").alias("a_name"))
+        .distinct()
+        .withColumn("a_blk", F.substring("a_name", 1, 1))
+    )
+    b = (
+        d.select(
+            F.col("alias").alias("b_alias"),
+            F.col("alias_norm").alias("b_name"),
+        )
+        .distinct()
+        .withColumn("b_blk", F.substring("b_name", 1, 1))
+    )
+    return a, b
+
+
+def q_kg_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised EM fitting of the FS m/u/p parameters (Winkler
+    1988) over the same blocked pair table as kg_record_linkage: one
+    distributed aggregation reduces the corpus to the ≤ 2^k
+    agreement-pattern histogram, then a deterministic driver loop (5
+    iterations, clamped M-steps) fits the parameters. The oracle
+    replays the pattern histogram AND the fully unrolled EM recurrence
+    in SQL, pinning every float."""
+    from kg.ops.recordlink import agreement_patterns, blocked_pairs, fs_em
+
+    a, b = _fs_records(spark)
+    pairs = blocked_pairs(
+        a, b, _FS_SPECS, a_key="entity_id", b_key="b_alias",
+        block_a="a_blk", block_b="b_blk",
+    )
+    m, u, p = fs_em(
+        agreement_patterns(pairs, _FS_SPECS), len(_FS_SPECS),
+        iters=_FS_EM_ITERS,
+    )
+    return spark.createDataFrame(
+        [
+            (name, m[i], u[i], p)
+            for i, name in enumerate(_FS_FIELD_NAMES)
+        ],
+        "field string, m double, u double, p_match double",
+    )
+
+
+def _fs_em_oracle_sql(iters: int) -> str:
+    nf = 3
+    pair_cte = f"""
+d AS (SELECT * FROM '{FIX}/alias_dict.parquet'),
+a AS (
+  SELECT DISTINCT entity_id, lower(canonical) AS a_name,
+         substr(lower(canonical), 1, 1) AS blk
+  FROM d
+),
+b AS (
+  SELECT DISTINCT alias AS b_alias, alias_norm AS b_name,
+         substr(alias_norm, 1, 1) AS blk
+  FROM d
+),
+af AS (SELECT * FROM a WHERE blk IN
+       (SELECT blk FROM a GROUP BY blk HAVING count(*) <= 256)),
+bf AS (SELECT * FROM b WHERE blk IN
+       (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 256)),
+pat AS (
+  SELECT a_name = b_name AS g0,
+         str_split(a_name, ' ')[1] = str_split(b_name, ' ')[1] AS g1,
+         levenshtein(a_name, b_name) <= 1 AS g2,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM af JOIN bf USING (blk) GROUP BY 1, 2, 3
+),
+q0 AS (SELECT 0.5 AS p, 0.9 AS m0, 0.9 AS m1, 0.9 AS m2,
+              0.1 AS u0, 0.1 AS u1, 0.1 AS u2)"""
+    parts = [pair_cte.strip()]
+    eps = "0.000001"
+    for t in range(1, iters + 1):
+        pm = " * ".join(
+            [f"q.p"]
+            + [f"(CASE WHEN g.g{i} THEN q.m{i} ELSE 1 - q.m{i} END)"
+               for i in range(nf)]
+        )
+        pu = " * ".join(
+            [f"(1 - q.p)"]
+            + [f"(CASE WHEN g.g{i} THEN q.u{i} ELSE 1 - q.u{i} END)"
+               for i in range(nf)]
+        )
+        parts.append(
+            f"w{t} AS (SELECT g.*, ({pm}) / (({pm}) + ({pu})) AS w"
+            f" FROM pat g, q{t - 1} q)"
+        )
+        m_exprs = ", ".join(
+            f"least(greatest(sum(CASE WHEN g{i} THEN n * w ELSE 0 END)"
+            f" / sum(n * w), {eps}), 1 - {eps}) AS m{i}"
+            for i in range(nf)
+        )
+        u_exprs = ", ".join(
+            f"least(greatest(sum(CASE WHEN g{i} THEN n * (1 - w)"
+            f" ELSE 0 END) / (sum(n) - sum(n * w)), {eps}), 1 - {eps})"
+            f" AS u{i}"
+            for i in range(nf)
+        )
+        parts.append(
+            f"q{t} AS (SELECT"
+            f" least(greatest(sum(n * w) / sum(n), {eps}), 1 - {eps}) AS p,"
+            f" {m_exprs}, {u_exprs} FROM w{t})"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT '{name}' AS field, m{i} AS m, u{i} AS u,"
+        f" p AS p_match FROM q{iters}"
+        for i, name in enumerate(_FS_FIELD_NAMES)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
 
 
 _TAXO_NP_SHAPE = r"^[A-Z][A-Za-z0-9-]*( [A-Z][A-Za-z0-9-]*)*$"
@@ -5267,6 +5372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_canon": q_kg_predicate_canon,
         "kg_hearst_taxonomy": q_kg_hearst_taxonomy,
         "kg_record_linkage": q_kg_record_linkage,
+        "kg_fs_em": q_kg_fs_em,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -6853,6 +6959,7 @@ FROM '{FIX}/pages_tiny.parquet'
     d["kg_predicate_canon"] = _predicate_canon_oracle_sql(PREDC_ROUNDS)
     d["kg_hearst_taxonomy"] = _TAXO_ORACLE
     d["kg_record_linkage"] = _FS_ORACLE
+    d["kg_fs_em"] = _fs_em_oracle_sql(_FS_EM_ITERS)
     d["kg_verbalize"] = (
         "WITH " + _verbalize_oracle_cte()
         + "\nSELECT subj, pred, obj, sentence, templated FROM v"

@@ -28,7 +28,10 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["COMPARATORS", "fs_weights", "fs_link"]
+__all__ = [
+    "COMPARATORS", "fs_weights", "blocked_pairs", "fs_link",
+    "agreement_patterns", "fs_em",
+]
 
 
 def _exact(a: Column, b: Column) -> Column:
@@ -64,6 +67,44 @@ def _capped(df: DataFrame, block_col: str, max_block: int) -> DataFrame:
     return df.join(keep, block_col)
 
 
+def blocked_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    specs: list[tuple],
+    a_key: str,
+    b_key: str,
+    block_a: str,
+    block_b: str,
+    max_block: int = 256,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Capped blocked candidate pairs: equal blocking keys become pairs;
+    blocks larger than ``max_block`` on EITHER side are dropped
+    (count-then-filter) before the join. Shared by fs_link (scoring) and
+    agreement_patterns (EM fitting)."""
+    ca = _capped(
+        a.select(
+            a_key, F.col(block_a).alias("_blk"),
+            *dict.fromkeys(
+                [s[0] for s in specs] + [c for c in keep_cols if c in a.columns]
+            ),
+        ),
+        "_blk",
+        max_block,
+    )
+    cb = _capped(
+        b.select(
+            b_key, F.col(block_b).alias("_blk"),
+            *dict.fromkeys(
+                [s[1] for s in specs] + [c for c in keep_cols if c in b.columns]
+            ),
+        ),
+        "_blk",
+        max_block,
+    )
+    return ca.join(cb, "_blk")
+
+
 def fs_link(
     a: DataFrame,
     b: DataFrame,
@@ -91,27 +132,9 @@ def fs_link(
     b's compared/kept columns must not collide with a's (callers rename
     first — explicit beats silent suffixing).
     """
-    ca = _capped(
-        a.select(
-            a_key, F.col(block_a).alias("_blk"),
-            *dict.fromkeys(
-                [s[0] for s in specs] + [c for c in keep_cols if c in a.columns]
-            ),
-        ),
-        "_blk",
-        max_block,
+    pairs = blocked_pairs(
+        a, b, specs, a_key, b_key, block_a, block_b, max_block, keep_cols
     )
-    cb = _capped(
-        b.select(
-            b_key, F.col(block_b).alias("_blk"),
-            *dict.fromkeys(
-                [s[1] for s in specs] + [c for c in keep_cols if c in b.columns]
-            ),
-        ),
-        "_blk",
-        max_block,
-    )
-    pairs = ca.join(cb, "_blk")
     score = None
     for a_col, b_col, kind, m, u in specs:
         w_agree, w_dis = fs_weights(m, u)
@@ -128,3 +151,89 @@ def fs_link(
     return pairs.select(
         *out_cols, score.alias("score"), label.alias("label")
     )
+
+
+def agreement_patterns(
+    pairs: DataFrame, specs: list[tuple]
+) -> DataFrame:
+    """Collapse candidate pairs to their agreement-vector histogram:
+    one row per distinct (g0..gk-1) boolean pattern with its count.
+    THIS is the corpus-scale step of EM fitting — one partial-agged
+    groupBy over the pair table; everything after operates on ≤ 2^k
+    rows. specs rows are (a_col, b_col, comparator, ...) — any trailing
+    m/u entries are ignored."""
+    cols = [
+        COMPARATORS[s[2]](F.col(s[0]), F.col(s[1])).alias(f"g{i}")
+        for i, s in enumerate(specs)
+    ]
+    names = [f"g{i}" for i in range(len(specs))]
+    return (
+        pairs.select(*cols)
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EM_EPS = 1e-6
+
+
+def fs_em(
+    patterns,
+    n_fields: int,
+    iters: int = 5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.5,
+) -> tuple[list[float], list[float], float]:
+    """Fellegi–Sunter EM (Winkler 1988): fit per-field m/u and the match
+    prior p from the agreement-pattern histogram, unsupervised.
+
+    ``patterns``: the DataFrame from :func:`agreement_patterns` (or any
+    iterable of rows with g0..g{k-1} bools and n). The driver-side loop
+    is the scale-correct design, not a shortcut: the corpus has already
+    been reduced to ≤ 2^k pattern counts by one distributed aggregation,
+    and EM over ≤ 2^k numbers is scalar arithmetic — distributing it
+    would add k shuffles per iteration to update 2k+1 floats (the same
+    reasoning as the Lloyd centroid update). Patterns are processed in
+    sorted order so float summation — and therefore the result — is
+    deterministic. Estimates are clamped to [eps, 1-eps] each M-step so
+    degenerate fixtures can't produce 0/1 probabilities (and the log2
+    weights they'd break).
+    """
+    if hasattr(patterns, "collect"):
+        rows = patterns.collect()
+    else:
+        rows = list(patterns)
+    ks = [f"g{i}" for i in range(n_fields)]
+    hist = sorted(
+        (tuple(bool(r[k]) for k in ks), int(r["n"])) for r in rows
+    )
+    m = [init_m] * n_fields
+    u = [init_u] * n_fields
+    p = init_p
+
+    def clamp(x: float) -> float:
+        return min(max(x, _EM_EPS), 1.0 - _EM_EPS)
+
+    for _ in range(iters):
+        total = 0.0
+        w_tot = 0.0
+        m_num = [0.0] * n_fields
+        u_num = [0.0] * n_fields
+        for g, n in hist:
+            pm = p
+            pu = 1.0 - p
+            for i in range(n_fields):
+                pm *= m[i] if g[i] else 1.0 - m[i]
+                pu *= u[i] if g[i] else 1.0 - u[i]
+            w = pm / (pm + pu)
+            total += n
+            w_tot += n * w
+            for i in range(n_fields):
+                if g[i]:
+                    m_num[i] += n * w
+                    u_num[i] += n * (1.0 - w)
+        p = clamp(w_tot / total)
+        m = [clamp(m_num[i] / w_tot) for i in range(n_fields)]
+        u = [clamp(u_num[i] / (total - w_tot)) for i in range(n_fields)]
+    return m, u, p

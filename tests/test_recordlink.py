@@ -115,3 +115,53 @@ def test_plan_equi_join_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
     assert "Window" not in p
+
+
+class TestFsEm:
+    def test_em_recovers_planted_mixture(self, spark):
+        """Plant a two-class mixture of agreement patterns (matches agree
+        on both fields, non-matches mostly on neither): EM must recover
+        m >> u per field and p near the planted match fraction."""
+        from kg.ops.recordlink import fs_em
+
+        rows = (
+            [(True, True, 20)]      # matches: both agree
+            + [(True, False, 2)]    # noise
+            + [(False, False, 70)]  # non-matches: neither agrees
+            + [(False, True, 8)]
+        )
+        pat = spark.createDataFrame(rows, "g0 boolean, g1 boolean, n long")
+        m, u, p = fs_em(pat, 2, iters=20)
+        assert m[0] > 0.8 and m[1] > 0.8
+        assert u[0] < 0.2 and u[1] < 0.3
+        assert 0.1 < p < 0.4
+
+    def test_em_deterministic_and_clamped(self, spark):
+        from kg.ops.recordlink import fs_em
+
+        pat = spark.createDataFrame(
+            [(True, 10), (False, 90)], "g0 boolean, n long"
+        )
+        r1 = fs_em(pat, 1, iters=50)
+        r2 = fs_em(pat, 1, iters=50)
+        assert r1 == r2
+        for v in [*r1[0], *r1[1], r1[2]]:
+            assert 1e-6 <= v <= 1 - 1e-6
+
+    def test_agreement_patterns_histogram(self, spark):
+        from kg.ops.recordlink import agreement_patterns
+
+        pairs = spark.createDataFrame(
+            [("acme", "acme"), ("acme", "acme"), ("acme", "acme x")],
+            "a_name string, b_name string",
+        )
+        got = sorted(
+            map(
+                tuple,
+                agreement_patterns(
+                    pairs, [("a_name", "b_name", "exact"),
+                            ("a_name", "b_name", "first_token")]
+                ).collect(),
+            )
+        )
+        assert got == [(False, True, 1), (True, True, 2)]
