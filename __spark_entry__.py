@@ -2139,6 +2139,145 @@ q0 AS (SELECT 0.5 AS p, 0.9 AS m0, 0.9 AS m1, 0.9 AS m2,
     return "WITH " + ",\n".join(parts) + "\n" + finals
 
 
+_TIMEX_MONTHS = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+
+
+def q_kg_timex_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-expression normalization, pinned as a roundtrip: every
+    order date is verbalized into one of five surface shapes (ISO,
+    "March 5, 2020", "5 March 2020", month-year, bare "in 2020"; shape
+    chosen by md5(o_orderkey)), sentences are packed into bucket docs,
+    and extract_timex recovers (surface, ISO day string, granularity).
+    The oracle recomputes the expected rows directly from orders —
+    including the month-first-day / Jan-1 granularity collapses."""
+    from kg.ops.timex import extract_timex
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("o_orderdate")
+    )
+    v = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2),
+               16, 10).cast("int") % 5
+    )
+    mn = F.element_at(
+        F.array(*[F.lit(m) for m in _TIMEX_MONTHS]),
+        F.month("o_orderdate"),
+    )
+    d = F.dayofmonth("o_orderdate").cast("string")
+    y = F.year("o_orderdate").cast("string")
+    mention = (
+        F.when(v == 0, F.concat(F.lit("on "), F.col("o_orderdate").cast("string")))
+        .when(v == 1, F.concat(F.lit("on "), mn, F.lit(" "), d, F.lit(", "), y))
+        .when(v == 2, F.concat(F.lit("on "), d, F.lit(" "), mn, F.lit(" "), y))
+        .when(v == 3, F.concat(F.lit("in "), mn, F.lit(" "), y))
+        .otherwise(F.concat(F.lit("in "), y))
+    )
+    sentences = o.select(
+        (F.col("o_orderkey") % 200).cast("string").alias("b"),
+        F.concat(
+            F.lit("Order "), F.col("o_orderkey").cast("string"),
+            F.lit(" shipped "), mention, F.lit("."),
+        ).alias("s"),
+    )
+    docs = sentences.groupBy("b").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_list("s"))).alias("text")
+    ).select(F.concat(F.lit("timex://"), "b").alias("url"), "text")
+    return extract_timex(docs)
+
+
+_TIMEX_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS dt,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))
+              AS INT) % 5 AS v
+  FROM orders
+)
+SELECT 'timex://' || CAST(k % 200 AS VARCHAR) AS url,
+  CASE v
+    WHEN 0 THEN CAST(dt AS VARCHAR)
+    WHEN 1 THEN monthname(dt) || ' ' || CAST(day(dt) AS VARCHAR)
+                || ', ' || CAST(year(dt) AS VARCHAR)
+    WHEN 2 THEN CAST(day(dt) AS VARCHAR) || ' ' || monthname(dt)
+                || ' ' || CAST(year(dt) AS VARCHAR)
+    WHEN 3 THEN monthname(dt) || ' ' || CAST(year(dt) AS VARCHAR)
+    ELSE 'in ' || CAST(year(dt) AS VARCHAR)
+  END AS surface,
+  CASE v
+    WHEN 3 THEN printf('%04d-%02d-01', year(dt), month(dt))
+    WHEN 4 THEN printf('%04d-01-01', year(dt))
+    ELSE CAST(dt AS VARCHAR)
+  END AS iso,
+  CASE v WHEN 3 THEN 'month' WHEN 4 THEN 'year' ELSE 'day' END
+    AS granularity
+FROM o
+"""
+
+_MEASURE_CONTRACT_UNITS = ["cm", "km", "m", "kg", "lb", "%"]
+
+
+def q_kg_measure_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured-quantity normalization roundtrip: part sizes are
+    verbalized with a rotating unit (cm/km/m/kg/lb/%, chosen by
+    md5(p_partkey)), packed into bucket docs, and extract_measures
+    recovers (surface, value, unit, SI magnitude, SI unit). The oracle
+    recomputes values and the conversion arithmetic directly from part
+    — doubles in the hash pin the factor table."""
+    from kg.ops.timex import extract_measures
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_size"
+    )
+    v = (
+        F.conv(F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 2),
+               16, 10).cast("int") % 6
+    )
+    unit = F.element_at(
+        F.array(*[F.lit(u) for u in _MEASURE_CONTRACT_UNITS]), v + 1
+    )
+    surface = F.concat(
+        F.col("p_size").cast("string"),
+        F.when(unit == "%", F.lit("")).otherwise(F.lit(" ")),
+        unit,
+    )
+    sentences = p.select(
+        (F.col("p_partkey") % 100).cast("string").alias("b"),
+        F.concat(
+            F.lit("Part "), F.col("p_partkey").cast("string"),
+            F.lit(" measures "), surface, F.lit("."),
+        ).alias("s"),
+    )
+    docs = sentences.groupBy("b").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_list("s"))).alias("text")
+    ).select(F.concat(F.lit("measure://"), "b").alias("url"), "text")
+    return extract_measures(docs)
+
+
+_MEASURE_ORACLE = """
+WITH p AS (
+  SELECT p_partkey AS k, p_size AS n,
+         ['cm', 'km', 'm', 'kg', 'lb', '%'][
+           CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))
+                AS INT) % 6 + 1] AS unit
+  FROM part
+)
+SELECT 'measure://' || CAST(k % 100 AS VARCHAR) AS url,
+  CAST(n AS VARCHAR) || (CASE WHEN unit = '%' THEN '' ELSE ' ' END)
+    || unit AS surface,
+  CAST(n AS DOUBLE) AS value,
+  unit,
+  CAST(n AS DOUBLE) * (CASE unit
+    WHEN 'cm' THEN 0.01 WHEN 'km' THEN 1000.0 WHEN 'm' THEN 1.0
+    WHEN 'kg' THEN 1.0 WHEN 'lb' THEN 0.45359237 ELSE 0.01 END)
+    AS value_si,
+  CASE unit WHEN 'cm' THEN 'm' WHEN 'km' THEN 'm' WHEN 'm' THEN 'm'
+    WHEN 'kg' THEN 'kg' WHEN 'lb' THEN 'kg' ELSE 'ratio' END AS unit_si
+FROM p
+"""
+
+
 _TAXO_NP_SHAPE = r"^[A-Z][A-Za-z0-9-]*( [A-Z][A-Za-z0-9-]*)*$"
 
 
@@ -5373,6 +5512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hearst_taxonomy": q_kg_hearst_taxonomy,
         "kg_record_linkage": q_kg_record_linkage,
         "kg_fs_em": q_kg_fs_em,
+        "kg_timex_normalize": q_kg_timex_normalize,
+        "kg_measure_normalize": q_kg_measure_normalize,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -6960,6 +7101,8 @@ FROM '{FIX}/pages_tiny.parquet'
     d["kg_hearst_taxonomy"] = _TAXO_ORACLE
     d["kg_record_linkage"] = _FS_ORACLE
     d["kg_fs_em"] = _fs_em_oracle_sql(_FS_EM_ITERS)
+    d["kg_timex_normalize"] = _TIMEX_ORACLE
+    d["kg_measure_normalize"] = _MEASURE_ORACLE
     d["kg_verbalize"] = (
         "WITH " + _verbalize_oracle_cte()
         + "\nSELECT subj, pred, obj, sentence, templated FROM v"

@@ -1,0 +1,207 @@
+"""Temporal-expression and measured-quantity normalization: the fact
+TIMESTAMPING and quantity-canonicalization steps of KG construction.
+OpenIE/table/JSON-LD extraction produce surface objects ("March 5,
+2020", "5 km"); facts need comparable values (ISO dates with explicit
+granularity, SI magnitudes) before temporal scoping, conflict
+resolution, or range queries can work.
+
+Scale shape: both extractors are PURE MAPS — one mega-alternation
+regexp_extract_all finds the surfaces (alternation order resolves
+overlaps by consumption: "5 March 2020" is eaten by the DMY alternative
+before the bare "March 2020" month-year shape can fire), then the
+normalization of each surface is a per-element column expression.
+No Python, no shuffle; invalid calendar dates (Feb 30) are nulled by
+try_to_date and dropped as data, not errors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["extract_timex", "extract_measures", "MEASURE_UNITS"]
+
+_MONTHS = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+_M = "|".join(_MONTHS)
+
+# Alternation order matters: day-carrying shapes before month-year, so a
+# "5 March 2020" match consumes the text the bare "March 2020" shape
+# would otherwise claim. Numeric m/d/y is parsed US-style (documented).
+_TIMEX_RE = (
+    rf"\b(?:\d{{4}}-\d{{2}}-\d{{2}}"
+    rf"|(?:{_M}) \d{{1,2}}, \d{{4}}"
+    rf"|\d{{1,2}} (?:{_M}) \d{{4}}"
+    rf"|(?:{_M}) \d{{4}}"
+    rf"|\d{{1,2}}/\d{{1,2}}/\d{{4}})\b"
+)
+# Bare years only with an explicit "in <year>" anchor — a free-standing
+# 4-digit number is usually not a date.
+_YEAR_RE = r"\bin (\d{4})\b"
+
+
+def _month_num(name: Column) -> Column:
+    return F.array_position(
+        F.array(*[F.lit(m) for m in _MONTHS]), name
+    ).cast("int")
+
+
+def _pad2(c: Column) -> Column:
+    return F.lpad(c, 2, "0")
+
+
+def extract_timex(
+    docs: DataFrame, text_col: str = "text", id_col: str = "url"
+) -> DataFrame:
+    """One row per temporal expression: (url, surface, iso, granularity).
+    ``iso`` is the zero-padded ISO-8601 day string; month-granularity
+    surfaces normalize to the month's first day, year-granularity to
+    Jan 1 — with ``granularity`` ∈ {'day','month','year'} recording what
+    the text actually asserted (consumers must not over-read)."""
+    surfaces = F.regexp_extract_all(F.col(text_col), F.lit(_TIMEX_RE), F.lit(0))
+    year_hits = F.regexp_extract_all(F.col(text_col), F.lit(_YEAR_RE), F.lit(1))
+
+    s = F.col("surface")
+    iso = (
+        F.when(
+            s.rlike(r"^\d{4}-\d{2}-\d{2}$"),
+            F.concat(s, F.lit("#day")),
+        )
+        .when(
+            s.rlike(rf"^(?:{_M}) \d{{1,2}}, \d{{4}}$"),
+            F.concat(
+                F.regexp_extract(s, rf"^(?:{_M}) \d{{1,2}}, (\d{{4}})$", 1),
+                F.lit("-"),
+                _pad2(_month_num(F.regexp_extract(s, rf"^({_M})", 1))),
+                F.lit("-"),
+                _pad2(F.regexp_extract(s, rf"^(?:{_M}) (\d{{1,2}}),", 1)),
+                F.lit("#day"),
+            ),
+        )
+        .when(
+            s.rlike(rf"^\d{{1,2}} (?:{_M}) \d{{4}}$"),
+            F.concat(
+                F.regexp_extract(s, r"(\d{4})$", 1),
+                F.lit("-"),
+                _pad2(_month_num(F.regexp_extract(s, rf" ({_M}) ", 1))),
+                F.lit("-"),
+                _pad2(F.regexp_extract(s, r"^(\d{1,2}) ", 1)),
+                F.lit("#day"),
+            ),
+        )
+        .when(
+            s.rlike(rf"^(?:{_M}) \d{{4}}$"),
+            F.concat(
+                F.regexp_extract(s, r"(\d{4})$", 1),
+                F.lit("-"),
+                _pad2(_month_num(F.regexp_extract(s, rf"^({_M})", 1))),
+                F.lit("-01#month"),
+            ),
+        )
+        .when(
+            s.rlike(r"^\d{1,2}/\d{1,2}/\d{4}$"),
+            F.concat(
+                F.regexp_extract(s, r"(\d{4})$", 1),
+                F.lit("-"),
+                _pad2(F.regexp_extract(s, r"^(\d{1,2})/", 1)),
+                F.lit("-"),
+                _pad2(F.regexp_extract(s, r"^\d{1,2}/(\d{1,2})/", 1)),
+                F.lit("#day"),
+            ),
+        )
+    )
+    dated = (
+        docs.select(
+            F.col(id_col).alias("url"), F.explode(surfaces).alias("surface")
+        )
+        .select(
+            "url", "surface",
+            F.split(iso, "#").getItem(0).alias("iso"),
+            F.split(iso, "#").getItem(1).alias("granularity"),
+        )
+        .where(F.col("iso").isNotNull())
+    )
+    yeared = docs.select(
+        F.col(id_col).alias("url"), F.explode(year_hits).alias("y")
+    ).select(
+        "url",
+        F.concat(F.lit("in "), F.col("y")).alias("surface"),
+        F.concat(F.col("y"), F.lit("-01-01")).alias("iso"),
+        F.lit("year").alias("granularity"),
+    )
+    return dated.unionByName(yeared).where(
+        F.try_to_date(F.col("iso"), "yyyy-MM-dd").isNotNull()
+    )
+
+
+# unit -> (SI factor, SI unit); longer tokens first so the alternation
+# never truncates a unit ("km" before "m", "kg"/"mg" before "g").
+MEASURE_UNITS: list[tuple[str, float, str]] = [
+    ("km", 1000.0, "m"),
+    ("cm", 0.01, "m"),
+    ("mm", 0.001, "m"),
+    ("mi", 1609.344, "m"),
+    ("ft", 0.3048, "m"),
+    ("kg", 1.0, "kg"),
+    ("mg", 1e-6, "kg"),
+    ("lb", 0.45359237, "kg"),
+    ("GHz", 1e9, "Hz"),
+    ("MHz", 1e6, "Hz"),
+    ("kHz", 1e3, "Hz"),
+    ("TB", 1e12, "B"),
+    ("GB", 1e9, "B"),
+    ("MB", 1e6, "B"),
+    ("KB", 1e3, "B"),
+    ("Hz", 1.0, "Hz"),
+    ("m", 1.0, "m"),
+    ("g", 0.001, "kg"),
+    ("%", 0.01, "ratio"),
+]
+
+_UNIT_ALT = "|".join(
+    u.replace("%", "%") for u, _, _ in MEASURE_UNITS
+)
+_MEASURE_RE = rf"\b(\d+(?:\.\d+)?) ?({_UNIT_ALT})(?![A-Za-z])"
+
+
+def extract_measures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "url"
+) -> DataFrame:
+    """One row per quantity mention:
+    (url, surface, value, unit, value_si, unit_si) — value_si in the
+    unit's SI base (m / kg / Hz / B / ratio). Pure map: one
+    regexp_extract_all + per-element parse + a literal CASE ladder for
+    the conversion table."""
+    nums = F.regexp_extract_all(
+        F.col(text_col), F.lit(_MEASURE_RE), F.lit(0)
+    )
+    rows = docs.select(
+        F.col(id_col).alias("url"), F.explode(nums).alias("surface")
+    )
+    value = F.regexp_extract("surface", r"^(\d+(?:\.\d+)?)", 1).cast(
+        "double"
+    )
+    unit = F.regexp_extract("surface", rf"({_UNIT_ALT})$", 1)
+    factor = None
+    si_unit = None
+    for u, f_, si in MEASURE_UNITS:
+        cond = unit == u
+        factor = (
+            F.when(cond, F.lit(f_))
+            if factor is None
+            else factor.when(cond, F.lit(f_))
+        )
+        si_unit = (
+            F.when(cond, F.lit(si))
+            if si_unit is None
+            else si_unit.when(cond, F.lit(si))
+        )
+    return rows.select(
+        "url",
+        "surface",
+        value.alias("value"),
+        unit.alias("unit"),
+        (value * factor).alias("value_si"),
+        si_unit.alias("unit_si"),
+    )

@@ -1,0 +1,96 @@
+"""Temporal-expression + quantity normalization (kg/ops/timex.py):
+shape coverage, overlap consumption, invalid-date rejection, unit
+ladder, plan purity."""
+
+from __future__ import annotations
+
+from kg.ops.timex import extract_measures, extract_timex
+
+
+def _docs(spark, *texts: str):
+    return spark.createDataFrame(
+        [(f"u{i}", t) for i, t in enumerate(texts)], "url string, text string"
+    )
+
+
+class TestTimex:
+    def test_all_shapes_normalize(self, spark):
+        got = sorted(
+            map(
+                tuple,
+                extract_timex(
+                    _docs(
+                        spark,
+                        "Founded on March 5, 2020 and sold 2020-07-14. "
+                        "Expanded 5 March 2021 in Berlin.",
+                        "Revenue grew in March 2022, then dipped in 2023. "
+                        "Ship date 12/31/2019.",
+                    )
+                )
+                .select("url", "surface", "iso", "granularity")
+                .collect(),
+            )
+        )
+        assert got == [
+            ("u0", "2020-07-14", "2020-07-14", "day"),
+            ("u0", "5 March 2021", "2021-03-05", "day"),
+            ("u0", "March 5, 2020", "2020-03-05", "day"),
+            ("u1", "12/31/2019", "2019-12-31", "day"),
+            ("u1", "March 2022", "2022-03-01", "month"),
+            ("u1", "in 2023", "2023-01-01", "year"),
+        ]
+
+    def test_dmy_consumes_month_year(self, spark):
+        # "5 March 2021" must NOT additionally yield a "March 2021"
+        # month-granularity row — alternation order eats it
+        rows = extract_timex(_docs(spark, "Expanded 5 March 2021.")).collect()
+        assert len(rows) == 1 and rows[0].granularity == "day"
+
+    def test_invalid_calendar_dates_dropped(self, spark):
+        df = extract_timex(
+            _docs(spark, "Invalid: February 30, 2020. Also 13/13/2020.")
+        )
+        assert df.count() == 0
+
+    def test_bare_year_needs_anchor(self, spark):
+        df = extract_timex(_docs(spark, "Error code 2020 appeared twice."))
+        assert df.count() == 0
+
+
+class TestMeasures:
+    def test_unit_ladder(self, spark):
+        got = {
+            r.surface: (r.value, r.unit, r.value_si, r.unit_si)
+            for r in extract_measures(
+                _docs(
+                    spark,
+                    "The drive is 2 TB, weighs 1.5 kg, runs at 3.2 GHz, "
+                    "80% full, 5 km away, 12 ft tall.",
+                )
+            ).collect()
+        }
+        assert got["2 TB"] == (2.0, "TB", 2.0e12, "B")
+        assert got["1.5 kg"] == (1.5, "kg", 1.5, "kg")
+        assert got["3.2 GHz"] == (3.2, "GHz", 3.2e9, "Hz")
+        assert got["80%"] == (80.0, "%", 0.8, "ratio")
+        assert got["5 km"] == (5.0, "km", 5000.0, "m")
+        assert got["12 ft"][3] == "m"
+
+    def test_longer_unit_wins_and_word_boundary(self, spark):
+        got = {
+            r.surface: r.unit
+            for r in extract_measures(
+                _docs(spark, "It is 3 km long, 4 mg heavy, 5 meters? no: "
+                             "5 mg exact.")
+            ).collect()
+        }
+        # 'km' not truncated to 'm'; '5 meters' must NOT match bare 'm'
+        assert got == {"3 km": "km", "4 mg": "mg", "5 mg": "mg"}
+
+
+def test_timex_pure_map_no_python(spark):
+    d = _docs(spark, "on March 5, 2020")
+    for df in (extract_timex(d), extract_measures(d)):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p
+        assert "MapInPandas" not in p and "BatchEvalPython" not in p
