@@ -2215,6 +2215,76 @@ SELECT 'timex://' || CAST(k % 200 AS VARCHAR) AS url,
 FROM o
 """
 
+def q_kg_fact_time_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end temporal fact scoping: each golden-triple source doc
+    gets a deterministic md5-derived publication date verbalized as an
+    ISO sentence (plus a bare "in <year>" sentence that the
+    day-granularity gate must DROP); extract_timex mines the dates and
+    fact_time_scope rolls them up per fact (earliest/latest/modal with
+    min-date tie-break). The oracle computes the md5 dates directly and
+    replays the join + both aggregations + the modal argmax."""
+    from kg.ops.timex import extract_timex, fact_time_scope
+
+    t = spark.read.parquet(f"{FIX}/expected_triples_small.parquet").select(
+        "subj", "pred", "obj", "url"
+    )
+
+    def _h(pos: int, mod: int, base: int):
+        return base + (
+            F.conv(F.substring(F.md5("url"), pos, 2), 16, 10).cast("int")
+            % mod
+        )
+
+    iso = F.concat_ws(
+        "-",
+        F.lpad(_h(1, 20, 2000).cast("string"), 4, "0"),
+        F.lpad(_h(3, 12, 1).cast("string"), 2, "0"),
+        F.lpad(_h(5, 28, 1).cast("string"), 2, "0"),
+    )
+    docs = t.select("url").distinct().select(
+        "url",
+        F.concat(
+            F.lit("Published on "), iso,
+            F.lit(". Written in "), _h(1, 20, 2000).cast("string"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return fact_time_scope(t, extract_timex(docs))
+
+
+_FACT_TIME_ORACLE = f"""
+WITH t AS (
+  SELECT subj, pred, obj, url
+  FROM '{FIX}/expected_triples_small.parquet'
+),
+d AS (
+  SELECT url, printf('%04d-%02d-%02d',
+    2000 + CAST(('0x' || substr(md5(url), 1, 2)) AS INT) % 20,
+    1 + CAST(('0x' || substr(md5(url), 3, 2)) AS INT) % 12,
+    1 + CAST(('0x' || substr(md5(url), 5, 2)) AS INT) % 28) AS iso
+  FROM (SELECT DISTINCT url FROM t)
+),
+per AS (
+  SELECT subj, pred, obj, iso, count(*) AS n
+  FROM t JOIN d USING (url) GROUP BY 1, 2, 3, 4
+),
+modal AS (
+  SELECT subj, pred, obj, iso AS t_modal FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY subj, pred, obj ORDER BY n DESC, iso) AS rn
+    FROM per) WHERE rn = 1
+),
+agg AS (
+  SELECT subj, pred, obj, min(iso) AS t_earliest, max(iso) AS t_latest,
+         CAST(sum(n) AS BIGINT) AS n_dated
+  FROM per GROUP BY 1, 2, 3
+)
+SELECT a.subj, a.pred, a.obj, a.t_earliest, a.t_latest, a.n_dated,
+       m.t_modal
+FROM agg a JOIN modal m USING (subj, pred, obj)
+"""
+
+
 _MEASURE_CONTRACT_UNITS = ["cm", "km", "m", "kg", "lb", "%"]
 
 
@@ -5514,6 +5584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fs_em": q_kg_fs_em,
         "kg_timex_normalize": q_kg_timex_normalize,
         "kg_measure_normalize": q_kg_measure_normalize,
+        "kg_fact_time_scope": q_kg_fact_time_scope,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -7103,6 +7174,7 @@ FROM '{FIX}/pages_tiny.parquet'
     d["kg_fs_em"] = _fs_em_oracle_sql(_FS_EM_ITERS)
     d["kg_timex_normalize"] = _TIMEX_ORACLE
     d["kg_measure_normalize"] = _MEASURE_ORACLE
+    d["kg_fact_time_scope"] = _FACT_TIME_ORACLE
     d["kg_verbalize"] = (
         "WITH " + _verbalize_oracle_cte()
         + "\nSELECT subj, pred, obj, sentence, templated FROM v"

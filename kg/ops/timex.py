@@ -18,7 +18,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["extract_timex", "extract_measures", "MEASURE_UNITS"]
+__all__ = [
+    "extract_timex", "extract_measures", "MEASURE_UNITS",
+    "fact_time_scope",
+]
 
 _MONTHS = [
     "January", "February", "March", "April", "May", "June", "July",
@@ -204,4 +207,51 @@ def extract_measures(
         unit.alias("unit"),
         (value * factor).alias("value_si"),
         si_unit.alias("unit_si"),
+    )
+
+
+def fact_time_scope(
+    triples: DataFrame,
+    timex: DataFrame,
+    keys: tuple = ("subj", "pred", "obj"),
+    url_col: str = "url",
+) -> DataFrame:
+    """Doc-level temporal scoping of facts: associate each fact with the
+    DAY-granularity dates mentioned in the documents that assert it
+    (document-date association — the standard first approximation when
+    extraction is not sentence-aligned; month/year-granularity timex
+    rows are excluded rather than over-read as days).
+
+    Returns one row per fact:
+      (keys..., t_earliest, t_latest, n_dated, t_modal)
+    where n_dated counts (asserting doc, mentioned date) evidence pairs
+    and t_modal is the most-mentioned date (ties → earliest), the
+    single-date scope a consumer would pick.
+
+    Scale shape: one equi-join on the url key (both sides arrive
+    url-partitioned from extraction, so the join reuses that layout),
+    then two partial-agged groupBys — (fact, date) collapse first, fact
+    rollup second; the modal date is the window-free min(struct(-n,
+    date)) argmax idiom. No Python, no window.
+    """
+    days = timex.where(F.col("granularity") == "day").select(
+        F.col(url_col).alias("url"), "iso"
+    )
+    dated = triples.select(*keys, F.col(url_col).alias("url")).join(
+        days, "url"
+    )
+    per = dated.groupBy(*keys, "iso").agg(F.count(F.lit(1)).alias("n"))
+    key = F.struct((-F.col("n")).alias("negn"), F.col("iso").alias("iso"))
+    return (
+        per.groupBy(*keys)
+        .agg(
+            F.min("iso").alias("t_earliest"),
+            F.max("iso").alias("t_latest"),
+            F.sum("n").alias("n_dated"),
+            F.min(key).alias("_b"),
+        )
+        .select(
+            *keys, "t_earliest", "t_latest", "n_dated",
+            F.col("_b.iso").alias("t_modal"),
+        )
     )

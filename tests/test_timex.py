@@ -94,3 +94,45 @@ def test_timex_pure_map_no_python(spark):
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in p
         assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+class TestFactTimeScope:
+    def test_modal_and_granularity_gate(self, spark):
+        from kg.ops.timex import fact_time_scope
+
+        triples = spark.createDataFrame(
+            [("A", "ceo_of", "X", f"u{i}") for i in range(3)]
+            + [("B", "ceo_of", "Y", "u9")],
+            "subj string, pred string, obj string, url string",
+        )
+        timex = spark.createDataFrame(
+            [
+                ("u0", "2020-01-05", "day"),
+                ("u1", "2020-01-05", "day"),
+                ("u2", "2021-06-01", "day"),
+                ("u2", "2022-01-01", "year"),   # gated out
+                ("u9", "2019-12-31", "month"),  # gated out -> B has no scope
+            ],
+            "url string, iso string, granularity string",
+        )
+        rows = {tuple(r[:3]): r for r in fact_time_scope(triples, timex).collect()}
+        a = rows[("A", "ceo_of", "X")]
+        assert (a.t_earliest, a.t_latest, a.n_dated, a.t_modal) == (
+            "2020-01-05", "2021-06-01", 3, "2020-01-05"
+        )
+        assert ("B", "ceo_of", "Y") not in rows
+
+    def test_no_window_in_plan(self, spark):
+        from kg.ops.timex import fact_time_scope
+
+        t = spark.createDataFrame(
+            [("a", "p", "b", "u")], "subj string, pred string, obj string, url string"
+        )
+        x = spark.createDataFrame(
+            [("u", "2020-01-01", "day")], "url string, iso string, granularity string"
+        )
+        p = (
+            fact_time_scope(t, x)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in p
+        assert "CartesianProduct" not in p
