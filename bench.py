@@ -525,6 +525,28 @@ def run_suite(spark, sf_dir: str) -> dict:
         2 * to_pages / timings["textops"], 1
     )
 
+    # --- markup/text miners: timex + quantities + Hearst patterns —
+    # three full-corpus regex scans (pure map, zero shuffle; the scan IS
+    # the 100-TB cost — matches on this corpus are rare, which is the
+    # realistic crawl profile). Payload aggregates force the normalize
+    # arithmetic, not just the match count ---
+    from kg.ops.taxonomy import hearst_pairs
+    from kg.ops.timex import extract_measures, extract_timex
+
+    def w_miners():
+        extract_timex(docs_x, id_col="doc_id").agg(
+            F.count("*").alias("n"), F.sum(F.length("iso")).alias("_b")
+        ).first()
+        extract_measures(docs_x, id_col="doc_id").agg(
+            F.count("*").alias("n"), F.sum("value_si").alias("_v")
+        ).first()
+        hearst_pairs(docs_x, id_col="doc_id").agg(
+            F.count("*").alias("n"), F.sum(F.length("hypo")).alias("_h")
+        ).first()
+
+    timings["miners"] = timed_twice(w_miners)
+    extra["miners_docs_per_sec"] = round(3 * n_pages / timings["miners"], 1)
+
     # --- near-dup: capped banded MinHash + exact-Jaccard verify + CC over
     # the full corpus (production config: 16x4 bands, max_bucket=64).
     # SPARK_GRAFT_NEARDUP_FRAC < 1 keeps a deterministic hash-slice of the

@@ -118,7 +118,8 @@ HISTORY = REPO / "BENCH" / "history.jsonl"
 EFF_KEYS = ("pipeline_docs_per_sec", "mentions_docs_per_sec",
             "triples_per_sec", "weblinks_pages_per_sec",
             "curation_docs_per_sec", "lm_docs_per_sec",
-            "boilerplate_docs_per_sec", "textops_docs_per_sec")
+            "boilerplate_docs_per_sec", "textops_docs_per_sec",
+            "miners_docs_per_sec")
 
 
 def _load_history() -> list[dict]:
