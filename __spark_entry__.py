@@ -2285,6 +2285,98 @@ FROM agg a JOIN modal m USING (subj, pred, obj)
 """
 
 
+def q_kg_hybrid_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid prose+markup extraction over one corpus: each tiny-fixture
+    page gets a JSON-LD block per subject injected before </body>
+    (serializing that page's golden triples, min-obj per predicate),
+    then BOTH extractors run — the fused Arrow prose path
+    (extract_triples_from_pages) and the markup path (jsonld_triples) —
+    and the union rolls up per (subj, pred, obj) with separate evidence
+    counts. Green hash proves two things at once: markup extract ∘
+    serialize = identity, AND the html→text rule ignores injected
+    <script> content (prose counts must equal the untouched golden's)."""
+    from kg.ops.structured import extract_jsonld_blocks, jsonld_triples
+    from kg.stages.triples import extract_triples_from_pages
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    t = spark.read.parquet(f"{FIX}/expected_triples_tiny.parquet")
+    m = t.groupBy("url", "subj", "pred").agg(F.min("obj").alias("obj"))
+    block = m.groupBy("url", "subj").agg(
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Organization","name":"'),
+            F.col("subj"),
+            F.lit('",'),
+            F.concat_ws(",", F.sort_array(F.collect_list(
+                F.concat(F.lit('"'), F.col("pred"), F.lit('":"'),
+                         F.col("obj"), F.lit('"'))
+            ))),
+            F.lit("}</script>"),
+        ).alias("blk"),
+    )
+    blocks = block.groupBy("url").agg(
+        F.concat_ws("", F.sort_array(F.collect_list("blk"))).alias("blks")
+    )
+    pages2 = pages.join(blocks, "url", "left").select(
+        "url", "lang",
+        F.encode(
+            F.regexp_replace(
+                F.decode("html", "UTF-8"),
+                "</body>",
+                F.concat(F.coalesce(F.col("blks"), F.lit("")),
+                         F.lit("</body>")),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    prose = extract_triples_from_pages(pages2).select(
+        "subj", "pred", "obj", F.lit("prose").alias("src")
+    )
+    markup = jsonld_triples(extract_jsonld_blocks(pages2)).select(
+        "subj", "pred", "obj", F.lit("markup").alias("src")
+    )
+    return (
+        prose.unionByName(markup)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.sum(F.when(F.col("src") == "prose", 1).otherwise(0)).alias(
+                "n_prose"
+            ),
+            F.sum(F.when(F.col("src") == "markup", 1).otherwise(0)).alias(
+                "n_markup"
+            ),
+        )
+    )
+
+
+_HYBRID_ORACLE = f"""
+WITH g AS (
+  SELECT url, subj, pred, obj
+  FROM '{FIX}/expected_triples_tiny.parquet'
+),
+prose AS (
+  SELECT subj, pred, obj, count(*) AS n FROM g GROUP BY 1, 2, 3
+),
+mm AS (
+  SELECT url, subj, pred, min(obj) AS obj FROM g GROUP BY 1, 2, 3
+),
+markup AS (
+  SELECT subj, pred, obj, count(*) AS n FROM mm GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT subj, '@type', 'Organization', count(DISTINCT url)
+  FROM g GROUP BY subj
+),
+u AS (
+  SELECT subj, pred, obj, n AS np, 0 AS nm FROM prose
+  UNION ALL
+  SELECT subj, pred, obj, 0, n FROM markup
+)
+SELECT subj, pred, obj, CAST(sum(np) AS BIGINT) AS n_prose,
+       CAST(sum(nm) AS BIGINT) AS n_markup
+FROM u GROUP BY subj, pred, obj
+"""
+
+
 _MEASURE_CONTRACT_UNITS = ["cm", "km", "m", "kg", "lb", "%"]
 
 
@@ -5585,6 +5677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_timex_normalize": q_kg_timex_normalize,
         "kg_measure_normalize": q_kg_measure_normalize,
         "kg_fact_time_scope": q_kg_fact_time_scope,
+        "kg_hybrid_triples": q_kg_hybrid_triples,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -7175,6 +7268,7 @@ FROM '{FIX}/pages_tiny.parquet'
     d["kg_timex_normalize"] = _TIMEX_ORACLE
     d["kg_measure_normalize"] = _MEASURE_ORACLE
     d["kg_fact_time_scope"] = _FACT_TIME_ORACLE
+    d["kg_hybrid_triples"] = _HYBRID_ORACLE
     d["kg_verbalize"] = (
         "WITH " + _verbalize_oracle_cte()
         + "\nSELECT subj, pred, obj, sentence, templated FROM v"
