@@ -853,6 +853,86 @@ FROM rows JOIN m USING (subj)
 """
 
 
+def q_web_table_schema_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables semantic recovery: tables are built from the golden
+    triples with OPAQUE headers (col_0..col_7 — the label carries no
+    signal) and pred-tagged objects (cross-predicate pair overlap 0, the
+    predicate-canon construction), then match_table_schema must map
+    every column back to its true KG predicate purely by extensional
+    (subj, obj) overlap against the fact set. The oracle computes the
+    expected (column → predicate, n_overlap ≥ 2) mapping directly."""
+    from kg.ops.structured import match_table_schema, table_triples
+
+    t = spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+    g = t.select(
+        "subj", "pred", F.concat_ws("@", "obj", "pred").alias("obj")
+    ).distinct()
+    m = g.groupBy("subj", "pred").agg(F.min("obj").alias("obj"))
+    pm = m.groupBy("subj").agg(
+        F.map_from_entries(F.collect_list(F.struct("pred", "obj"))).alias(
+            "pm"
+        )
+    )
+    cells = F.concat(
+        F.lit("<tr><td>"),
+        F.col("subj"),
+        F.lit("</td>"),
+        *[
+            F.concat(
+                F.lit("<td>"),
+                F.coalesce(F.col("pm").getItem(p), F.lit("")),
+                F.lit("</td>"),
+            )
+            for p in _SCHEMA_PREDS
+        ],
+        F.lit("</tr>"),
+    )
+    rows = pm.select(
+        F.substring(F.md5("subj"), 1, 1).alias("b"),
+        F.struct(F.col("subj"), cells.alias("row_html")).alias("r"),
+    )
+    header = "<tr><th>Name</th>" + "".join(
+        f"<th>col_{i}</th>" for i in range(len(_SCHEMA_PREDS))
+    ) + "</tr>"
+    pages = rows.groupBy("b").agg(
+        F.concat(
+            F.lit(f"<html><body><table>{header}"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list("r")),
+                    lambda s: s.getField("row_html"),
+                ),
+            ),
+            F.lit("</table></body></html>"),
+        ).alias("html_s"),
+    ).select(
+        F.concat(F.lit("table://"), F.col("b")).alias("url"),
+        F.encode("html_s", "UTF-8").alias("html"),
+    )
+    return match_table_schema(table_triples(pages), g, min_overlap=2)
+
+
+_SCHEMA_MATCH_ORACLE = f"""
+WITH g AS (
+  SELECT DISTINCT subj, pred, obj || '@' || pred AS obj
+  FROM '{FIX}/expected_triples_small.parquet'
+),
+m AS (SELECT subj, pred, min(obj) AS obj FROM g GROUP BY 1, 2),
+rows AS (SELECT DISTINCT subj, substr(md5(subj), 1, 1) AS b FROM m),
+cnt AS (
+  SELECT b, pred, count(*) AS n
+  FROM m JOIN rows USING (subj) GROUP BY 1, 2
+)
+SELECT 'table://' || b AS url, 0 AS table_idx,
+  'col_' || CAST(list_position(
+    ['acquired','born_in','ceo_of','founded','located_in','part_of',
+     'produces','works_for'], pred) - 1 AS VARCHAR) AS header,
+  pred AS kg_pred, CAST(n AS BIGINT) AS n_overlap
+FROM cnt WHERE n >= 2
+"""
+
+
 WEBPR_ITERS = 8
 
 
@@ -5639,6 +5719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_page_rank": q_web_page_rank,
         "web_jsonld_triples": q_web_jsonld_triples,
         "web_table_triples": q_web_table_triples,
+        "web_table_schema_match": q_web_table_schema_match,
         "web_anchor_index": q_web_anchor_index,
         "web_crawl_frontier": q_web_crawl_frontier,
         "web_url_templates": q_web_url_templates,
@@ -5915,6 +5996,7 @@ FROM links GROUP BY 1, 2
         "web_page_rank": _web_pagerank_oracle_sql(WEBPR_ITERS),
         "web_jsonld_triples": _JSONLD_ORACLE,
         "web_table_triples": _TABLE_ORACLE,
+        "web_table_schema_match": _SCHEMA_MATCH_ORACLE,
         "web_anchor_index": _weblinks_oracle_cte(
             f"{FIX}/pages_tiny.parquet", with_text=True
         )

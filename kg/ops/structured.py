@@ -35,6 +35,7 @@ __all__ = [
     "jsonld_triples",
     "extract_html_tables",
     "table_triples",
+    "match_table_schema",
 ]
 
 # Non-greedy, DOTALL: scripts can span lines; content is captured verbatim
@@ -262,4 +263,57 @@ def table_triples(
         F.col("s.subj").alias("subj"),
         F.col("s.pred").alias("pred"),
         F.col("s.obj").alias("obj"),
+    )
+
+
+def match_table_schema(
+    tbl: DataFrame,
+    facts: DataFrame,
+    min_overlap: int = 2,
+    pair_cap: int = 32,
+) -> DataFrame:
+    """WebTables semantic recovery: map each table column (identified by
+    its header string) to the KG predicate whose extensional (subj, obj)
+    pair set best overlaps the column's (key-cell, value-cell) pairs —
+    web tables name their columns freely ("CEO", "Chief Exec", "Boss");
+    the KG schema is recovered from the VALUES, not the label.
+
+    ``tbl``: table_triples output (url, table_idx, subj, pred=header,
+    obj). ``facts``: the KG fact table (subj, pred, obj).
+
+    Returns (url, table_idx, header, kg_pred, n_overlap): the
+    argmax-overlap predicate per column (ties → lexicographically
+    smallest), columns below ``min_overlap`` matched pairs omitted.
+
+    Scale shape: the join keys on the (subj, obj) VALUE pair — an
+    equi-join, never a similarity scan — with the count-then-filter
+    ``pair_cap`` applied to the fact side first (pairs asserted under
+    more than ``pair_cap`` predicates are template noise, the same
+    discipline as canonicalize_predicates). Then one partial-agged
+    groupBy per (column, kg_pred) and the window-free min-struct argmax.
+    """
+    fp = facts.select("subj", "pred", "obj").distinct()
+    hot = fp.groupBy("subj", "obj").agg(F.count(F.lit(1)).alias("_pc"))
+    kept = fp.join(
+        hot.where(F.col("_pc") <= pair_cap).select("subj", "obj"),
+        ["subj", "obj"],
+    ).select("subj", F.col("pred").alias("kg_pred"), "obj")
+    overlaps = (
+        tbl.select("url", "table_idx", F.col("pred").alias("header"),
+                   "subj", "obj")
+        .join(kept, ["subj", "obj"])
+        .groupBy("url", "table_idx", "header", "kg_pred")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+    key = F.struct(
+        (-F.col("n_overlap")).alias("negn"), F.col("kg_pred").alias("p")
+    )
+    best = overlaps.groupBy("url", "table_idx", "header").agg(
+        F.min(key).alias("_b")
+    )
+    return (
+        overlaps.join(best, ["url", "table_idx", "header"])
+        .where(key == F.col("_b"))
+        .select("url", "table_idx", "header", "kg_pred", "n_overlap")
     )

@@ -180,3 +180,70 @@ class TestStructuredPlans:
         assert "Exchange" not in p
         assert "Join" not in p  # header/subject resolved in-array
         assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+class TestSchemaMatch:
+    def test_recovers_predicate_and_gates(self, spark):
+        from kg.ops.structured import match_table_schema
+
+        tbl = spark.createDataFrame(
+            # column "Boss" carries ceo_of pairs; "Where" located_in;
+            # "Rare" has only 1 overlapping pair -> gated by min_overlap
+            [("u", 0, 1, "Acme", "Boss", "Bob"),
+             ("u", 0, 2, "Globex", "Boss", "Eve"),
+             ("u", 0, 1, "Acme", "Where", "Berlin"),
+             ("u", 0, 2, "Globex", "Where", "Paris"),
+             ("u", 0, 1, "Acme", "Rare", "X")],
+            "url string, table_idx int, row_idx int, subj string,"
+            " pred string, obj string",
+        )
+        facts = spark.createDataFrame(
+            [("Acme", "ceo_of", "Bob"), ("Globex", "ceo_of", "Eve"),
+             ("Acme", "located_in", "Berlin"),
+             ("Globex", "located_in", "Paris"),
+             ("Acme", "has_code", "X")],
+            "subj string, pred string, obj string",
+        )
+        got = {
+            r.header: (r.kg_pred, r.n_overlap)
+            for r in match_table_schema(tbl, facts, min_overlap=2).collect()
+        }
+        assert got == {
+            "Boss": ("ceo_of", 2), "Where": ("located_in", 2),
+        }
+
+    def test_pair_cap_excludes_template_pairs(self, spark):
+        from kg.ops.structured import match_table_schema
+
+        tbl = spark.createDataFrame(
+            [("u", 0, 1, "s", "H", "hot"), ("u", 0, 2, "s2", "H", "hot2")],
+            "url string, table_idx int, row_idx int, subj string,"
+            " pred string, obj string",
+        )
+        # (s, hot) asserted under 3 predicates -> dropped at pair_cap=2;
+        # (s2, hot2) under one -> kept but below min_overlap=2
+        facts = spark.createDataFrame(
+            [("s", f"p{i}", "hot") for i in range(3)]
+            + [("s2", "q", "hot2")],
+            "subj string, pred string, obj string",
+        )
+        assert (
+            match_table_schema(tbl, facts, min_overlap=2, pair_cap=2).count()
+            == 0
+        )
+
+    def test_tie_breaks_to_min_pred(self, spark):
+        from kg.ops.structured import match_table_schema
+
+        tbl = spark.createDataFrame(
+            [("u", 0, 1, "a", "H", "x"), ("u", 0, 2, "b", "H", "y")],
+            "url string, table_idx int, row_idx int, subj string,"
+            " pred string, obj string",
+        )
+        facts = spark.createDataFrame(
+            [("a", "p_z", "x"), ("b", "p_z", "y"),
+             ("a", "p_a", "x"), ("b", "p_a", "y")],
+            "subj string, pred string, obj string",
+        )
+        rows = match_table_schema(tbl, facts, min_overlap=2).collect()
+        assert len(rows) == 1 and rows[0].kg_pred == "p_a"
