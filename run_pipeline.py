@@ -16,7 +16,9 @@ Stages (each checkpointed per url_hash_bucket; see kg/checkpoint.py):
             crawl_frontier (robots-gated when --robots is set) and
             url_templates (crawler-trap report) rollup tables
   mentions  docs -> dictionary/regex mentions (relational, broadcast joins)
-  triples   docs -> OpenIE SVO triples (Arrow mapInPandas)
+  triples   docs -> OpenIE SVO triples (Arrow mapInPandas); with
+            --markup, embedded JSON-LD + <table> triples union in
+            (dual-channel ingest, conf 1.0)
   link      triples + alias dict -> linked triples (broadcast or salted join)
   canon     linked surfaces -> canonical entities (MinHash-LSH + CC)
   graph     final (subj, pred, obj) materialization, partitioned by
@@ -51,6 +53,12 @@ def parse_args(argv):
     )
     p.add_argument("--n-salts", type=int, default=16)
     p.add_argument("--alias-dict", default=None, help="alias dict parquet (default: built-in fixture dict)")
+    p.add_argument(
+        "--markup", action="store_true",
+        help="also extract triples from embedded JSON-LD and <table> "
+        "markup (dual-channel ingest) and union them into the triple "
+        "stream before linking",
+    )
     p.add_argument(
         "--robots", default=None,
         help="(host, body) robots.txt parquet; when set, the crawl "
@@ -183,13 +191,37 @@ def main(argv=None) -> int:
 
     triples = None
     if "triples" in stages:
-        triples = pipe.run_stage(
-            "triples",
-            docs,
-            lambda df: extract_svo_triples(df.select("url", "text")).join(
+
+        def _trip(df):
+            t = extract_svo_triples(df.select("url", "text"))
+            if args.markup:
+                # dual-channel ingest: embedded JSON-LD + <table> markup
+                # join the prose SVO stream (conf 1.0 — asserted
+                # structure, not inferred prose). The inner join on the
+                # bucket's urls below keeps per-bucket resumability.
+                from kg.ops.structured import (
+                    extract_jsonld_blocks,
+                    jsonld_triples,
+                    table_triples,
+                )
+
+                mk = (
+                    jsonld_triples(
+                        extract_jsonld_blocks(pages), emit_type=False
+                    )
+                    .unionByName(
+                        table_triples(pages).select(
+                            "url", "subj", "pred", "obj"
+                        )
+                    )
+                    .withColumn("conf", F.lit(1.0))
+                )
+                t = t.unionByName(mk)
+            return t.join(
                 df.select("url", "url_hash_bucket").distinct(), "url"
-            ),
-        )
+            )
+
+        triples = pipe.run_stage("triples", docs, _trip)
     elif "link" in stages or "graph" in stages:
         triples = pipe.read_stage("triples")
 

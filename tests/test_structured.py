@@ -247,3 +247,55 @@ class TestSchemaMatch:
         )
         rows = match_table_schema(tbl, facts, min_overlap=2).collect()
         assert len(rows) == 1 and rows[0].kg_pred == "p_a"
+
+
+class TestMarkupPipelineStage:
+    def test_run_pipeline_markup_flag(self, spark, tmp_path):
+        """--markup unions JSON-LD + <table> triples into the triple
+        stage output: enrich the tiny pages with one JSON-LD block and
+        one relational table, run extract+triples, and check both
+        channels land with conf=1.0 while the prose channel is
+        unchanged."""
+        import run_pipeline
+
+        pages = spark.read.parquet("/root/repo/fixtures/pages_tiny.parquet")
+        block = (
+            '<script type="application/ld+json">{"@type":"Organization",'
+            '"name":"MarkCo","hq":"Berlin"}</script>'
+            "<table><tr><th>Name</th><th>Boss</th></tr>"
+            "<tr><td>MarkCo</td><td>Eve</td></tr></table>"
+        )
+        enriched = pages.withColumn(
+            "html",
+            F.encode(
+                F.regexp_replace(
+                    F.decode("html", "UTF-8"), "</body>", block + "</body>"
+                ),
+                "UTF-8",
+            ),
+        )
+        src = str(tmp_path / "pages_mk.parquet")
+        enriched.write.parquet(src)
+        out = str(tmp_path / "kg_out")
+        rc = run_pipeline.main([
+            "--pages", src, "--out", out, "--buckets", "4",
+            "--stages", "extract,triples", "--markup",
+        ])
+        assert rc == 0
+        t = spark.read.parquet(f"{out}/triples")
+        n_pages = pages.count()
+        mk = t.where("subj = 'MarkCo'")
+        got = {
+            (r.pred, r.obj): r.cnt
+            for r in mk.groupBy("pred", "obj")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        # one JSON-LD + one table triple per page, conf 1.0
+        assert got == {("hq", "Berlin"): n_pages, ("Boss", "Eve"): n_pages}
+        assert mk.where("conf != 1.0").count() == 0
+        # prose channel unchanged vs the golden
+        golden = spark.read.parquet(
+            "/root/repo/fixtures/expected_triples_tiny.parquet"
+        )
+        assert t.where("subj != 'MarkCo'").count() == golden.count()
