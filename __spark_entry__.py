@@ -4532,6 +4532,79 @@ def q_kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("url", "subj", "pred", "obj")
 
 
+def q_kg_stream_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming markup ingest: tiny pages enriched with per-subject
+    JSON-LD blocks (the kg_hybrid_triples construction) are dropped into
+    a file-source stream; jsonld_triples runs UNCHANGED under readStream
+    (pure map → streaming-safe) with an exactly-once parquet sink. The
+    sink must equal the oracle's directly-computed markup triple set —
+    the batch/stream parity proof for the markup channel."""
+    import shutil
+    import tempfile
+
+    from kg.streaming import (
+        read_pages_stream,
+        run_stream_to_parquet,
+        stream_markup_triples,
+    )
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    t = spark.read.parquet(f"{FIX}/expected_triples_tiny.parquet")
+    m = t.groupBy("url", "subj", "pred").agg(F.min("obj").alias("obj"))
+    block = m.groupBy("url", "subj").agg(
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Organization","name":"'),
+            F.col("subj"),
+            F.lit('",'),
+            F.concat_ws(",", F.sort_array(F.collect_list(
+                F.concat(F.lit('"'), F.col("pred"), F.lit('":"'),
+                         F.col("obj"), F.lit('"'))
+            ))),
+            F.lit("}</script>"),
+        ).alias("blk"),
+    )
+    blocks = block.groupBy("url").agg(
+        F.concat_ws("", F.sort_array(F.collect_list("blk"))).alias("blks")
+    )
+    enriched = pages.join(blocks, "url", "left").select(
+        "url", "warc_ts", "text", "lang",
+        F.encode(
+            F.regexp_replace(
+                F.decode("html", "UTF-8"),
+                "</body>",
+                F.concat(F.coalesce(F.col("blks"), F.lit("")),
+                         F.lit("</body>")),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    src = tempfile.mkdtemp(prefix="kg_stream_mk_src_")
+    enriched.write.mode("overwrite").parquet(f"{src}/pages")
+    out = tempfile.mkdtemp(prefix="kg_stream_mk_out_")
+    ckpt = tempfile.mkdtemp(prefix="kg_stream_mk_ckpt_")
+    try:
+        q = run_stream_to_parquet(
+            stream_markup_triples(read_pages_stream(spark, f"{src}/pages")),
+            out, ckpt,
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).select("url", "subj", "pred", "obj")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+_STREAM_MARKUP_ORACLE = f"""
+WITH g AS (
+  SELECT url, subj, pred, obj
+  FROM '{FIX}/expected_triples_tiny.parquet'
+)
+SELECT url, subj, pred, min(obj) AS obj FROM g GROUP BY url, subj, pred
+UNION ALL
+SELECT DISTINCT url, subj, '@type', 'Organization' FROM g
+"""
+
+
 # ---- stateful streaming contract (watermark + windowed aggregation) ----
 
 # (url, warc_ts, batch, text): batch 1 and batch 2 land as separate files
@@ -5765,6 +5838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ner_errors": q_kg_ner_errors,
         "kg_annotate": q_kg_annotate,
         "kg_stream_triples": q_kg_stream_triples,
+        "kg_stream_markup": q_kg_stream_markup,
         "stream_mention_rates": q_stream_mention_rates,
         "stream_link_rates": q_stream_link_rates,
         "stream_sessionize": q_stream_sessionize,
@@ -7351,6 +7425,7 @@ FROM '{FIX}/pages_tiny.parquet'
     d["kg_measure_normalize"] = _MEASURE_ORACLE
     d["kg_fact_time_scope"] = _FACT_TIME_ORACLE
     d["kg_hybrid_triples"] = _HYBRID_ORACLE
+    d["kg_stream_markup"] = _STREAM_MARKUP_ORACLE
     d["kg_verbalize"] = (
         "WITH " + _verbalize_oracle_cte()
         + "\nSELECT subj, pred, obj, sentence, templated FROM v"

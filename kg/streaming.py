@@ -56,6 +56,17 @@ def stream_triples(pages_stream: DataFrame) -> DataFrame:
     return extract_triples_from_pages(pages_stream)
 
 
+def stream_markup_triples(pages_stream: DataFrame) -> DataFrame:
+    """Streaming markup ingest: the JSON-LD extraction plan unchanged
+    under readStream — it is a pure map (regexp + from_json, no shuffle,
+    no state), so it is trivially streaming-safe and exactly-once under
+    the parquet-sink checkpoint; a crawl can feed the KG markup channel
+    incrementally with the SAME operator the batch path runs."""
+    from kg.ops.structured import extract_jsonld_blocks, jsonld_triples
+
+    return jsonld_triples(extract_jsonld_blocks(pages_stream))
+
+
 def stream_mention_rates(
     pages_stream: DataFrame,
     gazetteer: DataFrame,
