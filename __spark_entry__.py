@@ -2457,6 +2457,91 @@ FROM u GROUP BY subj, pred, obj
 """
 
 
+def q_kg_person_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Person-name variant clustering: synthetic people are minted from
+    part names (capitalized color words → first/last with heavy surname
+    sharing), each emitting a full form, an initial form ("B. Smith"),
+    and — for an md5-chosen half of SURNAMES — a bare-surname hub. The
+    op must merge {full, initial, hub} per person, route same-letter
+    firsts through the shared initial form, keep different-letter firsts
+    apart when no hub exists, and merge everything when one does. The
+    oracle replays the closed-form clustering (hub → surname key, else
+    surname+first-letter key), which equals the LP fixpoint for this
+    construction shape."""
+    from kg.stages.canon import canonicalize_person_names
+
+    w = F.split(F.col("p_name"), " ")
+
+    def cap(c):
+        return F.concat(F.upper(F.substring(c, 1, 1)), F.substring(c, 2, 1000))
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(
+            cap(F.element_at(w, 1)).alias("first"),
+            cap(F.element_at(w, 2)).alias("last"),
+        )
+        .distinct()
+    )
+    full = base.select(
+        F.concat_ws(" ", "first", "last").alias("name")
+    )
+    init = base.select(
+        F.concat(
+            F.substring("first", 1, 1), F.lit(". "), F.col("last")
+        ).alias("name")
+    )
+    bare = base.where(
+        F.substring(F.md5(F.lower("last")), 1, 1) < "8"
+    ).select(F.col("last").alias("name"))
+    names = full.unionByName(init).unionByName(bare)
+    return canonicalize_person_names(names)
+
+
+_PERSON_ORACLE = """
+WITH p AS (SELECT str_split(p_name, ' ') AS w FROM part),
+base AS (
+  SELECT DISTINCT
+    upper(substr(w[1], 1, 1)) || substr(w[1], 2) AS first,
+    upper(substr(w[2], 1, 1)) || substr(w[2], 2) AS last
+  FROM p
+),
+surf AS (
+  SELECT DISTINCT * FROM (
+    SELECT first || ' ' || last AS name, lower(last) AS l,
+           lower(substr(first, 1, 1)) AS fl, 2 AS nt
+    FROM base
+    UNION
+    SELECT substr(first, 1, 1) || '. ' || last, lower(last),
+           lower(substr(first, 1, 1)), 2
+    FROM base
+    UNION
+    SELECT last, lower(last), NULL, 1
+    FROM base WHERE substr(md5(lower(last)), 1, 1) < '8'
+  )
+),
+hub AS (SELECT DISTINCT l FROM surf WHERE nt = 1),
+keyed AS (
+  SELECT s.*, CASE WHEN h.l IS NOT NULL THEN s.l
+                   ELSE s.l || '|' || s.fl END AS ck
+  FROM surf s LEFT JOIN hub h USING (l)
+),
+cl AS (
+  SELECT ck, min(name) AS cluster,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM keyed GROUP BY ck
+),
+canon AS (
+  SELECT ck, name AS canonical FROM (
+    SELECT keyed.*, row_number() OVER (
+      PARTITION BY ck ORDER BY nt DESC, length(name) DESC, name) AS rn
+    FROM keyed) WHERE rn = 1
+)
+SELECT k.name, c.cluster, cn.canonical, c.n_members
+FROM keyed k JOIN cl c USING (ck) JOIN canon cn USING (ck)
+"""
+
+
 _MEASURE_CONTRACT_UNITS = ["cm", "km", "m", "kg", "lb", "%"]
 
 
@@ -5832,6 +5917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_measure_normalize": q_kg_measure_normalize,
         "kg_fact_time_scope": q_kg_fact_time_scope,
         "kg_hybrid_triples": q_kg_hybrid_triples,
+        "kg_person_names": q_kg_person_names,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -7426,6 +7512,7 @@ FROM '{FIX}/pages_tiny.parquet'
     d["kg_fact_time_scope"] = _FACT_TIME_ORACLE
     d["kg_hybrid_triples"] = _HYBRID_ORACLE
     d["kg_stream_markup"] = _STREAM_MARKUP_ORACLE
+    d["kg_person_names"] = _PERSON_ORACLE
     d["kg_verbalize"] = (
         "WITH " + _verbalize_oracle_cte()
         + "\nSELECT subj, pred, obj, sentence, templated FROM v"

@@ -42,6 +42,7 @@ __all__ = [
     "canonicalize_aliases",
     "fuzzy_alias_pairs",
     "canonicalize_predicates",
+    "canonicalize_person_names",
 ]
 
 
@@ -291,4 +292,110 @@ def canonicalize_predicates(
         )
     return labels.join(F.broadcast(sizes), "pred").select(
         "pred", "canon_pred", "n_pairs"
+    )
+
+
+def canonicalize_person_names(
+    names: DataFrame,
+    name_col: str = "name",
+    max_block: int = 1024,
+    rounds: int = 6,
+) -> DataFrame:
+    """Person-name variant clustering — the NAME-STRUCTURE arm of
+    canonicalization ("Bob Smith" / "B. Smith" / "Smith" denote one
+    person; "Alice Smith" does not), complementing the token-set
+    (canonicalize_aliases) and character-typo (fuzzy_alias_pairs) arms.
+
+    Compatibility rule (deliberately surname-anchored and shallow):
+    two surfaces are compatible iff their LAST tokens match
+    case-insensitively AND their first tokens are compatible — equal,
+    either surface is surname-only, or one first token is an initial
+    ("b.") whose letter starts the other. Bare surnames are hubs: they
+    merge every variant of that surname transitively (the documented
+    surname-hub semantics — a standing KG wants "Smith" resolvable to
+    ONE cluster or none, and the evidence to split it simply isn't in
+    the string).
+
+    Ladder: distinct surfaces → surname blocks (count-then-filter
+    ``max_block`` cap) → compatible pairs (equi-self-join within block)
+    → fixed-``rounds`` min-label propagation → canonical = the most
+    specific surface (most tokens, then longest, then lexicographically
+    smallest). Returns (name, cluster, canonical, n_members).
+    """
+    n = names.select(F.col(name_col).alias("name")).where(
+        F.col("name").isNotNull() & (F.trim("name") != "")
+    ).distinct()
+    toks = F.split(F.trim("name"), r"\s+")
+    n = materialize(
+        n.select(
+            "name",
+            F.lower(F.element_at(toks, -1)).alias("last"),
+            F.when(
+                F.size(toks) > 1, F.lower(F.element_at(toks, 1))
+            ).alias("first"),
+            F.size(toks).alias("n_toks"),
+        )
+    )
+    sizes = n.groupBy("last").agg(F.count(F.lit(1)).alias("_bc"))
+    blocked = n.join(
+        sizes.where(F.col("_bc") <= max_block).select("last"), "last"
+    )
+
+    def compat(f1, f2):
+        init1 = f1.rlike(r"^[a-z]\.$")
+        init2 = f2.rlike(r"^[a-z]\.$")
+        return (
+            f1.isNull()
+            | f2.isNull()
+            | (f1 == f2)
+            | (init1 & f2.startswith(F.substring(f1, 1, 1)))
+            | (init2 & f1.startswith(F.substring(f2, 1, 1)))
+        )
+
+    a, b = blocked.alias("a"), blocked.alias("b")
+    edges = materialize(
+        a.join(
+            b,
+            (F.col("a.last") == F.col("b.last"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .where(compat(F.col("a.first"), F.col("b.first")))
+        .select(F.col("a.name").alias("p1"), F.col("b.name").alias("p2"))
+    )
+    und = edges.union(edges.select("p2", "p1"))
+    labels = materialize(n.select("name", F.col("name").alias("cluster")))
+    for _ in range(rounds):
+        nbr = (
+            und.join(
+                labels.select(
+                    F.col("name").alias("p2"), F.col("cluster").alias("_nl")
+                ),
+                "p2",
+            )
+            .groupBy(F.col("p1").alias("name"))
+            .agg(F.min("_nl").alias("_m"))
+        )
+        labels = materialize(
+            labels.join(nbr, "name", "left").select(
+                "name",
+                F.least("cluster", F.coalesce("_m", "cluster")).alias(
+                    "cluster"
+                ),
+            )
+        )
+    members = labels.join(n, "name")
+    spec = F.struct(
+        (-F.col("n_toks")).alias("nt"),
+        (-F.length("name")).alias("nl"),
+        F.col("name").alias("nm"),
+    )
+    best = members.groupBy("cluster").agg(
+        F.min(spec).alias("_b"), F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        members.join(best, "cluster")
+        .select(
+            "name", "cluster", F.col("_b.nm").alias("canonical"),
+            "n_members",
+        )
     )

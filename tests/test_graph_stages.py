@@ -332,3 +332,48 @@ class TestPredicateCanon:
         assert {r["pred"]: r["n_pairs"] for r in got} == {
             "a": 10, "b": 20, "c": 10,
         }
+
+
+class TestPersonNames:
+    @staticmethod
+    def _run(spark, names, **kw):
+        from kg.stages.canon import canonicalize_person_names
+
+        df = spark.createDataFrame([(n,) for n in names], "name string")
+        return {
+            r["name"]: r
+            for r in canonicalize_person_names(df, **kw).collect()
+        }
+
+    def test_initial_routes_same_letter_hub_merges_all(self, spark):
+        got = self._run(
+            spark,
+            ["Bob Smith", "B. Smith", "Bill Smith", "Alice Smith",
+             "Smith", "Alice Jones", "Amy Jones", "Carol Jones"],
+        )
+        # hub "Smith" merges every Smith variant (incl. Alice)
+        smiths = {n for n, r in got.items() if r["cluster"] == got["Smith"]["cluster"]}
+        assert smiths == {"Bob Smith", "B. Smith", "Bill Smith",
+                          "Alice Smith", "Smith"}
+        assert got["Smith"]["canonical"] in ("Alice Smith",)  # most specific
+        # no Jones hub: Alice/Amy merge via the shared "A. ..." letter?
+        # no initial surface exists, so they stay separate
+        assert got["Alice Jones"]["cluster"] != got["Amy Jones"]["cluster"]
+        assert got["Carol Jones"]["cluster"] != got["Alice Jones"]["cluster"]
+
+    def test_initial_form_bridges_same_letter_firsts(self, spark):
+        got = self._run(spark, ["Bob Smith", "Bill Smith", "B. Smith"])
+        cl = {r["cluster"] for r in got.values()}
+        assert len(cl) == 1  # bridged through "B. Smith" (diameter 2)
+        assert got["Bob Smith"]["n_members"] == 3
+
+    def test_different_letters_stay_apart_without_hub(self, spark):
+        got = self._run(spark, ["Bob Smith", "Carol Smith"])
+        assert got["Bob Smith"]["cluster"] != got["Carol Smith"]["cluster"]
+
+    def test_block_cap_drops_mega_surname(self, spark):
+        names = [f"P{i} Hot" for i in range(9)] + ["Hot", "Ann Cold", "Cold"]
+        got = self._run(spark, names, max_block=5)
+        # "hot" block (10 surfaces) over cap -> no edges -> singletons
+        assert got["P0 Hot"]["n_members"] == 1
+        assert got["Ann Cold"]["n_members"] == 2
