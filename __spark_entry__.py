@@ -2542,6 +2542,143 @@ FROM keyed k JOIN cl c USING (ck) JOIN canon cn USING (ck)
 """
 
 
+_TAXO_NP_SHAPE = r"^[A-Z][A-Za-z0-9-]*( [A-Z][A-Za-z0-9-]*)*$"
+
+
+def q_kg_coord_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate extraction roundtrip: every customer gets an
+    md5-derived location verbalized either as a signed decimal pair or
+    as degree-notation with hemisphere letters (integer-and-two-decimals
+    strings built by string concat, so no float-formatting divergence);
+    extract_coords recovers (lat, lon) with hemispheres folded to
+    signs. Oracle recomputes the strings and casts them back."""
+    from kg.ops.timex import extract_coords
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+
+    def _h(pos: int, mod: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), pos, 3),
+                16, 10,
+            ).cast("int") % mod
+        )
+
+    lat_i, lat_d = _h(1, 179) - 89, F.lpad((_h(4, 100)).cast("string"), 2, "0")
+    lon_i, lon_d = _h(7, 359) - 179, F.lpad((_h(10, 100)).cast("string"), 2, "0")
+    dec = F.concat(
+        lat_i.cast("string"), F.lit("."), lat_d, F.lit(", "),
+        lon_i.cast("string"), F.lit("."), lon_d,
+    )
+    deg = F.concat(
+        F.abs(lat_i).cast("string"), F.lit("."), lat_d, F.lit("°"),
+        F.when(lat_i < 0, F.lit("S")).otherwise(F.lit("N")),
+        F.lit(" "),
+        F.abs(lon_i).cast("string"), F.lit("."), lon_d, F.lit("°"),
+        F.when(lon_i < 0, F.lit("W")).otherwise(F.lit("E")),
+    )
+    use_deg = _h(13, 2) == 0
+    docs = c.select(
+        F.concat(F.lit("geo://"), F.col("c_custkey").cast("string")).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit("The site sits at "),
+            F.when(use_deg, deg).otherwise(dec),
+            F.lit(" on the map."),
+        ).alias("text"),
+    )
+    return extract_coords(docs)
+
+
+_COORD_ORACLE = """
+WITH c AS (
+  SELECT c_custkey AS k,
+    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 3)) AS INT)
+      % 179 - 89 AS lat_i,
+    lpad(CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 4, 3))
+      AS INT) % 100 AS VARCHAR), 2, '0') AS lat_d,
+    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 3)) AS INT)
+      % 359 - 179 AS lon_i,
+    lpad(CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 10, 3))
+      AS INT) % 100 AS VARCHAR), 2, '0') AS lon_d,
+    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 13, 3)) AS INT)
+      % 2 = 0 AS use_deg
+  FROM customer
+)
+SELECT 'geo://' || CAST(k AS VARCHAR) AS url,
+  CASE WHEN use_deg THEN
+    CAST(abs(lat_i) AS VARCHAR) || '.' || lat_d || '°'
+      || (CASE WHEN lat_i < 0 THEN 'S' ELSE 'N' END) || ' '
+      || CAST(abs(lon_i) AS VARCHAR) || '.' || lon_d || '°'
+      || (CASE WHEN lon_i < 0 THEN 'W' ELSE 'E' END)
+  ELSE
+    CAST(lat_i AS VARCHAR) || '.' || lat_d || ', '
+      || CAST(lon_i AS VARCHAR) || '.' || lon_d
+  END AS surface,
+  CASE WHEN lat_i < 0
+       THEN -CAST(CAST(abs(lat_i) AS VARCHAR) || '.' || lat_d AS DOUBLE)
+       ELSE CAST(CAST(lat_i AS VARCHAR) || '.' || lat_d AS DOUBLE)
+  END AS lat,
+  CASE WHEN lon_i < 0
+       THEN -CAST(CAST(abs(lon_i) AS VARCHAR) || '.' || lon_d AS DOUBLE)
+       ELSE CAST(CAST(lon_i AS VARCHAR) || '.' || lon_d AS DOUBLE)
+  END AS lon
+FROM c
+"""
+
+
+def q_kg_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-attribution mining (the Quotebank construction): each
+    NP-shaped golden subject speaks once, in forward ('X said, "…"') or
+    inverted ('"…," said X') shape by md5 parity; extract_quotes must
+    recover (speaker, quote, shape). Oracle recomputes directly."""
+    from kg.ops.timex import extract_quotes
+
+    t = spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+    sp = (
+        t.groupBy("subj").agg(F.min("obj").alias("obj"))
+        .where(F.col("subj").rlike(_TAXO_NP_SHAPE))
+    )
+    fwd = F.concat(
+        F.col("subj"), F.lit(' said, "We value '), F.col("obj"),
+        F.lit(' deeply."'),
+    )
+    inv = F.concat(
+        F.lit('"We value '), F.col("obj"), F.lit(' deeply," said '),
+        F.col("subj"), F.lit("."),
+    )
+    use_fwd = (
+        F.conv(F.substring(F.md5("subj"), 1, 2), 16, 10).cast("int") % 2
+        == 0
+    )
+    docs = sp.select(
+        F.concat(F.lit("quote://"), "subj").alias("url"),
+        F.when(use_fwd, fwd).otherwise(inv).alias("text"),
+    )
+    return extract_quotes(docs)
+
+
+_QUOTE_ORACLE = f"""
+WITH sp AS (
+  SELECT subj, min(obj) AS obj
+  FROM '{FIX}/expected_triples_small.parquet'
+  GROUP BY subj
+),
+f AS (
+  SELECT subj, obj,
+    CAST(('0x' || substr(md5(subj), 1, 2)) AS INT) % 2 = 0 AS use_fwd
+  FROM sp
+  WHERE regexp_matches(subj, '{_TAXO_NP_SHAPE}')
+)
+SELECT 'quote://' || subj AS url, subj AS speaker,
+       'We value ' || obj || ' deeply' ||
+         (CASE WHEN use_fwd THEN '.' ELSE '' END) AS quote,
+       CASE WHEN use_fwd THEN 'forward' ELSE 'inverted' END AS shape
+FROM f
+"""
+
+
 _MEASURE_CONTRACT_UNITS = ["cm", "km", "m", "kg", "lb", "%"]
 
 
@@ -2603,9 +2740,6 @@ SELECT 'measure://' || CAST(k % 100 AS VARCHAR) AS url,
     WHEN 'kg' THEN 'kg' WHEN 'lb' THEN 'kg' ELSE 'ratio' END AS unit_si
 FROM p
 """
-
-
-_TAXO_NP_SHAPE = r"^[A-Z][A-Za-z0-9-]*( [A-Z][A-Za-z0-9-]*)*$"
 
 
 def q_kg_hearst_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5918,6 +6052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_time_scope": q_kg_fact_time_scope,
         "kg_hybrid_triples": q_kg_hybrid_triples,
         "kg_person_names": q_kg_person_names,
+        "kg_coord_normalize": q_kg_coord_normalize,
+        "kg_quotes": q_kg_quotes,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
@@ -7513,6 +7649,8 @@ FROM '{FIX}/pages_tiny.parquet'
     d["kg_hybrid_triples"] = _HYBRID_ORACLE
     d["kg_stream_markup"] = _STREAM_MARKUP_ORACLE
     d["kg_person_names"] = _PERSON_ORACLE
+    d["kg_coord_normalize"] = _COORD_ORACLE
+    d["kg_quotes"] = _QUOTE_ORACLE
     d["kg_verbalize"] = (
         "WITH " + _verbalize_oracle_cte()
         + "\nSELECT subj, pred, obj, sentence, templated FROM v"

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "extract_timex", "extract_measures", "MEASURE_UNITS",
-    "fact_time_scope",
+    "fact_time_scope", "extract_coords", "extract_quotes",
 ]
 
 _MONTHS = [
@@ -255,3 +255,91 @@ def fact_time_scope(
             F.col("_b.iso").alias("t_modal"),
         )
     )
+
+
+# degree-notation ("52.52°N 13.40°E") and signed-decimal-pair
+# ("52.5200, -13.4050") coordinate shapes. The decimal pair requires
+# both members to carry a fractional part — two bare integers separated
+# by a comma are usually a list, not a location.
+_COORD_DEG_RE = (
+    r"\b(\d{1,2}(?:\.\d+)?)°([NS])[, ] ?(\d{1,3}(?:\.\d+)?)°([EW])\b"
+)
+_COORD_DEC_RE = r"(-?\d{1,2}\.\d+), (-?\d{1,3}\.\d+)\b"
+
+
+def extract_coords(
+    docs: DataFrame, text_col: str = "text", id_col: str = "url"
+) -> DataFrame:
+    """One row per coordinate mention: (url, surface, lat, lon) —
+    degree-notation hemispheres folded into signs, out-of-range pairs
+    (|lat| > 90, |lon| > 180) dropped as data. Pure map, same shape as
+    the other miners."""
+    deg = F.regexp_extract_all(
+        F.col(text_col), F.lit(_COORD_DEG_RE), F.lit(0)
+    )
+    dec = F.regexp_extract_all(
+        F.col(text_col), F.lit(_COORD_DEC_RE), F.lit(0)
+    )
+    s = F.col("surface")
+    lat_deg = F.regexp_extract(s, _COORD_DEG_RE, 1).cast("double") * F.when(
+        F.regexp_extract(s, _COORD_DEG_RE, 2) == "S", -1.0
+    ).otherwise(1.0)
+    lon_deg = F.regexp_extract(s, _COORD_DEG_RE, 3).cast("double") * F.when(
+        F.regexp_extract(s, _COORD_DEG_RE, 4) == "W", -1.0
+    ).otherwise(1.0)
+    lat_dec = F.regexp_extract(s, _COORD_DEC_RE, 1).cast("double")
+    lon_dec = F.regexp_extract(s, _COORD_DEC_RE, 2).cast("double")
+    is_deg = s.contains("°")
+    out = docs.select(
+        F.col(id_col).alias("url"),
+        F.explode(F.concat(deg, dec)).alias("surface"),
+    ).select(
+        "url", "surface",
+        F.when(is_deg, lat_deg).otherwise(lat_dec).alias("lat"),
+        F.when(is_deg, lon_deg).otherwise(lon_dec).alias("lon"),
+    )
+    return out.where(
+        (F.abs("lat") <= 90.0) & (F.abs("lon") <= 180.0)
+    )
+
+
+# Quotebank-style attribution: '<Speaker> said[,:] "<quote>"' and the
+# inverted '"<quote>," said <Speaker>'. Speaker NP = capitalized token
+# sequence; quotes are double-quoted spans without embedded quotes.
+_NP_RE = r"[A-Z][A-Za-z0-9-]*(?: [A-Z][A-Za-z0-9-]*)*"
+_QUOTE_FWD_RE = rf'\b({_NP_RE}) said[,:]? "([^"]+)"'
+_QUOTE_INV_RE = rf'"([^"]+)," said ({_NP_RE})\b'
+
+
+def extract_quotes(
+    docs: DataFrame, text_col: str = "text", id_col: str = "url"
+) -> DataFrame:
+    """One row per attributed quotation: (url, speaker, quote, shape)
+    with shape ∈ {'forward','inverted'}. The (speaker, said, quote)
+    triple is KG evidence the same way SVO triples are — the Quotebank
+    construction. Pure map: two regexp_extract_all passes per shape
+    (speaker group, quote group) zipped positionally."""
+    outs = []
+    for shape, rx, sg, qg in (
+        ("forward", _QUOTE_FWD_RE, 1, 2),
+        ("inverted", _QUOTE_INV_RE, 2, 1),
+    ):
+        speakers = F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(sg))
+        quotes = F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(qg))
+        matches = F.transform(
+            speakers,
+            lambda sp, i: F.struct(
+                sp.alias("speaker"), F.element_at(quotes, i + 1).alias("q")
+            ),
+        )
+        outs.append(
+            docs.select(
+                F.col(id_col).alias("url"), F.explode(matches).alias("m")
+            ).select(
+                "url",
+                F.col("m.speaker").alias("speaker"),
+                F.col("m.q").alias("quote"),
+                F.lit(shape).alias("shape"),
+            )
+        )
+    return outs[0].unionByName(outs[1])

@@ -136,3 +136,55 @@ class TestFactTimeScope:
         )
         assert "Window" not in p
         assert "CartesianProduct" not in p
+
+
+class TestCoordsQuotes:
+    def test_coords_shapes_and_range_gate(self, spark):
+        from kg.ops.timex import extract_coords
+
+        got = {
+            r.surface: (r.lat, r.lon)
+            for r in extract_coords(
+                _docs(
+                    spark,
+                    "Berlin is at 52.52°N 13.40°E today.",
+                    "Buried at 33.86°S 151.21°E and also -12.04, -77.03.",
+                    "Nonsense 95.00, 10.00 and 10.00, 190.00 dropped.",
+                )
+            ).collect()
+        }
+        assert got == {
+            "52.52°N 13.40°E": (52.52, 13.40),
+            "33.86°S 151.21°E": (-33.86, 151.21),
+            "-12.04, -77.03": (-12.04, -77.03),
+        }
+
+    def test_quotes_both_shapes(self, spark):
+        from kg.ops.timex import extract_quotes
+
+        got = sorted(
+            map(
+                tuple,
+                extract_quotes(
+                    _docs(
+                        spark,
+                        'Ada Lovelace said, "Machines can compose music." '
+                        '"I rather doubt it," said Charles Babbage.',
+                        "No quotes here, just said nothing.",
+                    )
+                ).select("url", "speaker", "quote", "shape").collect(),
+            )
+        )
+        assert got == [
+            ("u0", "Ada Lovelace", "Machines can compose music.", "forward"),
+            ("u0", "Charles Babbage", "I rather doubt it", "inverted"),
+        ]
+
+    def test_miners_pure_map(self, spark):
+        from kg.ops.timex import extract_coords, extract_quotes
+
+        d = _docs(spark, "x")
+        for df in (extract_coords(d), extract_quotes(d)):
+            p = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in p
+            assert "MapInPandas" not in p and "BatchEvalPython" not in p
