@@ -264,7 +264,7 @@ def fact_time_scope(
 _COORD_DEG_RE = (
     r"\b(\d{1,2}(?:\.\d+)?)°([NS])[, ] ?(\d{1,3}(?:\.\d+)?)°([EW])\b"
 )
-_COORD_DEC_RE = r"(-?\d{1,2}\.\d+), (-?\d{1,3}\.\d+)\b"
+_COORD_DEC_RE = r"(?<![\d.-])(-?\d{1,2}\.\d+), (-?\d{1,3}\.\d+)\b"
 
 
 def extract_coords(

@@ -150,6 +150,7 @@ class TestCoordsQuotes:
                     "Berlin is at 52.52°N 13.40°E today.",
                     "Buried at 33.86°S 151.21°E and also -12.04, -77.03.",
                     "Nonsense 95.00, 10.00 and 10.00, 190.00 dropped.",
+                    "Id 152.52, 13.40 must not match its tail digits.",
                 )
             ).collect()
         }
