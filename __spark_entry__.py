@@ -4416,6 +4416,36 @@ def _url_half(u: str) -> int:
     return int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % 2
 
 
+_RULES = [
+    (0, [("?x", "part_of", "?y"), ("?y", "part_of", "?z")],
+     ("?x", "indirect_part", "?z")),
+    (1, [("?x", "ceo_of", "?y"), ("?y", "located_in", "?z")],
+     ("?x", "based_in", "?z")),
+    # recursive: chains on its own round-1 output
+    (2, [("?x", "indirect_part", "?y"), ("?y", "part_of", "?z")],
+     ("?x", "indirect_part", "?z")),
+]
+
+
+def q_kg_rule_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog-lite forward chaining (kg/reason.py apply_rules): three
+    Horn rules — a composition rule (ceo_of ∘ located_in → based_in), a
+    part_of² seed, and a RECURSIVE rule that consumes its own derived
+    predicate — run for 2 bounded rounds with asserted-wins /
+    first-derivation-wins dedup. The oracle unrolls both rounds in SQL:
+    round 1 = the two seed joins anti asserted; round 2 = the recursive
+    join against round-1 output anti everything earlier."""
+    from kg.reason import apply_rules
+
+    facts = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    return apply_rules(facts, _RULES, rounds=2)
+
+
 def q_kg_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style basic graph pattern over the linked facts: CEOs of
     orgs located where they were born (a cyclic 3-atom conjunction).
@@ -6033,6 +6063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_export_labels": q_kg_export_labels,
         "kg_export_roundtrip": q_kg_export_roundtrip,
         "kg_pattern_match": q_kg_pattern_match,
+        "kg_rule_materialize": q_kg_rule_materialize,
         "kg_pattern_optional": q_kg_pattern_optional,
         "kg_fact_merge": q_kg_fact_merge,
         "kg_pronoun_coref": q_kg_pronoun_coref,
@@ -7178,6 +7209,47 @@ WITH dim AS (
 SELECT counts.subj_id, counts.pred, counts.obj_id, n_evidence, n_docs,
        first_seen_us, last_seen_us, sample_urls
 FROM counts JOIN urls USING (subj_id, pred, obj_id)
+""",
+        "kg_rule_materialize": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), cand1 AS (
+  SELECT a.subj_id, 'indirect_part' AS pred, b.obj_id, 0 AS rid
+  FROM t a JOIN t b ON a.obj_id = b.subj_id
+  WHERE a.pred = 'part_of' AND b.pred = 'part_of'
+  UNION ALL
+  SELECT a.subj_id, 'based_in', b.obj_id, 1
+  FROM t a JOIN t b ON a.obj_id = b.subj_id
+  WHERE a.pred = 'ceo_of' AND b.pred = 'located_in'
+), round1 AS (
+  SELECT c.subj_id, c.pred, c.obj_id,
+         CAST(min(rid) AS INT) AS rule_id, 1 AS round
+  FROM cand1 c
+  ANTI JOIN t ON t.subj_id = c.subj_id AND t.pred = c.pred
+             AND t.obj_id = c.obj_id
+  GROUP BY 1, 2, 3
+), cand2 AS (
+  SELECT i.subj_id, 'indirect_part' AS pred, b.obj_id, 2 AS rid
+  FROM round1 i JOIN t b ON i.obj_id = b.subj_id
+  WHERE i.pred = 'indirect_part' AND b.pred = 'part_of'
+), known AS (
+  SELECT subj_id, pred, obj_id FROM t
+  UNION ALL SELECT subj_id, pred, obj_id FROM round1
+), round2 AS (
+  SELECT c.subj_id, c.pred, c.obj_id,
+         CAST(min(rid) AS INT) AS rule_id, 2 AS round
+  FROM cand2 c
+  ANTI JOIN known k ON k.subj_id = c.subj_id AND k.pred = c.pred
+                   AND k.obj_id = c.obj_id
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM round1 UNION ALL SELECT * FROM round2
 """,
         "kg_pattern_match": f"""
 WITH dim AS (

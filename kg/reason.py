@@ -51,6 +51,7 @@ __all__ = [
     "rdfs_types",
     "source_trust",
     "fact_beliefs",
+    "apply_rules",
 ]
 
 _FACT_KEYS = ["subj_id", "pred", "obj_id"]
@@ -776,3 +777,72 @@ def fact_beliefs(
         rounded.alias("belief"),
         (rounded == F.max(rounded).over(w)).alias("is_best"),
     )
+
+
+def apply_rules(
+    facts: DataFrame,
+    rules: list[tuple],
+    rounds: int = 1,
+) -> DataFrame:
+    """Datalog-lite forward chaining: materialize the head triples of
+    Horn rules over the fact table — the generic engine behind the
+    specialized entailments this module already ships (rdfs7 subproperty
+    = a one-atom rule, transitive closure = a recursive two-atom rule);
+    AMIE-style mined rules or hand ontology rules plug in unchanged.
+
+    ``rules``: (rule_id, body, head) with ``body`` a kg.query
+    match_pattern atom list and ``head`` a (subj_term, pred_literal,
+    obj_term) template whose '?var' terms must be bound by the body.
+    ``rounds`` bounds recursion (fixed unroll — same replayability
+    choice as infer_transitive): each round matches every rule against
+    asserted ∪ previously-derived facts, so a rule whose body names a
+    derived predicate chains.
+
+    Dedup semantics: asserted-wins, first-derivation-wins — a triple
+    already present (asserted or derived in an earlier round) is never
+    re-emitted; within a round, ties across rules keep min(rule_id).
+    Returns (subj_id, pred, obj_id, rule_id, round).
+
+    Scale shape: each rule-round is match_pattern's equi-join chain over
+    pred-pruned fact slices + one projection; the new-facts anti-join
+    and the asserted-wins union both key on the full triple. materialize
+    barriers between rounds keep the lineage flat (reliable under a
+    checkpoint dir, kg/session.py).
+    """
+    from kg.query import match_pattern
+
+    def _term(bindings: DataFrame, t, alias: str):
+        if isinstance(t, str) and t.startswith("?"):
+            return F.col(t[1:]).alias(alias)
+        return F.lit(t).alias(alias)
+
+    current = materialize(
+        facts.select("subj_id", "pred", "obj_id").distinct()
+    )
+    out = None
+    for rnd in range(1, rounds + 1):
+        derived = None
+        for rule_id, body, head in rules:
+            b = match_pattern(current, body)
+            s_t, p_lit, o_t = head
+            d = b.select(
+                _term(b, s_t, "subj_id"),
+                F.lit(p_lit).alias("pred"),
+                _term(b, o_t, "obj_id"),
+                F.lit(rule_id).alias("rule_id"),
+            )
+            derived = d if derived is None else derived.unionByName(d)
+        fresh = (
+            derived.join(current, ["subj_id", "pred", "obj_id"], "left_anti")
+            .groupBy("subj_id", "pred", "obj_id")
+            .agg(F.min("rule_id").alias("rule_id"))
+            .withColumn("round", F.lit(rnd))
+        )
+        fresh = materialize(fresh)
+        out = fresh if out is None else out.unionByName(fresh)
+        current = materialize(
+            current.unionByName(
+                fresh.select("subj_id", "pred", "obj_id")
+            )
+        )
+    return out

@@ -510,3 +510,71 @@ class TestSourceTrust:
             map(tuple, source_trust(self._claims(spark, 7), 4).collect())
         )
         assert a == b
+
+
+class TestApplyRules:
+    @staticmethod
+    def _facts(spark, rows):
+        return spark.createDataFrame(
+            rows, "subj_id long, pred string, obj_id long"
+        )
+
+    def test_recursion_and_asserted_wins(self, spark):
+        from kg.reason import apply_rules
+
+        facts = self._facts(
+            spark,
+            [(1, "part_of", 2), (2, "part_of", 3), (3, "part_of", 4),
+             (1, "indirect_part", 3)],  # asserted -> never re-derived
+        )
+        rules = [
+            (0, [("?x", "part_of", "?y"), ("?y", "part_of", "?z")],
+             ("?x", "indirect_part", "?z")),
+            (1, [("?x", "indirect_part", "?y"), ("?y", "part_of", "?z")],
+             ("?x", "indirect_part", "?z")),
+        ]
+        got = {
+            (r.subj_id, r.pred, r.obj_id): (r.rule_id, r["round"])
+            for r in apply_rules(facts, rules, rounds=2).collect()
+        }
+        # (1,3) is asserted -> absent; (2,4) seed; (1,4) arrives round 1
+        # via rule 1 chaining on the ASSERTED indirect_part(1,3)
+        assert got == {
+            (2, "indirect_part", 4): (0, 1),
+            (1, "indirect_part", 4): (1, 1),
+        }
+
+    def test_tie_breaks_min_rule_id(self, spark):
+        from kg.reason import apply_rules
+
+        facts = self._facts(spark, [(1, "a", 2), (2, "b", 3)])
+        rules = [
+            (7, [("?x", "a", "?y"), ("?y", "b", "?z")], ("?x", "c", "?z")),
+            (3, [("?x", "a", "?y"), ("?y", "b", "?z")], ("?x", "c", "?z")),
+        ]
+        rows = apply_rules(facts, rules, rounds=1).collect()
+        assert len(rows) == 1 and rows[0].rule_id == 3
+
+    def test_literal_head_term(self, spark):
+        from kg.reason import apply_rules
+
+        facts = self._facts(spark, [(1, "ceo_of", 2)])
+        rules = [
+            (0, [("?x", "ceo_of", "?y")], ("?x", "has_type", 999)),
+        ]
+        rows = apply_rules(facts, rules, rounds=1).collect()
+        assert [(r.subj_id, r.pred, r.obj_id) for r in rows] == [
+            (1, "has_type", 999)
+        ]
+
+    def test_rounds_bound_recursion(self, spark):
+        from kg.reason import apply_rules
+
+        chain = [(i, "p", i + 1) for i in range(6)]
+        rules = [
+            (0, [("?x", "p", "?y"), ("?y", "p", "?z")], ("?x", "p", "?z")),
+        ]
+        facts = self._facts(spark, chain)
+        n1 = apply_rules(facts, rules, rounds=1).count()
+        n2 = apply_rules(facts, rules, rounds=2).count()
+        assert n2 > n1  # round 2 reaches longer compositions
