@@ -4416,6 +4416,74 @@ def _url_half(u: str) -> int:
     return int(hashlib.md5(u.encode()).hexdigest()[:15], 16) % 2
 
 
+def q_kg_polar_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polarity-aware OpenIE: each golden (subj, pred) pair is
+    verbalized positively or negated (md5-half; per-predicate negation
+    templates — 'did not acquire', 'is not located in', …) and
+    extract_svo_triples_polar must recover the SAME triple with
+    polarity ±1 — negations become clean negative facts instead of the
+    corrupted positives the lazy subject capture would otherwise emit.
+    Oracle recomputes from the construction."""
+    from kg.stages.triples import extract_svo_triples_polar
+
+    t = spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+    m = t.groupBy("subj", "pred").agg(F.min("obj").alias("obj"))
+    pos = {
+        "founded": ("", " founded "),
+        "acquired": ("", " acquired "),
+        "located_in": ("", " is located in "),
+        "works_for": ("", " works for "),
+        "born_in": ("", " was born in "),
+        "ceo_of": ("", " is the CEO of "),
+        "part_of": ("", " is part of "),
+        "produces": ("", " produces "),
+    }
+    neg = {
+        "founded": " never founded ",
+        "acquired": " did not acquire ",
+        "located_in": " is not located in ",
+        "works_for": " does not work for ",
+        "born_in": " was not born in ",
+        "ceo_of": " is not the CEO of ",
+        "part_of": " is not part of ",
+        "produces": " does not produce ",
+    }
+    is_neg = F.substring(F.md5(F.concat_ws("|", "subj", "pred")), 1, 1) < "8"
+    verb_pos = None
+    verb_neg = None
+    for p, (_, vp) in pos.items():
+        c = F.col("pred") == p
+        verb_pos = (
+            F.when(c, F.lit(vp)) if verb_pos is None
+            else verb_pos.when(c, F.lit(vp))
+        )
+        verb_neg = (
+            F.when(c, F.lit(neg[p])) if verb_neg is None
+            else verb_neg.when(c, F.lit(neg[p]))
+        )
+    docs = m.select(
+        F.concat(F.lit("polar://"), "subj", F.lit("/"), "pred").alias("url"),
+        F.concat(
+            F.col("subj"),
+            F.when(is_neg, verb_neg).otherwise(verb_pos),
+            F.col("obj"), F.lit("."),
+        ).alias("text"),
+    )
+    return extract_svo_triples_polar(docs)
+
+
+_POLAR_ORACLE = f"""
+WITH m AS (
+  SELECT subj, pred, min(obj) AS obj
+  FROM '{FIX}/expected_triples_small.parquet' GROUP BY subj, pred
+)
+SELECT 'polar://' || subj || '/' || pred AS url, subj, pred, obj,
+  CAST(CASE WHEN substr(md5(subj || '|' || pred), 1, 1) < '8'
+            THEN -1 ELSE 1 END AS INT) AS polarity
+FROM m
+"""
+
+
 _RULES = [
     (0, [("?x", "part_of", "?y"), ("?y", "part_of", "?z")],
      ("?x", "indirect_part", "?z")),
@@ -6064,6 +6132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_export_roundtrip": q_kg_export_roundtrip,
         "kg_pattern_match": q_kg_pattern_match,
         "kg_rule_materialize": q_kg_rule_materialize,
+        "kg_polar_triples": q_kg_polar_triples,
         "kg_pattern_optional": q_kg_pattern_optional,
         "kg_fact_merge": q_kg_fact_merge,
         "kg_pronoun_coref": q_kg_pronoun_coref,
@@ -7722,6 +7791,7 @@ FROM '{FIX}/pages_tiny.parquet'
     d["kg_stream_markup"] = _STREAM_MARKUP_ORACLE
     d["kg_person_names"] = _PERSON_ORACLE
     d["kg_coord_normalize"] = _COORD_ORACLE
+    d["kg_polar_triples"] = _POLAR_ORACLE
     d["kg_quotes"] = _QUOTE_ORACLE
     d["kg_verbalize"] = (
         "WITH " + _verbalize_oracle_cte()

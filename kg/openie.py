@@ -85,3 +85,74 @@ def extract_triples(text: str, max_arg_words: int = 6) -> list[tuple[str, str, s
                 continue
             out.append((subj, pred, obj))
     return out
+
+
+# Negated verb-phrase shapes per predicate. The POSITIVE patterns' lazy
+# subject capture means "X never acquired Y" would otherwise match with
+# subj = "X never" — a corrupted positive assertion; polarity-aware
+# extraction intercepts the negation FIRST and emits a negative fact the
+# conflict-resolution layer can weigh instead.
+NEGATION_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("founded",
+     re.compile(r"^(.{1,80}?)\s+never\s+founded\s+(.{1,80})$")),
+    ("acquired",
+     re.compile(
+         r"^(.{1,80}?)\s+(?:never\s+acquired|did\s+not\s+acquire)"
+         r"\s+(.{1,80})$")),
+    ("located_in",
+     re.compile(r"^(.{1,80}?)\s+is\s+not\s+located\s+in\s+(.{1,80})$")),
+    ("works_for",
+     re.compile(r"^(.{1,80}?)\s+does\s+not\s+work\s+for\s+(.{1,80})$")),
+    ("born_in",
+     re.compile(r"^(.{1,80}?)\s+was\s+not\s+born\s+in\s+(.{1,80})$")),
+    ("ceo_of",
+     re.compile(r"^(.{1,80}?)\s+is\s+not\s+the\s+CEO\s+of\s+(.{1,80})$")),
+    ("part_of",
+     re.compile(r"^(.{1,80}?)\s+is\s+not\s+part\s+of\s+(.{1,80})$")),
+    ("produces",
+     re.compile(r"^(.{1,80}?)\s+does\s+not\s+produce\s+(.{1,80})$")),
+]
+
+
+def extract_triples_polar(
+    text: str, max_arg_words: int = 6
+) -> list[tuple[str, str, str, int]]:
+    """Polarity-aware variant of :func:`extract_triples`: returns
+    (subj, pred, obj, polarity) with polarity -1 for negated assertions
+    and +1 for positive ones. Negative patterns are tried FIRST per
+    (sentence, predicate); a sentence whose predicate matched negatively
+    is never re-matched positively for that predicate (other predicates
+    in the same sentence still run). The positive arm is byte-identical
+    to extract_triples — on negation-free text the two agree exactly
+    (pinned in tests)."""
+    out: list[tuple[str, str, str, int]] = []
+    for sentence in split_sentences(text):
+        negated: set[str] = set()
+        for pred, rx in NEGATION_PATTERNS:
+            m = rx.match(sentence)
+            if not m:
+                continue
+            subj = _clean_arg(m.group(1))
+            obj = _clean_arg(m.group(2))
+            if not subj or not obj:
+                continue
+            if (len(subj.split()) > max_arg_words
+                    or len(obj.split()) > max_arg_words):
+                continue
+            negated.add(pred)
+            out.append((subj, pred, obj, -1))
+        for pred, rx in PREDICATE_PATTERNS:
+            if pred in negated or _KEYWORDS[pred] not in sentence:
+                continue
+            m = rx.match(sentence)
+            if not m:
+                continue
+            subj = _clean_arg(m.group(1))
+            obj = _clean_arg(m.group(2))
+            if not subj or not obj:
+                continue
+            if (len(subj.split()) > max_arg_words
+                    or len(obj.split()) > max_arg_words):
+                continue
+            out.append((subj, pred, obj, 1))
+    return out

@@ -52,6 +52,32 @@ def extract_svo_triples(docs: DataFrame) -> DataFrame:
     )
 
 
+def _polar_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from kg.openie import extract_triples_polar
+
+    for pdf in batches:
+        rows = []
+        for url, text in zip(pdf["url"], pdf["text"]):
+            for s, p, o, pol in extract_triples_polar(text or ""):
+                rows.append((url, s, p, o, pol))
+        yield pd.DataFrame(
+            rows, columns=["url", "subj", "pred", "obj", "polarity"]
+        )
+
+
+def extract_svo_triples_polar(docs: DataFrame) -> DataFrame:
+    """Polarity-aware SVO extraction: (url, subj, pred, obj, polarity)
+    with polarity -1 for negated assertions (kg/openie.py
+    NEGATION_PATTERNS — tried first, so "X never acquired Y" becomes a
+    clean negative fact instead of a corrupted positive one). Same
+    single-Arrow-pass shape as extract_svo_triples."""
+    return docs.select("url", "text").mapInPandas(
+        _polar_batches,
+        schema="url string, subj string, pred string, obj string,"
+        " polarity int",
+    )
+
+
 def _pages_to_triples_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from kg.textextract import extract_text
 

@@ -94,3 +94,33 @@ def test_annotate_pages_matches_unfused_operators(spark):
     }
     assert fused_tokens == unfused_tokens
     ann.unpersist()
+
+
+class TestPolarExtraction:
+    def test_negations_become_negative_facts(self):
+        from kg.openie import extract_triples, extract_triples_polar
+
+        t = ("Acme never acquired Globex. Acme acquired Initech. "
+             "Bob is not the CEO of Acme. Eve does not work for Globex. "
+             "Initech did not acquire Acme.")
+        got = extract_triples_polar(t)
+        assert got == [
+            ("Acme", "acquired", "Globex", -1),
+            ("Acme", "acquired", "Initech", 1),
+            ("Bob", "ceo_of", "Acme", -1),
+            ("Eve", "works_for", "Globex", -1),
+            ("Initech", "acquired", "Acme", -1),
+        ]
+        # the positive extractor corrupts the first sentence instead
+        assert ("Acme never", "acquired", "Globex") in extract_triples(t)
+
+    def test_positive_arm_agrees_on_negation_free_text(self):
+        from kg import synth
+        from kg.openie import extract_triples, extract_triples_polar
+
+        pages = synth.gen_pages(60, seed=11)
+        for text in pages["text"]:
+            pos = extract_triples(text)
+            polar = extract_triples_polar(text)
+            assert all(p == 1 for *_, p in polar)
+            assert [(s, p, o) for s, p, o, _ in polar] == pos
