@@ -4514,6 +4514,63 @@ def q_kg_rule_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_rules(facts, _RULES, rounds=2)
 
 
+def q_kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style rule mining (kg/reason.py mine_rules) over the linked
+    facts AUGMENTED with planted regularities: works_at asserted for
+    every ceo_of pair (same-template implication, conf 1.0 one way,
+    partial the other — but PCA-conf 1.0 both ways), hq_in asserted for
+    an md5-chosen half of located_in (conf ~0.5 synonym), owned_by
+    asserted as the inverse of every acquired pair (inverse template),
+    and based_in asserted for every ceo_of ∘ located_in composition
+    (chain template). The oracle replays the augmentation and all three
+    template counts (support / body / PCA denominators) in SQL — the
+    confidences are exact integer divisions, so the hash compare pins
+    the scoring arithmetic bit-for-bit."""
+    from kg.reason import mine_rules
+
+    t = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    half = F.substring(
+        F.md5(F.concat_ws("|", "subj_id", "obj_id")), 1, 1
+    ) < "8"
+    planted = (
+        t.where(F.col("pred") == "ceo_of")
+        .select("subj_id", F.lit("works_at").alias("pred"), "obj_id")
+        .unionByName(
+            t.where((F.col("pred") == "located_in") & half).select(
+                "subj_id", F.lit("hq_in").alias("pred"), "obj_id"
+            )
+        )
+        .unionByName(
+            t.where(F.col("pred") == "acquired").select(
+                F.col("obj_id").alias("subj_id"),
+                F.lit("owned_by").alias("pred"),
+                F.col("subj_id").alias("obj_id"),
+            )
+        )
+        .unionByName(
+            t.where(F.col("pred") == "ceo_of")
+            .alias("a")
+            .join(
+                t.where(F.col("pred") == "located_in").alias("b"),
+                F.col("a.obj_id") == F.col("b.subj_id"),
+            )
+            .select(
+                F.col("a.subj_id").alias("subj_id"),
+                F.lit("based_in").alias("pred"),
+                F.col("b.obj_id").alias("obj_id"),
+            )
+        )
+    )
+    return mine_rules(
+        t.unionByName(planted), min_support=3, min_conf=0.25
+    )
+
+
 def q_kg_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style basic graph pattern over the linked facts: CEOs of
     orgs located where they were born (a cyclic 3-atom conjunction).
@@ -6132,6 +6189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_export_roundtrip": q_kg_export_roundtrip,
         "kg_pattern_match": q_kg_pattern_match,
         "kg_rule_materialize": q_kg_rule_materialize,
+        "kg_rule_mining": q_kg_rule_mining,
         "kg_polar_triples": q_kg_polar_triples,
         "kg_pattern_optional": q_kg_pattern_optional,
         "kg_fact_merge": q_kg_fact_merge,
@@ -7319,6 +7377,85 @@ WITH dim AS (
   GROUP BY 1, 2, 3
 )
 SELECT * FROM round1 UNION ALL SELECT * FROM round2
+""",
+        "kg_rule_mining": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), f AS (
+  SELECT DISTINCT subj_id, pred, obj_id FROM (
+    SELECT subj_id, pred, obj_id FROM t
+    UNION ALL
+    SELECT subj_id, 'works_at', obj_id FROM t WHERE pred = 'ceo_of'
+    UNION ALL
+    SELECT subj_id, 'hq_in', obj_id FROM t WHERE pred = 'located_in'
+      AND substr(md5(CAST(subj_id AS VARCHAR) || '|'
+                     || CAST(obj_id AS VARCHAR)), 1, 1) < '8'
+    UNION ALL
+    SELECT obj_id, 'owned_by', subj_id FROM t WHERE pred = 'acquired'
+    UNION ALL
+    SELECT a.subj_id, 'based_in', b.obj_id
+    FROM t a JOIN t b ON a.obj_id = b.subj_id
+    WHERE a.pred = 'ceo_of' AND b.pred = 'located_in'
+  )
+), hx AS (
+  SELECT DISTINCT subj_id, pred FROM f
+), predn AS (
+  SELECT pred, count(*) AS body_n FROM f GROUP BY pred
+), same_sup AS (
+  SELECT a.pred AS body1, b.pred AS head, count(*) AS support
+  FROM f a JOIN f b ON a.subj_id = b.subj_id AND a.obj_id = b.obj_id
+  WHERE a.pred <> b.pred GROUP BY 1, 2
+), same_pca AS (
+  SELECT a.pred AS body1, h.pred AS head, count(*) AS pca_n
+  FROM f a JOIN hx h ON a.subj_id = h.subj_id
+  WHERE a.pred <> h.pred GROUP BY 1, 2
+), inv_sup AS (
+  SELECT a.pred AS body1, b.pred AS head, count(*) AS support
+  FROM f a JOIN f b ON a.subj_id = b.obj_id AND a.obj_id = b.subj_id
+  WHERE a.pred <> b.pred OR a.subj_id <> a.obj_id GROUP BY 1, 2
+), inv_pca AS (
+  SELECT a.pred AS body1, h.pred AS head, count(*) AS pca_n
+  FROM f a JOIN hx h ON a.obj_id = h.subj_id GROUP BY 1, 2
+), bindings AS (
+  SELECT DISTINCT a.pred AS body1, b.pred AS body2,
+         a.subj_id AS x, b.obj_id AS z
+  FROM f a JOIN f b ON a.obj_id = b.subj_id
+), chain_body AS (
+  SELECT body1, body2, count(*) AS body_n FROM bindings GROUP BY 1, 2
+), chain_sup AS (
+  SELECT body1, body2, p.pred AS head, count(*) AS support
+  FROM bindings B JOIN f p ON p.subj_id = B.x AND p.obj_id = B.z
+  GROUP BY 1, 2, 3
+), chain_pca AS (
+  SELECT body1, body2, h.pred AS head, count(*) AS pca_n
+  FROM bindings B JOIN hx h ON h.subj_id = B.x GROUP BY 1, 2, 3
+), scored AS (
+  SELECT 'same' AS template, s.body1, '' AS body2, s.head, s.support,
+         n.body_n, p.pca_n
+  FROM same_sup s JOIN predn n ON n.pred = s.body1
+  JOIN same_pca p ON p.body1 = s.body1 AND p.head = s.head
+  UNION ALL
+  SELECT 'inverse', s.body1, '', s.head, s.support, n.body_n, p.pca_n
+  FROM inv_sup s JOIN predn n ON n.pred = s.body1
+  JOIN inv_pca p ON p.body1 = s.body1 AND p.head = s.head
+  UNION ALL
+  SELECT 'chain', s.body1, s.body2, s.head, s.support, n.body_n, p.pca_n
+  FROM chain_sup s
+  JOIN chain_body n ON n.body1 = s.body1 AND n.body2 = s.body2
+  JOIN chain_pca p ON p.body1 = s.body1 AND p.body2 = s.body2
+                  AND p.head = s.head
+)
+SELECT template, body1, body2, head, support, body_n,
+       CAST(support AS DOUBLE) / body_n AS conf, pca_n,
+       CAST(support AS DOUBLE) / pca_n AS pca_conf
+FROM scored
+WHERE support >= 3 AND CAST(support AS DOUBLE) / body_n >= 0.25
 """,
         "kg_pattern_match": f"""
 WITH dim AS (

@@ -52,6 +52,7 @@ __all__ = [
     "source_trust",
     "fact_beliefs",
     "apply_rules",
+    "mine_rules",
 ]
 
 _FACT_KEYS = ["subj_id", "pred", "obj_id"]
@@ -846,3 +847,189 @@ def apply_rules(
             )
         )
     return out
+
+
+def mine_rules(
+    facts: DataFrame,
+    min_support: int = 2,
+    min_conf: float = 0.0,
+    mid_cap: int = 0,
+) -> DataFrame:
+    """AMIE-style Horn-rule mining over the fact table — the inverse of
+    apply_rules: instead of materializing given rules, discover which
+    rules the KG itself supports, scored with the standard and PCA
+    confidences of Galarraga et al. (AMIE, WWW'13). Three closed-rule
+    templates (the AMIE length-2/3 shapes that matter in practice):
+
+      same:     p(x, y) <- q(x, y)          (implication / sub-relation)
+      inverse:  p(x, y) <- q(y, x)          (inverse relation; q = p
+                                             means symmetry)
+      chain:    p(x, z) <- q(x, y) & r(y, z) (composition)
+
+    Per candidate rule: ``support`` = #distinct head-variable bindings
+    satisfying body AND head; ``body_n`` = #distinct bindings satisfying
+    the body; ``conf`` = support / body_n (closed-world); ``pca_n`` =
+    #body bindings whose head SUBJECT x asserts the head predicate at
+    all, and ``pca_conf`` = support / pca_n — AMIE's partial-completeness
+    denominator, which stops an incomplete KG from punishing good rules.
+    Mined (body..., head) rows feed apply_rules unchanged.
+
+    Scale shape: facts are distinct triples; the same/inverse templates
+    are ONE self-equi-join on the (subj, obj) / (obj, subj) pair key each
+    (never cartesian), and every count is a partial-aggregable groupBy on
+    the small (pred, pred) rule key. The chain template joins on the mid
+    node y — the hub-skew target — so ``mid_cap > 0`` applies the repo's
+    count-then-filter discipline on BOTH sides (drop y whose per-side
+    degree exceeds the cap BEFORE the join, bounding it at
+    y_count * cap^2); contract/oracle runs use mid_cap=0 on a fixture
+    whose degrees are hand-sized. Rule candidates are pred-vocabulary
+    sized (thousands), never corpus sized, so everything after the joins
+    is dim work.
+
+    Returns (template, body1, body2, head, support, body_n, conf,
+    pca_n, pca_conf); body2 = '' for the unary-body templates.
+    """
+    f = facts.select("subj_id", "pred", "obj_id").distinct()
+    f = materialize(f)
+    # (x, p) pairs for the PCA denominator: does x assert p at all?
+    hx = f.select("subj_id", "pred").distinct()
+    pred_n = f.groupBy("pred").agg(F.count("*").alias("body_n"))
+
+    def _score(sup: DataFrame, body_n: DataFrame, pca: DataFrame,
+               template: str, body2: bool) -> DataFrame:
+        keys = ["body1", "body2"] if body2 else ["body1"]
+        out = (
+            sup.join(body_n, keys)
+            .join(pca, keys + ["head"])
+            .select(
+                F.lit(template).alias("template"),
+                F.col("body1"),
+                (F.col("body2") if body2 else F.lit("")).alias("body2"),
+                F.col("head"),
+                F.col("support"),
+                F.col("body_n"),
+                (F.col("support").cast("double") / F.col("body_n"))
+                .alias("conf"),
+                F.col("pca_n"),
+                (F.col("support").cast("double") / F.col("pca_n"))
+                .alias("pca_conf"),
+            )
+        )
+        return out.where(
+            (F.col("support") >= min_support) & (F.col("conf") >= min_conf)
+        )
+
+    a = f.select(
+        F.col("pred").alias("body1"),
+        F.col("subj_id").alias("x"),
+        F.col("obj_id").alias("y"),
+    )
+    # -- same: p(x,y) <- q(x,y), q != p ------------------------------
+    same_sup = (
+        a.join(
+            f.select(
+                F.col("pred").alias("head"),
+                F.col("subj_id").alias("x"),
+                F.col("obj_id").alias("y"),
+            ),
+            ["x", "y"],
+        )
+        .where(F.col("body1") != F.col("head"))
+        .groupBy("body1", "head")
+        .agg(F.count("*").alias("support"))
+    )
+    same_pca = (
+        a.join(
+            hx.select(F.col("pred").alias("head"),
+                      F.col("subj_id").alias("x")),
+            "x",
+        )
+        .where(F.col("body1") != F.col("head"))
+        .groupBy("body1", "head")
+        .agg(F.count("*").alias("pca_n"))
+    )
+    same = _score(same_sup, pred_n.withColumnRenamed("pred", "body1"),
+                  same_pca, "same", body2=False)
+
+    # -- inverse: p(x,y) <- q(y,x); q = p allowed (symmetry) ---------
+    inv_sup = (
+        a.join(
+            f.select(
+                F.col("pred").alias("head"),
+                F.col("subj_id").alias("y"),
+                F.col("obj_id").alias("x"),
+            ),
+            ["x", "y"],
+        )
+        .where(
+            (F.col("body1") != F.col("head")) | (F.col("x") != F.col("y"))
+        )
+        .groupBy("body1", "head")
+        .agg(F.count("*").alias("support"))
+    )
+    # head subject is x = body object -> PCA keys on the body's obj side
+    inv_pca = (
+        a.join(
+            hx.select(F.col("pred").alias("head"),
+                      F.col("subj_id").alias("y")),
+            "y",
+        )
+        .groupBy("body1", "head")
+        .agg(F.count("*").alias("pca_n"))
+    )
+    inverse = _score(inv_sup, pred_n.withColumnRenamed("pred", "body1"),
+                     inv_pca, "inverse", body2=False)
+
+    # -- chain: p(x,z) <- q(x,y) & r(y,z) ----------------------------
+    left = f.select(
+        F.col("pred").alias("body1"),
+        F.col("subj_id").alias("x"),
+        F.col("obj_id").alias("y"),
+    )
+    right = f.select(
+        F.col("pred").alias("body2"),
+        F.col("subj_id").alias("y"),
+        F.col("obj_id").alias("z"),
+    )
+    if mid_cap > 0:
+        l_deg = left.groupBy("y").agg(F.count("*").alias("ld"))
+        r_deg = right.groupBy("y").agg(F.count("*").alias("rd"))
+        keep = (
+            l_deg.join(r_deg, "y")
+            .where((F.col("ld") <= mid_cap) & (F.col("rd") <= mid_cap))
+            .select("y")
+        )
+        left = left.join(F.broadcast(keep), "y")
+        right = right.join(F.broadcast(keep), "y")
+    # distinct head-variable bindings (x, z) per (q, r) — AMIE counts
+    # bindings of the head variables, not body instantiations
+    bindings = materialize(
+        left.join(right, "y").select("body1", "body2", "x", "z").distinct()
+    )
+    chain_body = bindings.groupBy("body1", "body2").agg(
+        F.count("*").alias("body_n")
+    )
+    chain_sup = (
+        bindings.join(
+            f.select(
+                F.col("pred").alias("head"),
+                F.col("subj_id").alias("x"),
+                F.col("obj_id").alias("z"),
+            ),
+            ["x", "z"],
+        )
+        .groupBy("body1", "body2", "head")
+        .agg(F.count("*").alias("support"))
+    )
+    chain_pca = (
+        bindings.join(
+            hx.select(F.col("pred").alias("head"),
+                      F.col("subj_id").alias("x")),
+            "x",
+        )
+        .groupBy("body1", "body2", "head")
+        .agg(F.count("*").alias("pca_n"))
+    )
+    chain = _score(chain_sup, chain_body, chain_pca, "chain", body2=True)
+
+    return same.unionByName(inverse).unionByName(chain)

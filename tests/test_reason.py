@@ -578,3 +578,95 @@ class TestApplyRules:
         n1 = apply_rules(facts, rules, rounds=1).count()
         n2 = apply_rules(facts, rules, rounds=2).count()
         assert n2 > n1  # round 2 reaches longer compositions
+
+
+class TestMineRules:
+    def _facts(self, spark, rows):
+        return spark.createDataFrame(
+            [(int(s), p, int(o)) for s, p, o in rows],
+            "subj_id long, pred string, obj_id long",
+        )
+
+    def _base_rows(self):
+        rows = []
+        ceo = [(1, 10), (2, 20), (3, 30), (4, 40)]
+        for s, o in ceo:
+            rows.append((s, "ceo_of", o))
+            rows.append((s, "works_at", o))
+        rows += [(5, "works_at", 50), (6, "works_at", 60)]
+        for s, o in [(10, 100), (20, 200), (30, 300)]:
+            rows.append((s, "acquired", o))
+            rows.append((o, "owned_by", s))
+        loc = [(10, 7), (20, 8), (30, 9), (40, 7)]
+        for s, o in loc:
+            rows.append((s, "located_in", o))
+        for x, y in ceo:
+            for yy, z in loc:
+                if y == yy:
+                    rows.append((x, "based_in", z))
+        return rows
+
+    def test_planted_rules_mined_with_exact_scores(self, spark):
+        from kg.reason import mine_rules
+
+        out = mine_rules(
+            self._facts(spark, self._base_rows()),
+            min_support=3,
+            min_conf=0.5,
+        )
+        got = {
+            (r.template, r.body1, r.body2, r.head): (
+                r.support, r.body_n, r.conf, r.pca_n, r.pca_conf
+            )
+            for r in out.collect()
+        }
+        # implication: every ceo_of is a works_at (conf 1.0)
+        assert got[("same", "ceo_of", "", "works_at")] == (4, 4, 1.0, 4, 1.0)
+        # reverse direction: 4/6 std conf, but PCA lifts to 1.0 — the two
+        # works_at-only subjects (5, 6) assert NO ceo_of fact at all, so
+        # the partial-completeness denominator excludes them
+        assert got[("same", "works_at", "", "ceo_of")] == (
+            4, 6, 4 / 6, 4, 1.0
+        )
+        # inverse template both directions at conf 1.0
+        assert got[("inverse", "acquired", "", "owned_by")][2] == 1.0
+        assert got[("inverse", "owned_by", "", "acquired")][2] == 1.0
+        # chain: based_in <- ceo_of & located_in, conf 1.0
+        assert got[("chain", "ceo_of", "located_in", "based_in")] == (
+            4, 4, 1.0, 4, 1.0
+        )
+
+    def test_min_support_and_conf_gates(self, spark):
+        from kg.reason import mine_rules
+
+        facts = self._facts(spark, self._base_rows())
+        strict = mine_rules(facts, min_support=5, min_conf=0.5)
+        assert strict.where(
+            (F.col("template") == "same") & (F.col("head") == "works_at")
+        ).count() == 0  # support 4 < 5
+
+    def test_mid_cap_drops_hub_chains(self, spark):
+        from kg.reason import mine_rules
+
+        # hub node 99: 10 in-edges x 10 out-edges through one mid node
+        rows = [(i, "a", 99) for i in range(10)]
+        rows += [(99, "b", 100 + i) for i in range(10)]
+        rows += [(i, "c", 100 + i) for i in range(10)]
+        facts = self._facts(spark, rows)
+        uncapped = mine_rules(facts, min_support=1, min_conf=0.0)
+        capped = mine_rules(facts, min_support=1, min_conf=0.0, mid_cap=5)
+        u = {
+            (r.template, r.body1, r.body2, r.head)
+            for r in uncapped.collect()
+        }
+        c = {
+            (r.template, r.body1, r.body2, r.head)
+            for r in capped.collect()
+        }
+        assert ("chain", "a", "b", "c") in u
+        # every chain candidate routes through the capped hub -> gone
+        assert not {k for k in c if k[0] == "chain"}
+        # non-chain templates unaffected by the cap
+        assert {k for k in u if k[0] != "chain"} == {
+            k for k in c if k[0] != "chain"
+        }
