@@ -2834,6 +2834,82 @@ FROM agg
 """
 
 
+def q_kg_abbreviations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schwartz–Hearst-style abbreviation mining roundtrip
+    (kg/ops/abbrev.py): multiword gazetteer surfaces are verbalized as
+    "The {value} ({ABBR}) was mentioned." bucket docs, where an
+    md5-chosen half carries the CORRECT initialism and the other half a
+    corrupted one (first letter swapped to Z) that the strict-initialism
+    validation must reject; an md5 sub-half repeats its sentence for
+    n_refs evidence. The oracle computes the expected alias rows
+    directly from the gazetteer — mined == expected proves both the
+    window-regex capture and the initials gate."""
+    from kg.ops.abbrev import abbrev_aliases
+
+    shape = r"^[A-Za-z][A-Za-z0-9&-]*( [A-Za-z][A-Za-z0-9&-]*){1,5}$"
+    vals = (
+        spark.read.parquet(f"{FIX}/gazetteer.parquet")
+        .where(F.col("value").rlike(shape))
+        .groupBy(F.lower("value").alias("long_norm"))
+        .agg(F.min("value").alias("value"))
+    )
+    initials = F.upper(
+        F.array_join(
+            F.transform(
+                F.split("value", " "), lambda w: F.substring(w, 1, 1)
+            ),
+            "",
+        )
+    )
+    v = vals.withColumn("initials", initials).where(
+        F.substring("initials", 1, 1) != "Z"
+    )
+    good = F.substring(F.md5("value"), 1, 1) >= "8"
+    twice = F.substring(F.md5("value"), 3, 1) < "8"
+    abbr_used = F.when(good, F.col("initials")).otherwise(
+        F.concat(F.lit("Z"), F.expr("substring(initials, 2)"))
+    )
+    sent = F.concat(
+        F.lit("The "), F.col("value"), F.lit(" ("), abbr_used,
+        F.lit(") was mentioned."),
+    )
+    docs = (
+        v.select(
+            F.substring(F.md5("value"), 2, 1).alias("b"),
+            F.when(twice, F.concat(sent, F.lit(" "), sent))
+            .otherwise(sent)
+            .alias("s"),
+        )
+        .groupBy("b")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_list("s"))).alias("text"))
+        .select(F.concat(F.lit("abbrev://"), "b").alias("url"), "text")
+    )
+    return abbrev_aliases(docs)
+
+
+_ABBREV_ORACLE = f"""
+WITH vals AS (
+  SELECT lower(value) AS long_norm, min(value) AS value
+  FROM '{FIX}/gazetteer.parquet'
+  WHERE regexp_matches(value,
+    '^[A-Za-z][A-Za-z0-9&-]*( [A-Za-z][A-Za-z0-9&-]*){{1,5}}$')
+  GROUP BY 1
+), w AS (
+  SELECT long_norm, value,
+         upper(array_to_string(list_transform(
+           string_split(value, ' '), x -> x[1]), '')) AS initials
+  FROM vals
+)
+SELECT initials AS abbr, long_norm, value AS long_form,
+       CAST(CASE WHEN substr(md5(value), 3, 1) < '8'
+                 THEN 2 ELSE 1 END AS BIGINT) AS n_refs,
+       CAST(1 AS BIGINT) AS n_docs
+FROM w
+WHERE substr(initials, 1, 1) <> 'Z'
+  AND substr(md5(value), 1, 1) >= '8'
+"""
+
+
 def q_kg_verbalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG→text linearization (KELM/TEKGEN-style) of the distinct triple
     golden: template sentences for the 8 schema predicates, generic
@@ -6203,6 +6279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_descriptions": q_kg_entity_descriptions,
         "kg_predicate_canon": q_kg_predicate_canon,
         "kg_hearst_taxonomy": q_kg_hearst_taxonomy,
+        "kg_abbreviations": q_kg_abbreviations,
         "kg_record_linkage": q_kg_record_linkage,
         "kg_fs_em": q_kg_fs_em,
         "kg_timex_normalize": q_kg_timex_normalize,
@@ -7919,6 +7996,7 @@ FROM '{FIX}/pages_tiny.parquet'
 """
     d["kg_predicate_canon"] = _predicate_canon_oracle_sql(PREDC_ROUNDS)
     d["kg_hearst_taxonomy"] = _TAXO_ORACLE
+    d["kg_abbreviations"] = _ABBREV_ORACLE
     d["kg_record_linkage"] = _FS_ORACLE
     d["kg_fs_em"] = _fs_em_oracle_sql(_FS_EM_ITERS)
     d["kg_timex_normalize"] = _TIMEX_ORACLE
