@@ -2365,6 +2365,75 @@ FROM agg a JOIN modal m USING (subj, pred, obj)
 """
 
 
+def q_web_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-channel metadata extraction (kg/ops/structured.py
+    page_meta_triples): each tiny-fixture page gets a description meta,
+    an og:title meta, two decoy tags (charset-only, empty-content) and —
+    for an md5-chosen half — a rel=canonical link injected before
+    </head>; the extractor must return the pages' real <title>s plus
+    exactly the injected key/value rows and drop both decoys. The oracle
+    replays the title regex over the untouched fixture html and computes
+    the injected rows arithmetically from url md5."""
+    from kg.ops.structured import page_meta_triples
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    d8 = F.substring(F.md5("url"), 1, 8)
+    has_canon = F.substring(F.md5("url"), 9, 1) < "8"
+    inject = F.concat(
+        F.lit('<meta charset="utf-8">'),
+        F.lit('<meta name="nodesc" content="">'),
+        F.lit('<meta name="description" content="Desc '),
+        d8,
+        F.lit('"><meta property="og:title" content="OG '),
+        d8,
+        F.lit('">'),
+        F.when(
+            has_canon,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://canon.example/'),
+                F.substring(F.md5("url"), 10, 6),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages2 = pages.select(
+        "url",
+        F.encode(
+            F.regexp_replace(
+                F.decode("html", "UTF-8"),
+                "</head>",
+                F.concat(inject, F.lit("</head>")),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return page_meta_triples(pages2)
+
+
+_PAGE_META_ORACLE = f"""
+WITH p AS (
+  SELECT url, decode(html) AS h, md5(url) AS m
+  FROM '{FIX}/pages_tiny.parquet'
+), titles AS (
+  SELECT url, 'title' AS pred,
+         trim(regexp_extract(h, '(?is)<title[^>]*>([^<]*)</title>', 1))
+           AS obj
+  FROM p
+  WHERE trim(regexp_extract(h, '(?is)<title[^>]*>([^<]*)</title>', 1))
+        <> ''
+)
+SELECT url, pred, obj FROM titles
+UNION ALL
+SELECT url, 'description', 'Desc ' || substr(m, 1, 8) FROM p
+UNION ALL
+SELECT url, 'og:title', 'OG ' || substr(m, 1, 8) FROM p
+UNION ALL
+SELECT url, 'canonical',
+       'https://canon.example/' || substr(m, 10, 6)
+FROM p WHERE substr(m, 9, 1) < '8'
+"""
+
+
 def q_kg_hybrid_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid prose+markup extraction over one corpus: each tiny-fixture
     page gets a JSON-LD block per subject injected before </body>
@@ -6241,6 +6310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_graph": q_web_link_graph,
         "web_page_rank": q_web_page_rank,
         "web_jsonld_triples": q_web_jsonld_triples,
+        "web_page_meta": q_web_page_meta,
         "web_table_triples": q_web_table_triples,
         "web_table_schema_match": q_web_table_schema_match,
         "web_anchor_index": q_web_anchor_index,
@@ -6526,6 +6596,7 @@ FROM links GROUP BY 1, 2
 """,
         "web_page_rank": _web_pagerank_oracle_sql(WEBPR_ITERS),
         "web_jsonld_triples": _JSONLD_ORACLE,
+        "web_page_meta": _PAGE_META_ORACLE,
         "web_table_triples": _TABLE_ORACLE,
         "web_table_schema_match": _SCHEMA_MATCH_ORACLE,
         "web_anchor_index": _weblinks_oracle_cte(

@@ -36,6 +36,8 @@ __all__ = [
     "extract_html_tables",
     "table_triples",
     "match_table_schema",
+    "page_metadata",
+    "page_meta_triples",
 ]
 
 # Non-greedy, DOTALL: scripts can span lines; content is captured verbatim
@@ -317,3 +319,90 @@ def match_table_schema(
         .where(key == F.col("_b"))
         .select("url", "table_idx", "header", "kg_pred", "n_overlap")
     )
+
+
+# --- page metadata (WAT-style head channel) -------------------------
+
+_TITLE_RE = r"(?is)<title[^>]*>([^<]*)</title>"
+_META_TAG_RE = r"(?is)<meta\s[^>]*?>"
+_META_KEY_RE = r'(?i)(?:name|property)="([^"]*)"'
+_META_CONTENT_RE = r'(?i)content="([^"]*)"'
+_CANON_TAG_RE = r'(?is)<link\s[^>]*?rel="canonical"[^>]*?>'
+_HREF_RE = r'(?i)href="([^"]*)"'
+
+
+def _meta_kv(html_str: Column) -> Column:
+    """Array of (k, v) structs for every <meta name|property= content=>
+    tag (double-quoted attributes, any attribute order); tags missing
+    either half carry '' and are filtered by the callers."""
+    tags = F.regexp_extract_all(html_str, F.lit(_META_TAG_RE), F.lit(0))
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.lower(F.regexp_extract(t, _META_KEY_RE, 1)).alias("k"),
+            F.regexp_extract(t, _META_CONTENT_RE, 1).alias("v"),
+        ),
+    )
+
+
+def page_metadata(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per page: (url, title, description, canonical) — the
+    head-channel fields a crawl index keeps for every page (WAT records
+    in Common-Crawl terms). Missing fields are NULL, never ''. Pure map:
+    decode + regexp extracts, no shuffle, no Python; ``F.get`` (not
+    element_at) keeps the lookups null-safe under ANSI mode.
+
+    Scope: double-quoted attribute values (the overwhelmingly dominant
+    form in real markup and everything the synth corpus emits);
+    single-quoted attributes are a documented non-goal, same disposition
+    as kg/ops/weblinks.py href extraction.
+    """
+    h = F.decode(F.col(html_col), "UTF-8")
+    kv = _meta_kv(h)
+    desc = F.get(F.filter(kv, lambda s: s["k"] == "description"), 0)["v"]
+    canon_tag = F.regexp_extract(h, _CANON_TAG_RE, 0)
+    canon = F.regexp_extract(canon_tag, _HREF_RE, 1)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.nullif(F.trim(F.regexp_extract(h, _TITLE_RE, 1)), F.lit(""))
+        .alias("title"),
+        F.nullif(desc, F.lit("")).alias("description"),
+        F.nullif(canon, F.lit("")).alias("canonical"),
+    )
+
+
+def page_meta_triples(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Page-level metadata as (url, pred, obj) fact rows: 'title' and
+    'canonical' plus one row per <meta name|property= content=> tag with
+    pred = the lower-cased key ('description', 'og:title', …). Tags with
+    an empty key or empty content are dropped (charset/http-equiv tags
+    carry no name/property). Pure map; the output joins the same fact
+    rollups the markup triples feed."""
+    h = F.decode(F.col(html_col), "UTF-8")
+    kv = F.filter(
+        _meta_kv(h), lambda s: (s["k"] != "") & (s["v"] != "")
+    )
+    title = F.trim(F.regexp_extract(h, _TITLE_RE, 1))
+    canon = F.regexp_extract(
+        F.regexp_extract(h, _CANON_TAG_RE, 0), _HREF_RE, 1
+    )
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        title.alias("_title"),
+        canon.alias("_canon"),
+        kv.alias("_kv"),
+    )
+    titles = base.where(F.col("_title") != "").select(
+        "url", F.lit("title").alias("pred"), F.col("_title").alias("obj")
+    )
+    canons = base.where(F.col("_canon") != "").select(
+        "url", F.lit("canonical").alias("pred"), F.col("_canon").alias("obj")
+    )
+    metas = base.select("url", F.explode("_kv").alias("m")).select(
+        "url", F.col("m.k").alias("pred"), F.col("m.v").alias("obj")
+    )
+    return titles.unionByName(canons).unionByName(metas)

@@ -299,3 +299,60 @@ class TestMarkupPipelineStage:
             "/root/repo/fixtures/expected_triples_tiny.parquet"
         )
         assert t.where("subj != 'MarkCo'").count() == golden.count()
+
+
+class TestPageMetadata:
+    def _pages(self, spark):
+        h1 = (
+            '<html><head><title> My Page </title>'
+            '<meta charset="utf-8">'
+            '<meta name="description" content="A page about things">'
+            '<meta property="og:title" content="OG My Page">'
+            '<meta content="reversed-order" name="keywords">'
+            '<meta name="empty-content" content="">'
+            '<link rel="stylesheet" href="/s.css">'
+            '<link rel="canonical" href="https://ex.com/a">'
+            '</head><body>hi</body></html>'
+        ).encode()
+        h2 = b"<html><head></head><body>no head fields</body></html>"
+        return spark.createDataFrame(
+            [("u1", bytearray(h1)), ("u2", bytearray(h2))],
+            "url string, html binary",
+        )
+
+    def test_page_metadata_fields(self, spark):
+        from kg.ops.structured import page_metadata
+
+        rows = {r.url: r for r in page_metadata(self._pages(spark)).collect()}
+        assert rows["u1"].title == "My Page"  # trimmed
+        assert rows["u1"].description == "A page about things"
+        assert rows["u1"].canonical == "https://ex.com/a"
+        # absent fields are NULL, never ''
+        assert rows["u2"].title is None
+        assert rows["u2"].description is None
+        assert rows["u2"].canonical is None
+
+    def test_page_meta_triples_rows_and_decoys(self, spark):
+        from kg.ops.structured import page_meta_triples
+
+        got = {
+            (r.url, r.pred, r.obj)
+            for r in page_meta_triples(self._pages(spark)).collect()
+        }
+        assert got == {
+            ("u1", "title", "My Page"),
+            ("u1", "description", "A page about things"),
+            ("u1", "og:title", "OG My Page"),
+            ("u1", "keywords", "reversed-order"),  # attr order reversed
+            ("u1", "canonical", "https://ex.com/a"),
+        }
+
+    def test_plan_is_jvm_only(self, spark):
+        from kg.ops.structured import page_meta_triples
+
+        p = (
+            page_meta_triples(self._pages(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in p
