@@ -610,6 +610,79 @@ FRONTIER_URLS: list[str] = [
 ]
 
 
+def q_web_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol parsing roundtrip (kg/ops/weblinks.py
+    parse_sitemaps): orders become <url> entries (an md5-chosen half
+    carrying <lastmod> = o_orderdate) bucketed into 50 sitemap docs,
+    each doc also carrying one <sitemap> child-index entry; the parser
+    must return every entry with kind/loc/lastmod_iso intact. The
+    oracle recomputes the expected rows directly from orders — a green
+    hash pins block splitting, loc trimming, and the lastmod
+    day-truncation together."""
+    from kg.ops.weblinks import parse_sitemaps
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderdate").alias("d")
+    )
+    b = (F.col("k") % 50).cast("string")
+    has_lm = F.substring(F.md5(F.col("k").cast("string")), 1, 1) < "8"
+    entry = F.concat(
+        F.lit("<url><loc> https://shop.example/item/"),
+        F.col("k").cast("string"),
+        F.lit(" </loc>"),
+        F.when(
+            has_lm,
+            F.concat(
+                F.lit("<lastmod>"),
+                F.date_format("d", "yyyy-MM-dd"),
+                F.lit("T00:00:00Z</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    docs = (
+        o.groupBy(b.alias("b"))
+        .agg(
+            F.concat_ws("", F.sort_array(F.collect_list(entry))).alias("es")
+        )
+        .select(
+            F.concat(
+                F.lit("https://shop.example/sitemap-"), "b", F.lit(".xml")
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit("<urlset>"),
+                F.col("es"),
+                F.lit("</urlset><sitemapindex><sitemap>"
+                      "<loc>https://shop.example/sm/"),
+                F.col("b"),
+                F.lit(".xml</loc></sitemap></sitemapindex>"),
+            ).alias("xml"),
+        )
+    )
+    return parse_sitemaps(docs)
+
+
+_SITEMAP_ORACLE = """
+SELECT 'https://shop.example/sitemap-' || CAST(o_orderkey % 50 AS VARCHAR)
+         || '.xml' AS sitemap_url,
+       'url' AS kind,
+       'https://shop.example/item/' || CAST(o_orderkey AS VARCHAR) AS loc,
+       CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+            THEN strftime(o_orderdate, '%Y-%m-%d') ELSE '' END
+         AS lastmod_iso
+FROM orders
+UNION ALL
+SELECT DISTINCT
+       'https://shop.example/sitemap-' || CAST(o_orderkey % 50 AS VARCHAR)
+         || '.xml',
+       'sitemap',
+       'https://shop.example/sm/' || CAST(o_orderkey % 50 AS VARCHAR)
+         || '.xml',
+       ''
+FROM orders
+"""
+
+
 def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots.txt politeness gate (kg/ops/weblinks.py robots_rules +
     robots_filter_frontier): window-based REP group parse, then ONE
@@ -6317,6 +6390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl_frontier": q_web_crawl_frontier,
         "web_url_templates": q_web_url_templates,
         "web_robots_filter": q_web_robots_filter,
+        "web_sitemaps": q_web_sitemaps,
         "graph_harmonic": q_graph_harmonic,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
@@ -8169,6 +8243,7 @@ FROM deg LEFT JOIN pern ON deg.node = pern.node
     )
     d["web_url_templates"] = _url_templates_oracle_sql()
     d["web_robots_filter"] = _robots_filter_oracle_sql()
+    d["web_sitemaps"] = _SITEMAP_ORACLE
     d["graph_sssp"] = _sssp_oracle_sql(SSSP_ROUNDS)
     d["graph_ppr"] = _ppr_oracle_sql(PPR_ITERS)
     d["graph_pagerank_weighted"] = _pagerank_weighted_oracle_sql(PRW_ITERS)

@@ -44,6 +44,8 @@ __all__ = [
     "aggregate_host_graph",
     "anchor_text_index",
     "robots_rules",
+    "parse_sitemaps",
+    "sitemap_frontier",
     "robots_filter_frontier",
     "HREF_RE",
     "HOST_RE",
@@ -391,3 +393,98 @@ def robots_filter_frontier(
         & fr["_path"].startswith(r["_prefix"]),
         "left_anti",
     ).drop("_host", "_path")
+
+
+# --- sitemaps ---------------------------------------------------------
+
+_SITEMAP_URL_BLOCK_RE = r"(?is)<url>(.*?)</url>"
+_SITEMAP_IDX_BLOCK_RE = r"(?is)<sitemap>(.*?)</sitemap>"
+_LOC_RE = r"(?is)<loc>\s*([^<]*?)\s*</loc>"
+_LASTMOD_RE = r"(?is)<lastmod>\s*([^<]*?)\s*</lastmod>"
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    id_col: str = "sitemap_url",
+) -> DataFrame:
+    """Sitemap-protocol parse (sitemaps.org XML): one row per <url> or
+    <sitemap> entry — (sitemap_url, kind 'url'|'sitemap', loc,
+    lastmod_iso). ``kind='sitemap'`` rows are index entries pointing at
+    child sitemaps (the caller fetches and feeds them back — the
+    protocol's recursion lives in the crawl loop, not the parser).
+    ``lastmod_iso`` is the entry's <lastmod> truncated to the ISO day
+    ('' when absent — empty string, not NULL, so downstream hash
+    compares never coerce). Entries without a <loc> are dropped as data.
+
+    Pure map: two regexp_extract_all block passes + per-block field
+    extracts, all inside one projection — no shuffle, no Python; the
+    10^6-entry sitemaps big hosts publish stay one row in, bounded rows
+    out, exactly like the page→links explode."""
+    x = F.col(xml_col)
+
+    def entries(block_re: str, kind: str) -> Column:
+        blocks = F.regexp_extract_all(x, F.lit(block_re), F.lit(1))
+        return F.transform(
+            blocks,
+            lambda b: F.struct(
+                F.lit(kind).alias("kind"),
+                F.regexp_extract(b, _LOC_RE, 1).alias("loc"),
+                F.substring(
+                    F.regexp_extract(b, _LASTMOD_RE, 1), 1, 10
+                ).alias("lastmod_iso"),
+            ),
+        )
+
+    both = F.concat(
+        entries(_SITEMAP_URL_BLOCK_RE, "url"),
+        entries(_SITEMAP_IDX_BLOCK_RE, "sitemap"),
+    )
+    return (
+        sitemaps.select(
+            F.col(id_col).alias("sitemap_url"), F.explode(both).alias("e")
+        )
+        .select(
+            "sitemap_url",
+            F.col("e.kind").alias("kind"),
+            F.col("e.loc").alias("loc"),
+            F.col("e.lastmod_iso").alias("lastmod_iso"),
+        )
+        .where(F.col("loc") != "")
+    )
+
+
+def sitemap_frontier(
+    sitemaps: DataFrame,
+    fetched: DataFrame,
+    xml_col: str = "xml",
+    id_col: str = "sitemap_url",
+    fetched_url_col: str = "url",
+) -> DataFrame:
+    """Crawl-frontier candidates from sitemaps: parse → normalize each
+    loc (kg/ops/webnorm.py rules, so sitemap urls and crawled urls meet
+    on the same key) → drop everything already fetched → one row per
+    new normalized url with (n_sitemaps, lastmod_iso = max over
+    asserting entries — recency is the scheduling signal).
+
+    Scale shape: the parse is a pure map; fetched-set subtraction is ONE
+    left-anti join on the normalized key (broadcast when the fetched dim
+    is small, shuffle-hash under AQE when it is corpus-sized); the
+    rollup is one partial-aggable groupBy. Child-sitemap index rows are
+    excluded — they are fetch work, not page frontier."""
+    from kg.ops.webnorm import normalize_urls
+
+    parsed = parse_sitemaps(sitemaps, xml_col, id_col)
+    urls = normalize_urls(
+        parsed.where(F.col("kind") == "url").select(
+            "sitemap_url", F.col("loc").alias("url"), "lastmod_iso"
+        )
+    )
+    fetched_norm = normalize_urls(
+        fetched.select(F.col(fetched_url_col).alias("url"))
+    ).select("url_norm").distinct()
+    fresh = urls.join(fetched_norm, "url_norm", "left_anti")
+    return fresh.groupBy("url_norm", "host").agg(
+        F.countDistinct("sitemap_url").alias("n_sitemaps"),
+        F.max("lastmod_iso").alias("lastmod_iso"),
+    )

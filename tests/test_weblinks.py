@@ -420,3 +420,70 @@ class TestUrlTemplates:
         )
         got = [r["template"] for r in url_templates(df, min_count=2).collect()]
         assert got == ["h.test/a/{n}"]
+
+
+class TestSitemaps:
+    def _sitemaps(self, spark):
+        xml1 = (
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc> https://ex.com/a </loc>"
+            "<lastmod>2024-01-05T10:00:00Z</lastmod></url>"
+            "<url><loc>https://ex.com/b?utm_source=x</loc></url>"
+            "<url><lastmod>2024-01-01</lastmod></url>"
+            "</urlset>"
+        )
+        xml2 = (
+            "<sitemapindex><sitemap>"
+            "<loc>https://ex.com/sitemap2.xml</loc>"
+            "<lastmod>2024-02-01</lastmod>"
+            "</sitemap></sitemapindex>"
+        )
+        return spark.createDataFrame(
+            [
+                ("https://ex.com/sitemap.xml", xml1),
+                ("https://ex.com/sitemap_index.xml", xml2),
+            ],
+            "sitemap_url string, xml string",
+        )
+
+    def test_parse_blocks_fields_and_dropped_entries(self, spark):
+        from kg.ops.weblinks import parse_sitemaps
+
+        got = {
+            (r.sitemap_url, r.kind, r.loc, r.lastmod_iso)
+            for r in parse_sitemaps(self._sitemaps(spark)).collect()
+        }
+        assert got == {
+            # loc whitespace trimmed, lastmod truncated to the ISO day
+            ("https://ex.com/sitemap.xml", "url", "https://ex.com/a",
+             "2024-01-05"),
+            # absent lastmod -> '' (never NULL)
+            ("https://ex.com/sitemap.xml", "url",
+             "https://ex.com/b?utm_source=x", ""),
+            # index entries kept with kind='sitemap'; loc-less entry gone
+            ("https://ex.com/sitemap_index.xml", "sitemap",
+             "https://ex.com/sitemap2.xml", "2024-02-01"),
+        }
+
+    def test_frontier_normalizes_and_subtracts_fetched(self, spark):
+        from kg.ops.weblinks import sitemap_frontier
+
+        fetched = spark.createDataFrame(
+            [("https://ex.com/a",)], "url string"
+        )
+        rows = sitemap_frontier(self._sitemaps(spark), fetched).collect()
+        # /a is fetched; /b survives with tracking param normalized away;
+        # the child-sitemap index entry is fetch work, not frontier
+        assert [(r.url_norm, r.host, r.n_sitemaps) for r in rows] == [
+            ("https://ex.com/b", "ex.com", 1)
+        ]
+
+    def test_parse_plan_is_jvm_only(self, spark):
+        from kg.ops.weblinks import parse_sitemaps
+
+        p = (
+            parse_sitemaps(self._sitemaps(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in p
