@@ -610,6 +610,67 @@ FRONTIER_URLS: list[str] = [
 ]
 
 
+def q_web_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical cluster resolution (kg/ops/webnorm.py
+    canonical_clusters = page_metadata ∘ resolve_redirects): tiny pages
+    are md5-ranked and chained in groups of four — each non-base page
+    declares the previous rank's url canonical — so every page must
+    resolve to its group base with hops = its offset. The oracle
+    computes the group arithmetic directly (a different algorithm than
+    the pointer doubling it checks)."""
+    from kg.ops.webnorm import canonical_clusters
+    from pyspark.sql.window import Window
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    ranked = pages.select(
+        "url", "html",
+        F.row_number().over(Window.orderBy(F.md5("url"))).alias("r"),
+    )
+    prev = ranked.select(
+        (F.col("r") + 1).alias("r"), F.col("url").alias("prev_url")
+    )
+    pages2 = (
+        ranked.join(prev, "r", "left")
+        .withColumn(
+            "link",
+            F.when(
+                (F.col("r") - 1) % 4 != 0,
+                F.concat(
+                    F.lit('<link rel="canonical" href="'),
+                    F.col("prev_url"),
+                    F.lit('">'),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        .select(
+            "url",
+            F.encode(
+                F.regexp_replace(
+                    F.decode("html", "UTF-8"),
+                    "</head>",
+                    F.concat(F.col("link"), F.lit("</head>")),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+    )
+    return canonical_clusters(pages2)
+
+
+_CANON_CLUSTERS_ORACLE = f"""
+WITH p AS (
+  SELECT url, row_number() OVER (ORDER BY md5(url)) AS r
+  FROM '{FIX}/pages_tiny.parquet'
+), b AS (
+  SELECT url, r, ((r - 1) // 4) * 4 + 1 AS br, (r - 1) % 4 AS hops
+  FROM p
+)
+SELECT b.url AS url_norm, t.url AS canonical_norm,
+       CAST(b.hops AS BIGINT) AS hops, true AS resolved
+FROM b JOIN p t ON t.r = b.br
+"""
+
+
 def q_web_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-protocol parsing roundtrip (kg/ops/weblinks.py
     parse_sitemaps): orders become <url> entries (an md5-chosen half
@@ -6391,6 +6452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_templates": q_web_url_templates,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemaps": q_web_sitemaps,
+        "web_canonical_clusters": q_web_canonical_clusters,
         "graph_harmonic": q_graph_harmonic,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
@@ -8244,6 +8306,7 @@ FROM deg LEFT JOIN pern ON deg.node = pern.node
     d["web_url_templates"] = _url_templates_oracle_sql()
     d["web_robots_filter"] = _robots_filter_oracle_sql()
     d["web_sitemaps"] = _SITEMAP_ORACLE
+    d["web_canonical_clusters"] = _CANON_CLUSTERS_ORACLE
     d["graph_sssp"] = _sssp_oracle_sql(SSSP_ROUNDS)
     d["graph_ppr"] = _ppr_oracle_sql(PPR_ITERS)
     d["graph_pagerank_weighted"] = _pagerank_weighted_oracle_sql(PRW_ITERS)

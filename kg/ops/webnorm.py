@@ -26,6 +26,7 @@ __all__ = [
     "normalize_urls",
     "resolve_redirects",
     "url_templates",
+    "canonical_clusters",
     "TRACKING_PARAM_RE",
 ]
 
@@ -204,4 +205,56 @@ def url_templates(
             F.min("_url").alias("sample_url"),
         )
         .where(F.col("n_urls") >= int(min_count))
+    )
+
+
+def canonical_clusters(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_hops: int = 8,
+) -> DataFrame:
+    """rel=canonical dedup clustering: pages declaring a canonical link
+    collapse onto their terminal representative — the markup-declared
+    twin of redirect resolution, and the third leg of URL identity
+    (normalize → redirects → canonical). One row per page:
+    (url_norm, canonical_norm, hops, resolved); pages without a
+    canonical pointer are their own representative (hops 0). Chains
+    (A→B, B→C) resolve through :func:`resolve_redirects`'s pointer
+    doubling; cycles come back resolved=false with the page itself as a
+    safe fallback representative.
+
+    Scale shape: head-channel extraction is the pure-map
+    page_metadata pass; canonical edges are a few % of the crawl, so
+    the doubling rounds run on a small edge table; the final attach is
+    ONE left join from pages to the resolved map on the normalized key.
+    """
+    from kg.ops.structured import page_metadata
+
+    meta = page_metadata(pages, url_col=url_col, html_col=html_col)
+    m = normalize_urls(meta.select("url", "canonical"), "url").select(
+        "url_norm", "canonical"
+    )
+    edges = normalize_urls(
+        m.where(F.col("canonical").isNotNull()).select(
+            F.col("url_norm").alias("src"), F.col("canonical").alias("url")
+        ),
+        "url",
+    ).select("src", F.col("url_norm").alias("dst"))
+    resolved = resolve_redirects(edges, "src", "dst", max_hops=max_hops)
+    return (
+        m.select("url_norm")
+        .join(
+            resolved.select(
+                F.col("src").alias("url_norm"), "target", "hops", "resolved"
+            ),
+            "url_norm",
+            "left",
+        )
+        .select(
+            "url_norm",
+            F.coalesce("target", "url_norm").alias("canonical_norm"),
+            F.coalesce("hops", F.lit(0)).cast("long").alias("hops"),
+            F.coalesce("resolved", F.lit(True)).alias("resolved"),
+        )
     )

@@ -487,3 +487,46 @@ class TestSitemaps:
         )
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in p
+
+
+class TestCanonicalClusters:
+    def test_chains_cycles_and_self_representatives(self, spark):
+        from kg.ops.webnorm import canonical_clusters
+
+        def page(url, canon=None):
+            c = f'<link rel="canonical" href="{canon}">' if canon else ""
+            return (
+                url,
+                bytearray(
+                    f"<html><head><title>x</title>{c}</head>"
+                    f"<body>b</body></html>".encode()
+                ),
+            )
+
+        pages = spark.createDataFrame(
+            [
+                page("https://ex.com/a", "https://ex.com/b"),
+                page("https://ex.com/b", "https://ex.com/c"),
+                page("https://ex.com/c"),
+                # canonical == self after normalization -> self-loop drop
+                page("https://ex.com/d?utm_source=x", "https://ex.com/d"),
+                page("https://ex.com/loop1", "https://ex.com/loop2"),
+                page("https://ex.com/loop2", "https://ex.com/loop1"),
+            ],
+            "url string, html binary",
+        )
+        got = {
+            r.url_norm: (r.canonical_norm, r.hops, r.resolved)
+            for r in canonical_clusters(pages).collect()
+        }
+        assert got["https://ex.com/a"] == ("https://ex.com/c", 2, True)
+        assert got["https://ex.com/b"] == ("https://ex.com/c", 1, True)
+        assert got["https://ex.com/c"] == ("https://ex.com/c", 0, True)
+        assert got["https://ex.com/d"] == ("https://ex.com/d", 0, True)
+        # cycles fall back to self, flagged unresolved
+        assert got["https://ex.com/loop1"] == (
+            "https://ex.com/loop1", 0, False
+        )
+        assert got["https://ex.com/loop2"] == (
+            "https://ex.com/loop2", 0, False
+        )
