@@ -987,6 +987,82 @@ FROM rows JOIN m USING (subj)
 """
 
 
+def q_web_microdata_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org microdata extraction, pinned as a roundtrip: the golden
+    triples (each (subj, pred)'s first two distinct objects, so repeated
+    itemprops are exercised) are serialized into real itemscope markup —
+    value shape rotated by md5 across span-text, meta-content,
+    a-href-with-decoy-anchor-text, and bold-wrapped-text — with subjects
+    md5-bucketed several items per page, then re-extracted with
+    extract_microdata_items + microdata_triples. The oracle computes the
+    expected rows directly, so a green hash proves extract∘serialize =
+    identity across all four element shapes, the flat-sibling
+    segmentation, and the attribute-vs-text value rules."""
+    from kg.ops.structured import extract_microdata_items, microdata_triples
+
+    t = spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+    g = (
+        t.groupBy("subj", "pred")
+        .agg(F.slice(F.array_sort(F.collect_set("obj")), 1, 2).alias("objs"))
+        .select("subj", "pred", F.explode("objs").alias("obj"))
+    )
+    shape = F.conv(
+        F.substring(F.md5(F.concat_ws("\x00", "subj", "pred", "obj")), 1, 2),
+        16, 10,
+    ).cast("int") % 4
+    prop = (
+        F.when(shape == 0, F.concat(
+            F.lit('<span itemprop="'), F.col("pred"), F.lit('">'),
+            F.col("obj"), F.lit("</span>")))
+        .when(shape == 1, F.concat(
+            F.lit('<meta itemprop="'), F.col("pred"), F.lit('" content="'),
+            F.col("obj"), F.lit('">')))
+        .when(shape == 2, F.concat(
+            F.lit('<a href="'), F.col("obj"), F.lit('" itemprop="'),
+            F.col("pred"), F.lit('">decoy anchor text</a>')))
+        .otherwise(F.concat(
+            F.lit('<span itemprop="'), F.col("pred"), F.lit('"><b>'),
+            F.col("obj"), F.lit("</b></span>")))
+    )
+    items = g.select("subj", prop.alias("p")).groupBy("subj").agg(
+        F.concat(
+            F.lit('<div itemscope itemtype="https://schema.org/Organization">'
+                  '<span itemprop="name">'),
+            F.col("subj"),
+            F.lit("</span>"),
+            F.concat_ws("", F.sort_array(F.collect_list("p"))),
+            F.lit("</div>"),
+        ).alias("item_html"),
+    )
+    pages = items.groupBy(
+        F.substring(F.md5("subj"), 1, 1).alias("b")
+    ).agg(
+        F.concat(
+            F.lit("<html><body><p>preamble</p>"),
+            F.concat_ws("", F.sort_array(F.collect_list("item_html"))),
+            F.lit("</body></html>"),
+        ).alias("html_s"),
+    ).select(
+        F.concat(F.lit("micro://"), F.col("b")).alias("url"),
+        F.encode("html_s", "UTF-8").alias("html"),
+    )
+    return microdata_triples(extract_microdata_items(pages))
+
+
+_MICRODATA_ORACLE = f"""
+WITH g AS (
+  SELECT subj, pred,
+         unnest(list_sort(list(DISTINCT obj))[1:2]) AS obj
+  FROM '{FIX}/expected_triples_small.parquet' GROUP BY subj, pred
+)
+SELECT 'micro://' || substr(md5(subj), 1, 1) AS url, subj, pred, obj FROM g
+UNION ALL
+SELECT DISTINCT 'micro://' || substr(md5(subj), 1, 1), subj, '@type',
+       'https://schema.org/Organization'
+FROM g
+"""
+
+
 def q_web_table_schema_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebTables semantic recovery: tables are built from the golden
     triples with OPAQUE headers (col_0..col_7 — the label carries no
@@ -6444,6 +6520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_graph": q_web_link_graph,
         "web_page_rank": q_web_page_rank,
         "web_jsonld_triples": q_web_jsonld_triples,
+        "web_microdata_triples": q_web_microdata_triples,
         "web_page_meta": q_web_page_meta,
         "web_table_triples": q_web_table_triples,
         "web_table_schema_match": q_web_table_schema_match,
@@ -6732,6 +6809,7 @@ FROM links GROUP BY 1, 2
 """,
         "web_page_rank": _web_pagerank_oracle_sql(WEBPR_ITERS),
         "web_jsonld_triples": _JSONLD_ORACLE,
+        "web_microdata_triples": _MICRODATA_ORACLE,
         "web_page_meta": _PAGE_META_ORACLE,
         "web_table_triples": _TABLE_ORACLE,
         "web_table_schema_match": _SCHEMA_MATCH_ORACLE,

@@ -38,6 +38,8 @@ __all__ = [
     "match_table_schema",
     "page_metadata",
     "page_meta_triples",
+    "extract_microdata_items",
+    "microdata_triples",
 ]
 
 # Non-greedy, DOTALL: scripts can span lines; content is captured verbatim
@@ -406,3 +408,147 @@ def page_meta_triples(
         "url", F.col("m.k").alias("pred"), F.col("m.v").alias("obj")
     )
     return titles.unionByName(canons).unionByName(metas)
+
+
+# --- schema.org microdata (itemscope / itemtype / itemprop) ----------
+#
+# Per Web Data Commons crawls, microdata is the single most widespread
+# structured-data format on the web (more pages carry it than JSON-LD),
+# so a web-scale markup channel needs it beside the JSON-LD path above.
+#
+# Scope restriction (documented, mirrors the JSON-LD one-level
+# flattening): itemscopes are treated as FLAT siblings. The html is
+# segmented at every itemscope opening tag (zero-width lookahead split),
+# and each segment's itemprops belong to that segment's item — a nested
+# itemscope therefore starts a new sibling item rather than a child
+# object. Nesting is rare in real markup relative to flat item lists,
+# and a regex channel cannot match balanced tags; the triples still
+# land, only the parent→child edge is not emitted.
+
+_ITEMSCOPE_SPLIT = r"(?i)(?=<[a-z][^>]*\bitemscope\b)"
+_ITEMTYPE_RE = r'(?i)\bitemtype="([^"]*)"'
+_FIRST_TAG_RE = r"(?s)^<[^>]*>"
+# Text-valued property: any element whose itemprop value is its inner
+# text, matched to the first close of the SAME tag (backreference);
+# inner presentation markup (<b>, <a>) is stripped like table cells.
+_PROP_TEXT_RE = r'(?is)<([a-z][a-z0-9]*)\s[^>]*?\bitemprop="([^"]*)"[^>]*>(.*?)</\1\s*>'
+# Attribute-valued property tags (microdata spec: these elements carry
+# their value in an attribute, not their text content).
+_PROP_ATTR_RE = (
+    r'(?is)<(?:meta|link|a|area|img|audio|video|source|time)\s'
+    r'[^>]*?\bitemprop="([^"]*)"[^>]*?>'
+)
+_ATTR_VALUED_TAGS = ("meta", "link", "a", "area", "img", "audio",
+                     "video", "source", "time")
+_CONTENT_RE = r'(?i)\bcontent="([^"]*)"'
+_DATETIME_RE = r'(?i)\bdatetime="([^"]*)"'
+_SRC_RE = r'(?i)\bsrc="([^"]*)"'
+
+
+def extract_microdata_items(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per itemscope segment: (url, item_idx, itemtype, seg).
+    ``seg`` is the raw html from the itemscope opening tag up to the next
+    itemscope (or end of document) — the span whose itemprops belong to
+    this item under the flat-sibling scope rule. ``itemtype`` comes from
+    the segment's opening tag ('' when absent). Pages without itemscope
+    emit nothing. Pure map: decode + lookahead split + posexplode."""
+    # The leading space guarantees a non-empty preamble element: Java's
+    # split drops a zero-width match at position 0, so a document that
+    # STARTS with an itemscope tag would otherwise lose its first item
+    # to the preamble slice below.
+    html_str = F.concat(F.lit(" "), F.decode(F.col(html_col), "UTF-8"))
+    segs = F.split(html_str, _ITEMSCOPE_SPLIT)
+    # element 1 of the split is the pre-item preamble; drop it.
+    items = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+    out = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(items).alias("item_idx", "seg"),
+    )
+    first_tag = F.regexp_extract(F.col("seg"), _FIRST_TAG_RE, 0)
+    return out.select(
+        "url",
+        "item_idx",
+        F.regexp_extract(first_tag, _ITEMTYPE_RE, 1).alias("itemtype"),
+        "seg",
+    )
+
+
+def microdata_triples(
+    items: DataFrame, emit_type: bool = True
+) -> DataFrame:
+    """Flatten microdata items into (url, subj, pred, obj) triples, the
+    same contract as ``jsonld_triples``:
+
+    - subj = the item's ``itemprop="name"`` value; items without one are
+      dropped (nothing to anchor the assertions to).
+    - one triple per non-name property. Value resolution follows the
+      microdata spec's element rules: meta → content, a/link/area →
+      href, img/audio/video/source → src, time → datetime (fallback
+      content); every other element → its tag-stripped trimmed inner
+      text. Repeated itemprops repeat the triple (arrays in microdata
+      ARE repetition); dedup is the downstream fact rollup's job.
+    - ``emit_type``: one (subj, "@type", itemtype) row per typed item.
+
+    Everything is JVM regex/array expressions evaluated per segment; no
+    shuffle, no Python — output keeps the scan partitioning.
+    """
+    seg = F.col("seg")
+    t_tags = F.regexp_extract_all(seg, F.lit(_PROP_TEXT_RE), F.lit(1))
+    t_keys = F.regexp_extract_all(seg, F.lit(_PROP_TEXT_RE), F.lit(2))
+    t_vals = F.regexp_extract_all(seg, F.lit(_PROP_TEXT_RE), F.lit(3))
+    text_props = F.filter(
+        F.transform(
+            F.arrays_zip(t_tags.alias("t"), t_keys.alias("k"),
+                         t_vals.alias("v")),
+            lambda s: F.struct(
+                s["k"].alias("k"),
+                F.trim(F.regexp_replace(s["v"], _TAG_RE, "")).alias("v"),
+                F.lower(s["t"]).alias("_tag"),
+            ),
+        ),
+        lambda s: ~s["_tag"].isin(*_ATTR_VALUED_TAGS),
+    )
+    a_tags = F.regexp_extract_all(seg, F.lit(_PROP_ATTR_RE), F.lit(0))
+    a_keys = F.regexp_extract_all(seg, F.lit(_PROP_ATTR_RE), F.lit(1))
+    attr_props = F.transform(
+        F.arrays_zip(a_tags.alias("t"), a_keys.alias("k")),
+        lambda s: F.struct(
+            s["k"].alias("k"),
+            F.coalesce(
+                F.nullif(F.regexp_extract(s["t"], _CONTENT_RE, 1), F.lit("")),
+                F.nullif(F.regexp_extract(s["t"], _HREF_RE, 1), F.lit("")),
+                F.nullif(F.regexp_extract(s["t"], _DATETIME_RE, 1),
+                         F.lit("")),
+                F.nullif(F.regexp_extract(s["t"], _SRC_RE, 1), F.lit("")),
+                F.lit(""),
+            ).alias("v"),
+            F.lit("_attr").alias("_tag"),
+        ),
+    )
+    props = F.filter(
+        F.concat(text_props, attr_props),
+        lambda s: (s["k"] != "") & (s["v"] != ""),
+    )
+    base = items.select(
+        "url",
+        "item_idx",
+        F.col("itemtype"),
+        props.alias("props"),
+    ).withColumn(
+        "subj", F.get(F.filter(F.col("props"), lambda s: s["k"] == "name"),
+                      0)["v"]
+    ).where(F.col("subj").isNotNull())
+    flat = base.select(
+        "url", "subj", F.explode("props").alias("p")
+    ).where(F.col("p.k") != "name").select(
+        "url", "subj", F.col("p.k").alias("pred"), F.col("p.v").alias("obj")
+    )
+    if not emit_type:
+        return flat
+    types = base.where(F.col("itemtype") != "").select(
+        "url", "subj", F.lit("@type").alias("pred"),
+        F.col("itemtype").alias("obj"),
+    )
+    return flat.unionByName(types)

@@ -356,3 +356,82 @@ class TestPageMetadata:
         )
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in p
+
+
+class TestMicrodata:
+    HTML = b"""<html><body>
+<p>preamble itemprop="decoy" outside any itemscope</p>
+<div itemscope itemtype="https://schema.org/Organization">
+  <span itemprop="name">Acme</span>
+  <span itemprop="industry"><b>Heavy</b> Machinery</span>
+  <meta itemprop="foundingDate" content="1999-01-02">
+  <a href="https://acme.test" itemprop="url">ignored anchor text</a>
+  <time itemprop="dissolutionDate" datetime="2020-06-07">June 2020</time>
+  <img itemprop="logo" src="https://acme.test/logo.png">
+</div>
+<section itemscope itemtype="https://schema.org/Person">
+  <span itemprop="name">Bob</span>
+  <span itemprop="jobTitle">CEO</span>
+</section>
+<div itemscope><span itemprop="name">Untyped</span>
+  <span itemprop="note">kept</span></div>
+<div itemscope itemtype="https://schema.org/Thing">
+  <span itemprop="description">no name, dropped</span>
+</div>
+</body></html>"""
+
+    def _items(self, spark):
+        from kg.ops.structured import extract_microdata_items
+
+        pages = _pages(spark, self.HTML, b"<html><body>none</body></html>")
+        return extract_microdata_items(pages)
+
+    def test_segmentation_and_itemtype(self, spark):
+        rows = sorted(
+            (r.url, r.item_idx, r.itemtype) for r in self._items(spark).collect()
+        )
+        assert rows == [
+            ("u0", 0, "https://schema.org/Organization"),
+            ("u0", 1, "https://schema.org/Person"),
+            ("u0", 2, ""),
+            ("u0", 3, "https://schema.org/Thing"),
+        ]
+
+    def test_triples_value_resolution(self, spark):
+        from kg.ops.structured import microdata_triples
+
+        got = _triples(microdata_triples(self._items(spark)))
+        assert got == [
+            ("u0", "Acme", "@type", "https://schema.org/Organization"),
+            ("u0", "Acme", "dissolutionDate", "2020-06-07"),
+            ("u0", "Acme", "foundingDate", "1999-01-02"),
+            ("u0", "Acme", "industry", "Heavy Machinery"),
+            ("u0", "Acme", "logo", "https://acme.test/logo.png"),
+            ("u0", "Acme", "url", "https://acme.test"),
+            ("u0", "Bob", "@type", "https://schema.org/Person"),
+            ("u0", "Bob", "jobTitle", "CEO"),
+            ("u0", "Untyped", "note", "kept"),
+        ]
+
+    def test_repeated_itemprop_repeats_triple(self, spark):
+        from kg.ops.structured import extract_microdata_items, microdata_triples
+
+        html = (
+            b'<div itemscope><span itemprop="name">A</span>'
+            b'<span itemprop="member">X</span>'
+            b'<span itemprop="member">Y</span></div>'
+        )
+        got = _triples(
+            microdata_triples(extract_microdata_items(_pages(spark, html)))
+        )
+        assert got == [("u0", "A", "member", "X"), ("u0", "A", "member", "Y")]
+
+    def test_plan_is_jvm_only(self, spark):
+        from kg.ops.structured import microdata_triples
+
+        p = (
+            microdata_triples(self._items(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in p
