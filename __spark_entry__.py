@@ -744,6 +744,86 @@ FROM orders
 """
 
 
+def q_web_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing roundtrip (kg/ops/weblinks.py parse_feeds):
+    orders become feed entries bucketed into 40 feed docs — an md5-chosen
+    half of the buckets serialize as RSS 2.0 (<item>, text <link>, RFC
+    822 <pubDate>) and the rest as Atom (<entry>, href <link>, ISO
+    <updated>); an md5-chosen half of the ENTRIES carry a date. Channel/
+    feed-level decoy <title> and <link> must not leak. The oracle
+    recomputes the rows directly from orders — a green hash pins block
+    splitting, both link conventions, and the RFC-822→ISO month CASE."""
+    from kg.ops.weblinks import parse_feeds
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_orderdate").alias("d"),
+    )
+    o = o.withColumn("b", (F.col("k").cast("long") % 40).cast("string"))
+    is_rss = F.substring(F.md5("b"), 1, 1) < "8"
+    has_date = F.substring(F.md5("k"), 1, 1) < "8"
+    title = F.concat(F.lit("Order "), F.col("k"))
+    link = F.concat(F.lit("https://shop.example/post/"), F.col("k"))
+    rss_item = F.concat(
+        F.lit("<item><title>"), title, F.lit("</title><link> "), link,
+        F.lit(" </link>"),
+        F.when(has_date, F.concat(
+            F.lit("<pubDate>Thu, "),
+            F.date_format("d", "dd MMM yyyy"),
+            F.lit(" 10:30:00 GMT</pubDate>"),
+        )).otherwise(F.lit("")),
+        F.lit("</item>"),
+    )
+    atom_entry = F.concat(
+        F.lit("<entry><title>"), title,
+        F.lit('</title><link rel="alternate" href="'), link, F.lit('"/>'),
+        F.when(has_date, F.concat(
+            F.lit("<updated>"),
+            F.date_format("d", "yyyy-MM-dd"),
+            F.lit("T00:00:00Z</updated>"),
+        )).otherwise(F.lit("")),
+        F.lit("</entry>"),
+    )
+    entry = F.when(is_rss, rss_item).otherwise(atom_entry)
+    docs = (
+        o.groupBy("b")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list(entry))).alias("es"))
+        .select(
+            F.concat(
+                F.lit("https://shop.example/feed-"), "b", F.lit(".xml")
+            ).alias("feed_url"),
+            F.when(
+                F.substring(F.md5("b"), 1, 1) < "8",
+                F.concat(
+                    F.lit("<rss><channel><title>Decoy "), F.col("b"),
+                    F.lit("</title><link>https://shop.example/</link>"),
+                    F.col("es"), F.lit("</channel></rss>"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("<feed><title>Decoy "), F.col("b"),
+                    F.lit("</title>"), F.col("es"), F.lit("</feed>"),
+                ),
+            ).alias("xml"),
+        )
+    )
+    return parse_feeds(docs)
+
+
+_FEEDS_ORACLE = """
+SELECT 'https://shop.example/feed-' || CAST(o_orderkey % 40 AS VARCHAR)
+         || '.xml' AS feed_url,
+       CASE WHEN substr(md5(CAST(o_orderkey % 40 AS VARCHAR)), 1, 1) < '8'
+            THEN 'rss' ELSE 'atom' END AS kind,
+       'Order ' || CAST(o_orderkey AS VARCHAR) AS title,
+       'https://shop.example/post/' || CAST(o_orderkey AS VARCHAR) AS link,
+       CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+            THEN strftime(o_orderdate, '%Y-%m-%d') ELSE '' END
+         AS published_iso
+FROM orders
+"""
+
+
 def q_web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots.txt politeness gate (kg/ops/weblinks.py robots_rules +
     robots_filter_frontier): window-based REP group parse, then ONE
@@ -6529,6 +6609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_templates": q_web_url_templates,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemaps": q_web_sitemaps,
+        "web_feeds": q_web_feeds,
         "web_canonical_clusters": q_web_canonical_clusters,
         "graph_harmonic": q_graph_harmonic,
         "kg_tokenize": q_kg_tokenize,
@@ -8384,6 +8465,7 @@ FROM deg LEFT JOIN pern ON deg.node = pern.node
     d["web_url_templates"] = _url_templates_oracle_sql()
     d["web_robots_filter"] = _robots_filter_oracle_sql()
     d["web_sitemaps"] = _SITEMAP_ORACLE
+    d["web_feeds"] = _FEEDS_ORACLE
     d["web_canonical_clusters"] = _CANON_CLUSTERS_ORACLE
     d["graph_sssp"] = _sssp_oracle_sql(SSSP_ROUNDS)
     d["graph_ppr"] = _ppr_oracle_sql(PPR_ITERS)

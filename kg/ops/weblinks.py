@@ -45,6 +45,7 @@ __all__ = [
     "anchor_text_index",
     "robots_rules",
     "parse_sitemaps",
+    "parse_feeds",
     "sitemap_frontier",
     "robots_filter_frontier",
     "HREF_RE",
@@ -451,6 +452,117 @@ def parse_sitemaps(
             F.col("e.lastmod_iso").alias("lastmod_iso"),
         )
         .where(F.col("loc") != "")
+    )
+
+
+# --- RSS / Atom feeds (the third discovery channel, beside link
+# extraction and sitemaps: feeds announce NEW urls with publish dates,
+# which is how news/blog crawling finds fresh content minutes after it
+# appears instead of on the next full-site recrawl) -------------------
+
+_RSS_ITEM_RE = r"(?is)<item[^>]*>(.*?)</item>"
+_ATOM_ENTRY_RE = r"(?is)<entry[^>]*>(.*?)</entry>"
+_FEED_TITLE_RE = r"(?is)<title[^>]*>\s*([^<]*?)\s*</title>"
+_RSS_LINK_RE = r"(?is)<link>\s*([^<]*?)\s*</link>"
+_ATOM_LINK_RE = r'(?is)<link\s[^>]*?\bhref="([^"]*)"'
+_RSS_PUBDATE_RE = r"(?is)<pubDate>\s*([^<]*?)\s*</pubDate>"
+# RFC 822 date core ("Thu, 05 Mar 2020 10:30:00 GMT" → day/month/year);
+# the weekday prefix and time are ignored — only the date matters to a
+# crawl scheduler, and zone-correct time parsing is not worth a UDF.
+_RFC822_RE = (
+    r"(\d{1,2}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) (\d{4})"
+)
+_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+
+def _rfc822_to_iso(raw: Column) -> Column:
+    """'Thu, 05 Mar 2020 10:30:00 GMT' → '2020-03-05'; '' when the
+    day-month-year core is absent. Pure column expressions (the month
+    branch is a 12-arm CASE both engines replay verbatim)."""
+    d = F.regexp_extract(raw, _RFC822_RE, 1)
+    mon = F.regexp_extract(raw, _RFC822_RE, 2)
+    y = F.regexp_extract(raw, _RFC822_RE, 3)
+    num = F.lit(None).cast("string")
+    for i, name in enumerate(_MONTHS):
+        num = F.when(mon == name, F.lit("%02d" % (i + 1))).otherwise(num)
+    return F.when(
+        mon == "", F.lit("")
+    ).otherwise(F.concat(y, F.lit("-"), num, F.lit("-"), F.lpad(d, 2, "0")))
+
+
+def parse_feeds(
+    feeds: DataFrame,
+    xml_col: str = "xml",
+    id_col: str = "feed_url",
+) -> DataFrame:
+    """RSS 2.0 / Atom feed parse: one row per <item> or <entry> —
+    (feed_url, kind 'rss'|'atom', title, link, published_iso).
+
+    - RSS items: <title>, <link>text</link>, <pubDate> (RFC 822 →
+      ISO day via :func:`_rfc822_to_iso`).
+    - Atom entries: <title>, <link href="..."/> (attribute-valued, any
+      other attributes tolerated), <updated> or <published> (already
+      ISO 8601 → day truncation), <updated> preferred.
+    - ``published_iso`` is '' when absent (empty string, not NULL — same
+      contract as parse_sitemaps' lastmod_iso). Entries without a link
+      are dropped as data. Channel/feed-level <title> sits outside the
+      entry blocks and never leaks into rows.
+
+    Pure map: two regexp_extract_all block passes + per-block field
+    extracts in one projection — no shuffle, no Python; a megabyte feed
+    stays one row in, bounded rows out."""
+    x = F.col(xml_col)
+
+    def entries(block_re: str, kind: str) -> Column:
+        blocks = F.regexp_extract_all(x, F.lit(block_re), F.lit(1))
+        if kind == "rss":
+            link = lambda b: F.regexp_extract(b, _RSS_LINK_RE, 1)  # noqa: E731
+            pub = lambda b: _rfc822_to_iso(  # noqa: E731
+                F.regexp_extract(b, _RSS_PUBDATE_RE, 1)
+            )
+        else:
+            link = lambda b: F.regexp_extract(b, _ATOM_LINK_RE, 1)  # noqa: E731
+            pub = lambda b: F.substring(  # noqa: E731
+                F.coalesce(
+                    F.nullif(
+                        F.regexp_extract(
+                            b, r"(?is)<updated>\s*([^<]*?)\s*</updated>", 1
+                        ),
+                        F.lit(""),
+                    ),
+                    F.regexp_extract(
+                        b, r"(?is)<published>\s*([^<]*?)\s*</published>", 1
+                    ),
+                ),
+                1,
+                10,
+            )
+        return F.transform(
+            blocks,
+            lambda b: F.struct(
+                F.lit(kind).alias("kind"),
+                F.regexp_extract(b, _FEED_TITLE_RE, 1).alias("title"),
+                link(b).alias("link"),
+                pub(b).alias("published_iso"),
+            ),
+        )
+
+    both = F.concat(
+        entries(_RSS_ITEM_RE, "rss"), entries(_ATOM_ENTRY_RE, "atom")
+    )
+    return (
+        feeds.select(
+            F.col(id_col).alias("feed_url"), F.explode(both).alias("e")
+        )
+        .select(
+            "feed_url",
+            F.col("e.kind").alias("kind"),
+            F.col("e.title").alias("title"),
+            F.col("e.link").alias("link"),
+            F.col("e.published_iso").alias("published_iso"),
+        )
+        .where(F.col("link") != "")
     )
 
 

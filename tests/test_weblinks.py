@@ -530,3 +530,59 @@ class TestCanonicalClusters:
         assert got["https://ex.com/loop2"] == (
             "https://ex.com/loop2", 0, False
         )
+
+
+class TestParseFeeds:
+    RSS = """<?xml version="1.0"?><rss version="2.0"><channel>
+<title>Decoy Channel Title</title>
+<link>https://blog.test/</link>
+<item><title> First Post </title>
+  <link> https://blog.test/p/1 </link>
+  <pubDate>Thu, 5 Mar 2020 10:30:00 GMT</pubDate></item>
+<item><title>No Date</title><link>https://blog.test/p/2</link></item>
+<item><title>No link, dropped</title></item>
+</channel></rss>"""
+    ATOM = """<feed xmlns="http://www.w3.org/2005/Atom">
+<title>Decoy Feed Title</title>
+<entry><title>Entry One</title>
+  <link rel="alternate" href="https://news.test/a"/>
+  <updated>2021-11-30T08:00:00Z</updated></entry>
+<entry><title>Entry Two</title>
+  <link href="https://news.test/b"/>
+  <published>2022-01-02T00:00:00Z</published></entry>
+</feed>"""
+
+    def _rows(self, spark):
+        from kg.ops.weblinks import parse_feeds
+
+        feeds = spark.createDataFrame(
+            [("https://blog.test/rss.xml", self.RSS),
+             ("https://news.test/atom.xml", self.ATOM)],
+            "feed_url string, xml string",
+        )
+        return sorted(map(tuple, parse_feeds(feeds).collect()))
+
+    def test_rows(self, spark):
+        assert self._rows(spark) == [
+            ("https://blog.test/rss.xml", "rss", "First Post",
+             "https://blog.test/p/1", "2020-03-05"),
+            ("https://blog.test/rss.xml", "rss", "No Date",
+             "https://blog.test/p/2", ""),
+            ("https://news.test/atom.xml", "atom", "Entry One",
+             "https://news.test/a", "2021-11-30"),
+            ("https://news.test/atom.xml", "atom", "Entry Two",
+             "https://news.test/b", "2022-01-02"),
+        ]
+
+    def test_plan_is_jvm_only(self, spark):
+        from kg.ops.weblinks import parse_feeds
+
+        feeds = spark.createDataFrame(
+            [("u", self.RSS)], "feed_url string, xml string"
+        )
+        p = (
+            parse_feeds(feeds)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in p
