@@ -2166,6 +2166,79 @@ KCORE_K = 2
 KCORE_ROUNDS = 8
 
 
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (kg/graphstats.py, FW-BW-Trim peel
+    with a Tarjan small-graph fast path — the bowtie decomposition the
+    weak-CC operator cannot see). Fixture: customers in groups of 5 —
+    each group a directed 5-cycle, an md5-chosen half of the groups has
+    the closing edge removed (cycle → path → five singleton SCCs), and
+    even groups link first→first into the next group (pure DAG edge).
+    The oracle computes exact SCCs by a DIFFERENT algorithm: recursive-
+    CTE reachability closure + mutual-reachability grouping."""
+    from kg.graphstats import strongly_connected_components
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    grp = F.floor((k - 1) / 5)
+    dst_keys = c.select(F.col("k").alias("dst"))
+    nxt = (
+        c.where((k - 1) % 5 < 4)
+        .select(k.alias("src"), (k + 1).alias("dst"))
+        .join(dst_keys, "dst")
+    )
+    closing = c.where(
+        ((k - 1) % 5 == 4)
+        & (F.substring(F.md5(grp.cast("string")), 1, 1) >= "8")
+    ).select(k.alias("src"), (k - 4).alias("dst"))
+    cross = (
+        c.where(((k - 1) % 5 == 0) & (grp % 2 == 0))
+        .select(k.alias("src"), (k + 5).alias("dst"))
+        .join(dst_keys, "dst")
+    )
+    edges = nxt.select("src", "dst").unionByName(closing).unionByName(
+        cross.select("src", "dst")
+    )
+    return strongly_connected_components(edges)
+
+
+_SCC_ORACLE = """
+WITH RECURSIVE c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+e AS (
+  SELECT k AS src, k + 1 AS dst FROM c
+  WHERE (k - 1) % 5 < 4
+    AND EXISTS (SELECT 1 FROM c c2 WHERE c2.k = c.k + 1)
+  UNION ALL
+  SELECT k, k - 4 FROM c
+  WHERE (k - 1) % 5 = 4
+    AND substr(md5(CAST((k - 1) // 5 AS VARCHAR)), 1, 1) >= '8'
+  UNION ALL
+  SELECT k, k + 5 FROM c
+  WHERE (k - 1) % 5 = 0 AND ((k - 1) // 5) % 2 = 0
+    AND EXISTS (SELECT 1 FROM c c2 WHERE c2.k = c.k + 5)
+),
+nodes AS (
+  SELECT DISTINCT n
+  FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS node, r1.b AS m
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.n AS node,
+       least(n.n, coalesce(min(m.m), n.n)) AS scc,
+       TRUE AS resolved
+FROM nodes n LEFT JOIN mutual m ON m.node = n.n
+GROUP BY n.n
+"""
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core (k=2) of the edge fixture via iterative peeling — chains and
     star leaves peel away, rings and dense cross-linked cores survive; the
@@ -6537,6 +6610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_warc_roundtrip": q_web_warc_roundtrip,
         "graph_hits": q_graph_hits,
         "graph_kcore": q_graph_kcore,
+        "graph_scc": q_graph_scc,
         "graph_communities": q_graph_communities,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_warm": q_graph_pagerank_warm,
@@ -8404,6 +8478,7 @@ FROM r WHERE rn <= 5 GROUP BY subj
         f" OVER (PARTITION BY subj, pred) AS is_best FROM b{TRUST_ITERS}",
     )
     d["graph_kcore"] = _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS)
+    d["graph_scc"] = _SCC_ORACLE
     # incremental fold must equal the full recompute: same closure oracle
     d["graph_cc_incremental"] = d["graph_connected_components"]
     d["web_redirects"] = f"""

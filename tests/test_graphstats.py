@@ -898,3 +898,70 @@ class TestPagerankWarmStart:
             )
         )
         assert a == b
+
+
+class TestStronglyConnectedComponents:
+    # two cycles bridged by a DAG edge, plus a pendant tail:
+    # SCC {1,2,3} -> SCC {10,11} -> 20 -> 21   (20, 21 singletons)
+    EDGES = [
+        (1, 2), (2, 3), (3, 1),
+        (3, 10), (10, 11), (11, 10),
+        (11, 20), (20, 21),
+    ]
+    EXPECTED = [
+        (1, 1, True), (2, 1, True), (3, 1, True),
+        (10, 10, True), (11, 10, True),
+        (20, 20, True), (21, 21, True),
+    ]
+
+    def _df(self, spark, rows=None):
+        return spark.createDataFrame(rows or self.EDGES, "src long, dst long")
+
+    def test_local_path(self, spark):
+        from kg.graphstats import strongly_connected_components
+
+        got = sorted(
+            map(tuple, strongly_connected_components(self._df(spark)).collect())
+        )
+        assert got == self.EXPECTED
+
+    def test_distributed_path_matches_local(self, spark):
+        from kg.graphstats import strongly_connected_components
+
+        got = sorted(map(tuple, strongly_connected_components(
+            self._df(spark), local_threshold=0
+        ).collect()))
+        assert got == self.EXPECTED
+
+    def test_distributed_equals_tarjan_on_hash_graph(self, spark):
+        """md5-derived pseudo-random directed graph, both paths equal."""
+        import hashlib
+
+        from kg.graphstats import strongly_connected_components
+
+        n = 24
+        rows = []
+        for i in range(n):
+            for j in range(n):
+                if i != j and hashlib.md5(
+                    f"scc:{i}:{j}".encode()
+                ).hexdigest()[0] in "01":
+                    rows.append((i, j))
+        df = self._df(spark, rows)
+        local = sorted(map(tuple, strongly_connected_components(df).collect()))
+        dist = sorted(map(tuple, strongly_connected_components(
+            df, local_threshold=0
+        ).collect()))
+        assert local == dist
+        assert all(r[2] for r in local)
+
+    def test_bounded_rounds_leftover_unresolved(self, spark):
+        from kg.graphstats import strongly_connected_components
+
+        got = {
+            r.node: (r.scc, r.resolved)
+            for r in strongly_connected_components(
+                self._df(spark), local_threshold=0, max_rounds=0
+            ).collect()
+        }
+        assert got == {v: (v, False) for v in (1, 2, 3, 10, 11, 20, 21)}
