@@ -1323,6 +1323,54 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard assignment (kg/ops/curation.py
+    assign_shards): every document's shard under 16 shards AND under 17,
+    plus the moved flag — so the green hash pins not just one
+    assignment but the consistent-hashing CONTRACT (movers exist, and
+    the oracle's rows prove per-doc which). The oracle replays the
+    argmax with generate_series + a window rank over the same md5
+    weights."""
+    from kg.ops.curation import assign_shards
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = assign_shards(
+        assign_shards(d, 16, out_col="shard_a"), 17, out_col="shard_b"
+    )
+    return out.select(
+        "doc_id",
+        F.col("shard_a").cast("int").alias("shard_a"),
+        F.col("shard_b").cast("int").alias("shard_b"),
+        (F.col("shard_a") != F.col("shard_b")).alias("moved"),
+    )
+
+
+def _shard_oracle_cte(n: int, name: str) -> str:
+    return f"""
+{name} AS (
+  SELECT doc_id, shard FROM (
+    SELECT i.doc_id, g.s AS shard,
+           row_number() OVER (
+             PARTITION BY i.doc_id
+             ORDER BY md5('hrw:' || CAST(i.doc_id AS VARCHAR) || '#'
+                          || CAST(g.s AS VARCHAR)) DESC, g.s DESC
+           ) AS rn
+    FROM documents i, generate_series(0, {n - 1}) AS g(s)
+  ) WHERE rn = 1
+)"""
+
+
+_SHARD_ORACLE = f"""
+WITH {_shard_oracle_cte(16, "c16")}, {_shard_oracle_cte(17, "c17")}
+SELECT d.doc_id,
+       CAST(c16.shard AS INT) AS shard_a,
+       CAST(c17.shard AS INT) AS shard_b,
+       c16.shard <> c17.shard AS moved
+FROM documents d
+JOIN c16 USING (doc_id) JOIN c17 USING (doc_id)
+"""
+
+
 def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test split (0.9/0.05/0.05):
     md5(seed:id) -> [0,1) cut at cumulative weights. Stable under corpus
@@ -6591,6 +6639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_keep_best": q_doc_dedup_keep_best,
         "doc_chunks": q_doc_chunks,
         "doc_train_split": q_doc_train_split,
+        "doc_shard_assign": q_doc_shard_assign,
         "doc_mixture": q_doc_mixture,
         "emb_quantize": q_emb_quantize,
         "web_url_normalize": q_web_url_normalize,
@@ -9015,6 +9064,7 @@ SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
                   ' ') AS chunk_text
 FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
 """
+    d["doc_shard_assign"] = _SHARD_ORACLE
     d["doc_train_split"] = """
 WITH u AS (
   SELECT doc_id,

@@ -33,6 +33,7 @@ __all__ = [
     "chunk_documents",
     "train_val_test_split",
     "mixture_weights",
+    "assign_shards",
 ]
 
 
@@ -640,3 +641,45 @@ def weighted_sample(
         .orderBy(F.desc("skey"), F.col(id_col))
         .limit(int(k))
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+    seed: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each row's
+    shard is the argmax over s in [0, n_shards) of
+    md5(seed ':' id '#' s) — consistent hashing without a ring.
+
+    Why not ``pmod(hash(id), n)``: modulo reshuffles ~everything when n
+    changes. HRW moves EXACTLY the rows whose new shard wins the argmax
+    — going n → n+1, only ~1/(n+1) of rows move, every one of them INTO
+    the new shard, and no row moves between surviving shards. That
+    stable-membership property is what lets a 10^12-doc corpus add
+    storage/training shards incrementally without rewriting the other
+    n shards (and keeps shard-local indexes like the dedup buckets
+    valid). The same guarantee holds for shard REMOVAL: only the dead
+    shard's rows move.
+
+    Scale shape: a pure map — one md5 per (row, shard) inside a
+    ``transform`` over a literal sequence, argmax via ``array_max`` on
+    (weight, shard) structs; no shuffle, no Python. Cost is O(n_shards)
+    per row, the standard HRW trade — fine into the thousands of
+    shards; beyond that, use hierarchical HRW (shard groups, then
+    shards within the group), which is this operator applied twice.
+    """
+    idc = F.col(id_col).cast("string")
+    cands = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_shards) - 1)),
+        lambda s: F.struct(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), idc, F.lit("#"),
+                         s.cast("string"))
+            ).alias("w"),
+            s.alias("shard"),
+        ),
+    )
+    return df.withColumn(out_col, F.array_max(cands).getField("shard"))

@@ -667,3 +667,45 @@ class TestProfileDiff:
         out = profile_diff(p, p).collect()
         assert all(r["status"] == "common" and not r["drift"] for r in out)
         assert all(r["null_frac_delta"] == 0.0 for r in out)
+
+
+class TestAssignShards:
+    def _ids(self, spark, n=240):
+        return spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+    def test_rendezvous_stability_on_grow(self, spark):
+        """n -> n+1: movers all land in the NEW shard, everyone else
+        keeps their shard, and roughly 1/(n+1) of rows move."""
+        from kg.ops.curation import assign_shards
+
+        d = self._ids(spark)
+        both = assign_shards(
+            assign_shards(d, 8, out_col="s8"), 9, out_col="s9"
+        ).collect()
+        moved = [r for r in both if r.s8 != r.s9]
+        assert all(r.s9 == 8 for r in moved)
+        assert 0.03 < len(moved) / len(both) < 0.25  # ~1/9 expected
+        # removal symmetry: restricting 9 -> 8 moves only shard 8's rows
+        assert all(r.s8 == r.s9 for r in both if r.s9 != 8)
+
+    def test_balance_and_range(self, spark):
+        from kg.ops.curation import assign_shards
+
+        rows = assign_shards(self._ids(spark), 4).collect()
+        counts = {}
+        for r in rows:
+            assert 0 <= r.shard < 4
+            counts[r.shard] = counts.get(r.shard, 0) + 1
+        assert len(counts) == 4
+        assert max(counts.values()) < 2.2 * min(counts.values())
+
+    def test_plan_is_jvm_only(self, spark):
+        from kg.ops.curation import assign_shards
+
+        p = (
+            assign_shards(self._ids(spark), 8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "Exchange"):
+            assert node not in p
