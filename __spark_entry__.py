@@ -1323,6 +1323,79 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) storage layout (kg/ops/layout.py): orders keyed
+    by (custkey mod 1024, order-day mod 1024) at 10 bits, bucketed into
+    64 equal-width Z-range files — the data-skipping layout a box
+    predicate on either dimension prunes. The oracle replays the bit
+    interleave as an unrolled shift/mask sum and the same chunk
+    arithmetic; the skipping ADVANTAGE itself is pinned by unit test
+    (tests/test_layout.py: centered box touches 4 Z-files vs 8
+    linear-sort files)."""
+    from kg.ops.layout import zorder_layout
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("x"),
+        (
+            F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+            % 1024
+        ).alias("y"),
+    )
+    out = zorder_layout(o, "x", "y", bits=10, n_files=64)
+    return out.select("o_orderkey", "zkey", "file_id")
+
+
+def _morton_sql(x: str, y: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x}) // {1 << i} % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y}) // {1 << i} % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _zorder_oracle_sql() -> str:
+    z = _morton_sql(
+        "o_custkey % 1024",
+        "date_diff('day', DATE '1992-01-01', o_orderdate) % 1024",
+        10,
+    )
+    return f"""
+SELECT o_orderkey,
+       CAST({z} AS BIGINT) AS zkey,
+       CAST(least(63, ({z}) // 16384) AS INT) AS file_id
+FROM orders
+"""
+
+
+def q_corpus_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (kg/ops/layout.py
+    compaction_plan): documents stand in for ingest files (doc_id =
+    file id, n_chars = size); greedy in-order bin packing via an
+    exclusive running total — out_shard = cumsum_before // target, so
+    compaction preserves id-order clustering. Oracle replays the window
+    arithmetic."""
+    from kg.ops.layout import compaction_plan
+
+    files = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("long").alias("size_bytes")
+    )
+    return compaction_plan(
+        files, target_bytes=100_000, file_col="doc_id"
+    )
+
+
+_COMPACTION_ORACLE = """
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS size_bytes,
+       CAST(coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) // 100000 AS BIGINT) AS out_shard
+FROM documents
+"""
+
+
 def q_doc_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous-hash shard assignment (kg/ops/curation.py
     assign_shards): every document's shard under 16 shards AND under 17,
@@ -6640,6 +6713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_train_split": q_doc_train_split,
         "doc_shard_assign": q_doc_shard_assign,
+        "orders_zorder": q_orders_zorder,
+        "corpus_compaction_plan": q_corpus_compaction_plan,
         "doc_mixture": q_doc_mixture,
         "emb_quantize": q_emb_quantize,
         "web_url_normalize": q_web_url_normalize,
@@ -9065,6 +9140,8 @@ SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
 FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
 """
     d["doc_shard_assign"] = _SHARD_ORACLE
+    d["orders_zorder"] = _zorder_oracle_sql()
+    d["corpus_compaction_plan"] = _COMPACTION_ORACLE
     d["doc_train_split"] = """
 WITH u AS (
   SELECT doc_id,
