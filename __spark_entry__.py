@@ -1323,6 +1323,72 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (kg/ops/sketch.py
+    cms_build/cms_estimate): a depth-4 width-4096 sketch of the corpus
+    word stream, probed with the exact top-30 words — output
+    (token, exact, est). The oracle recomputes the SKETCH CELLS
+    bit-for-bit (md5 row hashes) plus the min-over-rows estimate, so the
+    hash pins the implementation, not just the error bound; est >= exact
+    by construction and the tests pin the collision slack."""
+    from kg.ops.sketch import cms_build, cms_estimate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("tok")
+    )
+    sk = cms_build(toks, "tok", depth=4, width=4096)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    probes = (
+        exact.orderBy(F.desc("exact"), "tok")
+        .limit(30)
+        .select(F.col("tok").alias("key"), "exact")
+    )
+    est = cms_estimate(
+        sk, probes.select("key"), key_col="key", depth=4, width=4096
+    )
+    return probes.join(est, "key").select(
+        F.col("key").alias("token"),
+        F.col("exact").cast("long").alias("exact"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
+_CMS_ORACLE = r"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+exact AS (SELECT tok, count(*) AS exact FROM words GROUP BY tok),
+probes AS (SELECT tok, exact FROM exact ORDER BY exact DESC, tok LIMIT 30),
+cells AS (
+  SELECT r.r AS row,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || tok), 1, 15))
+           ::BIGINT % 4096 AS col,
+         count(*) AS n
+  FROM words, range(4) r(r) GROUP BY 1, 2
+),
+pe AS (
+  SELECT p.tok, min(coalesce(c.n, 0)) AS est
+  FROM probes p
+  CROSS JOIN range(4) r(r)
+  LEFT JOIN cells c
+    ON c.row = r.r
+   AND c.col = ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || p.tok),
+                               1, 15))::BIGINT % 4096
+  GROUP BY p.tok
+)
+SELECT p.tok AS token, CAST(p.exact AS BIGINT) AS exact,
+       CAST(pe.est AS BIGINT) AS est
+FROM probes p JOIN pe USING (tok)
+"""
+
+
 def q_orders_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) storage layout (kg/ops/layout.py): orders keyed
     by (custkey mod 1024, order-day mod 1024) at 10 bits, bucketed into
@@ -6714,6 +6780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_split": q_doc_train_split,
         "doc_shard_assign": q_doc_shard_assign,
         "orders_zorder": q_orders_zorder,
+        "doc_cms_tokens": q_doc_cms_tokens,
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "doc_mixture": q_doc_mixture,
         "emb_quantize": q_emb_quantize,
@@ -9141,6 +9208,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
 """
     d["doc_shard_assign"] = _SHARD_ORACLE
     d["orders_zorder"] = _zorder_oracle_sql()
+    d["doc_cms_tokens"] = _CMS_ORACLE
     d["corpus_compaction_plan"] = _COMPACTION_ORACLE
     d["doc_train_split"] = """
 WITH u AS (

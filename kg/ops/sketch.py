@@ -34,7 +34,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "kmv_overlap", "grouped_quantiles"]
+__all__ = ["kmv_distinct", "kmv_overlap", "grouped_quantiles",
+           "cms_build", "cms_estimate"]
 
 # 15 hex chars = 60 bits: fits a signed 64-bit long exactly, and both
 # engines parse it identically (Spark conv(x,16,10); DuckDB '0x'||x cast)
@@ -275,4 +276,98 @@ def kmv_overlap(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("est_jaccard"),
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Sparse count-min sketch (Cormode & Muthukrishnan 2005) of a key
+    column: returns the sketch AS A TABLE (row, col, n) with at most
+    depth*width rows — the fixed-memory frequency summary a curation
+    pipeline keeps per corpus snapshot to answer "how often does token/
+    host/gram X occur" without re-scanning 100 TB.
+
+    Determinism discipline of this module: the row hashes are md5 of
+    "r:key" truncated to 60 bits mod width — no seeds, no engine
+    internals — so the DuckDB oracle recomputes the sketch bit-for-bit
+    (the implementation is contract-checked, not just its error bound).
+
+    Scale shape: one projection exploding ``depth`` (row, col) cells per
+    input row, then ONE partial-aggregable groupBy whose output is
+    bounded by depth*width regardless of corpus size. Sketches of two
+    corpora merge by cell-wise sum (the monoid property; same plan).
+    """
+    key = F.col(key_col).cast("string")
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(int(depth) - 1)),
+        lambda r: F.struct(
+            r.alias("row"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(r.cast("string"), F.lit(":"), key)),
+                        1,
+                        _HEX_DIGITS,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("col"),
+        ),
+    )
+    return (
+        df.where(key.isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-estimate each probe key against a ``cms_build`` sketch:
+    est = min over the depth rows of that key's cell count (0 when a
+    cell is absent — sparse cells are zero cells). CMS never
+    underestimates; overestimation is bounded by collisions per cell
+    (~N/width per row, min over depth rows).
+
+    Scale shape: probes explode to depth cells, ONE equi-join against
+    the (≤ depth*width row) sketch — broadcast-sized by construction —
+    then one groupBy min per probe."""
+    key = F.col(key_col).cast("string")
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(int(depth) - 1)),
+        lambda r: F.struct(
+            r.alias("row"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(r.cast("string"), F.lit(":"), key)),
+                        1,
+                        _HEX_DIGITS,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("col"),
+        ),
+    )
+    probe_cells = probes.select(
+        F.col(key_col), F.explode(cells).alias("c")
+    ).select(key_col, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("est"))
     )

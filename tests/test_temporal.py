@@ -448,3 +448,49 @@ class TestKMVOverlap:
         assert (r.n_a, r.n_b) == (3, 3)
         assert r.est_distinct_a == 3.0 and r.est_intersect == 2.0
         assert r.est_union == 4.0 and r.est_jaccard == 0.5
+
+
+class TestCountMinSketch:
+    def _tokens(self, spark):
+        # zipf-ish: token t_i appears (50 - i) times
+        rows = [(f"t{i}",) for i in range(40) for _ in range(50 - i)]
+        return spark.createDataFrame(rows, "tok string")
+
+    def test_never_underestimates_and_tight_for_heavy(self, spark):
+        from kg.ops.sketch import cms_build, cms_estimate
+
+        toks = self._tokens(spark)
+        sk = cms_build(toks, "tok", depth=4, width=512)
+        probes = spark.createDataFrame(
+            [(f"t{i}",) for i in range(40)] + [("absent",)], "key string"
+        )
+        est = {
+            r.key: r.est
+            for r in cms_estimate(sk, probes, depth=4, width=512).collect()
+        }
+        for i in range(40):
+            exact = 50 - i
+            assert est[f"t{i}"] >= exact
+            assert est[f"t{i}"] <= exact + 80  # collision slack at width 512
+        assert est["absent"] >= 0
+
+    def test_sketch_is_bounded_and_mergeable(self, spark):
+        from kg.ops.sketch import cms_build, cms_estimate
+
+        toks = self._tokens(spark)
+        import pyspark.sql.functions as F
+
+        half1 = toks.limit(500)
+        sk_all = cms_build(toks, "tok", depth=2, width=128)
+        assert sk_all.count() <= 2 * 128
+        # monoid: cell-wise sum of the two halves' sketches == whole-corpus
+        merged = (
+            cms_build(half1, "tok", depth=2, width=128)
+            .unionByName(
+                cms_build(toks.exceptAll(half1), "tok", depth=2, width=128)
+            )
+            .groupBy("row", "col").agg(F.sum("n").alias("n"))
+        )
+        got = {(r.row, r.col): r.n for r in merged.collect()}
+        want = {(r.row, r.col): r.n for r in sk_all.collect()}
+        assert got == want
