@@ -1323,6 +1323,62 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FETCH_DELAYS = [(f"h{i}.shop.example", float(1 + i % 5))
+                 for i in range(0, 25, 2)]
+
+
+def q_web_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness fetch scheduling (kg/ops/weblinks.py fetch_schedule):
+    orders become a 25-host frontier (priority = o_totalprice); even
+    hosts carry a robots Crawl-delay dim row, odd hosts fall back to the
+    1s default. Output (url, host, slot, fetch_at_s) — slot = per-host
+    priority rank (md5 tie-break), fetch_at_s = slot × delay. Oracle
+    replays the window + delay join."""
+    from kg.ops.weblinks import fetch_schedule
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_totalprice").cast("double").alias("pri"),
+        (F.col("o_orderkey") % 25).cast("string").alias("hn"),
+    )
+    fr = o.select(
+        F.concat(
+            F.lit("https://h"), "hn", F.lit(".shop.example/item/"), "k"
+        ).alias("url"),
+        "pri",
+    )
+    delays = spark.createDataFrame(
+        _FETCH_DELAYS, "host string, crawl_delay_s double"
+    )
+    return fetch_schedule(
+        fr, delays, default_delay_s=1.0, priority_col="pri"
+    )
+
+
+def _fetch_schedule_oracle_sql() -> str:
+    vals = ", ".join(f"('{h}', {d})" for h, d in _FETCH_DELAYS)
+    return f"""
+WITH fr AS (
+  SELECT 'https://h' || CAST(o_orderkey % 25 AS VARCHAR)
+           || '.shop.example/item/' || CAST(o_orderkey AS VARCHAR) AS url,
+         'h' || CAST(o_orderkey % 25 AS VARCHAR) || '.shop.example' AS host,
+         CAST(o_totalprice AS DOUBLE) AS pri
+  FROM orders
+),
+delays(host, d) AS (VALUES {vals}),
+ranked AS (
+  SELECT url, host,
+         row_number() OVER (
+           PARTITION BY host ORDER BY pri DESC, md5(url), url
+         ) - 1 AS slot
+  FROM fr
+)
+SELECT r.url, r.host, CAST(r.slot AS BIGINT) AS slot,
+       r.slot * coalesce(d.d, 1.0) AS fetch_at_s
+FROM ranked r LEFT JOIN delays d USING (host)
+"""
+
+
 def q_doc_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation (kg/ops/sketch.py
     cms_build/cms_estimate): a depth-4 width-4096 sketch of the corpus
@@ -6875,6 +6931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_filter": q_web_robots_filter,
         "web_sitemaps": q_web_sitemaps,
         "web_feeds": q_web_feeds,
+        "web_fetch_schedule": q_web_fetch_schedule,
         "web_canonical_clusters": q_web_canonical_clusters,
         "graph_harmonic": q_graph_harmonic,
         "kg_tokenize": q_kg_tokenize,
@@ -8732,6 +8789,7 @@ FROM deg LEFT JOIN pern ON deg.node = pern.node
     d["web_robots_filter"] = _robots_filter_oracle_sql()
     d["web_sitemaps"] = _SITEMAP_ORACLE
     d["web_feeds"] = _FEEDS_ORACLE
+    d["web_fetch_schedule"] = _fetch_schedule_oracle_sql()
     d["web_canonical_clusters"] = _CANON_CLUSTERS_ORACLE
     d["graph_sssp"] = _sssp_oracle_sql(SSSP_ROUNDS)
     d["graph_ppr"] = _ppr_oracle_sql(PPR_ITERS)

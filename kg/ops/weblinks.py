@@ -48,6 +48,7 @@ __all__ = [
     "parse_feeds",
     "sitemap_frontier",
     "robots_filter_frontier",
+    "fetch_schedule",
     "HREF_RE",
     "HOST_RE",
 ]
@@ -599,4 +600,66 @@ def sitemap_frontier(
     return fresh.groupBy("url_norm", "host").agg(
         F.countDistinct("sitemap_url").alias("n_sitemaps"),
         F.max("lastmod_iso").alias("lastmod_iso"),
+    )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay_s: float = 1.0,
+    url_col: str = "url",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Politeness-constrained fetch scheduling: a crawler may hit one
+    host only every ``crawl_delay_s`` seconds (robots Crawl-delay or the
+    crawler's default), so each host's frontier is a QUEUE — this op
+    assigns every url its queue slot and relative fetch time:
+
+    (url, host, slot, fetch_at_s) with slot = rank within host ordered
+    by priority DESC (tie → md5(url), then url — deterministic under any
+    partitioning) and fetch_at_s = slot * delay.
+
+    ``delays``: optional (host, crawl_delay_s) dim (parsed robots
+    Crawl-delay lines); hosts absent from it get ``default_delay_s``.
+
+    Scale shape: one broadcast join against the delay dim + ONE window
+    partitioned by host. A mega-host serializes through its window
+    partition, but that host IS sequential by politeness — the window
+    state is a running counter, and hosts schedule independently in
+    parallel, which is exactly the crawl's own concurrency structure.
+    """
+    url = F.col(url_col)
+    pr = (
+        F.col(priority_col).cast("double")
+        if priority_col
+        else F.lit(0.0)
+    )
+    base = frontier.select(
+        url.alias("url"),
+        F.regexp_extract(url, HOST_RE, 1).alias("host"),
+        pr.alias("_pr"),
+        F.md5(url).alias("_h"),
+    )
+    if delays is not None:
+        base = base.join(
+            F.broadcast(
+                delays.select("host", F.col("crawl_delay_s").cast("double"))
+            ),
+            "host",
+            "left",
+        )
+        delay = F.coalesce("crawl_delay_s", F.lit(float(default_delay_s)))
+    else:
+        delay = F.lit(float(default_delay_s))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("_pr"), F.col("_h"), F.col("url")
+    )
+    slot = (F.row_number().over(w) - 1).cast("long")
+    return base.select(
+        "url",
+        "host",
+        slot.alias("slot"),
+        (slot * delay).alias("fetch_at_s"),
     )

@@ -586,3 +586,51 @@ class TestParseFeeds:
         )
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in p
+
+
+class TestFetchSchedule:
+    def test_slots_delays_and_priority(self, spark):
+        from kg.ops.weblinks import fetch_schedule
+
+        fr = spark.createDataFrame(
+            [
+                ("https://a.test/1", 5.0),
+                ("https://a.test/2", 9.0),
+                ("https://a.test/3", 1.0),
+                ("https://b.test/x", 2.0),
+                ("https://b.test/y", 2.0),  # tie -> md5(url) order
+            ],
+            "url string, pri double",
+        )
+        delays = spark.createDataFrame(
+            [("a.test", 3.0)], "host string, crawl_delay_s double"
+        )
+        got = {
+            r.url: (r.host, r.slot, r.fetch_at_s)
+            for r in fetch_schedule(
+                fr, delays, default_delay_s=1.0, priority_col="pri"
+            ).collect()
+        }
+        # a.test: priority desc -> /2, /1, /3 at 3s spacing
+        assert got["https://a.test/2"] == ("a.test", 0, 0.0)
+        assert got["https://a.test/1"] == ("a.test", 1, 3.0)
+        assert got["https://a.test/3"] == ("a.test", 2, 6.0)
+        # b.test: default delay; tie broken by md5(url), deterministic
+        import hashlib
+
+        tie = sorted(
+            ["https://b.test/x", "https://b.test/y"],
+            key=lambda u: hashlib.md5(u.encode()).hexdigest(),
+        )
+        assert got[tie[0]] == ("b.test", 0, 0.0)
+        assert got[tie[1]] == ("b.test", 1, 1.0)
+
+    def test_no_priority_defaults(self, spark):
+        from kg.ops.weblinks import fetch_schedule
+
+        fr = spark.createDataFrame(
+            [("https://c.test/1",), ("https://c.test/2",)], "url string"
+        )
+        rows = fetch_schedule(fr).collect()
+        assert sorted(r.slot for r in rows) == [0, 1]
+        assert all(r.fetch_at_s == r.slot * 1.0 for r in rows)
