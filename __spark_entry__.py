@@ -1379,6 +1379,43 @@ FROM ranked r LEFT JOIN delays d USING (host)
 """
 
 
+def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval (kg/ops/ranking.py phrase_search) for
+    "table table" over documents — a repeated-word phrase, so the
+    contract also pins the overlapping-occurrence semantics ("table
+    table table" = 2 hits). Spark evaluates it as positional-postings
+    equi-joins on (doc, pos-offset); the oracle slides a window over
+    the word array (list_transform + slice compare) — a different
+    evaluation strategy for the same definition."""
+    from kg.ops.ranking import phrase_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_search(docs, "table table")
+
+
+_PHRASE_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(range(1, len(ws)),
+             i -> CASE WHEN ws[i] = 'table' AND ws[i+1] = 'table'
+                       THEN i ELSE 0 END),
+           x -> x > 0) AS hits
+  FROM w
+)
+SELECT doc_id AS doc,
+       CAST(hits[1] - 1 AS BIGINT) AS first_pos,
+       CAST(len(hits) AS BIGINT) AS n_occurrences
+FROM h WHERE len(hits) > 0
+"""
+
+
 def q_doc_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation (kg/ops/sketch.py
     cms_build/cms_estimate): a depth-4 width-4096 sketch of the corpus
@@ -6837,6 +6874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_assign": q_doc_shard_assign,
         "orders_zorder": q_orders_zorder,
         "doc_cms_tokens": q_doc_cms_tokens,
+        "doc_phrase_search": q_doc_phrase_search,
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "doc_mixture": q_doc_mixture,
         "emb_quantize": q_emb_quantize,
@@ -9267,6 +9305,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_shard_assign"] = _SHARD_ORACLE
     d["orders_zorder"] = _zorder_oracle_sql()
     d["doc_cms_tokens"] = _CMS_ORACLE
+    d["doc_phrase_search"] = _PHRASE_ORACLE
     d["corpus_compaction_plan"] = _COMPACTION_ORACLE
     d["doc_train_split"] = """
 WITH u AS (

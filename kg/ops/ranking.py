@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["postings", "corpus_vocab", "tfidf_topk", "bm25_search"]
+__all__ = ["postings", "corpus_vocab", "tfidf_topk", "bm25_search",
+           "positional_postings", "phrase_search"]
 
 
 def postings(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -172,4 +173,53 @@ def bm25_search(
         agg.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_n)
         .select("doc", "score", "n_hits", F.col("rank").cast("long"))
+    )
+
+
+def positional_postings(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc, term, pos) positional postings: lowercase whitespace tokens
+    with their 0-based word position — the index shape phrase and
+    proximity queries need (BM25's (doc, term, tf) substrate cannot see
+    adjacency). Pure map (posexplode), no shuffle; phrase_search joins
+    it per query term."""
+    words = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "term")
+    )
+
+
+def phrase_search(
+    docs: DataFrame, phrase: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase retrieval: documents containing the (lowercased,
+    whitespace-tokenized) words of ``phrase`` CONSECUTIVELY. Returns
+    (doc, first_pos, n_occurrences) — first_pos is the 0-based word
+    position of the earliest occurrence.
+
+    Plan: the positional postings are filtered to the |phrase| query
+    terms BEFORE any shuffle (a literal isin prunes the corpus at the
+    scan), then one equi-join per subsequent term on
+    (doc, pos - offset) — adjacency as a join key, never a string scan
+    over full documents. k-1 joins for a k-word phrase, each on
+    corpus-pruned inputs; the final rollup is one partial-agged groupBy
+    per doc.
+    """
+    terms = [w for w in phrase.lower().split() if w]
+    if not terms:
+        raise ValueError("empty phrase")
+    pp = positional_postings(docs, id_col)
+    pruned = pp.where(F.col("term").isin(terms))
+    cur = pruned.where(F.col("term") == terms[0]).select(
+        "doc", F.col("pos").alias("start")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pruned.where(F.col("term") == t).select(
+            "doc", (F.col("pos") - i).alias("start")
+        )
+        cur = cur.join(nxt, ["doc", "start"])
+    return cur.groupBy("doc").agg(
+        F.min("start").cast("long").alias("first_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
     )

@@ -230,3 +230,47 @@ class TestRetention:
         assert got[("2024-01-01", 1)] == (1, 2, 0.5)
         assert got[("2024-01-01", 2)] == (2, 2, 1.0)
         assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+
+
+class TestPhraseSearch:
+    def _docs(self, spark):
+        rows = [
+            (1, "the red wine is a red wine indeed"),
+            (2, "red and wine but never adjacent red, wine"),
+            (3, "RED WINE uppercase still matches"),
+            (4, "wine red reversed does not"),
+            (5, "ends with red wine"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_consecutive_only_case_folded(self, spark):
+        from kg.ops.ranking import phrase_search
+
+        got = {
+            r.doc: (r.first_pos, r.n_occurrences)
+            for r in phrase_search(self._docs(spark), "red wine").collect()
+        }
+        assert got == {1: (1, 2), 3: (0, 1), 5: (2, 1)}
+
+    def test_single_term_and_triple(self, spark):
+        from kg.ops.ranking import phrase_search
+
+        docs = self._docs(spark)
+        single = {
+            r.doc: r.n_occurrences
+            for r in phrase_search(docs, "red").collect()
+        }
+        assert single[1] == 2 and single[4] == 1
+        triple = {
+            r.doc: (r.first_pos, r.n_occurrences)
+            for r in phrase_search(docs, "a red wine").collect()
+        }
+        assert triple == {1: (4, 1)}
+
+    def test_empty_phrase_raises(self, spark):
+        import pytest
+
+        from kg.ops.ranking import phrase_search
+
+        with pytest.raises(ValueError):
+            phrase_search(self._docs(spark), "   ")
