@@ -1379,6 +1379,61 @@ FROM ranked r LEFT JOIN delays d USING (host)
 """
 
 
+def q_kg_shacl_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite cardinality validation (kg/reason.py
+    check_cardinality): every golden subject typed 'Entity', shapes =
+    located_in in [1,2], ceo_of exactly 1, hq_city required (a predicate
+    no subject carries → every entity yields a 'missing' row; the other
+    two yield 'excess' rows for multi-valued subjects). Oracle replays
+    the distinct-value counts + CASE bands."""
+    from kg.reason import check_cardinality
+
+    f = (
+        spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    types = f.select("subj").distinct().withColumn("type", F.lit("Entity"))
+    shapes = spark.createDataFrame(
+        [
+            ("Entity", "located_in", 1, 2),
+            ("Entity", "ceo_of", 1, 1),
+            ("Entity", "hq_city", 1, None),
+        ],
+        "type string, pred string, min_count int, max_count int",
+    )
+    return check_cardinality(f, types, shapes)
+
+
+_SHACL_ORACLE = f"""
+WITH f AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM '{FIX}/expected_triples_small.parquet'
+),
+t AS (SELECT DISTINCT subj, 'Entity' AS type FROM f),
+shapes(type, pred, min_count, max_count) AS (VALUES
+  ('Entity', 'located_in', 1, 2),
+  ('Entity', 'ceo_of', 1, 1),
+  ('Entity', 'hq_city', 1, NULL)
+),
+exp AS (
+  SELECT t.subj, t.type, s.pred,
+         CAST(s.min_count AS INT) AS min_count,
+         CAST(s.max_count AS INT) AS max_count
+  FROM t JOIN shapes s USING (type)
+),
+c AS (SELECT subj, pred, count(*) AS n FROM f GROUP BY 1, 2)
+SELECT e.subj, e.type, e.pred,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       e.min_count, e.max_count,
+       CASE WHEN coalesce(c.n, 0) < e.min_count THEN 'missing'
+            ELSE 'excess' END AS violation
+FROM exp e LEFT JOIN c ON c.subj = e.subj AND c.pred = e.pred
+WHERE coalesce(c.n, 0) < e.min_count
+   OR (e.max_count IS NOT NULL AND coalesce(c.n, 0) > e.max_count)
+"""
+
+
 def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase retrieval (kg/ops/ranking.py phrase_search) for
     "table table" over documents — a repeated-word phrase, so the
@@ -6875,6 +6930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_zorder": q_orders_zorder,
         "doc_cms_tokens": q_doc_cms_tokens,
         "doc_phrase_search": q_doc_phrase_search,
+        "kg_shacl_cardinality": q_kg_shacl_cardinality,
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "doc_mixture": q_doc_mixture,
         "emb_quantize": q_emb_quantize,
@@ -9306,6 +9362,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["orders_zorder"] = _zorder_oracle_sql()
     d["doc_cms_tokens"] = _CMS_ORACLE
     d["doc_phrase_search"] = _PHRASE_ORACLE
+    d["kg_shacl_cardinality"] = _SHACL_ORACLE
     d["corpus_compaction_plan"] = _COMPACTION_ORACLE
     d["doc_train_split"] = """
 WITH u AS (

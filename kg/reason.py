@@ -42,6 +42,7 @@ __all__ = [
     "induce_entity_types",
     "fact_confidence",
     "type_violations",
+    "check_cardinality",
     "resolve_functional_conflicts",
     "resolve_pronouns",
     "rewrite_pronoun_triples",
@@ -1033,3 +1034,62 @@ def mine_rules(
     chain = _score(chain_sup, chain_body, chain_pca, "chain", body2=True)
 
     return same.unionByName(inverse).unionByName(chain)
+
+
+def check_cardinality(
+    facts: DataFrame,
+    types: DataFrame,
+    shapes: DataFrame,
+) -> DataFrame:
+    """SHACL-lite cardinality validation — the schema-QA complement of
+    :func:`type_violations` (that one checks WHO may appear in a
+    predicate's slots; this one checks HOW MANY values a typed entity
+    must/may carry — sh:minCount / sh:maxCount in SHACL terms).
+
+    ``facts``: (subj, pred, ...) — counted as given, so pass distinct
+    (subj, pred, obj) rows to count VALUES or raw evidence rows to
+    count assertions. ``types``: (subj, type). ``shapes``:
+    (type, pred, min_count, max_count) with max_count NULL = unbounded.
+
+    Returns one row per violated (entity, shape): (subj, type, pred, n,
+    min_count, max_count, violation 'missing'|'excess'). Entities
+    without a type row and types without shape rows are NOT flagged —
+    open-world, the same disposition as type_violations.
+
+    Scale shape: one partial-aggable groupBy over the facts (the only
+    corpus-sized shuffle); shapes are a broadcast dim; the expected set
+    (typed entities × shapes-per-type) is entity-scale, not fact-scale,
+    and the count join is a left join onto it.
+    """
+    counts = facts.groupBy("subj", "pred").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    expected = types.select("subj", "type").distinct().join(
+        F.broadcast(
+            shapes.select(
+                "type",
+                "pred",
+                F.col("min_count").cast("int").alias("min_count"),
+                F.col("max_count").cast("int").alias("max_count"),
+            )
+        ),
+        "type",
+    )
+    joined = expected.join(counts, ["subj", "pred"], "left").withColumn(
+        "n", F.coalesce("_n", F.lit(0)).cast("long")
+    )
+    return joined.where(
+        (F.col("n") < F.col("min_count"))
+        | (F.col("max_count").isNotNull()
+           & (F.col("n") > F.col("max_count")))
+    ).select(
+        "subj",
+        "type",
+        "pred",
+        "n",
+        "min_count",
+        "max_count",
+        F.when(F.col("n") < F.col("min_count"), F.lit("missing"))
+        .otherwise(F.lit("excess"))
+        .alias("violation"),
+    )

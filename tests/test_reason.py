@@ -670,3 +670,43 @@ class TestMineRules:
         assert {k for k in u if k[0] != "chain"} == {
             k for k in c if k[0] != "chain"
         }
+
+
+class TestCheckCardinality:
+    def _fixture(self, spark):
+        facts = spark.createDataFrame(
+            [
+                ("a", "ceo_of", "x"), ("a", "ceo_of", "y"),  # excess (max 1)
+                ("a", "located_in", "p"),
+                ("b", "located_in", "p"), ("b", "located_in", "q"),
+                ("b", "ceo_of", "x"),
+                # c: no located_in -> missing; one ceo_of -> ok
+                ("c", "ceo_of", "z"),
+                ("untyped", "ceo_of", "m"),  # no type row -> never flagged
+            ],
+            "subj string, pred string, obj string",
+        )
+        types = spark.createDataFrame(
+            [("a", "Org"), ("b", "Org"), ("c", "Org"), ("d", "Other")],
+            "subj string, type string",
+        )
+        shapes = spark.createDataFrame(
+            [("Org", "ceo_of", 1, 1), ("Org", "located_in", 1, None)],
+            "type string, pred string, min_count int, max_count int",
+        )
+        return facts, types, shapes
+
+    def test_missing_excess_and_open_world(self, spark):
+        from kg.reason import check_cardinality
+
+        facts, types, shapes = self._fixture(spark)
+        got = {
+            (r.subj, r.pred): (r.n, r.violation)
+            for r in check_cardinality(facts, types, shapes).collect()
+        }
+        assert got == {
+            ("a", "ceo_of"): (2, "excess"),
+            ("c", "located_in"): (0, "missing"),
+        }
+        # unbounded max: b's two located_in rows are fine; untyped entity
+        # and shape-less type 'Other' produce nothing (open world)
