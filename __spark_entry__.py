@@ -1379,6 +1379,63 @@ FROM ranked r LEFT JOIN delays d USING (host)
 """
 
 
+def q_kg_distant_supervision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant supervision (kg/ops/kgtrain.py distant_supervision):
+    mentions = the golden triples' per-url subj/obj surfaces; the KG
+    fact dim = assertions from the md5-chosen half of the urls only, so
+    pairs asserted solely in the other half become NO_RELATION
+    negatives (and reversed orientations are negatives everywhere);
+    neg_keep_frac=0.5 pins the deterministic downsample. Oracle replays
+    pair generation + the fact join + the md5 threshold."""
+    from kg.ops.kgtrain import distant_supervision
+
+    g = spark.read.parquet(f"{FIX}/expected_triples_small.parquet")
+    mentions = g.select(
+        "url", F.col("subj").alias("entity_name")
+    ).unionByName(g.select("url", F.col("obj").alias("entity_name")))
+    facts = g.where(F.substring(F.md5("url"), 1, 1) < "8").select(
+        "subj", "pred", "obj"
+    )
+    return distant_supervision(mentions, facts, neg_keep_frac=0.5)
+
+
+_DS_NEG_THRESHOLD = int(0.5 * 16 ** 15)
+
+_DS_ORACLE = f"""
+WITH g AS (
+  SELECT url, subj, pred, obj
+  FROM '{FIX}/expected_triples_small.parquet'
+),
+m AS (
+  SELECT DISTINCT url, subj AS entity FROM g
+  UNION
+  SELECT DISTINCT url, obj FROM g
+),
+pairs AS (
+  SELECT a.url, a.entity AS subj, b.entity AS obj
+  FROM m a JOIN m b USING (url)
+  WHERE a.entity <> b.entity
+),
+fdim AS (
+  SELECT DISTINCT subj, pred, obj FROM g
+  WHERE substr(md5(url), 1, 1) < '8'
+),
+lab AS (
+  SELECT p.url, p.subj, p.obj, f.pred
+  FROM pairs p
+  LEFT JOIN fdim f ON f.subj = p.subj AND f.obj = p.obj
+)
+SELECT url, subj, obj,
+       coalesce(pred, 'NO_RELATION') AS label,
+       pred IS NOT NULL AS positive
+FROM lab
+WHERE pred IS NOT NULL
+   OR ('0x' || substr(md5('ds' || chr(0) || url || chr(0) || subj
+                          || chr(0) || obj), 1, 15))::BIGINT
+      < {_DS_NEG_THRESHOLD}
+"""
+
+
 def q_kg_shacl_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-lite cardinality validation (kg/reason.py
     check_cardinality): every golden subject typed 'Entity', shapes =
@@ -6931,6 +6988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cms_tokens": q_doc_cms_tokens,
         "doc_phrase_search": q_doc_phrase_search,
         "kg_shacl_cardinality": q_kg_shacl_cardinality,
+        "kg_distant_supervision": q_kg_distant_supervision,
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "doc_mixture": q_doc_mixture,
         "emb_quantize": q_emb_quantize,
@@ -9363,6 +9421,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_cms_tokens"] = _CMS_ORACLE
     d["doc_phrase_search"] = _PHRASE_ORACLE
     d["kg_shacl_cardinality"] = _SHACL_ORACLE
+    d["kg_distant_supervision"] = _DS_ORACLE
     d["corpus_compaction_plan"] = _COMPACTION_ORACLE
     d["doc_train_split"] = """
 WITH u AS (

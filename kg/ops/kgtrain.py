@@ -45,6 +45,7 @@ __all__ = [
     "DEFAULT_TEMPLATES",
     "verbalize_facts",
     "entity_descriptions",
+    "distant_supervision",
 ]
 
 _HEX_DIGITS = 15  # 60 bits: exact in a signed long, '0x'-parseable in DuckDB
@@ -365,4 +366,67 @@ def entity_descriptions(
             .getField("sentence")
         ).alias("description"),
         F.count(F.lit(1)).alias("n_facts"),
+    )
+
+
+def distant_supervision(
+    mentions: DataFrame,
+    facts: DataFrame,
+    doc_col: str = "url",
+    entity_col: str = "entity_name",
+    neg_keep_frac: float = 1.0,
+    max_entities_per_doc: int = 1000,
+    seed: str = "ds",
+) -> DataFrame:
+    """Distant supervision (Mintz et al., ACL'09): mint relation-
+    classifier training examples by pairing entities that co-occur in a
+    document and labeling each ordered pair with every KG predicate
+    asserted between them — or NO_RELATION when the KG knows none (the
+    negative class). This closes the KG → training-data loop: the graph
+    the pipeline built labels the corpus it was built from.
+
+    ``mentions``: (doc_col, entity_col) rows (the mentions table or any
+    per-doc entity list). ``facts``: (subj, pred, obj) — distinct-ed
+    here. Returns (url, subj, obj, label, positive): one row per
+    (doc, ordered pair, matching predicate), plus one NO_RELATION row
+    per unmatched ordered pair that survives ``neg_keep_frac``
+    (negatives dominate at corpus scale; the md5-deterministic
+    downsample is how DS recipes rebalance).
+
+    Scale shape: the pair generation is the capped co-occurrence
+    self-join (count-then-filter ``max_entities_per_doc``, co-partitioned
+    on the doc key — kg/graphstats.py discipline); the labeling is ONE
+    equi-join on the (subj, obj) pair key against the distinct fact dim
+    (broadcast when the KG fits, shuffle-hash under AQE otherwise); the
+    negative downsample is a pure-map md5 filter.
+    """
+    ents = mentions.select(
+        F.col(doc_col).alias("url"), F.col(entity_col).alias("entity")
+    ).distinct()
+    per_doc = ents.groupBy("url").agg(F.count("*").alias("_n"))
+    bounded = ents.join(
+        per_doc.where(F.col("_n") <= max_entities_per_doc).select("url"),
+        "url",
+    )
+    pairs = (
+        bounded.select("url", F.col("entity").alias("subj"))
+        .join(bounded.select("url", F.col("entity").alias("obj")), "url")
+        .where(F.col("subj") != F.col("obj"))
+    )
+    fdim = facts.select("subj", "pred", "obj").distinct()
+    labeled = pairs.join(fdim, ["subj", "obj"], "left")
+    keep_neg = (
+        _md5_long(
+            F.concat_ws("\x00", F.lit(seed), "url", "subj", "obj")
+        )
+        < F.lit(int(float(neg_keep_frac) * (16 ** _HEX_DIGITS)))
+    )
+    return labeled.where(
+        F.col("pred").isNotNull() | keep_neg
+    ).select(
+        "url",
+        "subj",
+        "obj",
+        F.coalesce("pred", F.lit("NO_RELATION")).alias("label"),
+        F.col("pred").isNotNull().alias("positive"),
     )

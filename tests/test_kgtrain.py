@@ -200,3 +200,61 @@ class TestVerbalize:
         # distinct + subject window; the groupBy reuses the window's
         # partitioning rather than adding a third
         assert p.count("Exchange hashpartitioning") == 2
+
+
+class TestDistantSupervision:
+    def _fixture(self, spark):
+        mentions = spark.createDataFrame(
+            [
+                ("d1", "Acme"), ("d1", "Bob"), ("d1", "Bob"),  # dup mention
+                ("d2", "Acme"), ("d2", "Paris"),
+                ("d3", "Bob"), ("d3", "Paris"),
+            ],
+            "url string, entity_name string",
+        )
+        facts = spark.createDataFrame(
+            [("Bob", "ceo_of", "Acme"), ("Bob", "works_for", "Acme"),
+             ("Acme", "located_in", "Paris")],
+            "subj string, pred string, obj string",
+        )
+        return mentions, facts
+
+    def test_labels_orientations_and_negatives(self, spark):
+        from kg.ops.kgtrain import distant_supervision
+
+        mentions, facts = self._fixture(spark)
+        got = sorted(
+            map(tuple, distant_supervision(mentions, facts).collect())
+        )
+        assert got == sorted([
+            # d1: Bob->Acme matches two predicates (multi-label DS)
+            ("d1", "Bob", "Acme", "ceo_of", True),
+            ("d1", "Bob", "Acme", "works_for", True),
+            ("d1", "Acme", "Bob", "NO_RELATION", False),
+            # d2: the located_in fact labels this doc even though it was
+            # asserted elsewhere (DS noise by design)
+            ("d2", "Acme", "Paris", "located_in", True),
+            ("d2", "Paris", "Acme", "NO_RELATION", False),
+            # d3: no fact between Bob and Paris in either direction
+            ("d3", "Bob", "Paris", "NO_RELATION", False),
+            ("d3", "Paris", "Bob", "NO_RELATION", False),
+        ])
+
+    def test_negative_downsample_keeps_positives(self, spark):
+        from kg.ops.kgtrain import distant_supervision
+
+        mentions, facts = self._fixture(spark)
+        rows = distant_supervision(
+            mentions, facts, neg_keep_frac=0.0
+        ).collect()
+        assert all(r.positive for r in rows)
+        assert len(rows) == 3
+
+    def test_entity_cap_drops_hub_doc(self, spark):
+        from kg.ops.kgtrain import distant_supervision
+
+        mentions, facts = self._fixture(spark)
+        rows = distant_supervision(
+            mentions, facts, max_entities_per_doc=1
+        ).collect()
+        assert rows == []
