@@ -1379,6 +1379,61 @@ FROM ranked r LEFT JOIN delays d USING (host)
 """
 
 
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (kg/ops/
+    similarity.py random_projection): 64-dim fixture embeddings → 16
+    dims through the md5-derived Rademacher matrix. The oracle inlines
+    the identical ±1 matrix as a VALUES table and recomputes every
+    projected coordinate (rounded to 6dp), so the hash pins the whole
+    projection; the JL distance-preservation property is pinned by unit
+    test (tests/test_ops.py)."""
+    from kg.ops.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = random_projection(emb, 16, 64)
+    # one rounded double column per projected dim: the driver's value
+    # hash rounds floats per column, while a double array would need a
+    # cross-engine string serialization
+    return proj.select(
+        "vec_id",
+        *[
+            F.element_at("proj", j + 1).alias(f"p{j:02d}")
+            for j in range(16)
+        ],
+    )
+
+
+def _rp_oracle_sql() -> str:
+    from kg.ops.similarity import rp_signs
+
+    signs = rp_signs(16, 64)
+    vals = ", ".join(
+        f"({j}, {i + 1}, {int(s)})"
+        for j, row in enumerate(signs)
+        for i, s in enumerate(row)
+    )
+    return f"""
+WITH s(j, i, sg) AS (VALUES {vals}),
+e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+p AS (
+  SELECT e.vec_id, s.j,
+         round(sum(CAST(e.v AS DOUBLE) * s.sg) * 0.25, 6) AS pv
+  FROM e JOIN s USING (i)
+  GROUP BY 1, 2
+)
+SELECT vec_id,
+       {", ".join(
+           f"max(CASE WHEN j = {j} THEN pv END) AS p{j:02d}"
+           for j in range(16)
+       )}
+FROM p GROUP BY vec_id
+"""
+
+
 def q_kg_distant_supervision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distant supervision (kg/ops/kgtrain.py distant_supervision):
     mentions = the golden triples' per-url subj/obj surfaces; the KG
@@ -6989,6 +7044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_phrase_search": q_doc_phrase_search,
         "kg_shacl_cardinality": q_kg_shacl_cardinality,
         "kg_distant_supervision": q_kg_distant_supervision,
+        "emb_random_projection": q_emb_random_projection,
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "doc_mixture": q_doc_mixture,
         "emb_quantize": q_emb_quantize,
@@ -9422,6 +9478,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_phrase_search"] = _PHRASE_ORACLE
     d["kg_shacl_cardinality"] = _SHACL_ORACLE
     d["kg_distant_supervision"] = _DS_ORACLE
+    d["emb_random_projection"] = _rp_oracle_sql()
     d["corpus_compaction_plan"] = _COMPACTION_ORACLE
     d["doc_train_split"] = """
 WITH u AS (

@@ -35,6 +35,8 @@ __all__ = [
     "embedding_cosine_near_dup",
     "dot_product_col",
     "quantize_embeddings",
+    "rp_signs",
+    "random_projection",
 ]
 
 
@@ -760,3 +762,62 @@ def cluster_balanced_sample(
         "list_id",
         (F.col("_rn") <= int(per_cluster)).cast("int").alias("kept"),
     )
+
+
+def rp_signs(out_dim: int, in_dim: int, seed: str = "rp") -> list:
+    """Deterministic Rademacher (±1) projection matrix, row j / col i
+    sign = +1 iff the first hex digit of md5("{seed}:{j}:{i}") < '8'.
+    Derived from md5 so the DuckDB oracle can inline the identical
+    matrix; exposed so callers persist/replay the exact projection."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16
+            )
+            < 8
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp",
+    decimals: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection: (id, proj) with
+    proj_j = (1/sqrt(out_dim)) * Σ_i s_ji · v_i, s = :func:`rp_signs`.
+    Achlioptas (2001) showed Rademacher entries satisfy the JL lemma, so
+    pairwise distances/cosines survive within the usual JL distortion —
+    this is the cheap front half of an ANN stack (project 1024→64, then
+    band/bucket the short vectors) and the standard way to make
+    brute-force re-ranking k× cheaper at 10^12 vectors.
+
+    Scale shape: a PURE MAP — per output dim one zip_with (sign flip)
+    + one in-order aggregate fold, all JVM codegen; no shuffle, no
+    Python, the matrix is out_dim×in_dim literals baked into the plan.
+    Rounded to ``decimals`` (sums of ≤in_dim float32 values in double:
+    cross-engine ULP noise is far below the rounding grain).
+    """
+    import math
+
+    signs = rp_signs(out_dim, in_dim, seed)
+    inv = 1.0 / math.sqrt(out_dim)
+    cols = []
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        flipped = F.zip_with(
+            F.col(vec_col), sj, lambda v, s: v.cast("double") * s
+        )
+        acc = F.aggregate(flipped, F.lit(0.0), lambda a, x: a + x)
+        cols.append(F.round(acc * F.lit(inv), decimals))
+    return emb.select(F.col(id_col), F.array(*cols).alias("proj"))

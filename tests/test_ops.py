@@ -1119,3 +1119,56 @@ class TestDocEntropy:
         b = sorted(map(tuple,
                        doc_entropy(documents.repartition(9)).collect()))
         assert a == b
+
+
+class TestRandomProjection:
+    def test_jl_preserves_cosine_structure(self, spark):
+        """64->16 sign projection keeps pairwise cosines within JL
+        distortion on real fixture embeddings."""
+        import numpy as np
+
+        from kg.ops.similarity import random_projection
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).limit(40)
+        orig = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+        proj = {
+            r.vec_id: np.array(r.proj)
+            for r in random_projection(emb, 32, 64).collect()
+        }
+        assert all(len(v) == 32 for v in proj.values())
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        ids = sorted(orig)[:20]
+        errs = [
+            abs(cos(orig[a], orig[b]) - cos(proj[a], proj[b]))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+        ]
+        # JL distortion at k=32 is ~1/sqrt(32); these are the honest bounds
+        assert sum(errs) / len(errs) < 0.25
+        assert max(errs) < 0.7
+
+    def test_deterministic_and_jvm_only(self, spark):
+        from kg.ops.similarity import random_projection, rp_signs
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).limit(5)
+        a = sorted(map(tuple, random_projection(emb, 8, 64).collect()))
+        b = sorted(map(tuple, random_projection(emb, 8, 64).collect()))
+        assert [r[0] for r in a] == [r[0] for r in b]
+        assert all(list(x[1]) == list(y[1]) for x, y in zip(a, b))
+        s = rp_signs(2, 3)
+        assert len(s) == 2 and len(s[0]) == 3
+        assert all(v in (1.0, -1.0) for row in s for v in row)
+        p = (
+            random_projection(emb, 8, 64)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "Exchange"):
+            assert node not in p
