@@ -2650,7 +2650,7 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(edges)
 
 
-_SCC_ORACLE = """
+_SCC_FIXTURE_CTE = """
 WITH RECURSIVE c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
 e AS (
   SELECT k AS src, k + 1 AS dst FROM c
@@ -2677,12 +2677,71 @@ reach(a, b) AS (
 mutual AS (
   SELECT r1.a AS node, r1.b AS m
   FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
-)
-SELECT n.n AS node,
-       least(n.n, coalesce(min(m.m), n.n)) AS scc,
-       TRUE AS resolved
-FROM nodes n LEFT JOIN mutual m ON m.node = n.n
-GROUP BY n.n
+),
+sccs AS (
+  SELECT n.n AS node,
+         least(n.n, coalesce(min(m.m), n.n)) AS scc
+  FROM nodes n LEFT JOIN mutual m ON m.node = n.n
+  GROUP BY n.n
+)"""
+
+_SCC_ORACLE = _SCC_FIXTURE_CTE + """
+SELECT node, scc, TRUE AS resolved FROM sccs
+"""
+
+
+def q_graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bowtie decomposition (kg/graphstats.py
+    bowtie_decomposition) over the same md5-broken-cycle fixture as
+    graph_scc: core = largest SCC (tie → smallest id), in/out = nodes
+    reaching/reached-from it, everything else 'other'. Oracle reuses the
+    SCC fixture CTE and classifies with EXISTS probes into the
+    recursive-CTE reachability closure — a different algorithm from the
+    two BFS sweeps Spark runs."""
+    from kg.graphstats import bowtie_decomposition
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    grp = F.floor((k - 1) / 5)
+    dst_keys = c.select(F.col("k").alias("dst"))
+    nxt = (
+        c.where((k - 1) % 5 < 4)
+        .select(k.alias("src"), (k + 1).alias("dst"))
+        .join(dst_keys, "dst")
+    )
+    closing = c.where(
+        ((k - 1) % 5 == 4)
+        & (F.substring(F.md5(grp.cast("string")), 1, 1) >= "8")
+    ).select(k.alias("src"), (k - 4).alias("dst"))
+    cross = (
+        c.where(((k - 1) % 5 == 0) & (grp % 2 == 0))
+        .select(k.alias("src"), (k + 5).alias("dst"))
+        .join(dst_keys, "dst")
+    )
+    edges = nxt.select("src", "dst").unionByName(closing).unionByName(
+        cross.select("src", "dst")
+    )
+    return bowtie_decomposition(edges)
+
+
+_BOWTIE_ORACLE = _SCC_FIXTURE_CTE + """,
+core AS (
+  SELECT scc FROM (
+    SELECT scc, count(*) AS n FROM sccs GROUP BY scc
+    ORDER BY n DESC, scc LIMIT 1
+  )
+),
+cnodes AS (SELECT node FROM sccs WHERE scc = (SELECT scc FROM core))
+SELECT s.node, s.scc,
+       CASE WHEN s.node IN (SELECT node FROM cnodes) THEN 'core'
+            WHEN EXISTS (SELECT 1 FROM reach r JOIN cnodes c2
+                         ON r.b = c2.node WHERE r.a = s.node) THEN 'in'
+            WHEN EXISTS (SELECT 1 FROM reach r JOIN cnodes c2
+                         ON r.a = c2.node WHERE r.b = s.node) THEN 'out'
+            ELSE 'other' END AS region
+FROM sccs s
 """
 
 
@@ -7066,6 +7125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_kcore": q_graph_kcore,
         "graph_scc": q_graph_scc,
+        "graph_bowtie": q_graph_bowtie,
         "graph_communities": q_graph_communities,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_warm": q_graph_pagerank_warm,
@@ -8935,6 +8995,7 @@ FROM r WHERE rn <= 5 GROUP BY subj
     )
     d["graph_kcore"] = _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS)
     d["graph_scc"] = _SCC_ORACLE
+    d["graph_bowtie"] = _BOWTIE_ORACLE
     # incremental fold must equal the full recompute: same closure oracle
     d["graph_cc_incremental"] = d["graph_connected_components"]
     d["web_redirects"] = f"""

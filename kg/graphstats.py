@@ -39,6 +39,7 @@ __all__ = [
     "triangle_stats",
     "khop_reachability",
     "strongly_connected_components",
+    "bowtie_decomposition",
     "harmonic_centrality",
     "shortest_paths",
     "predicate_stats",
@@ -1357,4 +1358,63 @@ def merge_fact_evidence(
             1,
             int(max_urls),
         ).alias("sample_urls"),
+    )
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    max_rounds: int = 16,
+    reach_hops: int = 32,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Broder bowtie decomposition (WWW'00) of a directed graph:
+    (node, scc, region) with region ∈ {'core', 'in', 'out', 'other'} —
+    core = the LARGEST strongly connected component (ties → smallest
+    scc id), in = nodes that reach the core but are not in it, out =
+    nodes the core reaches, other = tendrils/tubes/disconnected pieces.
+    The canonical macro-map of a web crawl: how much of the graph a
+    crawler seeded in the core can ever discover (core+out), and how
+    much only links IN.
+
+    Composition, not a new algorithm: one
+    :func:`strongly_connected_components` pass, then two multi-source
+    BFS sweeps (:func:`khop_reachability`, forward and on the reversed
+    edge list) seeded with the core — each hop one frontier join with
+    materialize barriers; ``reach_hops`` bounds the sweep (periphery
+    chains longer than it land in 'other', the bounded-rounds
+    disposition used everywhere else in this module).
+    """
+    scc = strongly_connected_components(
+        edges, max_rounds=max_rounds, src=src, dst=dst
+    )
+    sizes = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("_n"))
+    top = sizes.orderBy(F.desc("_n"), "scc").limit(1)
+    core_nodes = materialize(
+        scc.join(F.broadcast(top.select("scc")), "scc").select("node")
+    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    fwd = khop_reachability(e, core_nodes, k=reach_hops).select(
+        "node", F.lit(True).alias("_fwd")
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    bwd = khop_reachability(rev, core_nodes, k=reach_hops).select(
+        "node", F.lit(True).alias("_bwd")
+    )
+    in_core = core_nodes.withColumn("_core", F.lit(True))
+    return (
+        scc.join(in_core, "node", "left")
+        .join(fwd, "node", "left")
+        .join(bwd, "node", "left")
+        .select(
+            "node",
+            "scc",
+            F.when(F.col("_core"), F.lit("core"))
+            .when(F.col("_bwd"), F.lit("in"))
+            .when(F.col("_fwd"), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("region"),
+        )
     )

@@ -965,3 +965,28 @@ class TestStronglyConnectedComponents:
             ).collect()
         }
         assert got == {v: (v, False) for v in (1, 2, 3, 10, 11, 20, 21)}
+
+
+class TestBowtieDecomposition:
+    # IN {101->100->core}, core cycle {1,2,3}, OUT {200->201} and an out
+    # SCC {10,11}; tendril off IN (300) and a disconnected pair -> other
+    EDGES = [
+        (1, 2), (2, 3), (3, 1),
+        (100, 1), (101, 100),
+        (3, 200), (200, 201),
+        (3, 10), (10, 11), (11, 10),
+        (100, 300),
+        (400, 401),
+    ]
+
+    def test_regions(self, spark):
+        from kg.graphstats import bowtie_decomposition
+
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {r.node: r.region for r in bowtie_decomposition(edges).collect()}
+        assert got == {
+            1: "core", 2: "core", 3: "core",
+            100: "in", 101: "in",
+            200: "out", 201: "out", 10: "out", 11: "out",
+            300: "other", 400: "other", 401: "other",
+        }
