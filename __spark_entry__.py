@@ -1491,6 +1491,44 @@ WHERE pred IS NOT NULL
 """
 
 
+def q_kg_geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial near-join (kg/ops/timex.py geo_near_join): customers
+    become arithmetic lat/lon points in [-60,60)×[-180,180); all pairs
+    within 150 km. Spark bands by grid cells (3×3 neighborhood explode +
+    equi-join + exact haversine verify, antimeridian wrap handled); the
+    oracle brute-forces every pair — a different algorithm, so the green
+    hash proves the banding loses no pair and the haversine matches to
+    the 6dp grain."""
+    from kg.ops.timex import geo_near_join
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37 % 12000) / 100.0 - 60).alias("lat"),
+        ((F.col("c_custkey") * 73 % 36000) / 100.0 - 180).alias("lon"),
+    )
+    return geo_near_join(c, 150.0)
+
+
+_GEO_ORACLE = """
+WITH p AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 37 % 12000) / 100.0 - 60 AS lat,
+         (c_custkey * 73 % 36000) / 100.0 - 180 AS lon
+  FROM customer
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2)
+         )), 6) AS dist_km
+  FROM p a JOIN p b ON a.id < b.id
+)
+SELECT id_a, id_b, dist_km FROM pairs WHERE dist_km <= 150.0
+"""
+
+
 def q_kg_shacl_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-lite cardinality validation (kg/reason.py
     check_cardinality): every golden subject typed 'Entity', shapes =
@@ -7103,6 +7141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_phrase_search": q_doc_phrase_search,
         "kg_shacl_cardinality": q_kg_shacl_cardinality,
         "kg_distant_supervision": q_kg_distant_supervision,
+        "kg_geo_near_join": q_kg_geo_near_join,
         "emb_random_projection": q_emb_random_projection,
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "doc_mixture": q_doc_mixture,
@@ -9539,6 +9578,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_phrase_search"] = _PHRASE_ORACLE
     d["kg_shacl_cardinality"] = _SHACL_ORACLE
     d["kg_distant_supervision"] = _DS_ORACLE
+    d["kg_geo_near_join"] = _GEO_ORACLE
     d["emb_random_projection"] = _rp_oracle_sql()
     d["corpus_compaction_plan"] = _COMPACTION_ORACLE
     d["doc_train_split"] = """

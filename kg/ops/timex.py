@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "extract_timex", "extract_measures", "MEASURE_UNITS",
     "fact_time_scope", "extract_coords", "extract_quotes",
+    "haversine_km", "geo_near_join", "EARTH_RADIUS_KM",
 ]
 
 _MONTHS = [
@@ -343,3 +344,121 @@ def extract_quotes(
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+# --- spatial near-join over extracted coordinates --------------------
+
+EARTH_RADIUS_KM = 6371.0088
+_KM_PER_DEG_LAT = 111.19492664455873  # pi * R / 180
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance (km) as pure column expressions."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def geo_near_join(
+    points: DataFrame,
+    radius_km: float,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 66.0,
+    cell_cap: int = 100_000,
+) -> DataFrame:
+    """All point pairs within ``radius_km`` great-circle distance:
+    (id_a < id_b, dist_km) — the geo-dedup/conflation join the
+    extracted-coordinate facts (extract_coords) feed: "are these two
+    mined places the same place".
+
+    Scale shape — the dedup-module banding discipline applied to space:
+    a grid of cells sized so any two points within the radius are in the
+    same or an adjacent cell (lat cell = radius/111.19 km-per-degree;
+    lon cell widened by 1/cos(max_abs_lat) and snapped so an integer
+    count of cells rings the globe, with wraparound at the
+    antimeridian). One side explodes to its 3×3 cell neighborhood, the
+    join is a plain equi-join on the cell key, and an exact haversine
+    check verifies — so precision is exact and the only cost knob is
+    candidate count. Cells holding more than ``cell_cap`` points are
+    dropped count-then-filter (a coordinate every page repeats — (0,0)
+    boilerplate — would otherwise go quadratic, same guard as the LSH
+    buckets).
+
+    Scope: points with |lat| > ``max_abs_lat`` are excluded (lon cells
+    narrow toward the poles faster than a fixed grid can guarantee
+    adjacency; polar corpora should band on a polar projection instead).
+    """
+    import math
+
+    clat = float(radius_km) / _KM_PER_DEG_LAT
+    lon_deg_needed = clat / math.cos(math.radians(max_abs_lat))
+    n_lon = max(1, int(360.0 // lon_deg_needed))
+    clon = 360.0 / n_lon
+    base = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+    ).where(F.abs(F.col("lat")) <= max_abs_lat)
+    cells = base.select(
+        "id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / clat).cast("long").alias("la"),
+        F.pmod(
+            F.floor((F.col("lon") + 180.0) / clon), F.lit(n_lon)
+        ).cast("long").alias("lo"),
+    )
+    hot = (
+        cells.groupBy("la", "lo")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > cell_cap)
+        .select("la", "lo")
+    )
+    cells = cells.join(F.broadcast(hot), ["la", "lo"], "left_anti")
+    neigh = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("la") + i).alias("la2"),
+                    F.pmod(F.col("lo") + j, F.lit(n_lon)).alias("lo2"),
+                )
+                for i in (-1, 0, 1)
+                for j in (-1, 0, 1)
+            ]
+        )
+    )
+    a = cells.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        neigh.alias("n"),
+    ).select(
+        "id_a", "lat_a", "lon_a",
+        F.col("n.la2").alias("la"), F.col("n.lo2").alias("lo"),
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "la",
+        "lo",
+    )
+    dist = haversine_km(
+        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+    )
+    return (
+        a.join(b, ["la", "lo"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist_km", F.round(dist, 6))
+        .where(F.col("dist_km") <= float(radius_km))
+        .select("id_a", "id_b", "dist_km")
+    )

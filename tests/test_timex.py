@@ -189,3 +189,63 @@ class TestCoordsQuotes:
             p = df._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" not in p
             assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+class TestGeoNearJoin:
+    def test_matches_brute_force_on_hash_points(self, spark):
+        """Banded join == brute-force haversine on md5-derived points,
+        including a pair straddling the antimeridian."""
+        import hashlib
+        import math
+
+        from kg.ops.timex import geo_near_join
+
+        pts = []
+        for i in range(120):
+            h = hashlib.md5(f"geo{i}".encode()).hexdigest()
+            lat = (int(h[:6], 16) % 12000) / 100.0 - 60.0
+            lon = (int(h[6:12], 16) % 36000) / 100.0 - 180.0
+            pts.append((i, lat, lon))
+        # explicit antimeridian pair ~50km apart at lat 10
+        pts.append((900, 10.0, 179.8))
+        pts.append((901, 10.0, -179.75))
+        df = spark.createDataFrame(pts, "id long, lat double, lon double")
+        got = {
+            (r.id_a, r.id_b): r.dist_km
+            for r in geo_near_join(df, 200.0).collect()
+        }
+
+        def hav(a, b):
+            la1, lo1, la2, lo2 = map(
+                math.radians, (a[1], a[2], b[1], b[2])
+            )
+            x = (
+                math.sin((la2 - la1) / 2) ** 2
+                + math.cos(la1) * math.cos(la2)
+                * math.sin((lo2 - lo1) / 2) ** 2
+            )
+            return 2 * 6371.0088 * math.asin(math.sqrt(x))
+
+        want = {}
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                a, b = pts[i], pts[j]
+                d = hav(a, b)
+                if round(d, 6) <= 200.0:
+                    key = (min(a[0], b[0]), max(a[0], b[0]))
+                    want[key] = round(d, 6)
+        assert got.keys() == want.keys()
+        assert (900, 901) in got  # wraparound candidate survived banding
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-6
+
+    def test_cell_cap_drops_boilerplate_coordinate(self, spark):
+        from kg.ops.timex import geo_near_join
+
+        rows = [(i, 0.0, 0.0) for i in range(50)] + [
+            (100, 45.0, 45.0), (101, 45.1, 45.1)
+        ]
+        df = spark.createDataFrame(rows, "id long, lat double, lon double")
+        got = geo_near_join(df, 100.0, cell_cap=10).collect()
+        ids = {r.id_a for r in got} | {r.id_b for r in got}
+        assert ids == {100, 101}  # the (0,0) pile was capped away
