@@ -1491,6 +1491,40 @@ WHERE pred IS NOT NULL
 """
 
 
+def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (kg/ops/events.py detect_bursts): per
+    (event_type, hour) counts vs the trailing-24-bucket mean, flagged at
+    1.5× — the crawl-ops incident/trap signal. One partial-aggable
+    corpus groupBy, then windows over the bucket-cardinality table.
+    Oracle replays the window arithmetic (596 flagged rows at sf0.01, so
+    the flag path is genuinely exercised)."""
+    from kg.ops.events import detect_bursts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return detect_bursts(events, trailing=24, factor=1.5)
+
+
+_BURSTS_ORACLE = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT *, avg(n) OVER (
+           PARTITION BY event_type ORDER BY window_start
+           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+         ) AS baseline
+  FROM c
+)
+SELECT event_type, window_start, CAST(n AS BIGINT) AS n,
+       round(baseline, 6) AS baseline,
+       round(n / baseline, 6) AS ratio,
+       baseline IS NOT NULL AND n >= 1.5 * baseline AS is_burst
+FROM b
+"""
+
+
 def q_kg_geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial near-join (kg/ops/timex.py geo_near_join): customers
     become arithmetic lat/lon points in [-60,60)×[-180,180); all pairs
@@ -7142,6 +7176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_cardinality": q_kg_shacl_cardinality,
         "kg_distant_supervision": q_kg_distant_supervision,
         "kg_geo_near_join": q_kg_geo_near_join,
+        "events_bursts": q_events_bursts,
         "emb_random_projection": q_emb_random_projection,
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "doc_mixture": q_doc_mixture,
@@ -9579,6 +9614,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["kg_shacl_cardinality"] = _SHACL_ORACLE
     d["kg_distant_supervision"] = _DS_ORACLE
     d["kg_geo_near_join"] = _GEO_ORACLE
+    d["events_bursts"] = _BURSTS_ORACLE
     d["emb_random_projection"] = _rp_oracle_sql()
     d["corpus_compaction_plan"] = _COMPACTION_ORACLE
     d["doc_train_split"] = """

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "funnel_steps", "cohort_retention"]
+__all__ = ["sessionize", "funnel_steps", "cohort_retention",
+           "detect_bursts"]
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -169,4 +170,52 @@ def cohort_retention(
         "n_active",
         "n_cohort",
         F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
+    )
+
+
+def detect_bursts(
+    events: DataFrame,
+    trailing: int = 24,
+    factor: float = 3.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    grain: str = "hour",
+) -> DataFrame:
+    """Burst detection over the event stream: per (type, time bucket),
+    flag buckets whose count jumps ``factor``× above the trailing
+    baseline — the crawl-ops incident signal (an error-type burst = a
+    site went hostile; a per-host fetch burst = a crawler trap started
+    minting urls, cf. kg/ops/webnorm.py url_templates).
+
+    baseline = mean count of the previous ``trailing`` OBSERVED buckets
+    of the same type (rows-based window: an empty bucket contributes no
+    row — crawl-scale streams always have volume; for sparse streams
+    densify with the temporal module's rollup first). The first bucket
+    of a type has no baseline and is never flagged.
+
+    Returns (event_type, window_start, n, baseline, ratio, is_burst).
+    Scale shape: ONE partial-aggregable corpus groupBy down to
+    (type, bucket) — after which everything is bucket-cardinality, not
+    event-cardinality — then one window per type over that small table.
+    """
+    counts = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc(grain, F.col(ts_col)).alias("window_start"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-int(trailing), -1)
+    )
+    baseline = F.avg("n").over(w)
+    return counts.select(
+        "event_type",
+        "window_start",
+        F.col("n").cast("long").alias("n"),
+        F.round(baseline, 6).alias("baseline"),
+        F.round(F.col("n") / baseline, 6).alias("ratio"),
+        (
+            baseline.isNotNull()
+            & (F.col("n") >= F.lit(float(factor)) * baseline)
+        ).alias("is_burst"),
     )

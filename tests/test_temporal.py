@@ -494,3 +494,31 @@ class TestCountMinSketch:
         got = {(r.row, r.col): r.n for r in merged.collect()}
         want = {(r.row, r.col): r.n for r in sk_all.collect()}
         assert got == want
+
+
+class TestDetectBursts:
+    def test_trailing_baseline_and_flags(self, spark):
+        import datetime as dt
+
+        from kg.ops.events import detect_bursts
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # type A: 2 events/hour for 4 hours, then 9 in hour 5 -> burst
+        for h in range(4):
+            for i in range(2):
+                rows.append((f"e{h}{i}", base + dt.timedelta(hours=h, minutes=i), "A"))
+        for i in range(9):
+            rows.append((f"b{i}", base + dt.timedelta(hours=4, minutes=i), "A"))
+        # type B: flat, never bursts
+        for h in range(3):
+            rows.append((f"x{h}", base + dt.timedelta(hours=h), "B"))
+        df = spark.createDataFrame(rows, "event_id string, ts timestamp, event_type string")
+        got = {
+            (r.event_type, r.window_start.hour): (r.n, r.baseline, r.is_burst)
+            for r in detect_bursts(df, trailing=24, factor=3.0).collect()
+        }
+        assert got[("A", 0)] == (2, None, False)  # no baseline yet
+        assert got[("A", 4)] == (9, 2.0, True)    # 9 >= 3*2
+        assert all(not v[2] for k, v in got.items() if k[0] == "B")
+        assert got[("B", 1)][1] == 1.0
