@@ -1910,6 +1910,19 @@ def q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SUBSTR_K = 8
+CDC_K = 4
+
+
+def q_doc_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (kg/ops/dedup.py cdc_chunk_dedup):
+    variable-length rolling-hash chunks (boundary = md5 nibble of the
+    trailing 4-token window), then per-doc counts of chunk occurrences
+    that duplicate an earlier-stored chunk corpus-wide. The chunking is a
+    shuffle-free array-local map; the oracle replays cuts, bounds, chunk
+    hashes, and the global first-occurrence rule in SQL."""
+    from kg.ops.dedup import cdc_chunk_dedup
+
+    return cdc_chunk_dedup(_docs(spark, sf_dir), k=CDC_K)
 
 
 def q_doc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7182,6 +7195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture": q_doc_mixture,
         "emb_quantize": q_emb_quantize,
         "web_url_normalize": q_web_url_normalize,
+        "doc_cdc_dedup": q_doc_cdc_dedup,
         "doc_substring_dups": q_doc_substring_dups,
         "doc_substring_rm": q_doc_substring_rm,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -9532,6 +9546,45 @@ SELECT surface, entity, CAST(n AS BIGINT) AS n,
   row_number() OVER (PARTITION BY surface ORDER BY n DESC, entity) = 1
     AS top_entity
 FROM c
+"""
+    d["doc_cdc_dedup"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), cutpos AS (
+  SELECT doc_id, g.e AS e
+  FROM toks, unnest(generate_series({CDC_K}, len(t))) AS g(e)
+  WHERE len(t) >= {CDC_K}
+    AND substring(md5(array_to_string(t[g.e - {CDC_K} + 1 : g.e], ' ')), 1, 1)
+        IN ('0')
+), cutagg AS (
+  SELECT doc_id, list_sort(list(e)) AS cuts FROM cutpos GROUP BY doc_id
+), bounds AS (
+  SELECT t.doc_id, t.t,
+    list_sort(list_distinct(list_concat(
+      list_concat([CAST(0 AS BIGINT)], coalesce(c.cuts, [])),
+      [len(t.t)]))) AS b
+  FROM toks t LEFT JOIN cutagg c USING (doc_id)
+), chunks AS (
+  SELECT doc_id, g.j - 1 AS chunk_idx,
+    b[g.j + 1] - b[g.j] AS n_tokens,
+    md5(array_to_string(t[b[g.j] + 1 : b[g.j + 1]], ' ')) AS chunk_hash
+  FROM bounds, unnest(generate_series(1, len(b) - 1)) AS g(j)
+), marked AS (
+  SELECT doc_id, n_tokens,
+    row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx)
+      AS rn,
+    count(*) OVER (PARTITION BY chunk_hash) AS c
+  FROM chunks
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN c >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_chunks,
+  CAST(coalesce(sum(CASE WHEN c >= 2 AND rn > 1 THEN n_tokens END), 0)
+    AS BIGINT) AS dup_tokens
+FROM marked GROUP BY doc_id
 """
     d["doc_substring_dups"] = f"""
 WITH toks AS (

@@ -1140,3 +1140,132 @@ def remove_duplicate_substrings(
         F.array_join(kept, " ").alias("text_clean"),
         (F.size("_w") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    k: int = 4,
+    boundary_hexes: tuple[str, ...] = ("0",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (CDC): split each document into
+    VARIABLE-LENGTH chunks whose boundaries depend only on local content —
+    the storage-dedup primitive (LBFS/Venti/restic style) the fixed-k
+    substring ops above can't provide. A boundary falls after token ``e``
+    whenever the hash of the trailing k-token window ends a chunk there
+    (first hex nibble of md5 in ``boundary_hexes``; one nibble =
+    boundary probability 1/16 = mean chunk ~16 tokens). Because the cut
+    decision looks only at the window, an insertion early in a doc shifts
+    ONE chunk's boundary instead of re-aligning every fixed-size block —
+    shared suffixes keep identical chunk hashes, which is exactly what
+    chunk-level dedup needs.
+
+    Returns (id, chunk_idx, n_tokens, chunk_hash): 0-based chunk index,
+    token count, md5 of the space-joined lowercased chunk. Docs shorter
+    than ``k`` tokens are one whole-doc chunk.
+
+    Scale shape: the cut scan, bound assembly, and chunk hashing are all
+    array-local JVM expressions over the per-doc token array — a pure map,
+    NO shuffle; only a downstream consumer (``cdc_chunk_dedup``) shuffles,
+    keyed on the 32-hex chunk hash. Stateless cuts (no min/max chunk
+    clamping) keep every position's decision independent, so the operator
+    is embarrassingly parallel and byte-replayable in SQL.
+    """
+    k = int(k)
+    hexset = list(boundary_hexes)
+    base = docs.select(F.col(id_col), _words(text_col).alias("_w"))
+    n = F.size("_w")
+    cuts = F.when(
+        n >= k,
+        F.filter(
+            F.sequence(F.lit(k), n),
+            lambda e: F.substring(
+                F.md5(F.array_join(F.slice(F.col("_w"), e - k + 1, k), " ")),
+                1, 1,
+            ).isin(hexset),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.array_distinct(
+        F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    )
+    with_b = base.withColumn("_b", bounds)
+    chunk_structs = F.when(
+        F.size("_b") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_b") - 1),
+            lambda j: F.struct(
+                (j - 1).cast("int").alias("chunk_idx"),
+                (F.get("_b", j) - F.get("_b", j - 1)).cast("long").alias(
+                    "n_tokens"
+                ),
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("_w"),
+                            F.get("_b", j - 1) + 1,
+                            F.get("_b", j) - F.get("_b", j - 1),
+                        ),
+                        " ",
+                    )
+                ).alias("chunk_hash"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<chunk_idx:int,n_tokens:bigint,chunk_hash:string>>"
+        )
+    )
+    return with_b.select(
+        F.col(id_col), F.explode(chunk_structs).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+        F.col("_c.chunk_hash").alias("chunk_hash"),
+    )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    k: int = 4,
+    boundary_hexes: tuple[str, ...] = ("0",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level dedup accounting over :func:`cdc_chunks`: per document,
+    how many of its CDC chunks (and how many tokens) are redundant copies
+    of a chunk already stored elsewhere in the corpus. A chunk occurrence
+    is a duplicate when its hash occurs >= 2 times corpus-wide AND it is
+    not the globally-first occurrence (min (doc_id, chunk_idx) — fully
+    deterministic). ``dup_tokens / n_tokens`` is the doc's chunk-store
+    dedup ratio — the signal that catches pages sharing large verbatim
+    regions (mirrors, templated bodies, quoted reposts) that document-level
+    hashing misses and fixed-k-gram spans over-count.
+
+    Returns (id, n_chunks, n_tokens, n_dup_chunks, dup_tokens), all BIGINT.
+
+    Scale shape: the chunking itself is a shuffle-free map; dedup marking
+    is ONE exchange keyed on the 32-hex chunk hash (row_number + count per
+    hash — per-key work bounded by that chunk's occurrence count, the same
+    exposure any dedup groupBy has), then ONE partial-agged per-doc
+    groupBy. Hot boilerplate chunks concentrate into single sort runs, not
+    join blowups — there is no self-join anywhere on this path.
+    """
+    chunks = cdc_chunks(docs, k, boundary_hexes, id_col, text_col)
+    gw = Window.partitionBy("chunk_hash").orderBy(id_col, "chunk_idx")
+    marked = chunks.select(
+        F.col(id_col),
+        "n_tokens",
+        F.row_number().over(gw).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("chunk_hash")).alias("_c"),
+    )
+    is_dup = (F.col("_c") >= 2) & (F.col("_rn") > 1)
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(is_dup.cast("int")).cast("long").alias("n_dup_chunks"),
+        F.coalesce(
+            F.sum(F.when(is_dup, F.col("n_tokens"))), F.lit(0)
+        ).cast("long").alias("dup_tokens"),
+    )

@@ -1172,3 +1172,75 @@ class TestRandomProjection:
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                      "Exchange"):
             assert node not in p
+
+
+class TestCdcChunkDedup:
+    """Content-defined chunking: boundary locality, whole-doc fallback,
+    duplicate accounting, and the shift-resilience property fixed-size
+    blocking lacks."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_chunks_partition_the_doc(self, spark, documents):
+        from kg.ops.dedup import cdc_chunks
+
+        chunks = cdc_chunks(documents, k=4).toPandas()
+        toks = documents.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.lower("text"), r"\s+"),
+                         lambda x: x != F.lit(""))
+            ).alias("n"),
+        ).toPandas().set_index("doc_id")["n"]
+        got = chunks.groupby("doc_id")["n_tokens"].sum()
+        for doc_id, n in toks.items():
+            assert got.get(doc_id, 0) == n
+        # chunk_idx is dense 0..m-1 per doc
+        for doc_id, grp in chunks.groupby("doc_id"):
+            assert sorted(grp.chunk_idx) == list(range(len(grp)))
+
+    def test_short_doc_single_chunk(self, spark):
+        from kg.ops.dedup import cdc_chunks
+
+        df = self._mk(spark, [(1, "two tokens"), (2, "one two three")])
+        out = cdc_chunks(df, k=4).collect()
+        assert len(out) == 2
+        assert all(r.chunk_idx == 0 for r in out)
+        assert {r.n_tokens for r in out} == {2, 3}
+
+    def test_identical_docs_fully_dup(self, spark):
+        from kg.ops.dedup import cdc_chunk_dedup
+
+        body = " ".join(f"tok{i}" for i in range(200))
+        df = self._mk(spark, [(1, body), (2, body), (3, "other words only")])
+        out = {r.doc_id: r for r in cdc_chunk_dedup(df, k=4).collect()}
+        assert out[1].n_dup_chunks == 0  # global first occurrences
+        assert out[2].n_dup_chunks == out[2].n_chunks  # every chunk stored
+        assert out[2].dup_tokens == out[2].n_tokens
+        assert out[3].n_dup_chunks == 0
+
+    def test_prefix_insertion_preserves_suffix_chunks(self, spark):
+        """The CDC property: prepending tokens shifts every fixed-size
+        block but only the FIRST content-defined chunk; the shared suffix
+        keeps identical chunk hashes."""
+        from kg.ops.dedup import cdc_chunks
+
+        body = " ".join(f"w{i % 13}q{i % 5}" for i in range(300))
+        df = self._mk(
+            spark, [(1, body), (2, "brand new preface tokens here " + body)]
+        )
+        ch = cdc_chunks(df, k=4).toPandas()
+        h1 = set(ch[ch.doc_id == 1].chunk_hash)
+        h2 = set(ch[ch.doc_id == 2].chunk_hash)
+        shared = len(h1 & h2)
+        assert shared >= 0.7 * len(h1), (shared, len(h1), len(h2))
+
+    def test_partition_invariance(self, spark, documents):
+        from kg.ops.dedup import cdc_chunk_dedup
+
+        a = cdc_chunk_dedup(documents, k=4)
+        b = cdc_chunk_dedup(documents.repartition(7), k=4)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
