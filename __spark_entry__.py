@@ -1911,6 +1911,33 @@ def q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBSTR_K = 8
 CDC_K = 4
+BLOCK_EVAL_TAU = 0.5
+BLOCK_EVAL_CAP = 64  # production-shaped cap: drops mega-cluster buckets
+BLOCK_EVAL_UNCAP = 1000  # above corpus size: measures the banding s-curve
+
+
+def q_doc_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit (kg/ops/dedup.py blocking_eval): pair
+    completeness + reduction ratio of the SQL-replayable md5-MinHash
+    banded blocker against the EXACT Jaccard self-join truth, at two
+    operating points — the production-shaped bucket cap (which trades the
+    mega-cluster's pairs for boundedness) and uncapped (the pure banding
+    s-curve). Oracle replays the md5 signatures, band keys, cap, truth
+    join, and both metric rows in SQL."""
+    from kg.ops.dedup import blocking_eval, md5_minhash_band_candidates
+
+    docs = _docs(spark, sf_dir)
+    rows = []
+    for config, cap in (("capped_64", BLOCK_EVAL_CAP),
+                        ("uncapped", BLOCK_EVAL_UNCAP)):
+        cand = md5_minhash_band_candidates(
+            docs, k=8, bands=4, max_bucket=cap
+        )
+        rows.append(
+            blocking_eval(docs, cand, min_jaccard=BLOCK_EVAL_TAU)
+            .withColumn("config", F.lit(config))
+        )
+    return rows[0].unionByName(rows[1])
 
 
 def q_doc_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7195,6 +7222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture": q_doc_mixture,
         "emb_quantize": q_emb_quantize,
         "web_url_normalize": q_web_url_normalize,
+        "doc_blocking_eval": q_doc_blocking_eval,
         "doc_cdc_dedup": q_doc_cdc_dedup,
         "doc_substring_dups": q_doc_substring_dups,
         "doc_substring_rm": q_doc_substring_rm,
@@ -9547,6 +9575,71 @@ SELECT surface, entity, CAST(n AS BIGINT) AS n,
     AS top_entity
 FROM c
 """
+    def _blocking_eval_leg(config: str, cap: int) -> str:
+        return f"""
+SELECT '{config}' AS config, * FROM (
+WITH toks AS (
+  SELECT doc_id,
+    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS ts
+  FROM documents
+), nz AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+extok AS (SELECT doc_id, unnest(ts) AS tok FROM nz),
+sizes AS (SELECT doc_id, count(*) AS sz FROM extok GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM extok x JOIN extok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {BLOCK_EVAL_TAU}
+), sig AS (
+  SELECT doc_id,
+    min(md5('0|' || tok)) AS s0, min(md5('1|' || tok)) AS s1,
+    min(md5('2|' || tok)) AS s2, min(md5('3|' || tok)) AS s3,
+    min(md5('4|' || tok)) AS s4, min(md5('5|' || tok)) AS s5,
+    min(md5('6|' || tok)) AS s6, min(md5('7|' || tok)) AS s7
+  FROM extok GROUP BY doc_id
+), buckets AS (
+  SELECT doc_id, 0 AS band, md5(s0 || s1) AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig
+), bsz AS (
+  SELECT band, bkey FROM buckets GROUP BY band, bkey
+  HAVING count(*) <= {cap}
+), kept AS (
+  SELECT b.* FROM buckets b JOIN bsz USING (band, bkey)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM kept l JOIN kept r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+), m AS (
+  SELECT (SELECT count(*) FROM nz) AS n_docs,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM truth t JOIN cand c
+            ON t.a = c.a AND t.b = c.b) AS n_cap
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_true AS BIGINT) AS n_true_pairs,
+  CAST(n_cand AS BIGINT) AS n_candidate_pairs,
+  CAST(n_cap AS BIGINT) AS n_captured,
+  round(CASE WHEN n_true = 0 THEN 1.0
+        ELSE CAST(n_cap AS DOUBLE) / n_true END, 6) AS pair_completeness,
+  round(CASE WHEN n_docs < 2 THEN 1.0
+        ELSE 1.0 - CAST(n_cand AS DOUBLE) / (n_docs * (n_docs - 1) / 2)
+        END, 6) AS reduction_ratio
+FROM m
+)
+"""
+
+    d["doc_blocking_eval"] = (
+        _blocking_eval_leg("capped_64", BLOCK_EVAL_CAP)
+        + " UNION ALL "
+        + _blocking_eval_leg("uncapped", BLOCK_EVAL_UNCAP)
+    )
     d["doc_cdc_dedup"] = f"""
 WITH toks AS (
   SELECT doc_id,

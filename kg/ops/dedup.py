@@ -1269,3 +1269,119 @@ def cdc_chunk_dedup(
             F.sum(F.when(is_dup, F.col("n_tokens"))), F.lit(0)
         ).cast("long").alias("dup_tokens"),
     )
+
+
+def md5_minhash_band_candidates(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded MinHash blocker whose hash family is md5 STRINGS instead of
+    xxhash64 — per-seed signature value = min over the doc's distinct
+    tokens of md5('<seed>|' || token) (binary string order), band key =
+    md5 of the band's concatenated seed-mins. Same recall math as
+    :func:`minhash_band_candidates` (uniform hash family, s-curve
+    1-(1-J^r)^bands) and the same count-then-filter bucket cap; it exists
+    because md5-over-strings is replayable in ANSI SQL, which makes
+    blocking QUALITY itself oracle-checkable (see :func:`blocking_eval`)
+    — the xxhash64 production blocker is faster (fixed-width longs vs 32
+    hex chars per hash) but only pin-testable, not SQL-replayable.
+
+    Returns candidate (a, b) pairs, a < b, int64. All JVM expressions.
+    """
+    k, bands = int(k), int(bands)
+    r = k // bands
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.array_distinct(_words()).alias("_ts"),
+    ).where(F.size("_ts") > 0)
+
+    def _seed_min(i: int):
+        return F.array_min(
+            F.transform("_ts", lambda t: F.md5(F.concat(F.lit(f"{i}|"), t)))
+        )
+
+    sig = toks.select(
+        "_id", F.array(*[_seed_min(i) for i in range(k)]).alias("sig")
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.get("sig", b * r + j) for j in range(r)])
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ])
+    buckets = sig.select("_id", F.explode(band_structs).alias("bk")).select(
+        "_id", "bk.band", "bk.bkey"
+    )
+    # same 3-consumer barrier rationale as minhash_band_candidates
+    buckets = materialize(buckets)
+    sizes = buckets.groupBy("band", "bkey").agg(F.count("*").alias("n"))
+    kept = buckets.join(
+        sizes.where(F.col("n") <= max_bucket).select("band", "bkey"),
+        ["band", "bkey"],
+    )
+    left, right = kept.alias("l"), kept.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        .distinct()
+    )
+
+
+def blocking_eval(
+    docs: DataFrame,
+    candidates: DataFrame,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocking-quality metrics — the record-linkage literature's two
+    numbers (pair completeness + reduction ratio) that tell you whether a
+    blocker is SAFE (not dropping true matches) and WORTH IT (not passing
+    everything through). Ground truth = the EXACT set-similarity self-join
+    (:func:`jaccard_join_exact`: prefix-filter blocking, exact recall), so
+    the metric is against certainty, not another approximation.
+
+    Returns ONE row: (n_docs, n_true_pairs, n_candidate_pairs, n_captured,
+    pair_completeness = captured/true (1.0 when no true pairs exist),
+    reduction_ratio = 1 - candidates / (n_docs choose 2)), ratios rounded
+    to 6dp.
+
+    Scale shape: truth generation is the exact join's cost (run this at
+    audit-sample scale, not the full corpus — the point of a blocker is
+    that exact truth at 100 TB is unaffordable; an eval on a stratified
+    sample bounds the production blocker's recall). The candidate/truth
+    overlap is one join on (a, b); the metric row is a global aggregate.
+    """
+    truth = jaccard_join_exact(
+        docs, min_jaccard=min_jaccard, id_col=id_col
+    ).select("a", "b")
+    truth = materialize(truth)
+    cand = materialize(candidates.select("a", "b").distinct())
+    captured = truth.join(cand, ["a", "b"], "left_semi")
+    n_docs = (
+        docs.select(F.array_distinct(_words()).alias("_ts"))
+        .where(F.size("_ts") > 0)
+        .count()
+    )
+    total_pairs = n_docs * (n_docs - 1) // 2
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_cap = captured.count()
+    pc = 1.0 if n_true == 0 else n_cap / n_true
+    rr = 1.0 if total_pairs == 0 else 1.0 - n_cand / total_pairs
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(n_docs, n_true, n_cand, n_cap, round(pc, 6), round(rr, 6))],
+        "n_docs long, n_true_pairs long, n_candidate_pairs long, "
+        "n_captured long, pair_completeness double, reduction_ratio double",
+    )

@@ -1244,3 +1244,62 @@ class TestCdcChunkDedup:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+
+class TestBlockingEval:
+    """Blocking-quality metrics: perfect/empty blockers bound the metric,
+    identical docs always collide in the md5 blocker, and the bucket cap
+    trades mega-cluster recall for boundedness."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        base = " ".join(f"word{i}" for i in range(40))
+        rows = [
+            (1, base),
+            (2, base),  # J=1 with 1
+            (3, base + " extra tail tokens here"),  # high J with 1/2
+            (4, " ".join(f"other{i}" for i in range(40))),
+            (5, " ".join(f"unrel{i}" for i in range(40))),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_perfect_blocker_pc_1(self, spark, corpus):
+        from kg.ops.dedup import blocking_eval, jaccard_join_exact
+
+        truth = jaccard_join_exact(corpus, min_jaccard=0.5).select("a", "b")
+        row = blocking_eval(corpus, truth, min_jaccard=0.5).collect()[0]
+        assert row.pair_completeness == 1.0
+        assert row.n_captured == row.n_true_pairs > 0
+
+    def test_empty_blocker_pc_0(self, spark, corpus):
+        from kg.ops.dedup import blocking_eval
+
+        empty = spark.createDataFrame([], "a long, b long")
+        row = blocking_eval(corpus, empty, min_jaccard=0.5).collect()[0]
+        assert row.pair_completeness == 0.0
+        assert row.reduction_ratio == 1.0
+
+    def test_md5_blocker_identical_docs_always_candidates(self, spark, corpus):
+        from kg.ops.dedup import md5_minhash_band_candidates
+
+        cand = {
+            (r.a, r.b)
+            for r in md5_minhash_band_candidates(
+                corpus, k=8, bands=4, max_bucket=100
+            ).collect()
+        }
+        assert (1, 2) in cand  # identical token sets: every band collides
+        assert (4, 5) not in cand or True  # unrelated docs MAY collide; no assert
+
+    def test_cap_drops_mega_bucket_pairs(self, spark):
+        from kg.ops.dedup import blocking_eval, md5_minhash_band_candidates
+
+        body = " ".join(f"tmpl{i}" for i in range(60))
+        rows = [(i, body + f" v{i}") for i in range(1, 21)]  # 20 near-dups
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = md5_minhash_band_candidates(docs, max_bucket=4)
+        uncapped = md5_minhash_band_candidates(docs, max_bucket=100)
+        pc_c = blocking_eval(docs, capped, 0.5).collect()[0].pair_completeness
+        pc_u = blocking_eval(docs, uncapped, 0.5).collect()[0].pair_completeness
+        assert pc_u > pc_c  # the cap costs recall on a mega-cluster corpus
+        assert pc_u >= 0.9
