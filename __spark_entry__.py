@@ -5873,6 +5873,50 @@ def q_kg_alias_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WALK_LEN = 3
 WALKS_PER_NODE = 2
+SKIPGRAM_WINDOW = 2
+
+# Shared DuckDB CTE: the deterministic DeepWalk unroll over the linked
+# entity graph (md5-derived neighbor choice).  s3 ends with one row per
+# walk and columns n0..n3 (NULL past a dead end).  Used by both the
+# kg_random_walks and kg_walk_skipgrams oracles.
+_WALKS_SQL_CTE = f"""WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), e AS (
+  SELECT DISTINCT s.entity_id AS u, o.entity_id AS v
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), adj AS (
+  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk
+  FROM e
+), deg AS (
+  SELECT u, count(*) AS deg FROM e GROUP BY u
+), nodes AS (
+  SELECT u FROM e UNION SELECT v FROM e
+), w0 AS (
+  SELECT u * {WALKS_PER_NODE} + i AS walk_id, u AS start_id, u AS n0
+  FROM nodes,
+       (SELECT unnest(generate_series(0, {WALKS_PER_NODE - 1})) AS i)
+), s1 AS (
+  SELECT w0.*, a.v AS n1 FROM w0
+  LEFT JOIN deg d ON d.u = w0.n0
+  LEFT JOIN adj a ON a.u = w0.n0 AND a.rnk =
+    ('0x' || substr(md5(CAST(w0.walk_id AS VARCHAR) || '|1'),
+      1, 15))::BIGINT % d.deg
+), s2 AS (
+  SELECT s1.*, a.v AS n2 FROM s1
+  LEFT JOIN deg d ON d.u = s1.n1
+  LEFT JOIN adj a ON a.u = s1.n1 AND a.rnk =
+    ('0x' || substr(md5(CAST(s1.walk_id AS VARCHAR) || '|2'),
+      1, 15))::BIGINT % d.deg
+), s3 AS (
+  SELECT s2.*, a.v AS n3 FROM s2
+  LEFT JOIN deg d ON d.u = s2.n2
+  LEFT JOIN adj a ON a.u = s2.n2 AND a.rnk =
+    ('0x' || substr(md5(CAST(s2.walk_id AS VARCHAR) || '|3'),
+      1, 15))::BIGINT % d.deg
+)"""
 
 
 def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5894,6 +5938,24 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_id",
         F.array_join(F.col("walk").cast("array<string>"), "|").alias("walk"),
     )
+
+
+def q_kg_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts over the DeepWalk corpus
+    (window=2) — the SGNS training input.  The oracle unrolls the same
+    deterministic walks in SQL, unnests positions, and self-joins within
+    the window on walk_id."""
+    from kg.ops.kgtrain import random_walks, walk_skipgrams
+
+    edges = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+    )
+    walks = random_walks(
+        edges, walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE
+    )
+    return walk_skipgrams(walks, window=SKIPGRAM_WINDOW)
 
 
 NEGSAMPLE_K = 4
@@ -7361,6 +7423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quotes": q_kg_quotes,
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
+        "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_ner_errors": q_kg_ner_errors,
         "kg_annotate": q_kg_annotate,
@@ -8706,45 +8769,22 @@ SELECT x.s AS a, y.s AS b
 FROM uni x JOIN uni y ON x.s < y.s AND levenshtein(x.s, y.s) <= 1
 """,
         "kg_random_walks": f"""
-WITH dim AS (
-  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
-  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
-), e AS (
-  SELECT DISTINCT s.entity_id AS u, o.entity_id AS v
-  FROM '{FIX}/expected_triples_small.parquet' t
-  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
-  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
-), adj AS (
-  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk
-  FROM e
-), deg AS (
-  SELECT u, count(*) AS deg FROM e GROUP BY u
-), nodes AS (
-  SELECT u FROM e UNION SELECT v FROM e
-), w0 AS (
-  SELECT u * {WALKS_PER_NODE} + i AS walk_id, u AS start_id, u AS n0
-  FROM nodes,
-       (SELECT unnest(generate_series(0, {WALKS_PER_NODE - 1})) AS i)
-), s1 AS (
-  SELECT w0.*, a.v AS n1 FROM w0
-  LEFT JOIN deg d ON d.u = w0.n0
-  LEFT JOIN adj a ON a.u = w0.n0 AND a.rnk =
-    ('0x' || substr(md5(CAST(w0.walk_id AS VARCHAR) || '|1'),
-      1, 15))::BIGINT % d.deg
-), s2 AS (
-  SELECT s1.*, a.v AS n2 FROM s1
-  LEFT JOIN deg d ON d.u = s1.n1
-  LEFT JOIN adj a ON a.u = s1.n1 AND a.rnk =
-    ('0x' || substr(md5(CAST(s1.walk_id AS VARCHAR) || '|2'),
-      1, 15))::BIGINT % d.deg
-), s3 AS (
-  SELECT s2.*, a.v AS n3 FROM s2
-  LEFT JOIN deg d ON d.u = s2.n2
-  LEFT JOIN adj a ON a.u = s2.n2 AND a.rnk =
-    ('0x' || substr(md5(CAST(s2.walk_id AS VARCHAR) || '|3'),
-      1, 15))::BIGINT % d.deg
-)
+{_WALKS_SQL_CTE}
 SELECT walk_id, start_id, concat_ws('|', n0, n1, n2, n3) AS walk FROM s3
+""",
+        "kg_walk_skipgrams": f"""
+{_WALKS_SQL_CTE}
+, pos AS (
+  SELECT walk_id, i, [n0, n1, n2, n3][i + 1] AS c
+  FROM s3, (SELECT unnest(generate_series(0, 3)) AS i)
+  WHERE [n0, n1, n2, n3][i + 1] IS NOT NULL
+)
+SELECT p.c AS center_id, q.c AS context_id,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pos p JOIN pos q
+  ON p.walk_id = q.walk_id AND p.i <> q.i
+ AND abs(p.i - q.i) <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2
 """,
         "kg_negative_samples": f"""
 WITH dim AS (

@@ -430,3 +430,56 @@ def distant_supervision(
         F.coalesce("pred", F.lit("NO_RELATION")).alias("label"),
         F.col("pred").isNotNull().alias("positive"),
     )
+
+
+def walk_skipgrams(
+    walks: DataFrame,
+    window: int = 2,
+    walk_col: str = "walk",
+) -> DataFrame:
+    """Skip-gram (center, context) pair counts over a random-walk corpus —
+    the training input SGNS node embeddings consume (word2vec over
+    DeepWalk sentences, Perozzi et al. 2014 §4.2). For every position i of
+    every walk, each position j with 0 < |i-j| <= ``window`` contributes
+    one (walk[i], walk[j]) pair; pairs are aggregated corpus-wide into
+    counts (the co-occurrence multiset, NOT distinct pairs — SGNS weights
+    by frequency).
+
+    Returns (center_id, context_id, n_pairs BIGINT).
+
+    Scale shape: pair generation is an array-local nested transform over
+    each walk (bounded by walk_len * 2*window per walk, no join, no
+    per-row Python); counting is ONE partial-agged groupBy on the pair
+    key. Hub nodes concentrate into hot pair keys exactly like any
+    count shuffle — AQE handles the skew; there is no self-join on the
+    walk table.
+    """
+    w = int(window)
+    arr = F.col(walk_col)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 1),
+            lambda i: F.transform(
+                F.filter(
+                    F.sequence(
+                        F.greatest(i - w, F.lit(0)),
+                        F.least(i + w, F.size(arr) - 1),
+                    ),
+                    lambda j: j != i,
+                ),
+                lambda j: F.struct(
+                    F.get(arr, i).alias("center_id"),
+                    F.get(arr, j).alias("context_id"),
+                ),
+            ),
+        )
+    )
+    return (
+        walks.where(F.size(arr) >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
+        .groupBy(
+            F.col("_p.center_id").alias("center_id"),
+            F.col("_p.context_id").alias("context_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -258,3 +258,49 @@ class TestDistantSupervision:
             mentions, facts, max_entities_per_doc=1
         ).collect()
         assert rows == []
+
+
+class TestWalkSkipgrams:
+    def _pairs(self, spark, walks, **kw):
+        from kg.ops.kgtrain import walk_skipgrams
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(walks)],
+            "walk_id long, walk array<long>",
+        )
+        return {
+            (r.center_id, r.context_id): r.n_pairs
+            for r in walk_skipgrams(df, **kw).collect()
+        }
+
+    def test_matches_bruteforce_replay(self, spark):
+        walks = [[1, 2, 3, 4, 2], [2, 3], [5]]
+        for window in (1, 2, 3):
+            want = {}
+            for w in walks:
+                for i in range(len(w)):
+                    for j in range(max(0, i - window),
+                                   min(len(w), i + window + 1)):
+                        if i != j:
+                            k = (w[i], w[j])
+                            want[k] = want.get(k, 0) + 1
+            assert self._pairs(spark, walks, window=window) == want, window
+
+    def test_counts_are_multiset_not_distinct(self, spark):
+        # repeated co-occurrences accumulate, not collapse: in [1,2,1,2]
+        # with window=1 the (1,2) pair arises at 0->1, 2->1 and 2->3
+        got = self._pairs(spark, [[1, 2, 1, 2]], window=1)
+        assert got[(1, 2)] == 3 and got[(2, 1)] == 3
+
+    def test_singleton_walks_emit_nothing(self, spark):
+        assert self._pairs(spark, [[7], []], window=2) == {}
+
+    def test_no_join_single_shuffle(self, spark):
+        from kg.ops.kgtrain import walk_skipgrams
+
+        df = spark.createDataFrame(
+            [(1, [1, 2, 3])], "walk_id long, walk array<long>"
+        )
+        plan = walk_skipgrams(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # pair gen is array-local
+        assert plan.count("Exchange") == 1  # one partial-agged groupBy
