@@ -5958,6 +5958,97 @@ def q_kg_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_skipgrams(walks, window=SKIPGRAM_WINDOW)
 
 
+SGNS_TABLE_B = 48
+SGNS_K = 2
+
+# Extends _WALKS_SQL_CTE with the SGNS sampling-table recompute: unigram
+# counts over all walk positions, exact-integer cnt^0.75 weights
+# (double seed + bigint fourth-power correction), sequential cumsum, and
+# the closed-form bin spans — every step exact integer arithmetic, so
+# DuckDB and the two-phase Spark build agree bit-for-bit. The +1/-1
+# b_max form keeps intermediates nonnegative (truncating div == floor).
+_SGNS_SQL_CTE = f"""
+, nodecnt AS (
+  SELECT node_id, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT n0 AS node_id FROM s3 UNION ALL SELECT n1 FROM s3
+    UNION ALL SELECT n2 FROM s3 UNION ALL SELECT n3 FROM s3
+  ) WHERE node_id IS NOT NULL GROUP BY 1
+), wts0 AS (
+  SELECT node_id, CAST(floor(pow(cnt, 0.75)) AS BIGINT) AS c0,
+         cnt * cnt * cnt AS cube
+  FROM nodecnt
+), wts1 AS (
+  SELECT node_id,
+    c0 + CASE WHEN (c0+1)*(c0+1)*(c0+1)*(c0+1) <= cube
+         THEN 1 ELSE 0 END AS c1, cube
+  FROM wts0
+), wts2 AS (
+  SELECT node_id,
+    c1 - CASE WHEN c1*c1*c1*c1 > cube THEN 1 ELSE 0 END AS wq
+  FROM wts1
+), cum AS (
+  SELECT node_id, wq,
+    SUM(wq) OVER (ORDER BY node_id ROWS UNBOUNDED PRECEDING) AS hi,
+    SUM(wq) OVER () AS wtot
+  FROM wts2 WHERE wq > 0
+), spans AS (
+  SELECT node_id,
+    CAST((({2 * SGNS_TABLE_B} * (hi - wq) + wtot - 1) // wtot) // 2
+         AS BIGINT) AS b_min,
+    CAST(((({2 * SGNS_TABLE_B} * hi - 1) // wtot + 1) // 2) - 1
+         AS BIGINT) AS b_max
+  FROM cum
+), tbl AS (
+  SELECT unnest(generate_series(b_min, b_max)) AS bin, node_id
+  FROM spans WHERE b_max >= b_min
+)"""
+
+
+def _sgns_walk_table(spark: SparkSession):
+    """Shared setup for the SGNS contract queries: the deterministic walk
+    corpus over the linked entity graph, its unigram counts, and the
+    quantized unigram^0.75 negative-sampling table."""
+    from kg.ops.kgtrain import (
+        random_walks,
+        sgns_unigram_table,
+        walk_node_counts,
+    )
+
+    edges = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+    )
+    walks = random_walks(
+        edges, walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE
+    )
+    counts = walk_node_counts(walks)
+    return walks, sgns_unigram_table(counts, table_size=SGNS_TABLE_B)
+
+
+def q_kg_sgns_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: exactly B bins, bin b ->
+    the node whose exact-integer cumulative unigram^0.75 interval contains
+    the bin midpoint target (quantized inverse CDF). The oracle recomputes
+    weights (bigint-corrected fourth root of cnt^3), the sequential
+    cumsum, and the closed-form bin spans in SQL."""
+    _, tbl = _sgns_walk_table(spark)
+    return tbl.select(F.col("bin").cast("long").alias("bin"), "node_id")
+
+
+def q_kg_sgns_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k deterministic SGNS negative draws per skip-gram pair: bin =
+    md5(center|context|i) mod B, one equi-join against the quantized
+    table, draws colliding with the pair's own context dropped."""
+    from kg.ops.kgtrain import sgns_negatives, walk_skipgrams
+
+    walks, tbl = _sgns_walk_table(spark)
+    pairs = walk_skipgrams(walks, window=SKIPGRAM_WINDOW)
+    return sgns_negatives(
+        pairs, tbl, k=SGNS_K, table_size=SGNS_TABLE_B
+    )
+
+
 NEGSAMPLE_K = 4
 
 
@@ -7424,6 +7515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
+        "kg_sgns_table": q_kg_sgns_table,
+        "kg_sgns_negatives": q_kg_sgns_negatives,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_ner_errors": q_kg_ner_errors,
         "kg_annotate": q_kg_annotate,
@@ -8785,6 +8878,33 @@ FROM pos p JOIN pos q
   ON p.walk_id = q.walk_id AND p.i <> q.i
  AND abs(p.i - q.i) <= {SKIPGRAM_WINDOW}
 GROUP BY 1, 2
+""",
+        "kg_sgns_table": f"""
+{_WALKS_SQL_CTE}
+{_SGNS_SQL_CTE}
+SELECT bin, node_id FROM tbl
+""",
+        "kg_sgns_negatives": f"""
+{_WALKS_SQL_CTE}
+{_SGNS_SQL_CTE}
+, pos AS (
+  SELECT walk_id, i, [n0, n1, n2, n3][i + 1] AS c
+  FROM s3, (SELECT unnest(generate_series(0, 3)) AS i)
+  WHERE [n0, n1, n2, n3][i + 1] IS NOT NULL
+), pairs AS (
+  SELECT DISTINCT p.c AS center_id, q.c AS context_id
+  FROM pos p JOIN pos q
+    ON p.walk_id = q.walk_id AND p.i <> q.i
+   AND abs(p.i - q.i) <= {SKIPGRAM_WINDOW}
+), draws AS (
+  SELECT center_id, context_id, CAST(i AS INT) AS draw,
+    ('0x' || substr(md5(center_id || '|' || context_id || '|' || i),
+      1, 15))::BIGINT % {SGNS_TABLE_B} AS bin
+  FROM pairs, (SELECT unnest(generate_series(1, {SGNS_K})) AS i)
+)
+SELECT d.center_id, d.context_id, d.draw, t.node_id AS neg_id
+FROM draws d JOIN tbl t USING (bin)
+WHERE t.node_id <> d.context_id
 """,
         "kg_negative_samples": f"""
 WITH dim AS (

@@ -46,6 +46,10 @@ __all__ = [
     "verbalize_facts",
     "entity_descriptions",
     "distant_supervision",
+    "walk_skipgrams",
+    "walk_node_counts",
+    "sgns_unigram_table",
+    "sgns_negatives",
 ]
 
 _HEX_DIGITS = 15  # 60 bits: exact in a signed long, '0x'-parseable in DuckDB
@@ -482,4 +486,189 @@ def walk_skipgrams(
             F.col("_p.context_id").alias("context_id"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def walk_node_counts(
+    walks: DataFrame, walk_col: str = "walk"
+) -> DataFrame:
+    """Corpus unigram counts over a walk corpus: (node_id, cnt) with cnt =
+    total occurrences of the node across all walk positions. One explode
+    (bounded by walk_len per row) + one partial-agged groupBy."""
+    return (
+        walks.select(F.explode(F.col(walk_col)).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _int_pow34(cnt: F.Column) -> F.Column:
+    """Exact integer floor(cnt^(3/4)) for cnt >= 1 — the word2vec
+    unigram^0.75 weight, computed so Spark and any SQL oracle agree
+    bit-for-bit: take floor(pow(cnt, 0.75)) as a double-precision seed,
+    then correct it with EXACT bigint comparisons against cnt^3 (w is the
+    integer fourth root of cnt^3, so w^4 <= cnt^3 < (w+1)^4). One step of
+    correction each way absorbs any libm last-ulp disagreement. Exact for
+    cnt <= 2_097_151 (cnt^3 < 2^63); callers at larger per-node counts
+    should pre-scale counts down (the distribution only needs ratios).
+    """
+    def pow4(c):  # noqa: ANN001, ANN202
+        # square in long (c <= ~55k so c^2 fits), then square in decimal:
+        # c^4 can graze 2^63 at the top of the range and ANSI mode makes
+        # a long overflow fatal, while decimal(38) holds it exactly
+        sq = (c * c).cast("decimal(38,0)")
+        return sq * sq
+
+    cube = (cnt * cnt * cnt).cast("decimal(38,0)")
+    c0 = F.floor(F.pow(cnt.cast("double"), F.lit(0.75))).cast("long")
+    c1 = c0 + F.when(pow4(c0 + 1) <= cube, 1).otherwise(0)
+    return c1 - F.when(pow4(c1) > cube, 1).otherwise(0)
+
+
+def _partitioned_cumsum(
+    df: DataFrame, key: str, val: str
+) -> DataFrame:
+    """Adds ``hi`` = inclusive running sum of ``val`` in global ``key``
+    order — WITHOUT a single-partition global window. Range-partition on
+    the key, cumsum locally per partition, then add each partition's
+    cumulative offset (per-partition sums are a tiny driver table
+    broadcast back). Integer sums are associative, so this equals the
+    sequential ``SUM(val) OVER (ORDER BY key)`` exactly.
+    """
+    spark = df.sparkSession
+    parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    ranged = materialize(
+        df.repartitionByRange(parts, key).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    psums = sorted(
+        (r["_pid"], r["s"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(val).alias("s"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in psums:
+        offsets.append((pid, acc))
+        acc += int(s)
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    )
+    local = F.sum(val).over(
+        Window.partitionBy("_pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(off_df, "_pid")
+        .withColumn("hi", (local + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
+def sgns_unigram_table(
+    counts: DataFrame,
+    table_size: int = 1 << 16,
+    id_col: str = "node_id",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """The word2vec negative-sampling table (Mikolov et al. 2013 §2.2):
+    ``table_size`` bins, bin b holding the node whose cumulative
+    unigram^0.75 interval contains the bin's midpoint target
+    T(b) = floor((2b+1)*W / (2*table_size)) — the quantized inverse CDF.
+    Drawing a negative is then ONE equi-join on ``bin`` (see
+    sgns_negatives), never a range lookup: the scale path for a 10^9-node
+    vocabulary where a per-draw interval search would be a range join.
+
+    Everything is EXACT INTEGER arithmetic (weights via _int_pow34,
+    cumsum via the two-phase range-partitioned pattern), so the table is
+    identical across engines, partitionings, and reruns, and a SQL oracle
+    can recompute it bit-for-bit. Bin coverage per node is a contiguous
+    range derived in closed form (no join): node with interval [lo, hi)
+    covers bins b_min..b_max with
+      b_min = ((2B*lo + W - 1) div W) div 2
+      b_max = (((2B*hi - 1) div W + 1) div 2) - 1
+    (the +1/-1 form keeps every intermediate nonnegative, where Spark's
+    truncating `div` and DuckDB's flooring `//` agree)
+    (both from T(b) in [lo, hi) and T nondecreasing). Output is exactly
+    ``table_size`` rows: (bin, node_id). Requires B*W*2 < 2^63.
+
+    Scale shape: one shuffle (the range partition), one closed-form
+    explode emitting exactly B rows total. No node-x-bin join, no skew
+    (hot nodes emit more bins, but bins are the join key downstream and
+    are uniform by construction).
+    """
+    B = int(table_size)
+    w = counts.select(
+        F.col(id_col).cast("long").alias("node_id"),
+        _int_pow34(F.col(cnt_col).cast("long")).alias("w"),
+    ).where(F.col("w") > 0)
+    cum = _partitioned_cumsum(w, "node_id", "w")
+    total = cum.agg(F.max("hi").alias("W")).collect()[0]["W"]
+    lo = F.col("hi") - F.col("w")
+    b_min = F.expr(
+        f"(({2 * B} * (hi - w) + {total} - 1) div {total}) div 2"
+    )
+    b_max = F.expr(
+        f"(((({2 * B} * hi - 1) div {total}) + 1) div 2) - 1"
+    )
+    return (
+        cum.select(
+            "node_id", b_min.alias("b_min"), b_max.alias("b_max")
+        )
+        .where(F.col("b_max") >= F.col("b_min"))
+        .select(
+            F.explode(
+                F.sequence(F.col("b_min"), F.col("b_max"))
+            ).alias("bin"),
+            "node_id",
+        )
+    )
+
+
+def sgns_negatives(
+    pairs: DataFrame,
+    table: DataFrame,
+    k: int = 5,
+    table_size: int = 1 << 16,
+    center: str = "center_id",
+    context: str = "context_id",
+) -> DataFrame:
+    """k deterministic negative draws per SGNS training pair from the
+    quantized unigram^0.75 table: draw i for (center, context) reads bin
+    md5(center|context|i) mod table_size — a plain equi-join against the
+    table (broadcast when it fits; at a huge vocabulary it degrades to
+    one uniform-keyed shuffle join, no skew because bins are uniform by
+    construction). Draws that collide with the pair's own context word
+    are DROPPED, not resampled (same one-pass discipline as
+    negative_sample_triples; the loss is ~the context word's unigram
+    mass, negligible). Returns (center_id, context_id, draw, neg_id)
+    with draw in 1..k (gaps where a draw was dropped).
+    """
+    B = int(table_size)
+    p = pairs.select(
+        F.col(center).cast("long").alias("center_id"),
+        F.col(context).cast("long").alias("context_id"),
+    ).distinct()
+    drawn = p.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("draw")
+    ).withColumn(
+        "bin",
+        F.pmod(
+            _md5_long(
+                F.concat_ws(
+                    "|",
+                    F.col("center_id"),
+                    F.col("context_id"),
+                    F.col("draw"),
+                )
+            ),
+            F.lit(B),
+        ),
+    )
+    return (
+        drawn.join(table.withColumnRenamed("node_id", "neg_id"), "bin")
+        .where(F.col("neg_id") != F.col("context_id"))
+        .select("center_id", "context_id", "draw", "neg_id")
     )

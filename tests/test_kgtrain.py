@@ -304,3 +304,135 @@ class TestWalkSkipgrams:
         plan = walk_skipgrams(df)._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan  # pair gen is array-local
         assert plan.count("Exchange") == 1  # one partial-agged groupBy
+
+
+class TestSgnsSampling:
+    """unigram^0.75 quantized-table negative sampling (word2vec recipe)."""
+
+    def _counts(self, spark, rows):
+        return spark.createDataFrame(rows, "node_id long, cnt long")
+
+    def test_int_pow34_exact_fourth_root(self, spark):
+        from kg.ops.kgtrain import _int_pow34
+
+        df = spark.createDataFrame(
+            [(c,) for c in [1, 2, 15, 16, 17, 81, 255, 256, 257,
+                            10_000, 999_983, 2_097_151]],
+            "cnt long",
+        )
+        got = {r["cnt"]: r["w"]
+               for r in df.select("cnt", _int_pow34(F.col("cnt")).alias("w"))
+               .collect()}
+        for c, w in got.items():
+            assert w ** 4 <= c ** 3 < (w + 1) ** 4, (c, w)
+
+    def test_table_exactly_b_rows_and_mass_proportional(self, spark):
+        from kg.ops.kgtrain import sgns_unigram_table
+
+        counts = self._counts(
+            spark, [(1, 16), (2, 1), (3, 81), (4, 256)])  # w = 8,1,27,64
+        B = 100
+        rows = sgns_unigram_table(counts, table_size=B).collect()
+        assert len(rows) == B
+        assert sorted({r["bin"] for r in rows}) == list(range(B))
+        share = {}
+        for r in rows:
+            share[r["node_id"]] = share.get(r["node_id"], 0) + 1
+        # W=100, so bins per node = weight +/- 1 quantization slop
+        for node, w in [(1, 8), (2, 1), (3, 27), (4, 64)]:
+            assert abs(share.get(node, 0) - w) <= 1, (node, share)
+
+    def test_table_partition_invariant(self, spark):
+        from kg.ops.kgtrain import sgns_unigram_table
+
+        counts = self._counts(
+            spark, [(i, (i * 7) % 23 + 1) for i in range(40)])
+        a = sorted(map(tuple, sgns_unigram_table(counts, 64).collect()))
+        b = sorted(map(tuple,
+                       sgns_unigram_table(counts.repartition(11), 64)
+                       .collect()))
+        assert a == b and len(a) == 64
+
+    def test_table_matches_duckdb_recompute(self, spark):
+        import duckdb
+
+        from kg.ops.kgtrain import sgns_unigram_table
+
+        data = [(i, (i * 13) % 97 + 1) for i in range(25)]
+        counts = self._counts(spark, data)
+        B = 48
+        got = sorted(
+            map(tuple, sgns_unigram_table(counts, table_size=B).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE counts(node_id BIGINT, cnt BIGINT)")
+        con.executemany("INSERT INTO counts VALUES (?, ?)", data)
+        want = sorted(map(tuple, con.execute(f"""
+            WITH wts AS (
+              SELECT node_id,
+                CAST(floor(pow(cnt, 0.75)) AS BIGINT)
+                  + CASE WHEN power4(CAST(floor(pow(cnt,0.75)) AS BIGINT)+1)
+                           <= cnt*cnt*cnt THEN 1 ELSE 0 END AS c1,
+                cnt FROM counts
+            ), wts2 AS (
+              SELECT node_id,
+                c1 - CASE WHEN c1*c1*c1*c1 > cnt*cnt*cnt THEN 1 ELSE 0 END
+                  AS w FROM wts
+            ), cum AS (
+              SELECT node_id, w,
+                SUM(w) OVER (ORDER BY node_id
+                             ROWS UNBOUNDED PRECEDING) AS hi,
+                SUM(w) OVER () AS wtot FROM wts2 WHERE w > 0
+            ), spans AS (
+              SELECT node_id,
+                CAST((({2*B} * (hi - w) + wtot - 1) // wtot) // 2
+                     AS BIGINT) AS b_min,
+                CAST(((({2*B} * hi - 1) // wtot + 1) // 2) - 1
+                     AS BIGINT) AS b_max
+              FROM cum
+            )
+            SELECT unnest(generate_series(b_min, b_max)) AS bin, node_id
+            FROM spans WHERE b_max >= b_min ORDER BY 1
+        """.replace(
+            "power4(CAST(floor(pow(cnt,0.75)) AS BIGINT)+1)",
+            "(CAST(floor(pow(cnt,0.75)) AS BIGINT)+1)"
+            "*(CAST(floor(pow(cnt,0.75)) AS BIGINT)+1)"
+            "*(CAST(floor(pow(cnt,0.75)) AS BIGINT)+1)"
+            "*(CAST(floor(pow(cnt,0.75)) AS BIGINT)+1)",
+        )).fetchall()))
+        assert got == want
+
+    def test_negatives_deterministic_and_drop_context(self, spark):
+        import hashlib
+
+        from kg.ops.kgtrain import sgns_negatives, sgns_unigram_table
+
+        counts = self._counts(spark, [(1, 16), (2, 1), (3, 81), (4, 256)])
+        B = 32
+        tbl = sgns_unigram_table(counts, table_size=B)
+        lookup = {r["bin"]: r["node_id"] for r in tbl.collect()}
+        pairs = spark.createDataFrame(
+            [(1, 3), (4, 2), (3, 1)], "center_id long, context_id long")
+        got = sorted(map(tuple, sgns_negatives(
+            pairs, tbl, k=4, table_size=B).collect()))
+        want = []
+        for c, ctx in [(1, 3), (4, 2), (3, 1)]:
+            for i in range(1, 5):
+                h = hashlib.md5(f"{c}|{ctx}|{i}".encode()).hexdigest()
+                neg = lookup[int(h[:15], 16) % B]
+                if neg != ctx:
+                    want.append((c, ctx, i, neg))
+        assert got == sorted(want)
+        again = sorted(map(tuple, sgns_negatives(
+            pairs.repartition(5), tbl, k=4, table_size=B).collect()))
+        assert got == again
+
+    def test_walk_node_counts(self, spark):
+        from kg.ops.kgtrain import walk_node_counts
+
+        df = spark.createDataFrame(
+            [(0, [1, 2, 1]), (1, [2]), (2, [])],
+            "walk_id long, walk array<long>")
+        got = {r["node_id"]: r["cnt"]
+               for r in walk_node_counts(df).collect()}
+        assert got == {1: 2, 2: 2}
