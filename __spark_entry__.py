@@ -5879,7 +5879,7 @@ SKIPGRAM_WINDOW = 2
 # entity graph (md5-derived neighbor choice).  s3 ends with one row per
 # walk and columns n0..n3 (NULL past a dead end).  Used by both the
 # kg_random_walks and kg_walk_skipgrams oracles.
-_WALKS_SQL_CTE = f"""WITH dim AS (
+_WALKS_BASE_SQL = f"""WITH dim AS (
   SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
   FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
 ), e AS (
@@ -5904,7 +5904,11 @@ _WALKS_SQL_CTE = f"""WITH dim AS (
   LEFT JOIN adj a ON a.u = w0.n0 AND a.rnk =
     ('0x' || substr(md5(CAST(w0.walk_id AS VARCHAR) || '|1'),
       1, 15))::BIGINT % d.deg
-), s2 AS (
+)"""
+
+# uniform (DeepWalk) steps 2..3 on top of the shared base
+_WALKS_SQL_CTE = _WALKS_BASE_SQL + f"""
+, s2 AS (
   SELECT s1.*, a.v AS n2 FROM s1
   LEFT JOIN deg d ON d.u = s1.n1
   LEFT JOIN adj a ON a.u = s1.n1 AND a.rnk =
@@ -5956,6 +5960,73 @@ def q_kg_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE
     )
     return walk_skipgrams(walks, window=SKIPGRAM_WINDOW)
+
+
+N2V_RET, N2V_IN, N2V_OUT = 1, 4, 2  # integer alpha weights (1/p, 1, 1/q)
+
+
+def _n2v_step_sql(t: int) -> str:
+    """One unrolled node2vec step in SQL: weight every neighbor of cur by
+    the alpha class (return / in-neighborhood-of-prev / out), cumsum in
+    sorted-neighbor order per walk, pick the interval containing
+    md5(walk_id|t) mod total — exactly kg.ops.kgtrain.node2vec_walks'
+    draw. Dead-ended walks drop out of the candidates join and get NULL
+    via the final left join."""
+    prev, cur = f"n{t - 2}", f"n{t - 1}"
+    return f"""
+, c{t} AS (
+  SELECT s{t - 1}.walk_id, a.v, a.rnk,
+    CASE WHEN a.v = s{t - 1}.{prev} THEN {N2V_RET}
+         WHEN nb.v IS NOT NULL THEN {N2V_IN}
+         ELSE {N2V_OUT} END AS wn
+  FROM s{t - 1}
+  JOIN adj a ON a.u = s{t - 1}.{cur}
+  LEFT JOIN e nb ON nb.u = s{t - 1}.{prev} AND nb.v = a.v
+), p{t} AS (
+  SELECT walk_id, v FROM (
+    SELECT walk_id, v, wn,
+      SUM(wn) OVER (PARTITION BY walk_id ORDER BY rnk
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+      SUM(wn) OVER (PARTITION BY walk_id) AS tot
+    FROM c{t}
+  ) WHERE ('0x' || substr(md5(CAST(walk_id AS VARCHAR) || '|{t}'),
+            1, 15))::BIGINT % tot BETWEEN cum - wn AND cum - 1
+), s{t} AS (
+  SELECT s{t - 1}.*, p{t}.v AS n{t}
+  FROM s{t - 1} LEFT JOIN p{t} USING (walk_id)
+)"""
+
+
+# biased (node2vec) steps 2..3 on the shared base; step 1 is uniform in
+# both corpora (no prev yet), so s1 is reused verbatim
+_N2V_SQL_CTE = _WALKS_BASE_SQL + _n2v_step_sql(2) + _n2v_step_sql(3)
+
+
+def q_kg_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec p/q-biased second-order walk corpus over the linked
+    entity graph (integer alpha weights 1/4/2, md5-interval draw); the
+    oracle unrolls both biased steps in SQL with the same weighting,
+    cumsum and hash."""
+    from kg.ops.kgtrain import node2vec_walks
+
+    edges = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+    )
+    w = node2vec_walks(
+        edges,
+        walk_len=WALK_LEN,
+        walks_per_node=WALKS_PER_NODE,
+        ret_w=N2V_RET,
+        in_w=N2V_IN,
+        out_w=N2V_OUT,
+    )
+    return w.select(
+        "walk_id",
+        "start_id",
+        F.array_join(F.col("walk").cast("array<string>"), "|").alias("walk"),
+    )
 
 
 SGNS_TABLE_B = 48
@@ -7515,6 +7586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_alias_fuzzy": q_kg_alias_fuzzy,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
+        "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_sgns_table": q_kg_sgns_table,
         "kg_sgns_negatives": q_kg_sgns_negatives,
         "kg_negative_samples": q_kg_negative_samples,
@@ -8878,6 +8950,10 @@ FROM pos p JOIN pos q
   ON p.walk_id = q.walk_id AND p.i <> q.i
  AND abs(p.i - q.i) <= {SKIPGRAM_WINDOW}
 GROUP BY 1, 2
+""",
+        "kg_node2vec_walks": f"""
+{_N2V_SQL_CTE}
+SELECT walk_id, start_id, concat_ws('|', n0, n1, n2, n3) AS walk FROM s3
 """,
         "kg_sgns_table": f"""
 {_WALKS_SQL_CTE}

@@ -50,6 +50,7 @@ __all__ = [
     "walk_node_counts",
     "sgns_unigram_table",
     "sgns_negatives",
+    "node2vec_walks",
 ]
 
 _HEX_DIGITS = 15  # 60 bits: exact in a signed long, '0x'-parseable in DuckDB
@@ -672,3 +673,157 @@ def sgns_negatives(
         .where(F.col("neg_id") != F.col("context_id"))
         .select("center_id", "context_id", "draw", "neg_id")
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 1,
+    ret_w: int = 1,
+    in_w: int = 1,
+    out_w: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """node2vec biased second-order walks (Grover & Leskovec 2016 §3.2) —
+    the p/q-steerable sibling of random_walks. At each step beyond the
+    first, candidate neighbor v of cur (with previous node prev) gets the
+    standard alpha weight, expressed as INTEGER weights so the draw is
+    exact and oracle-recomputable:
+
+      v == prev            -> ret_w   (alpha = 1/p: return)
+      v in neighbors(prev) -> in_w    (alpha = 1:   stay close, BFS-ish)
+      else                 -> out_w   (alpha = 1/q: explore, DFS-ish)
+
+    Step t of walk w draws md5(walk_id|t) mod total_weight and picks the
+    sorted-neighbor whose cumulative-weight interval contains the draw —
+    DETERMINISTIC, partition-invariant, and with ret_w == in_w == out_w
+    it degenerates to EXACTLY random_walks' uniform rule (same hash, same
+    neighbor order), which the tests pin. The first step is uniform (no
+    prev yet), matching the node2vec convention. Dead ends terminate the
+    walk. Returns (walk_id, start_id, walk ARRAY<LONG>).
+
+    Scale shape: a second-order walk cannot use random_walks' O(1)-per-
+    walk rank join because weights depend on (prev, cur); the per-step
+    cost is the frontier's out-degree mass (one equi-join on cur, one
+    membership probe of (prev, v) against the edge set, one per-walk
+    window bounded by max degree) — the standard distributed-node2vec
+    trade. The alternative, precomputing alias tables per (prev, cur)
+    edge pair, costs O(sum_u deg(u)^2) state and is strictly worse on
+    power-law webgraphs. Hot hubs are join keys -> AQE skew split; each
+    round is barriered with materialize so lineage stays flat; finished
+    walks leave the live set immediately.
+    """
+    rw, iw, ow = int(ret_w), int(in_w), int(out_w)
+    if min(rw, iw, ow) < 1:
+        raise ValueError("ret_w/in_w/out_w must be positive integers")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    adj = materialize(
+        e.withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1,
+        )
+    )
+    deg = materialize(adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+    nodes = (
+        e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
+    )
+    wpn = int(walks_per_node)
+    state = materialize(
+        nodes.select(
+            F.posexplode(
+                F.array(*[F.col("u") for _ in range(wpn)])
+            ).alias("i", "_n"),
+            F.col("u").alias("start_id"),
+        ).select(
+            (F.col("start_id") * wpn + F.col("i")).alias("walk_id"),
+            "start_id",
+            F.lit(None).cast("long").alias("prev"),
+            F.col("start_id").alias("cur"),
+            F.array(F.col("start_id")).alias("walk"),
+        )
+    )
+    nb = e.select(F.col("u").alias("pu"), F.col("v").alias("pv"))
+    finished = []
+    for t in range(1, int(walk_len) + 1):
+        h = _md5_long(
+            F.concat_ws("|", F.col("walk_id").cast("string"), F.lit(str(t)))
+        )
+        if t == 1:
+            # uniform first step: rank equi-join, no candidate explosion
+            picked = (
+                state.join(deg, state["cur"] == deg["u"], "left")
+                .withColumn("_rank", h % F.col("deg"))
+                .drop("u", "deg")
+            )
+            stepped = picked.join(
+                adj,
+                (picked["cur"] == adj["u"])
+                & (picked["_rank"] == adj["rank"]),
+                "left",
+            ).select(
+                "walk_id",
+                "start_id",
+                F.col("cur").alias("prev"),
+                F.col("v").alias("cur"),
+                F.when(
+                    F.col("v").isNotNull(),
+                    F.concat(F.col("walk"), F.array(F.col("v"))),
+                )
+                .otherwise(F.col("walk"))
+                .alias("walk"),
+            )
+        else:
+            cands = (
+                state.select("walk_id", "prev", "cur")
+                .join(adj, state["cur"] == adj["u"])
+                .join(
+                    nb,
+                    (F.col("prev") == nb["pu"]) & (F.col("v") == nb["pv"]),
+                    "left",
+                )
+                .withColumn(
+                    "_w",
+                    F.when(F.col("v") == F.col("prev"), F.lit(rw))
+                    .when(F.col("pv").isNotNull(), F.lit(iw))
+                    .otherwise(F.lit(ow))
+                    .cast("long"),
+                )
+            )
+            wwin = Window.partitionBy("walk_id").orderBy("rank")
+            cum = F.sum("_w").over(
+                wwin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            tot = F.sum("_w").over(
+                Window.partitionBy("walk_id").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            hit = (
+                cands.withColumn("_cum", cum)
+                .withColumn("_draw", F.pmod(h, tot))
+                .where(
+                    (F.col("_cum") - F.col("_w") <= F.col("_draw"))
+                    & (F.col("_draw") < F.col("_cum"))
+                )
+                .select("walk_id", F.col("v").alias("_next"))
+            )
+            stepped = state.join(hit, "walk_id", "left").select(
+                "walk_id",
+                "start_id",
+                F.col("cur").alias("prev"),
+                F.col("_next").alias("cur"),
+                F.when(
+                    F.col("_next").isNotNull(),
+                    F.concat(F.col("walk"), F.array(F.col("_next"))),
+                )
+                .otherwise(F.col("walk"))
+                .alias("walk"),
+            )
+        stepped = materialize(stepped)
+        finished.append(stepped.where(F.col("cur").isNull()))
+        state = stepped.where(F.col("cur").isNotNull())
+    out = state
+    for f in finished:
+        out = out.unionByName(f)
+    return out.select("walk_id", "start_id", "walk")

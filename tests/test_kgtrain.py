@@ -436,3 +436,94 @@ class TestSgnsSampling:
         got = {r["node_id"]: r["cnt"]
                for r in walk_node_counts(df).collect()}
         assert got == {1: 2, 2: 2}
+
+
+class TestNode2vecWalks:
+    ROWS = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (2, 4), (4, 1), (4, 5)]
+
+    def _walks(self, spark, **kw):
+        from kg.ops.kgtrain import node2vec_walks
+
+        e = spark.createDataFrame(self.ROWS, "src long, dst long")
+        return {
+            r.walk_id: list(r.walk)
+            for r in node2vec_walks(e, **kw).collect()
+        }
+
+    def test_unit_weights_degenerate_to_random_walks(self, spark):
+        from kg.ops.kgtrain import node2vec_walks, random_walks
+
+        e = spark.createDataFrame(self.ROWS, "src long, dst long")
+        a = sorted((r.walk_id, tuple(r.walk)) for r in random_walks(
+            e, walk_len=4, walks_per_node=2).collect())
+        b = sorted((r.walk_id, tuple(r.walk)) for r in node2vec_walks(
+            e, walk_len=4, walks_per_node=2).collect())
+        assert a == b
+
+    def test_python_replay_biased(self, spark):
+        import hashlib
+
+        rw, iw, ow = 1, 4, 2
+        adj, edges = {}, set(self.ROWS)
+        for s, d in self.ROWS:
+            adj.setdefault(s, []).append(d)
+        for v in adj.values():
+            v.sort()
+        got = self._walks(spark, walk_len=3, walks_per_node=2,
+                          ret_w=rw, in_w=iw, out_w=ow)
+        nodes = {s for s, _ in self.ROWS} | {d for _, d in self.ROWS}
+        for node in nodes:
+            for i in (0, 1):
+                wid = node * 2 + i
+                path = [node]
+                for t in range(1, 4):
+                    cur = path[-1]
+                    nbrs = adj.get(cur)
+                    if not nbrs:
+                        break
+                    h = int(hashlib.md5(
+                        f"{wid}|{t}".encode()).hexdigest()[:15], 16)
+                    if t == 1:
+                        path.append(nbrs[h % len(nbrs)])
+                        continue
+                    prev = path[-2]
+                    ws = [rw if v == prev
+                          else iw if (prev, v) in edges else ow
+                          for v in nbrs]
+                    draw = h % sum(ws)
+                    acc = 0
+                    for v, w in zip(nbrs, ws):
+                        acc += w
+                        if draw < acc:
+                            path.append(v)
+                            break
+                assert got[wid] == path, (wid, got[wid], path)
+
+    def test_dead_end_terminates(self, spark):
+        # 5 has no out-edges: every walk reaching it stops
+        got = self._walks(spark, walk_len=6, walks_per_node=1,
+                          ret_w=3, in_w=1, out_w=1)
+        assert got[5] == [5]
+        for path in got.values():
+            if path[-1] == 5:
+                assert len(path) <= 7
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.kgtrain import node2vec_walks
+
+        e = spark.createDataFrame(self.ROWS, "src long, dst long")
+        a = sorted((r.walk_id, tuple(r.walk)) for r in node2vec_walks(
+            e, walk_len=3, ret_w=1, in_w=4, out_w=2).collect())
+        b = sorted((r.walk_id, tuple(r.walk)) for r in node2vec_walks(
+            e.repartition(7), walk_len=3, ret_w=1, in_w=4, out_w=2
+        ).collect())
+        assert a == b
+
+    def test_rejects_nonpositive_weights(self, spark):
+        import pytest
+
+        from kg.ops.kgtrain import node2vec_walks
+
+        e = spark.createDataFrame(self.ROWS, "src long, dst long")
+        with pytest.raises(ValueError):
+            node2vec_walks(e, ret_w=0)
