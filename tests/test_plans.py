@@ -563,3 +563,51 @@ def test_predicate_canon_equi_joins_only_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_sgns_table_no_join_in_bin_expansion(spark):
+    # bins per node are a CLOSED-FORM contiguous range: the expansion is
+    # explode(sequence(...)) over the cumsum output, never a node x bin
+    # join — at a 10^9-node vocabulary a join would dwarf the table build
+    from kg.ops.kgtrain import sgns_unigram_table
+
+    counts = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(50)], "node_id long, cnt long")
+    p = _plan(sgns_unigram_table(counts, table_size=64))
+    assert "CartesianProduct" not in p
+    assert "Generate explode" in p  # the sequence() bin-span expansion
+    assert "InPandas" not in p and "BatchEvalPython" not in p  # all JVM
+    # exactly ONE vocab-sized exchange: the window re-partitions by _pid
+    # because the materialize barrier erases the range partitioning
+    # metadata (same accepted shape as _contiguous_rank); the offsets
+    # side is a broadcast
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_sgns_negatives_single_equi_join_on_bin(spark):
+    from kg.ops.kgtrain import sgns_negatives, sgns_unigram_table
+
+    counts = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(50)], "node_id long, cnt long")
+    tbl = sgns_unigram_table(counts, table_size=64)
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "center_id long, context_id long")
+    p = _plan(sgns_negatives(pairs, tbl, k=3, table_size=64))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p  # equi-join on bin
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_node2vec_step_equi_joins_only_all_jvm(spark):
+    # the biased step is candidate-explosion + equi-joins + one bounded
+    # per-walk window; any cartesian/NLJ here would be quadratic in the
+    # frontier at webgraph scale
+    from kg.ops.kgtrain import node2vec_walks
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4)], "src long, dst long")
+    p = _plan(node2vec_walks(e, walk_len=3, ret_w=1, in_w=4, out_w=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
