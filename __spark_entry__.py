@@ -6029,6 +6029,32 @@ def q_kg_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NBR_FANOUT = 2  # per-layer fanout for the 2-layer GraphSAGE sampling
+
+
+def q_kg_sample_neighborhoods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-layer deterministic neighbor sampling from the
+    entity_id % 5 == 0 seed set (md5-ranked uniform-without-replacement
+    fanout per node per layer); the oracle replays both layers with
+    row_number over the same hash order."""
+    from kg.ops.kgtrain import sample_neighborhoods
+
+    edges = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node_id") % 5 == 0)
+    return sample_neighborhoods(
+        edges, seeds, fanouts=(NBR_FANOUT, NBR_FANOUT)
+    )
+
+
 SGNS_TABLE_B = 48
 SGNS_K = 2
 
@@ -7587,6 +7613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_node2vec_walks": q_kg_node2vec_walks,
+        "kg_sample_neighborhoods": q_kg_sample_neighborhoods,
         "kg_sgns_table": q_kg_sgns_table,
         "kg_sgns_negatives": q_kg_sgns_negatives,
         "kg_negative_samples": q_kg_negative_samples,
@@ -8954,6 +8981,31 @@ GROUP BY 1, 2
         "kg_node2vec_walks": f"""
 {_N2V_SQL_CTE}
 SELECT walk_id, start_id, concat_ws('|', n0, n1, n2, n3) AS walk FROM s3
+""",
+        "kg_sample_neighborhoods": f"""
+{_WALKS_BASE_SQL}
+, seeds AS (
+  SELECT u FROM nodes WHERE u % 5 = 0
+), l1 AS (
+  SELECT 1 AS layer, u AS src, v AS dst FROM (
+    SELECT e.u, e.v, row_number() OVER (PARTITION BY e.u ORDER BY
+      ('0x' || substr(md5(e.u || '|1|' || e.v), 1, 15))::BIGINT, e.v
+    ) AS rk
+    FROM e JOIN seeds s ON e.u = s.u
+  ) WHERE rk <= {NBR_FANOUT}
+), f2 AS (
+  SELECT DISTINCT dst AS u FROM l1
+), l2 AS (
+  SELECT 2 AS layer, u AS src, v AS dst FROM (
+    SELECT e.u, e.v, row_number() OVER (PARTITION BY e.u ORDER BY
+      ('0x' || substr(md5(e.u || '|2|' || e.v), 1, 15))::BIGINT, e.v
+    ) AS rk
+    FROM e JOIN f2 ON e.u = f2.u
+  ) WHERE rk <= {NBR_FANOUT}
+)
+SELECT CAST(layer AS INT) AS layer, src, dst FROM l1
+UNION ALL
+SELECT CAST(layer AS INT) AS layer, src, dst FROM l2
 """,
         "kg_sgns_table": f"""
 {_WALKS_SQL_CTE}

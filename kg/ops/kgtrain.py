@@ -51,6 +51,7 @@ __all__ = [
     "sgns_unigram_table",
     "sgns_negatives",
     "node2vec_walks",
+    "sample_neighborhoods",
 ]
 
 _HEX_DIGITS = 15  # 60 bits: exact in a signed long, '0x'-parseable in DuckDB
@@ -827,3 +828,65 @@ def node2vec_walks(
     for f in finished:
         out = out.unionByName(f)
     return out.select("walk_id", "start_id", "walk")
+
+
+def sample_neighborhoods(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: tuple = (10, 5),
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node_id",
+) -> DataFrame:
+    """GraphSAGE-style layered neighbor sampling (Hamilton et al. 2017
+    §3.1) — the minibatch-construction primitive GNN trainers consume:
+    from each seed node, keep at most ``fanouts[0]`` out-neighbors; from
+    each of those, at most ``fanouts[1]``; and so on. Neighbor selection
+    is DETERMINISTIC: layer l keeps the f_l neighbors of u that rank
+    first by md5(u|l|v) (v as tiebreak) — a uniform-without-replacement
+    draw that is rerun-identical, partition-invariant, and recomputable
+    in SQL by the contract oracle. Returns sampled edge blocks
+    (layer INT, src, dst); the layer-(l+1) frontier is the distinct dst
+    set of layer l (revisited nodes are re-sampled per layer, the
+    standard GraphSAGE semantics).
+
+    Scale shape: each layer is one equi-join (frontier x adjacency on
+    the node key) and one per-node window bounded by out-degree — the
+    same bounded top-k-per-key shape as tfidf_topk. The frontier grows
+    at most by prod(fanouts), not by degree mass, which is the entire
+    point of sampled GNN training at 10^9-edge graphs. Hot hubs are
+    join keys (AQE skew split); per-layer materialize keeps lineage
+    flat and stops re-execution of earlier layers.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    frontier = (
+        seeds.select(F.col(seed_col).cast("long").alias("u")).distinct()
+    )
+    blocks = []
+    for layer, fanout in enumerate(fanouts, start=1):
+        rk = F.row_number().over(
+            Window.partitionBy("u").orderBy(
+                _md5_long(
+                    F.concat_ws(
+                        "|", F.col("u"), F.lit(str(layer)), F.col("v")
+                    )
+                ),
+                "v",
+            )
+        )
+        block = materialize(
+            frontier.join(e, "u")
+            .withColumn("_rk", rk)
+            .where(F.col("_rk") <= int(fanout))
+            .select(
+                F.lit(layer).cast("int").alias("layer"),
+                F.col("u").alias("src"),
+                F.col("v").alias("dst"),
+            )
+        )
+        blocks.append(block)
+        frontier = block.select(F.col("dst").alias("u")).distinct()
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionByName(b)
+    return out

@@ -527,3 +527,72 @@ class TestNode2vecWalks:
         e = spark.createDataFrame(self.ROWS, "src long, dst long")
         with pytest.raises(ValueError):
             node2vec_walks(e, ret_w=0)
+
+
+class TestSampleNeighborhoods:
+    ROWS = [(1, v) for v in (2, 3, 4, 5, 6)] + [
+        (2, 7), (2, 8), (3, 7), (4, 1), (7, 9), (8, 9), (9, 1)]
+
+    def _sample(self, spark, seeds, fanouts, rows=None):
+        from kg.ops.kgtrain import sample_neighborhoods
+
+        e = spark.createDataFrame(rows or self.ROWS, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node_id long")
+        return sorted(
+            (r.layer, r.src, r.dst)
+            for r in sample_neighborhoods(e, s, fanouts=fanouts).collect()
+        )
+
+    @staticmethod
+    def _replay(rows, seeds, fanouts):
+        import hashlib
+
+        adj = {}
+        for s, d in set(rows):
+            adj.setdefault(s, []).append(d)
+        out, frontier = [], sorted(set(seeds))
+        for layer, f in enumerate(fanouts, start=1):
+            nxt = set()
+            for u in frontier:
+                ranked = sorted(
+                    adj.get(u, []),
+                    key=lambda v: (int(hashlib.md5(
+                        f"{u}|{layer}|{v}".encode()).hexdigest()[:15], 16),
+                        v),
+                )[:f]
+                for v in ranked:
+                    out.append((layer, u, v))
+                    nxt.add(v)
+            frontier = sorted(nxt)
+        return sorted(out)
+
+    def test_matches_python_replay(self, spark):
+        for seeds, fanouts in [((1,), (2, 2)), ((1, 7), (3, 1)),
+                               ((9,), (1, 1, 1))]:
+            got = self._sample(spark, seeds, fanouts)
+            assert got == self._replay(self.ROWS, seeds, fanouts), (
+                seeds, fanouts)
+
+    def test_fanout_caps_per_node_per_layer(self, spark):
+        got = self._sample(spark, (1,), (2, 2))
+        from collections import Counter
+
+        c = Counter((layer, src) for layer, src, _ in got)
+        assert all(n <= 2 for n in c.values())
+        assert c[(1, 1)] == 2  # node 1 has 5 out-neighbors, capped at 2
+
+    def test_partition_invariant_and_rerun_identical(self, spark):
+        from kg.ops.kgtrain import sample_neighborhoods
+
+        e = spark.createDataFrame(self.ROWS, "src long, dst long")
+        s = spark.createDataFrame([(1,), (3,)], "node_id long")
+        a = sorted(map(tuple, sample_neighborhoods(
+            e, s, fanouts=(2, 2)).collect()))
+        b = sorted(map(tuple, sample_neighborhoods(
+            e.repartition(9), s.repartition(3), fanouts=(2, 2)).collect()))
+        assert a == b
+
+    def test_dead_end_frontier_empties(self, spark):
+        got = self._sample(spark, (5,), (3, 3), rows=[(5, 6)] + self.ROWS[5:])
+        assert [t for t in got if t[0] == 1] == [(1, 5, 6)]
+        assert all(layer == 1 for layer, _, _ in got)

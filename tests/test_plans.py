@@ -611,3 +611,15 @@ def test_node2vec_step_equi_joins_only_all_jvm(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_sample_neighborhoods_equi_joins_bounded_windows(spark):
+    from kg.ops.kgtrain import sample_neighborhoods
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "node_id long")
+    p = _plan(sample_neighborhoods(e, s, fanouts=(2, 2)))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
