@@ -6147,6 +6147,137 @@ def q_kg_sgns_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEGSAMPLE_K = 4
+LP_DIM, LP_MOD = 4, 17  # hash-embedding shape for the TransE eval
+
+# Filtered corrupted-tail negative sampling recompute (negsf == the
+# kg_negative_samples result), shared by the negative-sampling and
+# link-prediction oracles.
+_NEGS_SQL_CTE = f"""WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), pos AS (
+  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), vocab AS (
+  SELECT entity_id, row_number() OVER (ORDER BY entity_id) - 1 AS idx
+  FROM (SELECT subj_id AS entity_id FROM pos
+        UNION SELECT obj_id FROM pos)
+), expd AS (
+  SELECT subj_id, pred, obj_id, i AS neg_rank,
+    ('0x' || substr(md5(subj_id || '|' || pred || '|' || obj_id || '|' || i),
+      1, 15))::BIGINT % (SELECT count(*) FROM vocab) AS idx
+  FROM pos, (SELECT unnest(generate_series(1, {NEGSAMPLE_K})) AS i)
+), cand AS (
+  SELECT e.subj_id, e.pred, e.obj_id,
+         CAST(e.neg_rank AS INT) AS neg_rank,
+         v.entity_id AS neg_obj_id
+  FROM expd e JOIN vocab v USING (idx)
+  WHERE v.entity_id <> e.obj_id
+), negsf AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN pos p ON c.subj_id = p.subj_id AND c.pred = p.pred
+                 AND c.neg_obj_id = p.obj_id
+  WHERE p.subj_id IS NULL
+)"""
+
+# TransE eval recompute on top of _NEGS_SQL_CTE: md5-derived integer
+# embeddings (same construction as kg.ops.kgtrain.hash_embeddings),
+# exact L1 energies, pessimistic sampled ranks.
+_LP_SQL_CTE = f"""
+, dims AS (
+  SELECT unnest(generate_series(0, {LP_DIM - 1})) AS j
+), eemb AS (
+  SELECT entity_id, j,
+    ('0x' || substr(md5('e|' || entity_id || '|' || j), 1, 15))::BIGINT
+      % {LP_MOD} - {LP_MOD // 2} AS c
+  FROM vocab, dims
+), remb AS (
+  SELECT pred, j,
+    ('0x' || substr(md5('r|' || pred || '|' || j), 1, 15))::BIGINT
+      % {LP_MOD} - {LP_MOD // 2} AS c
+  FROM (SELECT DISTINCT pred FROM pos), dims
+), pose AS (
+  SELECT p.subj_id, p.pred, p.obj_id,
+         CAST(SUM(abs(s.c + r.c - o.c)) AS BIGINT) AS pos_energy
+  FROM pos p
+  JOIN eemb s ON s.entity_id = p.subj_id
+  JOIN remb r ON r.pred = p.pred AND r.j = s.j
+  JOIN eemb o ON o.entity_id = p.obj_id AND o.j = s.j
+  GROUP BY 1, 2, 3
+), nege AS (
+  -- per DRAW (neg_rank in the key): k draws can hash to the same
+  -- candidate and the rank is against the drawn multiset, matching
+  -- link_prediction_ranks
+  SELECT n.subj_id, n.pred, n.obj_id, n.neg_rank, n.neg_obj_id,
+         CAST(SUM(abs(s.c + r.c - o.c)) AS BIGINT) AS energy
+  FROM negsf n
+  JOIN eemb s ON s.entity_id = n.subj_id
+  JOIN remb r ON r.pred = n.pred AND r.j = s.j
+  JOIN eemb o ON o.entity_id = n.neg_obj_id AND o.j = s.j
+  GROUP BY 1, 2, 3, 4, 5
+), lpranks AS (
+  SELECT p.subj_id, p.pred, p.obj_id, p.pos_energy,
+         CAST(count(*) AS BIGINT) AS n_cands,
+         CAST(1 + SUM(CASE WHEN n.energy <= p.pos_energy
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rank
+  FROM pose p JOIN nege n USING (subj_id, pred, obj_id)
+  GROUP BY 1, 2, 3, 4
+)"""
+
+
+def _lp_setup(spark: SparkSession):
+    """Shared setup for the link-prediction contract queries: linked
+    positives, their filtered sampled negatives, and deterministic
+    integer hash embeddings over the entity vocabulary + predicates."""
+    from kg.ops.kgtrain import hash_embeddings, negative_sample_triples
+    from kg.stages.link import link_triples
+
+    triples = spark.read.parquet(
+        f"{FIX}/expected_triples_small.parquet"
+    ).withColumn("conf", F.lit(1.0))
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    linked = link_triples(triples, alias_dim).where(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    )
+    negs = negative_sample_triples(linked, k=NEGSAMPLE_K)
+    ents = (
+        linked.select(F.col("subj_id").alias("entity_id"))
+        .unionByName(linked.select(F.col("obj_id").alias("entity_id")))
+        .distinct()
+    )
+    ee = hash_embeddings(ents, dim=LP_DIM, modulus=LP_MOD)
+    re_ = hash_embeddings(
+        linked.select("pred").distinct(),
+        dim=LP_DIM,
+        modulus=LP_MOD,
+        id_col="pred",
+        salt="r",
+    )
+    return negs, ee, re_
+
+
+def q_kg_lp_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled TransE link-prediction ranks: every positive ranked
+    against its filtered corrupted-tail negatives by exact-integer L1
+    energy over md5-derived embeddings (pessimistic tie handling); the
+    oracle recomputes embeddings, energies and ranks in SQL."""
+    from kg.ops.kgtrain import link_prediction_ranks
+
+    negs, ee, re_ = _lp_setup(spark)
+    return link_prediction_ranks(negs, ee, re_)
+
+
+def q_kg_lp_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row MRR / hits@k summary of the sampled link-prediction
+    ranks (round-6 so the float average hashes identically)."""
+    from kg.ops.kgtrain import link_prediction_ranks, lp_metrics
+
+    negs, ee, re_ = _lp_setup(spark)
+    return lp_metrics(
+        link_prediction_ranks(negs, ee, re_), ks=(1, 3)
+    )
 
 
 def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7614,6 +7745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_sample_neighborhoods": q_kg_sample_neighborhoods,
+        "kg_lp_ranks": q_kg_lp_ranks,
+        "kg_lp_metrics": q_kg_lp_metrics,
         "kg_sgns_table": q_kg_sgns_table,
         "kg_sgns_negatives": q_kg_sgns_negatives,
         "kg_negative_samples": q_kg_negative_samples,
@@ -9035,34 +9168,22 @@ FROM draws d JOIN tbl t USING (bin)
 WHERE t.node_id <> d.context_id
 """,
         "kg_negative_samples": f"""
-WITH dim AS (
-  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
-  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
-), pos AS (
-  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
-  FROM '{FIX}/expected_triples_small.parquet' t
-  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
-  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
-), vocab AS (
-  SELECT entity_id, row_number() OVER (ORDER BY entity_id) - 1 AS idx
-  FROM (SELECT subj_id AS entity_id FROM pos
-        UNION SELECT obj_id FROM pos)
-), expd AS (
-  SELECT subj_id, pred, obj_id, i AS neg_rank,
-    ('0x' || substr(md5(subj_id || '|' || pred || '|' || obj_id || '|' || i),
-      1, 15))::BIGINT % (SELECT count(*) FROM vocab) AS idx
-  FROM pos, (SELECT unnest(generate_series(1, {NEGSAMPLE_K})) AS i)
-), cand AS (
-  SELECT e.subj_id, e.pred, e.obj_id,
-         CAST(e.neg_rank AS INT) AS neg_rank,
-         v.entity_id AS neg_obj_id
-  FROM expd e JOIN vocab v USING (idx)
-  WHERE v.entity_id <> e.obj_id
-)
-SELECT c.* FROM cand c
-LEFT JOIN pos p ON c.subj_id = p.subj_id AND c.pred = p.pred
-               AND c.neg_obj_id = p.obj_id
-WHERE p.subj_id IS NULL
+{_NEGS_SQL_CTE}
+SELECT subj_id, pred, obj_id, neg_rank, neg_obj_id FROM negsf
+""",
+        "kg_lp_ranks": f"""
+{_NEGS_SQL_CTE}
+{_LP_SQL_CTE}
+SELECT subj_id, pred, obj_id, pos_energy, n_cands, rank FROM lpranks
+""",
+        "kg_lp_metrics": f"""
+{_NEGS_SQL_CTE}
+{_LP_SQL_CTE}
+SELECT round(avg(1.0 / rank), 6) AS mrr,
+       CAST(count(*) AS BIGINT) AS n_pos,
+       round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits_1,
+       round(avg(CASE WHEN rank <= 3 THEN 1.0 ELSE 0.0 END), 6) AS hits_3
+FROM lpranks
 """,
         "kg_ner_errors": """
 SELECT 'poison://doc-1' AS url, 'ner_mentions' AS stage,

@@ -52,6 +52,10 @@ __all__ = [
     "sgns_negatives",
     "node2vec_walks",
     "sample_neighborhoods",
+    "hash_embeddings",
+    "transe_energy",
+    "link_prediction_ranks",
+    "lp_metrics",
 ]
 
 _HEX_DIGITS = 15  # 60 bits: exact in a signed long, '0x'-parseable in DuckDB
@@ -890,3 +894,153 @@ def sample_neighborhoods(
     for b in blocks[1:]:
         out = out.unionByName(b)
     return out
+
+
+def hash_embeddings(
+    ids: DataFrame,
+    dim: int = 4,
+    modulus: int = 17,
+    id_col: str = "entity_id",
+    salt: str = "e",
+) -> DataFrame:
+    """Deterministic INTEGER stand-in embeddings: component j of id x is
+    md5(salt|x|j) mod modulus - modulus//2 (centered). Used by tests and
+    the contract oracle wherever a trained embedding table would be
+    supplied in production — integer components + L1 energies keep the
+    whole eval stack exact (no float last-ulp drift between engines).
+    Pure map over the id table: no shuffle, no Python."""
+    # statically unrolled plain array (dim is a driver-side int) — no
+    # higher-order function: a lambda capturing the id column here can
+    # mis-bind at execution when the output is later joined against a
+    # relation with a same-named column (Catalyst HOF attribute dedup)
+    comps = F.array(
+        *[
+            F.pmod(
+                _md5_long(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        ids[id_col].cast("string"),
+                        F.lit(str(j)),
+                    )
+                ),
+                F.lit(int(modulus)),
+            )
+            - F.lit(int(modulus) // 2)
+            for j in range(int(dim))
+        ]
+    )
+    return ids.select(ids[id_col], comps.alias("emb"))
+
+
+def transe_energy(
+    triples: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    subj: str = "subj_id",
+    pred: str = "pred",
+    obj: str = "obj_id",
+) -> DataFrame:
+    """TransE energy (Bordes et al. 2013 §2): E(s, p, o) =
+    ||e_s + r_p - e_o||_1, the translation-distance score a trained
+    KG-embedding model assigns a triple (lower = more plausible).
+    ``ent_emb`` is (entity_id, emb ARRAY), ``rel_emb`` is (pred, emb
+    ARRAY); with integer embeddings (hash_embeddings) the energy is an
+    exact BIGINT. Returns the input triple columns + ``energy``.
+
+    Scale shape: two equi-joins against the entity table (subject,
+    object; broadcast when it fits, else hash-partitioned — entity skew
+    handled by AQE) + one broadcast of the tiny relation dim; the
+    arithmetic is zip_with/aggregate, all JVM, no explosion (one row per
+    triple regardless of dim)."""
+    s_emb = ent_emb.select(
+        F.col("entity_id").alias(subj), F.col("emb").alias("_se")
+    )
+    o_emb = ent_emb.select(
+        F.col("entity_id").alias(obj), F.col("emb").alias("_oe")
+    )
+    r_emb = F.broadcast(
+        rel_emb.select(F.col(pred).alias(pred), F.col("emb").alias("_re"))
+    )
+    energy = F.expr(
+        "aggregate(zip_with(zip_with(_se, _re, (a, b) -> a + b), _oe,"
+        " (a, b) -> abs(a - b)), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        triples.join(s_emb, subj)
+        .join(o_emb, obj)
+        .join(r_emb, pred)
+        .withColumn("energy", energy)
+        .drop("_se", "_oe", "_re")
+    )
+
+
+def link_prediction_ranks(
+    negs: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+) -> DataFrame:
+    """Sampled link-prediction evaluation over negative_sample_triples'
+    output: rank each positive (subj, pred, obj) against ITS k sampled
+    corrupted-tail negatives by TransE energy — the standard sampled
+    protocol at vocabularies where full all-entity ranking is
+    infeasible (10^9 entities x 10^9 triples). PESSIMISTIC ranks:
+    rank = 1 + #(negatives with energy <= positive's), so ties count
+    against the model and the metric is deterministic. Returns
+    (subj_id, pred, obj_id, pos_energy, n_cands, rank); feed to
+    lp_metrics for MRR / hits@k.
+
+    Scale shape: energies via transe_energy (equi-joins + JVM array
+    math), then ONE partial-agged groupBy per positive — no window, no
+    per-positive sort."""
+    pos = negs.select("subj_id", "pred", "obj_id").distinct()
+    pos_e = transe_energy(pos, ent_emb, rel_emb).withColumnRenamed(
+        "energy", "pos_energy"
+    )
+    neg_e = transe_energy(
+        negs.select(
+            "subj_id", "pred", "obj_id",
+            F.col("neg_obj_id").alias("cand_obj_id"),
+        ),
+        ent_emb,
+        rel_emb,
+        obj="cand_obj_id",
+    )
+    joined = neg_e.join(pos_e, ["subj_id", "pred", "obj_id"])
+    return (
+        joined.groupBy("subj_id", "pred", "obj_id", "pos_energy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cands"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("energy") <= F.col("pos_energy"), 1
+                    ).otherwise(0)
+                )
+            ).cast("long").alias("rank"),
+        )
+        .select(
+            "subj_id", "pred", "obj_id", "pos_energy", "n_cands", "rank"
+        )
+    )
+
+
+def lp_metrics(ranks: DataFrame, ks: tuple = (1, 3, 10)) -> DataFrame:
+    """One-row summary of link_prediction_ranks: MRR and hits@k (both
+    rounded to 6 decimals so SQL oracles hash-match). One partial-agged
+    global aggregate."""
+    aggs = [
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 6).alias("mrr"),
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.round(
+                F.avg(
+                    F.when(F.col("rank") <= int(k), 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias(f"hits_{k}")
+        )
+    return ranks.agg(*aggs)

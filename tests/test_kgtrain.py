@@ -596,3 +596,90 @@ class TestSampleNeighborhoods:
         got = self._sample(spark, (5,), (3, 3), rows=[(5, 6)] + self.ROWS[5:])
         assert [t for t in got if t[0] == 1] == [(1, 5, 6)]
         assert all(layer == 1 for layer, _, _ in got)
+
+
+class TestTranseEval:
+    LINKED = [(1, "p", 2), (1, "p", 3), (2, "q", 1), (3, "p", 4),
+              (4, "q", 2)]
+
+    @staticmethod
+    def _emb(salt, x, dim=4, mod=17):
+        import hashlib
+
+        return [int(hashlib.md5(f"{salt}|{x}|{j}".encode())
+                    .hexdigest()[:15], 16) % mod - mod // 2
+                for j in range(dim)]
+
+    def _setup(self, spark):
+        from kg.ops.kgtrain import hash_embeddings
+
+        linked = spark.createDataFrame(
+            self.LINKED, "subj_id long, pred string, obj_id long")
+        ents = spark.createDataFrame(
+            [(i,) for i in range(1, 5)], "entity_id long")
+        ee = hash_embeddings(ents, dim=4, modulus=17)
+        re_ = hash_embeddings(
+            spark.createDataFrame([("p",), ("q",)], "pred string"),
+            dim=4, modulus=17, id_col="pred", salt="r")
+        return linked, ee, re_
+
+    def test_hash_embeddings_python_replay(self, spark):
+        _, ee, re_ = self._setup(spark)
+        got = {r["entity_id"]: list(r["emb"]) for r in ee.collect()}
+        assert got == {i: self._emb("e", i) for i in range(1, 5)}
+        gotr = {r["pred"]: list(r["emb"]) for r in re_.collect()}
+        assert gotr == {p: self._emb("r", p) for p in ("p", "q")}
+
+    def test_energy_exact_l1_replay(self, spark):
+        from kg.ops.kgtrain import transe_energy
+
+        linked, ee, re_ = self._setup(spark)
+        for r in transe_energy(linked, ee, re_).collect():
+            es = self._emb("e", r.subj_id)
+            rp = self._emb("r", r.pred)
+            eo = self._emb("e", r.obj_id)
+            assert r.energy == sum(
+                abs(a + b - c) for a, b, c in zip(es, rp, eo))
+
+    def test_ranks_pessimistic_and_partition_invariant(self, spark):
+        from kg.ops.kgtrain import (link_prediction_ranks,
+                                    negative_sample_triples)
+
+        linked, ee, re_ = self._setup(spark)
+        negs = negative_sample_triples(linked, k=3)
+        a = sorted(map(tuple, link_prediction_ranks(
+            negs, ee, re_).collect()))
+        b = sorted(map(tuple, link_prediction_ranks(
+            negs.repartition(7), ee, re_).collect()))
+        assert a == b and len(a) == len(self.LINKED)
+        # brute-force rank recompute
+        neg_rows = [tuple(r) for r in negs.collect()]
+        for subj, pred, obj, pos_e, n_cands, rank in a:
+            es, rp = self._emb("e", subj), self._emb("r", pred)
+            pe = sum(abs(x + y - z) for x, y, z in zip(
+                es, rp, self._emb("e", obj)))
+            assert pe == pos_e
+            cands = [n for (s, p, o, _, n) in neg_rows
+                     if (s, p, o) == (subj, pred, obj)]
+            assert n_cands == len(cands)
+            worse = sum(
+                1 for n in cands
+                if sum(abs(x + y - z) for x, y, z in zip(
+                    es, rp, self._emb("e", n))) <= pe)
+            assert rank == 1 + worse
+
+    def test_metrics_row(self, spark):
+        from kg.ops.kgtrain import (link_prediction_ranks, lp_metrics,
+                                    negative_sample_triples)
+
+        linked, ee, re_ = self._setup(spark)
+        ranks = link_prediction_ranks(
+            negative_sample_triples(linked, k=3), ee, re_)
+        row = lp_metrics(ranks, ks=(1, 3)).collect()[0]
+        rs = [r["rank"] for r in ranks.collect()]
+        assert row["n_pos"] == len(rs)
+        assert row["mrr"] == round(sum(1 / r for r in rs) / len(rs), 6)
+        assert row["hits_1"] == round(
+            sum(r <= 1 for r in rs) / len(rs), 6)
+        assert row["hits_3"] == round(
+            sum(r <= 3 for r in rs) / len(rs), 6)

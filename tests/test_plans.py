@@ -623,3 +623,29 @@ def test_sample_neighborhoods_equi_joins_bounded_windows(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_link_prediction_ranks_equi_joins_one_agg_no_window(spark):
+    # energies are equi-joins + JVM array math; the rank is ONE
+    # partial-agged groupBy per positive (no window, no per-positive sort)
+    from kg.ops.kgtrain import (hash_embeddings, link_prediction_ranks,
+                                negative_sample_triples)
+
+    linked = spark.createDataFrame(
+        [(1, "p", 2), (2, "p", 3)], "subj_id long, pred string, obj_id long")
+    ents = spark.createDataFrame([(i,) for i in (1, 2, 3)],
+                                 "entity_id long")
+    ee = hash_embeddings(ents)
+    re_ = hash_embeddings(
+        spark.createDataFrame([("p",)], "pred string"),
+        id_col="pred", salt="r")
+    from kg.session import materialize
+
+    # sever the sampler's lineage (its two-phase rank uses a per-_pid
+    # window) so the plan under test is the ranks op alone
+    negs = materialize(negative_sample_triples(linked, k=2))
+    p = _plan(link_prediction_ranks(negs, ee, re_))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
