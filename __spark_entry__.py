@@ -4451,6 +4451,33 @@ def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "status")
 
 
+def q_web_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl revisit scheduling from Poisson change-rate estimation over
+    a synthetic 4-visit history per document (per-url uniform gap of
+    1 + doc_id%3 days; fingerprint flips hash-driven); the oracle replays
+    the lag window, the bias-adjusted change ratio, and the MLE rate in
+    SQL with the identical operation order."""
+    from kg.ops.weblinks import revisit_schedule
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    visits = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("v"),
+    ).select(
+        "url",
+        F.expr(
+            "timestamp '2026-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, v * (1 + doc_id % 3), 0, 0, 0)"
+        ).alias("ts"),
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "doc_id", "v")), 1, 15),
+            16, 10,
+        ).cast("long").__mod__(F.lit(2)).cast("string").alias("fp"),
+    )
+    return revisit_schedule(visits)
+
+
 def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.ranking import corpus_vocab
 
@@ -7636,6 +7663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccur_pmi": q_kg_cooccur_pmi,
         "events_upsert_latest": q_events_upsert_latest,
         "kg_snapshot_diff": q_kg_snapshot_diff,
+        "web_revisit_schedule": q_web_revisit_schedule,
         "corpus_vocab": q_corpus_vocab,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_bm25": q_doc_bm25,
@@ -9166,6 +9194,44 @@ SELECT bin, node_id FROM tbl
 SELECT d.center_id, d.context_id, d.draw, t.node_id AS neg_id
 FROM draws d JOIN tbl t USING (bin)
 WHERE t.node_id <> d.context_id
+""",
+        "web_revisit_schedule": """
+WITH visits AS (
+  SELECT 'doc://' || doc_id AS url,
+    TIMESTAMP '2026-01-01 00:00:00'
+      + to_days(CAST(v.i * (1 + doc_id % 3) AS INT)) AS ts,
+    CAST(('0x' || substr(md5(doc_id || '|' || v.i), 1, 15))::BIGINT % 2
+         AS VARCHAR) AS fp
+  FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) v
+), lagd AS (
+  SELECT url, fp,
+    CAST(epoch(ts) AS BIGINT) AS es,
+    lag(fp) OVER (PARTITION BY url ORDER BY ts) AS pfp,
+    lag(CAST(epoch(ts) AS BIGINT))
+      OVER (PARTITION BY url ORDER BY ts) AS pes
+  FROM visits
+), obs AS (
+  SELECT url, CASE WHEN fp <> pfp THEN 1 ELSE 0 END AS chg,
+         es - pes AS gap_s
+  FROM lagd WHERE pes IS NOT NULL
+), g AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(SUM(chg) AS BIGINT) AS n_changes,
+         CAST(SUM(gap_s) AS BIGINT) AS span_s
+  FROM obs GROUP BY 1
+)
+SELECT url, n_obs, n_changes,
+  round(span_s * 1.0 / n_obs / 86400.0, 6) AS avg_gap_days,
+  CASE WHEN n_changes > 0 THEN
+    round(-ln(1 - least(n_changes * 1.0 / n_obs,
+                        1 - 1.0 / (2.0 * n_obs)))
+          / (span_s * 1.0 / n_obs / 86400.0), 6) END AS rate_per_day,
+  CASE WHEN n_changes > 0 THEN
+    round(1.0 / (-ln(1 - least(n_changes * 1.0 / n_obs,
+                               1 - 1.0 / (2.0 * n_obs)))
+                 / (span_s * 1.0 / n_obs / 86400.0)), 6) END
+    AS revisit_days
+FROM g
 """,
         "kg_negative_samples": f"""
 {_NEGS_SQL_CTE}

@@ -49,6 +49,7 @@ __all__ = [
     "sitemap_frontier",
     "robots_filter_frontier",
     "fetch_schedule",
+    "revisit_schedule",
     "HREF_RE",
     "HOST_RE",
 ]
@@ -662,4 +663,90 @@ def fetch_schedule(
         "host",
         slot.alias("slot"),
         (slot * delay).alias("fetch_at_s"),
+    )
+
+
+def revisit_schedule(
+    visits: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Crawl revisit scheduling from observed page change rates (the
+    Cho & Garcia-Molina freshness recipe): estimate each page's Poisson
+    change rate from its visit history and derive the revisit interval
+    that keeps expected staleness at ~one change per revisit.
+
+    Input: one row per (page, fetch) with a content fingerprint
+    (``fp`` — any stable hash of the extracted text). Per url ordered by
+    fetch time:
+
+    - an OBSERVATION is a consecutive visit pair; it is a CHANGE when the
+      fingerprints differ;
+    - change ratio r = n_changes / n_obs is bias-adjusted away from 1
+      (r_adj = min(r, 1 - 1/(2*n_obs)) — with every visit changed, the
+      MLE diverges; the half-observation cap is the standard fix);
+    - rate_per_day = -ln(1 - r_adj) / avg_gap_days (the Poisson MLE for
+      equal-spaced visits, with avg_gap_days = total span / n_obs
+      computed from EXACT integer epoch seconds so engines agree);
+    - revisit_days = 1 / rate_per_day, NULL until a change has been seen
+      (no rate evidence yet — schedule such pages by crawl policy, not
+      by this estimate).
+
+    Floats are rounded to 6 decimals (repo-wide oracle convention).
+    Returns (url, n_obs, n_changes, avg_gap_days, rate_per_day,
+    revisit_days); urls with a single visit (no observation) are
+    omitted.
+
+    Scale shape: one window over url (lag of fingerprint + timestamp,
+    partition bounded by per-page visit count, which crawl policy keeps
+    small) + one partial-agged groupBy on url. Everything JVM; the only
+    shuffle key is url — uniform, no skew.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_u").orderBy("_ts")
+    obs = (
+        visits.select(
+            F.col(url_col).alias("_u"),
+            F.col(ts_col).cast("timestamp").alias("_ts"),
+            F.col(fp_col).alias("_fp"),
+        )
+        .withColumn("_prev_fp", F.lag("_fp").over(w))
+        .withColumn("_prev_ts", F.lag("_ts").over(w))
+        .where(F.col("_prev_ts").isNotNull())
+        .select(
+            "_u",
+            (F.col("_fp") != F.col("_prev_fp")).cast("int").alias("_chg"),
+            (
+                F.unix_timestamp("_ts") - F.unix_timestamp("_prev_ts")
+            ).alias("_gap_s"),
+        )
+    )
+    g = obs.groupBy(F.col("_u").alias("url")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+        F.sum("_gap_s").cast("long").alias("_span_s"),
+    )
+    avg_gap_days = (
+        F.col("_span_s").cast("double")
+        / F.col("n_obs")
+        / F.lit(86400.0)
+    )
+    r_adj = F.least(
+        F.col("n_changes").cast("double") / F.col("n_obs"),
+        F.lit(1.0) - F.lit(1.0) / (F.lit(2.0) * F.col("n_obs")),
+    )
+    rate = -F.log(F.lit(1.0) - r_adj) / avg_gap_days
+    return g.select(
+        "url",
+        "n_obs",
+        "n_changes",
+        F.round(avg_gap_days, 6).alias("avg_gap_days"),
+        F.when(
+            F.col("n_changes") > 0, F.round(rate, 6)
+        ).alias("rate_per_day"),
+        F.when(
+            F.col("n_changes") > 0, F.round(F.lit(1.0) / rate, 6)
+        ).alias("revisit_days"),
     )

@@ -634,3 +634,60 @@ class TestFetchSchedule:
         rows = fetch_schedule(fr).collect()
         assert sorted(r.slot for r in rows) == [0, 1]
         assert all(r.fetch_at_s == r.slot * 1.0 for r in rows)
+
+
+class TestRevisitSchedule:
+    ROWS = [
+        ("a", "2026-01-01 00:00:00", "h1"),
+        ("a", "2026-01-02 00:00:00", "h2"),
+        ("a", "2026-01-04 00:00:00", "h2"),
+        ("a", "2026-01-05 00:00:00", "h3"),
+        ("b", "2026-01-01 00:00:00", "x"),
+        ("b", "2026-01-03 00:00:00", "x"),
+        ("c", "2026-01-01 00:00:00", "only"),
+    ]
+
+    def _out(self, spark, rows=None, repartition=None):
+        from kg.ops.weblinks import revisit_schedule
+
+        df = spark.createDataFrame(
+            rows or self.ROWS, "url string, ts string, fp string")
+        if repartition:
+            df = df.repartition(repartition)
+        return {r.url: r for r in revisit_schedule(df).collect()}
+
+    def test_poisson_mle_replay(self, spark):
+        import math
+
+        a = self._out(spark)["a"]
+        # 3 observations over a 4-day span, 2 changes
+        assert (a.n_obs, a.n_changes) == (3, 2)
+        assert a.avg_gap_days == round(4 / 3, 6)
+        rate = -math.log(1 - min(2 / 3, 1 - 1 / 6)) / (4 / 3)
+        assert a.rate_per_day == round(rate, 6)
+        assert a.revisit_days == round(1 / rate, 6)
+
+    def test_no_change_yet_gives_null_rate(self, spark):
+        b = self._out(spark)["b"]
+        assert (b.n_obs, b.n_changes) == (1, 0)
+        assert b.rate_per_day is None and b.revisit_days is None
+
+    def test_single_visit_omitted(self, spark):
+        assert "c" not in self._out(spark)
+
+    def test_always_changing_page_uses_bias_cap(self, spark):
+        import math
+
+        rows = [("d", f"2026-01-0{i} 00:00:00", f"v{i}")
+                for i in range(1, 5)]
+        d = self._out(spark, rows=rows)["d"]
+        assert (d.n_obs, d.n_changes) == (3, 3)
+        # r = 1 would diverge; the half-observation cap applies
+        rate = -math.log(1 / 6) / 1.0
+        assert d.rate_per_day == round(rate, 6)
+
+    def test_partition_invariant(self, spark):
+        a = self._out(spark)
+        b = self._out(spark, repartition=7)
+        assert {u: tuple(r) for u, r in a.items()} == {
+            u: tuple(r) for u, r in b.items()}
