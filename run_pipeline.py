@@ -29,6 +29,9 @@ Stages (each checkpointed per url_hash_bucket; see kg/checkpoint.py):
   curate    docs -> training-corpus verdict table (quality filter ->
             exact dedup -> per-host cap; derived overwrite table,
             opt-in via --stages)
+  kgtrain   graph -> KG-embedding training exports (filtered negatives,
+            node2vec walk corpus, skip-gram counts, unigram^0.75
+            sampling table; opt-in via --stages)
   analytics graph -> pagerank / degree stats / triangle+clustering tables
             (KG consumption layer, kg/graphstats.py)
 """
@@ -67,7 +70,7 @@ def parse_args(argv):
     p.add_argument(
         "--stages",
         default="extract,links,mentions,triples,link,canon,graph,facts,analytics",
-        help="comma list of stages to run (also: curate, rewrite)",
+        help="comma list of stages to run (also: curate, rewrite, kgtrain)",
     )
     p.add_argument(
         "--max-docs-per-host", type=int, default=1000,
@@ -396,6 +399,84 @@ def main(argv=None) -> int:
         induce_entity_types(linked_g, rules).write.mode(
             "overwrite"
         ).parquet(f"{args.out}/entity_types")
+
+    if "kgtrain" in stages:
+        # KG-embedding training exports off the graph table (opt-in, all
+        # global derived-overwrite tables like curate/rewrite): filtered
+        # corrupted-tail negatives, a node2vec walk corpus, skip-gram
+        # pair counts, and the word2vec unigram^0.75 sampling table.
+        from kg.ops.kgtrain import (
+            negative_sample_triples,
+            node2vec_walks,
+            sgns_unigram_table,
+            walk_node_counts,
+            walk_skipgrams,
+        )
+
+        from kg.ops.ids import assign_dense_ids
+
+        g = spark.read.parquet(f"{args.out}/graph")
+        raw_ids = g.select(
+            F.col("subj_entity").alias("subj_id"),
+            "pred",
+            F.col("obj_entity").alias("obj_id"),
+        ).where(
+            F.col("subj_entity").isNotNull()
+            & F.col("obj_entity").isNotNull()
+        )
+        # densify entity ids first: embedding trainers index contiguous
+        # rows, and the walk-id scheme (node * walks_per_node + i)
+        # requires small nonnegative ids — canonical entity ids can be
+        # hash-sized. The mapping table is an export of its own.
+        id_map = assign_dense_ids(
+            raw_ids.select(F.col("subj_id").alias("entity_id"))
+            .union(raw_ids.select(F.col("obj_id").alias("entity_id")))
+            .distinct(),
+            key_cols=["entity_id"],
+            id_name="node_id",
+        )
+        id_map.write.mode("overwrite").parquet(
+            f"{args.out}/train_entity_ids"
+        )
+        id_map = spark.read.parquet(f"{args.out}/train_entity_ids")
+        linked_ids = (
+            raw_ids.join(
+                id_map.select(
+                    F.col("entity_id").alias("subj_id"),
+                    F.col("node_id").alias("_s"),
+                ),
+                "subj_id",
+            )
+            .join(
+                id_map.select(
+                    F.col("entity_id").alias("obj_id"),
+                    F.col("node_id").alias("_o"),
+                ),
+                "obj_id",
+            )
+            .select(
+                F.col("_s").alias("subj_id"),
+                "pred",
+                F.col("_o").alias("obj_id"),
+            )
+        )
+        negative_sample_triples(linked_ids, k=4).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/train_negatives")
+        edges = linked_ids.select(
+            F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        )
+        walks = node2vec_walks(
+            edges, walk_len=8, walks_per_node=2, ret_w=1, in_w=4, out_w=2
+        )
+        walks.write.mode("overwrite").parquet(f"{args.out}/train_walks")
+        walks_back = spark.read.parquet(f"{args.out}/train_walks")
+        walk_skipgrams(walks_back, window=2).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/train_skipgrams")
+        sgns_unigram_table(
+            walk_node_counts(walks_back), table_size=1 << 16
+        ).write.mode("overwrite").parquet(f"{args.out}/sgns_table")
 
     if "analytics" in stages:
         from kg.graphstats import degree_stats, pagerank, triangle_stats

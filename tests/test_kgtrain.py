@@ -683,3 +683,41 @@ class TestTranseEval:
             sum(r <= 1 for r in rs) / len(rs), 6)
         assert row["hits_3"] == round(
             sum(r <= 3 for r in rs) / len(rs), 6)
+
+
+class TestKgtrainPipelineStage:
+    def test_run_pipeline_kgtrain_stage(self, spark, tmp_path):
+        """run_pipeline --stages ...,kgtrain writes the four training
+        exports + the dense-id map, internally consistent: walk/skipgram
+        node ids live in the dense-id space, the sampling table covers
+        every bin exactly once, and negatives never collide with a true
+        (subj, pred) tail."""
+        import run_pipeline
+
+        out = str(tmp_path / "kg_out")
+        rc = run_pipeline.main([
+            "--pages", "/root/repo/fixtures/pages_tiny.parquet",
+            "--out", out, "--buckets", "4",
+            "--stages", "extract,triples,link,canon,graph,kgtrain",
+        ])
+        assert rc == 0
+        from pyspark.sql import functions as F
+
+        ids = spark.read.parquet(f"{out}/train_entity_ids")
+        n = ids.count()
+        assert ids.agg(F.min("node_id"), F.max("node_id")).first() == (
+            0, n - 1)
+        walks = spark.read.parquet(f"{out}/train_walks")
+        nodes_in_walks = walks.select(
+            F.explode("walk").alias("x")).agg(F.max("x")).first()[0]
+        assert nodes_in_walks < n  # dense-id space
+        sg = spark.read.parquet(f"{out}/train_skipgrams")
+        assert sg.where(F.col("n_pairs") < 1).count() == 0
+        tbl = spark.read.parquet(f"{out}/sgns_table")
+        assert tbl.count() == 1 << 16
+        assert tbl.select("bin").distinct().count() == 1 << 16
+        negs = spark.read.parquet(f"{out}/train_negatives")
+        pos = spark.read.parquet(f"{out}/graph")
+        assert negs.where(
+            F.col("neg_obj_id") == F.col("obj_id")).count() == 0
+        assert negs.count() > 0
