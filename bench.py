@@ -268,6 +268,52 @@ def run_suite(spark, sf_dir: str) -> dict:
     extra["graph_edges_per_sec"] = round(
         2 * extra["n_kg_edges"] / timings["graph"], 1
     )
+
+    # --- KG-embedding training exports over the same edge list (new r3):
+    # node2vec biased walks (per-step frontier-degree-mass joins + bounded
+    # per-walk window), skip-gram pair counts (array-local + one groupBy),
+    # and the unigram^0.75 sampling table (two-phase cumsum + closed-form
+    # bin spans). Ids are folded into 2^50 space: the walk-id scheme
+    # (node * wpn + i) needs small nonnegative ids, and 638k ids in 2^50
+    # collide with p ~ 2e-4 (perturbs the benched workload by nothing). ---
+    from kg.ops.kgtrain import (
+        node2vec_walks,
+        sgns_unigram_table,
+        walk_node_counts,
+        walk_skipgrams,
+    )
+
+    edges50 = kg_edges.select(
+        F.pmod(F.col("src"), F.lit(1 << 50)).alias("src"),
+        F.pmod(F.col("dst"), F.lit(1 << 50)).alias("dst"),
+    )
+
+    def w_kgtrain():
+        walks = node2vec_walks(
+            edges50, walk_len=4, walks_per_node=1,
+            ret_w=1, in_w=4, out_w=2,
+        )
+        # force the walk payload, not just walk counts
+        r = walks.agg(
+            F.count("*").alias("n"), F.sum(F.size("walk")).alias("_s")
+        ).first()
+        counts["walks"] = r["n"]
+        walk_skipgrams(walks, window=2).agg(
+            F.count("*").alias("n"), F.sum("n_pairs").alias("_p")
+        ).first()
+        sgns_unigram_table(
+            walk_node_counts(walks), table_size=1 << 16
+        ).agg(
+            F.count("*").alias("n"),
+            # payload-force without overflow: ids are ~2^50 and 64k of
+            # them summed raw would pass 2^63 under ANSI
+            F.sum(F.pmod(F.col("node_id"), F.lit(1 << 20))).alias("_x"),
+        ).first()
+
+    timings["kgtrain"] = timed_twice(w_kgtrain)
+    extra["kgtrain_walks_per_sec"] = round(
+        2 * counts["walks"] / timings["kgtrain"], 1
+    )
     kg_edges.unpersist()
 
     # --- fact materialization + reasoning over the linked triple stream
