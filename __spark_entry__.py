@@ -1655,6 +1655,79 @@ FROM h WHERE len(hits) > 0
 """
 
 
+def q_doc_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-set membership (kg/ops/sketch.py bloom_build/
+    bloom_probe): the crawl-ingestion / decontamination fast path — a
+    fixed-memory filter over already-ingested content, probed by the
+    next batch; only maybe-present rows pay the exact check. Members =
+    texts of even doc_ids; probes = every text. Output one row per
+    probe (content_md5, maybe_present, present): present pins zero
+    false negatives, and m_bits=2048 is sized so a few FALSE POSITIVES
+    occur — the oracle recomputes the packed filter words and every
+    probe bit-for-bit (md5 double hashing, 32-bit word packing), so the
+    FP set itself must match across engines, pinning the implementation
+    rather than an error bound."""
+    from kg.ops.sketch import bloom_build, bloom_probe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    members = (
+        docs.where(F.col("doc_id") % 2 == 0).select("text").distinct()
+    )
+    bl = bloom_build(members, "text", m_bits=2048, k_hashes=4)
+    probes = docs.select("text").distinct()
+    got = bloom_probe(probes, bl, "text", m_bits=2048, k_hashes=4)
+    return got.join(
+        members.withColumn("_m", F.lit(True)), "text", "left"
+    ).select(
+        F.md5("text").alias("content_md5"),
+        "maybe_present",
+        F.coalesce("_m", F.lit(False)).alias("present"),
+    )
+
+
+_BLOOM_ORACLE = r"""
+WITH members AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+),
+mh AS (
+  SELECT text,
+         ('0x' || substr(md5('b1:' || text), 1, 15))::BIGINT % 2048 AS h1,
+         (('0x' || substr(md5('b2:' || text), 1, 15))::BIGINT * 2 + 1)
+           % 2048 AS h2
+  FROM members
+),
+words AS (
+  SELECT ((h1 + g.i * h2) % 2048) // 32 AS word,
+         bit_or(1::BIGINT
+                << CAST((h1 + g.i * h2) % 2048 % 32 AS INT)) AS bits
+  FROM mh, range(4) g(i) GROUP BY 1
+),
+probes AS (SELECT DISTINCT text FROM documents),
+ph AS (
+  SELECT text,
+         ('0x' || substr(md5('b1:' || text), 1, 15))::BIGINT % 2048 AS h1,
+         (('0x' || substr(md5('b2:' || text), 1, 15))::BIGINT * 2 + 1)
+           % 2048 AS h2
+  FROM probes
+),
+hits AS (
+  SELECT ph.text,
+         bool_and(
+           (coalesce(w.bits, 0)
+            & (1::BIGINT << CAST((h1 + g.i * h2) % 2048 % 32 AS INT)))
+           = (1::BIGINT << CAST((h1 + g.i * h2) % 2048 % 32 AS INT))
+         ) AS maybe_present
+  FROM ph
+  CROSS JOIN range(4) g(i)
+  LEFT JOIN words w ON w.word = ((h1 + g.i * h2) % 2048) // 32
+  GROUP BY ph.text
+)
+SELECT md5(h.text) AS content_md5, h.maybe_present,
+       (m.text IS NOT NULL) AS present
+FROM hits h LEFT JOIN members m ON m.text = h.text
+"""
+
+
 def q_doc_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation (kg/ops/sketch.py
     cms_build/cms_estimate): a depth-4 width-4096 sketch of the corpus
@@ -7620,6 +7693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_assign": q_doc_shard_assign,
         "orders_zorder": q_orders_zorder,
         "doc_cms_tokens": q_doc_cms_tokens,
+        "doc_bloom_filter": q_doc_bloom_filter,
         "doc_phrase_search": q_doc_phrase_search,
         "kg_shacl_cardinality": q_kg_shacl_cardinality,
         "kg_distant_supervision": q_kg_distant_supervision,
@@ -10231,6 +10305,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_shard_assign"] = _SHARD_ORACLE
     d["orders_zorder"] = _zorder_oracle_sql()
     d["doc_cms_tokens"] = _CMS_ORACLE
+    d["doc_bloom_filter"] = _BLOOM_ORACLE
     d["doc_phrase_search"] = _PHRASE_ORACLE
     d["kg_shacl_cardinality"] = _SHACL_ORACLE
     d["kg_distant_supervision"] = _DS_ORACLE

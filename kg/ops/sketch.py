@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["kmv_distinct", "kmv_overlap", "grouped_quantiles",
-           "cms_build", "cms_estimate"]
+           "cms_build", "cms_estimate", "bloom_build", "bloom_probe"]
 
 # 15 hex chars = 60 bits: fits a signed 64-bit long exactly, and both
 # engines parse it identically (Spark conv(x,16,10); DuckDB '0x'||x cast)
@@ -370,4 +370,116 @@ def cms_estimate(
         probe_cells.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def _bloom_positions(value, m_bits: int, k_hashes: int):
+    """ARRAY<LONG> of the k Bloom bit positions of ``value`` (a string
+    Column), via Kirsch-Mitzenmacher double hashing: p_i = (h1 + i*h2)
+    mod m with h1, h2 independent 60-bit md5 hashes reduced mod m and h2
+    forced odd BEFORE the reduction (odd stride -> full cycle when m is
+    a power of two). Everything stays below 2^61 so the arithmetic is
+    exact in both engines; the DuckDB oracle replays it verbatim."""
+    h1 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("b1:"), value)), 1, _HEX_DIGITS),
+        16, 10,
+    ).cast("long") % m_bits
+    h2 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("b2:"), value)), 1, _HEX_DIGITS),
+            16, 10,
+        ).cast("long") * 2 + 1
+    ) % m_bits
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(k_hashes) - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % m_bits,
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Deterministic Bloom filter of a value column, AS A TABLE of
+    packed words ``(word LONG, bits LONG)`` — the seen-set a crawler /
+    decontamination pass keeps per corpus snapshot to answer "have I
+    ingested url/gram X" without joining against 10^12 rows.
+
+    Words hold 32 bits each (bit j of word w covers position 32*w+j):
+    32-bit packing keeps every mask positive in a signed 64-bit long, so
+    Spark and DuckDB agree bit-for-bit with no sign-extension edge.
+    Same determinism discipline as kmv/cms: md5 double hashing, no
+    seeds — the oracle recomputes the filter's words exactly, so the
+    contract checks the implementation, not just the error bound.
+
+    Scale shape: one projection exploding k positions per row, then ONE
+    partial-aggregable ``bit_or`` groupBy whose output is bounded by
+    m_bits/32 rows regardless of corpus size. Duplicate inserts are
+    absorbed map-side (bit_or is idempotent); filters of two corpora
+    merge by word-wise bit_or (the monoid property, pinned in tests).
+    False-positive rate ~ (1 - e^(-k*n/m))^k; false negatives are
+    impossible (pinned in tests)."""
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    val = F.col(value_col).cast("string")
+    pos = F.explode(_bloom_positions(val, m_bits, k_hashes)).alias("_p")
+    return (
+        df.where(val.isNotNull())
+        .select(pos)
+        .select(
+            F.shiftright(F.col("_p"), 5).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))")
+            .alias("_mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership-test each distinct probe value against a
+    :func:`bloom_build` filter (same m_bits/k_hashes): returns
+    ``(value_col, maybe_present BOOLEAN)`` — false means CERTAINLY
+    absent (the decontamination / frontier-dedup fast path: only
+    maybe-present rows proceed to the exact check), true means present
+    or a false positive at the (1-e^(-kn/m))^k rate.
+
+    Scale shape: probes explode to k (word, mask) tests, ONE equi-join
+    against the (<= m_bits/32 row) filter table — broadcast-sized by
+    construction — then one bool_and groupBy per probe. The corpus-sized
+    probe side never shuffles beyond its own groupBy key."""
+    val = F.col(value_col).cast("string")
+    cells = (
+        probes.where(val.isNotNull())
+        .select(val.alias(value_col))
+        .distinct()
+        .select(
+            value_col,
+            F.explode(_bloom_positions(F.col(value_col), m_bits, k_hashes))
+            .alias("_p"),
+        )
+        .select(
+            value_col,
+            F.shiftright(F.col("_p"), 5).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))")
+            .alias("_mask"),
+        )
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask"))
+        == F.col("_mask")
+    )
+    return (
+        cells.join(F.broadcast(bloom), ["word"], "left")
+        .select(value_col, hit.alias("_hit"))
+        .groupBy(value_col)
+        .agg(F.bool_and("_hit").alias("maybe_present"))
     )

@@ -522,3 +522,61 @@ class TestDetectBursts:
         assert got[("A", 4)] == (9, 2.0, True)    # 9 >= 3*2
         assert all(not v[2] for k, v in got.items() if k[0] == "B")
         assert got[("B", 1)][1] == 1.0
+
+
+class TestBloomFilter:
+    def _values(self, spark, n=400, prefix="m"):
+        return spark.createDataFrame(
+            [(f"{prefix}{i}",) for i in range(n)], "val string"
+        )
+
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        from kg.ops.sketch import bloom_build, bloom_probe
+
+        members = self._values(spark, 400, "m")
+        absent = self._values(spark, 2000, "x")
+        bl = bloom_build(members, "val", m_bits=1 << 14, k_hashes=4)
+        # filter table is bounded by m/32 words regardless of inserts
+        assert bl.count() <= (1 << 14) // 32
+        got = {
+            r.val: r.maybe_present
+            for r in bloom_probe(
+                members.unionByName(absent), bl, "val",
+                m_bits=1 << 14, k_hashes=4,
+            ).collect()
+        }
+        # Bloom guarantee: zero false negatives
+        assert all(got[f"m{i}"] for i in range(400))
+        # fp rate ~ (1-e^(-kn/m))^k ~ 0.0024 at n=400,m=16384,k=4;
+        # give generous slack for hash variance
+        fps = sum(1 for i in range(2000) if got[f"x{i}"])
+        assert fps / 2000 < 0.02
+
+    def test_merge_is_bitwise_or_monoid(self, spark):
+        import pyspark.sql.functions as F
+        from kg.ops.sketch import bloom_build
+
+        a = self._values(spark, 200, "a")
+        b = self._values(spark, 200, "b")
+        whole = bloom_build(a.unionByName(b), "val", m_bits=4096, k_hashes=3)
+        merged = (
+            bloom_build(a, "val", m_bits=4096, k_hashes=3)
+            .unionByName(bloom_build(b, "val", m_bits=4096, k_hashes=3))
+            .groupBy("word").agg(F.bit_or("bits").alias("bits"))
+        )
+        got = {(r.word, r.bits) for r in merged.collect()}
+        want = {(r.word, r.bits) for r in whole.collect()}
+        assert got == want
+
+    def test_duplicate_inserts_are_absorbed(self, spark):
+        from kg.ops.sketch import bloom_build
+
+        vals = self._values(spark, 50)
+        once = bloom_build(vals, "val", m_bits=1024, k_hashes=2)
+        thrice = bloom_build(
+            vals.unionByName(vals).unionByName(vals), "val",
+            m_bits=1024, k_hashes=2,
+        )
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, thrice.collect())
+        )
