@@ -4560,6 +4560,80 @@ def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEXTRANK_ITERS = 6
+TEXTRANK_WINDOW = 2
+
+
+def q_corpus_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (kg/ops/ranking.py textrank_keywords):
+    weighted PageRank over the word co-occurrence graph (window=2) —
+    the corpus-global term-salience signal beside tf-idf. Array-local
+    pair generation (zero-shuffle map) -> ONE pair groupBy -> power
+    iterations over the vocab-sized graph. Oracle replays the pair
+    build AND the full weighted-PageRank recurrence unrolled in SQL."""
+    from kg.ops.ranking import textrank_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(
+        docs, window=TEXTRANK_WINDOW, iterations=TEXTRANK_ITERS
+    )
+
+
+def _textrank_oracle_sql(
+    iters: int, window: int, damping: float = 0.85
+) -> str:
+    """Co-occurrence pair build + unrolled WEIGHTED PageRank recurrence
+    (w = wt / sum_wt(src)) over the documents vocabulary."""
+    d = damping
+    parts = [
+        r"""WITH dd AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w <> '') AS words
+  FROM documents
+)""",
+        f"""pr AS (
+  SELECT least(words[g.i + 1], words[g.i + o.o + 1]) AS a,
+         greatest(words[g.i + 1], words[g.i + o.o + 1]) AS b
+  FROM dd,
+       unnest(generate_series(0, len(words) - 2)) AS g(i),
+       unnest(generate_series(1, {window})) AS o(o)
+  WHERE g.i + o.o <= len(words) - 1
+    AND words[g.i + 1] <> words[g.i + o.o + 1]
+)""",
+        "co AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS wt"
+        " FROM pr GROUP BY a, b)",
+        "e AS (SELECT a AS src, b AS dst, wt FROM co"
+        " UNION ALL SELECT b, a, wt FROM co)",
+        "sw AS (SELECT src, sum(wt) AS out_wt FROM e GROUP BY src)",
+        "w AS (SELECT e.src, e.dst, e.wt / sw.out_wt AS w"
+        " FROM e JOIN sw ON e.src = sw.src)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM p) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dang"
+            f" FROM r{i-1} WHERE node NOT IN (SELECT src FROM w))"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT w.dst, sum(r.rank * w.w) AS c"
+            f" FROM w JOIN r{i-1} r ON w.src = r.node GROUP BY w.dst)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT nodes.node,"
+            f" (1 - {d}) / (SELECT n FROM p)"
+            f" + {d} * (SELECT dang FROM d{i}) / (SELECT n FROM p)"
+            f" + {d} * coalesce(c.c, 0) AS rank"
+            f" FROM nodes LEFT JOIN c{i} c ON nodes.node = c.dst)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS term, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
 def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.ranking import tfidf_topk
 
@@ -7739,6 +7813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "web_revisit_schedule": q_web_revisit_schedule,
         "corpus_vocab": q_corpus_vocab,
+        "corpus_textrank": q_corpus_textrank,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_bm25": q_doc_bm25,
         "events_asof_join": q_events_asof_join,
@@ -10306,6 +10381,9 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["orders_zorder"] = _zorder_oracle_sql()
     d["doc_cms_tokens"] = _CMS_ORACLE
     d["doc_bloom_filter"] = _BLOOM_ORACLE
+    d["corpus_textrank"] = _textrank_oracle_sql(
+        TEXTRANK_ITERS, TEXTRANK_WINDOW
+    )
     d["doc_phrase_search"] = _PHRASE_ORACLE
     d["kg_shacl_cardinality"] = _SHACL_ORACLE
     d["kg_distant_supervision"] = _DS_ORACLE

@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["postings", "corpus_vocab", "tfidf_topk", "bm25_search",
-           "positional_postings", "phrase_search"]
+           "positional_postings", "phrase_search",
+           "cooccurrence_edges", "textrank_keywords"]
 
 
 def postings(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -223,3 +224,78 @@ def phrase_search(
         F.min("start").cast("long").alias("first_pos"),
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
     )
+
+
+def cooccurrence_edges(docs: DataFrame, window: int = 2) -> DataFrame:
+    """Undirected word co-occurrence edges ``(a, b, wt)``: tokens at
+    most ``window`` positions apart in the same document, pair order
+    normalized (a = least, b = greatest), self-pairs dropped, wt =
+    corpus-wide pair count.
+
+    Scale shape: pair generation is ARRAY-LOCAL (nested transform over
+    token positions — a pure JVM map emitting <= window pairs per
+    token, no positional self-join), so the only shuffle is ONE
+    partial-aggregable groupBy on the pair key. The output is
+    vocabulary²-bounded, corpus-size-independent."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    words = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    el = lambda i: F.element_at(F.col("_w"), i + 1)  # noqa: E731
+    n = F.size(F.col("_w"))
+    pairs = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.least(i + window, n - 1)),
+                    lambda j: F.struct(
+                        F.least(el(i), el(j)).alias("a"),
+                        F.greatest(el(i), el(j)).alias("b"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        docs.select(words.alias("_w"))
+        .select(F.explode(pairs).alias("_p"))
+        .where(F.col("_p.a") != F.col("_p.b"))
+        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("wt"))
+    )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    window: int = 2,
+    iterations: int = 6,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): rank every
+    corpus term by weighted PageRank over the word co-occurrence graph
+    — the unsupervised keyphrase/salience signal beside tf-idf (which
+    scores per-doc; TextRank scores the vocabulary globally, feeding
+    stopword induction and gazetteer seeding). Returns (term, rank).
+
+    Composition, not new machinery: :func:`cooccurrence_edges` (one
+    corpus shuffle) -> symmetrized edge list -> kg.graphstats.pagerank
+    with ``weight_col`` (rank split proportional to co-occurrence
+    count). The iteration cost is over the vocab-sized graph, never the
+    corpus — at 100 TB the co-occurrence table is millions of rows
+    while the corpus is billions, so the power iterations run on a dim.
+    """
+    from kg.graphstats import pagerank
+
+    co = cooccurrence_edges(docs, window=window)
+    edges = co.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "wt"
+    ).unionByName(
+        co.select(F.col("b").alias("src"), F.col("a").alias("dst"), "wt")
+    )
+    pr = pagerank(
+        edges, iterations=iterations, damping=damping, weight_col="wt"
+    )
+    return pr.select(F.col("node").alias("term"), "rank")

@@ -274,3 +274,60 @@ class TestPhraseSearch:
 
         with pytest.raises(ValueError):
             phrase_search(self._docs(spark), "   ")
+
+
+class TestCooccurrence:
+    def test_window_pairs_and_self_pair_drop(self, spark):
+        from kg.ops.ranking import cooccurrence_edges
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a"), (2, "x x y"), (3, "solo"), (4, "")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.a, r.b): r.wt
+            for r in cooccurrence_edges(docs, window=2).collect()
+        }
+        # doc 1 (window 2): (a,b) at i=0 and i=1(b,a normalized), (a,c)
+        # at i=0 and i=2, (b,c) at i=1; doc 2 (window 2): (x,x) dropped
+        # twice, (x,y) twice; solo/empty docs contribute nothing
+        assert got == {
+            ("a", "b"): 2.0, ("a", "c"): 2.0, ("b", "c"): 1.0,
+            ("x", "y"): 2.0,
+        }
+
+    def test_window_one_is_adjacency_only(self, spark):
+        from kg.ops.ranking import cooccurrence_edges
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        got = {(r.a, r.b) for r in cooccurrence_edges(docs, window=1).collect()}
+        assert got == {("a", "b"), ("b", "c")}
+
+
+class TestTextRank:
+    def test_hub_outranks_leaves_and_ranks_sum_to_one(self, spark):
+        from kg.ops.ranking import textrank_keywords
+
+        # "hub" co-occurs with every leaf; leaves only see the hub
+        docs = spark.createDataFrame(
+            [(i, f"hub leaf{i}") for i in range(6)],
+            "doc_id long, text string",
+        )
+        ranks = {
+            r.term: r.rank
+            for r in textrank_keywords(docs, window=1, iterations=6).collect()
+        }
+        assert abs(sum(ranks.values()) - 1.0) < 1e-6
+        hub = ranks.pop("hub")
+        assert all(hub > v for v in ranks.values())
+
+    def test_symmetric_graph_gives_equal_ranks(self, spark):
+        from kg.ops.ranking import textrank_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "p q"), (2, "q p")], "doc_id long, text string"
+        )
+        ranks = [r.rank for r in textrank_keywords(docs, window=1).collect()]
+        assert len(ranks) == 2 and abs(ranks[0] - ranks[1]) < 1e-12
