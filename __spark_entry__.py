@@ -2125,6 +2125,107 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M, PQ_K, PQ_ROUNDS, PQ_SEED, PQ_DSUB = 4, 8, 2, 17, 16
+PQ_MAX_QID, PQ_TOPK = 20, 5
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ADC search (kg/ops/similarity.py pq_train/
+    pq_adc_topk): per-subspace plain-L2 Lloyd codebooks (md5-hash init,
+    all 4 subspaces trained in ONE distributed job), every vector
+    encoded to 4 codes, then asymmetric-distance top-5 for the first 20
+    vectors. The oracle unrolls the per-subspace Lloyd rounds, the final
+    encoding, AND the ADC lookup-sum ranking in SQL — the whole PQ path
+    is oracle-backed, same discipline as emb_ann_ivf."""
+    from kg.ops.similarity import pq_adc_topk, pq_train
+
+    emb = _emb(spark, sf_dir)
+    codes, books = pq_train(
+        emb, m_sub=PQ_M, k=PQ_K, rounds=PQ_ROUNDS, seed=PQ_SEED
+    )
+    queries = emb.where(F.col("vec_id") < PQ_MAX_QID)
+    return pq_adc_topk(queries, codes, books, m_sub=PQ_M, topk=PQ_TOPK)
+
+
+def _pq_oracle_sql(
+    m: int, k: int, rounds: int, seed: int, dsub: int, max_qid: int,
+    topk: int,
+) -> str:
+    """emb_pq_topk oracle: per-subspace Lloyd unroll (plain L2: argmin
+    ||x-c||^2 via the same expansion form the Spark op evaluates, means
+    without renormalization, emptied cells keep their centroid), final
+    encoding, then the ADC distance-table sum + rank."""
+    d2 = (
+        "(list_dot_product(sv.x, sv.x)"
+        " - 2 * list_dot_product(sv.x, c.centroid)"
+        " + list_dot_product(c.centroid, c.centroid))"
+    )
+    parts = [f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS e
+  FROM embeddings
+), sv AS (
+  SELECT vid, CAST(s.s AS INT) AS sub,
+         e[s.s * {dsub} + 1 : (s.s + 1) * {dsub}] AS x
+  FROM v, unnest(generate_series(0, {m - 1})) AS s(s)
+), hh AS (
+  SELECT vid,
+    ('0x' || substr(md5(CAST(vid AS VARCHAR) || '|{seed}'), 1, 15))::BIGINT
+      AS h
+  FROM v
+), c0 AS (
+  SELECT sub, CAST(rn - 1 AS INT) AS code, x AS centroid FROM (
+    SELECT sv.sub, sv.x,
+      row_number() OVER (PARTITION BY sv.sub ORDER BY hh.h, sv.vid) AS rn
+    FROM sv JOIN hh USING (vid)
+  ) WHERE rn <= {k}
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", a{r} AS MATERIALIZED (
+  SELECT vid, sub, code FROM (
+    SELECT sv.vid, sv.sub, c.code,
+      row_number() OVER (PARTITION BY sv.vid, sv.sub
+        ORDER BY {d2} ASC, c.code) AS rn
+    FROM sv JOIN c{r - 1} c USING (sub)
+  ) WHERE rn = 1
+), m{r} AS (
+  SELECT a.sub, a.code, d.d, avg(sv.x[d.d + 1]) AS mval
+  FROM a{r} a JOIN sv ON sv.vid = a.vid AND sv.sub = a.sub,
+       unnest(generate_series(0, {dsub - 1})) AS d(d)
+  GROUP BY a.sub, a.code, d.d
+), mm{r} AS (
+  SELECT sub, code, list(mval ORDER BY d) AS mean
+  FROM m{r} GROUP BY sub, code
+), c{r} AS MATERIALIZED (
+  SELECT c.sub, c.code, coalesce(mm.mean, c.centroid) AS centroid
+  FROM c{r - 1} c
+  LEFT JOIN mm{r} mm ON mm.sub = c.sub AND mm.code = c.code
+)""")
+    parts.append(f""", af AS (
+  SELECT vid, sub, code FROM (
+    SELECT sv.vid, sv.sub, c.code,
+      row_number() OVER (PARTITION BY sv.vid, sv.sub
+        ORDER BY {d2} ASC, c.code) AS rn
+    FROM sv JOIN c{rounds} c USING (sub)
+  ) WHERE rn = 1
+), dt AS (
+  SELECT sv.vid AS qid, sv.sub, c.code, {d2} AS d2
+  FROM sv JOIN c{rounds} c USING (sub) WHERE sv.vid < {max_qid}
+), cand AS (
+  SELECT dt.qid, a.vid AS nid, sum(dt.d2) AS d2
+  FROM af a JOIN dt ON dt.sub = a.sub AND dt.code = a.code
+  WHERE a.vid <> dt.qid
+  GROUP BY dt.qid, a.vid
+), ranked AS (
+  SELECT qid, nid, d2,
+    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+  FROM cand
+)
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, round(d2, 6) AS d2
+FROM ranked WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
 CLUSTER_SAMPLE_PER = 40
 
 
@@ -7837,6 +7938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_kmeans": q_emb_kmeans,
+        "emb_pq_topk": q_emb_pq_topk,
         "emb_cluster_sample": q_emb_cluster_sample,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
@@ -8343,6 +8445,9 @@ FROM '{FIX}/media.parquet' WHERE kind = 'video'
         ),
         "emb_ann_ivf": _ivf_oracle_sql(
             n_lists=8, rounds=3, seed=17, n_probe=4, topk=5, max_qid=20
+        ),
+        "emb_pq_topk": _pq_oracle_sql(
+            PQ_M, PQ_K, PQ_ROUNDS, PQ_SEED, PQ_DSUB, PQ_MAX_QID, PQ_TOPK
         ),
         "emb_cluster_sample": _lloyd_oracle_sql(
             KMEANS_K, KMEANS_ROUNDS, KMEANS_SEED

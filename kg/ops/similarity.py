@@ -37,6 +37,8 @@ __all__ = [
     "quantize_embeddings",
     "rp_signs",
     "random_projection",
+    "pq_train",
+    "pq_adc_topk",
 ]
 
 
@@ -821,3 +823,199 @@ def random_projection(
         acc = F.aggregate(flipped, F.lit(0.0), lambda a, x: a + x)
         cols.append(F.round(acc * F.lit(inv), decimals))
     return emb.select(F.col(id_col), F.array(*cols).alias("proj"))
+
+
+def _pq_subvectors(
+    embeddings: DataFrame,
+    m_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, int]:
+    """(vid, sub, x) long-format subvector table: dimension D split into
+    ``m_sub`` contiguous blocks of D/m_sub. Pure map (one explode of a
+    transform — no shuffle); returns (table, d_sub)."""
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty embeddings input")
+    d = len(first[0])
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    dsub = d // m_sub
+    e = F.col(vec_col).cast("array<double>")
+    sv = (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("vid"), e.alias("_e")
+        )
+        .select(
+            "vid",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(int(m_sub) - 1)),
+                    lambda s: F.struct(
+                        s.cast("int").alias("sub"),
+                        F.slice("_e", s * dsub + 1, dsub).alias("x"),
+                    ),
+                )
+            ).alias("_sx"),
+        )
+        .select("vid", F.col("_sx.sub").alias("sub"), F.col("_sx.x").alias("x"))
+    )
+    return sv, dsub
+
+
+def _pq_d2(x, c) -> Column:
+    # expansion form ||x-c||^2 = x.x - 2 x.c + c.c — the SAME op sequence
+    # the DuckDB oracle uses, so rounding agrees cross-engine
+    return (
+        dot_product_col(x, x)
+        - 2.0 * dot_product_col(x, c)
+        + dot_product_col(c, c)
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m_sub: int = 4,
+    k: int = 8,
+    rounds: int = 2,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (Jegou et al. 2011): train per-subspace
+    codebooks and encode every vector — the memory side of the ANN
+    ladder (sign-LSH blocks, IVF partitions, PQ compresses: D doubles
+    become m_sub bytes, ~64x, so a 10^12-vector index fits a cluster's
+    RAM). Deterministic by the module's discipline: initial centroids
+    are the subvectors of the k ids with the smallest md5(vid|seed) —
+    no engine randomness — so the oracle replays every Lloyd round in
+    SQL.
+
+    Per-subspace plain-L2 Lloyd (NOT spherical — PQ quantizes raw
+    subvectors): assign each (vid, sub) row to the centroid minimizing
+    ||x-c||^2 (ties -> smaller code), recompute centroids as per-dim
+    means (an emptied cell keeps its centroid), fixed ``rounds``, then
+    one final assignment under the final codebooks (fit+transform
+    consistency, same contract as lloyd_kmeans).
+
+    Returns (codes(vid, sub, code), codebooks(sub, code, centroid)).
+
+    Scale shape: ALL m_sub subspaces train in the SAME distributed job —
+    the subvector table carries ``sub`` as a key, each round is one
+    broadcast join (m_sub*k centroid rows) + a partial-aggregable
+    min_by argmax + one (sub, code, dim) groupBy for means; codebooks
+    (m_sub*k*d_sub doubles) are driver-collected and re-broadcast,
+    exactly the lloyd_kmeans / ml.KMeans discipline."""
+    sv, dsub = _pq_subvectors(embeddings, m_sub, id_col, vec_col)
+    spark = embeddings.sparkSession
+
+    # init: subvectors of the k smallest-md5 ids, same ids per subspace
+    hashed = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col(id_col).cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long").alias("_h"),
+    )
+    init_rows = hashed.orderBy("_h", "vid").limit(int(k)).select("_e").collect()
+    cents = spark.createDataFrame(
+        [
+            (s, j, list(r._e[s * dsub : (s + 1) * dsub]))
+            for s in range(m_sub)
+            for j, r in enumerate(init_rows)
+        ],
+        "sub int, code int, centroid array<double>",
+    )
+
+    def _assign(cents_df: DataFrame) -> DataFrame:
+        scored = sv.join(F.broadcast(cents_df), "sub").withColumn(
+            "_d2", _pq_d2(F.col("x"), F.col("centroid"))
+        )
+        return (
+            scored.groupBy("vid", "sub")
+            .agg(F.min(F.struct("_d2", "code")).alias("_b"))
+            .select("vid", "sub", F.col("_b.code").alias("code"))
+        )
+
+    for _ in range(int(rounds)):
+        assigned = _assign(cents)
+        means = (
+            assigned.join(sv, ["vid", "sub"])
+            .select("sub", "code", F.posexplode("x").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("sub", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
+            )
+            .select(
+                "sub",
+                "code",
+                F.transform("_pm", lambda s: s["m"]).alias("mean"),
+            )
+        )
+        new = {(r.sub, r.code): list(r.mean) for r in means.collect()}
+        cents = spark.createDataFrame(
+            [
+                (r.sub, r.code, new.get((r.sub, r.code), list(r.centroid)))
+                for r in cents.collect()
+            ],
+            "sub int, code int, centroid array<double>",
+        )
+    return _assign(cents), cents
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    m_sub: int = 4,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over a PQ-encoded corpus:
+    for each query, squared-L2 distance to every encoded vector is the
+    SUM over subspaces of the query-to-centroid distance of that
+    vector's code — one m_sub*k lookup table per query instead of a
+    D-dim computation per pair. Returns (qid, nid, rank, d2) with
+    rank <= topk (ties -> smaller nid; self-matches dropped).
+
+    Scale shape: the distance table dt is |queries| x m_sub x k rows
+    (broadcast-sized); the corpus-side ``codes`` joins it on the tiny
+    (sub, code) key — ADC is still an exhaustive scan (combine with IVF
+    lists for sublinear candidates), but each corpus row costs a lookup
+    + add, and the only corpus-sized exchange is the (qid, nid) partial
+    sum."""
+    q_sv, _ = _pq_subvectors(queries, m_sub, id_col, vec_col)
+    dt = q_sv.withColumnRenamed("vid", "qid").join(
+        F.broadcast(codebooks), "sub"
+    ).select(
+        "qid", "sub", "code",
+        _pq_d2(F.col("x"), F.col("centroid")).alias("_d2"),
+    )
+    cand = (
+        codes.join(dt, ["sub", "code"])
+        .where(F.col("vid") != F.col("qid"))
+        .groupBy("qid", F.col("vid").alias("nid"))
+        .agg(F.sum("_d2").alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "qid", "nid", F.col("rank").cast("long").alias("rank"),
+            F.round("d2", 6).alias("d2"),
+        )
+    )

@@ -1303,3 +1303,125 @@ class TestBlockingEval:
         pc_u = blocking_eval(docs, uncapped, 0.5).collect()[0].pair_completeness
         assert pc_u > pc_c  # the cap costs recall on a mega-cluster corpus
         assert pc_u >= 0.9
+
+
+class TestProductQuantization:
+    """pq_train/pq_adc_topk vs an independent numpy replay of the same
+    deterministic recurrence (the module's python-replay idiom for
+    iterative ops whose SQL oracle would restate the plan)."""
+
+    M, K, ROUNDS, SEED, DIM = 2, 4, 2, 17, 8
+
+    def _fixture(self, spark):
+        # exact small integers -> float arithmetic is exact, so the
+        # replay comparison is bit-for-bit
+        rows = [
+            (i, [float((i * (j + 3)) % 7 - 3) for j in range(self.DIM)])
+            for i in range(40)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def _replay(self, rows):
+        import hashlib
+
+        import numpy as np
+
+        X = np.array([r[1] for r in rows], dtype=np.float64)
+        ids = np.array([r[0] for r in rows])
+        dsub = self.DIM // self.M
+        h = np.array([
+            int(hashlib.md5(f"{i}|{self.SEED}".encode()).hexdigest()[:15], 16)
+            for i in ids
+        ])
+        order = np.lexsort((ids, h))[: self.K]
+        cents = {
+            (s, j): X[order[j], s * dsub : (s + 1) * dsub].copy()
+            for s in range(self.M)
+            for j in range(self.K)
+        }
+
+        def assign():
+            codes = {}
+            for idx, vid in enumerate(ids):
+                for s in range(self.M):
+                    x = X[idx, s * dsub : (s + 1) * dsub]
+                    best = min(
+                        (float(np.sum((x - cents[(s, j)]) ** 2)), j)
+                        for j in range(self.K)
+                    )
+                    codes[(vid, s)] = best[1]
+            return codes
+
+        for _ in range(self.ROUNDS):
+            codes = assign()
+            for s in range(self.M):
+                for j in range(self.K):
+                    members = [
+                        X[idx, s * dsub : (s + 1) * dsub]
+                        for idx, vid in enumerate(ids)
+                        if codes[(vid, s)] == j
+                    ]
+                    if members:
+                        cents[(s, j)] = np.mean(members, axis=0)
+        return assign(), cents
+
+    def test_codes_match_numpy_replay(self, spark):
+        from kg.ops.similarity import pq_train
+
+        rows, emb = self._fixture(spark)
+        codes, books = pq_train(
+            emb, m_sub=self.M, k=self.K, rounds=self.ROUNDS, seed=self.SEED
+        )
+        got = {(r.vid, r.sub): r.code for r in codes.collect()}
+        want, want_cents = self._replay(rows)
+        assert got == want
+        # codebooks match the replay's centroids (means of exact ints)
+        got_books = {(r.sub, r.code): list(r.centroid) for r in books.collect()}
+        import numpy as np
+
+        for key, c in want_cents.items():
+            assert np.allclose(got_books[key], c, atol=1e-12)
+
+    def test_adc_topk_matches_replay(self, spark):
+        import numpy as np
+
+        from kg.ops.similarity import pq_adc_topk, pq_train
+
+        rows, emb = self._fixture(spark)
+        codes, books = pq_train(
+            emb, m_sub=self.M, k=self.K, rounds=self.ROUNDS, seed=self.SEED
+        )
+        queries = emb.where("vec_id < 5")
+        got = [
+            (r.qid, r.nid, r.rank)
+            for r in pq_adc_topk(
+                queries, codes, books, m_sub=self.M, topk=3
+            ).collect()
+        ]
+        want_codes, cents = self._replay(rows)
+        dsub = self.DIM // self.M
+        X = {r[0]: np.array(r[1]) for r in rows}
+        expect = []
+        for qid in range(5):
+            ds = []
+            for nid in sorted(X):
+                if nid == qid:
+                    continue
+                d2 = sum(
+                    float(
+                        np.sum(
+                            (
+                                X[qid][s * dsub : (s + 1) * dsub]
+                                - cents[(s, want_codes[(nid, s)])]
+                            )
+                            ** 2
+                        )
+                    )
+                    for s in range(self.M)
+                )
+                ds.append((d2, nid))
+            for rank, (_, nid) in enumerate(sorted(ds)[:3], 1):
+                expect.append((qid, nid, rank))
+        assert sorted(got) == sorted(expect)
