@@ -519,6 +519,73 @@ def q_web_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRONTIER_BLOOM_M, FRONTIER_BLOOM_K = 1024, 3
+
+
+def q_web_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered frontier dedup — the composition the Bloom
+    seen-set exists for: the crawled-url filter answers "have I fetched
+    this" per candidate link; ``definitely_new`` (bloom says absent) is
+    certain and skips the exact check, while maybe-present candidates
+    fall through to the exact anti-join. Output per distinct candidate:
+    (dst_url, definitely_new, is_new) — the algebraic law
+    definitely_new ⇒ is_new (no false negatives) is pinned in tests,
+    and m=1024 is sized so some maybe-present-but-new rows (bloom FPs)
+    appear; the oracle replays links, filter words, and every probe
+    bit-for-bit."""
+    from kg.ops.sketch import bloom_build, bloom_probe
+    from kg.ops.weblinks import extract_links
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    crawled = pages.select("url").distinct()
+    frontier = (
+        extract_links(pages).select(F.col("dst_url").alias("url")).distinct()
+    )
+    bl = bloom_build(
+        crawled, "url", m_bits=FRONTIER_BLOOM_M, k_hashes=FRONTIER_BLOOM_K
+    )
+    probed = bloom_probe(
+        frontier, bl, "url",
+        m_bits=FRONTIER_BLOOM_M, k_hashes=FRONTIER_BLOOM_K,
+    )
+    return probed.join(
+        crawled.withColumn("_c", F.lit(True)), "url", "left"
+    ).select(
+        F.col("url").alias("dst_url"),
+        (~F.col("maybe_present")).alias("definitely_new"),
+        F.col("_c").isNull().alias("is_new"),
+    )
+
+
+def _bloom_oracle_cte(m: int, k: int, members: str, probes: str,
+                      val: str = "url") -> str:
+    """CTE suffix (appended after a WITH chain) defining ``bhits({val},
+    maybe_present)``: the packed-word Bloom filter over ``{members}``
+    probed by ``{probes}`` — the same md5 double-hashing / 32-bit word
+    packing kg/ops/sketch.py computes, parameterized so compositions
+    (frontier dedup) and the standalone contract share one replay."""
+    h1 = f"('0x' || substr(md5('b1:' || {val}), 1, 15))::BIGINT % {m}"
+    h2 = (f"(('0x' || substr(md5('b2:' || {val}), 1, 15))::BIGINT * 2 + 1)"
+          f" % {m}")
+    mask = f"(1::BIGINT << CAST((h1 + g.i * h2) % {m} % 32 AS INT))"
+    return f""", bmh AS (
+  SELECT {val}, {h1} AS h1, {h2} AS h2 FROM {members}
+), bw AS (
+  SELECT ((h1 + g.i * h2) % {m}) // 32 AS word, bit_or({mask}) AS bits
+  FROM bmh, unnest(generate_series(0, {k - 1})) AS g(i) GROUP BY 1
+), bph AS (
+  SELECT {val}, {h1} AS h1, {h2} AS h2 FROM {probes}
+), bhits AS (
+  SELECT bph.{val},
+         bool_and((coalesce(w.bits, 0) & {mask}) = {mask})
+           AS maybe_present
+  FROM bph
+  CROSS JOIN unnest(generate_series(0, {k - 1})) AS g(i)
+  LEFT JOIN bw w ON w.word = ((h1 + g.i * h2) % {m}) // 32
+  GROUP BY bph.{val}
+)"""
+
+
 #: extra URL-template probes: id-segment collapse ({h}/{n}), query-string
 #: exclusion, root path, host case-folding, template cardinality
 TRAP_URLS: list[str] = [
@@ -5566,6 +5633,71 @@ def q_kg_infer_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infer_transitive(facts, pred=INFER_PRED, max_depth=INFER_DEPTH)
 
 
+TRED_N, TRED_DEPTH = 40, 4
+
+
+def q_kg_transitive_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive reduction (kg/reason.py transitive_reduction — the
+    inverse of infer_transitive): over a deterministic chain DAG
+    0->1->...->39 piled with md5-chosen shortcut edges (i->i+2 on the
+    md5-even half, i->i+3 on the md5-mod-3 third — the shape Hearst /
+    AMIE mining leaves on an ontology), every asserted edge comes back
+    with a redundant flag: all shortcuts redundant (the chain implies
+    them), every chain edge kept. Oracle replays the construction and
+    the bounded-closure alternate-path rule as a recursive CTE +
+    EXISTS."""
+    from kg.reason import transitive_reduction
+
+    ids = spark.range(TRED_N).select(F.col("id").cast("long").alias("i"))
+    h = F.conv(
+        F.substring(F.md5(F.col("i").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    chain = ids.where(F.col("i") < TRED_N - 1).select(
+        F.col("i").alias("subj_id"), (F.col("i") + 1).alias("obj_id")
+    )
+    skip2 = ids.where((F.col("i") < TRED_N - 2) & (h % 2 == 0)).select(
+        F.col("i").alias("subj_id"), (F.col("i") + 2).alias("obj_id")
+    )
+    skip3 = ids.where((F.col("i") < TRED_N - 3) & (h % 3 == 0)).select(
+        F.col("i").alias("subj_id"), (F.col("i") + 3).alias("obj_id")
+    )
+    facts = (
+        chain.unionByName(skip2)
+        .unionByName(skip3)
+        .withColumn("pred", F.lit("part_of"))
+    )
+    return transitive_reduction(facts, "part_of", max_depth=TRED_DEPTH)
+
+
+_TRED_ORACLE = f"""
+WITH RECURSIVE ids AS (
+  SELECT unnest(generate_series(0, {TRED_N - 1}))::BIGINT AS i
+), hh AS (
+  SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM ids
+), base AS (
+  SELECT i AS subj_id, i + 1 AS obj_id FROM ids WHERE i < {TRED_N - 1}
+  UNION ALL
+  SELECT i, i + 2 FROM hh WHERE i < {TRED_N - 2} AND h % 2 = 0
+  UNION ALL
+  SELECT i, i + 3 FROM hh WHERE i < {TRED_N - 3} AND h % 3 = 0
+), paths AS (
+  SELECT subj_id, obj_id, 1 AS depth FROM base
+  UNION ALL
+  SELECT p.subj_id, b.obj_id, p.depth + 1
+  FROM paths p JOIN base b ON p.obj_id = b.subj_id
+  WHERE p.depth < {TRED_DEPTH} AND p.subj_id <> b.obj_id
+), reach AS (SELECT DISTINCT subj_id, obj_id FROM paths)
+SELECT b.subj_id, 'part_of' AS pred, b.obj_id,
+  EXISTS (
+    SELECT 1 FROM reach r1 JOIN reach r2 ON r1.obj_id = r2.subj_id
+    WHERE r1.subj_id = b.subj_id AND r2.obj_id = b.obj_id
+      AND r1.obj_id <> b.subj_id AND r1.obj_id <> b.obj_id
+  ) AS redundant
+FROM base b
+"""
+
+
 def q_kg_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path query (kg/query.py match_path): ceo_of /
     located_in+ — 'places the org whose CEO this person is transitively
@@ -7971,6 +8103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_table_schema_match": q_web_table_schema_match,
         "web_anchor_index": q_web_anchor_index,
         "web_crawl_frontier": q_web_crawl_frontier,
+        "web_frontier_bloom": q_web_frontier_bloom,
         "web_url_templates": q_web_url_templates,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemaps": q_web_sitemaps,
@@ -7984,6 +8117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_profile": q_kg_entity_profile,
         "kg_fact_evidence": q_kg_fact_evidence,
         "kg_infer_transitive": q_kg_infer_transitive,
+        "kg_transitive_reduction": q_kg_transitive_reduction,
         "kg_rdfs_facts": q_kg_rdfs_facts,
         "kg_rdfs_types": q_kg_rdfs_types,
         "kg_path_query": q_kg_path_query,
@@ -8289,6 +8423,20 @@ SELECT dst_url,
 FROM links
 WHERE dst_url NOT IN (SELECT url FROM '{FIX}/pages_tiny.parquet')
 GROUP BY dst_url
+""",
+        "web_frontier_bloom": _weblinks_oracle_cte(
+            f"{FIX}/pages_tiny.parquet"
+        )
+        + f""", crawled AS (
+  SELECT DISTINCT url FROM '{FIX}/pages_tiny.parquet'
+), frontier AS (SELECT DISTINCT dst_url AS url FROM links)"""
+        + _bloom_oracle_cte(
+            FRONTIER_BLOOM_M, FRONTIER_BLOOM_K, "crawled", "frontier"
+        )
+        + """
+SELECT h.url AS dst_url, NOT h.maybe_present AS definitely_new,
+       (c.url IS NULL) AS is_new
+FROM bhits h LEFT JOIN crawled c ON c.url = h.url
 """,
         "doc_exact_dedup": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
@@ -10486,6 +10634,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["orders_zorder"] = _zorder_oracle_sql()
     d["doc_cms_tokens"] = _CMS_ORACLE
     d["doc_bloom_filter"] = _BLOOM_ORACLE
+    d["kg_transitive_reduction"] = _TRED_ORACLE
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW
     )

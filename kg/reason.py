@@ -39,6 +39,7 @@ from kg.session import materialize
 __all__ = [
     "DEFAULT_TYPE_RULES",
     "infer_transitive",
+    "transitive_reduction",
     "induce_entity_types",
     "fact_confidence",
     "type_violations",
@@ -133,6 +134,66 @@ def infer_transitive(
         F.lit(pred).alias("pred"),
         "obj_id",
         F.col("depth").cast("int").alias("depth"),
+    )
+
+
+
+def transitive_reduction(
+    facts: DataFrame,
+    pred: str,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Flag the REDUNDANT edges of one predicate: the inverse of
+    :func:`infer_transitive` — instead of materializing implied pairs,
+    find asserted edges the rest of the graph already implies. An edge
+    (u, v) is redundant iff an ALTERNATE path u -> v of length >= 2
+    exists through some mid node (mid != u, v), considering paths up to
+    2 * ``max_depth`` hops. On a DAG, dropping the redundant edges is
+    the classic transitive reduction (the minimal edge set with the
+    same closure) — the ontology-compaction step after Hearst/AMIE
+    mining piles shortcut is_a / located_in edges on top of the
+    hierarchy. On cycles the rule applies as stated (a 2-cycle's edges
+    have no mid node and are kept); reduction uniqueness is a DAG
+    property.
+
+    Returns every asserted (subj_id, pred, obj_id) edge with a
+    ``redundant`` flag (drop-ready, but the caller keeps provenance).
+
+    Scale shape: one bounded closure (infer_transitive: frontier-only
+    semi-naive joins) + ONE closure self-join on the mid node + one
+    left join back to the asserted edges. The closure self-join is the
+    cost knob — same disposition as infer_transitive's depth: close a
+    hub-heavy predicate at small depth or against a filtered subdomain.
+    """
+    base = materialize(
+        facts.where(F.col("pred") == pred)
+        .select("subj_id", "obj_id")
+        .distinct()
+    )
+    closure = infer_transitive(facts, pred, max_depth)
+    alt = (
+        closure.select("subj_id", F.col("obj_id").alias("_mid"))
+        .join(
+            closure.select(F.col("subj_id").alias("_mid"), "obj_id"),
+            "_mid",
+        )
+        .where(
+            (F.col("_mid") != F.col("subj_id"))
+            & (F.col("_mid") != F.col("obj_id"))
+        )
+        .select("subj_id", "obj_id")
+        .distinct()
+    )
+    return (
+        base.join(
+            alt.withColumn("_r", F.lit(True)), ["subj_id", "obj_id"], "left"
+        )
+        .select(
+            "subj_id",
+            F.lit(pred).alias("pred"),
+            "obj_id",
+            F.coalesce("_r", F.lit(False)).alias("redundant"),
+        )
     )
 
 

@@ -710,3 +710,60 @@ class TestCheckCardinality:
         }
         # unbounded max: b's two located_in rows are fine; untyped entity
         # and shape-less type 'Other' produce nothing (open world)
+
+
+class TestTransitiveReduction:
+    def _facts(self, spark, edges):
+        return spark.createDataFrame(
+            [(a, "part_of", b) for a, b in edges],
+            "subj_id long, pred string, obj_id long",
+        )
+
+    def test_shortcuts_flagged_chain_kept(self, spark):
+        from kg.reason import transitive_reduction
+
+        # chain 1->2->3->4 plus shortcut edges 1->3 (2-hop alt) and
+        # 1->4 (3-hop alt)
+        facts = self._facts(
+            spark, [(1, 2), (2, 3), (3, 4), (1, 3), (1, 4)]
+        )
+        got = {
+            (r.subj_id, r.obj_id): r.redundant
+            for r in transitive_reduction(facts, "part_of").collect()
+        }
+        assert got == {
+            (1, 2): False, (2, 3): False, (3, 4): False,
+            (1, 3): True, (1, 4): True,
+        }
+
+    def test_two_cycle_edges_kept(self, spark):
+        from kg.reason import transitive_reduction
+
+        facts = self._facts(spark, [(5, 6), (6, 5)])
+        got = {
+            (r.subj_id, r.obj_id): r.redundant
+            for r in transitive_reduction(facts, "part_of").collect()
+        }
+        assert got == {(5, 6): False, (6, 5): False}
+
+    def test_reduction_preserves_closure(self, spark):
+        from kg.reason import infer_transitive, transitive_reduction
+
+        edges = [(i, i + 1) for i in range(1, 8)] + [
+            (1, 3), (2, 5), (4, 8), (1, 8)
+        ]
+        facts = self._facts(spark, edges)
+        red = transitive_reduction(facts, "part_of", max_depth=8)
+        kept = self._facts(
+            spark,
+            [(r.subj_id, r.obj_id) for r in red.collect() if not r.redundant],
+        )
+        full = {
+            (r.subj_id, r.obj_id)
+            for r in infer_transitive(facts, "part_of", 8).collect()
+        }
+        reduced = {
+            (r.subj_id, r.obj_id)
+            for r in infer_transitive(kept, "part_of", 8).collect()
+        }
+        assert full == reduced

@@ -691,3 +691,16 @@ class TestRevisitSchedule:
         b = self._out(spark, repartition=7)
         assert {u: tuple(r) for u, r in a.items()} == {
             u: tuple(r) for u, r in b.items()}
+
+
+class TestFrontierBloom:
+    def test_definitely_new_implies_new(self, spark):
+        import __spark_entry__ as entry_mod
+
+        rows = entry_mod.q_web_frontier_bloom(spark, "").collect()
+        assert rows
+        # Bloom law: a false membership answer is certain -> every
+        # definitely_new candidate really is uncrawled
+        assert all(r.is_new for r in rows if r.definitely_new)
+        # and the fast path actually prunes something at this sizing
+        assert any(r.definitely_new for r in rows)
