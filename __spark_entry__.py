@@ -1336,6 +1336,109 @@ PII_DOCS: list[tuple[int, str]] = [
 ]
 
 
+SUMMARY_KEEP, SUMMARY_ITERS = 2, 4
+
+
+def q_doc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive summarization (kg/ops/summarize.py textrank_summary):
+    per-doc TextRank over the sentence Jaccard graph as PURE ARRAY
+    ALGEBRA — sentence split (RE2-safe rule), pairwise similarity
+    matrix, 4 power iterations, and the top-2 pick all inside one
+    projection; the plan has no Exchange (pinned in
+    tests/test_summarize.py). The oracle replays the split, the
+    Jaccard matrix, and every unrolled iteration in SQL."""
+    from kg.ops.summarize import textrank_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the synthetic texts are single sentences — group 10 into one
+    # multi-sentence "page" (doc_id-ordered, '. '-joined) so the
+    # similarity matrix and the iterations actually discriminate
+    paged = (
+        docs.groupBy((F.col("doc_id") % 50).alias("doc_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "text"))
+            ).alias("_ts")
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.concat_ws(
+                    ". ", F.transform("_ts", lambda s: s["text"])
+                ),
+                F.lit("."),
+            ).alias("text"),
+        )
+    )
+    return textrank_summary(
+        paged, n_keep=SUMMARY_KEEP, iterations=SUMMARY_ITERS
+    )
+
+
+def _summary_oracle_sql(
+    n_keep: int, iters: int, damping: float = 0.85, max_sentences: int = 24
+) -> str:
+    d = damping
+    parts = [f"""
+WITH paged AS (
+  SELECT doc_id % 50 AS doc_id,
+         string_agg(text, '. ' ORDER BY doc_id) || '.' AS text
+  FROM documents GROUP BY doc_id % 50
+), s0 AS (
+  SELECT doc_id,
+         regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g') AS marked
+  FROM paged
+), filt AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(marked, chr(1)),
+                                    s -> trim(s)), s -> s <> '') AS arr
+  FROM s0
+), cap AS (
+  SELECT doc_id, arr[1:{max_sentences}] AS arr,
+         len(arr[1:{max_sentences}]) AS n
+  FROM filt WHERE len(arr) > 0
+), sent AS (
+  SELECT doc_id, g.i AS i, arr[g.i + 1] AS sent, n
+  FROM cap, unnest(generate_series(0, n - 1)) AS g(i)
+), tok AS (
+  SELECT doc_id, i, n,
+    list_sort(list_distinct(list_filter(
+      string_split_regex(lower(sent), '\\s+'), x -> x <> ''))) AS t
+  FROM sent
+), w AS (
+  SELECT a.doc_id, a.i AS fi, b.i AS ti,
+    CASE WHEN a.i = b.i OR len(list_distinct(a.t || b.t)) = 0 THEN 0.0
+         ELSE len(list_intersect(a.t, b.t))::DOUBLE
+              / len(list_distinct(a.t || b.t))::DOUBLE END AS wv
+  FROM tok a JOIN tok b USING (doc_id)
+), o AS (
+  SELECT doc_id, fi, sum(wv) AS ov FROM w GROUP BY doc_id, fi
+), r0 AS (
+  SELECT doc_id, i, 1.0 / n AS r FROM sent
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", r{k} AS MATERIALIZED (
+  SELECT s.doc_id, s.i,
+    (1 - {d}) / s.n + {d} * coalesce(sum(
+      CASE WHEN o.ov > 0 THEN w.wv / o.ov * r.r END), 0) AS r
+  FROM sent s
+  LEFT JOIN w ON w.doc_id = s.doc_id AND w.ti = s.i
+  LEFT JOIN o ON o.doc_id = w.doc_id AND o.fi = w.fi
+  LEFT JOIN r{k - 1} r ON r.doc_id = w.doc_id AND r.i = w.fi
+  GROUP BY s.doc_id, s.i, s.n
+)""")
+    parts.append(f""", ranked AS (
+  SELECT doc_id, i, r,
+    row_number() OVER (PARTITION BY doc_id ORDER BY r DESC, i) AS rn
+  FROM r{iters}
+)
+SELECT rk.doc_id, CAST(rk.i AS INT) AS sent_idx, s.sent AS sentence,
+       round(rk.r, 6) AS rank
+FROM ranked rk JOIN sent s ON s.doc_id = rk.doc_id AND s.i = rk.i
+WHERE rk.rn <= {n_keep}""")
+    return "".join(parts)
+
+
 def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.pii import redact_pii
 
@@ -7990,6 +8093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_subword_vocab": q_corpus_subword_vocab,
         "doc_subword_tokenize": q_doc_subword_tokenize,
         "doc_pii_redact": q_doc_pii_redact,
+        "doc_summary": q_doc_summary,
         "doc_corpus_filter": q_doc_corpus_filter,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_token_budget": q_doc_token_budget,
@@ -10635,6 +10739,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_cms_tokens"] = _CMS_ORACLE
     d["doc_bloom_filter"] = _BLOOM_ORACLE
     d["kg_transitive_reduction"] = _TRED_ORACLE
+    d["doc_summary"] = _summary_oracle_sql(SUMMARY_KEEP, SUMMARY_ITERS)
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW
     )

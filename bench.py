@@ -394,6 +394,21 @@ def run_suite(spark, sf_dir: str) -> dict:
     timings["ranking"] = timed_twice(w_ranking)
     extra["ranking_docs_per_sec"] = round(2 * n_pages / timings["ranking"], 1)
 
+    # --- TextRank keyword salience (new key 2026-08-20: corpus-sized
+    # pair scan + one pair groupBy; the power iterations run on the
+    # vocab-sized co-occurrence graph, a fixed cost) ---
+    from kg.ops.ranking import textrank_keywords
+
+    def w_textrank():
+        textrank_keywords(docs_x, window=2, iterations=4).agg(
+            F.count("*").alias("n"), F.sum("rank").alias("_r")
+        ).first()
+
+    timings["textrank"] = timed_twice(w_textrank)
+    extra["textrank_docs_per_sec"] = round(
+        n_pages / timings["textrank"], 1
+    )
+
     # --- temporal ops over the sf events table (new r3) ---
     from kg.ops.temporal import asof_join, time_rollup
 
@@ -634,6 +649,19 @@ def run_suite(spark, sf_dir: str) -> dict:
         ).count()
 
     timings["ann_lsh"] = timed_twice(w_ann_lsh)
+
+    # --- PQ train + ADC search (new key 2026-08-20: fixed-cost-heavy
+    # at this vector count — Lloyd rounds are driver-synchronized jobs —
+    # reported for completeness like ann_lsh, not as scaling evidence) ---
+    from kg.ops.similarity import pq_adc_topk, pq_train
+
+    def w_pq():
+        codes, books = pq_train(emb, m_sub=4, k=8, rounds=2)
+        pq_adc_topk(
+            emb.where(F.col("vec_id") < 64), codes, books, m_sub=4, topk=10
+        ).agg(F.count("*").alias("n"), F.sum("d2").alias("_d")).first()
+
+    timings["pq"] = timed_twice(w_pq)
 
     # --- relational TPC-H-ish ---
     def w_tpch():

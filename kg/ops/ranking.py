@@ -288,8 +288,13 @@ def textrank_keywords(
     while the corpus is billions, so the power iterations run on a dim.
     """
     from kg.graphstats import pagerank
+    from kg.session import materialize
 
-    co = cooccurrence_edges(docs, window=window)
+    # materialize the vocab^2-bounded pair table: pagerank() consumes
+    # its edge input several times (node set, out-weight normalization,
+    # weight validation) and each reference would otherwise re-run the
+    # corpus-sized pair scan
+    co = materialize(cooccurrence_edges(docs, window=window))
     edges = co.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "wt"
     ).unionByName(
