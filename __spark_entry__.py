@@ -1336,6 +1336,123 @@ PII_DOCS: list[tuple[int, str]] = [
 ]
 
 
+def q_doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite text normalization (kg/ops/textstats.py
+    normalize_text): documents deterministically corrupted by md5
+    rotation (mojibake prefix / stale HTML entities / nbsp + numeric
+    quotes / doubled whitespace / untouched fifth), then cleaned. The
+    oracle regenerates the corruption AND replays the full ordered
+    replacement chain from the SAME rule table
+    (NORMALIZE_REPLACEMENTS), so the contract pins the table and its
+    order — "&amp;lt;" must unescape exactly once."""
+    from kg.ops.textstats import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long") % 5
+    corrupted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(h == 0, F.lit("cafÃ© â€œ"))
+            .when(h == 1, F.lit("&amp;lt;tag&gt; "))
+            .when(h == 2, F.lit("A&nbsp;B &#8217;s "))
+            .when(h == 3, F.lit("sp  aced\t"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return normalize_text(corrupted)
+
+
+def _normalize_text_oracle_sql() -> str:
+    from kg.ops.textstats import NORMALIZE_REPLACEMENTS
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    chain = "text"
+    for pat, rep in NORMALIZE_REPLACEMENTS:
+        chain = f"replace({chain}, '{q(pat)}', '{q(rep)}')"
+    cleaned = (
+        f"trim(regexp_replace(regexp_replace({chain}, "
+        f"'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'), "
+        f"'\\s+', ' ', 'g'))"
+    )
+    moji = q("cafÃ© â€œ")
+    return f"""
+WITH corrupted AS (
+  SELECT doc_id,
+    CASE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5
+      WHEN 0 THEN '{moji}' WHEN 1 THEN '&amp;lt;tag&gt; '
+      WHEN 2 THEN 'A&nbsp;B &#8217;s ' WHEN 3 THEN 'sp  aced' || chr(9)
+      ELSE '' END || text AS text
+  FROM documents
+)
+SELECT doc_id, {cleaned} AS text, ({cleaned} <> text) AS changed
+FROM corrupted
+"""
+
+
+def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document paragraph dedup (kg/ops/textstats.py
+    dedupe_paragraphs): each doc is expanded to three paragraphs — its
+    text, then (md5-even) its text AGAIN or (md5-odd) a unique filler,
+    then its text a third time — so even docs drop 2 and odd docs drop
+    1, order preserved. Array-local first-occurrence rule
+    (array_position == own index); the oracle replays construction,
+    split, the positional rule, and reassembly."""
+    from kg.ops.textstats import dedupe_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long") % 2
+    tripled = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.when(h == 0, F.col("text")).otherwise(
+                F.concat(F.lit("filler "), F.col("doc_id").cast("string"))
+            ),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return dedupe_paragraphs(tripled)
+
+
+_PARA_DEDUP_ORACLE = r"""
+WITH tripled AS (
+  SELECT doc_id,
+    text || chr(10) || chr(10)
+    || CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 2 = 0
+        THEN text ELSE 'filler ' || CAST(doc_id AS VARCHAR) END
+    || chr(10) || chr(10) || text AS text
+  FROM documents
+), parr AS (
+  SELECT doc_id,
+    list_filter(list_transform(
+      string_split(text, chr(10) || chr(10)), p -> trim(p)),
+      p -> p <> '') AS arr
+  FROM tripled
+), kept AS (
+  SELECT doc_id, g.i AS i, arr[g.i + 1] AS p,
+         list_position(arr, arr[g.i + 1]) = g.i + 1 AS keep,
+         len(arr) AS n_all
+  FROM parr, unnest(generate_series(0, len(arr) - 1)) AS g(i)
+)
+SELECT doc_id,
+  string_agg(CASE WHEN keep THEN p END, chr(10) || chr(10) ORDER BY i)
+    AS text,
+  CAST(max(n_all) AS BIGINT) AS n_paragraphs,
+  CAST(max(n_all) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
 SUMMARY_KEEP, SUMMARY_ITERS = 2, 4
 
 
@@ -8094,6 +8211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_subword_tokenize": q_doc_subword_tokenize,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_summary": q_doc_summary,
+        "doc_normalize_text": q_doc_normalize_text,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_corpus_filter": q_doc_corpus_filter,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_token_budget": q_doc_token_budget,
@@ -10740,6 +10859,8 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_bloom_filter"] = _BLOOM_ORACLE
     d["kg_transitive_reduction"] = _TRED_ORACLE
     d["doc_summary"] = _summary_oracle_sql(SUMMARY_KEEP, SUMMARY_ITERS)
+    d["doc_normalize_text"] = _normalize_text_oracle_sql()
+    d["doc_paragraph_dedup"] = _PARA_DEDUP_ORACLE
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW
     )

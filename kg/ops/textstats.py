@@ -449,3 +449,124 @@ def doc_entropy(
         ent(words).alias("word_entropy"),
         ent(chars).alias("char_entropy"),
     )
+
+
+#: (pattern, replacement) chain for normalize_text — order matters:
+#: named entities before &amp; (so "&amp;lt;" unescapes exactly once),
+#: mojibake digraphs longest-first. A FIXED table of literal replaces
+#: keeps the op a pure map that DuckDB replays verbatim; arbitrary
+#: numeric entities would need per-occurrence code conversion and are
+#: deliberately out of scope (the common web set below covers the bulk).
+NORMALIZE_REPLACEMENTS: list[tuple[str, str]] = [
+    # UTF-8-read-as-Latin-1 mojibake (ftfy's bread and butter);
+    # longest patterns first so the bare \u00e2\u20ac prefix of the
+    # quote/dash trigraphs never fires early
+    ("\u00e2\u20ac\u2122", "'"),     # right single quote
+    ("\u00e2\u20ac\u0153", '"'),     # left double quote
+    ("\u00e2\u20ac\u009d", '"'),     # right double quote
+    ("\u00e2\u20ac\u201d", "-"),     # em dash
+    ("\u00e2\u20ac\u201c", "-"),     # en dash
+    ("\u00c3\u00a9", "\u00e9"),      # e acute
+    ("\u00c3\u00a8", "\u00e8"),      # e grave
+    ("\u00c3\u00a4", "\u00e4"),      # a umlaut
+    ("\u00c3\u00b6", "\u00f6"),      # o umlaut
+    ("\u00c3\u00bc", "\u00fc"),      # u umlaut
+    # HTML entities: named + the common numeric quotes; &amp; LAST
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&#34;", '"'),
+    ("&#8217;", "'"),
+    ("&#8220;", '"'),
+    ("&#8221;", '"'),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ftfy-lite text normalization — the cleaning pass between HTML
+    extraction and every downstream text op: undo the two ubiquitous
+    web corruptions (HTML entities left in extracted text; UTF-8 bytes
+    decoded as Latin-1 "mojibake"), strip control characters, and
+    collapse whitespace runs. Returns (id_col, text, changed) with
+    ``changed`` = whether any rule fired.
+
+    Pure map: a fixed chain of literal replaces (NORMALIZE_REPLACEMENTS,
+    order-sensitive — see its comment) + two regexp_replace passes; no
+    shuffle, no Python; DuckDB replays the identical chain so the
+    contract pins the rule table itself."""
+    c = F.col(text_col)
+    out = c
+    for pat, rep in NORMALIZE_REPLACEMENTS:
+        out = F.replace(out, F.lit(pat), F.lit(rep))
+    out = F.regexp_replace(
+        out, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""
+    )
+    out = F.trim(F.regexp_replace(out, "\\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        out.alias("text"),
+        (out != c).alias("changed"),
+    )
+
+
+def dedupe_paragraphs(
+    docs: DataFrame,
+    sep: str = "\n\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document paragraph dedup (the C4-style "repeated block"
+    cleanup): split on ``sep``, keep only the FIRST occurrence of each
+    (trimmed) paragraph, re-join in order. Returns
+    (id_col, text, n_paragraphs, n_dropped).
+
+    Array-local first-occurrence test — ``array_position`` returns the
+    first index, so paragraph i survives iff array_position(parr, p_i)
+    == i+1; no fold, no shuffle, a pure JVM map (the cross-document
+    variant is remove_boilerplate_lines / the dedup ladder — this one
+    never leaves the row)."""
+    parr_expr = F.filter(
+        F.transform(F.split(F.col(text_col), sep, -1), lambda p: F.trim(p)),
+        lambda p: p != F.lit(""),
+    )
+
+    def _result(parr):
+        # parr is a bound lambda VARIABLE (kg/ops/summarize.py let-binding
+        # idiom): evaluated once, and — unlike four separate output
+        # columns over shared subtrees — immune to the cross-column
+        # subexpression merging that produced out-of-bounds element_at
+        # accesses here (Spark 4.1, reproduced in tests)
+        # sequence(0, -1) DESCENDS on an empty parr — guard explicitly
+        kept = F.when(
+            F.size(parr) > 0,
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(parr) - 1),
+                    lambda i: F.struct(
+                        i.alias("i"), F.element_at(parr, i + 1).alias("p")
+                    ),
+                ),
+                lambda s: F.array_position(parr, s["p"]) == s["i"] + 1,
+            ),
+        ).otherwise(F.array().cast("array<struct<i:int,p:string>>"))
+        return F.struct(
+            F.concat_ws(sep, F.transform(kept, lambda s: s["p"])).alias(
+                "text"
+            ),
+            F.size(parr).cast("long").alias("n_paragraphs"),
+            (F.size(parr) - F.size(kept)).cast("long").alias("n_dropped"),
+        )
+
+    out = F.element_at(F.transform(F.array(parr_expr), _result), 1)
+    return docs.select(F.col(id_col), out.alias("_o")).select(
+        id_col,
+        F.col("_o.text").alias("text"),
+        F.col("_o.n_paragraphs").alias("n_paragraphs"),
+        F.col("_o.n_dropped").alias("n_dropped"),
+    )

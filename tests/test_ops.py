@@ -1425,3 +1425,67 @@ class TestProductQuantization:
             for rank, (_, nid) in enumerate(sorted(ds)[:3], 1):
                 expect.append((qid, nid, rank))
         assert sorted(got) == sorted(expect)
+
+
+class TestNormalizeText:
+    def test_rules_and_flags(self, spark):
+        from kg.ops.textstats import normalize_text
+
+        docs = spark.createDataFrame(
+            [
+                (1, "cafÃ© &amp;lt; x â€™tis   ok\x07!"),
+                (2, "plain text"),
+                (3, "A&nbsp;B &#8220;q&#8221;"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.text, r.changed) for r in normalize_text(docs).collect()}
+        # mojibake fixed, &amp;lt; unescapes exactly ONCE, control char
+        # stripped, whitespace collapsed
+        assert got[1] == ("café &lt; x 'tis ok!", True)
+        assert got[2] == ("plain text", False)
+        assert got[3] == ('A B "q"', True)
+
+    def test_idempotent_on_clean_text(self, spark):
+        from kg.ops.textstats import normalize_text
+
+        docs = spark.createDataFrame(
+            [(1, "already clean < > \" ' & text")],
+            "doc_id long, text string",
+        )
+        once = normalize_text(docs).select("doc_id", "text")
+        twice = normalize_text(once).collect()
+        assert twice[0].changed is False
+
+
+class TestDedupeParagraphs:
+    def test_first_occurrence_kept_in_order(self, spark):
+        from kg.ops.textstats import dedupe_paragraphs
+
+        docs = spark.createDataFrame(
+            [
+                (3, "A.\n\nB.\n\nA.\n\nC.\n\nB."),
+                (4, "solo"),
+                (5, ""),                      # sequence(0,-1) regression
+                (6, "x\n\n\n\nx"),            # empty fragment dropped
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.text, r.n_paragraphs, r.n_dropped)
+            for r in dedupe_paragraphs(docs).collect()
+        }
+        assert got[3] == ("A.\n\nB.\n\nC.", 5, 2)
+        assert got[4] == ("solo", 1, 0)
+        assert got[5] == ("", 0, 0)
+        assert got[6] == ("x", 2, 1)
+
+    def test_pure_map_no_exchange(self, spark):
+        from kg.ops.textstats import dedupe_paragraphs, normalize_text
+
+        docs = spark.createDataFrame(
+            [(1, "a\n\nb")], "doc_id long, text string"
+        )
+        for df in (dedupe_paragraphs(docs), normalize_text(docs)):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
