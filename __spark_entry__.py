@@ -2434,68 +2434,84 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(queries, codes, books, m_sub=PQ_M, topk=PQ_TOPK)
 
 
-def _pq_oracle_sql(
-    m: int, k: int, rounds: int, seed: int, dsub: int, max_qid: int,
-    topk: int,
+def _pq_train_ctes(
+    m: int, k: int, rounds: int, seed: int, dsub: int, prefix: str = ""
 ) -> str:
-    """emb_pq_topk oracle: per-subspace Lloyd unroll (plain L2: argmin
-    ||x-c||^2 via the same expansion form the Spark op evaluates, means
-    without renormalization, emptied cells keep their centroid), final
-    encoding, then the ADC distance-table sum + rank."""
+    """CTE body (no leading WITH) for the per-subspace Lloyd unroll:
+    plain L2 (argmin ||x-c||^2 via the same expansion form the Spark op
+    evaluates), means without renormalization, emptied cells keep their
+    centroid, final encoding in ``{prefix}af``. ``prefix`` namespaces
+    every CTE so the IVF-PQ composed oracle can hold this beside the
+    spherical Lloyd unroll in one query."""
+    P = prefix
     d2 = (
         "(list_dot_product(sv.x, sv.x)"
         " - 2 * list_dot_product(sv.x, c.centroid)"
         " + list_dot_product(c.centroid, c.centroid))"
     )
-    parts = [f"""
-WITH v AS (
+    parts = [f"""{P}v AS (
   SELECT CAST(vec_id AS BIGINT) AS vid, embedding::DOUBLE[] AS e
   FROM embeddings
-), sv AS (
+), {P}sv AS (
   SELECT vid, CAST(s.s AS INT) AS sub,
          e[s.s * {dsub} + 1 : (s.s + 1) * {dsub}] AS x
-  FROM v, unnest(generate_series(0, {m - 1})) AS s(s)
-), hh AS (
+  FROM {P}v, unnest(generate_series(0, {m - 1})) AS s(s)
+), {P}hh AS (
   SELECT vid,
     ('0x' || substr(md5(CAST(vid AS VARCHAR) || '|{seed}'), 1, 15))::BIGINT
       AS h
-  FROM v
-), c0 AS (
+  FROM {P}v
+), {P}c0 AS (
   SELECT sub, CAST(rn - 1 AS INT) AS code, x AS centroid FROM (
     SELECT sv.sub, sv.x,
       row_number() OVER (PARTITION BY sv.sub ORDER BY hh.h, sv.vid) AS rn
-    FROM sv JOIN hh USING (vid)
+    FROM {P}sv sv JOIN {P}hh hh USING (vid)
   ) WHERE rn <= {k}
 )"""]
     for r in range(1, rounds + 1):
-        parts.append(f""", a{r} AS MATERIALIZED (
+        parts.append(f""", {P}a{r} AS MATERIALIZED (
   SELECT vid, sub, code FROM (
     SELECT sv.vid, sv.sub, c.code,
       row_number() OVER (PARTITION BY sv.vid, sv.sub
         ORDER BY {d2} ASC, c.code) AS rn
-    FROM sv JOIN c{r - 1} c USING (sub)
+    FROM {P}sv sv JOIN {P}c{r - 1} c USING (sub)
   ) WHERE rn = 1
-), m{r} AS (
+), {P}m{r} AS (
   SELECT a.sub, a.code, d.d, avg(sv.x[d.d + 1]) AS mval
-  FROM a{r} a JOIN sv ON sv.vid = a.vid AND sv.sub = a.sub,
+  FROM {P}a{r} a JOIN {P}sv sv ON sv.vid = a.vid AND sv.sub = a.sub,
        unnest(generate_series(0, {dsub - 1})) AS d(d)
   GROUP BY a.sub, a.code, d.d
-), mm{r} AS (
+), {P}mm{r} AS (
   SELECT sub, code, list(mval ORDER BY d) AS mean
-  FROM m{r} GROUP BY sub, code
-), c{r} AS MATERIALIZED (
+  FROM {P}m{r} GROUP BY sub, code
+), {P}c{r} AS MATERIALIZED (
   SELECT c.sub, c.code, coalesce(mm.mean, c.centroid) AS centroid
-  FROM c{r - 1} c
-  LEFT JOIN mm{r} mm ON mm.sub = c.sub AND mm.code = c.code
+  FROM {P}c{r - 1} c
+  LEFT JOIN {P}mm{r} mm ON mm.sub = c.sub AND mm.code = c.code
 )""")
-    parts.append(f""", af AS (
+    parts.append(f""", {P}af AS (
   SELECT vid, sub, code FROM (
     SELECT sv.vid, sv.sub, c.code,
       row_number() OVER (PARTITION BY sv.vid, sv.sub
         ORDER BY {d2} ASC, c.code) AS rn
-    FROM sv JOIN c{rounds} c USING (sub)
+    FROM {P}sv sv JOIN {P}c{rounds} c USING (sub)
   ) WHERE rn = 1
-), dt AS (
+)""")
+    return "".join(parts)
+
+
+def _pq_oracle_sql(
+    m: int, k: int, rounds: int, seed: int, dsub: int, max_qid: int,
+    topk: int,
+) -> str:
+    """emb_pq_topk oracle: the per-subspace Lloyd unroll
+    (:func:`_pq_train_ctes`), then the ADC distance-table sum + rank."""
+    d2 = (
+        "(list_dot_product(sv.x, sv.x)"
+        " - 2 * list_dot_product(sv.x, c.centroid)"
+        " + list_dot_product(c.centroid, c.centroid))"
+    )
+    return "WITH " + _pq_train_ctes(m, k, rounds, seed, dsub) + f""", dt AS (
   SELECT sv.vid AS qid, sv.sub, c.code, {d2} AS d2
   FROM sv JOIN c{rounds} c USING (sub) WHERE sv.vid < {max_qid}
 ), cand AS (
@@ -2509,8 +2525,72 @@ WITH v AS (
   FROM cand
 )
 SELECT qid, nid, CAST(rank AS BIGINT) AS rank, round(d2, 6) AS d2
-FROM ranked WHERE rank <= {topk}""")
-    return "".join(parts)
+FROM ranked WHERE rank <= {topk}"""
+
+
+IVFPQ_MAX_QID, IVFPQ_TOPK, IVFPQ_NPROBE = 10, 5, 4
+
+
+def q_emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (kg/ops/similarity.py ann_ivfpq_topk): the
+    spherical-Lloyd coarse quantizer prunes each query to its 4 nearest
+    of 8 cells, and the plain-L2 PQ codebooks rank those candidates by
+    ADC — the sublinear-candidates × compressed-codes stack a
+    10^12-vector index serves. Both quantizers are md5-seeded, so ONE
+    SQL oracle unrolls both trainings (namespaced CTEs), the probe
+    ranking, and the ADC sum."""
+    from kg.ops.similarity import ann_ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    return ann_ivfpq_topk(
+        emb, k=IVFPQ_TOPK, n_lists=8, n_probe=IVFPQ_NPROBE,
+        m_sub=PQ_M, k_codes=PQ_K, pq_rounds=PQ_ROUNDS, ivf_rounds=3,
+        seed=PQ_SEED, query_filter=F.col("qid") < IVFPQ_MAX_QID,
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    """emb_ann_ivfpq oracle: spherical Lloyd unroll (IVF cells, bare
+    names) + plain-L2 PQ unroll (prefix ``p``) + probe ranking + ADC."""
+    d2 = (
+        "(list_dot_product(sv.x, sv.x)"
+        " - 2 * list_dot_product(sv.x, c.centroid)"
+        " + list_dot_product(c.centroid, c.centroid))"
+    )
+    return (
+        _lloyd_oracle_sql(8, 3, PQ_SEED)
+        + ", "
+        + _pq_train_ctes(PQ_M, PQ_K, PQ_ROUNDS, PQ_SEED, PQ_DSUB, "p")
+        + f""", probes AS (
+  SELECT vid AS qid, list_id FROM (
+    SELECT u.vid, c.probe_list AS list_id,
+      row_number() OVER (PARTITION BY u.vid
+        ORDER BY list_dot_product(u.unit, c.centroid) DESC,
+                 c.probe_list) AS rn
+    FROM u, c3 c WHERE u.vid < {IVFPQ_MAX_QID}
+  ) WHERE rn <= {IVFPQ_NPROBE}
+), cands AS (
+  SELECT p.qid, a.vid AS nid
+  FROM probes p JOIN af a ON a.list_id = p.list_id
+  WHERE a.vid <> p.qid
+), qdt AS (
+  SELECT sv.vid AS qid, sv.sub, c.code, {d2} AS d2
+  FROM psv sv JOIN pc{PQ_ROUNDS} c USING (sub)
+  WHERE sv.vid < {IVFPQ_MAX_QID}
+), scored AS (
+  SELECT ca.qid, ca.nid, sum(qdt.d2) AS d2
+  FROM cands ca
+  JOIN paf a ON a.vid = ca.nid
+  JOIN qdt ON qdt.qid = ca.qid AND qdt.sub = a.sub AND qdt.code = a.code
+  GROUP BY ca.qid, ca.nid
+), rankedq AS (
+  SELECT qid, nid, d2,
+    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, CAST(rank AS BIGINT) AS rank, round(d2, 6) AS d2
+FROM rankedq WHERE rank <= {IVFPQ_TOPK}"""
+    )
 
 
 CLUSTER_SAMPLE_PER = 40
@@ -8294,6 +8374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": q_emb_ann_topk,
         "emb_kmeans": q_emb_kmeans,
         "emb_pq_topk": q_emb_pq_topk,
+        "emb_ann_ivfpq": q_emb_ann_ivfpq,
         "emb_cluster_sample": q_emb_cluster_sample,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
@@ -8820,6 +8901,7 @@ FROM '{FIX}/media.parquet' WHERE kind = 'video'
         "emb_pq_topk": _pq_oracle_sql(
             PQ_M, PQ_K, PQ_ROUNDS, PQ_SEED, PQ_DSUB, PQ_MAX_QID, PQ_TOPK
         ),
+        "emb_ann_ivfpq": _ivfpq_oracle_sql(),
         "emb_cluster_sample": _lloyd_oracle_sql(
             KMEANS_K, KMEANS_ROUNDS, KMEANS_SEED
         ) + f""", ranked AS (

@@ -1489,3 +1489,43 @@ class TestDedupeParagraphs:
         for df in (dedupe_paragraphs(docs), normalize_text(docs)):
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" not in plan
+
+
+class TestIvfPqRecall:
+    def test_refine_rescues_recall_on_concentrated_data(self, spark):
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from kg.ops.similarity import ann_ivfpq_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = emb.collect()
+        X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+        def recall(df):
+            got = {}
+            for r in df.collect():
+                got.setdefault(r.qid, set()).add(r.nid)
+            hits = tot = 0
+            for q in range(20):
+                exact = {
+                    n
+                    for _, n in sorted(
+                        (float(np.sum((X[q] - X[n]) ** 2)), n)
+                        for n in X
+                        if n != q
+                    )[:5]
+                }
+                hits += len(exact & got.get(q, set()))
+                tot += 5
+            return hits / tot
+
+        flt = F.col("qid") < 20
+        pure = ann_ivfpq_topk(emb, k=5, query_filter=flt)
+        refined = ann_ivfpq_topk(emb, k=5, query_filter=flt, refine=200)
+        r_pure, r_ref = recall(pure), recall(refined)
+        # synthetic embeddings are structure-free -> distances
+        # concentrate and pure ADC ordering is noise-dominated; the
+        # exact re-rank of the ADC shortlist (ADC+R) recovers recall
+        assert r_ref >= 0.7
+        assert r_ref > r_pure + 0.3
