@@ -5102,6 +5102,63 @@ def _textrank_oracle_sql(
     )
 
 
+RAKE_TOPK = 3
+
+
+def q_doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (kg/ops/ranking.py rake_keyphrases):
+    stopword/punctuation-delimited candidate phrases scored by
+    deg/freq word statistics over the doc — per-doc array algebra, no
+    Exchange (pinned). The oracle evaluates the SAME definition
+    RELATIONALLY (unnest occurrences, GROUP BY word stats, join back,
+    window rank) — a genuinely different strategy."""
+    from kg.ops.ranking import rake_keyphrases
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rake_keyphrases(docs, top_k=RAKE_TOPK)
+
+
+def _rake_oracle_sql(top_k: int) -> str:
+    from kg.ops.ranking import _rake_split_pattern
+
+    pat = _rake_split_pattern().replace("'", "''")
+    return f"""
+WITH ph0 AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '{pat}', chr(1), 'g') AS marked
+  FROM documents
+), parr AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(marked, chr(1)),
+      p -> trim(regexp_replace(p, '\\s+', ' ', 'g'))), p -> p <> '') AS arr
+  FROM ph0
+), phr AS (
+  SELECT doc_id, g.i AS pidx, arr[g.i + 1] AS phrase,
+         string_split(arr[g.i + 1], ' ') AS pw
+  FROM parr, unnest(generate_series(0, len(arr) - 1)) AS g(i)
+), wocc AS (
+  SELECT doc_id, pidx, len(pw) AS plen, unnest(pw) AS w FROM phr
+), wstat AS (
+  SELECT doc_id, w, count(*) AS freq, sum(plen) AS deg
+  FROM wocc GROUP BY doc_id, w
+), pscore AS (
+  SELECT o.doc_id, o.pidx,
+         sum(s.deg::DOUBLE / s.freq::DOUBLE) AS score
+  FROM wocc o JOIN wstat s ON s.doc_id = o.doc_id AND s.w = o.w
+  GROUP BY o.doc_id, o.pidx
+), ranked AS (
+  SELECT p.doc_id, p.pidx, ph.phrase, p.score,
+    row_number() OVER (
+      PARTITION BY p.doc_id ORDER BY p.score DESC, p.pidx) AS rn
+  FROM pscore p
+  JOIN phr ph ON ph.doc_id = p.doc_id AND ph.pidx = p.pidx
+)
+SELECT doc_id, CAST(pidx AS INT) AS phrase_idx, phrase,
+       round(score, 6) AS score
+FROM ranked WHERE rn <= {top_k}
+"""
+
+
 def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.ranking import tfidf_topk
 
@@ -8350,6 +8407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_revisit_schedule": q_web_revisit_schedule,
         "corpus_vocab": q_corpus_vocab,
         "corpus_textrank": q_corpus_textrank,
+        "doc_rake_keyphrases": q_doc_rake_keyphrases,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_bm25": q_doc_bm25,
         "events_asof_join": q_events_asof_join,
@@ -10946,6 +11004,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW
     )
+    d["doc_rake_keyphrases"] = _rake_oracle_sql(RAKE_TOPK)
     d["doc_phrase_search"] = _PHRASE_ORACLE
     d["kg_shacl_cardinality"] = _SHACL_ORACLE
     d["kg_distant_supervision"] = _DS_ORACLE

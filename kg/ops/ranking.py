@@ -41,7 +41,8 @@ from pyspark.sql.window import Window
 
 __all__ = ["postings", "corpus_vocab", "tfidf_topk", "bm25_search",
            "positional_postings", "phrase_search",
-           "cooccurrence_edges", "textrank_keywords"]
+           "cooccurrence_edges", "textrank_keywords",
+           "rake_keyphrases", "RAKE_STOPWORDS"]
 
 
 def postings(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -304,3 +305,136 @@ def textrank_keywords(
         edges, iterations=iterations, damping=damping, weight_col="wt"
     )
     return pr.select(F.col("node").alias("term"), "rank")
+
+
+#: delimiter words for RAKE candidate phrases — a fixed literal list so
+#: the Spark regex and the DuckDB oracle build the IDENTICAL pattern
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "has", "have", "in", "is", "it", "its", "of", "on", "or",
+    "that", "the", "this", "to", "was", "were", "will", "with",
+)
+
+
+def _rake_split_pattern() -> str:
+    """Regex splitting lowercase text into candidate phrases: stopword
+    tokens (word-boundary anchored) and punctuation runs both delimit.
+    RE2-safe (no lookarounds), shared verbatim with the oracle."""
+    alts = "|".join(RAKE_STOPWORDS)
+    return r"\b(?:" + alts + r")\b|[^a-z0-9\s]+"
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword/punctuation-free runs; each word scores
+    deg(w)/freq(w) over the DOCUMENT (deg = total length of phrases
+    containing w, freq = occurrences), and a phrase scores the sum of
+    its words\' scores. Returns (id_col, phrase_idx, phrase, score) —
+    the ``top_k`` phrases per doc, score rounded to 6, ties -> earlier
+    phrase. The per-doc complement of corpus-global textrank_keywords.
+
+    Scale shape: ANOTHER pure map — phrase split, the per-doc word
+    stats, phrase scoring, and the top-k pick are all array algebra
+    inside one projection (let-binding idiom from kg/ops/summarize.py;
+    no Exchange, pinned). Per-row cost O(P*W) with P phrases and W
+    distinct words, both bounded by doc length. The oracle evaluates
+    the SAME definition relationally (unnest + GROUP BY + join), a
+    genuinely different strategy."""
+    split_pat = _rake_split_pattern()
+    phrases_expr = F.filter(
+        F.transform(
+            F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                     split_pat, chr(1)), chr(1), -1),
+            lambda p: F.trim(F.regexp_replace(p, r"\s+", " ")),
+        ),
+        lambda p: p != F.lit(""),
+    )
+
+    def _result(phrases):
+        pwords = F.transform(
+            phrases,
+            lambda p: F.filter(
+                F.split(p, " ", -1), lambda x: x != F.lit("")
+            ),
+        )
+
+        def _with_words(pw):
+            allw = F.array_distinct(F.flatten(pw))
+
+            def _scored(words):
+                # per distinct word: freq = occurrences across phrases,
+                # deg = sum of containing-phrase lengths per occurrence
+                stats = F.transform(
+                    words,
+                    lambda wrd: F.struct(
+                        wrd.alias("w"),
+                        F.aggregate(
+                            pw, F.lit(0),
+                            lambda acc, ph: acc
+                            + F.size(F.filter(ph, lambda x: x == wrd)),
+                        ).alias("freq"),
+                        F.aggregate(
+                            pw, F.lit(0),
+                            lambda acc, ph: acc
+                            + F.size(F.filter(ph, lambda x: x == wrd))
+                            * F.size(ph),
+                        ).alias("deg"),
+                    ),
+                )
+
+                def _phrase_scores(st):
+                    return F.transform(
+                        F.sequence(F.lit(0), F.size(pw) - 1),
+                        lambda i: F.struct(
+                            (-F.aggregate(
+                                F.element_at(pw, i + 1), F.lit(0.0),
+                                lambda acc, wrd: acc
+                                + F.element_at(
+                                    F.filter(st, lambda s: s["w"] == wrd),
+                                    1,
+                                )["deg"].cast("double")
+                                / F.element_at(
+                                    F.filter(st, lambda s: s["w"] == wrd),
+                                    1,
+                                )["freq"].cast("double"),
+                            )).alias("nscore"),
+                            i.cast("int").alias("pidx"),
+                        ),
+                    )
+
+                return F.element_at(
+                    F.transform(F.array(stats), _phrase_scores), 1
+                )
+
+            return F.element_at(
+                F.transform(F.array(allw), _scored), 1
+            )
+
+        return F.element_at(
+            F.transform(F.array(pwords), _with_words), 1
+        )
+
+    base = docs.select(
+        F.col(id_col), phrases_expr.alias("_ph")
+    ).where(F.size("_ph") > 0)
+    # total expression: stage fusion can evaluate the projection before
+    # the size filter, so the empty-phrase branch must not error
+    scores = F.when(
+        F.size(F.col("_ph")) > 0, _result(F.col("_ph"))
+    ).otherwise(F.array().cast("array<struct<nscore:double,pidx:int>>"))
+    base = base.withColumn(
+        "_sc", F.slice(F.array_sort(scores), 1, top_k)
+    )
+    return base.select(
+        id_col, F.explode("_sc").alias("_p"), "_ph"
+    ).select(
+        id_col,
+        F.col("_p.pidx").cast("int").alias("phrase_idx"),
+        F.element_at("_ph", F.col("_p.pidx") + 1).alias("phrase"),
+        F.round(-F.col("_p.nscore"), 6).alias("score"),
+    )

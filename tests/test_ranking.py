@@ -331,3 +331,67 @@ class TestTextRank:
         )
         ranks = [r.rank for r in textrank_keywords(docs, window=1).collect()]
         assert len(ranks) == 2 and abs(ranks[0] - ranks[1]) < 1e-12
+
+
+class TestRake:
+    def _replay(self, text, top_k=3):
+        import re
+
+        from kg.ops.ranking import RAKE_STOPWORDS
+
+        pat = r"\b(?:" + "|".join(RAKE_STOPWORDS) + r")\b|[^a-z0-9\s]+"
+        parts = [
+            re.sub(r"\s+", " ", p).strip()
+            for p in re.sub(pat, "\x01", text.lower()).split("\x01")
+        ]
+        phrases = [p for p in parts if p]
+        if not phrases:
+            return []
+        pw = [p.split(" ") for p in phrases]
+        freq, deg = {}, {}
+        for ws in pw:
+            for w in ws:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(ws)
+        scored = sorted(
+            (
+                (-sum(deg[w] / freq[w] for w in ws), i)
+                for i, ws in enumerate(pw)
+            ),
+        )[:top_k]
+        return [(i, phrases[i], round(-s, 6)) for s, i in scored]
+
+    def test_matches_python_replay(self, spark):
+        from kg.ops.ranking import rake_keyphrases
+
+        corpus = [
+            (1, "Minimal supporting sets are computed. The minimal set "
+                "algorithm computes minimal supporting sets fast, and the "
+                "algorithm is fast."),
+            (2, "one"),
+            (3, ""),
+            (4, "the and of"),
+            (5, "a b the a b"),
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.phrase_idx): (r.phrase, r.score)
+            for r in rake_keyphrases(docs, top_k=3).collect()
+        }
+        want = {}
+        for did, text in corpus:
+            for i, phrase, score in self._replay(text):
+                want[(did, i)] = (phrase, score)
+        assert set(got) == set(want)
+        for k, (phrase, score) in want.items():
+            assert got[k][0] == phrase
+            assert abs(got[k][1] - score) < 1e-6
+
+    def test_zero_shuffle(self, spark):
+        from kg.ops.ranking import rake_keyphrases
+
+        docs = spark.createDataFrame(
+            [(1, "x y. z")], "doc_id long, text string"
+        )
+        plan = rake_keyphrases(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
