@@ -1336,6 +1336,54 @@ PII_DOCS: list[tuple[int, str]] = [
 ]
 
 
+def q_doc_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration sweep (kg/ops/curation.py threshold_sweep):
+    for every distinct n_chars value, the precision/recall/F1 of
+    "keep docs with n_chars >= t" against the weak label lang='en' —
+    the knob-tuning table behind every corpus filter. One histogram
+    groupBy + a window over the histogram (never the corpus); oracle
+    replays the cumulative confusion in SQL."""
+    from kg.ops.curation import threshold_sweep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return threshold_sweep(
+        docs.select(
+            F.col("n_chars").cast("double").alias("score"),
+            (F.col("lang") == "en").alias("label"),
+        ),
+        "score",
+        "label",
+    )
+
+
+_SWEEP_ORACLE = """
+WITH scored AS (
+  SELECT CAST(n_chars AS DOUBLE) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab
+  FROM documents
+), hist AS (
+  SELECT score AS threshold, count(*) AS n, sum(lab) AS npos
+  FROM scored GROUP BY score
+), cum AS (
+  SELECT threshold,
+    sum(n) OVER (ORDER BY threshold DESC
+                 ROWS UNBOUNDED PRECEDING) AS n_pred,
+    sum(npos) OVER (ORDER BY threshold DESC
+                    ROWS UNBOUNDED PRECEDING) AS tp
+  FROM hist
+), tot AS (SELECT CAST(sum(lab) AS DOUBLE) AS p FROM scored)
+SELECT threshold, CAST(n_pred AS BIGINT) AS n_pred,
+  CAST(tp AS BIGINT) AS tp,
+  round(tp / n_pred, 6) AS precision,
+  round(tp / (SELECT p FROM tot), 6) AS recall,
+  round(CASE WHEN (tp / n_pred + tp / (SELECT p FROM tot)) > 0
+    THEN 2 * (tp / n_pred) * (tp / (SELECT p FROM tot))
+         / (tp / n_pred + tp / (SELECT p FROM tot))
+    ELSE 0.0 END, 6) AS f1
+FROM cum
+"""
+
+
 def q_doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ftfy-lite text normalization (kg/ops/textstats.py
     normalize_text): documents deterministically corrupted by md5
@@ -8349,6 +8397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redact": q_doc_pii_redact,
         "doc_summary": q_doc_summary,
         "doc_normalize_text": q_doc_normalize_text,
+        "doc_threshold_sweep": q_doc_threshold_sweep,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_corpus_filter": q_doc_corpus_filter,
         "doc_decontaminate": q_doc_decontaminate,
@@ -11000,6 +11049,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["kg_transitive_reduction"] = _TRED_ORACLE
     d["doc_summary"] = _summary_oracle_sql(SUMMARY_KEEP, SUMMARY_ITERS)
     d["doc_normalize_text"] = _normalize_text_oracle_sql()
+    d["doc_threshold_sweep"] = _SWEEP_ORACLE
     d["doc_paragraph_dedup"] = _PARA_DEDUP_ORACLE
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW

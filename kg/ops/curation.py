@@ -34,6 +34,7 @@ __all__ = [
     "train_val_test_split",
     "mixture_weights",
     "assign_shards",
+    "threshold_sweep",
 ]
 
 
@@ -683,3 +684,59 @@ def assign_shards(
         ),
     )
     return df.withColumn(out_col, F.array_max(cands).getField("shard"))
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Filter-calibration sweep: for EVERY distinct score value t,
+    the confusion outcome of the rule "keep rows with score >= t" —
+    returns (threshold, n_pred, tp, precision, recall, f1), one row per
+    distinct score, precision/recall/f1 rounded. The curation question
+    this answers: where to cut a quality/LM/classifier score so the
+    kept set hits a target precision against a (weak) label column.
+
+    Scale shape: ONE partial-aggregable groupBy collapses the corpus to
+    its distinct-score histogram (n rows, n_pos per score), then the
+    cumulative confusion runs as a window over that HISTOGRAM — at
+    100 TB the histogram is thousands of rows (scores are rounded
+    features), so the window never touches the corpus. Total positives
+    come from the same aggregate (a grouping-sets pass would too; a
+    scalar subselect keeps it readable)."""
+    lab = F.col(label_col).cast("boolean").cast("int")
+    hist = (
+        scored.groupBy(F.col(score_col).alias("threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(lab).alias("_npos"),
+        )
+    )
+    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total_pos = scored.agg(F.sum(lab)).first()[0] or 0
+    out = hist.select(
+        "threshold",
+        F.sum("_n").over(w).cast("long").alias("n_pred"),
+        F.sum("_npos").over(w).cast("long").alias("tp"),
+    )
+    prec = F.col("tp") / F.col("n_pred")
+    rec = (
+        F.col("tp") / F.lit(float(total_pos))
+        if total_pos
+        else F.lit(0.0)
+    )
+    f1 = F.when(
+        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "threshold",
+        "n_pred",
+        "tp",
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"),
+    )

@@ -709,3 +709,33 @@ class TestAssignShards:
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                      "Exchange"):
             assert node not in p
+
+
+class TestThresholdSweep:
+    def test_confusion_math(self, spark):
+        from kg.ops.curation import threshold_sweep
+
+        df = spark.createDataFrame(
+            [(0.9, True), (0.9, False), (0.7, True), (0.5, False),
+             (0.3, True)],
+            "score double, label boolean",
+        )
+        got = {
+            r.threshold: (r.n_pred, r.tp, r.precision, r.recall)
+            for r in threshold_sweep(df, "score", "label").collect()
+        }
+        assert got[0.9] == (2, 1, 0.5, round(1 / 3, 6))
+        assert got[0.7] == (3, 2, round(2 / 3, 6), round(2 / 3, 6))
+        assert got[0.3] == (5, 3, 0.6, 1.0)
+
+    def test_histogram_bounded_output(self, spark):
+        from kg.ops.curation import threshold_sweep
+
+        # 1000 rows but only 4 distinct scores -> 4 output rows
+        rows = [(float(i % 4), i % 3 == 0) for i in range(1000)]
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        out = threshold_sweep(df, "score", "label")
+        assert out.count() == 4
+        # lowest threshold keeps everything -> recall 1
+        low = out.orderBy("threshold").first()
+        assert low.n_pred == 1000 and low.recall == 1.0
