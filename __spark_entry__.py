@@ -6532,6 +6532,31 @@ def q_kg_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", "y", "z")
 
 
+def q_kg_pattern_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style GROUP BY over a BGP (the SELECT ?z (COUNT(...) ...)
+    GROUP BY ?z shape): per location, how many distinct workers and
+    orgs the works_for/located_in pattern binds — match_pattern's
+    binding table is a DataFrame, so aggregation is ordinary Spark
+    groupBy composed on top; Catalyst plans the join order AND the
+    partial aggregation. Oracle = the same joins + GROUP BY in SQL."""
+    from kg.query import match_pattern
+
+    facts = (
+        _linked_facts_small(spark)
+        .where(F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull())
+        .select("subj_id", "pred", "obj_id")
+        .distinct()
+    )
+    out = match_pattern(
+        facts,
+        [("?x", "works_for", "?y"), ("?y", "located_in", "?z")],
+    )
+    return out.groupBy("z").agg(
+        F.countDistinct("x").cast("long").alias("n_workers"),
+        F.countDistinct("y").cast("long").alias("n_orgs"),
+    )
+
+
 def q_kg_pattern_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with OPTIONAL + FILTER NOT EXISTS (kg/query.py match_pattern
     optional=/anti=): CEOs with their org's location when known (-1 when
@@ -8539,6 +8564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_export_labels": q_kg_export_labels,
         "kg_export_roundtrip": q_kg_export_roundtrip,
         "kg_pattern_match": q_kg_pattern_match,
+        "kg_pattern_agg": q_kg_pattern_agg,
         "kg_rule_materialize": q_kg_rule_materialize,
         "kg_rule_mining": q_kg_rule_mining,
         "kg_polar_triples": q_kg_polar_triples,
@@ -9852,6 +9878,25 @@ JOIN t b ON b.subj_id = a.obj_id AND b.pred = 'located_in'
 JOIN t c ON c.subj_id = a.subj_id AND c.obj_id = b.obj_id
         AND c.pred = 'born_in'
 WHERE a.pred = 'ceo_of'
+""",
+        "kg_pattern_agg": f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT DISTINCT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+), m AS (
+  SELECT DISTINCT a.subj_id AS x, a.obj_id AS y, b.obj_id AS z
+  FROM t a
+  JOIN t b ON b.subj_id = a.obj_id AND b.pred = 'located_in'
+  WHERE a.pred = 'works_for'
+)
+SELECT z, CAST(count(DISTINCT x) AS BIGINT) AS n_workers,
+       CAST(count(DISTINCT y) AS BIGINT) AS n_orgs
+FROM m GROUP BY z
 """,
         "kg_pattern_optional": f"""
 WITH dim AS (
