@@ -29,6 +29,8 @@ Stages (each checkpointed per url_hash_bucket; see kg/checkpoint.py):
   curate    docs -> training-corpus verdict table (quality filter ->
             exact dedup -> per-host cap; derived overwrite table,
             opt-in via --stages)
+  clean     docs -> docs_clean (ftfy-lite normalization + intra-doc
+            paragraph dedup; pure-map derived table, opt-in)
   kgtrain   graph -> KG-embedding training exports (filtered negatives,
             node2vec walk corpus, skip-gram counts, unigram^0.75
             sampling table; opt-in via --stages)
@@ -70,7 +72,8 @@ def parse_args(argv):
     p.add_argument(
         "--stages",
         default="extract,links,mentions,triples,link,canon,graph,facts,analytics",
-        help="comma list of stages to run (also: curate, rewrite, kgtrain)",
+        help="comma list of stages to run "
+        "(also: curate, clean, rewrite, kgtrain)",
     )
     p.add_argument(
         "--max-docs-per-host", type=int, default=1000,
@@ -296,6 +299,24 @@ def main(argv=None) -> int:
             hosted, id_col="url", group_col="host",
             max_per_group=args.max_docs_per_host,
         ).write.mode("overwrite").parquet(f"{args.out}/corpus_kept")
+
+    if "clean" in stages:
+        # ftfy-lite normalization + intra-doc paragraph dedup over the
+        # extracted docs — both PURE MAPS (per-row decisions, no global
+        # state), but written as one derived overwrite table so the
+        # downstream curate/rewrite stages can point at docs_clean
+        # instead of docs without re-running extraction.
+        # ORDER MATTERS: paragraph dedup first (it keys on the raw
+        # \n\n separators), THEN normalization (whose whitespace
+        # collapse would otherwise erase the paragraph structure)
+        from kg.ops.textstats import dedupe_paragraphs, normalize_text
+
+        deduped = dedupe_paragraphs(docs.select("url", "text"), id_col="url")
+        normalize_text(
+            deduped.select("url", "text"), id_col="url"
+        ).join(
+            deduped.select("url", "n_paragraphs", "n_dropped"), "url"
+        ).write.mode("overwrite").parquet(f"{args.out}/docs_clean")
 
     if "rewrite" in stages:
         # ExactSubstr-rewritten corpus + subword fertility stats — the

@@ -739,3 +739,29 @@ class TestThresholdSweep:
         # lowest threshold keeps everything -> recall 1
         low = out.orderBy("threshold").first()
         assert low.n_pred == 1000 and low.recall == 1.0
+
+
+class TestCleanPipelineStage:
+    def test_run_pipeline_clean_stage(self, spark, tmp_path):
+        """run_pipeline --stages extract,clean writes docs_clean: one row
+        per doc with normalized text + paragraph-dedup counters."""
+        import run_pipeline
+
+        out = str(tmp_path / "kg_out")
+        rc = run_pipeline.main([
+            "--pages", "/root/repo/fixtures/pages_tiny.parquet",
+            "--out", out, "--buckets", "4",
+            "--stages", "extract,clean",
+        ])
+        assert rc == 0
+        clean = spark.read.parquet(f"{out}/docs_clean")
+        n_docs = spark.read.parquet(f"{out}/docs").count()
+        assert clean.count() == n_docs
+        assert set(clean.columns) == {
+            "url", "text", "n_paragraphs", "n_dropped", "changed"
+        }
+        # the cleaned text is whitespace-normalized: no runs, no edges
+        from pyspark.sql import functions as F
+
+        assert clean.where(F.col("text").rlike(r"\s\s")).count() == 0
+        assert clean.where(F.col("n_dropped") < 0).count() == 0
