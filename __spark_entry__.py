@@ -5352,6 +5352,75 @@ def q_doc_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from count-min sketches (kg/ops/sketch.py
+    cms_inner_product): |purchases ⋈ clicks ON user_id| estimated as
+    the min-over-rows cell-product inner product of the two key
+    sketches, carried beside the exact size — the query-planning
+    primitive (broadcast-vs-shuffle, blowup flags) that never re-scans
+    either side. Never underestimates (pinned); the oracle recomputes
+    both sketches' cells bit-for-bit (md5 rows) plus the same min."""
+    from kg.ops.sketch import cms_build, cms_inner_product
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "click").select("user_id")
+    ska = cms_build(a, "user_id", depth=4, width=4096)
+    skb = cms_build(b, "user_id", depth=4, width=4096)
+    est = cms_inner_product(ska, skb, depth=4)
+    exact = (
+        a.groupBy("user_id").count().withColumnRenamed("count", "na")
+        .join(
+            b.groupBy("user_id").count().withColumnRenamed("count", "nb"),
+            "user_id",
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return est.crossJoin(exact)
+
+
+_JOIN_EST_ORACLE = """
+WITH a AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+b AS (SELECT user_id FROM events WHERE event_type = 'click'),
+ca AS (
+  SELECT r.r AS row,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                              || CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 4096 AS col,
+         count(*) AS n
+  FROM a, range(4) r(r) GROUP BY 1, 2
+),
+cb AS (
+  SELECT r.r AS row,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                              || CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 4096 AS col,
+         count(*) AS n
+  FROM b, range(4) r(r) GROUP BY 1, 2
+),
+prod AS (
+  SELECT ca.row, sum(ca.n * cb.n) AS s
+  FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
+  GROUP BY ca.row
+),
+est AS (
+  SELECT CAST(min(coalesce(prod.s, 0)) AS BIGINT) AS est_join_size
+  FROM range(4) r(r) LEFT JOIN prod ON prod.row = r.r
+),
+ex AS (
+  SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_join_size
+  FROM (SELECT user_id, count(*) AS na FROM a GROUP BY 1) ga
+  JOIN (SELECT user_id, count(*) AS nb FROM b GROUP BY 1) gb
+    USING (user_id)
+)
+SELECT est.est_join_size, ex.exact_join_size FROM est, ex
+"""
+
+
 def q_doc_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) distinct-term sketch per language. Deterministic
     (md5) by construction, so the ORACLE CHECKS THE SKETCH ITSELF —
@@ -8489,6 +8558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_time_rollup": q_events_time_rollup,
         "doc_kmv_distinct": q_doc_kmv_distinct,
+        "events_join_size_est": q_events_join_size_est,
         "doc_corpus_overlap": q_doc_corpus_overlap,
         "events_value_quantiles": q_events_value_quantiles,
         "tpch_rollup": q_tpch_rollup,
@@ -11095,6 +11165,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_summary"] = _summary_oracle_sql(SUMMARY_KEEP, SUMMARY_ITERS)
     d["doc_normalize_text"] = _normalize_text_oracle_sql()
     d["doc_threshold_sweep"] = _SWEEP_ORACLE
+    d["events_join_size_est"] = _JOIN_EST_ORACLE
     d["doc_paragraph_dedup"] = _PARA_DEDUP_ORACLE
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW

@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["kmv_distinct", "kmv_overlap", "grouped_quantiles",
-           "cms_build", "cms_estimate", "bloom_build", "bloom_probe"]
+           "cms_build", "cms_estimate", "cms_inner_product",
+           "bloom_build", "bloom_probe"]
 
 # 15 hex chars = 60 bits: fits a signed 64-bit long exactly, and both
 # engines parse it identically (Spark conv(x,16,10); DuckDB '0x'||x cast)
@@ -482,4 +483,43 @@ def bloom_probe(
         .select(value_col, hit.alias("_hit"))
         .groupBy(value_col)
         .agg(F.bool_and("_hit").alias("maybe_present"))
+    )
+
+
+def cms_inner_product(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    depth: int = 4,
+) -> DataFrame:
+    """Equi-join SIZE estimation from two count-min sketches of the join
+    keys (the AMS/CMS inner-product estimate, Cormode & Muthukrishnan
+    2005 §4.2): |A ⋈ B on k| = Σ_k cntA(k)·cntB(k), estimated per
+    sketch row as the cell-wise product sum and then MIN over the depth
+    rows. Never underestimates (every row's estimate adds only
+    collision mass); the query-planning primitive — size a shuffle
+    join, pick broadcast vs sort-merge, or flag a blowup — without
+    touching either corpus again.
+
+    Scale shape: both inputs are <= depth*width-row sketch tables; the
+    estimate is one equi-join on (row, col) + a depth-row aggregate.
+    Returns one row: (est_join_size LONG)."""
+    prod = (
+        sketch_a.alias("a")
+        .join(
+            sketch_b.alias("b"),
+            (F.col("a.row") == F.col("b.row"))
+            & (F.col("a.col") == F.col("b.col")),
+        )
+        .groupBy(F.col("a.row").alias("row"))
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("_s"))
+    )
+    spark = sketch_a.sparkSession
+    rows = spark.range(int(depth)).select(F.col("id").cast("int").alias("row"))
+    return (
+        rows.join(prod, "row", "left")
+        .agg(
+            F.min(F.coalesce("_s", F.lit(0)))
+            .cast("long")
+            .alias("est_join_size")
+        )
     )

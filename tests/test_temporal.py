@@ -580,3 +580,38 @@ class TestBloomFilter:
         assert sorted(map(tuple, once.collect())) == sorted(
             map(tuple, thrice.collect())
         )
+
+
+class TestCmsInnerProduct:
+    def test_never_underestimates_and_tight(self, spark):
+        import pyspark.sql.functions as F
+
+        from kg.ops.sketch import cms_build, cms_inner_product
+
+        # A: key k appears k times (k=1..40); B: even keys 3x
+        a = spark.createDataFrame(
+            [(f"k{i}",) for i in range(1, 41) for _ in range(i)],
+            "key string",
+        )
+        b = spark.createDataFrame(
+            [(f"k{i}",) for i in range(2, 41, 2) for _ in range(3)],
+            "key string",
+        )
+        exact = sum(i * 3 for i in range(2, 41, 2))
+        ska = cms_build(a, "key", depth=4, width=1024)
+        skb = cms_build(b, "key", depth=4, width=1024)
+        est = cms_inner_product(ska, skb, depth=4).first().est_join_size
+        assert est >= exact
+        assert est <= exact * 1.2  # width 1024 keeps collision mass low
+
+    def test_disjoint_keys_estimate_small(self, spark):
+        from kg.ops.sketch import cms_build, cms_inner_product
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "key string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "key string")
+        est = cms_inner_product(
+            cms_build(a, "key", depth=4, width=2048),
+            cms_build(b, "key", depth=4, width=2048),
+            depth=4,
+        ).first().est_join_size
+        assert 0 <= est <= 5  # only hash-collision mass
