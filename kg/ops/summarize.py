@@ -176,20 +176,32 @@ def textrank_summary(
         ),
         1,
     )
-    base = base.withColumn("_r", ranks)
-    picked = F.slice(
-        F.array_sort(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    (-F.element_at("_r", i + 1)).alias("_neg"),
-                    i.cast("int").alias("sent_idx"),
-                ),
-            )
+    # total on empty docs: stage fusion can evaluate these projections
+    # BEFORE the size filter (observed on rake_keyphrases), and an empty
+    # _s would make idx = sequence(0, -1) descend into element_at(.., 1)
+    # on empty arrays
+    base = base.withColumn(
+        "_r",
+        F.when(n > 0, ranks).otherwise(
+            F.array().cast("array<double>")
         ),
-        1,
-        n_keep,
     )
+    picked = F.when(
+        n > 0,
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        (-F.element_at("_r", i + 1)).alias("_neg"),
+                        i.cast("int").alias("sent_idx"),
+                    ),
+                )
+            ),
+            1,
+            n_keep,
+        ),
+    ).otherwise(F.array().cast("array<struct<_neg:double,sent_idx:int>>"))
     return base.select(
         id_col, F.explode(picked).alias("_p"), "_s", "_r"
     ).select(
