@@ -119,7 +119,7 @@ EFF_KEYS = ("pipeline_docs_per_sec", "mentions_docs_per_sec",
             "triples_per_sec", "weblinks_pages_per_sec",
             "curation_docs_per_sec", "lm_docs_per_sec",
             "boilerplate_docs_per_sec", "textops_docs_per_sec",
-            "miners_docs_per_sec")
+            "miners_docs_per_sec", "textrank_docs_per_sec")
 
 
 def _load_history() -> list[dict]:
@@ -348,6 +348,15 @@ def main() -> int:
         " the operators' scaling; chunk/split are pure narrow maps).",
         "- loadavg_start/loadavg_end in the raw JSON record neighbor"
         " pressure on this shared box at run time.",
+        "- NEW KEYS (2026-08-20, mid-round-3): `textrank` (corpus-sized"
+        " co-occurrence pair scan + one pair groupBy; its 4 PageRank"
+        " iterations over the vocab-sized graph are driver-synchronized"
+        " fixed cost, so its efficiency row slightly understates the"
+        " scan's scaling) and `pq` (PQ train + ADC search; Lloyd rounds"
+        " are fixed-cost-dominated at this vector count — wall reported"
+        " for completeness like ann_lsh, not a scaling row). Suite walls"
+        " grow accordingly; compare per-key, not whole-suite, across"
+        " windows.",
         "- HONESTY FIX (2026-08-19, mid-round-3): stage actions now force",
         " the operator payload (aggregates over produced columns) — a bare",
         " .count() let Catalyst eliminate unique-key left joins and prune",
