@@ -5352,6 +5352,57 @@ def q_doc_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (kg/ops/profile.py skew_report):
+    per-source count distribution + heaviest sources + suggested salt
+    fan-out — the pre-flight check before keying a 100-TB shuffle,
+    feeding the explicit-salting path (kg/salt.py) where AQE skew
+    splitting doesn't apply. Histogram groupBy + stats on the
+    HISTOGRAM; oracle replays histogram, quantile_cont percentiles,
+    top-k, and the ceil-salt arithmetic."""
+    from kg.ops.profile import skew_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return skew_report(docs, "source", top_k=5, target_per_task=20)
+
+
+_SKEW_ORACLE = """
+WITH hist AS (
+  SELECT CAST(source AS VARCHAR) AS key, count(*) AS n_rows
+  FROM documents GROUP BY source
+), st AS (
+  SELECT count(*) AS n_keys, sum(n_rows) AS n_total,
+         avg(n_rows) AS mean_per_key,
+         quantile_cont(n_rows, 0.5) AS p50,
+         quantile_cont(n_rows, 0.99) AS p99,
+         max(n_rows) AS max_per_key
+  FROM hist
+), heavy AS (
+  SELECT key, n_rows,
+    row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+  FROM hist QUALIFY rank <= 5
+), rows_out AS (
+  SELECT key, n_rows,
+         round(n_rows / (SELECT CAST(n_total AS DOUBLE) FROM st), 6)
+           AS share,
+         rank
+  FROM heavy
+  UNION ALL
+  SELECT '__total__', (SELECT n_total FROM st), 1.0, 0
+)
+SELECT r.key, CAST(r.n_rows AS BIGINT) AS n_rows, r.share,
+  CAST(r.rank AS BIGINT) AS rank,
+  CAST(st.n_keys AS BIGINT) AS n_keys,
+  round(st.mean_per_key, 6) AS mean_per_key,
+  round(st.p50, 6) AS p50, round(st.p99, 6) AS p99,
+  CAST(st.max_per_key AS BIGINT) AS max_per_key,
+  round(st.max_per_key / st.mean_per_key, 6) AS skew_factor,
+  CAST(greatest(1, ceil(st.max_per_key / 20.0)) AS BIGINT)
+    AS suggested_salt
+FROM rows_out r, st
+"""
+
+
 def q_events_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size estimation from count-min sketches (kg/ops/sketch.py
     cms_inner_product): |purchases ⋈ clicks ON user_id| estimated as
@@ -8559,6 +8610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_rollup": q_events_time_rollup,
         "doc_kmv_distinct": q_doc_kmv_distinct,
         "events_join_size_est": q_events_join_size_est,
+        "doc_skew_report": q_doc_skew_report,
         "doc_corpus_overlap": q_doc_corpus_overlap,
         "events_value_quantiles": q_events_value_quantiles,
         "tpch_rollup": q_tpch_rollup,
@@ -11166,6 +11218,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_normalize_text"] = _normalize_text_oracle_sql()
     d["doc_threshold_sweep"] = _SWEEP_ORACLE
     d["events_join_size_est"] = _JOIN_EST_ORACLE
+    d["doc_skew_report"] = _SKEW_ORACLE
     d["doc_paragraph_dedup"] = _PARA_DEDUP_ORACLE
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW

@@ -21,8 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
-__all__ = ["profile_table", "profile_diff"]
+__all__ = ["profile_table", "profile_diff", "skew_report"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -168,4 +169,77 @@ def profile_diff(
         mean_num_delta.alias("mean_num_delta"),
         avg_len_delta.alias("avg_len_delta"),
         drift.alias("drift"),
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+    target_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Join/groupBy-key skew diagnostics — the pre-flight check before
+    keying a 100-TB shuffle: per-key count distribution (mean, p50,
+    p99, max), the ``top_k`` heaviest keys with their share, the skew
+    factor (max/mean), and a suggested salt fan-out
+    ceil(max / target_per_task) for the explicit-salting path
+    (kg/salt.py) when AQE's skew-join split is not available (e.g. a
+    skewed aggregation). One row per heavy key plus one '__total__'
+    summary row: (key, n_rows, share, rank, n_keys, mean_per_key,
+    p50, p99, max_per_key, skew_factor, suggested_salt).
+
+    Scale shape: ONE partial-aggregable groupBy collapses the corpus to
+    its key histogram; the distribution stats and the top-k both run on
+    the HISTOGRAM (percentile + a bounded sort), never the corpus."""
+    hist = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = hist.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("n_total"),
+        F.avg("n_rows").alias("mean_per_key"),
+        F.percentile(F.col("n_rows"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("n_rows"), F.lit(0.99)).alias("p99"),
+        F.max("n_rows").alias("max_per_key"),
+    ).first()
+    heavy = (
+        hist.orderBy(F.desc("n_rows"), "key")
+        .limit(int(top_k))
+        .select(
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+    import math
+
+    skew = (
+        float(stats.max_per_key) / float(stats.mean_per_key)
+        if stats.mean_per_key
+        else 0.0
+    )
+    salt = max(1, math.ceil(float(stats.max_per_key) / target_per_task))
+    spark = df.sparkSession
+    w = Window.orderBy(F.desc("n_rows"), "key")
+    annotated = heavy.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "share", F.round(F.col("n_rows") / F.lit(float(stats.n_total)), 6)
+    )
+    total = spark.createDataFrame(
+        [(
+            "__total__", int(stats.n_total), 1.0, 0,
+        )],
+        "key string, n_rows long, share double, rank long",
+    )
+    return annotated.select("key", "n_rows", "share", "rank").unionByName(
+        total
+    ).select(
+        "key", "n_rows", "share", "rank",
+        F.lit(int(stats.n_keys)).alias("n_keys"),
+        F.round(F.lit(float(stats.mean_per_key)), 6).alias("mean_per_key"),
+        F.round(F.lit(float(stats.p50)), 6).alias("p50"),
+        F.round(F.lit(float(stats.p99)), 6).alias("p99"),
+        F.lit(int(stats.max_per_key)).cast("long").alias("max_per_key"),
+        F.round(F.lit(skew), 6).alias("skew_factor"),
+        F.lit(int(salt)).cast("long").alias("suggested_salt"),
     )

@@ -1529,3 +1529,35 @@ class TestIvfPqRecall:
         # exact re-rank of the ADC shortlist (ADC+R) recovers recall
         assert r_ref >= 0.7
         assert r_ref > r_pure + 0.3
+
+
+class TestSkewReport:
+    def test_hot_key_stats_and_salt(self, spark):
+        from kg.ops.profile import skew_report
+
+        rows = [(f"k{i % 10}",) for i in range(90)] + [("hot",)] * 910
+        df = spark.createDataFrame(rows, "key string")
+        got = {
+            r.key: r
+            for r in skew_report(
+                df, "key", top_k=3, target_per_task=100
+            ).collect()
+        }
+        assert got["hot"].n_rows == 910 and got["hot"].rank == 1
+        assert got["hot"].share == 0.91
+        assert got["__total__"].n_rows == 1000
+        assert got["hot"].max_per_key == 910
+        assert abs(got["hot"].skew_factor - 10.01) < 1e-6
+        # ceil(910 / 100) = 10 salt shards flatten the hot key
+        assert got["hot"].suggested_salt == 10
+        assert len(got) == 4  # top 3 + total
+
+    def test_uniform_keys_salt_one(self, spark):
+        from kg.ops.profile import skew_report
+
+        df = spark.createDataFrame(
+            [(f"k{i % 8}",) for i in range(80)], "key string"
+        )
+        r = skew_report(df, "key", top_k=2, target_per_task=100).first()
+        assert r.suggested_salt == 1
+        assert abs(r.skew_factor - 1.0) < 1e-9
