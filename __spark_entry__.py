@@ -5320,6 +5320,53 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_time_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (kg/ops/temporal.py time_densify): the
+    high-value purchase stream (value > 200 — ~30 occupied hours across
+    a ~720-hour span) is hourly-rolled-up, then densified to a regular
+    spine with zero-filled gaps and a filled flag — the step between a
+    rollup and anything assuming regular spacing (rate deltas, burst
+    baselines). The spine is sequence()-GENERATED from the per-group
+    span, never shuffled; oracle rebuilds it with generate_series."""
+    from kg.ops.temporal import time_densify, time_rollup
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 200))
+    )
+    hourly = time_rollup(
+        ev, dims=["event_type"], grains=("hour",)
+    ).select("bucket_start", "event_type", "n", "sum_value")
+    return time_densify(
+        hourly, "hour", dims=["event_type"], fill_cols=["n"]
+    )
+
+
+_DENSIFY_ORACLE = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start, value
+  FROM events WHERE event_type = 'purchase' AND value > 200
+), hourly AS (
+  SELECT bucket_start, event_type, CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 6) AS sum_value
+  FROM ev GROUP BY bucket_start, event_type
+), span AS (
+  SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM hourly GROUP BY event_type
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM span
+)
+SELECT s.event_type, s.bucket_start,
+  CAST(coalesce(h.n, 0) AS BIGINT) AS n, h.sum_value,
+  (h.n IS NULL) AS filled
+FROM spine s
+LEFT JOIN hourly h
+  ON h.event_type = s.event_type AND h.bucket_start = s.bucket_start
+"""
+
+
 KMV_OVERLAP_K = 16
 
 
@@ -8608,6 +8655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_forward": q_events_asof_forward,
         "events_range_join": q_events_range_join,
         "events_time_rollup": q_events_time_rollup,
+        "events_time_densify": q_events_time_densify,
         "doc_kmv_distinct": q_doc_kmv_distinct,
         "events_join_size_est": q_events_join_size_est,
         "doc_skew_report": q_doc_skew_report,
@@ -11219,6 +11267,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_threshold_sweep"] = _SWEEP_ORACLE
     d["events_join_size_est"] = _JOIN_EST_ORACLE
     d["doc_skew_report"] = _SKEW_ORACLE
+    d["events_time_densify"] = _DENSIFY_ORACLE
     d["doc_paragraph_dedup"] = _PARA_DEDUP_ORACLE
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW

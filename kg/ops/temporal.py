@@ -43,7 +43,7 @@ from pyspark.sql.window import Window
 
 from kg.session import materialize
 
-__all__ = ["asof_join", "range_join", "time_rollup"]
+__all__ = ["asof_join", "range_join", "time_rollup", "time_densify"]
 
 
 def _epoch_sec(col) -> "F.Column":
@@ -300,3 +300,53 @@ def time_rollup(
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def time_densify(
+    buckets: DataFrame,
+    grain: str = "hour",
+    dims: Sequence[str] = (),
+    fill_cols: Sequence[str] = ("n",),
+) -> DataFrame:
+    """Gap-fill a bucketed time series: for every dims-group, emit one
+    row per ``grain`` step between that group\'s min and max
+    bucket_start, with absent buckets carrying 0 in ``fill_cols`` and a
+    ``filled`` flag — the densification step between a rollup and
+    anything that assumes regular spacing (rate deltas, burst baselines,
+    charting, seasonal diffs). Input shape = time_rollup\'s output for
+    one grain: (bucket_start, dims..., measures...).
+
+    Scale shape: the per-group span comes from ONE partial-aggregable
+    groupBy over the BUCKET table (already aggregated — corpus-free);
+    the dense spine is sequence()-exploded from the span row (one row
+    per bucket, generated not shuffled) and left-joins the observed
+    buckets back on the (dims, bucket) key."""
+    if grain not in _GRAINS:
+        raise ValueError(f"unknown grain {grain}")
+    dims = list(dims)
+    step = F.expr(f"INTERVAL 1 {grain}")
+    spans = buckets.groupBy(*dims).agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    spine = spans.select(
+        *dims,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(
+            "bucket_start"
+        ),
+    )
+    joined = spine.join(buckets, [*dims, "bucket_start"], "left")
+    fills = [
+        F.coalesce(F.col(c), F.lit(0)).alias(c) for c in fill_cols
+    ]
+    others = [
+        c
+        for c in buckets.columns
+        if c not in {*dims, "bucket_start", *fill_cols}
+    ]
+    return joined.select(
+        *dims,
+        "bucket_start",
+        *fills,
+        *others,
+        F.col(fill_cols[0]).isNull().alias("filled"),
+    )

@@ -615,3 +615,39 @@ class TestCmsInnerProduct:
             depth=4,
         ).first().est_join_size
         assert 0 <= est <= 5  # only hash-collision mass
+
+
+class TestTimeDensify:
+    def test_gaps_filled_per_group(self, spark):
+        import datetime as dt
+
+        from kg.ops.temporal import time_densify
+
+        rows = [
+            ("a", dt.datetime(2026, 1, 1, 0), 3),
+            ("a", dt.datetime(2026, 1, 1, 3), 2),
+            ("b", dt.datetime(2026, 1, 1, 1), 1),
+        ]
+        b = spark.createDataFrame(
+            rows, "k string, bucket_start timestamp, n long"
+        )
+        got = {
+            (r.k, r.bucket_start.hour): (r.n, r.filled)
+            for r in time_densify(b, "hour", dims=["k"]).collect()
+        }
+        # group a spans 0..3 with two gaps; group b is a single bucket
+        assert got[("a", 0)] == (3, False)
+        assert got[("a", 1)] == (0, True)
+        assert got[("a", 2)] == (0, True)
+        assert got[("a", 3)] == (2, False)
+        assert got[("b", 1)] == (1, False)
+        assert len(got) == 5
+
+    def test_rejects_unknown_grain(self, spark):
+        import pytest
+
+        from kg.ops.temporal import time_densify
+
+        b = spark.createDataFrame([], "bucket_start timestamp, n long")
+        with pytest.raises(ValueError):
+            time_densify(b, "fortnight")
