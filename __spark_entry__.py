@@ -5399,6 +5399,106 @@ def q_doc_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-counting clustering agreement (kg/ops/dedup.py
+    cluster_agreement): shingle-signature dedup groups evaluated
+    against exact-dup groups — precision 1.0 is the LADDER INVARIANT
+    (identical normalized texts always share a shingle signature, so
+    shingle clusters can only coarsen exact groups... in fact here the
+    prediction side is the shingle clustering, whose every same-cluster
+    pair should contain all exact pairs: recall pins how much shingle
+    coarsening merges beyond byte-identity). Pairs are COUNTED via the
+    contingency table (C(n,2) sums over cells + marginals), never
+    materialized; the oracle replays both clusterings and the
+    arithmetic."""
+    from kg.ops.dedup import cluster_agreement, shingle_signature_dedup
+
+    raw = _docs(spark, sf_dir)
+    # the synthetic texts are all distinct — inject exact duplicates
+    # deterministically: md5-even docs copy their 5-block leader's text
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    leaders = raw.select(
+        F.col("doc_id").alias("_lid"), F.col("text").alias("_ltext")
+    )
+    docs = (
+        raw.withColumn("_lid", F.col("doc_id") - F.col("doc_id") % 5)
+        .join(leaders, "_lid")
+        .select(
+            "doc_id",
+            F.when(h % 2 == 0, F.col("_ltext"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    a = shingle_signature_dedup(docs).select(
+        "doc_id", F.col("shingle_sig").alias("cluster")
+    )
+    b = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("cluster"),
+    )
+    return cluster_agreement(a, b)
+
+
+_AGREEMENT_ORACLE = r"""
+WITH dd AS (
+  SELECT d.doc_id,
+    CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 2 = 0
+      THEN l.text ELSE d.text END AS text
+  FROM documents d
+  JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 5
+), w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM dd
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3 THEN
+      list_sort(list_distinct(list_transform(
+        generate_series(0, len(words) - 3),
+        i -> array_to_string(words[i+1:i+3], ' '))))
+    ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+), a AS (
+  SELECT doc_id, md5(array_to_string(shingles[1:8], '')) AS ca FROM sh
+), b AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS cb
+  FROM dd
+), cells AS (
+  SELECT a.ca, b.cb, count(*) AS n
+  FROM a JOIN b USING (doc_id) GROUP BY a.ca, b.cb
+), core AS (
+  SELECT sum(n) AS n_items, sum(n * (n - 1) / 2.0) AS tp FROM cells
+), ma AS (
+  SELECT sum(na * (na - 1) / 2.0) AS pa
+  FROM (SELECT ca, sum(n) AS na FROM cells GROUP BY ca)
+), mb AS (
+  SELECT sum(nb * (nb - 1) / 2.0) AS pb
+  FROM (SELECT cb, sum(n) AS nb FROM cells GROUP BY cb)
+), calc AS (
+  SELECT n_items, tp, pa, pb, n_items * (n_items - 1) / 2.0 AS tot
+  FROM core, ma, mb
+)
+SELECT CAST(n_items AS BIGINT) AS n_items, CAST(tp AS BIGINT) AS pair_tp,
+  CAST(pa AS BIGINT) AS pairs_pred, CAST(pb AS BIGINT) AS pairs_true,
+  round(CASE WHEN pa > 0 THEN tp / pa ELSE 0 END, 6) AS precision,
+  round(CASE WHEN pb > 0 THEN tp / pb ELSE 0 END, 6) AS recall,
+  round(CASE WHEN pa > 0 AND pb > 0 AND (tp / pa + tp / pb) > 0
+    THEN 2 * (tp / pa) * (tp / pb) / (tp / pa + tp / pb)
+    ELSE 0 END, 6) AS f1,
+  round(CASE WHEN (pa + pb) / 2.0 - pa * pb / tot <> 0
+    THEN (tp - pa * pb / tot) / ((pa + pb) / 2.0 - pa * pb / tot)
+    ELSE 1.0 END, 6) AS ari
+FROM calc
+"""
+
+
 def q_doc_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostics (kg/ops/profile.py skew_report):
     per-source count distribution + heaviest sources + suggested salt
@@ -8659,6 +8759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kmv_distinct": q_doc_kmv_distinct,
         "events_join_size_est": q_events_join_size_est,
         "doc_skew_report": q_doc_skew_report,
+        "doc_cluster_agreement": q_doc_cluster_agreement,
         "doc_corpus_overlap": q_doc_corpus_overlap,
         "events_value_quantiles": q_events_value_quantiles,
         "tpch_rollup": q_tpch_rollup,
@@ -11268,6 +11369,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["events_join_size_est"] = _JOIN_EST_ORACLE
     d["doc_skew_report"] = _SKEW_ORACLE
     d["events_time_densify"] = _DENSIFY_ORACLE
+    d["doc_cluster_agreement"] = _AGREEMENT_ORACLE
     d["doc_paragraph_dedup"] = _PARA_DEDUP_ORACLE
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW

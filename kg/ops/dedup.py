@@ -1385,3 +1385,67 @@ def blocking_eval(
         "n_docs long, n_true_pairs long, n_candidate_pairs long, "
         "n_captured long, pair_completeness double, reduction_ratio double",
     )
+
+
+def cluster_agreement(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "cluster",
+    b_col: str = "cluster",
+) -> DataFrame:
+    """Pair-counting agreement between two clusterings of the same ids
+    (Rand-family): treating ``a`` as prediction and ``b`` as truth,
+    returns ONE row (n_items, pair_tp, pairs_pred, pairs_true,
+    precision, recall, f1, ari) — the evaluation primitive for the
+    dedup/canonicalization ladder ("how do near-dup clusters relate to
+    exact-dup groups", "how close is capped blocking to uncapped").
+
+    The CONTINGENCY trick: same-cluster pair counts come from
+    C(n, 2) sums over the (a_cluster, b_cluster) cell table and its two
+    marginals — pairs are COUNTED, never materialized, so cost is
+    O(cells) where the naive pair join is O(n^2). Three dim-sized
+    aggregations; the id table shuffles once for the contingency
+    groupBy. ARI is the Hubert-Arabie adjusted Rand index (expected
+    agreement subtracted); identical all-singleton partitions define
+    ari = 1.0 (degenerate 0/0)."""
+
+    def _c2(col):
+        return F.sum(col * (col - F.lit(1)) / F.lit(2)).cast("double")
+
+    j = a.select(
+        F.col(id_col).alias("_id"), F.col(a_col).alias("_ca")
+    ).join(
+        b.select(F.col(id_col).alias("_id"), F.col(b_col).alias("_cb")),
+        "_id",
+    )
+    cells = j.groupBy("_ca", "_cb").agg(F.count(F.lit(1)).alias("n"))
+    core = cells.agg(
+        F.sum("n").cast("long").alias("n_items"),
+        _c2(F.col("n")).alias("tp"),
+    ).first()
+    pa = (
+        cells.groupBy("_ca").agg(F.sum("n").alias("na"))
+        .agg(_c2(F.col("na"))).first()[0]
+    )
+    pb = (
+        cells.groupBy("_cb").agg(F.sum("n").alias("nb"))
+        .agg(_c2(F.col("nb"))).first()[0]
+    )
+    n, tp = int(core.n_items), float(core.tp)
+    tot = n * (n - 1) / 2.0
+    prec = tp / pa if pa else 0.0
+    rec = tp / pb if pb else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+    exp = pa * pb / tot if tot else 0.0
+    denom = (pa + pb) / 2.0 - exp
+    ari = (tp - exp) / denom if denom else 1.0
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(
+            n, int(tp), int(pa), int(pb),
+            round(prec, 6), round(rec, 6), round(f1, 6), round(ari, 6),
+        )],
+        "n_items long, pair_tp long, pairs_pred long, pairs_true long, "
+        "precision double, recall double, f1 double, ari double",
+    )

@@ -1561,3 +1561,33 @@ class TestSkewReport:
         r = skew_report(df, "key", top_k=2, target_per_task=100).first()
         assert r.suggested_salt == 1
         assert abs(r.skew_factor - 1.0) < 1e-9
+
+
+class TestClusterAgreement:
+    def _cl(self, spark, pairs):
+        return spark.createDataFrame(pairs, "doc_id long, cluster string")
+
+    def test_refinement_metrics_and_ari(self, spark):
+        from kg.ops.dedup import cluster_agreement
+
+        # prediction splits truth cluster {1,2,3} into {1,2} + {3}
+        a = self._cl(spark, [(1, "x"), (2, "x"), (3, "y"), (4, "z"), (5, "z")])
+        b = self._cl(spark, [(1, "p"), (2, "p"), (3, "p"), (4, "q"), (5, "q")])
+        r = cluster_agreement(a, b).first()
+        assert (r.pair_tp, r.pairs_pred, r.pairs_true) == (2, 2, 4)
+        assert r.precision == 1.0 and r.recall == 0.5
+        assert abs(r.ari - 0.545455) < 1e-6
+
+    def test_identical_partitions_perfect(self, spark):
+        from kg.ops.dedup import cluster_agreement
+
+        a = self._cl(spark, [(1, "x"), (2, "x"), (3, "y")])
+        r = cluster_agreement(a, a).first()
+        assert r.precision == 1.0 and r.recall == 1.0 and r.ari == 1.0
+
+    def test_all_singletons_degenerate_ari_one(self, spark):
+        from kg.ops.dedup import cluster_agreement
+
+        s = self._cl(spark, [(i, f"c{i}") for i in range(4)])
+        r = cluster_agreement(s, s).first()
+        assert r.pair_tp == 0 and r.ari == 1.0
