@@ -5150,6 +5150,38 @@ def _textrank_oracle_sql(
     )
 
 
+def q_corpus_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword induction (kg/ops/ranking.py
+    induce_stopwords): terms in more than half the documents — the
+    language-agnostic seeding path for new-language stoplist tiers
+    (kg/stoplists.py ships hand-curated ones). Postings substrate +
+    one vocab-sized groupBy + threshold; oracle replays df/cf counts
+    and the ratio filter."""
+    from kg.ops.ranking import induce_stopwords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return induce_stopwords(docs, max_df_ratio=0.5)
+
+
+_STOPWORDS_ORACLE = r"""
+WITH p AS (
+  SELECT doc_id AS doc,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc, term, count(*) AS tf FROM p GROUP BY doc, term
+), stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+SELECT term, df, round(df / (SELECT nd FROM n), 6) AS df_ratio, cf
+FROM stats
+WHERE df / (SELECT nd FROM n) > 0.5 AND df >= 2
+"""
+
+
 RAKE_TOPK = 3
 
 
@@ -8749,6 +8781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": q_corpus_vocab,
         "corpus_textrank": q_corpus_textrank,
         "doc_rake_keyphrases": q_doc_rake_keyphrases,
+        "corpus_stopwords": q_corpus_stopwords,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_bm25": q_doc_bm25,
         "events_asof_join": q_events_asof_join,
@@ -11375,6 +11408,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
         TEXTRANK_ITERS, TEXTRANK_WINDOW
     )
     d["doc_rake_keyphrases"] = _rake_oracle_sql(RAKE_TOPK)
+    d["corpus_stopwords"] = _STOPWORDS_ORACLE
     d["doc_phrase_search"] = _PHRASE_ORACLE
     d["kg_shacl_cardinality"] = _SHACL_ORACLE
     d["kg_distant_supervision"] = _DS_ORACLE

@@ -42,7 +42,7 @@ from pyspark.sql.window import Window
 __all__ = ["postings", "corpus_vocab", "tfidf_topk", "bm25_search",
            "positional_postings", "phrase_search",
            "cooccurrence_edges", "textrank_keywords",
-           "rake_keyphrases", "RAKE_STOPWORDS"]
+           "rake_keyphrases", "RAKE_STOPWORDS", "induce_stopwords"]
 
 
 def postings(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -437,4 +437,36 @@ def rake_keyphrases(
         F.col("_p.pidx").cast("int").alias("phrase_idx"),
         F.element_at("_ph", F.col("_p.pidx") + 1).alias("phrase"),
         F.round(-F.col("_p.nscore"), 6).alias("score"),
+    )
+
+
+def induce_stopwords(
+    docs: DataFrame,
+    max_df_ratio: float = 0.5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-driven stopword induction: terms whose document-frequency
+    ratio exceeds ``max_df_ratio`` (they appear in more than that share
+    of documents) are function-word candidates — the language-agnostic
+    way to seed the tokenizer stoplists (kg/stoplists.py ships
+    hand-curated tiers for 6 languages; a new language or domain corpus
+    induces its own tier from this table). Returns
+    (term, df, df_ratio, cf) sorted nowhere (callers rank); min_docs
+    guards tiny corpora where one doc makes every term "frequent".
+
+    Scale shape: reuses the postings substrate (one corpus shuffle),
+    then one vocabulary-sized groupBy + a literal threshold filter —
+    the corpus never re-shuffles."""
+    n_docs = docs.count()
+    p = postings(docs, id_col)
+    stats = p.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    ratio = F.col("df") / F.lit(float(n_docs))
+    return stats.where(
+        (ratio > max_df_ratio) & (F.col("df") >= min_docs)
+    ).select(
+        "term", "df", F.round(ratio, 6).alias("df_ratio"), "cf"
     )

@@ -395,3 +395,30 @@ class TestRake:
         )
         plan = rake_keyphrases(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestInduceStopwords:
+    def test_df_ratio_threshold(self, spark):
+        from kg.ops.ranking import induce_stopwords
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat"),
+                (2, "the dog ran"),
+                (3, "the cat ran"),
+                (4, "a bird"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.term: (r.df, r.df_ratio, r.cf)
+               for r in induce_stopwords(docs, max_df_ratio=0.5).collect()}
+        # the: df 3/4 = 0.75 > 0.5; cat/ran: 2/4 = 0.5 NOT > 0.5; rest below
+        assert got == {"the": (3, 0.75, 3)}
+
+    def test_min_docs_guards_small_corpora(self, spark):
+        from kg.ops.ranking import induce_stopwords
+
+        docs = spark.createDataFrame(
+            [(1, "only one doc here")], "doc_id long, text string"
+        )
+        assert induce_stopwords(docs, max_df_ratio=0.5).count() == 0
