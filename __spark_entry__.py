@@ -5431,6 +5431,76 @@ def q_doc_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations in one aggregation pass
+    (kg/ops/profile.py numeric_correlations) over lineitem's numeric
+    measures — the ingest-QA signal for derived/broken columns. Oracle
+    = DuckDB corr() over the same pairs."""
+    from kg.ops.profile import numeric_correlations
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return numeric_correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+_CORR_ORACLE = """
+WITH c AS (
+  SELECT corr(l_quantity, l_extendedprice) AS qe,
+         corr(l_quantity, l_discount) AS qd,
+         corr(l_extendedprice, l_discount) AS ed,
+         count(*) AS n
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(qe, 6) AS corr, CAST(n AS BIGINT) AS n FROM c
+UNION ALL
+SELECT 'l_quantity', 'l_discount', round(qd, 6), CAST(n AS BIGINT) FROM c
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', round(ed, 6), CAST(n AS BIGINT)
+FROM c
+"""
+
+
+def q_doc_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mutual information (kg/ops/profile.py
+    categorical_mi) between lang and source over documents — the
+    column-association audit ("does source determine language?").
+    Contingency cells + marginals + the MI/entropy sums all replayed in
+    SQL with ln()."""
+    from kg.ops.profile import categorical_mi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return categorical_mi(docs, "lang", "source")
+
+
+_MI_ORACLE = """
+WITH j AS (
+  SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b
+  FROM documents
+), cells AS (
+  SELECT a, b, count(*) AS n FROM j GROUP BY a, b
+), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM cells),
+ma AS (SELECT a, sum(n) AS na FROM cells GROUP BY a),
+mb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY b),
+mi AS (
+  SELECT sum((c.n / t.nt)
+             * ln((c.n / t.nt) / ((ma.na / t.nt) * (mb.nb / t.nt))))
+           AS mi,
+         count(*) AS n_cells
+  FROM cells c JOIN ma USING (a) JOIN mb USING (b), tot t
+),
+ha AS (SELECT -sum((na / t.nt) * ln(na / t.nt)) AS h FROM ma, tot t),
+hb AS (SELECT -sum((nb / t.nt) * ln(nb / t.nt)) AS h FROM mb, tot t)
+SELECT round(mi.mi, 6) AS mi, round(ha.h, 6) AS h_a,
+  round(hb.h, 6) AS h_b,
+  round(CASE WHEN greatest(ha.h, hb.h) > 0
+    THEN mi.mi / greatest(ha.h, hb.h) ELSE 0 END, 6) AS nmi,
+  CAST(mi.n_cells AS BIGINT) AS n_cells
+FROM mi, ha, hb
+"""
+
+
 def q_doc_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-counting clustering agreement (kg/ops/dedup.py
     cluster_agreement): shingle-signature dedup groups evaluated
@@ -8793,6 +8863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_join_size_est": q_events_join_size_est,
         "doc_skew_report": q_doc_skew_report,
         "doc_cluster_agreement": q_doc_cluster_agreement,
+        "lineitem_correlations": q_lineitem_correlations,
+        "doc_lang_source_mi": q_doc_lang_source_mi,
         "doc_corpus_overlap": q_doc_corpus_overlap,
         "events_value_quantiles": q_events_value_quantiles,
         "tpch_rollup": q_tpch_rollup,
@@ -11403,6 +11475,8 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_skew_report"] = _SKEW_ORACLE
     d["events_time_densify"] = _DENSIFY_ORACLE
     d["doc_cluster_agreement"] = _AGREEMENT_ORACLE
+    d["lineitem_correlations"] = _CORR_ORACLE
+    d["doc_lang_source_mi"] = _MI_ORACLE
     d["doc_paragraph_dedup"] = _PARA_DEDUP_ORACLE
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW

@@ -18,12 +18,15 @@ cost only.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-__all__ = ["profile_table", "profile_diff", "skew_report"]
+__all__ = ["profile_table", "profile_diff", "skew_report",
+           "numeric_correlations", "categorical_mi"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -242,4 +245,83 @@ def skew_report(
         F.lit(int(stats.max_per_key)).cast("long").alias("max_per_key"),
         F.round(F.lit(skew), 6).alias("skew_factor"),
         F.lit(int(salt)).cast("long").alias("suggested_salt"),
+    )
+
+
+def numeric_correlations(
+    df: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Pairwise Pearson correlations between numeric columns in ONE
+    aggregation pass — the ingest-QA companion to profile_table
+    (redundant/derived columns show up as |corr| ~ 1; broken joins as
+    corr collapsing to NaN/0 between releases). Returns one row per
+    unordered pair (col_a, col_b, corr, n) with corr rounded to 6.
+
+    Scale shape: all C(k, 2) corr aggregates evaluate in the same
+    partial-aggregable pass over the corpus (Spark fuses them into one
+    physical aggregation); output is k^2-bounded."""
+    cols = list(cols)
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.corr(F.col(a), F.col(b)).alias(f"{a}|{b}"))
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    row = df.agg(*aggs).first()
+    spark = df.sparkSession
+    out = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            v = row[f"{a}|{b}"]
+            out.append(
+                (a, b, round(float(v), 6) if v is not None else None,
+                 int(row["__n"]))
+            )
+    return spark.createDataFrame(
+        out, "col_a string, col_b string, corr double, n long"
+    )
+
+
+def categorical_mi(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns — the
+    association audit for ingest QA ("does source determine lang?",
+    "did a join key leak into a payload column"). Returns one row
+    (mi, h_a, h_b, nmi, n_cells): MI = sum p_xy ln(p_xy/(p_x p_y)),
+    entropies H of each marginal, and the normalized
+    NMI = MI / max(H_a, H_b) in [0, 1] (0 when either column is
+    constant). Rounded to 6.
+
+    Scale shape: one contingency groupBy collapses the corpus to its
+    (a, b) cell table; marginals and the MI sum run on the CELLS."""
+    j = df.select(
+        F.col(a_col).cast("string").alias("_a"),
+        F.col(b_col).cast("string").alias("_b"),
+    )
+    cells = j.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("n"))
+    n_total = cells.agg(F.sum("n")).first()[0]
+    ma = {r._a: r.na for r in
+          cells.groupBy("_a").agg(F.sum("n").alias("na")).collect()}
+    mb = {r._b: r.nb for r in
+          cells.groupBy("_b").agg(F.sum("n").alias("nb")).collect()}
+    import math
+
+    mi = 0.0
+    cell_rows = cells.collect()
+    for r in cell_rows:
+        pxy = r.n / n_total
+        px = ma[r._a] / n_total
+        py = mb[r._b] / n_total
+        mi += pxy * math.log(pxy / (px * py))
+    h_a = -sum((v / n_total) * math.log(v / n_total) for v in ma.values())
+    h_b = -sum((v / n_total) * math.log(v / n_total) for v in mb.values())
+    denom = max(h_a, h_b)
+    nmi = mi / denom if denom > 0 else 0.0
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            round(mi, 6), round(h_a, 6), round(h_b, 6), round(nmi, 6),
+            len(cell_rows),
+        )],
+        "mi double, h_a double, h_b double, nmi double, n_cells long",
     )

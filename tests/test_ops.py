@@ -1591,3 +1591,41 @@ class TestClusterAgreement:
         s = self._cl(spark, [(i, f"c{i}") for i in range(4)])
         r = cluster_agreement(s, s).first()
         assert r.pair_tp == 0 and r.ari == 1.0
+
+
+class TestColumnAssociations:
+    def test_correlations_detect_derived_column(self, spark):
+        from kg.ops.profile import numeric_correlations
+
+        rows = [(float(i), float(2 * i + 1), float((i * 7) % 5))
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        got = {
+            (r.col_a, r.col_b): r.corr
+            for r in numeric_correlations(df, ["x", "y", "z"]).collect()
+        }
+        assert got[("x", "y")] == 1.0  # y is affine in x
+        assert abs(got[("x", "z")]) < 0.3
+
+    def test_mi_bounds_and_determinism(self, spark):
+        from kg.ops.profile import categorical_mi
+
+        # b fully determined by a -> NMI 1; independent-ish -> NMI ~ 0
+        det = spark.createDataFrame(
+            [(i % 4, (i % 4) * 10) for i in range(80)], "a long, b long"
+        )
+        r = categorical_mi(det, "a", "b").first()
+        assert abs(r.nmi - 1.0) < 1e-9 and r.n_cells == 4
+        ind = spark.createDataFrame(
+            [(i % 4, i % 5) for i in range(200)], "a long, b long"
+        )
+        r2 = categorical_mi(ind, "a", "b").first()
+        assert r2.nmi < 0.01
+
+    def test_constant_column_nmi_zero(self, spark):
+        from kg.ops.profile import categorical_mi
+
+        df = spark.createDataFrame(
+            [(1, i % 3) for i in range(30)], "a long, b long"
+        )
+        assert categorical_mi(df, "a", "b").first().nmi == 0.0
