@@ -2576,6 +2576,70 @@ SELECT qid, nid, CAST(rank AS BIGINT) AS rank, round(d2, 6) AS d2
 FROM ranked WHERE rank <= {topk}"""
 
 
+def q_emb_neighbor_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-mean neighborhood aggregation (kg/ops/kgtrain.py
+    neighbor_mean_features) over an md5-derived 2-out-degree graph on
+    the embedding ids: per node, the per-dim mean of its in-neighbors'
+    vectors + the count — the layer-0 message-passing precompute. One
+    equi-join + one (node, dim) groupBy; oracle replays edges, join,
+    and per-dim averages via generate_series."""
+    from kg.ops.kgtrain import neighbor_mean_features
+
+    emb = _emb(spark, sf_dir)
+    ids = emb.select(F.col("vec_id").cast("long").alias("i"))
+    h = F.conv(
+        F.substring(F.md5(F.col("i").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    edges = ids.select(
+        F.col("i").alias("src"),
+        ((F.col("i") + h % 17 + 1) % 500).alias("dst"),
+    ).unionByName(
+        ids.select(
+            F.col("i").alias("src"),
+            ((F.col("i") + h % 101 + 18) % 500).alias("dst"),
+        )
+    )
+    out = neighbor_mean_features(edges, emb)
+    # long format for the driver's value compare (array columns compare
+    # unreliably across engines' dataframe types)
+    return out.select(
+        "node", "n_neighbors", F.posexplode("mean_vec").alias("pos", "m")
+    ).select(
+        "node",
+        "n_neighbors",
+        F.col("pos").cast("int").alias("pos"),
+        # + 0.0 folds IEEE negative zero to +0.0 (cross-engine sort key)
+        (F.col("m") + F.lit(0.0)).alias("m"),
+    )
+
+
+_NEIGHBOR_MEAN_ORACLE = """
+WITH ids AS (SELECT CAST(vec_id AS BIGINT) AS i FROM embeddings),
+hh AS (
+  SELECT i,
+    ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM ids
+), edges AS (
+  SELECT i AS src, (i + h % 17 + 1) % 500 AS dst FROM hh
+  UNION ALL
+  SELECT i, (i + h % 101 + 18) % 500 FROM hh
+), feats AS (
+  SELECT CAST(vec_id AS BIGINT) AS fid, embedding::DOUBLE[] AS fv
+  FROM embeddings
+), msgs AS (
+  SELECT e.dst AS node, f.fv
+  FROM edges e JOIN feats f ON f.fid = e.src
+), dims AS (
+  SELECT node, d.d AS pos, avg(fv[d.d + 1]) AS m, count(*) AS c
+  FROM msgs, unnest(generate_series(0, len(fv) - 1)) AS d(d)
+  GROUP BY node, d.d
+)
+SELECT node, CAST(c AS BIGINT) AS n_neighbors, CAST(pos AS INT) AS pos,
+       round(m, 6) + 0.0 AS m
+FROM dims
+"""
+
+
 IVFPQ_MAX_QID, IVFPQ_TOPK, IVFPQ_NPROBE = 10, 5, 4
 
 
@@ -8883,6 +8947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_emb_kmeans,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ann_ivfpq": q_emb_ann_ivfpq,
+        "emb_neighbor_mean": q_emb_neighbor_mean,
         "emb_cluster_sample": q_emb_cluster_sample,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
@@ -9411,6 +9476,7 @@ FROM '{FIX}/media.parquet' WHERE kind = 'video'
             PQ_M, PQ_K, PQ_ROUNDS, PQ_SEED, PQ_DSUB, PQ_MAX_QID, PQ_TOPK
         ),
         "emb_ann_ivfpq": _ivfpq_oracle_sql(),
+        "emb_neighbor_mean": _NEIGHBOR_MEAN_ORACLE,
         "emb_cluster_sample": _lloyd_oracle_sql(
             KMEANS_K, KMEANS_ROUNDS, KMEANS_SEED
         ) + f""", ranked AS (

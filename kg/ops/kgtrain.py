@@ -56,6 +56,7 @@ __all__ = [
     "transe_energy",
     "link_prediction_ranks",
     "lp_metrics",
+    "neighbor_mean_features",
 ]
 
 _HEX_DIGITS = 15  # 60 bits: exact in a signed long, '0x'-parseable in DuckDB
@@ -1044,3 +1045,50 @@ def lp_metrics(ranks: DataFrame, ks: tuple = (1, 3, 10)) -> DataFrame:
             ).alias(f"hits_{k}")
         )
     return ranks.agg(*aggs)
+
+
+def neighbor_mean_features(
+    edges: DataFrame,
+    features: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One round of GNN-style neighborhood feature aggregation
+    (GraphSAGE-mean, Hamilton et al. 2017): for every node with
+    in-neighbors, the per-dimension MEAN of its neighbors\' feature
+    vectors plus the neighbor count — the precompute a trainer folds
+    into layer-0 message passing, and (iterated) the classic cheap
+    node-embedding smoother. Returns (node, n_neighbors, mean_vec).
+
+    Scale shape: ONE equi-join (edges x features on the src key — the
+    feature side is entity-dim-sized) then one (node, dim) groupBy for
+    the means, rebuilt to arrays with array_sort(collect_list) — the
+    lloyd_kmeans centroid-update shape, partial-aggregable end to end.
+    Iterating k rounds = k such passes (the k-hop receptive field)."""
+    feats = features.select(
+        F.col(id_col).cast("long").alias("_fid"),
+        F.col(vec_col).cast("array<double>").alias("_fv"),
+    )
+    msgs = edges.select(
+        F.col(src).cast("long").alias("_fid"),
+        F.col(dst).cast("long").alias("node"),
+    ).join(feats, "_fid")
+    return (
+        msgs.select("node", F.posexplode("_fv").alias("pos", "val"))
+        .groupBy("node", "pos")
+        .agg(F.avg("val").alias("m"), F.count(F.lit(1)).alias("c"))
+        .groupBy("node")
+        .agg(
+            F.max("c").cast("long").alias("n_neighbors"),
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"),
+        )
+        .select(
+            "node",
+            "n_neighbors",
+            F.transform(
+                "_pm", lambda s: F.round(s["m"], 6)
+            ).alias("mean_vec"),
+        )
+    )

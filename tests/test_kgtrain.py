@@ -721,3 +721,35 @@ class TestKgtrainPipelineStage:
         assert negs.where(
             F.col("neg_obj_id") == F.col("obj_id")).count() == 0
         assert negs.count() > 0
+
+
+class TestNeighborMeanFeatures:
+    def test_mean_and_count(self, spark):
+        from kg.ops.kgtrain import neighbor_mean_features
+
+        feats = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [3.0, 4.0]), (3, [5.0, 8.0])],
+            "vec_id long, embedding array<double>",
+        )
+        edges = spark.createDataFrame(
+            [(1, 3), (2, 3), (3, 1)], "src long, dst long"
+        )
+        got = {
+            r.node: (r.n_neighbors, r.mean_vec)
+            for r in neighbor_mean_features(edges, feats).collect()
+        }
+        # node 3 averages feats of 1 and 2; node 1 gets node 3's feats;
+        # node 2 has no in-neighbors -> absent
+        assert got[3] == (2, [2.0, 2.0])
+        assert got[1] == (1, [5.0, 8.0])
+        assert 2 not in got
+
+    def test_isolated_feature_node_ignored(self, spark):
+        from kg.ops.kgtrain import neighbor_mean_features
+
+        feats = spark.createDataFrame(
+            [(1, [1.0]), (9, [7.0])], "vec_id long, embedding array<double>"
+        )
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        rows = neighbor_mean_features(edges, feats).collect()
+        assert len(rows) == 1 and rows[0].node == 2
