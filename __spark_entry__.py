@@ -519,6 +519,51 @@ def q_web_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level curation table (kg/ops/weblinks.py host_stats): page
+    count, mean URL path depth, outlink volume, internal-link fraction
+    per host — the unit of domain-level corpus decisions (C4-style
+    blocks, crawl budgets, link-farm flags). Two partial-agged groupBys
+    joined on the host dim; the oracle replays url normalization, link
+    extraction/resolution, depth parsing, and the fraction."""
+    from kg.ops.weblinks import host_stats
+
+    pages = spark.read.parquet(f"{FIX}/pages_tiny.parquet")
+    return host_stats(pages)
+
+
+def _host_stats_oracle_sql() -> str:
+    return _weblinks_oracle_cte(f"{FIX}/pages_tiny.parquet") + f""",
+pn AS (
+  SELECT url,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      AS host,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$', 1) AS path
+  FROM '{FIX}/pages_tiny.parquet'
+), per_host AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+    round(avg(len(list_filter(string_split(path, '/'),
+                              s -> s <> ''))), 6) AS avg_depth
+  FROM pn GROUP BY host
+), la AS (
+  SELECT
+    lower(regexp_extract(src_url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS src_host,
+    CAST(count(*) AS BIGINT) AS n_outlinks,
+    sum(CASE WHEN lower(regexp_extract(dst_url,
+            '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1))
+          = lower(regexp_extract(src_url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+        THEN 1 ELSE 0 END) AS internal
+  FROM links GROUP BY 1
+)
+SELECT p.host, p.n_pages, p.avg_depth,
+  CAST(coalesce(la.n_outlinks, 0) AS BIGINT) AS n_outlinks,
+  round(la.internal / CAST(la.n_outlinks AS DOUBLE), 6) AS frac_internal
+FROM per_host p LEFT JOIN la ON la.src_host = p.host
+"""
+
+
 FRONTIER_BLOOM_M, FRONTIER_BLOOM_K = 1024, 3
 
 
@@ -8981,6 +9026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_index": q_web_anchor_index,
         "web_crawl_frontier": q_web_crawl_frontier,
         "web_frontier_bloom": q_web_frontier_bloom,
+        "web_host_stats": q_web_host_stats,
         "web_url_templates": q_web_url_templates,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemaps": q_web_sitemaps,
@@ -11549,6 +11595,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     )
     d["doc_rake_keyphrases"] = _rake_oracle_sql(RAKE_TOPK)
     d["corpus_stopwords"] = _STOPWORDS_ORACLE
+    d["web_host_stats"] = _host_stats_oracle_sql()
     d["doc_phrase_search"] = _PHRASE_ORACLE
     d["kg_shacl_cardinality"] = _SHACL_ORACLE
     d["kg_distant_supervision"] = _DS_ORACLE

@@ -50,6 +50,7 @@ __all__ = [
     "robots_filter_frontier",
     "fetch_schedule",
     "revisit_schedule",
+    "host_stats",
     "HREF_RE",
     "HOST_RE",
 ]
@@ -749,4 +750,55 @@ def revisit_schedule(
         F.when(
             F.col("n_changes") > 0, F.round(F.lit(1.0) / rate, 6)
         ).alias("revisit_days"),
+    )
+
+
+def host_stats(pages: DataFrame) -> DataFrame:
+    """Host-level curation table: per normalized host, page count, mean
+    URL path depth, outlink volume, and the internal-link fraction
+    (links staying on the host) — the unit at which domain-level corpus
+    decisions actually happen (C4-style domain blocks, per-host crawl
+    budgets, link-farm flags: a host with huge outlink volume and a
+    tiny internal fraction is advertising someone else\'s pages).
+    Returns (host, n_pages, avg_depth, n_outlinks, frac_internal);
+    hosts with no extracted links carry 0 outlinks and NULL fraction.
+
+    Scale shape: two partial-aggregable groupBys — pages by host (count
+    + mean depth over a pure-map parsed column) and extracted links by
+    source host (count + internal sum) — joined on the host dim. The
+    corpus-sized link explode is extract_links\' existing pure map."""
+    from kg.ops.webnorm import normalize_urls
+
+    normed = normalize_urls(pages.select("url", "html"))
+    path = F.regexp_extract(F.col("url_norm"), r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1)
+    depth = F.size(
+        F.filter(F.split(path, "/", -1), lambda s: s != F.lit(""))
+    )
+    per_host = normed.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.round(F.avg(depth), 6).alias("avg_depth"),
+    )
+    links = extract_links(pages)
+    src_host = normalize_urls(
+        links.select(F.col("src_url").alias("url"), "dst_url")
+    ).select(F.col("host").alias("src_host"), "dst_url")
+    dst_host = F.lower(
+        F.regexp_extract(F.col("dst_url"), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    link_agg = src_host.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_outlinks"),
+        F.sum(
+            F.when(dst_host == F.col("src_host"), 1).otherwise(0)
+        ).alias("_internal"),
+    )
+    return per_host.join(
+        link_agg, per_host["host"] == link_agg["src_host"], "left"
+    ).select(
+        "host",
+        "n_pages",
+        "avg_depth",
+        F.coalesce("n_outlinks", F.lit(0)).cast("long").alias("n_outlinks"),
+        F.round(F.col("_internal") / F.col("n_outlinks"), 6).alias(
+            "frac_internal"
+        ),
     )

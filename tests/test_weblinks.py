@@ -704,3 +704,29 @@ class TestFrontierBloom:
         assert all(r.is_new for r in rows if r.definitely_new)
         # and the fast path actually prunes something at this sizing
         assert any(r.definitely_new for r in rows)
+
+
+class TestHostStats:
+    def test_multi_host_fractions_and_no_link_host(self, spark):
+        from kg.ops.weblinks import host_stats
+
+        pages = spark.createDataFrame(
+            [
+                ("https://a.test/x/y",
+                 b'<a href="/local">l</a><a href="https://b.test/p">b</a>'),
+                ("https://a.test/z",
+                 b'<a href="https://a.test/x/y">i</a>'),
+                ("https://quiet.test/", b"no links here"),
+            ],
+            "url string, html binary",
+        )
+        got = {r.host: r for r in host_stats(pages).collect()}
+        a = got["a.test"]
+        # 3 outlinks from a.test: /local (internal), b.test (external),
+        # absolute a.test (internal) -> 2/3 internal
+        assert a.n_pages == 2 and a.n_outlinks == 3
+        assert abs(a.frac_internal - round(2 / 3, 6)) < 1e-9
+        assert a.avg_depth == 1.5  # depths 2 and 1
+        q = got["quiet.test"]
+        assert q.n_outlinks == 0 and q.frac_internal is None
+        assert q.avg_depth == 0.0
