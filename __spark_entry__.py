@@ -5761,6 +5761,36 @@ FROM rows_out r, st
 """
 
 
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (kg/ops/profile.py column_histogram) of the
+    events value column, 20 bins — the distribution-shape QA beside
+    profile_table's scalars. One min/max aggregate + one groupBy on the
+    bin index; oracle replays the bin arithmetic."""
+    from kg.ops.profile import column_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return column_histogram(ev, "value", n_bins=20)
+
+
+_VALUE_HIST_ORACLE = """
+WITH mm AS (
+  SELECT min(CAST(value AS DOUBLE)) AS lo, max(CAST(value AS DOUBLE)) AS hi
+  FROM events
+), b AS (
+  SELECT least(
+      CAST(floor((CAST(value AS DOUBLE) - mm.lo)
+                 / ((mm.hi - mm.lo) / 20)) AS BIGINT),
+      19) AS bin
+  FROM events, mm WHERE value IS NOT NULL
+)
+SELECT b.bin,
+  round(mm.lo + b.bin * ((mm.hi - mm.lo) / 20), 6) AS lo,
+  round(mm.lo + (b.bin + 1) * ((mm.hi - mm.lo) / 20), 6) AS hi,
+  CAST(count(*) AS BIGINT) AS n
+FROM b, mm GROUP BY b.bin, mm.lo, mm.hi
+"""
+
+
 def q_events_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size estimation from count-min sketches (kg/ops/sketch.py
     cms_inner_product): |purchases ⋈ clicks ON user_id| estimated as
@@ -8974,6 +9004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cluster_agreement": q_doc_cluster_agreement,
         "lineitem_correlations": q_lineitem_correlations,
         "doc_lang_source_mi": q_doc_lang_source_mi,
+        "events_value_histogram": q_events_value_histogram,
         "doc_corpus_overlap": q_doc_corpus_overlap,
         "events_value_quantiles": q_events_value_quantiles,
         "tpch_rollup": q_tpch_rollup,
@@ -11589,6 +11620,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_cluster_agreement"] = _AGREEMENT_ORACLE
     d["lineitem_correlations"] = _CORR_ORACLE
     d["doc_lang_source_mi"] = _MI_ORACLE
+    d["events_value_histogram"] = _VALUE_HIST_ORACLE
     d["doc_paragraph_dedup"] = _PARA_DEDUP_ORACLE
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW

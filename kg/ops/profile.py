@@ -26,7 +26,8 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 __all__ = ["profile_table", "profile_diff", "skew_report",
-           "numeric_correlations", "categorical_mi"]
+           "numeric_correlations", "categorical_mi",
+           "column_histogram"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -324,4 +325,48 @@ def categorical_mi(
             len(cell_rows),
         )],
         "mi double, h_a double, h_b double, nmi double, n_cells long",
+    )
+
+
+def column_histogram(
+    df: DataFrame, col: str, n_bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n) with
+    ``n_bins`` bins spanning [min, max] — the distribution-drift
+    companion to profile_table\'s scalar stats (a mean can sit still
+    while the shape bimodalizes) and the zone-map intuition check
+    before choosing range-partition bounds. The max value lands in the
+    last bin (half-open bins, closed top); constant columns collapse to
+    one bin.
+
+    Scale shape: one scalar min/max aggregate, then ONE
+    partial-aggregable groupBy on the computed bin index — two passes,
+    no sort, output bounded by n_bins."""
+    c = F.col(col).cast("double")
+    mm = df.agg(
+        F.min(c).alias("lo"), F.max(c).alias("hi"),
+        F.count(c).alias("n"),
+    ).first()
+    if mm.n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "bin long, lo double, hi double, n long"
+        )
+    lo, hi = float(mm.lo), float(mm.hi)
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    bin_idx = F.least(
+        F.floor((c - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    return (
+        df.where(c.isNotNull())
+        .groupBy(bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias(
+                "hi"
+            ),
+            "n",
+        )
     )

@@ -1629,3 +1629,21 @@ class TestColumnAssociations:
             [(1, i % 3) for i in range(30)], "a long, b long"
         )
         assert categorical_mi(df, "a", "b").first().nmi == 0.0
+
+
+class TestColumnHistogram:
+    def test_equi_width_bins(self, spark):
+        from kg.ops.profile import column_histogram
+
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+        got = {r.bin: (r.lo, r.hi, r.n)
+               for r in column_histogram(df, "x", n_bins=4).collect()}
+        assert got[0] == (0.0, 24.75, 25)
+        assert got[3] == (74.25, 99.0, 25)  # max closes the top bin
+
+    def test_constant_column_single_bin(self, spark):
+        from kg.ops.profile import column_histogram
+
+        df = spark.createDataFrame([(7.0,)] * 10, "x double")
+        rows = column_histogram(df, "x", n_bins=5).collect()
+        assert len(rows) == 1 and rows[0].n == 10 and rows[0].bin == 0
