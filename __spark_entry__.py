@@ -2319,6 +2319,46 @@ def q_doc_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixing (kg/ops/curation.py
+    temperature_targets ∘ mixture_weights): targets ∝ token_share^0.3
+    (the mT5 multilingual sampling rule — natural proportions at α=1,
+    uniform as α→0) computed from the corpus itself, then the standard
+    factor + deterministic repeat draw. Oracle recomputes the power
+    smoothing, normalization, factors, and the md5 Bernoulli draw."""
+    from kg.ops.curation import mixture_weights, temperature_targets
+
+    docs = _docs(spark, sf_dir)
+    targets = temperature_targets(docs, alpha=0.3, group_col="lang")
+    return mixture_weights(docs, targets=targets, group_col="lang")
+
+
+_MIX_TEMP_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, CAST(lang AS VARCHAR) AS grp,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+         x -> x <> '')) AS BIGINT) AS n_tokens,
+    ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 AS u
+  FROM documents
+), gt AS (
+  SELECT grp, CAST(sum(n_tokens) AS BIGINT) AS gtok FROM base GROUP BY grp
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM base),
+sm AS (
+  SELECT grp, pow(gtok / CAST(total AS DOUBLE), 0.3) AS s FROM gt, tot
+), z AS (SELECT sum(s) AS z FROM sm),
+f AS (
+  SELECT gt.grp, ((sm.s / z.z) * total) / greatest(gt.gtok, 1) AS factor
+  FROM gt JOIN sm USING (grp), z, tot
+)
+SELECT b.doc_id, b.grp AS lang, b.n_tokens, round(f.factor, 9) AS factor,
+  CAST(floor(f.factor)
+       + CASE WHEN b.u < f.factor - floor(f.factor) THEN 1 ELSE 0 END
+       AS BIGINT) AS n_repeats
+FROM base b JOIN f USING (grp)
+"""
+
+
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization per embedding with per-vector
     max-abs reconstruction error; floor(x/scale+0.5) round is identical
@@ -8951,6 +8991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_random_projection": q_emb_random_projection,
         "corpus_compaction_plan": q_corpus_compaction_plan,
         "doc_mixture": q_doc_mixture,
+        "doc_mixture_temperature": q_doc_mixture_temperature,
         "emb_quantize": q_emb_quantize,
         "web_url_normalize": q_web_url_normalize,
         "doc_blocking_eval": q_doc_blocking_eval,
@@ -11621,6 +11662,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["lineitem_correlations"] = _CORR_ORACLE
     d["doc_lang_source_mi"] = _MI_ORACLE
     d["events_value_histogram"] = _VALUE_HIST_ORACLE
+    d["doc_mixture_temperature"] = _MIX_TEMP_ORACLE
     d["doc_paragraph_dedup"] = _PARA_DEDUP_ORACLE
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW

@@ -35,6 +35,7 @@ __all__ = [
     "mixture_weights",
     "assign_shards",
     "threshold_sweep",
+    "temperature_targets",
 ]
 
 
@@ -740,3 +741,34 @@ def threshold_sweep(
         F.round(rec, round_to).alias("recall"),
         F.round(f1, round_to).alias("f1"),
     )
+
+
+def temperature_targets(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Temperature-smoothed mixture targets (the multilingual sampling
+    rule of mBERT/mT5): target_g ∝ p_g^alpha where p_g is group g\'s
+    token share — alpha = 1 keeps natural proportions, alpha -> 0
+    approaches uniform, the standard head-tail compromise for
+    low-resource groups. Returns {group: fraction} summing to 1, ready
+    for :func:`mixture_weights` (compose: targets -> factors ->
+    deterministic repeat draws).
+
+    Scale shape: one partial-aggregable groupBy to the per-group token
+    totals (a handful of rows); the exponentiation/normalization is
+    driver arithmetic."""
+    grp = F.col(group_col).cast("string")
+    rows = (
+        docs.select(grp.alias("g"),
+                    F.size(_words(text_col)).cast("long").alias("t"))
+        .groupBy("g")
+        .agg(F.sum("t").alias("t"))
+        .collect()
+    )
+    total = sum(r.t for r in rows) or 1
+    smoothed = {r.g: (r.t / total) ** alpha for r in rows}
+    z = sum(smoothed.values()) or 1.0
+    return {g: v / z for g, v in sorted(smoothed.items())}

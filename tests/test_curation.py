@@ -765,3 +765,19 @@ class TestCleanPipelineStage:
 
         assert clean.where(F.col("text").rlike(r"\s\s")).count() == 0
         assert clean.where(F.col("n_dropped") < 0).count() == 0
+
+
+class TestTemperatureTargets:
+    def test_alpha_flattens_toward_uniform(self, spark):
+        from kg.ops.curation import temperature_targets
+
+        docs = spark.createDataFrame(
+            [(1, "en", "a " * 90), (2, "fr", "b " * 10)],
+            "doc_id long, lang string, text string",
+        )
+        nat = temperature_targets(docs, alpha=1.0, group_col="lang")
+        cold = temperature_targets(docs, alpha=0.1, group_col="lang")
+        assert abs(nat["en"] - 0.9) < 1e-9 and abs(nat["fr"] - 0.1) < 1e-9
+        # alpha -> 0 approaches uniform: minority share rises
+        assert 0.4 < cold["fr"] < 0.5 < cold["en"] < 0.6
+        assert abs(sum(cold.values()) - 1.0) < 1e-12
