@@ -3320,6 +3320,135 @@ def _lpa_oracle_sql(rounds: int) -> str:
     )
 
 
+NEIGHBORHOOD_ROUNDS = 4
+NEIGHBORHOOD_P = 4
+
+
+def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall approximate neighborhood function N(r) over the edge
+    fixture: iterated HLL counter merges along edges (kg/graphstats.py
+    neighborhood_function), 16 registers as in the HyperBall web-graph
+    runs. Deterministic end-to-end (md5 registers, exact-integer
+    harmonic sums, DECIMAL(38,6) totals), so the DuckDB oracle replays
+    the full iteration round by round."""
+    from kg.graphstats import neighborhood_function
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return neighborhood_function(
+        edges, rounds=NEIGHBORHOOD_ROUNDS, p=NEIGHBORHOOD_P
+    )
+
+
+def _neighborhood_oracle_sql(rounds: int, p: int) -> str:
+    """Unrolled HyperBall: one counter-merge CTE + one per-node-estimate
+    CTE per radius, union-all'd. Register math matches
+    kg/ops/sketch.py hll_oracle_sql; totals sum as DECIMAL(38,6)."""
+    from kg.ops.sketch import _hll_alpha
+
+    m = 1 << p
+    w = 60 - p
+    s = w + 1
+    alpha_num = repr(_hll_alpha(m) * float(m) * float(m) * float(1 << s))
+    est_expr = (
+        f"round(CASE WHEN {alpha_num} / CAST(sum_scaled AS DOUBLE)"
+        f" <= {2.5 * m} AND {m} - nr > 0"
+        f" THEN {float(m)!r} * ln({float(m)!r} /"
+        f" CAST({m} - nr AS DOUBLE))"
+        f" ELSE {alpha_num} / CAST(sum_scaled AS DOUBLE) END, 6)"
+    )
+    parts = [
+        f"WITH raw AS (SELECT src, dst FROM '{FIX}/edges.parquet')",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        " SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)"
+        " WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "hashed AS (SELECT node,"
+        " ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h"
+        " FROM nodes)",
+        f"c0 AS MATERIALIZED (SELECT node, CAST(h >> {w} AS INTEGER) AS reg,"
+        f" CAST(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {w + 1}"
+        f" ELSE {w + 1} - length(bin(h & {(1 << w) - 1})) END AS INTEGER)"
+        f" AS mx FROM hashed)",
+    ]
+    for i in range(rounds + 1):
+        if i > 0:
+            parts.append(
+                f"c{i} AS MATERIALIZED (SELECT node, reg,"
+                f" CAST(max(mx) AS INTEGER) AS mx FROM ("
+                f" SELECT node, reg, mx FROM c{i - 1}"
+                f" UNION ALL SELECT e.dst AS node, c.reg, c.mx"
+                f" FROM e JOIN c{i - 1} c ON e.src = c.node)"
+                f" GROUP BY node, reg)"
+            )
+        parts.append(
+            f"pn{i} AS (SELECT node, CAST(count(*) AS INTEGER) AS nr,"
+            f" CAST(sum((1::BIGINT << ({s} - mx))) +"
+            f" ({m} - count(*)) * (1::BIGINT << {s}) AS BIGINT)"
+            f" AS sum_scaled FROM c{i} GROUP BY node)"
+        )
+        parts.append(
+            f"t{i} AS (SELECT {i} AS r, CAST(count(*) AS BIGINT) AS n_nodes,"
+            f" sum(CAST({est_expr} AS DECIMAL(38,6))) AS t FROM pn{i})"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT r, n_nodes, CAST(t AS DOUBLE) AS est_pairs,"
+        f" CAST(t AS DOUBLE) / n_nodes AS avg_ball FROM t{i}"
+        for i in range(rounds + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the graph_communities LPA assignment,
+    per-community rows (kg/graphstats.py modularity). Exact-integer
+    numerator (twoM*intra2 - d_c^2) divided once, so q_contrib is
+    bit-identical to the oracle, which recomputes LPA (the
+    graph_communities oracle embedded as a CTE) and the modularity
+    algebra independently."""
+    from kg.graphstats import label_propagation, modularity
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    comm = label_propagation(edges, rounds=LPA_ROUNDS)
+    return modularity(edges, comm).select(
+        F.col("label").cast("long").alias("label"),
+        "n_nodes",
+        "intra_edges",
+        "degree_sum",
+        "q_contrib",
+    )
+
+
+def _modularity_oracle_sql(rounds: int) -> str:
+    lpa = _lpa_oracle_sql(rounds)
+    return f"""
+WITH comm AS MATERIALIZED (SELECT * FROM ({lpa}) _l),
+mraw AS (SELECT src, dst FROM '{FIX}/edges.parquet'),
+und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+  SELECT src AS u, dst AS v FROM mraw
+  UNION ALL SELECT dst AS u, src AS v FROM mraw) WHERE u <> v),
+tm AS (SELECT count(*) AS two_m FROM und),
+deg AS (SELECT u AS n, count(*) AS deg FROM und GROUP BY 1),
+bl AS (
+  SELECT label, count(*) AS n_nodes,
+         sum(coalesce(deg, 0)) AS degree_sum
+  FROM comm LEFT JOIN deg ON comm.node = deg.n GROUP BY 1),
+intra AS (
+  SELECT lu.label, count(*) AS intra2
+  FROM und JOIN comm lu ON und.u = lu.node
+  JOIN comm lv ON und.v = lv.node
+  WHERE lu.label = lv.label GROUP BY 1)
+SELECT CAST(bl.label AS BIGINT) AS label,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(intra2, 0) // 2 AS BIGINT) AS intra_edges,
+       CAST(degree_sum AS BIGINT) AS degree_sum,
+       round(CAST(two_m * coalesce(intra2, 0)
+                  - degree_sum * degree_sum AS DOUBLE)
+             / (CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE)),
+             6) AS q_contrib
+FROM bl CROSS JOIN tm LEFT JOIN intra ON bl.label = intra.label
+"""
+
+
 def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-star/small-star CC over the committed edge fixture. The DuckDB
     oracle recomputes components with a recursive-CTE transitive closure —
@@ -5913,6 +6042,21 @@ def q_doc_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return kmv_distinct(docs, ["lang"], "text", k=64, n_shards=8)
+
+
+def q_doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-text estimate per language (kg/ops/sketch.py
+    hll_distinct). Seedless md5 registers make the sketch
+    deterministic, so — as with KMV — the oracle recomputes the
+    REGISTERS and estimate bit-for-bit, not just a tolerance band.
+    p=8 (256 registers) > per-lang cardinality at sf0.01 keeps both the
+    linear-counting branch and the exact-integer harmonic sum under
+    contract; the raw-estimator branch is pinned in tests at higher
+    cardinality."""
+    from kg.ops.sketch import hll_distinct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hll_distinct(docs, ["lang"], "text", p=8)
 
 
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9015,6 +9159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         "graph_bowtie": q_graph_bowtie,
         "graph_communities": q_graph_communities,
+        "graph_neighborhood": q_graph_neighborhood,
+        "graph_modularity": q_graph_modularity,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_warm": q_graph_pagerank_warm,
         "graph_degrees": q_graph_degrees,
@@ -9040,6 +9186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_rollup": q_events_time_rollup,
         "events_time_densify": q_events_time_densify,
         "doc_kmv_distinct": q_doc_kmv_distinct,
+        "doc_hll_distinct": q_doc_hll_distinct,
         "events_join_size_est": q_events_join_size_est,
         "doc_skew_report": q_doc_skew_report,
         "doc_cluster_agreement": q_doc_cluster_agreement,
@@ -10879,6 +11026,10 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
         PAGERANK_ITERS, PRWARM_ITERS
     )
     d["graph_communities"] = _lpa_oracle_sql(LPA_ROUNDS)
+    d["graph_neighborhood"] = _neighborhood_oracle_sql(
+        NEIGHBORHOOD_ROUNDS, NEIGHBORHOOD_P
+    )
+    d["graph_modularity"] = _modularity_oracle_sql(LPA_ROUNDS)
     d["graph_degrees"] = f"""
 WITH deg_rows AS (
   SELECT src AS node, 1 AS out_d, 0 AS in_d FROM '{FIX}/edges.parquet'
@@ -11313,6 +11464,11 @@ FROM events GROUP BY 2, 3
 
     d["doc_kmv_distinct"] = kmv_oracle_sql(
         "documents", ["lang"], "text", k=64
+    )
+    from kg.ops.sketch import hll_oracle_sql
+
+    d["doc_hll_distinct"] = hll_oracle_sql(
+        "documents", ["lang"], "text", p=8
     )
     _q_probs = (0.1, 0.25, 0.5, 0.75, 0.9)
     d["events_value_quantiles"] = "\nUNION ALL\n".join(

@@ -47,6 +47,9 @@ __all__ = [
     "fact_evidence",
     "merge_fact_evidence",
     "label_propagation",
+    "neighborhood_function",
+    "effective_diameter",
+    "modularity",
 ]
 
 
@@ -1417,4 +1420,245 @@ def bowtie_decomposition(
             .otherwise(F.lit("other"))
             .alias("region"),
         )
+    )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    rounds: int = 6,
+    p: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the approximate neighborhood
+    function N(r) = estimated number of (u, v) pairs with dist(u, v) <= r,
+    computed by iterating HyperLogLog counter merges along edges — the
+    algorithm behind the "four degrees of separation" web-graph
+    measurements, and the scalable route to effective-diameter /
+    average-distance estimates where exact all-pairs BFS is impossible.
+
+    Returns one row per radius r in [0, rounds]:
+    (r INT, n_nodes LONG, est_pairs DOUBLE, avg_ball DOUBLE) where
+    est_pairs is the sum over nodes of the node's estimated ball
+    cardinality |B(v, r)| and avg_ball = est_pairs / n_nodes. The
+    effective diameter at fraction a is the smallest r with
+    est_pairs(r) >= a * est_pairs(rounds) (:func:`effective_diameter`).
+
+    Determinism/oracle: counters are seedless HLL register tables
+    (md5-hashed node ids, kg/ops/sketch.py semantics) held RELATIONALLY
+    as (node, reg, mx) rows; per-node estimates keep the harmonic-mean
+    denominator in exact integer space and round once, then sum as
+    DECIMAL(38,6) — decimal addition is exact and order-insensitive, so
+    the total is bit-identical across engines and partitionings, and a
+    DuckDB oracle replays the whole iteration.
+
+    Scale shape: per round ONE shuffle join (counters ⋈ edges on the
+    source key) + one partial-aggregated groupBy(node, reg) max — the
+    union-max is associative, so map-side combine does most of the
+    merging — with the state (<= |V| * 2^p rows, p=4 -> 16 registers as
+    in the HyperBall paper's web runs) materialized per round so round
+    i+1 never replays history. Monotone convergence: when a round
+    changes no register, remaining radii repeat the fixed point without
+    launching further jobs.
+    """
+    m = 1 << int(p)
+    w = 60 - int(p)
+    s = w + 1
+    from kg.ops.sketch import _hll_alpha
+
+    alpha_num = _hll_alpha(m) * float(m) * float(m) * float(1 << s)
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.union(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = materialize(e.where(F.col("src") != F.col("dst")).distinct())
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+
+    h = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = (
+        F.when(rem == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(rem)))
+        .cast("int")
+    )
+    counters = materialize(
+        nodes.select(
+            "node",
+            F.shiftright(h, w).cast("int").alias("reg"),
+            rho.alias("mx"),
+        )
+    )
+
+    def _round_total(c: DataFrame):
+        per_node = c.groupBy("node").agg(
+            F.count("*").cast("int").alias("nr"),
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s} - mx)"))
+            .cast("long")
+            .alias("pres"),
+        )
+        v = F.lit(m) - F.col("nr")
+        sum_scaled = (
+            F.col("pres") + v.cast("long") * F.lit(1 << s).cast("long")
+        )
+        raw = F.lit(alpha_num) / sum_scaled.cast("double")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+        ).otherwise(raw)
+        row = per_node.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(est, 6).cast("decimal(38,6)")).alias("t"),
+        ).collect()[0]
+        return int(row["n"]), row["t"]
+
+    n_nodes, total = _round_total(counters)
+    out = [(0, n_nodes, float(total), float(total) / n_nodes)]
+    converged = False
+    for r in range(1, int(rounds) + 1):
+        if not converged:
+            prop = e.join(
+                counters.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), "reg", "mx")
+            nxt = materialize(
+                counters.union(prop)
+                .groupBy("node", "reg")
+                .agg(F.max("mx").cast("int").alias("mx"))
+            )
+            grew = (
+                nxt.alias("n")
+                .join(
+                    counters.alias("c"),
+                    ["node", "reg"],
+                    "left",
+                )
+                .where(
+                    F.col("n.mx")
+                    > F.coalesce(F.col("c.mx"), F.lit(0))
+                )
+                .isEmpty()
+            )
+            counters = nxt
+            if grew:
+                converged = True
+            else:
+                n_nodes, total = _round_total(counters)
+        out.append((r, n_nodes, float(total), float(total) / n_nodes))
+    return edges.sparkSession.createDataFrame(
+        out, "r INT, n_nodes LONG, est_pairs DOUBLE, avg_ball DOUBLE"
+    )
+
+
+def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> float:
+    """Effective diameter from a :func:`neighborhood_function` table:
+    the smallest radius r whose estimated pair count reaches ``alpha``
+    of the final radius's, linearly interpolated between r-1 and r (the
+    standard HyperBall/ANF convention). Driver-side over the <= rounds+1
+    aggregate rows."""
+    rows = sorted(
+        (int(r["r"]), float(r["est_pairs"])) for r in nf.collect()
+    )
+    target = alpha * rows[-1][1]
+    prev_r, prev_v = rows[0]
+    if prev_v >= target:
+        return float(prev_r)
+    for r, v in rows[1:]:
+        if v >= target:
+            if v == prev_v:
+                return float(r)
+            return prev_r + (target - prev_v) / (v - prev_v) * (r - prev_r)
+        prev_r, prev_v = r, v
+    return float(rows[-1][0])
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community assignment over the undirected
+    simple graph: per community c,
+    ``Q_c = intra_c / m - (d_c / 2m)^2`` where intra_c counts edges with
+    both endpoints in c, d_c sums member degrees, and m is the total
+    edge count; total modularity is the sum over communities. The
+    quality gauge for :func:`label_propagation` output (is this
+    clustering better than that one / than random), completing the
+    communities toolkit the same way blocking_quality_eval scores the
+    dedup blockers.
+
+    Returns (label, n_nodes, intra_edges, degree_sum, q_contrib) per
+    community, q_contrib rounded to 6. Exactness: with twoM = the
+    symmetrized row count (= 2m) and intra2_c = symmetrized intra rows
+    (= 2*intra_c), ``Q_c = (twoM * intra2_c - d_c^2) / twoM^2`` — an
+    exact BIGINT numerator divided once by a double product, so the
+    value is bit-identical across engines with no float-sum order
+    sensitivity. Nodes absent from ``communities`` are excluded (their
+    edges still count in m and in member degrees). The exact-integer
+    numerator holds to ~2^31 symmetrized rows (values < 2^62); past
+    that, compute the numerator in double instead — relative error
+    ~1e-16, far below the 1e-6 rounding grain.
+
+    Scale shape: symmetrize+distinct once; degrees are one
+    partial-aggregated groupBy; intra edges take two co-partitioned
+    joins of the edge list against the (node, label) assignment (each
+    keyed on the node id) and one more groupBy — all linear in |E|,
+    no per-community iteration.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = materialize(und)
+    two_m = und.count()
+    lab = communities.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("label")
+    )
+    deg = und.groupBy(F.col("u").alias("_n")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    by_label = (
+        lab.join(deg, "_n", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.coalesce("deg", F.lit(0))).cast("long").alias(
+                "degree_sum"
+            ),
+        )
+    )
+    intra = (
+        und.join(lab.withColumnRenamed("_n", "u"), "u")
+        .withColumnRenamed("label", "lu")
+        .join(lab.withColumnRenamed("_n", "v"), "v")
+        .where(F.col("lu") == F.col("label"))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("_intra2"))
+    )
+    num = (
+        F.lit(two_m).cast("long") * F.coalesce("_intra2", F.lit(0))
+        - F.col("degree_sum") * F.col("degree_sum")
+    )
+    return by_label.join(intra, "label", "left").select(
+        "label",
+        "n_nodes",
+        (F.coalesce("_intra2", F.lit(0)) / F.lit(2)).cast("long").alias(
+            "intra_edges"
+        ),
+        "degree_sum",
+        F.round(
+            num.cast("double")
+            / (F.lit(float(two_m)) * F.lit(float(two_m))),
+            6,
+        ).alias("q_contrib"),
     )

@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["kmv_distinct", "kmv_overlap", "grouped_quantiles",
            "cms_build", "cms_estimate", "cms_inner_product",
-           "bloom_build", "bloom_probe"]
+           "bloom_build", "bloom_probe",
+           "hll_registers", "hll_estimate", "hll_distinct", "hll_merge"]
 
 # 15 hex chars = 60 bits: fits a signed 64-bit long exactly, and both
 # engines parse it identically (Spark conv(x,16,10); DuckDB '0x'||x cast)
@@ -523,3 +524,206 @@ def cms_inner_product(
             .alias("est_join_size")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007): register-max cardinality sketch
+# ---------------------------------------------------------------------------
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant for m registers."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog register table: (group_cols..., reg, mx).
+
+    The 60-bit md5 hash splits into a ``p``-bit register index (top
+    bits) and a ``w = 60-p``-bit remainder; ``mx`` is the max over the
+    group's values of rho(remainder) = 1 + leading zeros in the w-bit
+    field (so mx in [1, w+1]). Like :func:`kmv_distinct` the sketch is
+    seedless-deterministic (md5), so the DuckDB oracle recomputes the
+    registers bit-for-bit — the *implementation* is contract-checked.
+
+    This is the MERGEABLE form: registers from disjoint corpus slices
+    (or different corpora) combine by ``union -> groupBy max`` —
+    :func:`hll_estimate` of the merged table equals the sketch of the
+    union (max is associative/commutative/idempotent). At most
+    ``m = 2^p`` rows per group regardless of cardinality, and the
+    groupBy partial-aggregates map-side, so per-task state is bounded
+    at m longs — unlike KMV's collect_set, whose pre-slice state grows
+    with the slice's distinct count (that is why KMV needs the
+    two-level shard trick and HLL does not).
+    """
+    w = 60 - int(p)
+    groups = list(group_cols)
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, _HEX_DIGITS),
+        16,
+        10,
+    ).cast("long")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *groups, h.alias("_h")
+    )
+    reg = F.shiftright(F.col("_h"), w).cast("int").alias("reg")
+    rem = F.col("_h").bitwiseAND(F.lit((1 << w) - 1))
+    # rho = 1 + leading zeros of the w-bit remainder. length(bin(rem))
+    # is the highest set bit position (1-indexed); bin(0) = "0" has
+    # length 1, so the all-zeros case is explicit.
+    rho = (
+        F.when(rem == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(rem)))
+        .cast("int")
+        .alias("_rho")
+    )
+    return (
+        base.select(*groups, reg, rho)
+        .groupBy(*groups, "reg")
+        .agg(F.max("_rho").cast("int").alias("mx"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: Sequence[str],
+    p: int = 12,
+) -> DataFrame:
+    """Cardinality estimate from a :func:`hll_registers` table.
+
+    Returns (group_cols..., n_registers_hit, sum_scaled, est_distinct):
+    - ``sum_scaled``: the harmonic-mean denominator Σ 2^-M_j held in
+      EXACT integer space, scaled by 2^S with S = w+1 (every term
+      2^(S-M_j) is an integer; zero registers contribute 2^S each).
+      Integer summation is order-insensitive, so the one float
+      division at the end is bit-identical across engines — the same
+      exactness trick as harmonic_centrality's lcm sum.
+    - ``est_distinct``: alpha_m * m^2 / (sum_scaled / 2^S), with the
+      standard small-range linear-counting correction (est <= 2.5m and
+      empty registers present -> m * ln(m / V)); rounded to 6.
+
+    The large-range (2^60-hash-collision) correction is omitted: it
+    engages near 2^58 distinct values, beyond any per-group cardinality
+    this engine meets.
+    """
+    m = 1 << int(p)
+    w = 60 - int(p)
+    s = w + 1
+    groups = list(group_cols)
+    alpha_num = _hll_alpha(m) * float(m) * float(m) * float(1 << s)
+    sk = registers.groupBy(*groups).agg(
+        F.count("*").cast("int").alias("n_registers_hit"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s} - mx)"))
+        .cast("long")
+        .alias("_present"),
+    )
+    v = F.lit(m) - F.col("n_registers_hit")
+    sum_scaled = (
+        F.col("_present") + v.cast("long") * F.lit(1 << s).cast("long")
+    )
+    raw = F.lit(alpha_num) / sum_scaled.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return sk.select(
+        *groups,
+        "n_registers_hit",
+        sum_scaled.cast("long").alias("sum_scaled"),
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (registers +
+    estimate in one call). Error ~1.04/sqrt(m) relative (p=12 -> ~1.6%).
+
+    Versus :func:`kmv_distinct`: HLL state is m bytes-worth of register
+    maxes with map-side bounded aggregation and trivial mergeability
+    (:func:`hll_merge`); KMV gives the cross-engine-exact bottom-k AND
+    supports set-algebra overlap (:func:`kmv_overlap`). The corpus
+    monitors use both: HLL for always-on per-group counters, KMV when
+    overlap/Jaccard between sketches is needed.
+    """
+    return hll_estimate(hll_registers(df, group_cols, value_col, p), group_cols, p)
+
+
+def hll_merge(
+    registers_a: DataFrame,
+    registers_b: DataFrame,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Merge two register tables over the same group keys: union ->
+    groupBy max. The defining mergeable-sketch property (estimate of
+    the merge == sketch of the concatenated corpora) is pinned in
+    tests; this is what makes HLL counters maintainable incrementally
+    across crawl snapshots without re-scanning history."""
+    groups = list(group_cols)
+    return (
+        registers_a.select(*groups, "reg", "mx")
+        .unionByName(registers_b.select(*groups, "reg", "mx"))
+        .groupBy(*groups, "reg")
+        .agg(F.max("mx").cast("int").alias("mx"))
+    )
+
+
+def hll_oracle_sql(
+    table_expr: str,
+    group_cols: Sequence[str],
+    value_expr: str,
+    p: int = 12,
+) -> str:
+    """DuckDB SQL recomputing :func:`hll_distinct` bit-for-bit (same
+    md5 hash, same register split, same exact-integer harmonic sum;
+    the single division and the ln() of the linear-counting branch are
+    one-operation floats rounded to 6, as everywhere in the contract)."""
+    m = 1 << int(p)
+    w = 60 - int(p)
+    s = w + 1
+    groups = ", ".join(group_cols)
+    alpha_num = repr(_hll_alpha(m) * float(m) * float(m) * float(1 << s))
+    return f"""
+WITH hashed AS (
+  SELECT {groups},
+         ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1,
+                         {_HEX_DIGITS}))::BIGINT AS h
+  FROM {table_expr}
+  WHERE {value_expr} IS NOT NULL
+),
+regs AS (
+  SELECT {groups}, CAST(h >> {w} AS INTEGER) AS reg,
+         CAST(max(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {w + 1}
+                  ELSE {w + 1} - length(bin(h & {(1 << w) - 1})) END)
+              AS INTEGER) AS mx
+  FROM hashed GROUP BY {groups}, reg
+),
+sk AS (
+  SELECT {groups}, CAST(count(*) AS INTEGER) AS n_registers_hit,
+         CAST(sum((1::BIGINT << ({s} - mx))) +
+              ({m} - count(*)) * (1::BIGINT << {s}) AS BIGINT) AS sum_scaled
+  FROM regs GROUP BY {groups}
+)
+SELECT {groups}, n_registers_hit, sum_scaled,
+       round(CASE WHEN {alpha_num} / CAST(sum_scaled AS DOUBLE) <= {2.5 * m}
+                   AND {m} - n_registers_hit > 0
+                  THEN {float(m)!r} * ln({float(m)!r} /
+                       CAST({m} - n_registers_hit AS DOUBLE))
+                  ELSE {alpha_num} / CAST(sum_scaled AS DOUBLE) END,
+             6) AS est_distinct
+FROM sk
+"""

@@ -990,3 +990,113 @@ class TestBowtieDecomposition:
             200: "out", 201: "out", 10: "out", 11: "out",
             300: "other", 400: "other", 401: "other",
         }
+
+
+class TestNeighborhoodFunction:
+    def test_path_graph_known_counts(self, spark):
+        from kg.graphstats import effective_diameter, neighborhood_function
+
+        # path 0-1-2-3: exact N(r) = 4, 10, 14, 16, 16 for r = 0..4
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+        )
+        # p=6 (64 registers): at ball sizes <= 4 the linear-counting
+        # branch is near-exact and register collisions are unlikely
+        nf = neighborhood_function(edges, rounds=4, p=6)
+        rows = {int(r["r"]): r for r in nf.collect()}
+        exact = {0: 4, 1: 10, 2: 14, 3: 16, 4: 16}
+        for r, true_n in exact.items():
+            assert rows[r]["n_nodes"] == 4
+            rel = abs(rows[r]["est_pairs"] - true_n) / true_n
+            assert rel < 0.25, (r, rows[r]["est_pairs"], true_n)
+        # monotone in r; converged after the diameter (exact fixpoint)
+        ests = [rows[r]["est_pairs"] for r in range(5)]
+        assert ests == sorted(ests)
+        assert ests[3] == ests[4]
+        d = effective_diameter(nf, alpha=0.9)
+        assert 1.0 <= d <= 3.0
+
+    def test_directed_vs_undirected(self, spark):
+        from kg.graphstats import neighborhood_function
+
+        edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+        und = neighborhood_function(edges, rounds=3, p=4)
+        dir_ = neighborhood_function(edges, rounds=3, p=4, directed=True)
+        # directed balls are subsets of undirected balls at every radius
+        u = {r["r"]: r["est_pairs"] for r in und.collect()}
+        dd = {r["r"]: r["est_pairs"] for r in dir_.collect()}
+        assert all(dd[r] <= u[r] + 1e-9 for r in u)
+
+    def test_partition_invariant(self, spark):
+        from kg.graphstats import neighborhood_function
+
+        edges = spark.read.parquet("fixtures/edges.parquet")
+        one = sorted(
+            map(tuple, neighborhood_function(edges, rounds=3, p=4).collect())
+        )
+        two = sorted(
+            map(
+                tuple,
+                neighborhood_function(
+                    edges.repartition(13), rounds=3, p=4
+                ).collect(),
+            )
+        )
+        # DECIMAL-summed totals are order-insensitive: bit-identical
+        assert one == two
+
+
+class TestModularity:
+    def _two_triangles(self, spark):
+        # two triangles bridged by one edge; m = 7
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+            "src long, dst long",
+        )
+        comm = spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+            "node long, label long",
+        )
+        return edges, comm
+
+    def test_two_triangles_known_q(self, spark):
+        from kg.graphstats import modularity
+
+        edges, comm = self._two_triangles(spark)
+        rows = {r["label"]: r for r in modularity(edges, comm).collect()}
+        # Q_c = 3/7 - (7/14)^2 = 35/196 = 0.178571 for each triangle
+        for label in (0, 1):
+            r = rows[label]
+            assert (r["n_nodes"], r["intra_edges"], r["degree_sum"]) == (
+                3, 3, 7
+            )
+            assert r["q_contrib"] == round(35 / 196, 6)
+
+    def test_unlabeled_nodes_excluded_but_edges_count(self, spark):
+        from kg.graphstats import modularity
+
+        edges, comm = self._two_triangles(spark)
+        partial = comm.where(F.col("node") != 5)
+        rows = {r["label"]: r for r in modularity(edges, partial).collect()}
+        # community 1 is now {3, 4}: one intra edge, degrees 3 + 2;
+        # m stays 7 (all edges count toward the degree normalization)
+        r = rows[1]
+        assert (r["n_nodes"], r["intra_edges"], r["degree_sum"]) == (2, 1, 5)
+        assert r["q_contrib"] == round((14 * 2 - 25) / 196, 6)
+
+    def test_total_q_better_than_trivial_partition(self, spark):
+        from kg.graphstats import label_propagation, modularity
+
+        edges = spark.read.parquet("fixtures/edges.parquet")
+        comm = label_propagation(edges, rounds=5)
+        q_lpa = sum(
+            r["q_contrib"] for r in modularity(edges, comm).collect()
+        )
+        all_one = comm.select("node", F.lit(0).cast("long").alias("label"))
+        q_one = sum(
+            r["q_contrib"] for r in modularity(edges, all_one).collect()
+        )
+        # one-big-community modularity is ~0 by construction; LPA on the
+        # clustered fixture must beat it clearly
+        assert abs(q_one) < 1e-6
+        assert q_lpa > 0.2

@@ -649,3 +649,72 @@ def test_link_prediction_ranks_equi_joins_one_agg_no_window(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_hll_distinct_two_partial_agged_exchanges_no_python(spark):
+    """HLL = two groupBys (registers, then estimate), both map-side
+    partial-aggregated; no join, no window, no Python — the bounded-state
+    counter the always-on corpus monitors rely on."""
+    from kg.ops.sketch import hll_distinct
+
+    df = spark.range(100).selectExpr(
+        "cast(id % 3 as string) g", "cast(id as string) v"
+    )
+    p = _plan(hll_distinct(df, ["g"], "v", p=8))
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "partial_max" in p  # register maxes combine map-side
+
+
+def test_neighborhood_round_single_shuffle_join_no_python(spark):
+    """One HyperBall round = counters ⋈ edges (equi join) + one
+    partial-aggregated groupBy max; no cartesian, no Python."""
+    from kg.graphstats import neighborhood_function
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    nf = neighborhood_function(edges, rounds=1, p=4)
+    # the returned table is a driver-built aggregate; pin the round's
+    # building blocks instead: counters joined to edges then max-merged
+    from kg.session import materialize
+    from pyspark.sql import functions as F
+
+    e = materialize(edges.selectExpr("src", "dst"))
+    c = materialize(
+        edges.selectExpr("src as node", "cast(src % 16 as int) reg",
+                         "cast(1 as int) mx").distinct()
+    )
+    merged = (
+        c.union(
+            e.join(c.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "reg", "mx")
+        )
+        .groupBy("node", "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    p = _plan(merged)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "partial_max" in p
+    # and the end-to-end op returns the fixed 5-column aggregate shape
+    assert nf.columns == ["r", "n_nodes", "est_pairs", "avg_ball"]
+
+
+def test_modularity_equi_joins_only_partial_agged(spark):
+    from kg.graphstats import modularity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    comm = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "node long, label long"
+    )
+    p = _plan(modularity(edges, comm))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "partial_count" in p  # degree + intra aggs combine map-side

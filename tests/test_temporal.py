@@ -651,3 +651,86 @@ class TestTimeDensify:
         b = spark.createDataFrame([], "bucket_start timestamp, n long")
         with pytest.raises(ValueError):
             time_densify(b, "fortnight")
+
+
+class TestHLL:
+    def test_error_bound_raw_estimator_branch(self, spark):
+        from kg.ops.sketch import hll_distinct
+
+        n_true = 5000
+        df = spark.createDataFrame(
+            [("g", f"value-{i}") for i in range(n_true)], "g string, v string"
+        )
+        p = 8  # 256 registers; raw branch engages well above 2.5m=640
+        est = hll_distinct(df, ["g"], "v", p=p).first()["est_distinct"]
+        # ~1.04/sqrt(m) relative error; allow 5 sigma
+        assert abs(est - n_true) / n_true < 5 * 1.04 / math.sqrt(1 << p)
+
+    def test_linear_counting_branch_small_groups(self, spark):
+        from kg.ops.sketch import hll_distinct
+
+        df = spark.createDataFrame(
+            [("a", f"v{i % 17}") for i in range(100)]
+            + [("b", f"v{i}") for i in range(5)],
+            "g string, v string",
+        )
+        got = {
+            r["g"]: (r["est_distinct"], r["n_registers_hit"])
+            for r in hll_distinct(df, ["g"], "v", p=12).collect()
+        }
+        # linear counting at tiny cardinality vs m=4096 registers is
+        # near-exact (no register collisions -> m*ln(m/(m-n)) ~ n)
+        assert abs(got["a"][0] - 17) < 1.0 and got["a"][1] == 17
+        assert abs(got["b"][0] - 5) < 1.0 and got["b"][1] == 5
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        from kg.ops.sketch import (
+            hll_distinct,
+            hll_estimate,
+            hll_merge,
+            hll_registers,
+        )
+
+        rows_a = [("g", f"a{i}") for i in range(800)]
+        rows_b = [("g", f"b{i}") for i in range(600)]
+        # overlapping values between the two halves must count once
+        rows_b += rows_a[:200]
+        a = spark.createDataFrame(rows_a, "g string, v string")
+        b = spark.createDataFrame(rows_b, "g string, v string")
+        both = a.union(b)
+        merged = hll_estimate(
+            hll_merge(
+                hll_registers(a, ["g"], "v", p=6),
+                hll_registers(b, ["g"], "v", p=6),
+                ["g"],
+            ),
+            ["g"],
+            p=6,
+        ).first()
+        direct = hll_distinct(both, ["g"], "v", p=6).first()
+        assert (merged["sum_scaled"], merged["est_distinct"]) == (
+            direct["sum_scaled"], direct["est_distinct"]
+        )
+
+    def test_partition_and_duplicate_invariant(self, spark):
+        from kg.ops.sketch import hll_distinct
+
+        base = [("g", f"v{i}") for i in range(1000)]
+        a = spark.createDataFrame(base, "g string, v string")
+        b = spark.createDataFrame(base * 3, "g string, v string").repartition(
+            13
+        )
+        ra = hll_distinct(a, ["g"], "v").first()
+        rb = hll_distinct(b, ["g"], "v").first()
+        assert (ra["sum_scaled"], ra["est_distinct"]) == (
+            rb["sum_scaled"], rb["est_distinct"]
+        )
+
+    def test_nulls_not_counted(self, spark):
+        from kg.ops.sketch import hll_distinct
+
+        df = spark.createDataFrame(
+            [("g", "x"), ("g", None), ("g", "y")], "g string, v string"
+        )
+        r = hll_distinct(df, ["g"], "v", p=12).first()
+        assert r["n_registers_hit"] == 2
