@@ -497,22 +497,37 @@ def run_suite(spark, sf_dir: str) -> dict:
         train_val_test_split,
     )
 
+    # Same sizing fix as boilerplate (VERDICT r2 noted the ~2-3s
+    # high-parallelism wall made the curation row measure job launches,
+    # not the operators): replicate the stage input with distinct doc
+    # ids so parallel work dominates both legs' walls.
+    cur_repl = int(os.environ.get("SPARK_GRAFT_CURATION_REPL", "8"))
+    docs_cur = docs_x
+    if cur_repl > 1:
+        docs_cur = docs_x.crossJoin(
+            spark.range(cur_repl).select(F.col("id").alias("_rep"))
+        ).select(
+            F.concat_ws("#", "doc_id", "_rep").alias("doc_id"), "text"
+        )
+    n_cur_docs = n_pages * cur_repl
+
     def w_curation():
-        chunk_documents(docs_x, chunk_len=64, overlap=16,
+        chunk_documents(docs_cur, chunk_len=64, overlap=16,
                         id_col="doc_id").agg(
             F.count("*"), F.sum(F.length("chunk_text")),
             F.sum("n_tokens")).first()
-        pack_sequences(docs_x, seq_len=2048, n_shards=cpus * 2,
+        pack_sequences(docs_cur, seq_len=2048, n_shards=cpus * 2,
                        id_col="doc_id").agg(
             F.count("*"), F.sum("chunk_id")).first()
-        train_val_test_split(docs_x, id_col="doc_id").agg(
+        train_val_test_split(docs_cur, id_col="doc_id").agg(
             F.count("*"), F.sum("u"),
             F.count_distinct("split")).first()
 
     timings["curation"] = timed_twice(w_curation)
     extra["curation_docs_per_sec"] = round(
-        3 * n_pages / timings["curation"], 1
+        3 * n_cur_docs / timings["curation"], 1
     )
+    extra["curation_n_docs"] = n_cur_docs
 
     # --- LM quality scoring: train the add-k bigram LM on the full corpus
     # and score every doc under it (the CCNet-style perplexity-bucket
