@@ -8806,6 +8806,79 @@ SW_TOP_TRI = 16
 SW_TOP_BI = 8
 
 
+BPE_MERGES = 6
+
+
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule trainer (kg/ops/subword.py bpe_merges): 6 rounds of
+    globally-most-frequent adjacent-pair merging over the char+'</w>'
+    symbol sequences of the occurrence-weighted word dim, ties broken
+    lexicographically. The oracle unrolls every round in SQL — pair
+    counts, the argmax, and the greedy left-to-right merge (run-parity
+    window trick for the a==b self-overlap case) — so the trainer's
+    merge ORDER itself is contract-checked."""
+    from kg.ops.subword import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
+def _bpe_merges_oracle_sql(rounds: int) -> str:
+    parts = [
+        """WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+occ AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
+w0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY word) AS wid, n,
+         string_split(word, '') || ['</w>'] AS syms
+  FROM occ)"""
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"pos{i} AS MATERIALIZED (SELECT wid, n, syms,"
+            f" unnest(generate_series(1, len(syms))) AS j FROM {prev})"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT syms[j] AS a, syms[j+1] AS b,"
+            f" syms[j] || syms[j+1] AS merged, sum(n) AS cnt"
+            f" FROM pos{i} WHERE j < len(syms)"
+            f" GROUP BY 1, 2, 3 ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        # greedy left-to-right: adjacent match positions only collide
+        # when a == b; within each run of consecutive matches take the
+        # 1st, 3rd, ... (row-number parity inside the j - rn run id)
+        parts.append(
+            f"match{i} AS (SELECT p.wid, p.j FROM pos{i} p, m{i} m"
+            f" WHERE p.syms[p.j] = m.a AND p.syms[p.j+1] = m.b)"
+        )
+        parts.append(
+            f"taken{i} AS (SELECT wid, j FROM ("
+            f" SELECT wid, j, row_number() OVER"
+            f" (PARTITION BY wid, j - rn ORDER BY j) AS k FROM ("
+            f" SELECT wid, j, row_number() OVER"
+            f" (PARTITION BY wid ORDER BY j) AS rn FROM match{i}))"
+            f" WHERE k % 2 = 1)"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT p.wid, p.n,"
+            f" list(CASE WHEN t.j IS NOT NULL THEN m.merged"
+            f" ELSE p.syms[p.j] END ORDER BY p.j) AS syms"
+            f" FROM pos{i} p CROSS JOIN m{i} m"
+            f" LEFT JOIN taken{i} t ON p.wid = t.wid AND p.j = t.j"
+            f" LEFT JOIN taken{i} t2 ON p.wid = t2.wid AND p.j = t2.j + 1"
+            f" WHERE t2.j IS NULL GROUP BY p.wid, p.n)"
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({i - 1} AS INTEGER) AS rank, a AS "left",'
+        f' b AS "right", merged, CAST(cnt AS BIGINT) AS n FROM m{i}'
+        for i in range(1, rounds + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
 def q_corpus_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic subword piece vocabulary (kg/ops/subword.py): top-12
     whole words + top-16 within-word char trigrams + top-8 bigrams
@@ -9110,6 +9183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dense_ids": q_doc_dense_ids,
         "doc_weighted_sample": q_doc_weighted_sample,
         "corpus_subword_vocab": q_corpus_subword_vocab,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_subword_tokenize": q_doc_subword_tokenize,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_summary": q_doc_summary,
@@ -11020,6 +11094,7 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
     d["corpus_subword_vocab"] = (
         "WITH " + _subword_vocab_ctes() + "\nSELECT piece, kind FROM vocab"
     )
+    d["corpus_bpe_merges"] = _bpe_merges_oracle_sql(BPE_MERGES)
     d["doc_subword_tokenize"] = _subword_tokenize_oracle_sql()
     d["graph_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS)
     d["graph_pagerank_warm"] = _pagerank_warm_oracle_sql(

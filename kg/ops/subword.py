@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["subword_vocab", "subword_tokenize"]
+__all__ = ["subword_vocab", "subword_tokenize", "bpe_merges", "bpe_tokenize"]
 
 _KIND_PRIORITY = {"word": 0, "trigram": 1, "bigram": 2, "char": 3}
 
@@ -212,6 +212,174 @@ def subword_tokenize(
             F.when(
                 F.coalesce("n_words", F.lit(0)) > 0,
                 F.round(F.col("n_subwords") / F.col("n_words"), 4),
+            ).alias("fertility"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-pair encoding: the iterative merge-rule trainer (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+def _merge_pair(syms: "F.Column", a: str, b: str) -> "F.Column":
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b)
+    into a single symbol — the BPE apply step — as a pure JVM array
+    fold (one pass, pending-symbol accumulator; 'aaa' + (a,a) ->
+    ['aa','a'], the standard greedy semantics)."""
+    merged = F.lit(a + b)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == F.lit(a)) & (x == F.lit(b)),
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def fin(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def _initial_symbols(word: "F.Column") -> "F.Column":
+    """Character symbols plus the word-final '</w>' marker (the Sennrich
+    formulation: merges crossing the marker learn word-final units)."""
+    chars = F.filter(F.split(word, ""), lambda x: x != F.lit(""))
+    return F.concat(chars, F.array(F.lit("</w>")))
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn BPE merge rules from the corpus: repeatedly merge the
+    globally most frequent adjacent symbol pair (ties broken
+    lexicographically on (left, right) — fully deterministic, like every
+    trainer in this engine). Returns (rank, left, right, merged, n)
+    with one row per learned rule in application order.
+
+    Complements :func:`subword_vocab` (frequency-tiered WordPiece-style
+    vocabulary, single pass): BPE is the ITERATIVE trainer whose merge
+    order IS the tokenizer — the construction used by GPT-style byte
+    BPE. Rounds stop early when no pair reaches ``min_pair_count``.
+
+    Scale shape: the corpus is touched ONCE (the word-occurrence
+    groupBy, same partial-agged shuffle as subword_vocab); the merge
+    loop then runs entirely over the DISTINCT-WORD dimension weighted
+    by occurrence counts — Zipf makes that orders of magnitude smaller
+    than the corpus. Each round is one adjacent-pair explode +
+    partial-agged groupBy + a driver argmax (a scalar, like pagerank's
+    dangling mass) + one JVM array-fold map over the dim, with the dim
+    re-materialized per round so round i+1 never replays history. A
+    production 32k-merge run keeps the same corpus cost (one pass) and
+    pays n_merges dim-sized rounds — the known MapReduce-BPE shape.
+    """
+    from kg.session import materialize
+
+    occ = _occurrences(docs, text_col)
+    w = materialize(
+        occ.select("n", _initial_symbols(F.col("word")).alias("syms"))
+    )
+    spark = docs.sparkSession
+    rules: list[tuple] = []
+    for rank in range(int(n_merges)):
+        pairs = (
+            w.select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1).alias(
+                            "a"
+                        ),
+                        F.slice(
+                            F.col("syms"), 2, F.size("syms") - 1
+                        ).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").first()
+        if best is None or best["cnt"] < int(min_pair_count):
+            break
+        a, b = best["a"], best["b"]
+        rules.append((rank, a, b, a + b, int(best["cnt"])))
+        w = materialize(
+            w.select("n", _merge_pair(F.col("syms"), a, b).alias("syms"))
+        )
+    return spark.createDataFrame(
+        rules, "rank INT, left STRING, right STRING, merged STRING, n LONG"
+    )
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned merge rules: per doc, (n_words, n_subwords,
+    fertility) under the BPE segmentation the rules induce.
+
+    The merge list is applied IN RANK ORDER to the distinct-word dim
+    (chained JVM folds — rule count is a trainer knob, bounded), then
+    the corpus maps through one broadcast join on the word — the same
+    dim-not-corpus shape as :func:`subword_tokenize`. For production
+    rule counts (32k), chain in batches over a persisted dim or swap
+    the dim transform for an Arrow-batched pairwise-rank matcher; the
+    corpus-side cost is identical.
+    """
+    rules = [
+        (r["rank"], r["left"], r["right"])
+        for r in merges.select("rank", "left", "right").collect()
+    ]
+    rules.sort()
+    dim = docs.select(
+        F.explode(_words(text_col)).alias("word")
+    ).distinct()
+    syms = _initial_symbols(F.col("word"))
+    for _, a, b in rules:
+        syms = _merge_pair(syms, a, b)
+    dim = dim.select("word", F.size(syms).alias("n_sub"))
+    exploded = docs.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("word")
+    )
+    return (
+        exploded.join(F.broadcast(dim), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords") / F.col("n_words").cast("double"), 6
             ).alias("fertility"),
         )
     )

@@ -1647,3 +1647,119 @@ class TestColumnHistogram:
         df = spark.createDataFrame([(7.0,)] * 10, "x double")
         rows = column_histogram(df, "x", n_bins=5).collect()
         assert len(rows) == 1 and rows[0].n == 10 and rows[0].bin == 0
+
+
+class TestBPE:
+    def _ref_bpe(self, texts, n_merges, min_pair_count=2):
+        """Independent single-node BPE (the Sennrich loop verbatim)."""
+        import collections
+        import re as _re
+
+        wc = collections.Counter()
+        for t in texts:
+            for w in _re.split(r"\s+", t.lower()):
+                if w:
+                    wc[w] += 1
+        vocab = {tuple(list(w) + ["</w>"]): n for w, n in wc.items()}
+        rules = []
+        for rank in range(n_merges):
+            pc = collections.Counter()
+            for syms, n in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += n
+            if not pc:
+                break
+            (a, b), n = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if n < min_pair_count:
+                break
+            rules.append((rank, a, b, a + b, n))
+            out = {}
+            for syms, cnt in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out[tuple(res)] = out.get(tuple(res), 0) + cnt
+            vocab = out
+        return rules
+
+    def test_matches_reference_loop(self, spark):
+        from kg.ops.subword import bpe_merges
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new",
+            "wider wide wide",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [tuple(r) for r in bpe_merges(df, n_merges=10).collect()]
+        assert got == self._ref_bpe(texts, 10)
+
+    def test_self_overlap_pair_greedy_left_to_right(self, spark):
+        from kg.ops.subword import bpe_merges
+
+        # 'aaa' with dominant pair (a, a): greedy takes ONE merge per
+        # run pair -> ['aa','a','</w>'], the standard BPE semantics
+        texts = ["aaa aaa aaa aaaa"]
+        df = spark.createDataFrame([(1, texts[0])], "doc_id long, text string")
+        got = [tuple(r) for r in bpe_merges(df, n_merges=3).collect()]
+        assert got == self._ref_bpe(texts, 3)
+        assert got[0][1:4] == ("a", "a", "aa")
+
+    def test_early_stop_below_min_pair_count(self, spark):
+        from kg.ops.subword import bpe_merges
+
+        df = spark.createDataFrame(
+            [(1, "ab cd ef")], "doc_id long, text string"
+        )
+        # every pair occurs once -> no rule reaches min_pair_count=2
+        assert bpe_merges(df, n_merges=5).count() == 0
+
+    def test_tokenize_fertility_and_partition_invariance(self, spark):
+        from kg.ops.subword import bpe_merges, bpe_tokenize
+
+        rows = [
+            (1, "low lower lowest"),
+            (2, "new newer newest"),
+            (3, "low new low"),
+        ] * 4
+        df = spark.createDataFrame(
+            [(i, t) for i, (_, t) in enumerate(rows)],
+            "doc_id long, text string",
+        )
+        merges = bpe_merges(df, n_merges=6)
+        tok = bpe_tokenize(df, merges)
+        one = sorted(map(tuple, tok.collect()))
+        two = sorted(
+            map(tuple, bpe_tokenize(df.repartition(13), merges).collect())
+        )
+        assert one == two
+        for _, n_words, n_subwords, fert in one:
+            # merges only ever shrink the initial chars+marker count,
+            # never below one subword per word
+            assert n_subwords >= n_words
+            assert fert == round(n_subwords / n_words, 6)
+
+    def test_merges_reduce_token_count_vs_no_merges(self, spark):
+        from kg.ops.subword import bpe_merges, bpe_tokenize
+
+        df = spark.createDataFrame(
+            [(1, "low low low lower lower lowest")],
+            "doc_id long, text string",
+        )
+        merges = bpe_merges(df, n_merges=8)
+        with_m = bpe_tokenize(df, merges).first()["n_subwords"]
+        without = bpe_tokenize(df, merges.limit(0)).first()["n_subwords"]
+        assert with_m < without

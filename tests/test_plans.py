@@ -718,3 +718,36 @@ def test_modularity_equi_joins_only_partial_agged(spark):
     assert "Window" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert "partial_count" in p  # degree + intra aggs combine map-side
+
+
+def test_bpe_round_all_jvm_corpus_touched_once(spark):
+    """BPE trainer: the pair-count round over the word dim is pure JVM
+    (explode + partial-agged groupBy, no Python, no join); the merge
+    apply is a JVM array fold (no Python either)."""
+    from kg.ops.subword import _initial_symbols, _merge_pair
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("low", 3), ("lower", 2)], "word string, n long"
+    ).select("n", _initial_symbols(F.col("word")).alias("syms"))
+    pairs = (
+        dim.select(
+            "n",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("a"),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+    p = _plan(pairs)
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "Join" not in p
+    assert "partial_sum" in p
+    merged = dim.select(_merge_pair(F.col("syms"), "l", "o").alias("syms"))
+    p2 = _plan(merged)
+    assert "InPandas" not in p2 and "BatchEvalPython" not in p2
+    assert "Exchange" not in p2  # the apply step is a narrow map
