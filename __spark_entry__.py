@@ -6593,6 +6593,111 @@ def q_kg_linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NIL_ROWS = [
+    # (url, subj, obj): NIL-variant chains the alias dict cannot link.
+    # u1/u2 chain "dr maria von holt" ⊃ "maria von holt" ⊃ "von holt"
+    # TRANSITIVELY (the extremes never co-occur); u3 is a second cluster;
+    # u4 a singleton; u5 exceeds the per-doc cap (junk page) — its
+    # surfaces contribute NO edges, but "von holt" still clusters via u2.
+    ("nil://u1", "Dr Maria Von Holt", "Maria Von Holt"),
+    ("nil://u2", "Maria Von Holt", "Von Holt"),
+    ("nil://u3", "Quantum Dynamics Gmbh", "Quantum Dynamics"),
+    ("nil://u4", "Zeta Works", "Zeta Works"),
+    ("nil://u5", "Junk Alpha", "Junk Beta"),
+    ("nil://u5", "Junk Gamma", "Junk Delta"),
+    ("nil://u5", "Junk Alpha Prime", "Von Holt"),
+]
+NIL_MAX_PER_DOC = 4
+
+
+def q_kg_nil_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIL clustering (kg/stages/link.py nil_cluster): unlinked surfaces
+    from the linked tiny fixture PLUS inline variant chains (the synth
+    corpus's unlinked surfaces have no containment structure, same
+    inline-fixture precedent as kg_link_disambiguated's decoy) cluster
+    by same-doc containment evidence + connected components; u5's junk
+    page exceeds max_per_doc=4, exercising the skew cap. Oracle replays
+    linking, the evidence join, and a bounded min-label closure."""
+    from kg.stages.link import link_triples, nil_cluster
+
+    triples = (
+        spark.read.parquet(f"{FIX}/expected_triples_tiny.parquet")
+        .select("url", "subj", "pred", "obj")
+        .unionByName(
+            spark.createDataFrame(
+                [(u, s, "mentions", o) for u, s, o in _NIL_ROWS],
+                "url string, subj string, pred string, obj string",
+            )
+        )
+        .withColumn("conf", F.lit(1.0))
+    )
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    linked = link_triples(triples, alias_dim)
+    return nil_cluster(linked, max_per_doc=NIL_MAX_PER_DOC)
+
+
+def _nil_clusters_oracle_sql(max_per_doc: int, rounds: int = 8) -> str:
+    values = ", ".join(
+        f"('{u}', '{s}', '{o}')" for u, s, o in _NIL_ROWS
+    )
+    hid = "('0x' || substr(md5(norm), 1, 15))::BIGINT"
+    parts = [
+        f"""WITH dim AS (
+  SELECT alias_norm FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm),
+t AS (
+  SELECT url, subj, obj FROM '{FIX}/expected_triples_tiny.parquet'
+  UNION ALL SELECT * FROM (VALUES {values}) v(url, subj, obj)),
+m AS (
+  SELECT url, lower(trim(subj, '{_PUNCT_SQL}')) AS norm FROM t
+  WHERE lower(trim(subj, '{_PUNCT_SQL}')) NOT IN (SELECT alias_norm FROM dim)
+  UNION ALL
+  SELECT url, lower(trim(obj, '{_PUNCT_SQL}')) AS norm FROM t
+  WHERE lower(trim(obj, '{_PUNCT_SQL}')) NOT IN (SELECT alias_norm FROM dim)),
+mne AS (SELECT url, norm FROM m WHERE norm <> ''),
+counts AS (SELECT norm, CAST(count(*) AS BIGINT) AS n_mentions
+           FROM mne GROUP BY norm),
+dd AS (SELECT DISTINCT url, norm FROM mne),
+smalld AS (SELECT url FROM dd GROUP BY url
+           HAVING count(*) <= {max_per_doc}),
+kept AS (SELECT dd.url, dd.norm FROM dd JOIN smalld USING (url)),
+edges AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT ('0x' || substr(md5(a.norm), 1, 15))::BIGINT AS x,
+           ('0x' || substr(md5(b.norm), 1, 15))::BIGINT AS y
+    FROM kept a JOIN kept b
+      ON a.url = b.url AND a.norm <> b.norm
+     AND strpos(' ' || a.norm || ' ', ' ' || b.norm || ' ') > 0)),
+sym AS (SELECT x, y FROM edges UNION SELECT y, x FROM edges),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT {hid} AS node, {hid} AS label FROM counts)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT n.node,"
+            f" least(n.label, coalesce(min(p.label), n.label)) AS label"
+            f" FROM l{i - 1} n LEFT JOIN sym ON sym.x = n.node"
+            f" LEFT JOIN l{i - 1} p ON p.node = sym.y"
+            f" GROUP BY n.node, n.label)"
+        )
+    parts.append(
+        f"""clustered AS (
+  SELECT counts.norm, counts.n_mentions,
+         CAST(-l.label AS BIGINT) AS nil_id
+  FROM counts JOIN l{rounds} l ON {hid} = l.node),
+canon AS (
+  SELECT nil_id, norm AS canonical FROM (
+    SELECT nil_id, norm, row_number() OVER (
+      PARTITION BY nil_id ORDER BY length(norm) DESC, norm) AS rn
+    FROM clustered) WHERE rn = 1)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT c.norm AS surface_norm, c.nil_id, canon.canonical, c.n_mentions
+FROM clustered c JOIN canon USING (nil_id)"""
+    )
+
+
 def q_kg_link_disambiguated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prior-weighted linking: the dictionary is poisoned with a decoy
     entity (id 0) for the 'acme' surface — the min-id fallback would
@@ -9329,6 +9434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic": q_graph_harmonic,
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
+        "kg_nil_clusters": q_kg_nil_clusters,
         "kg_link_disambiguated": q_kg_link_disambiguated,
         "kg_entity_profile": q_kg_entity_profile,
         "kg_fact_evidence": q_kg_fact_evidence,
@@ -11095,6 +11201,7 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
         "WITH " + _subword_vocab_ctes() + "\nSELECT piece, kind FROM vocab"
     )
     d["corpus_bpe_merges"] = _bpe_merges_oracle_sql(BPE_MERGES)
+    d["kg_nil_clusters"] = _nil_clusters_oracle_sql(NIL_MAX_PER_DOC)
     d["doc_subword_tokenize"] = _subword_tokenize_oracle_sql()
     d["graph_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS)
     d["graph_pagerank_warm"] = _pagerank_warm_oracle_sql(

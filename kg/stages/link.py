@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from kg.normalize import PUNCT
 from kg.salt import salted_join
 
-__all__ = ["link_triples", "norm_surface_col", "alias_priors"]
+__all__ = ["link_triples", "norm_surface_col", "alias_priors", "nil_cluster"]
 
 
 def norm_surface_col(col: str | Column) -> Column:
@@ -148,4 +148,118 @@ def alias_priors(
         F.col("n_total").cast("long").alias("n_total"),
         F.round(F.col("n") / F.col("n_total"), 9).alias("prior"),
         (F.col("entity") == F.col("b.e")).alias("top_entity"),
+    )
+
+
+def nil_cluster(
+    linked: DataFrame,
+    max_per_doc: int = 64,
+    doc_col: str = "url",
+) -> DataFrame:
+    """NIL clustering (the TAC-KBP entity-linking step after dictionary
+    lookup fails): group the UNLINKED mention surfaces — subj/obj rows
+    link_triples left with NULL ids — into synthetic emerging entities,
+    so downstream canonicalization sees one candidate node per real-world
+    NIL entity instead of one per surface form.
+
+    Rule (deterministic, relational): two distinct normalized surfaces
+    belong to the same NIL entity when they co-occur in the SAME document
+    and one is a contiguous token subsequence of the other ("dr maria von
+    holt" ⊇ "maria von holt" ⊇ "von holt" — the newswire coreference
+    convention that shorter references follow a full introduction);
+    clusters are the connected components of that evidence graph, so
+    variants chain transitively across documents even when the extreme
+    forms never co-occur. Surfaces are keyed by their 60-bit md5 hash
+    (the engine's cross-engine-exact id scheme); ``nil_id`` is the
+    NEGATED component min-hash — the sign keeps synthetic ids disjoint
+    from dictionary entity ids.
+
+    Returns (surface_norm, nil_id, canonical, n_mentions): canonical =
+    the cluster's longest surface (ties -> lexicographically smallest),
+    n_mentions = total unlinked mention instances of that surface.
+
+    Scale shape: mention extraction is a pure map + one partial-agged
+    groupBy; the evidence self-join is co-partitioned on the doc key
+    with a count-then-filter cap on distinct unlinked surfaces per doc
+    (``max_per_doc``, the same skew guard as entity_cooccurrence — one
+    boilerplate page with 10^4 junk surfaces would otherwise go
+    quadratic); components run on the SURFACE graph (vocabulary-sized,
+    orders of magnitude below the corpus) via the large-star/small-star
+    iteration. A dropped doc's surfaces still cluster via their other
+    docs — the cap trades evidence recall, never precision.
+    """
+    from kg.cc import connected_components
+
+    subj_m = linked.where(F.col("subj_id").isNull()).select(
+        F.col(doc_col).alias("url"), norm_surface_col("subj").alias("norm")
+    )
+    obj_m = linked.where(F.col("obj_id").isNull()).select(
+        F.col(doc_col).alias("url"), norm_surface_col("obj").alias("norm")
+    )
+    m = subj_m.union(obj_m).where(F.col("norm") != "")
+    counts = m.groupBy("norm").agg(F.count("*").cast("long").alias("n_mentions"))
+    per_doc = m.distinct()
+    small_docs = (
+        per_doc.groupBy("url")
+        .agg(F.count("*").alias("_k"))
+        .where(F.col("_k") <= int(max_per_doc))
+        .select("url")
+    )
+    kept = per_doc.join(small_docs, "url")
+
+    def _hid(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    a, b = kept.alias("a"), kept.alias("b")
+    contain = (
+        F.instr(
+            F.concat(F.lit(" "), F.col("a.norm"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("b.norm"), F.lit(" ")),
+        )
+        > 0
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.url") == F.col("b.url"))
+            & (F.col("a.norm") != F.col("b.norm"))
+            & contain,
+        )
+        .select(
+            _hid(F.col("a.norm")).alias("src"),
+            _hid(F.col("b.norm")).alias("dst"),
+        )
+        .distinct()
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("hid"), F.col("component")
+    )
+    clustered = (
+        counts.select("norm", "n_mentions", _hid(F.col("norm")).alias("hid"))
+        .join(comp, "hid", "left")
+        .select(
+            "norm",
+            "n_mentions",
+            (-F.coalesce("component", F.col("hid"))).cast("long").alias(
+                "nil_id"
+            ),
+        )
+    )
+    canon = (
+        clustered.groupBy("nil_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.length("norm")).alias("negl"),
+                    F.col("norm").alias("s"),
+                )
+            ).alias("b")
+        )
+        .select("nil_id", F.col("b.s").alias("canonical"))
+    )
+    return clustered.join(canon, "nil_id").select(
+        F.col("norm").alias("surface_norm"),
+        "nil_id",
+        "canonical",
+        "n_mentions",
     )

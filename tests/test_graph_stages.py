@@ -377,3 +377,84 @@ class TestPersonNames:
         # "hot" block (10 surfaces) over cap -> no edges -> singletons
         assert got["P0 Hot"]["n_members"] == 1
         assert got["Ann Cold"]["n_members"] == 2
+
+
+class TestNilCluster:
+    def _linked(self, spark, rows):
+        # rows: (url, subj, obj, subj_id, obj_id)
+        return spark.createDataFrame(
+            rows,
+            "url string, subj string, pred string, obj string,"
+            " subj_id long, obj_id long",
+        )
+
+    def test_transitive_chain_and_canonical(self, spark):
+        from kg.stages.link import nil_cluster
+
+        rows = [
+            ("u1", "Dr Ada King", "p", "Ada King", None, None),
+            ("u2", "Ada King", "p", "King", None, None),
+        ]
+        got = {
+            r["surface_norm"]: r
+            for r in nil_cluster(self._linked(spark, rows)).collect()
+        }
+        assert len(got) == 3
+        ids = {r["nil_id"] for r in got.values()}
+        assert len(ids) == 1  # one cluster via transitivity
+        assert all(r["nil_id"] < 0 for r in got.values())
+        assert all(
+            r["canonical"] == "dr ada king" for r in got.values()
+        )
+
+    def test_linked_surfaces_excluded_and_counts(self, spark):
+        from kg.stages.link import nil_cluster
+
+        rows = [
+            ("u1", "Known Corp", "p", "Mystery Co", 7, None),
+            ("u2", "Mystery Co", "p", "Known Corp", None, 7),
+        ]
+        got = nil_cluster(self._linked(spark, rows)).collect()
+        assert len(got) == 1
+        assert got[0]["surface_norm"] == "mystery co"
+        assert got[0]["n_mentions"] == 2  # obj role + subj role
+
+    def test_per_doc_cap_blocks_junk_page_edges(self, spark):
+        from kg.stages.link import nil_cluster
+
+        junk = [
+            ("spam", f"Alpha {i}", "p", f"Alpha {i} X", None, None)
+            for i in range(6)
+        ]
+        rows = junk + [("ok", "Beta Inc", "p", "Beta", None, None)]
+        got = nil_cluster(self._linked(spark, rows), max_per_doc=4).collect()
+        by_surface = {r["surface_norm"]: r["nil_id"] for r in got}
+        # the spam page's containment pairs are suppressed: every alpha
+        # surface is its own cluster
+        alpha_ids = {v for k, v in by_surface.items() if k.startswith("alpha")}
+        assert len(alpha_ids) == 12
+        # the small doc still clusters
+        assert by_surface["beta inc"] == by_surface["beta"]
+
+    def test_containment_requires_token_boundary(self, spark):
+        from kg.stages.link import nil_cluster
+
+        # 'rome' is a substring of 'romeo corp' but NOT a token
+        # subsequence -> no edge
+        rows = [("u1", "Romeo Corp", "p", "Rome", None, None)]
+        got = nil_cluster(self._linked(spark, rows)).collect()
+        assert len({r["nil_id"] for r in got}) == 2
+
+    def test_partition_invariant(self, spark):
+        from kg.stages.link import nil_cluster
+
+        rows = [
+            ("u1", "Dr Ada King", "p", "Ada King", None, None),
+            ("u2", "Ada King", "p", "King", None, None),
+            ("u3", "Gamma Gmbh", "p", "Gamma", None, None),
+        ] * 3
+        df = self._linked(spark, [(f"{u}#{i}", s, p, o, a, b)
+                                  for i, (u, s, p, o, a, b) in enumerate(rows)])
+        one = sorted(map(tuple, nil_cluster(df).collect()))
+        two = sorted(map(tuple, nil_cluster(df.repartition(13)).collect()))
+        assert one == two

@@ -751,3 +751,21 @@ def test_bpe_round_all_jvm_corpus_touched_once(spark):
     p2 = _plan(merged)
     assert "InPandas" not in p2 and "BatchEvalPython" not in p2
     assert "Exchange" not in p2  # the apply step is a narrow map
+
+
+def test_nil_cluster_capped_evidence_join_no_python(spark):
+    """NIL clustering: the evidence self-join is equi on the doc key
+    (never cartesian), the per-doc cap is a count-then-filter, and the
+    whole pipeline is JVM-side."""
+    from kg.stages.link import nil_cluster
+
+    linked = spark.createDataFrame(
+        [("u1", "A B", "p", "B", None, None)],
+        "url string, subj string, pred string, obj string,"
+        " subj_id long, obj_id long",
+    )
+    p = _plan(nil_cluster(linked))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "partial_count" in p
