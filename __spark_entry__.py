@@ -1998,6 +1998,51 @@ WHERE coalesce(c.n, 0) < e.min_count
 """
 
 
+NEAR_TERMS = ("join", "hash")
+NEAR_WINDOW = 5
+
+
+def q_doc_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity retrieval (kg/ops/ranking.py near_search):
+    'join' NEAR/5 'hash' — the rung between BM25 and exact phrase.
+    Spark evaluates via scan-pruned postings + bucketed band semi-joins
+    (equi keys only); the oracle evaluates the same definition with a
+    nested array-lambda sweep — a different strategy, same answer."""
+    from kg.ops.ranking import near_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_search(docs, list(NEAR_TERMS), window=NEAR_WINDOW)
+
+
+def _near_search_oracle_sql(terms, window: int) -> str:
+    anchor = terms[0]
+    others = terms[1:]
+    conds = "\n     AND ".join(
+        f"len(list_filter(range(greatest(1, i-{window}),"
+        f" least(len(words), i+{window})+1),"
+        f" j -> words[j] = '{t}')) > 0"
+        for t in others
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         list_filter(range(1, len(words)+1),
+           i -> words[i] = '{anchor}'
+     AND {conds}) AS anchors
+  FROM d
+)
+SELECT doc_id AS doc, CAST(len(anchors) AS BIGINT) AS n_anchors,
+       CAST(anchors[1] - 1 AS BIGINT) AS first_anchor
+FROM hits WHERE len(anchors) > 0
+"""
+
+
 def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase retrieval (kg/ops/ranking.py phrase_search) for
     "table table" over documents — a repeated-word phrase, so the
@@ -3396,6 +3441,52 @@ def _neighborhood_oracle_sql(rounds: int, p: int) -> str:
         for i in range(rounds + 1)
     )
     return ",\n".join(parts) + "\n" + union
+
+
+def q_graph_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity + reciprocity over the edge fixture
+    (kg/graphstats.py graph_mixing). All moment sums are exact BIGINTs;
+    each coefficient is one float expression rounded to 6 — the oracle
+    recomputes the identical algebra."""
+    from kg.graphstats import graph_mixing
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return graph_mixing(edges)
+
+
+def _graph_mixing_oracle_sql() -> str:
+    return f"""
+WITH raw AS (SELECT src, dst FROM '{FIX}/edges.parquet'),
+dir_e AS MATERIALIZED (
+  SELECT DISTINCT src AS u, dst AS v FROM raw WHERE src <> dst),
+und AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM dir_e UNION ALL SELECT v, u FROM dir_e)),
+deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY 1),
+stubs AS (
+  SELECT du.deg AS dx, dv.deg AS dy
+  FROM und JOIN deg du ON und.u = du.node
+  JOIN deg dv ON und.v = dv.node),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx
+  FROM stubs),
+rec AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_recip FROM dir_e e
+  WHERE EXISTS (SELECT 1 FROM dir_e r WHERE r.u = e.v AND r.v = e.u)),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_directed FROM dir_e),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT nn.n_nodes, CAST(mom.n // 2 AS BIGINT) AS n_edges, nd.n_directed,
+       round(CASE WHEN mom.n * mom.sxx - mom.sx * mom.sx <> 0
+                  THEN CAST(mom.n * mom.sxy - mom.sx * mom.sx AS DOUBLE)
+                     / CAST(mom.n * mom.sxx - mom.sx * mom.sx AS DOUBLE)
+             END, 6) AS assortativity,
+       round(CASE WHEN nd.n_directed > 0
+                  THEN rec.n_recip / CAST(nd.n_directed AS DOUBLE)
+             END, 6) AS reciprocity
+FROM mom, rec, nd, nn
+"""
 
 
 def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9307,6 +9398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cms_tokens": q_doc_cms_tokens,
         "doc_bloom_filter": q_doc_bloom_filter,
         "doc_phrase_search": q_doc_phrase_search,
+        "doc_near_search": q_doc_near_search,
         "kg_shacl_cardinality": q_kg_shacl_cardinality,
         "kg_distant_supervision": q_kg_distant_supervision,
         "kg_geo_near_join": q_kg_geo_near_join,
@@ -9340,6 +9432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "graph_neighborhood": q_graph_neighborhood,
         "graph_modularity": q_graph_modularity,
+        "graph_mixing": q_graph_mixing,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_warm": q_graph_pagerank_warm,
         "graph_degrees": q_graph_degrees,
@@ -11212,6 +11305,7 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
         NEIGHBORHOOD_ROUNDS, NEIGHBORHOOD_P
     )
     d["graph_modularity"] = _modularity_oracle_sql(LPA_ROUNDS)
+    d["graph_mixing"] = _graph_mixing_oracle_sql()
     d["graph_degrees"] = f"""
 WITH deg_rows AS (
   SELECT src AS node, 1 AS out_d, 0 AS in_d FROM '{FIX}/edges.parquet'
@@ -12009,6 +12103,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["corpus_stopwords"] = _STOPWORDS_ORACLE
     d["web_host_stats"] = _host_stats_oracle_sql()
     d["doc_phrase_search"] = _PHRASE_ORACLE
+    d["doc_near_search"] = _near_search_oracle_sql(NEAR_TERMS, NEAR_WINDOW)
     d["kg_shacl_cardinality"] = _SHACL_ORACLE
     d["kg_distant_supervision"] = _DS_ORACLE
     d["kg_geo_near_join"] = _GEO_ORACLE

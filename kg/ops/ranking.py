@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["postings", "corpus_vocab", "tfidf_topk", "bm25_search",
-           "positional_postings", "phrase_search",
+           "positional_postings", "phrase_search", "near_search",
            "cooccurrence_edges", "textrank_keywords",
            "rake_keyphrases", "RAKE_STOPWORDS", "induce_stopwords"]
 
@@ -469,4 +469,70 @@ def induce_stopwords(
         (ratio > max_df_ratio) & (F.col("df") >= min_docs)
     ).select(
         "term", "df", F.round(ratio, 6).alias("df_ratio"), "cf"
+    )
+
+
+def near_search(
+    docs: DataFrame,
+    terms: "list[str] | tuple[str, ...]",
+    window: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unordered proximity retrieval (the NEAR operator): documents where
+    an occurrence of ``terms[0]`` has an occurrence of EVERY other query
+    term within ±``window`` word positions. Returns
+    (doc, n_anchors, first_anchor) — anchor = a qualifying occurrence of
+    the first term, first_anchor its earliest 0-based position. The
+    missing rung between :func:`bm25_search` (bag of words) and
+    :func:`phrase_search` (exact adjacency): "transformer NEAR/8
+    attention" ranks co-located discussion without requiring the exact
+    phrase.
+
+    Plan: postings are pruned to the query terms AT THE SCAN (literal
+    isin, like phrase_search); each non-anchor term then left-semi joins
+    the anchors through a BUCKETED band join — both sides key on
+    (doc, floor(pos / window)) with the anchor exploded to its 3
+    adjacent buckets, so the range predicate |pos_i - pos_a| <= window
+    rides on an EQUI join (the events_range_join trick; no
+    BroadcastNestedLoopJoin ever). k-1 semi joins on corpus-pruned
+    inputs + one partial-agged rollup.
+    """
+    qs = [t.lower() for t in terms if t]
+    if not qs:
+        raise ValueError("empty term list")
+    w = int(window)
+    if w < 1:
+        raise ValueError("window must be >= 1")
+    pp = positional_postings(docs, id_col)
+    pruned = pp.where(F.col("term").isin(qs))
+    anchors = pruned.where(F.col("term") == qs[0]).select(
+        "doc", F.col("pos").alias("apos")
+    )
+    for t in qs[1:]:
+        others = pruned.where(F.col("term") == t).select(
+            "doc",
+            F.col("pos").alias("opos"),
+            F.floor(F.col("pos") / w).alias("bkt"),
+        )
+        probe = anchors.select(
+            "doc",
+            "apos",
+            F.explode(
+                F.array(
+                    F.floor(F.col("apos") / w) - 1,
+                    F.floor(F.col("apos") / w),
+                    F.floor(F.col("apos") / w) + 1,
+                )
+            ).alias("bkt"),
+        )
+        hits = (
+            probe.join(others, ["doc", "bkt"])
+            .where(F.abs(F.col("opos") - F.col("apos")) <= w)
+            .select("doc", "apos")
+            .distinct()
+        )
+        anchors = hits
+    return anchors.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.min("apos").cast("long").alias("first_anchor"),
     )

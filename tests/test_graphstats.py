@@ -1100,3 +1100,37 @@ class TestModularity:
         # clustered fixture must beat it clearly
         assert abs(q_one) < 1e-6
         assert q_lpa > 0.2
+
+
+class TestGraphMixing:
+    def test_star_perfectly_disassortative(self, spark):
+        from kg.graphstats import graph_mixing
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+        )
+        r = graph_mixing(edges).first()
+        assert (r["n_nodes"], r["n_edges"], r["n_directed"]) == (4, 3, 3)
+        assert r["assortativity"] == -1.0
+        assert r["reciprocity"] == 0.0
+
+    def test_regular_graph_null_assortativity(self, spark):
+        from kg.graphstats import graph_mixing
+
+        # a 4-cycle: every degree 2 -> zero variance -> NULL
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+        )
+        r = graph_mixing(edges).first()
+        assert r["assortativity"] is None
+
+    def test_reciprocity_counts_mutual_directed_edges(self, spark):
+        from kg.graphstats import graph_mixing
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 3), (3, 3)], "src long, dst long"
+        )
+        r = graph_mixing(edges).first()
+        # self-loop dropped; (1,2) and (2,1) are mutual
+        assert r["n_directed"] == 3
+        assert r["reciprocity"] == round(2 / 3, 6)

@@ -769,3 +769,27 @@ def test_nil_cluster_capped_evidence_join_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert "partial_count" in p
+
+
+def test_near_search_equi_band_join_pruned_scan(spark):
+    """Proximity search: scan pruned to query terms, band joins ride on
+    equi keys (doc, bucket) — no nested-loop join, no Python."""
+    from kg.ops.ranking import near_search
+
+    docs = spark.createDataFrame(
+        [(1, "join a hash")], "doc_id long, text string"
+    )
+    p = _plan(near_search(docs, ["join", "hash"], window=5))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_graph_mixing_single_row_no_window_no_python(spark):
+    from kg.graphstats import graph_mixing
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    p = _plan(graph_mixing(edges))
+    assert "Window" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "partial_count" in p

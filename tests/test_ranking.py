@@ -422,3 +422,82 @@ class TestInduceStopwords:
             [(1, "only one doc here")], "doc_id long, text string"
         )
         assert induce_stopwords(docs, max_df_ratio=0.5).count() == 0
+
+
+class TestNearSearch:
+    def test_window_semantics_inclusive_boundary(self, spark):
+        from kg.ops.ranking import near_search
+
+        docs = spark.createDataFrame(
+            [
+                (1, "join a b c d hash"),      # distance 5: inside w=5
+                (2, "join a b c d e hash"),    # distance 6: outside
+                (3, "hash x join"),            # other term BEFORE anchor
+                (4, "join join hash"),         # two qualifying anchors
+                (5, "nothing here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc"]: (r["n_anchors"], r["first_anchor"])
+            for r in near_search(docs, ["join", "hash"], window=5).collect()
+        }
+        assert got == {1: (1, 0), 3: (1, 2), 4: (2, 0)}
+
+    def test_three_term_conjunction(self, spark):
+        from kg.ops.ranking import near_search
+
+        docs = spark.createDataFrame(
+            [
+                (1, "sort join x hash"),   # both within 3 of anchor
+                (2, "sort a a a join x hash"),  # sort 4 away: fails w=3
+            ],
+            "doc_id long, text string",
+        )
+        got = [
+            r["doc"]
+            for r in near_search(
+                docs, ["join", "hash", "sort"], window=3
+            ).collect()
+        ]
+        assert got == [1]
+
+    def test_phrase_hit_implies_near_hit(self, spark):
+        from kg.ops.ranking import near_search, phrase_search
+
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("fixtures/pages_small.parquet").select(
+            F.col("url").alias("doc_id"), "text"
+        )
+        ph = {r["doc"] for r in phrase_search(docs, "the company").collect()}
+        nr = {
+            r["doc"]
+            for r in near_search(docs, ["the", "company"], window=3).collect()
+        }
+        assert ph <= nr
+
+    def test_validation(self, spark):
+        from kg.ops.ranking import near_search
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            near_search(docs, [])
+        with pytest.raises(ValueError):
+            near_search(docs, ["a", "b"], window=0)
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.ranking import near_search
+
+        docs = spark.createDataFrame(
+            [(i, "join x hash join") for i in range(40)],
+            "doc_id long, text string",
+        )
+        one = sorted(map(tuple, near_search(docs, ["join", "hash"]).collect()))
+        two = sorted(
+            map(
+                tuple,
+                near_search(docs.repartition(13), ["join", "hash"]).collect(),
+            )
+        )
+        assert one == two
