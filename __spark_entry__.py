@@ -2568,6 +2568,65 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_QID = 3
+MMR_K = 5
+MMR_LAM = 0.7
+MMR_NCAND = 16
+
+
+def q_emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k (kg/ops/similarity.py mmr_topk): greedy
+    lam*rel - (1-lam)*maxsim re-rank over the exact top-16 cosine
+    candidates of query vec 3. The oracle unrolls all 5 greedy rounds
+    (selected-set union, max-sim aggregate, argmax) in SQL."""
+    from kg.ops.similarity import mmr_topk
+
+    return mmr_topk(
+        _emb(spark, sf_dir), query_id=MMR_QID, k=MMR_K, lam=MMR_LAM,
+        n_candidates=MMR_NCAND,
+    )
+
+
+def _mmr_oracle_sql(qid: int, k: int, lam: float, n_cand: int) -> str:
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [
+        f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = {qid}),
+cand AS MATERIALIZED (
+  SELECT vec_id AS cid, e,
+         {cos.format(a='e', b='qe')} AS rel
+  FROM v, q WHERE vec_id <> {qid}
+  ORDER BY rel DESC, cid LIMIT {n_cand}),
+s1 AS MATERIALIZED (SELECT cid, rel, rel AS score FROM cand
+  ORDER BY rel DESC, cid LIMIT 1)"""
+    ]
+    for i in range(2, k + 1):
+        sel = " UNION ALL ".join(f"SELECT cid FROM s{j}" for j in range(1, i))
+        parts.append(
+            f"sc{i} AS (SELECT c.cid, c.rel,"
+            f" max({cos.format(a='c.e', b='s.e')}) AS maxsim"
+            f" FROM cand c JOIN cand s"
+            f" ON s.cid IN ({sel}) AND c.cid NOT IN ({sel})"
+            f" GROUP BY c.cid, c.rel)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT cid, rel,"
+            f" {lam!r} * rel - {1.0 - lam!r} * maxsim AS score"
+            f" FROM sc{i} ORDER BY score DESC, cid LIMIT 1)"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, CAST(cid AS BIGINT) AS vec_id,"
+        f" round(rel, 6) AS relevance, round(score, 6) AS mmr_score"
+        f" FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
 KMEANS_K = 8
 KMEANS_ROUNDS = 3
 KMEANS_SEED = 17
@@ -9480,6 +9539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
+        "emb_mmr_topk": q_emb_mmr_topk,
         "emb_kmeans": q_emb_kmeans,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ann_ivfpq": q_emb_ann_ivfpq,
@@ -11306,6 +11366,7 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
     )
     d["graph_modularity"] = _modularity_oracle_sql(LPA_ROUNDS)
     d["graph_mixing"] = _graph_mixing_oracle_sql()
+    d["emb_mmr_topk"] = _mmr_oracle_sql(MMR_QID, MMR_K, MMR_LAM, MMR_NCAND)
     d["graph_degrees"] = f"""
 WITH deg_rows AS (
   SELECT src AS node, 1 AS out_d, 0 AS in_d FROM '{FIX}/edges.parquet'

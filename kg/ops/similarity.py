@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "cosine_topk_bruteforce",
+    "mmr_topk",
     "sign_bands",
     "cosine_band_candidates",
     "ann_lsh_topk",
@@ -1170,4 +1171,103 @@ def ann_ivfpq_topk(
     return _pq_rank(
         scored, queries_raw.withColumnRenamed("qid", id_col), k,
         refine, embeddings, id_col, vec_col,
+    )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 5,
+    lam: float = 0.7,
+    n_candidates: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): a
+    diversified top-k — greedily pick the candidate maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in selected} sim(d, s)`` — so
+    near-duplicate results don't crowd the answer list. The re-ranking
+    rung above :func:`cosine_topk_bruteforce`/the ANN ladder.
+
+    Returns (rank, vec_id, relevance, mmr_score), both scores rounded
+    to 6; rank 1 is the pure-relevance argmax (the MMR recurrence's
+    base case). Ties break on vec_id ascending — fully deterministic.
+
+    Two phases (the IVF build/probe split): candidate generation is
+    DISTRIBUTED — relevance = cosine vs the query vector over the whole
+    corpus, exact top-``n_candidates`` via TakeOrdered (never a full
+    sort); the greedy loop then runs k rounds of DataFrame ops over the
+    BOUNDED candidate table (each round: one broadcast join against the
+    selected set + a max-aggregate + a TakeOrdered argmax — tiny jobs,
+    the standard head-of-query cost, like pagerank's dangling-mass
+    scalar). Float determinism: dot products fold arrays in index order
+    (identical in the DuckDB oracle); max-over-selected is
+    order-insensitive; each score is a single expression."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    base = embeddings.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    ).withColumn("cnorm", _norm_col("cvec"))
+    qrow = embeddings.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    cands = (
+        base.where(F.col("cid") != query_id)
+        .crossJoin(F.broadcast(qrow))
+        .withColumn(
+            "rel",
+            dot_product_col("cvec", "qvec")
+            / (F.col("cnorm") * _norm_col("qvec")),
+        )
+        .orderBy(F.desc("rel"), F.asc("cid"))
+        .limit(int(n_candidates))
+        .select("cid", "cvec", "cnorm", "rel")
+    )
+    from kg.session import materialize
+
+    cands = materialize(cands)
+    spark = embeddings.sparkSession
+    picked: list[tuple] = []
+    for rank in range(1, int(k) + 1):
+        remaining = cands.where(
+            ~F.col("cid").isin([p[1] for p in picked])
+            if picked
+            else F.lit(True)
+        )
+        if not picked:
+            best = remaining.orderBy(F.desc("rel"), F.asc("cid")).first()
+            if best is None:
+                break
+            score = best["rel"]
+        else:
+            sel = cands.where(
+                F.col("cid").isin([p[1] for p in picked])
+            ).select(
+                F.col("cvec").alias("svec"), F.col("cnorm").alias("snorm")
+            )
+            scored = (
+                remaining.crossJoin(F.broadcast(sel))
+                .withColumn(
+                    "sim",
+                    dot_product_col("cvec", "svec")
+                    / (F.col("cnorm") * F.col("snorm")),
+                )
+                .groupBy("cid", "rel")
+                .agg(F.max("sim").alias("maxsim"))
+                .withColumn(
+                    "score",
+                    F.lit(float(lam)) * F.col("rel")
+                    - F.lit(1.0 - float(lam)) * F.col("maxsim"),
+                )
+            )
+            best = scored.orderBy(F.desc("score"), F.asc("cid")).first()
+            if best is None:
+                break
+            score = best["score"]
+        picked.append(
+            (rank, int(best["cid"]), round(float(best["rel"]), 6),
+             round(float(score), 6))
+        )
+    return spark.createDataFrame(
+        picked, "rank INT, vec_id LONG, relevance DOUBLE, mmr_score DOUBLE"
     )

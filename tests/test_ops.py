@@ -1763,3 +1763,74 @@ class TestBPE:
         with_m = bpe_tokenize(df, merges).first()["n_subwords"]
         without = bpe_tokenize(df, merges.limit(0)).first()["n_subwords"]
         assert with_m < without
+
+
+class TestMMR:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_lambda_one_equals_pure_relevance(self, spark):
+        from kg.ops.similarity import cosine_topk_bruteforce, mmr_topk
+        from pyspark.sql import functions as F
+
+        rows = [
+            (0, [1.0, 0.0, 0.1]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.2]),
+            (3, [0.5, 0.5, 0.3]),
+            (4, [0.1, 0.9, 0.4]),
+        ]
+        emb = self._emb(spark, rows)
+        got = [
+            r["vec_id"]
+            for r in mmr_topk(emb, query_id=0, k=3, lam=1.0)
+            .orderBy("rank")
+            .collect()
+        ]
+        pure = [
+            r["neighbor_id"]
+            for r in cosine_topk_bruteforce(
+                emb, k=3, query_filter=F.col("qid") == 0
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == pure
+
+    def test_diversification_skips_near_duplicate(self, spark):
+        from kg.ops.similarity import mmr_topk
+
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.14]),   # most relevant
+            (2, [0.98, 0.15]),   # near-duplicate of 1, second by relevance
+            (3, [0.5, 0.86]),    # diverse, third by relevance
+        ]
+        emb = self._emb(spark, rows)
+        got = [
+            r["vec_id"]
+            for r in mmr_topk(emb, query_id=0, k=2, lam=0.3)
+            .orderBy("rank")
+            .collect()
+        ]
+        # rank 1 = pure relevance (1); rank 2 skips the duplicate (2)
+        # in favor of the diverse vector (3)
+        assert got == [1, 3]
+
+    def test_k_exceeding_candidates_returns_all(self, spark):
+        from kg.ops.similarity import mmr_topk
+
+        emb = self._emb(spark, [(0, [1.0, 0.0]), (1, [0.5, 0.5])])
+        got = mmr_topk(emb, query_id=0, k=10, lam=0.7).collect()
+        assert len(got) == 1
+
+    def test_lambda_validation(self, spark):
+        import pytest as _pytest
+
+        from kg.ops.similarity import mmr_topk
+
+        emb = self._emb(spark, [(0, [1.0]), (1, [0.5])])
+        with _pytest.raises(ValueError):
+            mmr_topk(emb, query_id=0, lam=1.5)
