@@ -2568,6 +2568,85 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FSKIP_M = 256
+FSKIP_K = 3
+FSKIP_PROBE = "src7"
+
+
+def q_corpus_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping metadata + equality scan planning
+    (kg/ops/layout.py file_skipping_stats/scan_prune): documents
+    assigned to 16 synthetic files (doc_id % 16 — each file then holds
+    exactly 5 of the 20 round-robin sources, so probing 'src7' keeps
+    4 files and Bloom-prunes 12), per-file min/max + packed-word Bloom,
+    then keep/skip decisions with reasons. The oracle recomputes the
+    filter words and the decision algebra bit-for-bit."""
+    from kg.ops.layout import file_skipping_stats, scan_prune
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "file", (F.col("doc_id") % 16).cast("int")
+    )
+    stats = file_skipping_stats(
+        docs, "file", "source", m_bits=FSKIP_M, k_hashes=FSKIP_K
+    )
+    decisions = scan_prune(stats, FSKIP_PROBE, m_bits=FSKIP_M,
+                           k_hashes=FSKIP_K)
+    return stats.select(
+        "file", "n_rows", "n_nulls", "vmin", "vmax"
+    ).join(decisions, "file")
+
+
+def _file_skipping_oracle_sql(m: int, k: int, probe: str) -> str:
+    h1 = "('0x' || substr(md5('b1:' || source), 1, 15))::BIGINT % {m}"
+    h2 = ("(('0x' || substr(md5('b2:' || source), 1, 15))::BIGINT * 2 + 1)"
+          " % {m}")
+    p1 = f"('0x' || substr(md5('b1:' || '{probe}'), 1, 15))::BIGINT % {m}"
+    p2 = (f"(('0x' || substr(md5('b2:' || '{probe}'), 1, 15))::BIGINT * 2"
+          f" + 1) % {m}")
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id % 16 AS INTEGER) AS file, source FROM documents),
+ranges AS (
+  SELECT file, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         min(source) AS vmin, max(source) AS vmax
+  FROM d GROUP BY file),
+mh AS (
+  SELECT file, {h1.format(m=m)} AS h1, {h2.format(m=m)} AS h2
+  FROM d WHERE source IS NOT NULL),
+words AS (
+  SELECT file, ((h1 + g.i * h2) % {m}) // 32 AS word,
+         bit_or(1::BIGINT << CAST((h1 + g.i * h2) % {m} % 32 AS INT))
+           AS bits
+  FROM mh, unnest(generate_series(0, {k - 1})) AS g(i)
+  GROUP BY 1, 2),
+ph AS (SELECT {p1} AS h1, {p2} AS h2),
+ppos AS (
+  SELECT ((h1 + g.i * h2) % {m}) // 32 AS word,
+         (1::BIGINT << CAST((h1 + g.i * h2) % {m} % 32 AS INT)) AS mask
+  FROM ph, unnest(generate_series(0, {k - 1})) AS g(i)),
+hitcheck AS (
+  SELECT r.file,
+         bool_and((coalesce(w.bits, 0) & p.mask) = p.mask) AS hits
+  FROM ranges r CROSS JOIN ppos p
+  LEFT JOIN words w ON w.file = r.file AND w.word = p.word
+  GROUP BY r.file),
+dec AS (
+  SELECT r.file, r.n_rows, r.n_nulls, r.vmin, r.vmax,
+         (r.vmin IS NOT NULL AND '{probe}' >= r.vmin
+          AND '{probe}' <= r.vmax) AS in_range,
+         h.hits
+  FROM ranges r JOIN hitcheck h USING (file))
+SELECT file, n_rows, n_nulls, vmin, vmax,
+       (in_range AND hits) AS keep,
+       CASE WHEN NOT in_range THEN 'range_miss'
+            WHEN NOT hits THEN 'bloom_miss'
+            ELSE 'keep' END AS reason
+FROM dec
+"""
+
+
 MMR_QID = 3
 MMR_K = 5
 MMR_LAM = 0.7
@@ -9540,6 +9619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_mmr_topk": q_emb_mmr_topk,
+        "corpus_file_skipping": q_corpus_file_skipping,
         "emb_kmeans": q_emb_kmeans,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ann_ivfpq": q_emb_ann_ivfpq,
@@ -11367,6 +11447,9 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
     d["graph_modularity"] = _modularity_oracle_sql(LPA_ROUNDS)
     d["graph_mixing"] = _graph_mixing_oracle_sql()
     d["emb_mmr_topk"] = _mmr_oracle_sql(MMR_QID, MMR_K, MMR_LAM, MMR_NCAND)
+    d["corpus_file_skipping"] = _file_skipping_oracle_sql(
+        FSKIP_M, FSKIP_K, FSKIP_PROBE
+    )
     d["graph_degrees"] = f"""
 WITH deg_rows AS (
   SELECT src AS node, 1 AS out_d, 0 AS in_d FROM '{FIX}/edges.parquet'

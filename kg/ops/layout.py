@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["interleave_bits", "zorder_key", "zorder_layout",
+           "file_skipping_stats", "scan_prune", "scan_prune_range",
            "compaction_plan"]
 
 
@@ -125,5 +126,151 @@ def compaction_plan(
         F.col(size_col).cast("long").alias(size_col),
         F.floor(cum / F.lit(int(target_bytes))).cast("long").alias(
             "out_shard"
+        ),
+    )
+
+
+def file_skipping_stats(
+    df: DataFrame,
+    file_col: str,
+    value_col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Per-file data-skipping statistics for one column — the footer
+    metadata an Iceberg/parquet reader prunes scans with, materialized
+    as a queryable dim: (file, n_rows, n_nulls, vmin, vmax, bloom).
+    ``bloom`` is the file's packed-word Bloom filter of the column
+    (sorted ARRAY<STRUCT<word, bits>>; kg/ops/sketch.py md5 double
+    hashing, so the filter itself is deterministic and
+    oracle-replayable). min/max answer range predicates, the Bloom
+    answers equality on UNSORTED columns — the pair is exactly what
+    `OPTIMIZE ZORDER BY` (zorder_layout) is arranging data FOR, and
+    :func:`scan_prune` consumes to plan a scan.
+
+    Scale shape: one projection exploding k bit positions per row + one
+    composite partial-agged groupBy(file) (min/max/counts combine
+    map-side; the bloom words aggregate by bit_or inside a per-(file,
+    word) pre-aggregate, then pack into the sorted array) — metadata
+    output is one row per file, a dim table even at 10^8 files."""
+    from kg.ops.sketch import _bloom_positions
+
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    val = F.col(value_col).cast("string")
+    base = df.select(
+        F.col(file_col).alias("file"),
+        F.col(value_col).alias("_v"),
+        val.alias("_vs"),
+    )
+    ranges = base.groupBy("file").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+        F.min("_v").alias("vmin"),
+        F.max("_v").alias("vmax"),
+    )
+    words = (
+        base.where(F.col("_v").isNotNull())
+        .select(
+            "file",
+            F.explode(
+                _bloom_positions(F.col("_vs"), int(m_bits), int(k_hashes))
+            ).alias("_p"),
+        )
+        .select(
+            "file",
+            F.shiftright(F.col("_p"), 5).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))")
+            .alias("_mask"),
+        )
+        .groupBy("file", "word")
+        .agg(F.bit_or("_mask").alias("bits"))
+        .groupBy("file")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bloom")
+        )
+    )
+    return ranges.join(words, "file", "left").select(
+        "file", "n_rows", "n_nulls", "vmin", "vmax",
+        F.coalesce(
+            "bloom",
+            F.array().cast("array<struct<word:long,bits:long>>"),
+        ).alias("bloom"),
+    )
+
+
+def scan_prune(
+    stats: DataFrame,
+    value,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Plan an equality scan against :func:`file_skipping_stats`
+    metadata: per file, keep/skip plus the reason —
+    ``range_miss`` (value outside [vmin, vmax]), ``bloom_miss`` (in
+    range but the filter proves absence), or ``keep``. No false skips
+    ever (min/max bound and Bloom no-false-negatives, both pinned);
+    false KEEPS are the Bloom FP rate — pruning is conservative, a
+    kept file just gets scanned. Runs on the metadata dim only.
+    """
+    from kg.ops.sketch import _bloom_positions
+
+    probe = F.lit(value)
+    pos = _bloom_positions(probe.cast("string"), int(m_bits), int(k_hashes))
+    # per probe position: (word, mask) pair, then forall/exists over the
+    # file's sorted word array — pure JVM array algebra, no join
+    hits = F.forall(
+        F.transform(
+            pos,
+            lambda p: F.struct(
+                F.shiftright(p, 5).alias("w"),
+                # pyspark's shiftleft needs a literal bit count; 2^(p%32)
+                # via pow is exact for all 32 mask bits (< 2^53)
+                F.pow(F.lit(2.0), (p % 32).cast("int"))
+                .cast("long")
+                .alias("m"),
+            ),
+        ),
+        lambda pm: F.exists(
+            F.col("bloom"),
+            lambda e: (e["word"] == pm["w"])
+            & (e["bits"].bitwiseAND(pm["m"]) == pm["m"]),
+        ),
+    )
+    in_range = (
+        F.col("vmin").isNotNull()
+        & (probe >= F.col("vmin"))
+        & (probe <= F.col("vmax"))
+    )
+    reason = (
+        F.when(~in_range, F.lit("range_miss"))
+        .when(~hits, F.lit("bloom_miss"))
+        .otherwise(F.lit("keep"))
+    )
+    return stats.select(
+        "file",
+        (in_range & hits).alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def scan_prune_range(stats: DataFrame, lo, hi) -> DataFrame:
+    """Range-scan planning on the same metadata: keep files whose
+    [vmin, vmax] overlaps [lo, hi] (the Bloom cannot answer ranges).
+    """
+    keep = (
+        F.col("vmin").isNotNull()
+        & (F.col("vmax") >= F.lit(lo))
+        & (F.col("vmin") <= F.lit(hi))
+    )
+    return stats.select(
+        "file",
+        keep.alias("keep"),
+        F.when(keep, F.lit("keep")).otherwise(F.lit("range_miss")).alias(
+            "reason"
         ),
     )

@@ -111,3 +111,95 @@ class TestCompactionPlan:
         for s in shards:
             ids = [r.file_id for r in by_shard[s]]
             assert ids == list(range(min(ids), max(ids) + 1))
+
+
+class TestFileSkipping:
+    def _docs(self, spark):
+        rows = [(i, i % 16, f"src{i % 20}") for i in range(320)]
+        rows += [(900, 3, None), (901, 7, None)]
+        return spark.createDataFrame(
+            rows, "doc_id long, file int, source string"
+        )
+
+    def test_no_false_skips(self, spark):
+        from kg.ops.layout import file_skipping_stats, scan_prune
+
+        docs = self._docs(spark)
+        stats = file_skipping_stats(docs, "file", "source", m_bits=256)
+        for probe in ("src7", "src0", "src19"):
+            kept = {
+                r["file"]
+                for r in scan_prune(stats, probe, m_bits=256).collect()
+                if r["keep"]
+            }
+            truth = {
+                r["file"]
+                for r in docs.where(F.col("source") == probe)
+                .select("file")
+                .distinct()
+                .collect()
+            }
+            # every file that truly contains the probe is kept
+            assert truth <= kept
+
+    def test_absent_value_prunes_everything(self, spark):
+        from kg.ops.layout import file_skipping_stats, scan_prune
+
+        docs = self._docs(spark)
+        stats = file_skipping_stats(docs, "file", "source", m_bits=256)
+        got = scan_prune(stats, "zzz-no-such-source", m_bits=256).collect()
+        assert all(not r["keep"] for r in got)
+        # 'zzz...' sorts above every src* value -> range_miss everywhere
+        assert {r["reason"] for r in got} == {"range_miss"}
+
+    def test_all_null_file_is_range_miss(self, spark):
+        from kg.ops.layout import file_skipping_stats, scan_prune
+
+        docs = spark.createDataFrame(
+            [(1, 0, "a"), (2, 1, None)],
+            "doc_id long, file int, source string",
+        )
+        stats = file_skipping_stats(docs, "file", "source", m_bits=256)
+        got = {r["file"]: r for r in scan_prune(stats, "a", m_bits=256).collect()}
+        assert got[0]["keep"] and got[0]["reason"] == "keep"
+        assert not got[1]["keep"] and got[1]["reason"] == "range_miss"
+        nulls = {
+            r["file"]: r["n_nulls"]
+            for r in stats.select("file", "n_nulls").collect()
+        }
+        assert nulls == {0: 0, 1: 1}
+
+    def test_range_prune_overlap_semantics(self, spark):
+        from kg.ops.layout import file_skipping_stats, scan_prune_range
+
+        docs = spark.createDataFrame(
+            [(i, i // 100, i) for i in range(300)],
+            "doc_id long, file int, v long",
+        )
+        stats = file_skipping_stats(docs, "file", "v")
+        got = {
+            r["file"]: r["keep"]
+            for r in scan_prune_range(stats, 150, 220).collect()
+        }
+        # files cover [0,99], [100,199], [200,299]
+        assert got == {0: False, 1: True, 2: True}
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.layout import file_skipping_stats
+
+        docs = self._docs(spark)
+        one = sorted(
+            map(
+                tuple,
+                file_skipping_stats(docs, "file", "source").collect(),
+            )
+        )
+        two = sorted(
+            map(
+                tuple,
+                file_skipping_stats(
+                    docs.repartition(13), "file", "source"
+                ).collect(),
+            )
+        )
+        assert one == two

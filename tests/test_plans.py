@@ -793,3 +793,22 @@ def test_graph_mixing_single_row_no_window_no_python(spark):
     assert "Window" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert "partial_count" in p
+
+
+def test_file_skipping_stats_partial_agged_no_python(spark):
+    """Footer-stats build: min/max/count and bloom bit_or all combine
+    map-side; output is one row per file; no Python anywhere."""
+    from kg.ops.layout import file_skipping_stats, scan_prune
+
+    docs = spark.createDataFrame(
+        [(1, 0, "a")], "doc_id long, file int, source string"
+    )
+    stats = file_skipping_stats(docs, "file", "source", m_bits=256)
+    p = _plan(stats)
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "partial_min" in p and "partial_bit_or" in p
+    p2 = _plan(scan_prune(stats, "a", m_bits=256))
+    # decision pass is pure array algebra over the metadata dim:
+    # no join beyond the stats build itself, no window, no Python
+    assert "Window" not in p2
+    assert "InPandas" not in p2 and "BatchEvalPython" not in p2
