@@ -6822,6 +6822,88 @@ def q_kg_linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CTXLINK_MENTIONS = [
+    (1, "jaguar", "the fast car engine roared on the track"),
+    (2, "jaguar", "the wild cat prowled deep in the jungle"),
+    (3, "jaguar", ""),  # empty context: the prior decides alone
+]
+_CTXLINK_CANDS = [
+    ("jaguar", 1, "a british car maker producing fast engine vehicles"),
+    ("jaguar", 2, "a large wild cat of the south american jungle"),
+]
+_CTXLINK_PRIORS = [("jaguar", 1, 0.7), ("jaguar", 2, 0.3)]
+CTXLINK_ALPHA = 0.5
+
+
+def q_kg_context_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-signal disambiguation (kg/stages/link.py
+    disambiguate_by_context): alpha*prior + (1-alpha)*bag-of-words
+    overlap cosine vs the candidate's description; the inline 'jaguar'
+    fixture pins car-context -> car entity, jungle-context -> cat
+    entity, empty-context -> prior's pick. Oracle recomputes the
+    word-set algebra and the argmax in SQL."""
+    from kg.stages.link import disambiguate_by_context
+
+    mentions = spark.createDataFrame(
+        _CTXLINK_MENTIONS, "mention_id long, surface_norm string,"
+        " context string"
+    )
+    cands = spark.createDataFrame(
+        _CTXLINK_CANDS, "surface_norm string, entity_id long,"
+        " description string"
+    )
+    priors = spark.createDataFrame(
+        _CTXLINK_PRIORS, "surface_norm string, entity_id long,"
+        " prior double"
+    )
+    return disambiguate_by_context(
+        mentions, cands, priors, alpha=CTXLINK_ALPHA
+    )
+
+
+def _context_linking_oracle_sql(alpha: float) -> str:
+    mvals = ", ".join(
+        f"({i}, '{s}', '{c}')" for i, s, c in _CTXLINK_MENTIONS
+    )
+    cvals = ", ".join(
+        f"('{s}', {e}, '{d}')" for s, e, d in _CTXLINK_CANDS
+    )
+    pvals = ", ".join(f"('{s}', {e}, {p})" for s, e, p in _CTXLINK_PRIORS)
+    ws = ("list_distinct(list_filter(regexp_split_to_array(lower({c}),"
+          " '\\s+'), x -> x <> ''))")
+    return f"""
+WITH m AS (SELECT * FROM (VALUES {mvals})
+           v(mention_id, surface_norm, context)),
+c AS (SELECT * FROM (VALUES {cvals})
+      v(surface_norm, entity_id, description)),
+pr AS (SELECT * FROM (VALUES {pvals}) v(surface_norm, entity_id, prior)),
+scored AS (
+  SELECT m.mention_id, m.surface_norm,
+         CAST(c.entity_id AS BIGINT) AS entity_id, pr.prior,
+         CASE WHEN len({ws.format(c='m.context')}) > 0
+               AND len({ws.format(c='c.description')}) > 0
+              THEN len(list_filter({ws.format(c='m.context')},
+                       x -> list_contains({ws.format(c='c.description')}, x)))
+                   / sqrt(CAST(len({ws.format(c='m.context')}) AS DOUBLE)
+                        * CAST(len({ws.format(c='c.description')}) AS DOUBLE))
+              ELSE 0.0 END AS sim
+  FROM m JOIN c USING (surface_norm)
+  LEFT JOIN pr ON pr.surface_norm = c.surface_norm
+             AND pr.entity_id = c.entity_id),
+ranked AS (
+  SELECT *, {alpha!r} * coalesce(prior, 0.0)
+            + {1.0 - alpha!r} * sim AS score,
+         row_number() OVER (
+           PARTITION BY mention_id
+           ORDER BY {alpha!r} * coalesce(prior, 0.0)
+                    + {1.0 - alpha!r} * sim DESC, entity_id ASC) AS rn
+  FROM scored)
+SELECT CAST(mention_id AS BIGINT) AS mention_id, surface_norm, entity_id,
+       prior, round(sim, 9) AS ctx_sim, round(score, 9) AS score
+FROM ranked WHERE rn = 1
+"""
+
+
 _NIL_ROWS = [
     # (url, subj, obj): NIL-variant chains the alias dict cannot link.
     # u1/u2 chain "dr maria von holt" ⊃ "maria von holt" ⊃ "von holt"
@@ -9668,6 +9750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tokenize": q_kg_tokenize,
         "kg_linked_triples": q_kg_linked_triples,
         "kg_nil_clusters": q_kg_nil_clusters,
+        "kg_context_linking": q_kg_context_linking,
         "kg_link_disambiguated": q_kg_link_disambiguated,
         "kg_entity_profile": q_kg_entity_profile,
         "kg_fact_evidence": q_kg_fact_evidence,
@@ -11435,6 +11518,7 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
     )
     d["corpus_bpe_merges"] = _bpe_merges_oracle_sql(BPE_MERGES)
     d["kg_nil_clusters"] = _nil_clusters_oracle_sql(NIL_MAX_PER_DOC)
+    d["kg_context_linking"] = _context_linking_oracle_sql(CTXLINK_ALPHA)
     d["doc_subword_tokenize"] = _subword_tokenize_oracle_sql()
     d["graph_pagerank"] = _pagerank_oracle_sql(PAGERANK_ITERS)
     d["graph_pagerank_warm"] = _pagerank_warm_oracle_sql(

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from kg.normalize import PUNCT
 from kg.salt import salted_join
 
-__all__ = ["link_triples", "norm_surface_col", "alias_priors", "nil_cluster"]
+__all__ = ["link_triples", "norm_surface_col", "alias_priors", "nil_cluster",
+           "disambiguate_by_context"]
 
 
 def norm_surface_col(col: str | Column) -> Column:
@@ -262,4 +263,102 @@ def nil_cluster(
         "nil_id",
         "canonical",
         "n_mentions",
+    )
+
+
+def disambiguate_by_context(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    priors: DataFrame | None = None,
+    alpha: float = 0.6,
+) -> DataFrame:
+    """Context-aware entity disambiguation — the classic two-signal
+    linker: ``score = alpha * P(entity | surface) + (1 - alpha) *
+    sim(mention context, entity description)``, winner-take-all per
+    mention. The step above :func:`alias_priors` (pure commonness) for
+    surfaces like "jaguar" where the prior alone picks the car in a
+    jungle story.
+
+    Inputs: ``mentions`` (mention_id, surface_norm, context — the
+    mention_contexts window text), ``candidates`` (surface_norm,
+    entity_id, description — e.g. kg/ops/kgtrain.py
+    entity_descriptions verbalizations), optional ``priors``
+    (surface_norm, entity_id, prior). Context similarity is the
+    bag-of-DISTINCT-words overlap cosine |A∩B| / sqrt(|A|·|B|) — exact
+    integers under one sqrt/division, engine-bit-identical, 0 when
+    either side is empty (then the prior decides alone). Ties break to
+    the smallest entity_id. Returns one row per mention:
+    (mention_id, surface_norm, entity_id, prior, ctx_sim, score).
+
+    Scale shape: the candidate dim (surface -> entities × description
+    words) broadcasts; the mention side never shuffles for the join and
+    the per-mention argmax is a partial-aggregable max_by — no window
+    over the corpus. Word-set algebra is JVM array functions on the
+    already-joined rows.
+    """
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+
+    def _wordset(col: Column) -> Column:
+        return F.array_distinct(
+            F.filter(
+                F.split(F.lower(col), r"\s+"), lambda x: x != F.lit("")
+            )
+        )
+
+    m = mentions.select(
+        "mention_id",
+        F.col("surface_norm"),
+        _wordset(F.col("context")).alias("_ctx"),
+    )
+    c = candidates.select(
+        "surface_norm",
+        F.col("entity_id").cast("long").alias("entity_id"),
+        _wordset(F.col("description")).alias("_desc"),
+    )
+    if priors is not None:
+        c = c.join(
+            priors.select(
+                "surface_norm",
+                F.col("entity_id").cast("long").alias("entity_id"),
+                "prior",
+            ),
+            ["surface_norm", "entity_id"],
+            "left",
+        )
+    else:
+        c = c.withColumn("prior", F.lit(None).cast("double"))
+    inter = F.size(F.array_intersect(F.col("_ctx"), F.col("_desc")))
+    na, nb = F.size("_ctx"), F.size("_desc")
+    sim = F.when(
+        (na > 0) & (nb > 0),
+        inter.cast("double")
+        / F.sqrt(na.cast("double") * nb.cast("double")),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        m.join(F.broadcast(c), "surface_norm")
+        .withColumn("_sim", sim)
+        .withColumn(
+            "_score",
+            F.lit(float(alpha)) * F.coalesce("prior", F.lit(0.0))
+            + F.lit(1.0 - float(alpha)) * F.col("_sim"),
+        )
+    )
+    best = scored.groupBy("mention_id", "surface_norm").agg(
+        F.max(
+            F.struct(
+                F.col("_score").alias("s"),
+                (-F.col("entity_id")).alias("nid"),
+                F.col("prior").alias("p"),
+                F.col("_sim").alias("sim"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "mention_id",
+        "surface_norm",
+        (-F.col("b.nid")).cast("long").alias("entity_id"),
+        F.col("b.p").alias("prior"),
+        F.round(F.col("b.sim"), 9).alias("ctx_sim"),
+        F.round(F.col("b.s"), 9).alias("score"),
     )

@@ -458,3 +458,75 @@ class TestNilCluster:
         one = sorted(map(tuple, nil_cluster(df).collect()))
         two = sorted(map(tuple, nil_cluster(df.repartition(13)).collect()))
         assert one == two
+
+
+class TestContextDisambiguation:
+    def _data(self, spark):
+        mentions = spark.createDataFrame(
+            [
+                (1, "jaguar", "the fast car engine roared"),
+                (2, "jaguar", "the wild cat prowled the jungle"),
+                (3, "jaguar", ""),
+            ],
+            "mention_id long, surface_norm string, context string",
+        )
+        cands = spark.createDataFrame(
+            [
+                ("jaguar", 1, "a british car maker with fast engine"),
+                ("jaguar", 2, "a large wild cat of the jungle"),
+            ],
+            "surface_norm string, entity_id long, description string",
+        )
+        priors = spark.createDataFrame(
+            [("jaguar", 1, 0.7), ("jaguar", 2, 0.3)],
+            "surface_norm string, entity_id long, prior double",
+        )
+        return mentions, cands, priors
+
+    def test_context_overrides_prior(self, spark):
+        from kg.stages.link import disambiguate_by_context
+
+        mentions, cands, priors = self._data(spark)
+        got = {
+            r["mention_id"]: r["entity_id"]
+            for r in disambiguate_by_context(
+                mentions, cands, priors, alpha=0.5
+            ).collect()
+        }
+        # car context -> car; jungle context beats the 0.7 prior;
+        # empty context -> the prior decides
+        assert got == {1: 1, 2: 2, 3: 1}
+
+    def test_alpha_one_is_pure_prior(self, spark):
+        from kg.stages.link import disambiguate_by_context
+
+        mentions, cands, priors = self._data(spark)
+        got = {
+            r["mention_id"]: r["entity_id"]
+            for r in disambiguate_by_context(
+                mentions, cands, priors, alpha=1.0
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_no_priors_context_only_with_id_tiebreak(self, spark):
+        from kg.stages.link import disambiguate_by_context
+
+        mentions, cands, _ = self._data(spark)
+        got = {
+            r["mention_id"]: (r["entity_id"], r["prior"])
+            for r in disambiguate_by_context(
+                mentions, cands, None, alpha=0.4
+            ).collect()
+        }
+        assert got[1] == (1, None)
+        assert got[2] == (2, None)
+        # empty context + no prior: every score 0 -> smallest entity id
+        assert got[3] == (1, None)
+
+    def test_alpha_validation(self, spark):
+        from kg.stages.link import disambiguate_by_context
+
+        mentions, cands, priors = self._data(spark)
+        with pytest.raises(ValueError):
+            disambiguate_by_context(mentions, cands, priors, alpha=2.0)

@@ -812,3 +812,24 @@ def test_file_skipping_stats_partial_agged_no_python(spark):
     # no join beyond the stats build itself, no window, no Python
     assert "Window" not in p2
     assert "InPandas" not in p2 and "BatchEvalPython" not in p2
+
+
+def test_disambiguate_by_context_broadcast_dim_no_window(spark):
+    """Two-signal linker: candidate dim broadcast (mention side never
+    shuffles for the join); per-mention argmax is a partial-aggregable
+    max_by, not a window; all word-set algebra is JVM."""
+    from kg.stages.link import disambiguate_by_context
+
+    mentions = spark.createDataFrame(
+        [(1, "a", "x y")], "mention_id long, surface_norm string,"
+        " context string"
+    )
+    cands = spark.createDataFrame(
+        [("a", 1, "x z")], "surface_norm string, entity_id long,"
+        " description string"
+    )
+    p = _plan(disambiguate_by_context(mentions, cands))
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "partial_max" in p
