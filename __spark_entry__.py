@@ -2568,6 +2568,45 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease (kg/ops/textstats.py readability): vowel-run
+    syllable heuristic, [.!?]+ sentence runs, one float expression from
+    exact integer counts. Oracle replays the identical regexp algebra
+    (the '#' prefix makes leading-vowel words split the same way in
+    both engines)."""
+    from kg.ops.textstats import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+_READABILITY_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS words,
+    greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+      AS n_sent
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_sent, len(words) AS n_words,
+    list_sum(list_transform(words,
+      w -> greatest(len(regexp_split_to_array('#' || w,
+                                              '[aeiouy]+')) - 1, 1)))
+      AS syl
+  FROM d
+)
+SELECT doc_id, CAST(n_sent AS BIGINT) AS n_sentences,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(coalesce(syl, 0) AS BIGINT) AS n_syllables,
+  CASE WHEN n_words > 0 THEN
+    round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+          - 84.6 * (CAST(coalesce(syl, 0) AS DOUBLE) / n_words), 6)
+  END AS flesch
+FROM c
+"""
+
+
 FSKIP_M = 256
 FSKIP_K = 3
 FSKIP_PROBE = "src7"
@@ -3579,6 +3618,50 @@ def _neighborhood_oracle_sql(rounds: int, p: int) -> str:
         for i in range(rounds + 1)
     )
     return ",\n".join(parts) + "\n" + union
+
+
+KTRUSS_K = 3
+KTRUSS_ORACLE_ROUNDS = 4
+
+
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss support peeling (kg/graphstats.py ktruss, k=3) over the
+    edge fixture: 171 canonical edges peel to the 55 closing at least
+    one triangle among survivors. The oracle unrolls the peel rounds
+    (per-edge support via a correlated common-neighbor count) past the
+    fixpoint — peeling is idempotent there, so the margin is safe."""
+    from kg.graphstats import ktruss
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return ktruss(edges, k=KTRUSS_K).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+    )
+
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    parts = [
+        f"WITH e0 AS MATERIALIZED ("
+        f" SELECT least(src, dst) AS u, greatest(src, dst) AS v"
+        f" FROM '{FIX}/edges.parquet' WHERE src <> dst GROUP BY 1, 2)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"sym{i} AS MATERIALIZED ("
+            f" SELECT u AS x, v AS y FROM e{i - 1}"
+            f" UNION SELECT v, u FROM e{i - 1})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i - 1} e"
+            f" WHERE (SELECT count(*) FROM sym{i} a, sym{i} b"
+            f" WHERE a.x = e.u AND b.x = e.v AND a.y = b.y)"
+            f" >= {k - 2})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v"
+        f" FROM e{rounds}"
+    )
 
 
 def q_graph_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9653,6 +9736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighborhood": q_graph_neighborhood,
         "graph_modularity": q_graph_modularity,
         "graph_mixing": q_graph_mixing,
+        "graph_ktruss": q_graph_ktruss,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_warm": q_graph_pagerank_warm,
         "graph_degrees": q_graph_degrees,
@@ -9702,6 +9786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": q_emb_ann_topk,
         "emb_mmr_topk": q_emb_mmr_topk,
         "corpus_file_skipping": q_corpus_file_skipping,
+        "doc_readability": q_doc_readability,
         "emb_kmeans": q_emb_kmeans,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ann_ivfpq": q_emb_ann_ivfpq,
@@ -11530,10 +11615,12 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
     )
     d["graph_modularity"] = _modularity_oracle_sql(LPA_ROUNDS)
     d["graph_mixing"] = _graph_mixing_oracle_sql()
+    d["graph_ktruss"] = _ktruss_oracle_sql(KTRUSS_K, KTRUSS_ORACLE_ROUNDS)
     d["emb_mmr_topk"] = _mmr_oracle_sql(MMR_QID, MMR_K, MMR_LAM, MMR_NCAND)
     d["corpus_file_skipping"] = _file_skipping_oracle_sql(
         FSKIP_M, FSKIP_K, FSKIP_PROBE
     )
+    d["doc_readability"] = _READABILITY_ORACLE
     d["graph_degrees"] = f"""
 WITH deg_rows AS (
   SELECT src AS node, 1 AS out_d, 0 AS in_d FROM '{FIX}/edges.parquet'

@@ -51,6 +51,7 @@ __all__ = [
     "effective_diameter",
     "modularity",
     "graph_mixing",
+    "ktruss",
 ]
 
 
@@ -331,27 +332,11 @@ def degree_stats(
     )
 
 
-def triangle_stats(
+def _canonical_undirected(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
-    """Per-node triangle count and local clustering coefficient over the
-    undirected projection of a directed edge list.
-
-    Returns (node, degree, triangles, lcc) where degree is the distinct
-    undirected neighbor count and lcc = 2T / (d·(d-1)) (0 when d < 2),
-    rounded to 6 places.
-
-    Scale shape — degree-ordered wedge counting (the MapReduce-classic
-    trick): every edge is oriented from its lower-(degree, node) endpoint
-    to the higher one, so a node's oriented out-neighborhood is bounded
-    by O(sqrt(m)) regardless of raw degree, and the wedge self-join
-    cannot blow up on hubs the way a naive neighbor self-join does. Each
-    triangle then appears as exactly ONE wedge at its min-rank vertex
-    plus one closing-edge probe. Three shuffles total: canonical-edge
-    distinct, the wedge join, and the closing-edge semi-probe (the last
-    two share the oriented edge set's partitioning on the wedge apex).
-    """
-    und = (
+    """Distinct canonical (u < v) undirected edges, self-loops dropped."""
+    return (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
@@ -359,6 +344,13 @@ def triangle_stats(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+
+
+def _enumerate_triangles(und: DataFrame) -> DataFrame:
+    """(a, b1, b2) — each triangle of the canonical undirected edge set
+    exactly once, via the degree-ordered wedge join (see triangle_stats
+    docstring for the scale argument). ``und`` must be canonical
+    (u < v, distinct, no self-loops)."""
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
@@ -366,8 +358,6 @@ def triangle_stats(
         .agg(F.count("*").alias("d"))
     )
     und = materialize(und)
-    # orient low-rank -> high-rank, rank = (degree, node); carry the
-    # endpoint ranks so the wedge join can order its two far ends
     with_deg = (
         und.join(deg.withColumnRenamed("node", "u"), "u")
         .withColumnRenamed("d", "du")
@@ -395,13 +385,45 @@ def triangle_stats(
         (F.col("db1") < F.col("db2"))
         | ((F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2")))
     )
-    tris = wedges.join(
+    return wedges.join(
         oriented.select(
             F.col("a").alias("b1"), F.col("b").alias("b2")
         ),
         ["b1", "b2"],
         "left_semi",
     ).select("a", "b1", "b2")
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    undirected projection of a directed edge list.
+
+    Returns (node, degree, triangles, lcc) where degree is the distinct
+    undirected neighbor count and lcc = 2T / (d·(d-1)) (0 when d < 2),
+    rounded to 6 places.
+
+    Scale shape — degree-ordered wedge counting (the MapReduce-classic
+    trick): every edge is oriented from its lower-(degree, node) endpoint
+    to the higher one, so a node's oriented out-neighborhood is bounded
+    by O(sqrt(m)) regardless of raw degree, and the wedge self-join
+    cannot blow up on hubs the way a naive neighbor self-join does. Each
+    triangle then appears as exactly ONE wedge at its min-rank vertex
+    plus one closing-edge probe. Three shuffles total: canonical-edge
+    distinct, the wedge join, and the closing-edge semi-probe (the last
+    two share the oriented edge set's partitioning on the wedge apex).
+    """
+    und = _canonical_undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # orientation + wedge join + closing-edge probe live in
+    # _enumerate_triangles (shared with ktruss)
+    tris = _enumerate_triangles(und)
     per_node = (
         tris.select(F.col("a").alias("node"))
         .union(tris.select(F.col("b1").alias("node")))
@@ -1761,3 +1783,70 @@ def graph_mixing(
             ).alias("reciprocity"),
         )
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 30,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss: the maximal subgraph in which EVERY edge closes at least
+    k-2 triangles (within the subgraph) — the edge-cohesion complement
+    of :func:`kcore` (node degree), and the standard community-core /
+    spam-farm detector on web graphs: a link ring survives high-k
+    trusses only if its edges are mutually embedded in triangles.
+    Returns the canonical surviving edges (u, v), u < v.
+
+    Algorithm — support peeling to a fixpoint: count per-edge triangle
+    support via the degree-ordered wedge enumeration (shared with
+    triangle_stats — each triangle found once, exploded to its 3
+    edges, one partial-agged groupBy), drop edges with support < k-2,
+    repeat; removing an edge can only lower OTHER edges' support, so
+    the iteration is monotone and terminates at the unique k-truss.
+    Each round is the triangle join plan + one aggregate + one semi
+    join, with the surviving edge set materialized per round. Round
+    count is bounded by the peel depth (web graphs: small); ``max_iter``
+    is a safety rail, and early exit fires the round nothing is
+    removed.
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3 (k=2 is just the edge set)")
+    cur = materialize(_canonical_undirected(edges, src, dst))
+    n_cur = cur.count()
+    for _ in range(int(max_iter)):
+        if n_cur == 0:
+            break
+        tris = _enumerate_triangles(cur)
+        tri_edges = (
+            tris.select(
+                F.least("a", "b1").alias("u"),
+                F.greatest("a", "b1").alias("v"),
+            )
+            .union(
+                tris.select(
+                    F.least("a", "b2").alias("u"),
+                    F.greatest("a", "b2").alias("v"),
+                )
+            )
+            .union(
+                tris.select(
+                    F.least("b1", "b2").alias("u"),
+                    F.greatest("b1", "b2").alias("v"),
+                )
+            )
+        )
+        support = tri_edges.groupBy("u", "v").agg(
+            F.count("*").alias("_sup")
+        )
+        nxt = materialize(
+            cur.join(support, ["u", "v"], "left").where(
+                F.coalesce("_sup", F.lit(0)) >= k - 2
+            ).select("u", "v")
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            return nxt
+        cur, n_cur = nxt, n_nxt
+    return cur

@@ -570,3 +570,54 @@ def dedupe_paragraphs(
         F.col("_o.n_paragraphs").alias("n_paragraphs"),
         F.col("_o.n_dropped").alias("n_dropped"),
     )
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease scoring — the classic curation signal for
+    "is this prose or keyword soup" (used alongside quality_score's
+    ratios; CCNet-style pipelines bucket on it):
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)``.
+
+    Counts are deterministic approximations, identical cross-engine:
+    sentences = count of [.!?]+ runs (min 1), words = whitespace
+    tokens, syllables = vowel-group runs [aeiouy]+ per word (min 1 per
+    word — the standard heuristic; exact CMU-dict syllables would need
+    a lexicon dim). Returns (id, n_sentences, n_words, n_syllables,
+    flesch) with flesch NULL on empty docs, else one float expression
+    from exact integers, rounded 6.
+
+    Scale shape: pure map — three regexp counts over the text column,
+    no shuffle, no Python (plan-pinned)."""
+    words = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.size(F.split(F.col("text"), r"[.!?]+")) - 1, F.lit(1)
+    )
+    syl = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.split(F.concat(F.lit("#"), w), r"[aeiouy]+")) - 1,
+            F.lit(1),
+        ),
+    )
+    flesch = F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6) * (syl.cast("double") / n_words.cast("double")),
+            6,
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        n_sent.cast("long").alias("n_sentences"),
+        n_words.cast("long").alias("n_words"),
+        syl.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

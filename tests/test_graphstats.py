@@ -1134,3 +1134,58 @@ class TestGraphMixing:
         # self-loop dropped; (1,2) and (2,1) are mutual
         assert r["n_directed"] == 3
         assert r["reciprocity"] == round(2 / 3, 6)
+
+
+class TestKTruss:
+    def _graph(self, spark):
+        # K4 on {0..3} plus a pendant triangle {3,4,5}
+        return spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (3, 5), (4, 5)],
+            "src long, dst long",
+        )
+
+    def test_truss_ladder(self, spark):
+        from kg.graphstats import ktruss
+
+        g = self._graph(spark)
+        t3 = sorted(map(tuple, ktruss(g, 3).collect()))
+        t4 = sorted(map(tuple, ktruss(g, 4).collect()))
+        t5 = sorted(map(tuple, ktruss(g, 5).collect()))
+        assert t3 == sorted(
+            [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (3, 5), (4, 5)]
+        )
+        # K4: every edge in 2 triangles -> survives k=4; the pendant
+        # triangle's edges have support 1 -> peeled
+        assert t4 == sorted(
+            [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        )
+        assert t5 == []
+
+    def test_cascading_peel(self, spark):
+        from kg.graphstats import ktruss
+
+        # two triangles sharing an edge: (0,1) has support 2; all
+        # others 1. k=4 peels the outer edges FIRST round, which drops
+        # (0,1)'s support to 0 -> second round empties it: cascade.
+        g = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)],
+            "src long, dst long",
+        )
+        assert ktruss(g, 4).count() == 0
+
+    def test_k_validation_and_directed_collapse(self, spark):
+        from kg.graphstats import ktruss
+
+        with pytest.raises(ValueError):
+            ktruss(self._graph(spark), 2)
+        # direction and duplicates are irrelevant: reversed duplicate
+        # edges collapse onto the canonical undirected set
+        g = self._graph(spark)
+        doubled = g.union(
+            g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        one = sorted(map(tuple, ktruss(g, 4).collect()))
+        two = sorted(map(tuple, ktruss(doubled, 4).collect()))
+        assert one == two

@@ -1834,3 +1834,51 @@ class TestMMR:
         emb = self._emb(spark, [(0, [1.0]), (1, [0.5])])
         with _pytest.raises(ValueError):
             mmr_topk(emb, query_id=0, lam=1.5)
+
+
+class TestReadability:
+    def test_known_sentence_counts(self, spark):
+        from kg.ops.textstats import readability
+
+        docs = spark.createDataFrame(
+            [
+                (1, "The cat sat. The dog ran!"),
+                (2, "no terminal punctuation here"),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in readability(docs).collect()}
+        assert got[1]["n_sentences"] == 2
+        assert got[1]["n_words"] == 6
+        # the/cat/sat/dog/ran = 1 syllable each -> 6 with 'the' twice
+        assert got[1]["n_syllables"] == 6
+        # flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6)
+        assert got[1]["flesch"] == round(206.835 - 1.015 * 3 - 84.6, 6)
+        assert got[2]["n_sentences"] == 1  # floor at one sentence
+        assert got[3]["n_words"] == 0 and got[3]["flesch"] is None
+
+    def test_syllable_heuristic_vowel_runs(self, spark):
+        from kg.ops.textstats import readability
+
+        docs = spark.createDataFrame(
+            [(1, "queueing strength aeiou")], "doc_id long, text string"
+        )
+        r = readability(docs).first()
+        # queueing: ueuei + (no second group... 'queueing' -> q[ueuei]ng
+        # = 1 run; strength: e = 1; aeiou: 1 run; min-1 floor unused
+        assert r["n_syllables"] == 3
+
+    def test_prose_scores_higher_than_word_soup(self, spark):
+        from kg.ops.textstats import readability
+
+        docs = spark.createDataFrame(
+            [
+                (1, "The cat sat on the mat. It was warm. He slept."),
+                (2, "internationalization considerations "
+                    "paralellization optimization " * 10),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["flesch"] for r in readability(docs).collect()}
+        assert got[1] > got[2]

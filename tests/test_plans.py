@@ -833,3 +833,29 @@ def test_disambiguate_by_context_broadcast_dim_no_window(spark):
     assert "Window" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert "partial_max" in p
+
+
+def test_ktruss_round_no_cartesian_partial_agged_support(spark):
+    """One peel round = the degree-ordered triangle plan + a
+    partial-aggregated support groupBy + a semi filter join — no
+    cartesian, no window, no Python."""
+    from kg.graphstats import _canonical_undirected, _enumerate_triangles
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long"
+    )
+    und = _canonical_undirected(edges)
+    tris = _enumerate_triangles(und)
+    support = (
+        tris.select(F.least("a", "b1").alias("u"),
+                    F.greatest("a", "b1").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("s"))
+    )
+    p = _plan(und.join(support, ["u", "v"], "left"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "partial_count" in p
