@@ -2568,6 +2568,46 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint per event type (kg/ops/events.py
+    mean_shift_changepoint): argmax over |n*prefix − i*total| in exact
+    VALUE-CENTS integers (the sessionize cents discipline), ties to the
+    earliest bucket. Oracle replays the window algebra."""
+    from kg.ops.events import mean_shift_changepoint
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mean_shift_changepoint(events, grain="hour")
+
+
+_CHANGEPOINT_ORACLE = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, bucket,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS i,
+         sum(c) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM b),
+d AS (
+  SELECT event_type, bucket, n, abs(n * cum - i * tot) AS dev,
+         abs(tot) AS atot
+  FROM s),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY dev DESC, bucket ASC) AS rn
+  FROM d)
+SELECT event_type, bucket AS cp_bucket, CAST(n AS BIGINT) AS n_buckets,
+       CAST(dev AS BIGINT) AS dev_scaled,
+       round(CASE WHEN atot > 0
+                  THEN dev / (CAST(n AS DOUBLE) * atot)
+                  ELSE 0.0 END, 6) AS rel_dev
+FROM r WHERE rn = 1
+"""
+
+
 def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading ease (kg/ops/textstats.py readability): vowel-run
     syllable heuristic, [.!?]+ sentence runs, one float expression from
@@ -9787,6 +9827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mmr_topk": q_emb_mmr_topk,
         "corpus_file_skipping": q_corpus_file_skipping,
         "doc_readability": q_doc_readability,
+        "events_changepoint": q_events_changepoint,
         "emb_kmeans": q_emb_kmeans,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ann_ivfpq": q_emb_ann_ivfpq,
@@ -11621,6 +11662,7 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
         FSKIP_M, FSKIP_K, FSKIP_PROBE
     )
     d["doc_readability"] = _READABILITY_ORACLE
+    d["events_changepoint"] = _CHANGEPOINT_ORACLE
     d["graph_degrees"] = f"""
 WITH deg_rows AS (
   SELECT src AS node, 1 AS out_d, 0 AS in_d FROM '{FIX}/edges.parquet'

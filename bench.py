@@ -381,6 +381,9 @@ def run_suite(spark, sf_dir: str) -> dict:
     # postings shuffle shape ---
     from kg.ops.ranking import bm25_search, corpus_vocab
 
+    from kg.ops.ranking import near_search
+    from kg.ops.textstats import readability
+
     def w_ranking():
         # the rank orderings already force cf/score computation; the sums
         # keep the final projection unprunable for uniformity
@@ -390,9 +393,21 @@ def run_suite(spark, sf_dir: str) -> dict:
         bm25_search(
             docs_x, ["alice", "paris", "acme"], top_n=100, id_col="doc_id"
         ).agg(F.count("*").alias("n"), F.sum("score").alias("_s")).first()
+        # NEAR/8 proximity (new key 2026-08-21): corpus-pruned postings
+        # + bucketed band semi-join — the same postings scan shape with
+        # the band join on top
+        near_search(
+            docs_x, ["table", "join"], window=8, id_col="doc_id"
+        ).agg(F.count("*").alias("n"), F.sum("n_anchors").alias("_a")).first()
+        # Flesch readability (new key 2026-08-21): pure-map triple regexp
+        # scan over the corpus
+        readability(docs_x, id_col="doc_id").agg(
+            F.count("*").alias("n"), F.sum("n_syllables").alias("_y"),
+            F.sum("flesch").alias("_f"),
+        ).first()
 
     timings["ranking"] = timed_twice(w_ranking)
-    extra["ranking_docs_per_sec"] = round(2 * n_pages / timings["ranking"], 1)
+    extra["ranking_docs_per_sec"] = round(4 * n_pages / timings["ranking"], 1)
 
     # --- TextRank keyword salience (new key 2026-08-20: corpus-sized
     # pair scan + one pair groupBy; the power iterations run on the

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "funnel_steps", "cohort_retention",
+__all__ = ["sessionize", "funnel_steps", "cohort_retention", "mean_shift_changepoint",
            "detect_bursts"]
 
 
@@ -218,4 +218,81 @@ def detect_bursts(
             baseline.isNotNull()
             & (F.col("n") >= F.lit(float(factor)) * baseline)
         ).alias("is_burst"),
+    )
+
+
+def mean_shift_changepoint(
+    events: DataFrame,
+    grain: str = "hour",
+) -> DataFrame:
+    """Single most-likely mean-shift changepoint per event type (the
+    CUSUM argmax): bucket the series by ``grain``, accumulate value
+    sums, and find the boundary i maximizing the deviation between the
+    prefix mean and the global mean — where monitoring would split the
+    series ("did click revenue shift regime mid-crawl"). Complements
+    :func:`detect_bursts` (local rate spikes) with a global
+    level-change detector.
+
+    Returns (event_type, cp_bucket, n_buckets, dev_scaled, rel_dev):
+    cp_bucket = the bucket AFTER which the split maximizes
+    ``|n * prefix_cents_i − i * total_cents|`` (ties -> earliest
+    bucket); dev_scaled is that integer statistic — value cents and
+    counts only, so the argmax is EXACT and engine-bit-identical (the
+    same cents discipline as sessionize); rel_dev = dev_scaled
+    normalized by n * total |cents| as one float division, rounded 6.
+
+    Scale shape: one partial-agged groupBy(type, bucket) collapses the
+    corpus to series-length rows; the cumulative window and argmax run
+    per event type over those bucket rows (bounded by the time range,
+    not the corpus) — the same two-phase discipline as threshold_sweep's
+    histogram window."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    buck = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc(grain, F.col("ts")).alias("bucket"),
+    ).agg(F.sum(cents).alias("c"), F.count("*").alias("k"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = F.sum("c").over(w)
+    idx = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("bucket")
+    )
+    tot = F.sum("c").over(wall)
+    n = F.count("*").over(wall)
+    dev = F.abs(n * cum - idx * tot)
+    scored = buck.select(
+        "event_type",
+        "bucket",
+        n.alias("_n"),
+        tot.alias("_tot"),
+        dev.alias("_dev"),
+    )
+    best = scored.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("_dev").alias("d"),
+                (F.lit(0).cast("long")
+                 - F.unix_micros(F.col("bucket"))).alias("nb"),
+            )
+        ).alias("b"),
+        F.max("_n").alias("n_buckets"),
+        F.max(F.abs("_tot")).alias("_atot"),
+    )
+    return best.select(
+        "event_type",
+        F.timestamp_micros(-F.col("b.nb")).alias("cp_bucket"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("b.d").cast("long").alias("dev_scaled"),
+        F.round(
+            F.when(
+                (F.col("_atot") > 0),
+                F.col("b.d")
+                / (F.col("n_buckets").cast("double") * F.col("_atot")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rel_dev"),
     )

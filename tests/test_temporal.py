@@ -734,3 +734,50 @@ class TestHLL:
         )
         r = hll_distinct(df, ["g"], "v", p=12).first()
         assert r["n_registers_hit"] == 2
+
+
+class TestChangepoint:
+    def test_detects_planted_level_shift(self, spark):
+        from kg.ops.events import mean_shift_changepoint
+
+        # 48 hourly buckets: value 1.00 for the first 24, 9.00 after —
+        # the CUSUM argmax must land on the last low bucket
+        rows = []
+        for h in range(48):
+            v = 1.0 if h < 24 else 9.0
+            rows.append((h, _ts(h * 60), "click", v))
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string,"
+            " value double"
+        )
+        r = mean_shift_changepoint(events, grain="hour").first()
+        assert r["n_buckets"] == 48
+        assert r["cp_bucket"].hour == 23
+        # dev at the true split: |48*2400 - 24*(2400+21600)| = 460800
+        assert r["dev_scaled"] == 460800
+
+    def test_tie_breaks_to_earliest_bucket(self, spark):
+        from kg.ops.events import mean_shift_changepoint
+
+        # symmetric series 1, 5, 1: splits after bucket 0 and after
+        # bucket 1 tie on |3*100-1*700| = |3*600-2*700| = 400
+        rows = [(0, _ts(0), "x", 1.0), (1, _ts(60), "x", 5.0),
+                (2, _ts(120), "x", 1.0)]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string,"
+            " value double"
+        )
+        r = mean_shift_changepoint(events, grain="hour").first()
+        assert r["dev_scaled"] == 400
+        assert r["cp_bucket"].hour == 0
+
+    def test_flat_series_zero_deviation(self, spark):
+        from kg.ops.events import mean_shift_changepoint
+
+        rows = [(i, _ts(i * 60), "x", 2.5) for i in range(6)]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string,"
+            " value double"
+        )
+        r = mean_shift_changepoint(events, grain="hour").first()
+        assert r["dev_scaled"] == 0 and r["rel_dev"] == 0.0
