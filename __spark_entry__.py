@@ -2568,6 +2568,86 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ISO_BINS = 16
+
+
+def q_doc_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic calibration (kg/ops/curation.py
+    isotonic_calibrate) of a deterministic noisy-monotone label on an
+    md5-uniform score (the doc_train_split hashing idiom, so both
+    engines generate identical data). The PAV solution is computed by
+    the minimax closed form — exact integer prefix sums, one division
+    per candidate — and the oracle replays the same relational algebra;
+    equality to the sequential PAV loop is pinned in tests."""
+    from kg.ops.curation import isotonic_calibrate
+
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("iso:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    u2 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("isol:"), F.col("doc_id").cast("string"))
+                ), 1, 15,
+            ), 16, 10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    scored = docs.select(
+        u.alias("score"),
+        (u2 < F.lit(0.15) + F.lit(0.7) * u).cast("int").alias("label"),
+    )
+    return isotonic_calibrate(scored, n_bins=ISO_BINS)
+
+
+def _isotonic_oracle_sql(n_bins: int) -> str:
+    u = ("(('0x' || substr(md5('iso:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+         "::BIGINT / 1152921504606846976.0)")
+    u2 = ("(('0x' || substr(md5('isol:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+          "::BIGINT / 1152921504606846976.0)")
+    return f"""
+WITH scored AS (
+  SELECT {u} AS score,
+         CASE WHEN {u2} < 0.15 + 0.7 * {u} THEN 1 ELSE 0 END AS label
+  FROM documents),
+binned AS (
+  SELECT least({n_bins - 1}, CAST(floor(score * {n_bins}) AS INTEGER))
+           AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1),
+pref AS (
+  SELECT bin, n, n_pos,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(n_pos) OVER (ORDER BY bin) AS cp
+  FROM binned),
+pairs AS (
+  SELECT l.bin AS j, r.bin AS k,
+         CAST(r.cp - (l.cp - l.n_pos) AS DOUBLE)
+           / CAST(r.cn - (l.cn - l.n) AS DOUBLE) AS avg
+  FROM pref l JOIN pref r ON l.bin <= r.bin),
+rmin AS (
+  SELECT j, k,
+         min(avg) OVER (PARTITION BY j ORDER BY k DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS rmin
+  FROM pairs),
+fit AS (SELECT k AS bin, max(rmin) AS f FROM rmin GROUP BY k)
+SELECT b.bin, b.n, b.n_pos,
+       round(b.n_pos / CAST(b.n AS DOUBLE), 9) AS rate,
+       round(f.f, 9) AS fit
+FROM binned b JOIN fit f USING (bin)
+"""
+
+
 def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM mean-shift changepoint per event type (kg/ops/events.py
     mean_shift_changepoint): argmax over |n*prefix − i*total| in exact
@@ -9828,6 +9908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_file_skipping": q_corpus_file_skipping,
         "doc_readability": q_doc_readability,
         "events_changepoint": q_events_changepoint,
+        "doc_isotonic": q_doc_isotonic,
         "emb_kmeans": q_emb_kmeans,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ann_ivfpq": q_emb_ann_ivfpq,
@@ -11663,6 +11744,7 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
     )
     d["doc_readability"] = _READABILITY_ORACLE
     d["events_changepoint"] = _CHANGEPOINT_ORACLE
+    d["doc_isotonic"] = _isotonic_oracle_sql(ISO_BINS)
     d["graph_degrees"] = f"""
 WITH deg_rows AS (
   SELECT src AS node, 1 AS out_d, 0 AS in_d FROM '{FIX}/edges.parquet'

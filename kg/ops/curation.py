@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
+    "isotonic_calibrate",
     "quality_prune",
     "benchmark_contamination",
     "token_budget_sample",
@@ -772,3 +773,99 @@ def temperature_targets(
     smoothed = {r.g: (r.t / total) ** alpha for r in rows}
     z = sum(smoothed.values()) or 1.0
     return {g: v / z for g, v in sorted(smoothed.items())}
+
+
+def isotonic_calibrate(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 64,
+) -> DataFrame:
+    """Weighted isotonic regression of label rate on score — the
+    calibration step between a quality classifier (lr_score) and a
+    keep-threshold policy: raw classifier scores are monotone-related
+    to P(good) but not equal to it; the isotonic fit is the best
+    monotone non-decreasing estimate of P(good | score), fitted here on
+    equal-width bins of the [0, 1] score domain.
+
+    Solution WITHOUT the sequential pool-adjacent-violators loop: the
+    PAV solution has the minimax closed form
+    ``fit_i = max_{j<=i} min_{k>=i} avg(j..k)`` with
+    ``avg(j..k) = pos(j..k) / n(j..k)`` — each candidate value is ONE
+    division of exact integer prefix sums, the running min/max are
+    order-insensitive, so the fit is engine-bit-identical and fully
+    SQL-expressible (no iteration to unroll). Returns one row per
+    OCCUPIED bin: (bin, n, n_pos, rate, fit), fit/rate rounded 9;
+    monotonicity of ``fit`` is pinned in tests.
+
+    Scale shape: one partial-agged corpus groupBy collapses everything
+    to <= n_bins rows; the O(n_bins^2) pair table and its two windows
+    run on that dim (64 bins -> ~2k pair rows). The same
+    histogram-not-corpus discipline as threshold_sweep.
+    """
+    b = F.least(
+        F.lit(int(n_bins) - 1),
+        F.floor(F.col(score_col) * int(n_bins)).cast("int"),
+    )
+    binned = (
+        scored.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col(label_col).cast("long")).cast("long").alias(
+                "n_pos"
+            ),
+        )
+    )
+    wp = (
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = binned.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(wp).alias("cn"),
+        F.sum("n_pos").over(wp).alias("cp"),
+    )
+    left = pref.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+        (F.col("cp") - F.col("n_pos")).alias("cp_before"),
+    )
+    right = pref.select(
+        F.col("bin").alias("k"), F.col("cn").alias("cn_k"),
+        F.col("cp").alias("cp_k"),
+    )
+    pairs = left.join(right, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cp_k") - F.col("cp_before")).cast("double")
+            / (F.col("cn_k") - F.col("cn_before")).cast("double")
+        ).alias("avg"),
+    )
+    wmin = (
+        Window.partitionBy("j")
+        .orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rmin = pairs.select(
+        "j", "k", F.min("avg").over(wmin).alias("rmin")
+    )
+    fit = rmin.groupBy(F.col("k").alias("bin")).agg(
+        F.max("rmin").alias("_fit")
+    )
+    return (
+        binned.join(fit, "bin")
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n").cast("double"), 9).alias(
+                "rate"
+            ),
+            F.round("_fit", 9).alias("fit"),
+        )
+    )

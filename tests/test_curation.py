@@ -781,3 +781,90 @@ class TestTemperatureTargets:
         # alpha -> 0 approaches uniform: minority share rises
         assert 0.4 < cold["fr"] < 0.5 < cold["en"] < 0.6
         assert abs(sum(cold.values()) - 1.0) < 1e-12
+
+
+class TestIsotonicCalibrate:
+    def _pav(self, blocks):
+        """Sequential pool-adjacent-violators reference."""
+        stack = []
+        for n, p in blocks:
+            stack.append([n, p])
+            while (
+                len(stack) > 1
+                and stack[-2][1] * stack[-1][0]
+                >= stack[-1][1] * stack[-2][0]
+            ):
+                n2, p2 = stack.pop()
+                stack[-1][0] += n2
+                stack[-1][1] += p2
+        fits = []
+        for n, p in stack:
+            fits.extend([p / n])
+        return stack
+
+    def test_matches_sequential_pav(self, spark):
+        from kg.ops.curation import isotonic_calibrate
+
+        import random as _random
+
+        _random.seed(11)
+        rows = []
+        for _ in range(2000):
+            s = _random.random()
+            p = 0.1 + 0.7 * s + (0.2 if 0.4 < s < 0.5 else 0.0)
+            rows.append((s, 1 if _random.random() < p else 0))
+        df = spark.createDataFrame(rows, "score double, label int")
+        got = sorted(
+            (r["bin"], r["n"], r["n_pos"], r["fit"])
+            for r in isotonic_calibrate(df, n_bins=16).collect()
+        )
+        # replay: bins -> PAV blocks -> per-bin fit
+        import collections
+
+        bins = collections.defaultdict(lambda: [0, 0])
+        for s, l in rows:
+            b = min(15, int(s * 16))
+            bins[b][0] += 1
+            bins[b][1] += l
+        ks = sorted(bins)
+        stack = self._pav([bins[k] for k in ks])
+        fits, i = [], 0
+        for n, p in stack:
+            cnt = 0
+            while cnt < n:
+                cnt += bins[ks[i]][0]
+                fits.append(round(p / n, 9))
+                i += 1
+        ref = sorted(
+            (ks[i], bins[ks[i]][0], bins[ks[i]][1], fits[i])
+            for i in range(len(ks))
+        )
+        assert got == ref
+        f = [x[3] for x in got]
+        assert f == sorted(f)  # monotone non-decreasing
+
+    def test_already_monotone_data_is_unchanged(self, spark):
+        from kg.ops.curation import isotonic_calibrate
+
+        # bin rates strictly increasing -> fit == rate everywhere
+        rows = []
+        for b in range(4):
+            for i in range(10):
+                rows.append((b / 4 + 0.01, 1 if i < 2 + 2 * b else 0))
+        df = spark.createDataFrame(
+            [((b + 0.5) / 4, l) for b in range(4) for i, l in
+             [(i, 1 if i < 2 + 2 * b else 0) for i in range(10)]],
+            "score double, label int",
+        )
+        got = {r["bin"]: r for r in isotonic_calibrate(df, n_bins=4).collect()}
+        for b in got:
+            assert got[b]["fit"] == got[b]["rate"]
+
+    def test_single_violation_pools_two_bins(self, spark):
+        from kg.ops.curation import isotonic_calibrate
+
+        # bin0 rate 0.8 (4/5), bin1 rate 0.2 (1/5) -> pooled to 0.5
+        rows = [(0.1, 1)] * 4 + [(0.1, 0)] + [(0.9, 1)] + [(0.9, 0)] * 4
+        df = spark.createDataFrame(rows, "score double, label int")
+        got = {r["bin"]: r["fit"] for r in isotonic_calibrate(df, n_bins=2).collect()}
+        assert got == {0: 0.5, 1: 0.5}

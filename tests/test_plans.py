@@ -859,3 +859,22 @@ def test_ktruss_round_no_cartesian_partial_agged_support(spark):
     assert "Window" not in p
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert "partial_count" in p
+
+
+def test_isotonic_single_corpus_shuffle_then_dim_windows(spark):
+    """Isotonic calibration: ONE partial-agged corpus groupBy; the pair
+    join and windows run on the <= n_bins dim (threshold_sweep's
+    histogram discipline); no Python."""
+    from kg.ops.curation import isotonic_calibrate
+
+    df = spark.createDataFrame(
+        [(0.2, 1), (0.7, 0)], "score double, label int"
+    )
+    p = _plan(isotonic_calibrate(df, n_bins=8))
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    assert "partial_count" in p or "partial_sum" in p
+    # the j <= k pair join is dim x dim (<= n_bins rows per side): a
+    # broadcast nested-loop there is deliberate and bounded; what must
+    # NOT appear is a corpus-sized nested loop — the corpus reaches
+    # exactly one exchange (the bin groupBy) before the dim algebra
+    assert p.count("Exchange") <= 4
