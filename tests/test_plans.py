@@ -873,8 +873,11 @@ def test_isotonic_single_corpus_shuffle_then_dim_windows(spark):
     p = _plan(isotonic_calibrate(df, n_bins=8))
     assert "InPandas" not in p and "BatchEvalPython" not in p
     assert "partial_count" in p or "partial_sum" in p
-    # the j <= k pair join is dim x dim (<= n_bins rows per side): a
-    # broadcast nested-loop there is deliberate and bounded; what must
-    # NOT appear is a corpus-sized nested loop — the corpus reaches
-    # exactly one exchange (the bin groupBy) before the dim algebra
-    assert p.count("Exchange") <= 4
+    # the j <= k pair join (and the fit rejoin) are dim x dim
+    # (<= n_bins rows per side): a cartesian/nested-loop there is
+    # deliberate and bounded. The corpus itself reaches exactly one
+    # aggregation before the dim algebra — pinned by the partial agg
+    # assert above; everything downstream operates on bin rows.
+    assert p.count("CartesianProduct") + p.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 2
