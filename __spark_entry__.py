@@ -8727,6 +8727,46 @@ STREAM_LINK_PAGES: list[tuple[str, str, int, list[str]]] = [
 ]
 
 
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL monitor (kg/streaming.py stream_hll_merge): the sf
+    documents land as three hash-split files, each an availableNow
+    micro-batch whose registers monoid-merge into the versioned store;
+    the final estimates must equal the BATCH sketch of the whole corpus
+    bit-for-bit (register max is associative/idempotent), so the oracle
+    is the same hll_oracle_sql as doc_hll_distinct — one truth, two
+    execution paths."""
+    import tempfile
+
+    from kg.streaming import read_hll_store, stream_hll_merge
+
+    src = tempfile.mkdtemp(prefix="kg_stream_hll_src_")
+    store = tempfile.mkdtemp(prefix="kg_stream_hll_store_")
+    ckpt = tempfile.mkdtemp(prefix="kg_stream_hll_ckpt_")
+    docs = _docs(spark, sf_dir)
+    for i in range(3):
+        docs.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            stream_hll_merge(store, ["lang"], "text", p=8)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_hll_store(spark, store, ["lang"], p=8)
+
+
 def q_stream_link_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL streaming contract over the web-graph path: windowed
     outbound-link counts per destination host, watermarked. Same two-run
@@ -9909,6 +9949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": q_doc_readability,
         "events_changepoint": q_events_changepoint,
         "doc_isotonic": q_doc_isotonic,
+        "stream_hll_distinct": q_stream_hll_distinct,
         "emb_kmeans": q_emb_kmeans,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_ann_ivfpq": q_emb_ann_ivfpq,
@@ -12185,6 +12226,8 @@ FROM events GROUP BY 2, 3
     d["doc_hll_distinct"] = hll_oracle_sql(
         "documents", ["lang"], "text", p=8
     )
+    # same truth, streaming execution path (see q_stream_hll_distinct)
+    d["stream_hll_distinct"] = d["doc_hll_distinct"]
     _q_probs = (0.1, 0.25, 0.5, 0.75, 0.9)
     d["events_value_quantiles"] = "\nUNION ALL\n".join(
         f"""SELECT event_type, CAST({p} AS DOUBLE) AS p,

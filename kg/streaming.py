@@ -487,3 +487,70 @@ def vacuum_fact_store(spark, store_dir: str, keep_last: int = 2) -> list:
         fs.delete(path, True)
         deleted.append(vid)
     return deleted
+
+
+def stream_hll_merge(
+    store_dir: str,
+    group_cols=("lang",),
+    value_col: str = "text",
+    p: int = 12,
+):
+    """Streaming distinct-count monitor: every micro-batch's HyperLogLog
+    REGISTERS (kg/ops/sketch.py hll_registers) monoid-merge into a
+    versioned store — always-on per-group cardinality counters over the
+    landing zone that never re-scan history. The sketch-side sibling of
+    :func:`stream_fact_merge`, and the streaming payoff of HLL's
+    mergeability: union->max over <= 2^p rows per group, whatever the
+    stream has seen.
+
+    Returns a foreachBatch function; same epoch-versioned store layout
+    and idempotent-replay contract as stream_fact_merge (a replayed
+    epoch merges the same earlier version with the same batch registers
+    — register max is idempotent, so duplicated batches cannot inflate
+    the estimate, unlike a count-sum). Read the current estimates with
+    :func:`read_hll_store` (registers -> hll_estimate).
+    """
+    import os
+    import re
+
+    from kg.ops.sketch import hll_merge, hll_registers
+
+    groups = list(group_cols)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, groups, value_col, p)
+        prev_ids = [
+            int(m.group(1))
+            for d in (
+                os.listdir(store_dir) if os.path.isdir(store_dir) else []
+            )
+            if (m := re.fullmatch(r"v(\d+)", d)) and int(m.group(1)) < epoch_id
+        ]
+        if prev_ids:
+            prev = spark.read.parquet(f"{store_dir}/v{max(prev_ids)}")
+            regs = hll_merge(prev, regs, groups)
+        regs.write.mode("overwrite").parquet(f"{store_dir}/v{epoch_id}")
+
+    return fold
+
+
+def read_hll_store(
+    spark: SparkSession,
+    store_dir: str,
+    group_cols=("lang",),
+    p: int = 12,
+) -> DataFrame:
+    """Estimates from the latest stream_hll_merge store version."""
+    import os
+    import re
+
+    from kg.ops.sketch import hll_estimate
+
+    ids = [
+        int(m.group(1))
+        for d in os.listdir(store_dir)
+        if (m := re.fullmatch(r"v(\d+)", d))
+    ]
+    regs = spark.read.parquet(f"{store_dir}/v{max(ids)}")
+    return hll_estimate(regs, list(group_cols), p)

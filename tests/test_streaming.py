@@ -463,3 +463,54 @@ class TestStreamFactMerge:
         assert vacuum_fact_store(spark, str(tmp_path / "nope")) == []
         with pytest.raises(ValueError):
             vacuum_fact_store(spark, store, keep_last=0)
+
+
+class TestStreamHLL:
+    def test_merged_equals_batch_and_replay_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from kg.ops.sketch import hll_distinct
+        from kg.streaming import read_hll_store, stream_hll_merge
+
+        docs = spark.createDataFrame(
+            [(i, f"text-{i % 700}", "en") for i in range(2000)],
+            "doc_id long, text string, lang string",
+        )
+        store = str(tmp_path / "hll_store")
+        fold = stream_hll_merge(store, ["lang"], "text", p=8)
+        # three disjoint "micro-batches"
+        for epoch in range(3):
+            fold(docs.where(F.pmod("doc_id", F.lit(3)) == epoch), epoch)
+        merged = sorted(
+            map(tuple, read_hll_store(spark, store, ["lang"], p=8).collect())
+        )
+        batch = sorted(map(tuple, hll_distinct(docs, ["lang"], "text", p=8).collect()))
+        assert merged == batch
+        # replay the LAST epoch (the Structured Streaming retry contract):
+        # register max is idempotent -> same store state, same estimate
+        fold(docs.where(F.pmod("doc_id", F.lit(3)) == 2), 2)
+        again = sorted(
+            map(tuple, read_hll_store(spark, store, ["lang"], p=8).collect())
+        )
+        assert again == merged
+
+    def test_duplicated_batch_does_not_inflate(self, spark, tmp_path):
+        from kg.streaming import read_hll_store, stream_hll_merge
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", "en") for i in range(500)],
+            "doc_id long, text string, lang string",
+        )
+        store = str(tmp_path / "hll_store2")
+        fold = stream_hll_merge(store, ["lang"], "text", p=8)
+        fold(docs, 0)
+        est0 = read_hll_store(spark, store, ["lang"], p=8).first()[
+            "est_distinct"
+        ]
+        # the SAME rows land again as a later epoch (an upstream
+        # duplication, not a retry): idempotent max absorbs them
+        fold(docs, 1)
+        est1 = read_hll_store(spark, store, ["lang"], p=8).first()[
+            "est_distinct"
+        ]
+        assert est0 == est1
