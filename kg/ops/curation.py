@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "isotonic_calibrate",
+    "isotonic_apply",
     "quality_prune",
     "benchmark_contamination",
     "token_budget_sample",
@@ -868,4 +869,50 @@ def isotonic_calibrate(
             ),
             F.round("_fit", 9).alias("fit"),
         )
+    )
+
+
+def isotonic_apply(
+    scored: DataFrame,
+    fit: DataFrame,
+    score_col: str = "score",
+    n_bins: int = 64,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Map raw scores through an :func:`isotonic_calibrate` fit: attach
+    ``out_col`` = the fitted P(good) of the score's bin. Bins the fit
+    never saw inherit the nearest OCCUPIED bin at or below them (the
+    step function extends left-constant; scores below the first
+    occupied bin take its value) — monotonicity is preserved by
+    construction.
+
+    Scale shape: the <= n_bins fit rows come to the driver once, the
+    dense bin->fit lookup is rebuilt as a broadcast dim, and the corpus
+    takes ONE broadcast equi-join on the bin expression — a pure map
+    plus the dictionary probe, no shuffle of the scored corpus.
+    """
+    rows = sorted(
+        (int(r["bin"]), float(r["fit"])) for r in fit.select("bin", "fit").collect()
+    )
+    if not rows:
+        raise ValueError("empty isotonic fit")
+    dense, j = [], 0
+    current = rows[0][1]
+    for b in range(int(n_bins)):
+        if j < len(rows) and rows[j][0] == b:
+            current = rows[j][1]
+            j += 1
+        dense.append((b, current))
+    lookup = scored.sparkSession.createDataFrame(
+        dense, "bin int, _fit double"
+    )
+    b = F.least(
+        F.lit(int(n_bins) - 1),
+        F.floor(F.col(score_col) * int(n_bins)).cast("int"),
+    )
+    return (
+        scored.withColumn("_b", b)
+        .join(F.broadcast(lookup), F.col("_b") == F.col("bin"), "left")
+        .drop("bin", "_b")
+        .withColumnRenamed("_fit", out_col)
     )

@@ -868,3 +868,57 @@ class TestIsotonicCalibrate:
         df = spark.createDataFrame(rows, "score double, label int")
         got = {r["bin"]: r["fit"] for r in isotonic_calibrate(df, n_bins=2).collect()}
         assert got == {0: 0.5, 1: 0.5}
+
+
+class TestIsotonicApply:
+    def test_applies_step_function_with_gap_fill(self, spark):
+        from kg.ops.curation import isotonic_apply
+
+        fit = spark.createDataFrame(
+            [(0, 5, 2, 0.4, 0.4), (3, 5, 4, 0.8, 0.8)],
+            "bin int, n long, n_pos long, rate double, fit double",
+        )
+        scored = spark.createDataFrame(
+            [(0.05,), (0.30,), (0.60,), (0.99,)], "score double"
+        )
+        got = [
+            r["calibrated"]
+            for r in isotonic_apply(scored, fit, n_bins=4)
+            .orderBy("score")
+            .collect()
+        ]
+        # bin0 -> 0.4; bin1/2 (unseen) inherit bin0's 0.4; bin3 -> 0.8
+        assert got == [0.4, 0.4, 0.4, 0.8]
+
+    def test_calibrated_is_monotone_in_score(self, spark):
+        from kg.ops.curation import isotonic_apply, isotonic_calibrate
+
+        import random as _random
+
+        _random.seed(3)
+        rows = [
+            (s, 1 if _random.random() < 0.2 + 0.6 * s else 0)
+            for s in (_random.random() for _ in range(1500))
+        ]
+        df = spark.createDataFrame(rows, "score double, label int")
+        fit = isotonic_calibrate(df, n_bins=16)
+        out = (
+            isotonic_apply(df, fit, n_bins=16)
+            .orderBy("score")
+            .select("calibrated")
+            .collect()
+        )
+        vals = [r["calibrated"] for r in out]
+        assert vals == sorted(vals)
+
+    def test_empty_fit_raises(self, spark):
+        from kg.ops.curation import isotonic_apply
+
+        fit = spark.createDataFrame(
+            [], "bin int, n long, n_pos long, rate double, fit double"
+        )
+        scored = spark.createDataFrame([(0.5,)], "score double")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            isotonic_apply(scored, fit, n_bins=4)
