@@ -357,6 +357,15 @@ def main() -> int:
         " for completeness like ann_lsh, not a scaling row). Suite walls"
         " grow accordingly; compare per-key, not whole-suite, across"
         " windows.",
+        "- NEW PAYLOADS (2026-08-21, mid-round-3): the ranking stage"
+        " gained two corpus-sized actions (NEAR/8 proximity retrieval —"
+        " scan-pruned postings + bucketed band semi-join — and Flesch"
+        " readability, a pure-map triple regexp scan) and its throughput"
+        " denominator moved from 2x to 4x pages; the curation stage input"
+        " is replicated 8x with distinct ids (same sizing fix as"
+        " boilerplate — its ~2s high-parallelism wall was measuring job"
+        " launches). ranking/curation rows are comparable only from this"
+        " date's windows on.",
         "- HONESTY FIX (2026-08-19, mid-round-3): stage actions now force",
         " the operator payload (aggregates over produced columns) — a bare",
         " .count() let Catalyst eliminate unique-key left joins and prune",
