@@ -3289,6 +3289,85 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTRAST_K_NEG = 3
+CONTRAST_NCAND = 8
+CONTRAST_THRESH = 0.4
+
+
+def q_emb_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining (kg/ops/similarity.py
+    mine_contrastive_pairs): positives from the cosine near-dup
+    clusters (threshold 0.4, the emb_cosine_near_dup assignment),
+    hard negatives = top-cosine out-of-cluster neighbors. Oracle
+    recomputes the closure (recursive CTE), the neighbor ranks, and the
+    anti-filtered re-rank in one SQL."""
+    from kg.ops.similarity import (
+        embedding_cosine_near_dup,
+        mine_contrastive_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    clusters = embedding_cosine_near_dup(emb, threshold=CONTRAST_THRESH)
+    return mine_contrastive_pairs(
+        emb, clusters, k_neg=CONTRAST_K_NEG, n_candidates=CONTRAST_NCAND
+    )
+
+
+def _contrastive_oracle_sql(thresh: float, k_neg: int, n_cand: int) -> str:
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cedges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst FROM v a, v b
+  WHERE a.vec_id < b.vec_id
+    AND {cos.format(a='a.e', b='b.e')} >= {thresh}
+), csym AS (
+  SELECT src, dst FROM cedges UNION SELECT dst, src FROM cedges
+), creach(node, r) AS (
+  SELECT src AS node, src AS r FROM csym
+  UNION
+  SELECT creach.node, csym.dst AS r FROM creach
+  JOIN csym ON creach.r = csym.src
+), ccomp AS (
+  SELECT node, min(r) AS component FROM creach GROUP BY node
+), assign AS (
+  SELECT v.vec_id AS id, coalesce(ccomp.component, v.vec_id) AS c
+  FROM v LEFT JOIN ccomp ON v.vec_id = ccomp.node
+), pos AS (
+  SELECT a.id AS anchor_id, CAST(min(b.id) AS BIGINT) AS pos_id
+  FROM assign a JOIN assign b ON a.c = b.c AND a.id <> b.id
+  GROUP BY a.id
+), cand AS (
+  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         {cos.format(a='q.e', b='n.e')} AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {cos.format(a='q.e', b='n.e')} DESC, n.vec_id) AS rnk
+  FROM v q JOIN pos p ON q.vec_id = p.anchor_id
+  CROSS JOIN v n WHERE q.vec_id <> n.vec_id
+), negs AS (
+  SELECT c.qid, c.nid, c.cos,
+         row_number() OVER (
+           PARTITION BY c.qid ORDER BY c.cos DESC, c.nid) AS neg_rank
+  FROM cand c
+  JOIN assign qa ON qa.id = c.qid
+  JOIN assign na ON na.id = c.nid
+  WHERE c.rnk <= {n_cand} AND qa.c <> na.c
+)
+SELECT CAST(n.qid AS BIGINT) AS anchor_id, p.pos_id,
+       CAST(n.neg_rank AS INTEGER) AS neg_rank,
+       CAST(n.nid AS BIGINT) AS neg_id,
+       round(n.cos, 6) AS neg_cos
+FROM negs n JOIN pos p ON n.qid = p.anchor_id
+WHERE n.neg_rank <= {k_neg}
+"""
+
+
 def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kg.ops.similarity import embedding_cosine_near_dup
 
@@ -9945,6 +10024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_mmr_topk": q_emb_mmr_topk,
+        "emb_contrastive_pairs": q_emb_contrastive_pairs,
         "corpus_file_skipping": q_corpus_file_skipping,
         "doc_readability": q_doc_readability,
         "events_changepoint": q_events_changepoint,
@@ -11786,6 +11866,9 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
     d["doc_readability"] = _READABILITY_ORACLE
     d["events_changepoint"] = _CHANGEPOINT_ORACLE
     d["doc_isotonic"] = _isotonic_oracle_sql(ISO_BINS)
+    d["emb_contrastive_pairs"] = _contrastive_oracle_sql(
+        CONTRAST_THRESH, CONTRAST_K_NEG, CONTRAST_NCAND
+    )
     d["graph_degrees"] = f"""
 WITH deg_rows AS (
   SELECT src AS node, 1 AS out_d, 0 AS in_d FROM '{FIX}/edges.parquet'

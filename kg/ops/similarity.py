@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "cosine_topk_bruteforce",
     "mmr_topk",
+    "mine_contrastive_pairs",
     "sign_bands",
     "cosine_band_candidates",
     "ann_lsh_topk",
@@ -1270,4 +1271,100 @@ def mmr_topk(
         )
     return spark.createDataFrame(
         picked, "rank INT, vec_id LONG, relevance DOUBLE, mmr_score DOUBLE"
+    )
+
+
+def mine_contrastive_pairs(
+    embeddings: DataFrame,
+    clusters: DataFrame,
+    k_neg: int = 4,
+    n_candidates: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive training pairs for embedding-model fine-tuning:
+    per anchor, a POSITIVE from its near-duplicate cluster
+    (:func:`embedding_cosine_near_dup`'s (vec_id, component)) and the
+    ``k_neg`` HARDEST negatives — the highest-cosine neighbors OUTSIDE
+    the cluster, exactly the in-batch-negatives-are-too-easy fix hard-
+    negative mining exists for. Anchors without a cluster partner emit
+    nothing (no positive to contrast against).
+
+    Returns (anchor_id, pos_id, neg_rank, neg_id, neg_cos): pos_id is
+    the smallest OTHER member of the anchor's cluster (deterministic);
+    negatives rank by (cosine desc, id asc) over the anchor's
+    ``n_candidates`` nearest neighbors with same-cluster rows
+    anti-filtered, cosine rounded 6.
+
+    Scale shape: the neighbor sweep is :func:`cosine_topk_bruteforce`
+    at bounded n_candidates (swap in ann_lsh_topk/ann_ivf_topk at
+    corpus scale — same (query, neighbor, rank) contract); cluster
+    lookups are two joins against the (vec_id, component) assignment,
+    both keyed on the id; the per-anchor positive and the negative
+    rerank are partial-aggable min/window over <= n_candidates rows per
+    anchor.
+    """
+    comp = clusters.select(
+        F.col(id_col).alias("_id"), F.col("component").alias("_c")
+    )
+    pos = (
+        comp.alias("a")
+        .join(
+            comp.alias("b"),
+            (F.col("a._c") == F.col("b._c"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("anchor_id"))
+        .agg(F.min(F.col("b._id")).cast("long").alias("pos_id"))
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).withColumn("nnorm", _norm_col("nvec"))
+    q = embeddings.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).withColumn("qnorm", _norm_col("qvec"))
+    # neighbor sweep restricted to anchors that HAVE a positive: the
+    # query side prunes before the pair join
+    q = q.join(
+        pos.select(F.col("anchor_id").alias("qid")), "qid", "left_semi"
+    )
+    pairs = F.broadcast(q).crossJoin(base).where(
+        F.col("qid") != F.col("nid")
+    )
+    scored = pairs.withColumn(
+        "cos",
+        dot_product_col("qvec", "nvec") / (F.col("qnorm") * F.col("nnorm")),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(n_candidates))
+        .select("qid", "nid", "cos")
+    )
+    # anti-filter same-cluster neighbors (positives must not leak into
+    # the negative set), then re-rank the survivors
+    ac = comp.select(F.col("_id").alias("qid"), F.col("_c").alias("qc"))
+    nc = comp.select(F.col("_id").alias("nid"), F.col("_c").alias("nc"))
+    negs = (
+        cand.join(ac, "qid", "left")
+        .join(nc, "nid", "left")
+        .where(
+            F.col("qc").isNull()
+            | F.col("nc").isNull()
+            | (F.col("qc") != F.col("nc"))
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    topn = (
+        negs.withColumn("neg_rank", F.row_number().over(w2))
+        .where(F.col("neg_rank") <= int(k_neg))
+    )
+    return topn.join(
+        pos, topn["qid"] == pos["anchor_id"]
+    ).select(
+        "anchor_id",
+        "pos_id",
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+        F.col("nid").cast("long").alias("neg_id"),
+        F.round("cos", 6).alias("neg_cos"),
     )

@@ -1882,3 +1882,76 @@ class TestReadability:
         )
         got = {r["doc_id"]: r["flesch"] for r in readability(docs).collect()}
         assert got[1] > got[2]
+
+
+class TestContrastivePairs:
+    def _data(self, spark):
+        # cluster A = {0, 1} (near-identical), cluster B = {2, 3};
+        # 4 and 5 are singletons
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.04, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.999, 0.04]),
+            (4, [0.6, 0.6, 0.5]),
+            (5, [0.0, 0.0, 1.0]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        from kg.ops.similarity import embedding_cosine_near_dup
+
+        clusters = embedding_cosine_near_dup(emb, threshold=0.99)
+        return emb, clusters
+
+    def test_positives_from_cluster_negatives_outside(self, spark):
+        from kg.ops.similarity import mine_contrastive_pairs
+
+        emb, clusters = self._data(spark)
+        got = mine_contrastive_pairs(
+            emb, clusters, k_neg=2, n_candidates=4
+        ).collect()
+        by_anchor = {}
+        for r in got:
+            by_anchor.setdefault(r["anchor_id"], []).append(r)
+        # only clustered vectors anchor (singletons have no positive)
+        assert set(by_anchor) == {0, 1, 2, 3}
+        for a, rows in by_anchor.items():
+            pos = rows[0]["pos_id"]
+            # the positive is the cluster partner
+            assert {a, pos} in ({0, 1}, {2, 3})
+            for r in rows:
+                # negatives never come from the anchor's own cluster
+                assert {a, r["neg_id"]} not in ({0, 1}, {2, 3})
+        # vector 4 (between clusters) is everyone's hardest negative
+        assert by_anchor[0][0]["neg_id"] == 4
+        assert by_anchor[2][0]["neg_id"] == 4
+
+    def test_negative_ranks_are_descending_cosine(self, spark):
+        from kg.ops.similarity import mine_contrastive_pairs
+
+        emb, clusters = self._data(spark)
+        got = mine_contrastive_pairs(
+            emb, clusters, k_neg=3, n_candidates=5
+        ).collect()
+        by_anchor = {}
+        for r in got:
+            by_anchor.setdefault(r["anchor_id"], []).append(
+                (r["neg_rank"], r["neg_cos"])
+            )
+        for rows in by_anchor.values():
+            rows.sort()
+            coses = [c for _, c in rows]
+            assert coses == sorted(coses, reverse=True)
+
+    def test_no_clusters_no_pairs(self, spark):
+        from kg.ops.similarity import mine_contrastive_pairs
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        clusters = spark.createDataFrame(
+            [(0, 0), (1, 1)], "vec_id long, component long"
+        )
+        assert mine_contrastive_pairs(emb, clusters).count() == 0
