@@ -2659,6 +2659,52 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_shift_changepoint(events, grain="hour")
 
 
+_CEP_CODES = {
+    "view": "v", "click": "c", "purchase": "p", "error": "e",
+    "signup": "s",
+}
+CEP_PATTERN = "ve+c"
+
+
+def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite (kg/ops/events.py sequence_pattern_matches): per-user
+    event histories compile to code strings; the regex 've+c' (a view,
+    1+ consecutive errors, then a click) matches non-overlapping
+    left-to-right in the lookaround-free Java/RE2 common subset. The
+    oracle rebuilds the sequences with an ordered string_agg and
+    replays the same regex calls."""
+    from kg.ops.events import sequence_pattern_matches
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sequence_pattern_matches(events, CEP_PATTERN, _CEP_CODES)
+
+
+def _sequence_match_oracle_sql(pattern: str, codes: dict) -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in codes.items()
+    )
+    return f"""
+WITH coded AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type {case} END AS c
+  FROM events
+  WHERE event_type IN ({", ".join(repr(k) for k in codes)})),
+seqs AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         string_agg(c, '' ORDER BY ts, event_id) AS seq
+  FROM coded GROUP BY user_id HAVING count(*) <= 4096),
+m AS (
+  SELECT user_id, n_events,
+         regexp_extract_all(seq, '{pattern}') AS matches,
+         CAST(len(string_split_regex(seq, '{pattern}')[1]) + 1 AS BIGINT)
+           AS first_pos
+  FROM seqs)
+SELECT user_id, n_events, CAST(len(matches) AS BIGINT) AS n_matches,
+       first_pos, array_to_string(matches, ',') AS matches
+FROM m WHERE len(matches) > 0
+"""
+
+
 _CHANGEPOINT_ORACLE = """
 WITH b AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -10028,6 +10074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_file_skipping": q_corpus_file_skipping,
         "doc_readability": q_doc_readability,
         "events_changepoint": q_events_changepoint,
+        "events_sequence_match": q_events_sequence_match,
         "doc_isotonic": q_doc_isotonic,
         "stream_hll_distinct": q_stream_hll_distinct,
         "emb_kmeans": q_emb_kmeans,
@@ -11865,6 +11912,9 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
     )
     d["doc_readability"] = _READABILITY_ORACLE
     d["events_changepoint"] = _CHANGEPOINT_ORACLE
+    d["events_sequence_match"] = _sequence_match_oracle_sql(
+        CEP_PATTERN, _CEP_CODES
+    )
     d["doc_isotonic"] = _isotonic_oracle_sql(ISO_BINS)
     d["emb_contrastive_pairs"] = _contrastive_oracle_sql(
         CONTRAST_THRESH, CONTRAST_K_NEG, CONTRAST_NCAND

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "funnel_steps", "cohort_retention", "mean_shift_changepoint",
+__all__ = ["sessionize", "funnel_steps", "cohort_retention", "mean_shift_changepoint", "sequence_pattern_matches",
            "detect_bursts"]
 
 
@@ -295,4 +295,74 @@ def mean_shift_changepoint(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("rel_dev"),
+    )
+
+
+def sequence_pattern_matches(
+    events: DataFrame,
+    pattern: str,
+    codes: dict,
+    max_events: int = 4096,
+) -> DataFrame:
+    """CEP-lite (MATCH_RECOGNIZE's useful core): regex matching over each
+    user's time-ordered event-type sequence. ``codes`` maps event_type ->
+    a single character; the per-user history compiles to a code string
+    and ``pattern`` (a regex over those characters, e.g. ``'ee+'`` =
+    runs of 2+ consecutive errors, ``'vp'`` = a view immediately
+    followed by a purchase) matches non-overlapping left-to-right.
+
+    Returns one row per user with >= 1 match:
+    (user_id, n_events, n_matches, first_pos, matches) — first_pos is
+    the 1-based position of the first match in the coded sequence,
+    matches the array of matched substrings. Events whose type is not
+    in ``codes`` are DROPPED from the sequence (they do not break
+    adjacency) — filter upstream to change that. Ordering ties break on
+    event_id, fully deterministic.
+
+    Engine parity: both Spark (Java regex) and DuckDB (RE2) use
+    leftmost non-overlapping matching; keep patterns in the
+    lookaround-free common subset (the same RE2-safe discipline as the
+    summarize sentence splitter). first_pos is computed as
+    len(split(seq, pattern)[0]) + 1 in BOTH engines rather than
+    regexp_instr, which DuckDB lacks.
+
+    Scale shape: one filter + one partial-agged groupBy(user) building
+    the sorted code array (bounded by ``max_events`` per user via a
+    count-then-filter guard — a runaway bot session cannot blow up the
+    sort buffer); the regex work is a pure map over user rows.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in codes.items() for x in kv]
+    )
+    coded = events.select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.element_at(mapping, F.col("event_type")).alias("_c"),
+    ).where(F.col("_c").isNotNull())
+    per_user = coded.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "_c"))
+                ),
+                lambda s: s["_c"],
+            ),
+            "",
+        ).alias("_seq"),
+    ).where(F.col("n_events") <= int(max_events))
+    matches = F.expr(f"regexp_extract_all(_seq, '{pattern}', 0)")
+    first_pos = (
+        F.length(F.split(F.col("_seq"), pattern).getItem(0)) + 1
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            F.size(matches).cast("long").alias("n_matches"),
+            first_pos.cast("long").alias("first_pos"),
+            F.array_join(matches, ",").alias("matches"),
+        )
+        .where(F.col("n_matches") > 0)
     )

@@ -781,3 +781,68 @@ class TestChangepoint:
         )
         r = mean_shift_changepoint(events, grain="hour").first()
         assert r["dev_scaled"] == 0 and r["rel_dev"] == 0.0
+
+
+class TestSequencePatternMatches:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string"
+        )
+
+    def test_runs_and_adjacency(self, spark):
+        from kg.ops.events import sequence_pattern_matches
+
+        rows = [
+            (1, _ts(0), 10, "view"), (2, _ts(1), 10, "error"),
+            (3, _ts(2), 10, "error"), (4, _ts(3), 10, "click"),
+            (5, _ts(4), 10, "error"),
+            (6, _ts(0), 20, "view"), (7, _ts(1), 20, "purchase"),
+        ]
+        codes = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+        got = {
+            r["user_id"]: (r["n_matches"], r["first_pos"], r["matches"])
+            for r in sequence_pattern_matches(
+                self._events(spark, rows), "ee+", codes
+            ).collect()
+        }
+        # user 10 codes to 'veece': one 'ee' run starting at position 2
+        assert got == {10: (1, 2, "ee")}
+
+    def test_unmapped_types_do_not_break_adjacency(self, spark):
+        from kg.ops.events import sequence_pattern_matches
+
+        rows = [
+            (1, _ts(0), 1, "view"), (2, _ts(1), 1, "signup"),
+            (3, _ts(2), 1, "purchase"),
+        ]
+        # signup not coded -> sequence is 'vp', adjacency preserved
+        got = sequence_pattern_matches(
+            self._events(spark, rows), "vp",
+            {"view": "v", "purchase": "p"},
+        ).collect()
+        assert len(got) == 1 and got[0]["matches"] == "vp"
+
+    def test_nonoverlapping_left_to_right(self, spark):
+        from kg.ops.events import sequence_pattern_matches
+
+        rows = [
+            (i, _ts(i), 1, "error") for i in range(5)
+        ]
+        got = sequence_pattern_matches(
+            self._events(spark, rows), "ee", {"error": "e"}
+        ).first()
+        # 'eeeee' -> matches at 1-2 and 3-4; the 5th e is unpaired
+        assert got["n_matches"] == 2 and got["first_pos"] == 1
+
+    def test_order_ties_break_on_event_id(self, spark):
+        from kg.ops.events import sequence_pattern_matches
+
+        rows = [
+            (2, _ts(0), 1, "click"),
+            (1, _ts(0), 1, "view"),  # same ts: event_id orders v first
+        ]
+        got = sequence_pattern_matches(
+            self._events(spark, rows), "vc", {"view": "v", "click": "c"}
+        ).collect()
+        assert len(got) == 1
