@@ -3865,6 +3865,48 @@ def _neighborhood_oracle_sql(rounds: int, p: int) -> str:
     return ",\n".join(parts) + "\n" + union
 
 
+POWERLAW_DMIN = 3
+
+
+def q_graph_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law MLE (kg/graphstats.py
+    degree_powerlaw) over the edge fixture: histogram terms sum as
+    DECIMAL(38,9) (order-insensitive), one float division at the end;
+    the oracle recomputes histogram + estimator."""
+    from kg.graphstats import degree_powerlaw
+
+    edges = spark.read.parquet(f"{FIX}/edges.parquet")
+    return degree_powerlaw(edges, d_min=POWERLAW_DMIN)
+
+
+def _powerlaw_oracle_sql(d_min: int) -> str:
+    return f"""
+WITH raw AS (SELECT src, dst FROM '{FIX}/edges.parquet'),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM raw
+    UNION ALL SELECT dst, src FROM raw) WHERE u <> v),
+deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
+hist AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM deg
+  WHERE d >= {d_min} GROUP BY d),
+agg AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_tail,
+         sum(CAST(cnt AS DECIMAL(38,9))
+             * CAST(round(ln(CAST(d AS DOUBLE) / {float(d_min) - 0.5}), 9)
+                    AS DECIMAL(38,9))) AS s,
+         CAST(coalesce(sum(cnt * d), 0) AS BIGINT) AS dsum
+  FROM hist)
+SELECT n_tail, CAST({d_min} AS INTEGER) AS d_min,
+       round(CASE WHEN CAST(s AS DOUBLE) > 0
+                  THEN 1.0 + CAST(n_tail AS DOUBLE) / CAST(s AS DOUBLE)
+             END, 6) AS alpha,
+       round(CASE WHEN n_tail > 0
+                  THEN dsum / CAST(n_tail AS DOUBLE) END, 6) AS dbar_tail
+FROM agg
+"""
+
+
 KTRUSS_K = 3
 KTRUSS_ORACLE_ROUNDS = 4
 
@@ -10022,6 +10064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "graph_mixing": q_graph_mixing,
         "graph_ktruss": q_graph_ktruss,
+        "graph_powerlaw": q_graph_powerlaw,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_warm": q_graph_pagerank_warm,
         "graph_degrees": q_graph_degrees,
@@ -11906,6 +11949,7 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
     d["graph_modularity"] = _modularity_oracle_sql(LPA_ROUNDS)
     d["graph_mixing"] = _graph_mixing_oracle_sql()
     d["graph_ktruss"] = _ktruss_oracle_sql(KTRUSS_K, KTRUSS_ORACLE_ROUNDS)
+    d["graph_powerlaw"] = _powerlaw_oracle_sql(POWERLAW_DMIN)
     d["emb_mmr_topk"] = _mmr_oracle_sql(MMR_QID, MMR_K, MMR_LAM, MMR_NCAND)
     d["corpus_file_skipping"] = _file_skipping_oracle_sql(
         FSKIP_M, FSKIP_K, FSKIP_PROBE

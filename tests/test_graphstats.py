@@ -1189,3 +1189,51 @@ class TestKTruss:
         one = sorted(map(tuple, ktruss(g, 4).collect()))
         two = sorted(map(tuple, ktruss(doubled, 4).collect()))
         assert one == two
+
+
+class TestDegreePowerlaw:
+    def test_mle_matches_python_reference(self, spark):
+        from kg.graphstats import degree_powerlaw
+
+        import math as _math
+
+        # star-of-stars: varied degrees
+        edges = []
+        nid = 100
+        for hub in range(5):
+            for _ in range(3 + hub * 4):
+                edges.append((hub, nid)); nid += 1
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = degree_powerlaw(df, d_min=3).first()
+        # python replay over the same histogram with the same rounding
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        tail = [d for d in deg.values() if d >= 3]
+        s = sum(
+            round(_math.log(d / 2.5), 9) for d in sorted(set(tail))
+            for _ in range(tail.count(d))
+        )
+        assert r["n_tail"] == len(tail)
+        assert r["alpha"] == round(1.0 + len(tail) / s, 6)
+
+    def test_heavier_tail_lower_alpha(self, spark):
+        from kg.graphstats import degree_powerlaw
+
+        # graph A: all tail degrees equal (light tail); graph B: one
+        # huge hub added (heavy tail) -> alpha must drop
+        a_edges = [(h, 100 + h * 10 + i) for h in range(6) for i in range(4)]
+        b_edges = a_edges + [(99, 200 + i) for i in range(64)]
+        a = spark.createDataFrame(a_edges, "src long, dst long")
+        b = spark.createDataFrame(b_edges, "src long, dst long")
+        aa = degree_powerlaw(a, d_min=3).first()["alpha"]
+        bb = degree_powerlaw(b, d_min=3).first()["alpha"]
+        assert bb < aa
+
+    def test_empty_tail_null_alpha(self, spark):
+        from kg.graphstats import degree_powerlaw
+
+        df = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+        r = degree_powerlaw(df, d_min=3).first()
+        assert r["n_tail"] == 0 and r["alpha"] is None
