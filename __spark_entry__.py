@@ -2659,6 +2659,39 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_shift_changepoint(events, grain="hour")
 
 
+def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier report (kg/ops/events.py
+    robust_outliers): two exact grouped percentiles (Spark `percentile`
+    == DuckDB quantile_cont, the grouped_quantiles precedent) + integer
+    flag counts."""
+    from kg.ops.events import robust_outliers
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return robust_outliers(events, k=3.5)
+
+
+_ROBUST_OUTLIERS_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, e.value, med.m, abs(e.value - med.m) AS adev
+  FROM events e JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS md
+  FROM dev GROUP BY event_type)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(any_value(d.m), 6) AS median,
+       round(any_value(mad.md), 6) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3.5 * mad.md THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN d.adev > 3.5 * mad.md THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS outlier_frac
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 _CEP_CODES = {
     "view": "v", "click": "c", "purchase": "p", "error": "e",
     "signup": "s",
@@ -10118,6 +10151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": q_doc_readability,
         "events_changepoint": q_events_changepoint,
         "events_sequence_match": q_events_sequence_match,
+        "events_robust_outliers": q_events_robust_outliers,
         "doc_isotonic": q_doc_isotonic,
         "stream_hll_distinct": q_stream_hll_distinct,
         "emb_kmeans": q_emb_kmeans,
@@ -11959,6 +11993,7 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
     d["events_sequence_match"] = _sequence_match_oracle_sql(
         CEP_PATTERN, _CEP_CODES
     )
+    d["events_robust_outliers"] = _ROBUST_OUTLIERS_ORACLE
     d["doc_isotonic"] = _isotonic_oracle_sql(ISO_BINS)
     d["emb_contrastive_pairs"] = _contrastive_oracle_sql(
         CONTRAST_THRESH, CONTRAST_K_NEG, CONTRAST_NCAND

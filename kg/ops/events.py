@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "funnel_steps", "cohort_retention", "mean_shift_changepoint", "sequence_pattern_matches",
+__all__ = ["sessionize", "funnel_steps", "cohort_retention", "mean_shift_changepoint", "sequence_pattern_matches", "robust_outliers",
            "detect_bursts"]
 
 
@@ -365,4 +365,58 @@ def sequence_pattern_matches(
             F.array_join(matches, ",").alias("matches"),
         )
         .where(F.col("n_matches") > 0)
+    )
+
+
+def robust_outliers(
+    events: DataFrame,
+    k: float = 3.5,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Median/MAD robust outlier report per event type: flag counts for
+    values with ``|x - median| > k * MAD`` — the dispersion gauge that,
+    unlike mean/stddev z-scores, a handful of corrupt values cannot
+    drag (the breakdown-point argument; k=3.5 is the conventional
+    consistency-scaled cutoff neighborhood). The value-stream QA row
+    beside detect_bursts (rates) and mean_shift_changepoint (levels).
+
+    Returns one row per type: (event_type, n, median, mad, n_outliers,
+    outlier_frac). Exactness: both medians are Spark SQL ``percentile``
+    (linear interpolation — DuckDB quantile_cont replays it, the
+    grouped_quantiles contract precedent); the comparison threshold is
+    one float expression; counts are integers. MAD = 0 (over half the
+    values identical) flags only exact deviants per the strict >
+    comparison with k*0 — degenerate series behave predictably.
+
+    Scale shape: two grouped exact percentiles (each one shuffle keyed
+    by the type column; the second runs over the deviation column after
+    a broadcast join of the per-type medians) + one partial-agged count
+    rollup. Exact percentiles buffer per-group values — fine for
+    bounded type cardinality; at unbounded group counts swap
+    approx_percentile (the grouped_quantiles scale path).
+    """
+    med = events.groupBy(F.col(type_col).alias("_t")).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = events.join(
+        F.broadcast(med), F.col(type_col) == F.col("_t")
+    ).withColumn("_adev", F.abs(F.col(value_col) - F.col("_med")))
+    mad = dev.groupBy(F.col(type_col).alias("_t2")).agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad")
+    )
+    flagged = dev.join(
+        F.broadcast(mad), F.col(type_col) == F.col("_t2")
+    ).withColumn(
+        "_out",
+        (F.col("_adev") > F.lit(float(k)) * F.col("_mad")).cast("int"),
+    )
+    return flagged.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.first("_med"), 6).alias("median"),
+        F.round(F.first("_mad"), 6).alias("mad"),
+        F.sum("_out").cast("long").alias("n_outliers"),
+        F.round(F.sum("_out") / F.count("*").cast("double"), 6).alias(
+            "outlier_frac"
+        ),
     )

@@ -846,3 +846,51 @@ class TestSequencePatternMatches:
             self._events(spark, rows), "vc", {"view": "v", "click": "c"}
         ).collect()
         assert len(got) == 1
+
+
+class TestRobustOutliers:
+    def test_known_median_mad_and_flags(self, spark):
+        from kg.ops.events import robust_outliers
+
+        # values 1..9 plus one wild point 1000:
+        # median = 5.5, adevs around it; flags only the wild point
+        rows = [(i, _ts(i), "x", float(v)) for i, v in
+                enumerate(list(range(1, 10)) + [1000])]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string,"
+            " value double"
+        )
+        r = robust_outliers(events, k=3.5).first()
+        assert r["n"] == 10
+        assert r["median"] == 5.5
+        # adevs: 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5 -> MAD 2.5
+        assert r["mad"] == 2.5
+        assert r["n_outliers"] == 1
+
+    def test_mean_zscore_would_mask_what_mad_catches(self, spark):
+        from kg.ops.events import robust_outliers
+
+        # two huge points inflate the stddev enough that a 3-sigma rule
+        # misses them both being "typical"; MAD stays anchored
+        vals = [10.0] * 20 + [10000.0, 10001.0]
+        rows = [(i, _ts(i), "x", v) for i, v in enumerate(vals)]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string,"
+            " value double"
+        )
+        r = robust_outliers(events).first()
+        assert r["mad"] == 0.0
+        assert r["n_outliers"] == 2  # strict > with k*0 flags deviants
+
+    def test_per_type_independence(self, spark):
+        from kg.ops.events import robust_outliers
+
+        rows = [(i, _ts(i), "a", float(i % 5)) for i in range(20)]
+        rows += [(100 + i, _ts(i), "b", 1000.0 + (i % 3)) for i in range(9)]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string,"
+            " value double"
+        )
+        got = {r["event_type"]: r for r in robust_outliers(events).collect()}
+        assert set(got) == {"a", "b"}
+        assert got["b"]["median"] == 1001.0
