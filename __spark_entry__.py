@@ -2670,6 +2670,46 @@ def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_outliers(events, k=3.5)
 
 
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization (kg/ops/events.py winsorize) at the exact
+    [0.05, 0.95] percentiles; summarized per type so the contract row
+    count stays bounded while the clip arithmetic is fully exercised
+    (sum of clipped cents + clip counts)."""
+    from kg.ops.events import winsorize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = winsorize(events, lo=0.05, hi=0.95)
+    return w.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.first(F.col("v_lo")).alias("v_lo"),
+        F.first(F.col("v_hi")).alias("v_hi"),
+        F.sum(F.col("clipped").cast("int")).cast("long").alias("n_clipped"),
+        F.sum(F.round(F.col("value_w") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_w_cents"),
+    )
+
+
+_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS v_lo,
+         quantile_cont(value, 0.95) AS v_hi
+  FROM events GROUP BY event_type),
+w AS (
+  SELECT e.event_type, e.value, b.v_lo, b.v_hi,
+         least(greatest(e.value, b.v_lo), b.v_hi) AS vw
+  FROM events e JOIN b USING (event_type))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(any_value(v_lo), 6) AS v_lo,
+       round(any_value(v_hi), 6) AS v_hi,
+       CAST(sum(CASE WHEN vw <> value THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       CAST(sum(CAST(round(round(vw, 6) * 100) AS BIGINT)) AS BIGINT)
+         AS sum_w_cents
+FROM w GROUP BY event_type
+"""
+
+
 _ROBUST_OUTLIERS_ORACLE = """
 WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS m
@@ -10152,6 +10192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": q_events_changepoint,
         "events_sequence_match": q_events_sequence_match,
         "events_robust_outliers": q_events_robust_outliers,
+        "events_winsorize": q_events_winsorize,
         "doc_isotonic": q_doc_isotonic,
         "stream_hll_distinct": q_stream_hll_distinct,
         "emb_kmeans": q_emb_kmeans,
@@ -11994,6 +12035,7 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
         CEP_PATTERN, _CEP_CODES
     )
     d["events_robust_outliers"] = _ROBUST_OUTLIERS_ORACLE
+    d["events_winsorize"] = _WINSORIZE_ORACLE
     d["doc_isotonic"] = _isotonic_oracle_sql(ISO_BINS)
     d["emb_contrastive_pairs"] = _contrastive_oracle_sql(
         CONTRAST_THRESH, CONTRAST_K_NEG, CONTRAST_NCAND

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sessionize", "funnel_steps", "cohort_retention", "mean_shift_changepoint", "sequence_pattern_matches", "robust_outliers",
+__all__ = ["sessionize", "funnel_steps", "cohort_retention", "mean_shift_changepoint", "sequence_pattern_matches", "robust_outliers", "winsorize",
            "detect_bursts"]
 
 
@@ -419,4 +419,41 @@ def robust_outliers(
         F.round(F.sum("_out") / F.count("*").cast("double"), 6).alias(
             "outlier_frac"
         ),
+    )
+
+
+def winsorize(
+    events: DataFrame,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [lo, hi] exact percentiles — the standard tail-taming transform
+    before mean-based aggregation of heavy-tailed value streams (the
+    fix applied where :func:`robust_outliers` reports the damage).
+    Returns the input rows plus (v_lo, v_hi, value_w, clipped).
+
+    Exactness: the percentile bounds are Spark SQL ``percentile``
+    (linear interpolation == DuckDB quantile_cont); the clip is
+    least/greatest — no arithmetic, so clipped rows carry EXACTLY the
+    bound value. Scale shape: one grouped exact-percentile aggregate
+    (bounded type cardinality; approx_percentile is the unbounded-group
+    path) + one broadcast join back; the event stream never shuffles.
+    """
+    if not 0.0 <= float(lo) < float(hi) <= 1.0:
+        raise ValueError("need 0 <= lo < hi <= 1")
+    bounds = events.groupBy(F.col(type_col).alias("_t")).agg(
+        F.expr(f"percentile({value_col}, {float(lo)})").alias("v_lo"),
+        F.expr(f"percentile({value_col}, {float(hi)})").alias("v_hi"),
+    )
+    out = events.join(F.broadcast(bounds), F.col(type_col) == F.col("_t"))
+    clipped = F.least(F.greatest(F.col(value_col), F.col("v_lo")), F.col("v_hi"))
+    return out.drop("_t").select(
+        *events.columns,
+        F.round("v_lo", 6).alias("v_lo"),
+        F.round("v_hi", 6).alias("v_hi"),
+        F.round(clipped, 6).alias("value_w"),
+        (clipped != F.col(value_col)).alias("clipped"),
     )

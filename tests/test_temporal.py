@@ -894,3 +894,51 @@ class TestRobustOutliers:
         got = {r["event_type"]: r for r in robust_outliers(events).collect()}
         assert set(got) == {"a", "b"}
         assert got["b"]["median"] == 1001.0
+
+
+class TestWinsorize:
+    def test_clip_values_and_flags(self, spark):
+        from kg.ops.events import winsorize
+
+        rows = [(i, _ts(i), "x", float(v)) for i, v in
+                enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string,"
+            " value double"
+        )
+        out = winsorize(events, lo=0.1, hi=0.9).collect()
+        by_val = {r["value"]: r for r in out}
+        # 10 values: q10 = 1.9, q90 = 9*0.1 interp -> values 1 and 100 clip
+        assert by_val[1.0]["clipped"] and by_val[1.0]["value_w"] == by_val[1.0]["v_lo"]
+        assert by_val[100.0]["clipped"] and by_val[100.0]["value_w"] == by_val[100.0]["v_hi"]
+        assert not by_val[5.0]["clipped"] and by_val[5.0]["value_w"] == 5.0
+        # clipped rows carry EXACTLY the bound
+        assert all(
+            r["v_lo"] <= r["value_w"] <= r["v_hi"] for r in out
+        )
+
+    def test_validation(self, spark):
+        from kg.ops.events import winsorize
+
+        events = spark.createDataFrame(
+            [(1, _ts(0), "x", 1.0)],
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+        with pytest.raises(ValueError):
+            winsorize(events, lo=0.9, hi=0.1)
+
+    def test_groups_clip_independently(self, spark):
+        from kg.ops.events import winsorize
+
+        rows = [(i, _ts(i), "a", float(i)) for i in range(10)]
+        rows += [(100 + i, _ts(i), "b", 1000.0 + i) for i in range(10)]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string,"
+            " value double"
+        )
+        out = winsorize(events, lo=0.2, hi=0.8).collect()
+        for r in out:
+            if r["event_type"] == "a":
+                assert r["v_hi"] < 10
+            else:
+                assert r["v_lo"] > 999
