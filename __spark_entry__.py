@@ -2659,6 +2659,16 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_shift_changepoint(events, grain="hour")
 
 
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix (kg/ops/
+    textstats.py lang_confusion). The oracle embeds the
+    already-verified doc_lang_id replay as a CTE and joins the declared
+    labels back — the corpus_report composition discipline."""
+    from kg.ops.textstats import lang_confusion
+
+    return lang_confusion(_docs(spark, sf_dir))
+
+
 def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier report (kg/ops/events.py
     robust_outliers): two exact grouped percentiles (Spark `percentile`
@@ -10193,6 +10203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sequence_match": q_events_sequence_match,
         "events_robust_outliers": q_events_robust_outliers,
         "events_winsorize": q_events_winsorize,
+        "doc_lang_confusion": q_doc_lang_confusion,
         "doc_isotonic": q_doc_isotonic,
         "stream_hll_distinct": q_stream_hll_distinct,
         "emb_kmeans": q_emb_kmeans,
@@ -12036,6 +12047,19 @@ FROM sp s LEFT JOIN hits h USING (doc_id)
     )
     d["events_robust_outliers"] = _ROBUST_OUTLIERS_ORACLE
     d["events_winsorize"] = _WINSORIZE_ORACLE
+    d["doc_lang_confusion"] = f"""
+WITH li AS ({d["doc_lang_id"]}),
+cells AS (
+  SELECT d.lang, li.lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN li USING (doc_id)
+  GROUP BY d.lang, li.lang_pred),
+tot AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS n_declared
+  FROM cells GROUP BY lang)
+SELECT c.lang, c.lang_pred, c.n, t.n_declared,
+       round(c.n / CAST(t.n_declared AS DOUBLE), 6) AS rate
+FROM cells c JOIN tot t USING (lang)
+"""
     d["doc_isotonic"] = _isotonic_oracle_sql(ISO_BINS)
     d["emb_contrastive_pairs"] = _contrastive_oracle_sql(
         CONTRAST_THRESH, CONTRAST_K_NEG, CONTRAST_NCAND

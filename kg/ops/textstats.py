@@ -621,3 +621,38 @@ def readability(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         syl.cast("long").alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+def lang_confusion(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the ingest-QA
+    table for the ``lang`` metadata column: per (lang, lang_pred) cell,
+    counts and the row-normalized rate. A crawl slice whose declared
+    labels disagree with :func:`lang_id` en masse has a broken upstream
+    tagger (or a boilerplate-flooded extraction); the diagonal rate is
+    the quick health number.
+
+    Returns (lang, lang_pred, n, n_declared, rate) with rate =
+    n / n_declared rounded 6. Scale shape: the lang_id expressions are
+    a pure map; then ONE partial-agged groupBy on the (declared,
+    predicted) pair; per-declared totals reduce from the cell table
+    (dim-sized), not the corpus."""
+    cols = _lang_cols()
+    cells = (
+        docs.select(
+            F.col("lang"), cols["lang_pred"].alias("lang_pred")
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = cells.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_declared")
+    )
+    return cells.join(totals, "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        "n_declared",
+        F.round(F.col("n") / F.col("n_declared").cast("double"), 6).alias(
+            "rate"
+        ),
+    )

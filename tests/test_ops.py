@@ -1955,3 +1955,38 @@ class TestContrastivePairs:
             [(0, 0), (1, 1)], "vec_id long, component long"
         )
         assert mine_contrastive_pairs(emb, clusters).count() == 0
+
+
+class TestLangConfusion:
+    def test_cells_and_rates(self, spark):
+        from kg.ops.textstats import lang_confusion
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the and is of to", "en"),     # english markers
+                (2, "el la de que en", "es"),      # spanish markers
+                (3, "the and is of to", "es"),     # mislabeled
+                (4, "zzz qqq xxx", "en"),          # no markers -> unknown
+            ],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            (r["lang"], r["lang_pred"]): (r["n"], r["n_declared"], r["rate"])
+            for r in lang_confusion(docs).collect()
+        }
+        assert got[("en", "en")] == (1, 2, 0.5)
+        assert got[("en", "unknown")] == (1, 2, 0.5)
+        assert got[("es", "es")] == (1, 2, 0.5)
+        assert got[("es", "en")] == (1, 2, 0.5)
+
+    def test_rates_sum_to_one_per_declared_lang(self, spark):
+        from kg.ops.textstats import lang_confusion
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = lang_confusion(docs).collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r["rate"])
+        for rates in by_lang.values():
+            # per-cell rounding to 6 leaves up to n_cells/2 * 1e-6 slack
+            assert abs(sum(rates) - 1.0) < 1e-5
