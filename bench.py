@@ -298,9 +298,10 @@ def run_suite(spark, sf_dir: str) -> dict:
             F.count("*").alias("n"), F.sum(F.size("walk")).alias("_s")
         ).first()
         counts["walks"] = r["n"]
-        walk_skipgrams(walks, window=2).agg(
+        r = walk_skipgrams(walks, window=2).agg(
             F.count("*").alias("n"), F.sum("n_pairs").alias("_p")
         ).first()
+        counts["sg_pairs"] = int(r["_p"] or 0)
         sgns_unigram_table(
             walk_node_counts(walks), table_size=1 << 16
         ).agg(
@@ -311,9 +312,16 @@ def run_suite(spark, sf_dir: str) -> dict:
         ).first()
 
     timings["kgtrain"] = timed_twice(w_kgtrain)
-    extra["kgtrain_walks_per_sec"] = round(
-        2 * counts["walks"] / timings["kgtrain"], 1
+    # the corpus-sized object in this stage is the EDGE table (each walk
+    # step joins the frontier against all 638k+ edges; skip-grams and the
+    # sampling table also scan walk/edge-derived tables) — the synthetic
+    # KG has few distinct entities, so a walks/sec denominator measured
+    # nothing (VERDICT r3 item 5). n_walks/sg_pairs stay as context.
+    extra["kgtrain_edges_per_sec"] = round(
+        2 * extra["n_kg_edges"] / timings["kgtrain"], 1
     )
+    extra["kgtrain_n_walks"] = counts["walks"]
+    extra["kgtrain_sg_pairs"] = counts["sg_pairs"]
     kg_edges.unpersist()
 
     # --- fact materialization + reasoning over the linked triple stream

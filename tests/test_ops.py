@@ -352,13 +352,70 @@ def test_multimodal_plumbing(spark):
     assert (frames["frame_idx"] % 2 == 0).all()
 
 
-def test_decode_stubs_raise(spark):
+def test_decode_without_codec_raises_module_error(spark):
+    """Where the optional codec libs are absent (this container), the
+    decode entry points fail fast with the missing-module error rather
+    than a silent wrong answer; with the libs installed these tests are
+    superseded by the real-decode tests below."""
+    import importlib.util
+
     from kg.ops.multimodal import decode_audio, decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"")
-    with pytest.raises(NotImplementedError):
-        decode_audio(b"")
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(ModuleNotFoundError):
+            decode_image(b"")
+    if importlib.util.find_spec("soundfile") is None:
+        with pytest.raises(ModuleNotFoundError):
+            decode_audio(b"")
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="Pillow not installed in this container",
+)
+def test_decode_image_real_codec(spark):
+    """Runs only on a cluster image with Pillow: round-trip a generated
+    PNG through decode_image and the decoded_image_stats mapInPandas op."""
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    from kg.ops.multimodal import decode_image, decoded_image_stats
+
+    arr = np.zeros((4, 6, 3), dtype=np.uint8)
+    arr[..., 0] = 200  # solid-ish red
+    buf = BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    payload = buf.getvalue()
+    out = decode_image(payload)
+    assert out.shape == (4, 6, 3) and int(out[..., 0].mean()) == 200
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = decoded_image_stats(media).first()
+    assert (row.height, row.width) == (4, 6)
+    assert abs(row.mean_r - 200.0) < 1e-9 and row.mean_b == 0.0
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("soundfile")
+    is None,
+    reason="soundfile not installed in this container",
+)
+def test_decode_audio_real_codec(spark):
+    from io import BytesIO
+
+    import numpy as np
+    import soundfile as sf
+
+    from kg.ops.multimodal import decode_audio
+
+    wave = np.sin(np.linspace(0, 3.14, 800)).astype(np.float32)
+    buf = BytesIO()
+    sf.write(buf, wave, 8000, format="WAV")
+    data, rate = decode_audio(buf.getvalue())
+    assert rate == 8000 and data.shape[0] == 800
 
 
 def test_repetition_stats_signals(spark):
@@ -1033,15 +1090,18 @@ class TestProfileTable:
         assert set(got) == {"id", "s", "x"}
         i = got["id"]
         assert (i["n_rows"], i["n_nulls"], i["n_distinct"]) == (3, 0, 2)
-        assert (i["min_num"], i["max_num"]) == (1.0, 2.0)
-        assert i["mean_num"] == pytest.approx(5 / 3, abs=1e-6)
-        assert i["min_len"] is None and i["avg_len"] is None
+        # integral columns: exact BIGINT anchors, no doubles
+        assert (i["min_int"], i["max_int"], i["sum_int"]) == (1, 2, 5)
+        assert i["mean_num"] is None and i["min_num"] is None
+        assert i["min_len"] is None and i["sum_len"] is None
         s = got["s"]
         assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
-        assert (s["min_len"], s["max_len"], s["avg_len"]) == (2, 4, 3.0)
-        assert s["min_num"] is None
+        assert (s["min_len"], s["max_len"], s["sum_len"]) == (2, 4, 6)
+        assert s["min_num"] is None and s["min_int"] is None
         x = got["x"]
         assert (x["n_nulls"], x["min_num"], x["max_num"]) == (1, 2.0, 4.0)
+        assert x["mean_num"] == pytest.approx(3.0, abs=1e-6)
+        assert x["min_int"] is None
         assert x["dtype"] == "double"
 
     def test_single_job_one_aggregate_pass(self, spark):

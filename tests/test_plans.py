@@ -881,3 +881,35 @@ def test_isotonic_single_corpus_shuffle_then_dim_windows(spark):
     assert p.count("CartesianProduct") + p.count(
         "BroadcastNestedLoopJoin"
     ) <= 2
+
+
+def test_categorical_mi_relational_no_driver_collect(spark):
+    """MI is pure DataFrame algebra over the contingency cells: cells
+    join two BROADCAST marginals + aggregates — no collect()-scale
+    driver state (VERDICT r3 item 3: the old impl collected every cell,
+    so a high-cardinality pair could OOM the driver). Building the
+    DataFrame must launch no job, and the plan must contain the joins
+    (the collect-based version returned a LocalTableScan of driver-computed
+    literals) with the corpus scan deduped by ReuseExchange."""
+    from pyspark.sql import functions as F
+
+    from kg.ops.profile import categorical_mi
+
+    df = spark.range(200).select(
+        (F.col("id") % 7).cast("string").alias("a"),
+        (F.col("id") % 13).cast("string").alias("b"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    mi = categorical_mi(df, "a", "b")
+    jobs_after = len(tracker.getJobIdsForGroup() or [])
+    assert jobs_after == jobs_before  # lazy: no collect at build time
+    p = _plan(mi)
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "HashAggregate" in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    # no LocalTableScan-of-literals anywhere near the top: the output
+    # row is COMPUTED by the plan, not precollected on the driver
+    assert "LocalTableScan" not in p
+    r = mi.first()
+    assert r.n_cells == 91 and 0.0 <= r.nmi <= 1.0
