@@ -9546,6 +9546,323 @@ FROM membered m JOIN keep k USING (component)""")
     return "".join(cte)
 
 
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule ladder (kg/ops/textstats.py gopher_rules,
+    Rae et al. 2021 §A1.1): per-doc rule verdicts + keep + first failing
+    rule, every threshold an integer cross-multiplication — no float in
+    the hash surface. Pure-map array algebra, zero shuffle; the oracle
+    replays the identical list algebra in DuckDB. min_words=10 here (the
+    synthetic docs are short; production default is 50)."""
+    from kg.ops.textstats import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_rules(docs, min_words=10)
+
+
+_GOPHER_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS ls
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS sl,
+    len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS sym,
+    len(ls) AS nl,
+    len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*')
+                          OR starts_with(x, chr(8226)))) AS bul,
+    len(list_filter(ls, x -> suffix(x, '...'))) AS ell,
+    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alp,
+    len(list_intersect(list_distinct(w),
+        ['the','be','to','of','and','that','have','with'])) AS stp
+  FROM base
+), verdicts AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+    n_words >= 10 AND n_words <= 100000 AS word_count_ok,
+    n_words > 0 AND sl >= 3 * n_words AND sl <= 10 * n_words
+      AS mean_word_len_ok,
+    sym * 10 <= n_words AS symbol_ok,
+    bul * 10 <= nl * 9 AS bullet_ok,
+    ell * 10 <= nl * 3 AS ellipsis_ok,
+    alp * 10 >= n_words * 8 AS alpha_ok,
+    stp >= 2 AS stop_ok
+  FROM stats
+)
+SELECT *,
+  word_count_ok AND mean_word_len_ok AND symbol_ok AND bullet_ok
+    AND ellipsis_ok AND alpha_ok AND stop_ok AS keep,
+  CASE WHEN NOT word_count_ok THEN 'word_count_ok'
+       WHEN NOT mean_word_len_ok THEN 'mean_word_len_ok'
+       WHEN NOT symbol_ok THEN 'symbol_ok'
+       WHEN NOT bullet_ok THEN 'bullet_ok'
+       WHEN NOT ellipsis_ok THEN 'ellipsis_ok'
+       WHEN NOT alpha_ok THEN 'alpha_ok'
+       WHEN NOT stop_ok THEN 'stop_ok' END AS first_fail
+FROM verdicts
+"""
+
+
+def q_doc_paragraph_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document paragraph dedup (kg/ops/textstats.py
+    dedupe_paragraphs_global, the CCNet paragraph-hash step): every
+    paragraph repeated anywhere in the corpus keeps only its
+    globally-first occurrence (min (doc_id, idx)). The synthetic docs
+    share template sentences heavily, so the drop is substantive. One
+    count shuffle on the 60-bit md5-derived paragraph hash; the oracle
+    replays split, hash, the global window rule, and reassembly."""
+    from kg.ops.textstats import dedupe_paragraphs_global
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedupe_paragraphs_global(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text", "n_paragraphs", "n_dropped",
+    )
+
+
+_PARA_DEDUP_GLOBAL_ORACLE = r"""
+WITH parr AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               x -> trim(x)), x -> x <> '') AS ps
+  FROM documents
+), expl AS (
+  SELECT doc_id, g.i - 1 AS idx, ps[g.i] AS p
+  FROM parr, unnest(generate_series(1, len(ps))) AS g(i)
+), h AS (
+  SELECT doc_id, idx, p,
+    ('0x' || substr(md5(p), 1, 15))::BIGINT AS ph
+  FROM expl
+), m AS (
+  SELECT doc_id, idx,
+    row_number() OVER (PARTITION BY ph ORDER BY doc_id, idx) AS rn,
+    count(*) OVER (PARTITION BY ph) AS c
+  FROM h
+), drops AS (
+  SELECT doc_id, idx FROM m WHERE c >= 2 AND rn > 1
+), kept AS (
+  SELECT e.doc_id, e.idx, e.p
+  FROM expl e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM drops d WHERE d.doc_id = e.doc_id AND d.idx = e.idx)
+), agg AS (
+  SELECT doc_id, string_agg(p, chr(10) ORDER BY idx) AS txt,
+         count(*) AS nk
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+  coalesce(a.txt, '') AS text,
+  CAST(len(p.ps) AS BIGINT) AS n_paragraphs,
+  CAST(len(p.ps) - coalesce(a.nk, 0) AS BIGINT) AS n_dropped
+FROM parr p LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SEMDEDUP_COS = 0.98
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (kg/ops/similarity.py semdedup, Abbas et
+    al. 2023): deterministic Lloyd cells -> within-cell cosine >= 0.98
+    pairs -> connected components -> total verdict table (component =
+    min reachable vid, survivor has component == vid). Oracle unrolls
+    the Lloyd rounds (shared _lloyd_oracle_sql), replays the cell
+    self-join + threshold, and closes the duplicate graph with a
+    recursive CTE."""
+    from kg.ops.similarity import semdedup
+
+    return semdedup(
+        _emb(spark, sf_dir), k=KMEANS_K, rounds=KMEANS_ROUNDS,
+        seed=KMEANS_SEED, min_cos=SEMDEDUP_COS,
+    ).select(
+        F.col("vid").cast("long").alias("vid"),
+        F.col("list_id").cast("int").alias("list_id"),
+        "component",
+        "is_dup",
+    )
+
+
+def _semdedup_oracle_sql() -> str:
+    lloyd = _lloyd_oracle_sql(KMEANS_K, KMEANS_ROUNDS, KMEANS_SEED)
+    # the duplicate-graph closure needs WITH RECURSIVE on the chain head
+    lloyd = lloyd.replace("WITH v AS", "WITH RECURSIVE v AS", 1)
+    return lloyd + f""", pr AS (
+  SELECT a.vid AS va, b.vid AS vb
+  FROM af a JOIN af b ON a.list_id = b.list_id AND a.vid < b.vid
+  JOIN u ua ON ua.vid = a.vid
+  JOIN u ub ON ub.vid = b.vid
+  WHERE list_dot_product(ua.unit, ub.unit) >= {SEMDEDUP_COS}
+), ed AS (
+  SELECT va AS a, vb AS b FROM pr
+  UNION
+  SELECT vb AS a, va AS b FROM pr
+), reach AS (
+  SELECT a, b FROM ed
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a
+), comp AS (
+  SELECT a AS vid, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT f.vid, CAST(f.list_id AS INT) AS list_id,
+  CAST(coalesce(c.component, f.vid) AS BIGINT) AS component,
+  coalesce(c.component, f.vid) <> f.vid AS is_dup
+FROM af f LEFT JOIN comp c USING (vid)
+"""
+
+
+#: synthetic host wheel for the blocklist contract: exercises exact
+#: match, subdomain match, longest-rule priority, a NON-blocked parent
+#: of a blocked subtree, and the substring trap (notspam.test)
+BLOCK_HOSTS = [
+    "www.example.test", "news.site.test", "ads.tracker.test",
+    "sub.deep.ads.tracker.test", "blog.spam.test", "spam.test",
+    "tracker.test", "notspam.test",
+]
+BLOCK_DOMAINS = ["spam.test", "ads.tracker.test", "deep.ads.tracker.test"]
+
+
+def q_web_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-suffix blocklist gate (kg/ops/webnorm.py blocklist_filter):
+    urls synthesized deterministically over documents (md5 host wheel),
+    blocked iff the host equals a blocked domain or sits under one, with
+    the most-specific rule reported. Label-boundary matching is pinned
+    (tracker.test stays unblocked beside blocked ads.tracker.test;
+    notspam.test is the substring trap)."""
+    from kg.ops.webnorm import blocklist_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pick = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long") % len(BLOCK_HOSTS)
+    ).cast("int")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in BLOCK_HOSTS]), pick + 1
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    bl = spark.createDataFrame(
+        [(d,) for d in BLOCK_DOMAINS], "domain string"
+    )
+    return blocklist_filter(pages, bl)
+
+
+def _blocklist_oracle_sql() -> str:
+    hosts_vals = ", ".join(
+        f"({i}, '{h}')" for i, h in enumerate(BLOCK_HOSTS)
+    )
+    bl_vals = ", ".join(f"('{d}')" for d in BLOCK_DOMAINS)
+    return f"""
+WITH hosts(i, h) AS (VALUES {hosts_vals}),
+bl(domain) AS (VALUES {bl_vals}),
+p AS (
+  SELECT 'https://' || h.h || '/' || CAST(d.doc_id AS VARCHAR) AS url,
+         h.h AS host
+  FROM documents d JOIN hosts h
+    ON (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % {len(BLOCK_HOSTS)}) = h.i
+), sfx AS (
+  SELECT p.url,
+    array_to_string(string_split(p.host, '.')[g.i:], '.') AS s
+  FROM p, unnest(generate_series(1, len(string_split(p.host, '.'))))
+       AS g(i)
+), m AS (
+  SELECT url, max_by(domain, length(domain)) AS matched_rule
+  FROM sfx JOIN bl ON sfx.s = bl.domain
+  GROUP BY url
+)
+SELECT p.url, p.host,
+  m.matched_rule IS NOT NULL AS blocked, m.matched_rule
+FROM p LEFT JOIN m USING (url)
+"""
+
+
+KG_FACT_GAP_S = 600
+
+
+def _fact_asof_us() -> int:
+    from kg.synth import _EPOCH
+    import datetime as _dt
+
+    t = _EPOCH + _dt.timedelta(seconds=5000)
+    return int(t.timestamp() * 1_000_000)
+
+
+def q_kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal validity intervals per fact (kg/graphstats.py
+    fact_intervals): each linked fact's evidence timeline segmented at
+    gaps > 600s into maximal observation intervals (exact BIGINT micro
+    timestamps — no float in the hash surface), plus the point-in-time
+    active_asof flag at epoch+5000s. One fact-key exchange feeds both
+    window passes and the rollup; oracle replays the identical window
+    algebra over the replayed link join."""
+    from kg.graphstats import fact_intervals
+    from kg.stages.link import link_triples
+
+    triples = spark.read.parquet(
+        f"{FIX}/expected_triples_small.parquet"
+    ).withColumn("conf", F.lit(1.0))
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    page_ts = spark.read.parquet(f"{FIX}/pages_small.parquet").select(
+        "url", "warc_ts"
+    )
+    linked = (
+        link_triples(triples, alias_dim)
+        .withColumn("subj_id", F.col("subj_id").cast("long"))
+        .withColumn("obj_id", F.col("obj_id").cast("long"))
+        .join(page_ts, "url")
+    )
+    return fact_intervals(
+        linked, ts_col="warc_ts", gap_s=KG_FACT_GAP_S,
+        asof_us=_fact_asof_us(),
+    )
+
+
+def _fact_intervals_oracle_sql() -> str:
+    gap_us = KG_FACT_GAP_S * 1_000_000
+    return f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT t.url, s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id,
+         p.warc_ts
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+  JOIN '{FIX}/pages_small.parquet' p ON t.url = p.url
+), base AS (
+  SELECT subj_id, pred, obj_id,
+         CAST(epoch_us(warc_ts) AS BIGINT) AS us,
+         count(*) AS n
+  FROM t GROUP BY subj_id, pred, obj_id, epoch_us(warc_ts)
+), flagged AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {gap_us}
+                 THEN 1 ELSE 0 END AS brk
+  FROM base
+  WINDOW w AS (PARTITION BY subj_id, pred, obj_id ORDER BY us)
+), seg AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY subj_id, pred, obj_id ORDER BY us
+    ROWS UNBOUNDED PRECEDING) AS iv
+  FROM flagged
+)
+SELECT subj_id, pred, obj_id, CAST(iv AS BIGINT) AS interval_id,
+  min(us) AS valid_from_us, max(us) AS valid_to_us,
+  CAST(sum(n) AS BIGINT) AS n_evidence,
+  min(us) <= {_fact_asof_us()} AND max(us) >= {_fact_asof_us()}
+    AS active_asof
+FROM seg GROUP BY subj_id, pred, obj_id, iv
+"""
+
+
 # -------------------------------------------------------------- public ----
 
 
@@ -10125,6 +10442,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize_text": q_doc_normalize_text,
         "doc_threshold_sweep": q_doc_threshold_sweep,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_paragraph_dedup_global": q_doc_paragraph_dedup_global,
+        "doc_gopher_rules": q_doc_gopher_rules,
+        "emb_semdedup": q_emb_semdedup,
+        "web_blocklist": q_web_blocklist,
+        "kg_fact_intervals": q_kg_fact_intervals,
         "doc_corpus_filter": q_doc_corpus_filter,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_token_budget": q_doc_token_budget,
@@ -12814,7 +13136,8 @@ WITH toks AS (
   FROM documents
 ), spans AS (
   SELECT doc_id, g.i - 1 AS pos,
-    md5(array_to_string(t[g.i : g.i + {SUBSTR_K - 1}], ' ')) AS gram_h
+    ('0x' || substr(md5(array_to_string(t[g.i : g.i + {SUBSTR_K - 1}], ' ')),
+                    1, 15))::BIGINT AS gram_h
   FROM toks, unnest(generate_series(1, len(t) - {SUBSTR_K - 1})) AS g(i)
   WHERE len(t) >= {SUBSTR_K}
 ), marked AS (
@@ -12882,6 +13205,11 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["events_value_histogram"] = _VALUE_HIST_ORACLE
     d["doc_mixture_temperature"] = _MIX_TEMP_ORACLE
     d["doc_paragraph_dedup"] = _PARA_DEDUP_ORACLE
+    d["doc_paragraph_dedup_global"] = _PARA_DEDUP_GLOBAL_ORACLE
+    d["doc_gopher_rules"] = _GOPHER_ORACLE
+    d["emb_semdedup"] = _semdedup_oracle_sql()
+    d["web_blocklist"] = _blocklist_oracle_sql()
+    d["kg_fact_intervals"] = _fact_intervals_oracle_sql()
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW
     )

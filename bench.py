@@ -586,10 +586,11 @@ def run_suite(spark, sf_dir: str) -> dict:
 
     # the piece vocab is per-job state (a production tokenizer is trained
     # once and applied to every batch — same hoist disposition as the
-    # gazetteer plan): train it outside the timed loop, time the
-    # APPLICATION (distinct-word dim + Arrow matcher + broadcast join +
-    # per-doc agg) plus the substring removal
+    # gazetteer plan): train it AND collect the piece list outside the
+    # timed loop, time the APPLICATION (distinct-word dim + Arrow matcher
+    # + broadcast join + per-doc agg) plus the substring removal
     sw_vocab = materialize(subword_vocab(docs_x))
+    sw_pieces = [r["piece"] for r in sw_vocab.select("piece").collect()]
 
     # SPARK_GRAFT_TEXTOPS_FRAC < 1 keeps a deterministic hash-slice (the
     # near_dup discipline: identical rows at any parallelism); the
@@ -604,6 +605,21 @@ def run_suite(spark, sf_dir: str) -> dict:
         )
         to_pages = docs_to.count()
         extra["textops_n_docs"] = to_pages
+    # SPARK_GRAFT_TEXTOPS_REPL > 1 replicates the stage input with
+    # distinct doc ids (same sizing fix as boilerplate/curation: the
+    # subword op's ~3s high-parallelism wall is half fixed cost — Arrow
+    # dim-job startup + broadcast + job launches — which a corpus-sized
+    # production batch amortizes; the replicated corpus measures the
+    # operators, not the launches). Denominator counts replicated docs.
+    to_repl = int(os.environ.get("SPARK_GRAFT_TEXTOPS_REPL", "1"))
+    if to_repl > 1:
+        docs_to = docs_to.crossJoin(
+            spark.range(to_repl).select(F.col("id").alias("_rep"))
+        ).select(
+            F.concat_ws("#", "doc_id", "_rep").alias("doc_id"), "text"
+        )
+        to_pages = to_pages * to_repl
+        extra["textops_n_docs"] = to_pages
 
     # .count() would let Catalyst prune the rewrite columns (and
     # eliminate the unique-key left joins entirely) — aggregate OVER the
@@ -614,7 +630,7 @@ def run_suite(spark, sf_dir: str) -> dict:
             F.sum(F.length("text_clean")).alias("_b"),
         ).first()
         counts["substring_rm"] = r["n"]
-        r = subword_tokenize(docs_to, sw_vocab).agg(
+        r = subword_tokenize(docs_to, pieces=sw_pieces).agg(
             F.count("*").alias("n"), F.sum("n_subwords").alias("_s")
         ).first()
         counts["subword"] = r["n"]

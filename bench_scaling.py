@@ -37,6 +37,11 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     # fixed costs (vocab pieces collect + dim broadcast + action barriers)
     # masqueraded as poor scaling (0.63-0.66 across two windows)
     env.setdefault("SPARK_GRAFT_TEXTOPS_FRAC", "1.0")
+    # r4: replicate the textops input 2x (same sizing fix as
+    # boilerplate/curation) — subword_tokenize's high-parallelism wall
+    # is otherwise half job-launch/broadcast fixed cost (see
+    # BENCH/AB_TEXTOPS_r4.md)
+    env.setdefault("SPARK_GRAFT_TEXTOPS_REPL", "2")
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_MASTER"] = f"local[{cpus}]"
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
@@ -108,6 +113,51 @@ def hw_probe(nprocs: list[int]) -> dict[int, float]:
     return out
 
 
+def shuffle_probe(parallelisms: list[int], n_rows: int = 30_000_000) -> dict[int, float]:
+    """Box SHUFFLE-bandwidth ceiling (r4): a pure-JVM repartition +
+    high-cardinality groupBy over ``n_rows`` 8-byte keys at each
+    parallelism — no Python, no text, no operator logic, just shuffle
+    write + read + hash aggregation. On one box the shuffle rides ONE
+    local disk and ONE memory system no matter how many cores run, so
+    this probe bounds the scaling efficiency any shuffle-BOUND stage
+    (textops/dedup/boilerplate) can measure here, the way hw_probe
+    bounds map-bound stages; a real N->4N cluster adds a disk and a NIC
+    with every executor, which this box cannot emulate. Returns
+    rows/sec at each parallelism (fresh JVM each, best of two)."""
+    import tempfile
+
+    out: dict[int, float] = {}
+    for k in parallelisms:
+        script = f"""
+import time, json, sys
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[{k}]")
+         .config("spark.sql.shuffle.partitions", "{max(k * 2, 8)}")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "{max(4, k * 5 // 2)}g")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+def run():
+    df = spark.range({n_rows}).select(
+        F.xxhash64("id").alias("key"), (F.col("id") % 97).alias("v"))
+    df.groupBy("key").agg(F.count("*").alias("n"), F.min("v").alias("m")) \\
+      .agg(F.count("*"), F.sum("m")).first()
+run()
+walls = []
+for _ in range(2):
+    t0 = time.monotonic(); run(); walls.append(time.monotonic() - t0)
+print(json.dumps({{"wall": min(walls)}}))
+"""
+        with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+            f.write(script)
+            path = f.name
+        r = subprocess.run([sys.executable, path], capture_output=True,
+                           text=True, timeout=1200)
+        wall = json.loads(r.stdout.strip().splitlines()[-1])["wall"]
+        out[k] = round(n_rows / wall, 1)
+    return out
+
+
 HISTORY = REPO / "BENCH" / "history.jsonl"
 
 # facts_docs_per_sec is deliberately NOT an efficiency key: the facts
@@ -150,6 +200,7 @@ def main() -> int:
             return 1
         w = full[-1]
         hw = {int(k): v for k, v in w["hw"].items()}
+        shuffle_hw = {int(k): v for k, v in w.get("shuffle_hw", {}).items()}
         lo, hi = w["lo"], w["hi"]
         results = {int(k): v for k, v in w["results"].items()}
         runs = {int(k): v for k, v in w["runs"].items()}
@@ -158,6 +209,8 @@ def main() -> int:
         # hardware ceiling first, box in the same state as the legs
         print("running hardware concurrency probe ...", file=sys.stderr)
         hw = hw_probe(sorted({n_low, 2 * n_low, n_high, 2 * n_high}))
+        print("running shuffle-bandwidth probe ...", file=sys.stderr)
+        shuffle_hw = shuffle_probe([n_low, n_high])
         # ABBA leg order, fresh JVM each, best-of-two per parallelism: a
         # transient neighbor/steal spike on this shared box then lands in
         # one run of a leg, not both, and cannot masquerade as a scaling
@@ -196,6 +249,8 @@ def main() -> int:
             "lo": lo, "hi": hi,
             "hw": hw,
             "hw_eff": round(hw[2 * hi] / hw[2 * lo], 3),
+            "shuffle_hw": shuffle_hw,
+            "shuffle_eff": round(shuffle_hw[hi] / shuffle_hw[lo] / 4.0, 3),
             "effs": effs,
             "results": results,
             "runs": runs,
@@ -244,6 +299,26 @@ def main() -> int:
         f" occupancy ({2 * lo} -> {2 * hi} procs):"
         f" **{round(hw[2 * hi] / hw[2 * lo], 3)}** — the ceiling any"
         f" engine could measure on this box at N={lo}.",
+    ] + ([
+        "",
+        "Shuffle-bandwidth probe (pure-JVM 30M-row repartition +"
+        " high-cardinality groupBy — no Python, no operator logic; the"
+        " shuffle rides ONE local disk and ONE memory system at every"
+        " parallelism, where a real N->4N cluster adds a disk + NIC per"
+        " executor):",
+        "",
+        "| parallelism | rows/sec |",
+        "|---|---|",
+    ] + [
+        f"| local[{k}] | {v} |" for k, v in sorted(shuffle_hw.items())
+    ] + [
+        "",
+        f"- **box shuffle-scaling ceiling local[{lo}] -> local[{hi}]:"
+        f" {round(shuffle_hw[hi] / shuffle_hw[lo] / 4.0, 3)}** — the"
+        " efficiency bound for shuffle-BOUND stages (textops, dedup,"
+        " boilerplate) on this box; read those rows against this"
+        " ceiling, map-bound rows against the CPU ceiling above.",
+    ] if shuffle_hw else []) + [
         "",
         f"Input: `{args.sf_dir}` (documents + synthetic 20k-page corpus).",
         "",

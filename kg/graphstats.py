@@ -1388,6 +1388,70 @@ def merge_fact_evidence(
     )
 
 
+def fact_intervals(
+    linked: DataFrame,
+    ts_col: str = "warc_ts",
+    gap_s: int = 30 * 86400,
+    asof_us: int | None = None,
+) -> DataFrame:
+    """Temporal validity intervals per fact — the valid-time primitive of
+    a temporal KG built FROM OBSERVATIONS (a fact asserted by crawls in
+    2019-2021 and again in 2024 was plausibly false in between; a single
+    [first_seen, last_seen] span, fact_evidence's shape, cannot say so):
+    each (subj_id, pred, obj_id)'s evidence timeline is segmented at
+    gaps longer than ``gap_s`` into maximal observation intervals.
+
+    Returns (subj_id, pred, obj_id, interval_id, valid_from_us,
+    valid_to_us, n_evidence) — interval_id numbers a fact's intervals
+    from 1 in time order; timestamps are exact BIGINT micros (no float
+    in the hash surface). With ``asof_us`` set, adds ``active_asof``:
+    whether the fact had an interval covering that instant (the
+    point-in-time snapshot query).
+
+    Scale shape: one partial-agged pre-aggregation on (fact, ts)
+    collapses same-instant repeats, then ONE exchange on the fact key
+    feeds two window passes (gap flag, running interval id) whose
+    partitioning the final groupBy reuses — one corpus shuffle total,
+    the fact_evidence discipline. AQE skew handling covers viral facts.
+    """
+    keys = ["subj_id", "pred", "obj_id"]
+    base = (
+        linked.where(
+            F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+        )
+        .groupBy(*keys, F.unix_micros(F.col(ts_col)).alias("us"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.partitionBy(*keys).orderBy("us")
+    gap_us = int(gap_s) * 1_000_000
+    flagged = base.withColumn(
+        "_brk",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    seg = flagged.withColumn(
+        "_iv",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    out = seg.groupBy(*keys, F.col("_iv").cast("long").alias("interval_id")).agg(
+        F.min("us").alias("valid_from_us"),
+        F.max("us").alias("valid_to_us"),
+        F.sum("_n").cast("long").alias("n_evidence"),
+    )
+    if asof_us is not None:
+        out = out.withColumn(
+            "active_asof",
+            (F.col("valid_from_us") <= int(asof_us))
+            & (F.col("valid_to_us") >= int(asof_us)),
+        )
+    return out
+
+
 def bowtie_decomposition(
     edges: DataFrame,
     max_rounds: int = 16,

@@ -1031,64 +1031,80 @@ def remove_duplicate_substrings(
     grams hash), plus how many tokens were dropped. Docs shorter than k
     tokens pass through unchanged (modulo normalization).
 
-    Scale shape: the gram explode is linear in corpus tokens; ONE
-    partial-agged count shuffle keyed on md5(gram) finds duplicated
-    grams and their canonical first occurrence; the duplicate-occurrence
-    join lands on the same gram_h partitioning (one row per gram on the
-    aggregated side -- no per-key blowup even for mega-duplicated
-    boilerplate grams); then one per-doc groupBy collects duplicate
+    Scale shape (r4 rework): grams are built ARRAY-LOCALLY (no doc-keyed
+    window exchange); ONE exchange keyed on the 60-bit md5-derived gram
+    long feeds ONE window pass (per-partition count + canonical-first
+    min(struct(id, pos)), no orderBy — the partition sort compares a
+    single 8-byte long); then one per-doc groupBy collects duplicate
     positions and an id-keyed join rewrites the text ARRAY-LOCALLY:
-    sorted positions -> merged [p, p+k) intervals via a linear aggregate
-    fold (never the O(n*m) exists-per-token probe) -> gap slices
+    sorted positions -> merged [p, p+k) intervals via linear zip_with
+    shifts (never the O(n*m) exists-per-token probe) -> gap slices
     reassembled. Total: 1 gram shuffle + 2 id shuffles, everything else
     narrow JVM expressions.
     """
     k = int(k)
     base = docs.select(F.col(id_col), _words(text_col).alias("_w"))
-    # gram build: posexplode words + codegen lead() window (per-doc
-    # partitions, bounded sort) + concat_ws + md5. An array-local
-    # transform(i -> md5(array_join(slice(w, i, k)))) is the shuffle-free
-    # alternative, but higher-order-function lambdas evaluate interpreted
-    # (no whole-stage codegen) — measured ~2x slower than this window on
-    # the bench corpus; the window's doc-keyed exchange is high-
-    # cardinality and per-doc bounded, and md5 keeps the count shuffle
-    # key at 32 hex chars instead of k words.
-    toks = base.select(
-        F.col(id_col), F.posexplode("_w").alias("pos", "_w0")
+    # gram build (r4 rework, measured on the 200k-doc scaling legs):
+    # ARRAY-LOCAL transform(i -> slice/array_join/md5) instead of the
+    # old posexplode + lead() window — the higher-order lambda evaluates
+    # interpreted, but dropping the doc-keyed corpus exchange + per-doc
+    # sort won at BOTH parallelisms (local[8]: 22.8s -> 18.0s through
+    # the dup-position stage; local[2]: 56.3s -> 49.7s). The gram key is
+    # the md5 TRUNCATED to a 60-bit LONG (the repo's
+    # conv(substr(md5,1,15)) convention — replayable in DuckDB as
+    # ('0x'||substr(md5,1,15))::BIGINT), so every downstream
+    # shuffle/sort moves an 8-byte long instead of a 32-hex-char
+    # string. Collision exposure: 2^60 key space; a colliding gram pair
+    # falsely marks one occurrence as duplicate — expected collisions
+    # n^2/2^61 ≈ 4e-4 at the 30M-gram bench corpus and a ~4e-7 FRACTION
+    # of grams at 10^13 (the Lee et al. BigQuery implementations accept
+    # the same 64-bit-fingerprint trade).
+    n_w = F.size("_w")
+    gh = F.when(
+        n_w >= k,
+        F.transform(
+            F.sequence(F.lit(0), n_w - k),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("_w", i + 1, k), " ")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = base.select(
+        F.col(id_col), F.posexplode(gh).alias("pos", "gram_h")
     )
-    wspec = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("_w0")] + [
-        F.lead("_w0", j).over(wspec) for j in range(1, k)
-    ]
-    exploded = (
-        toks.select(
-            F.col(id_col),
-            "pos",
-            F.md5(F.concat_ws(" ", *parts)).alias("gram_h"),
-            F.lead("_w0", k - 1).over(wspec).alias("_tail"),
-        )
-        .where(F.col("_tail").isNotNull())
-        .drop("_tail")
+    # duplicate occurrences in ONE window pass over ONE gram_h exchange
+    # (r4): per-partition count + min(struct(id, pos)) with NO orderBy —
+    # WindowExec then sorts by the single 8-byte gram key only (the old
+    # row_number formulation sorted by (gram_h, id-string, pos); a
+    # groupBy + join-back formulation consumed the expensive gram map
+    # twice, and a materialize barrier between two consumers measured
+    # WORSE: its block write is storage-lock/GC-bound, stage eff 0.36
+    # on the scaling legs). min(struct) under (id, pos) ordering IS the
+    # global-first rule row_number expressed; every other occurrence of
+    # a gram seen >= 2 times is a duplicate. Hot boilerplate grams
+    # concentrate one gram's occurrences into one partition run —
+    # bounded by the gram's occurrence count, same exposure as before.
+    gwin = Window.partitionBy("gram_h")
+    marked = exploded.select(
+        F.col(id_col),
+        "pos",
+        F.count(F.lit(1)).over(gwin).alias("_c"),
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).over(gwin).alias("_first"),
     )
-    # duplicate occurrences via ONE window over the gram hash: the global
-    # first of each gram is rank 1 under (doc_id, pos); every later
-    # occurrence of a gram seen >= 2 times is a duplicate. This replaces
-    # the groupBy + self-join formulation (which consumed the gram
-    # subtree twice and shuffled it twice more) with a single gram_h
-    # exchange + per-gram sort. Hot boilerplate grams concentrate one
-    # gram's occurrences into one sort run — bounded by the gram's
-    # occurrence count, the same exposure the join's build side had.
-    gw = Window.partitionBy("gram_h").orderBy(id_col, "pos")
     dup_pos = (
-        exploded.select(
-            F.col(id_col),
-            "pos",
-            F.row_number().over(gw).alias("_rn"),
-            F.count(F.lit(1)).over(
-                Window.partitionBy("gram_h")
-            ).alias("_c"),
+        marked.where(
+            (F.col("_c") >= 2)
+            & (
+                (F.col(id_col) != F.col("_first.i"))
+                | (F.col("pos") != F.col("_first.p"))
+            )
         )
-        .where((F.col("_c") >= 2) & (F.col("_rn") > 1))
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_dp"))
     )

@@ -42,6 +42,7 @@ __all__ = [
     "pq_train",
     "pq_adc_topk",
     "ann_ivfpq_topk",
+    "semdedup",
 ]
 
 
@@ -714,6 +715,70 @@ def lloyd_kmeans(
         )
     final = _assign(cents)
     return final.select("vid", "unit", "list_id"), cents
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    seed: int = 17,
+    min_cos: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, public
+    paper): lexical near-dup (MinHash over tokens) misses paraphrases
+    and templated rewrites; this op clusters the embedding space with
+    the deterministic Lloyd quantizer, thresholds within-cluster cosine,
+    and connects the resulting duplicate graph — the embedding-space
+    rung of the dedup ladder.
+
+    Returns a TOTAL verdict table (every vector):
+    (vid, list_id, component, is_dup) — component is the min reachable
+    vid of the duplicate group (singletons: the vid itself, so the
+    survivor of every group is component == vid and is_dup = vid <>
+    component). Duplicate pairs crossing a cluster boundary are missed
+    by construction — the SemDeDup recall/cost trade (raise k for
+    cheaper clusters, lower k for better recall).
+
+    Scale shape: Lloyd rounds (broadcast crossJoin + partial-agged
+    argmax each), then the pair generation is an equi self-join ON THE
+    CLUSTER ID — candidate volume is sum over cells of |cell|^2, never
+    corpus^2; choose k ~ corpus/avg_cell to bound cells, exactly the
+    IVF sizing rule. CC runs on the thresholded edge set (duplicate
+    pairs only — a corpus-scale run feeds kg/cc.py's
+    large-star/small-star path via local_threshold=0)."""
+    from kg.cc import connected_components
+
+    assigned, _ = lloyd_kmeans(
+        embeddings, k=k, rounds=rounds, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    a = assigned.select(
+        F.col("list_id"), F.col("vid").alias("_va"),
+        F.col("unit").alias("_ua"),
+    )
+    b = assigned.select(
+        F.col("list_id"), F.col("vid").alias("_vb"),
+        F.col("unit").alias("_ub"),
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .where(F.col("_va") < F.col("_vb"))
+        .where(dot_product_col("_ua", "_ub") >= F.lit(float(min_cos)))
+        .select(F.col("_va").alias("src"), F.col("_vb").alias("dst"))
+    )
+    comps = connected_components(pairs)  # (node, component), edge nodes only
+    return (
+        assigned.select("vid", "list_id")
+        .join(comps, assigned["vid"] == comps["node"], "left")
+        .select(
+            "vid",
+            "list_id",
+            F.coalesce("component", "vid").cast("long").alias("component"),
+        )
+        .withColumn("is_dup", F.col("vid") != F.col("component"))
+    )
 
 
 def cluster_balanced_sample(

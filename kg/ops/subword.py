@@ -137,14 +137,21 @@ def subword_tokenize(
     vocab: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pieces: list[str] | None = None,
     **vocab_kwargs,
 ) -> DataFrame:
     """Greedy longest-match subword stats per doc:
     (id, n_words, n_subwords, fertility). ``vocab`` defaults to
     ``subword_vocab(docs)``. Fertility is NULL for empty docs and rounded
-    to 4dp (engine-portable)."""
+    to 4dp (engine-portable).
+
+    ``pieces``: optional pre-collected piece list. A production tokenizer
+    is trained ONCE and applied to every ingest batch, so the trained
+    piece set is per-job driver state — passing it here skips the
+    per-call vocab collect job (the same hoist disposition as the
+    gazetteer plan / LM vocab)."""
     dim = None
-    if vocab is None:
+    if pieces is None and vocab is None:
         # share ONE corpus token pass between the vocab build and the
         # distinct-word dim (occ already is the dim + counts)
         from kg.session import materialize
@@ -157,7 +164,9 @@ def subword_tokenize(
             vocab_kwargs.get("top_bigrams", 128),
         )
         dim = occ.select("word")
-    pieces = sorted(r["piece"] for r in vocab.select("piece").collect())
+    if pieces is None:
+        pieces = [r["piece"] for r in vocab.select("piece").collect()]
+    pieces = sorted(pieces)
     pset = frozenset(pieces)
     lmax = max((len(p) for p in pieces), default=1)
     bc = docs.sparkSession.sparkContext.broadcast((pset, lmax))
@@ -185,35 +194,33 @@ def subword_tokenize(
                 }
             )
 
+    # explode_outer keeps ONE null-word row for empty docs, so the
+    # per-doc aggregation below already covers every doc — the old
+    # restore-empty-docs left join was a THIRD corpus-sized shuffle
+    # (docs ids x per-doc stats SMJ), removed r4 for the scaling legs
     toks = docs.select(
-        F.col(id_col), F.explode(_words(text_col)).alias("word")
+        F.col(id_col), F.explode_outer(_words(text_col)).alias("word")
     )
     if dim is None:
-        dim = toks.select("word").distinct()
+        dim = toks.where(F.col("word").isNotNull()).select("word").distinct()
     dim_pieces = dim.mapInPandas(batches, "word string, n_pieces long")
     # broadcast dim join straight onto the exploded tokens: the per-doc
     # aggregation below is then the ONLY corpus-sized shuffle (a
     # groupBy(id, word) pre-aggregation would add a second corpus shuffle
     # and save nothing — the dim join is broadcast either way)
-    joined = toks.join(F.broadcast(dim_pieces), "word")
+    joined = toks.join(F.broadcast(dim_pieces), "word", "left")
     stats = joined.groupBy(id_col).agg(
-        F.count("*").alias("n_words"),
+        F.count("word").alias("n_words"),
         F.sum("n_pieces").alias("n_subwords"),
     )
-    return (
-        docs.select(id_col)
-        .join(stats, [id_col], "left")
-        .select(
-            id_col,
-            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
-            F.coalesce("n_subwords", F.lit(0)).cast("long").alias(
-                "n_subwords"
-            ),
-            F.when(
-                F.coalesce("n_words", F.lit(0)) > 0,
-                F.round(F.col("n_subwords") / F.col("n_words"), 4),
-            ).alias("fertility"),
-        )
+    return stats.select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.coalesce("n_subwords", F.lit(0)) / F.col("n_words"), 4),
+        ).alias("fertility"),
     )
 
 

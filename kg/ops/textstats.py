@@ -263,6 +263,103 @@ def corpus_filter(
     )
 
 
+#: fixed Gopher repetition-free stop set (Rae et al. 2021 §A1.1: a doc
+#: must contain >= 2 of these to pass the "stop word" rule)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style quality-rule ladder (Rae et al. 2021 §A1.1, public
+    paper — the document filter most web-scale LM corpora start from),
+    one row per doc with every rule's verdict, the overall ``keep``, and
+    the FIRST failing rule in the paper's order:
+
+    (id, n_words, word_count_ok, mean_word_len_ok, symbol_ok, bullet_ok,
+     ellipsis_ok, alpha_ok, stop_ok, keep, first_fail)
+
+    Rules (thresholds as integer cross-multiplications — the whole
+    contract is BIGINT/BOOLEAN, no float in the hash surface):
+      word_count_ok:   min_words <= n <= max_words
+      mean_word_len_ok: 3 <= sum(len)/n <= 10  (3n <= sum <= 10n)
+      symbol_ok:       words containing '#' or '...' are <= 10% of words
+      bullet_ok:       <= 90% of non-blank lines start with -, *, or •
+      ellipsis_ok:     <= 30% of non-blank lines end with '...'
+      alpha_ok:        >= 80% of words contain an alphabetic character
+      stop_ok:         >= 2 distinct GOPHER_STOPS present
+
+    Scale shape: pure-map array algebra over one text scan — zero
+    shuffle, the same disposition as quality_score; the filter runs at
+    ingest rate on any corpus size."""
+    w = _words()
+    lines = F.filter(
+        F.transform(F.split("text", r"\n"), lambda x: F.btrim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_w = F.size(w)
+    sum_len = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_sym = F.size(F.filter(
+        w, lambda x: x.contains("#") | x.contains("...")
+    ))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines,
+        lambda x: x.startswith("-") | x.startswith("*")
+        | x.startswith("•"),
+    ))
+    n_ell = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(w),
+            F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+        )
+    )
+    base = docs.select(
+        F.col(id_col),
+        n_w.cast("long").alias("n_words"),
+        sum_len.cast("long").alias("_sl"),
+        n_sym.cast("long").alias("_sym"),
+        n_lines.cast("long").alias("_nl"),
+        n_bullet.cast("long").alias("_bul"),
+        n_ell.cast("long").alias("_ell"),
+        n_alpha.cast("long").alias("_alp"),
+        n_stops.cast("long").alias("_stp"),
+    )
+    n = F.col("n_words")
+    rules = [
+        ("word_count_ok",
+         (n >= int(min_words)) & (n <= int(max_words))),
+        ("mean_word_len_ok",
+         (n > 0) & (F.col("_sl") >= 3 * n) & (F.col("_sl") <= 10 * n)),
+        ("symbol_ok", F.col("_sym") * 10 <= n),
+        ("bullet_ok", F.col("_bul") * 10 <= F.col("_nl") * 9),
+        ("ellipsis_ok", F.col("_ell") * 10 <= F.col("_nl") * 3),
+        ("alpha_ok", F.col("_alp") * 10 >= n * 8),
+        ("stop_ok", F.col("_stp") >= 2),
+    ]
+    out = base
+    for name, cond in rules:
+        out = out.withColumn(name, cond)
+    keep = F.lit(True)
+    for name, _ in rules:
+        keep = keep & F.col(name)
+    first_fail = F.coalesce(
+        *[F.when(~F.col(name), F.lit(name)) for name, _ in rules],
+        F.lit(None).cast("string"),
+    )
+    return out.select(
+        id_col, "n_words", *[name for name, _ in rules],
+        keep.alias("keep"), first_fail.alias("first_fail"),
+    )
+
+
 def remove_boilerplate_lines(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -569,6 +666,76 @@ def dedupe_paragraphs(
         F.col("_o.text").alias("text"),
         F.col("_o.n_paragraphs").alias("n_paragraphs"),
         F.col("_o.n_dropped").alias("n_dropped"),
+    )
+
+
+def dedupe_paragraphs_global(
+    docs: DataFrame,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-document paragraph dedup (the CCNet step: web boilerplate
+    repeats at paragraph granularity across pages, which document-level
+    near-dup cannot see and intra-doc dedupe_paragraphs cannot reach):
+    every (trimmed, non-empty) paragraph occurring >= 2 times anywhere in
+    the corpus keeps exactly its globally-first occurrence — min
+    (id, idx), deterministic — and every other occurrence is dropped from
+    the rewritten document. Returns (id, text, n_paragraphs, n_dropped).
+
+    Scale shape (the ExactSubstr discipline at paragraph granularity):
+    paragraph explode is linear in corpus paragraphs; ONE count shuffle
+    keyed on the 60-bit md5-derived paragraph hash (8-byte shuffle/sort
+    key, not the paragraph string) marks non-first occurrences via a
+    single window; one per-doc groupBy collects dropped indexes and an
+    id-keyed join rewrites the paragraph array locally."""
+    parr = F.filter(
+        F.transform(F.split(F.col(text_col), sep, -1), lambda p: F.trim(p)),
+        lambda p: p != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), parr.alias("_ps"))
+    exploded = base.select(
+        F.col(id_col), F.posexplode("_ps").alias("idx", "_p")
+    ).select(
+        F.col(id_col),
+        "idx",
+        F.conv(F.substring(F.md5("_p"), 1, 15), 16, 10).cast("long").alias(
+            "_ph"
+        ),
+    )
+    pw = Window.partitionBy("_ph").orderBy(id_col, "idx")
+    drops = (
+        exploded.select(
+            F.col(id_col),
+            "idx",
+            F.row_number().over(pw).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("_ph")).alias("_c"),
+        )
+        .where((F.col("_c") >= 2) & (F.col("_rn") > 1))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("idx")).alias("_drop"))
+    )
+    dropped = F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
+    # sequence(0, -1) DESCENDS on an empty array (dedupe_paragraphs
+    # precedent) — guard explicitly
+    kept = F.when(
+        F.size("_ps") > 0,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ps") - 1),
+                lambda i: F.struct(
+                    i.alias("i"), F.element_at("_ps", i + 1).alias("p")
+                ),
+            ),
+            lambda s: ~F.array_contains(dropped, s["i"]),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,p:string>>"))
+    joined = base.join(drops, [id_col], "left")
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(sep, F.transform(kept, lambda s: s["p"])).alias("text"),
+        F.size("_ps").cast("long").alias("n_paragraphs"),
+        (F.size("_ps") - F.size(kept)).cast("long").alias("n_dropped"),
     )
 
 

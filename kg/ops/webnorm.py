@@ -27,6 +27,7 @@ __all__ = [
     "resolve_redirects",
     "url_templates",
     "canonical_clusters",
+    "blocklist_filter",
     "TRACKING_PARAM_RE",
 ]
 
@@ -256,5 +257,64 @@ def canonical_clusters(
             F.coalesce("target", "url_norm").alias("canonical_norm"),
             F.coalesce("hops", F.lit(0)).cast("long").alias("hops"),
             F.coalesce("resolved", F.lit(True)).alias("resolved"),
+        )
+    )
+
+
+def blocklist_filter(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Domain-suffix blocklist filter — the first gate of every web-scale
+    ingest (UT1/adult-domain lists, spam/ad hosts): a page is blocked
+    when its host IS a blocked domain or is a SUBDOMAIN of one
+    (``ads.tracker.test`` blocks ``cdn.ads.tracker.test`` but not
+    ``notads.tracker.test`` — label-boundary matching, never substring).
+
+    ``blocklist``: (domain STRING) dim, lowercase registrable domains.
+    Returns one row per page: (url, host, blocked, matched_rule) where
+    matched_rule is the LONGEST (most-specific) matching blocked suffix,
+    NULL when unblocked.
+
+    Scale shape: each host explodes to its <= label-count suffixes (a
+    bounded pure map), which BROADCAST-equi-join the blocklist dim
+    (millions of domains still broadcast — domains are short strings);
+    the per-url longest-match rollup runs on MATCHED rows only (the
+    blocked subset, dim-like in a healthy crawl) and is joined back
+    broadcast — the corpus itself never shuffles. If a poisoned crawl
+    makes the blocked subset corpus-sized, AQE falls back to a shuffle
+    join on url; the verdict per page is unchanged."""
+    url = F.col(url_col)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _URL_RE, 2)), ":[0-9]+$", ""
+    )
+    labels = F.split(host, r"\.")
+    suffixes = F.when(
+        host != "",
+        F.transform(
+            F.sequence(F.lit(0), F.size(labels) - 1),
+            lambda i: F.array_join(
+                F.slice(labels, i + 1, F.size(labels) - i), "."
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = pages.select(url.alias("url"), host.alias("host"),
+                        suffixes.alias("_sfx"))
+    bl = blocklist.select(F.lower(F.col("domain")).alias("_dom")).distinct()
+    matched = (
+        base.select("url", F.explode("_sfx").alias("_sfx1"))
+        .join(F.broadcast(bl), F.col("_sfx1") == F.col("_dom"))
+        .groupBy("url")
+        .agg(F.max_by("_dom", F.length("_dom")).alias("matched_rule"))
+    )
+    return (
+        base.select("url", "host")
+        .join(F.broadcast(matched), "url", "left")
+        .select(
+            "url",
+            "host",
+            F.col("matched_rule").isNotNull().alias("blocked"),
+            "matched_rule",
         )
     )

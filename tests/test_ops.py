@@ -2050,3 +2050,223 @@ class TestLangConfusion:
         for rates in by_lang.values():
             # per-cell rounding to 6 leaves up to n_cells/2 * 1e-6 slack
             assert abs(sum(rates) - 1.0) < 1e-5
+
+
+class TestGopherRules:
+    def test_rule_verdicts_and_first_fail(self, spark):
+        from kg.ops.textstats import gopher_rules
+
+        good = "the quick brown fox jumps over that lazy dog and " * 8
+        rows = [
+            (1, good),                          # passes everything
+            (2, "short text"),                  # word_count fail
+            (3, "## " * 60),                    # symbol + alpha + stops fail
+            (4, "\n".join(["- item " + good] * 5)),  # bullet-heavy lines
+            (5, ""),                            # empty
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               gopher_rules(df, min_words=10).collect()}
+        assert got[1].keep and got[1].first_fail is None
+        assert not got[2].keep and got[2].first_fail == "word_count_ok"
+        assert not got[3].symbol_ok and not got[3].alpha_ok
+        assert not got[3].stop_ok
+        assert not got[4].bullet_ok and got[4].first_fail == "bullet_ok"
+        assert not got[5].keep and got[5].first_fail == "word_count_ok"
+
+    def test_integer_only_hash_surface(self, spark):
+        """No DOUBLE column anywhere in the contract schema (the
+        PLANS.md round-4 discipline)."""
+        from pyspark.sql import types as T
+
+        from kg.ops.textstats import gopher_rules
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        for f in gopher_rules(df).schema.fields:
+            assert not isinstance(f.dataType, (T.DoubleType, T.FloatType))
+
+    def test_pure_map_no_shuffle(self, spark):
+        from kg.ops.textstats import gopher_rules
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        p = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p
+        assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+class TestParagraphDedupGlobal:
+    def test_global_first_occurrence_rule(self, spark):
+        from kg.ops.textstats import dedupe_paragraphs_global
+
+        rows = [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),          # beta repeats -> dropped here
+            (3, "alpha\nalpha\nepsilon"),  # both alphas are non-first
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               dedupe_paragraphs_global(df).collect()}
+        assert got[1].text == "alpha\nbeta\ngamma"  # all first occurrences
+        assert got[1].n_dropped == 0
+        assert got[2].text == "delta" and got[2].n_dropped == 1
+        assert got[3].text == "epsilon" and got[3].n_dropped == 2
+        assert got[4].text == "" and got[4].n_paragraphs == 0
+
+    def test_whitespace_trim_and_order(self, spark):
+        from kg.ops.textstats import dedupe_paragraphs_global
+
+        rows = [(1, "  x  \ny"), (2, "x\nz")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               dedupe_paragraphs_global(df).collect()}
+        # trimmed 'x' matches across docs; doc 1 keeps it (lower id)
+        assert got[1].text == "x\ny"
+        assert got[2].text == "z" and got[2].n_dropped == 1
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.textstats import dedupe_paragraphs_global
+
+        rows = [(i, f"common\nuniq {i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, dedupe_paragraphs_global(df).collect()))
+        b = sorted(map(tuple, dedupe_paragraphs_global(
+            df.repartition(7)).collect()))
+        assert a == b
+        keepers = [r for r in a if "common" in r[1]]
+        assert len(keepers) == 1 and keepers[0][0] == 0
+
+
+class TestSemDedup:
+    def _emb(self, spark):
+        import math
+        rows = []
+        # three tight groups of 3 + one isolated vector, 4-dim
+        for g, base in enumerate([(1.0, 0.0, 0.0, 0.0),
+                                  (0.0, 1.0, 0.0, 0.0),
+                                  (0.0, 0.0, 1.0, 0.0)]):
+            for j in range(3):
+                eps = 0.001 * (j + 1)
+                v = [b + (eps if i == 3 else 0.0)
+                     for i, b in enumerate(base)]
+                n = math.sqrt(sum(x * x for x in v))
+                rows.append((g * 10 + j, [x / n for x in v]))
+        rows.append((99, [0.5, 0.5, 0.5, 0.5]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_groups_collapse_to_min_vid(self, spark):
+        from kg.ops.similarity import semdedup
+
+        out = {r.vid: r for r in semdedup(
+            self._emb(spark), k=2, rounds=2, min_cos=0.99).collect()}
+        assert len(out) == 10
+        # each tight group shares a component = its min vid
+        for g in (0, 10, 20):
+            comps = {out[g + j].component for j in range(3)}
+            assert comps == {g}
+            assert not out[g].is_dup
+            assert out[g + 1].is_dup and out[g + 2].is_dup
+        assert out[99].component == 99 and not out[99].is_dup
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.similarity import semdedup
+
+        emb = self._emb(spark)
+        a = sorted(map(tuple, semdedup(emb, k=2, rounds=2,
+                                       min_cos=0.99).collect()))
+        b = sorted(map(tuple, semdedup(emb.repartition(5), k=2, rounds=2,
+                                       min_cos=0.99).collect()))
+        assert a == b
+
+
+class TestBlocklistFilter:
+    def test_label_boundary_and_longest_rule(self, spark):
+        from kg.ops.webnorm import blocklist_filter
+
+        urls = [
+            "https://spam.test/a",
+            "https://blog.spam.test/b",
+            "https://notspam.test/c",          # substring trap
+            "https://ads.tracker.test/d",
+            "https://sub.deep.ads.tracker.test/e",
+            "https://tracker.test/f",          # parent of blocked subtree
+            "http://SPAM.test:80/g",           # case + port
+        ]
+        pages = spark.createDataFrame([(u,) for u in urls], "url string")
+        bl = spark.createDataFrame(
+            [("spam.test",), ("ads.tracker.test",),
+             ("deep.ads.tracker.test",)],
+            "domain string",
+        )
+        got = {r.url: r for r in blocklist_filter(pages, bl).collect()}
+        assert got[urls[0]].blocked and got[urls[0]].matched_rule == "spam.test"
+        assert got[urls[1]].blocked and got[urls[1]].matched_rule == "spam.test"
+        assert not got[urls[2]].blocked and got[urls[2]].matched_rule is None
+        assert got[urls[3]].matched_rule == "ads.tracker.test"
+        # most-specific rule wins
+        assert got[urls[4]].matched_rule == "deep.ads.tracker.test"
+        assert not got[urls[5]].blocked
+        assert got[urls[6]].blocked and got[urls[6]].host == "spam.test"
+
+    def test_corpus_side_stays_broadcast(self, spark):
+        from kg.ops.webnorm import blocklist_filter
+
+        pages = spark.range(100).select(
+            F.concat(F.lit("https://h"), F.col("id"),
+                     F.lit(".ex.test/p")).alias("url")
+        )
+        bl = spark.createDataFrame([("ex.test",)], "domain string")
+        p = blocklist_filter(pages, bl)._jdf.queryExecution()\
+            .executedPlan().toString()
+        assert "SortMergeJoin" not in p  # both joins broadcast
+        assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+class TestFactIntervals:
+    def _linked(self, spark):
+        import datetime as dt
+        e = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+        rows = []
+        # fact A: two bursts separated by a >600s gap; B: one burst
+        for s in (0, 10, 20, 2000, 2010):
+            rows.append((1, "p", 2, e + dt.timedelta(seconds=s)))
+        for s in (100, 150):
+            rows.append((3, "p", 4, e + dt.timedelta(seconds=s)))
+        rows.append((5, "p", None, e))  # half-linked: excluded
+        return spark.createDataFrame(
+            rows, "subj_id long, pred string, obj_id long, warc_ts timestamp"
+        )
+
+    def test_gap_segmentation_and_asof(self, spark):
+        import datetime as dt
+
+        from kg.graphstats import fact_intervals
+
+        e = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+        asof = int((e + dt.timedelta(seconds=2005)).timestamp() * 1e6)
+        out = fact_intervals(
+            self._linked(spark), gap_s=600, asof_us=asof
+        ).collect()
+        a = sorted([r for r in out if r.subj_id == 1],
+                   key=lambda r: r.interval_id)
+        assert [r.interval_id for r in a] == [1, 2]
+        assert a[0].n_evidence == 3 and a[1].n_evidence == 2
+        us = lambda s: int((e + dt.timedelta(seconds=s)).timestamp() * 1e6)  # noqa: E731
+        assert (a[0].valid_from_us, a[0].valid_to_us) == (us(0), us(20))
+        assert (a[1].valid_from_us, a[1].valid_to_us) == (us(2000), us(2010))
+        assert not a[0].active_asof and a[1].active_asof
+        b = [r for r in out if r.subj_id == 3]
+        assert len(b) == 1 and b[0].n_evidence == 2
+        assert not any(r.subj_id == 5 for r in out)
+
+    def test_single_corpus_exchange(self, spark):
+        from kg.graphstats import fact_intervals
+
+        p = fact_intervals(self._linked(spark))._jdf.queryExecution()\
+            .executedPlan().toString()
+        # pre-agg -> window passes -> rollup all reuse one fact-key
+        # partitioning: at most the initial exchange appears
+        assert p.count("Exchange") <= 2
+        assert "InPandas" not in p and "BatchEvalPython" not in p

@@ -448,10 +448,11 @@ def test_harmonic_round_is_one_shuffle_join_plus_anti(spark):
 
 
 def test_substring_removal_all_jvm_no_cartesian(spark, documents_sf):
-    """ExactSubstr removal: codegen lead() gram build (per-doc window —
-    high-cardinality keys, never SinglePartition), count shuffle, equi
-    joins; no Python anywhere, no nested-loop path; the interval merge
-    is linear zip_with (no aggregate fold)."""
+    """ExactSubstr removal (r4 shape): array-local gram build — NO
+    doc-keyed window exchange; ONE gram-keyed window pass whose sort is
+    the bare 8-byte partition key (no orderBy -> no (id, pos) sort
+    columns); equi joins only; no Python anywhere, no nested-loop path;
+    the interval merge is linear zip_with (no aggregate fold)."""
     from kg.ops.dedup import remove_duplicate_substrings
 
     p = _plan(remove_duplicate_substrings(documents_sf, k=8))
@@ -459,7 +460,10 @@ def test_substring_removal_all_jvm_no_cartesian(spark, documents_sf):
                  "CartesianProduct", "BroadcastNestedLoopJoin",
                  "SinglePartition"):
         assert node not in p, node
-    assert "Window" in p  # the codegen gram build
+    assert "Window" in p  # the single gram-partition pass
+    assert "row_number" not in p  # canonical-first is min-struct, no rank
+    # exactly one Window node: the doc-keyed gram-build window is gone
+    assert p.count("Window") - p.count("WindowGroupLimit") <= 2
 
 
 def test_subword_tokenize_python_touches_dim_not_corpus(spark,
