@@ -9863,6 +9863,307 @@ FROM seg GROUP BY subj_id, pred, obj_id, iv
 """
 
 
+def q_doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition (kg/ops/textstats.py script_profile):
+    exact per-class char counts + fixed-order majority argmax + the
+    integer-rule mixed flag (5*second >= first). The ASCII synthetic
+    corpus gets md5-bucketed non-Latin suffixes injected (the
+    normalize_text corruption precedent) so majority flips and the
+    mixed flag actually fires; the whole contract is BIGINT/BOOLEAN/
+    STRING. Oracle replays injection + the identical regexp algebra."""
+    from kg.ops.textstats import script_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long") % 4
+    )
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(b == 0, F.repeat(F.lit(" привет мир"), 20))
+            .when(b == 1, F.repeat(F.lit(" 你好世界"), 20))
+            .when(b == 2, F.repeat(F.lit(" αβγδ εζ"), 20))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(injected)
+
+
+def _script_profile_oracle_sql() -> str:
+    from kg.ops.textstats import SCRIPT_CLASSES, _script_re
+
+    inj = (
+        "text || CASE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+        "::BIGINT % 4 "
+        "WHEN 0 THEN repeat(' привет мир', 20) "
+        "WHEN 1 THEN repeat(' 你好世界', 20) "
+        "WHEN 2 THEN repeat(' αβγδ εζ', 20) ELSE '' END"
+    )
+    counts = ", ".join(
+        f"length(t) - length(regexp_replace(t, '{_script_re(rs)}', '', 'g'))"
+        f" AS n_{name}"
+        for name, rs in SCRIPT_CLASSES
+    )
+    names = [n for n, _ in SCRIPT_CLASSES]
+    letters = [n for n in names if n != "digit"]
+    top1 = "greatest(" + ", ".join(f"n_{n}" for n in letters) + ")"
+    maj = "CASE WHEN top1 = 0 THEN 'other' " + " ".join(
+        f"WHEN n_{n} = top1 THEN '{n}'" for n in letters
+    ) + " END"
+    second = "greatest(" + ", ".join(
+        f"CASE WHEN '{n}' <> maj THEN n_{n} ELSE 0 END" for n in letters
+    ) + ")"
+    return f"""
+WITH inj AS (
+  SELECT doc_id, {inj} AS t FROM documents
+), c AS (
+  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars, {counts} FROM inj
+), m AS (
+  SELECT *, {top1} AS top1 FROM c
+), mm AS (
+  SELECT *, {maj} AS maj FROM m
+)
+SELECT doc_id, n_chars,
+  {", ".join(f"CAST(n_{n} AS BIGINT) AS n_{n}" for n in names)},
+  maj AS majority_script,
+  ({second} * 5 >= top1 AND {second} > 0) AS mixed_script
+FROM mm
+"""
+
+
+NOVELTY_K = 8
+
+
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc k-gram novelty vs the corpus (kg/ops/textstats.py
+    ngram_novelty): an occurrence is novel iff its doc holds the gram's
+    globally-first occurrence (min (doc_id, pos) — the ExactSubstr
+    canonical rule). Same gram machinery as doc_substring_rm (60-bit
+    md5-derived key, one orderBy-free window); the oracle replays the
+    gram build, the ordered-first rule, and the per-doc rollup."""
+    from kg.ops.textstats import ngram_novelty
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_novelty(docs, k=NOVELTY_K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_grams", "n_novel", "novelty",
+    )
+
+
+def _ngram_novelty_oracle_sql() -> str:
+    k = NOVELTY_K
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), spans AS (
+  SELECT doc_id, g.i - 1 AS pos,
+    ('0x' || substr(md5(array_to_string(t[g.i : g.i + {k - 1}], ' ')),
+                    1, 15))::BIGINT AS gram_h
+  FROM toks, unnest(generate_series(1, len(t) - {k - 1})) AS g(i)
+  WHERE len(t) >= {k}
+), firsts AS (
+  SELECT gram_h, first(doc_id ORDER BY doc_id, pos) AS fdoc
+  FROM spans GROUP BY gram_h
+), stats AS (
+  SELECT s.doc_id,
+    count(*) AS n_grams,
+    sum(CASE WHEN f.fdoc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM spans s JOIN firsts f USING (gram_h)
+  GROUP BY s.doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+  CASE WHEN coalesce(s.n_grams, 0) > 0
+       THEN round(CAST(s.n_novel AS DOUBLE) / s.n_grams, 4) END AS novelty
+FROM toks t LEFT JOIN stats s USING (doc_id)
+"""
+
+
+CONTAIN_MIN, CONTAIN_MAX_DF = 0.8, 1024
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment join (kg/ops/dedup.py containment_join): the
+    subset-duplication rung Jaccard dedup structurally misses. Exact
+    BIGINT intersection/sizes; candidate volume bounded by the df cap
+    (no cut fires at sf0.01 — vocab df < 1024 — so the contract checks
+    the exact all-shared-token semantics; production keeps the cap)."""
+    from kg.ops.dedup import containment_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return containment_join(
+        docs, min_containment=CONTAIN_MIN, max_df=CONTAIN_MAX_DF
+    )
+
+
+def _containment_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+  )) AS tok
+  FROM documents
+), dfc AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), kept AS (
+  SELECT t.doc_id, t.tok FROM toks t JOIN dfc USING (tok)
+  WHERE c <= {CONTAIN_MAX_DF}
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM kept x JOIN kept y USING (tok)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), sizes AS (
+  SELECT doc_id, len(list_distinct(
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+  )) AS sz
+  FROM documents
+)
+SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+  CAST(p.inter AS BIGINT) AS inter,
+  CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+  round(CAST(p.inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.a
+JOIN sizes sb ON sb.doc_id = p.b
+WHERE round(CAST(p.inter AS DOUBLE) / least(sa.sz, sb.sz), 4)
+      >= {CONTAIN_MIN}
+"""
+
+
+def q_web_parallel_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-pattern parallel-document mining (kg/ops/weblinks.py
+    parallel_url_pairs, the ParaCrawl first stage): language-segmented
+    urls synthesized deterministically over documents (each doc gets a
+    /xx/ path in its own declared lang; md5-even docs ALSO emit an
+    English twin at the same stripped path with a perturbed length) so
+    cross-language pairs and the 2x length gate both exercise. Pure
+    BIGINT/BOOLEAN/STRING contract."""
+    from kg.ops.weblinks import parallel_url_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.concat(
+            F.lit("https://ml.site.test/"), F.col("lang"), F.lit("/p"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    twin = docs.where(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long") % 2 == 0
+    ).select(
+        F.concat(
+            F.lit("https://ml.site.test/en/p"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+        F.concat("text", F.lit(" extra tail")).alias("text"),
+    )
+    pages = base.unionByName(twin)
+    return parallel_url_pairs(pages).select(
+        "align_key", "lang_a", "url_a", "lang_b", "url_b",
+        "len_a", "len_b", "len_ok",
+    ).dropDuplicates()
+
+
+def _parallel_urls_oracle_sql() -> str:
+    langs = "('en'),('es'),('fr'),('it'),('pt'),('nl'),('de')"
+    return f"""
+WITH pages AS (
+  SELECT 'https://ml.site.test/' || lang || '/p'
+           || CAST(doc_id % 50 AS VARCHAR) AS url, text
+  FROM documents
+  UNION ALL
+  SELECT 'https://ml.site.test/en/p' || CAST(doc_id % 50 AS VARCHAR),
+         text || ' extra tail'
+  FROM documents
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 2 = 0
+), known(l) AS (VALUES {langs}),
+b AS (
+  SELECT url,
+    regexp_extract(url, '^([a-z]+://[^/]+)/([a-z][a-z])(/.*)?$', 2)
+      AS lang,
+    regexp_extract(url, '^([a-z]+://[^/]+)', 1)
+      || coalesce(nullif(regexp_extract(
+           url, '^([a-z]+://[^/]+)/([a-z][a-z])(/.*)?$', 3), ''), '/')
+      AS align_key,
+    CAST(length(text) AS BIGINT) AS len
+  FROM pages
+), base AS (
+  SELECT * FROM b WHERE lang IN (SELECT l FROM known)
+)
+SELECT DISTINCT a.align_key,
+  a.lang AS lang_a, a.url AS url_a, x.lang AS lang_b, x.url AS url_b,
+  a.len AS len_a, x.len AS len_b,
+  least(a.len, x.len) * 2 >= greatest(a.len, x.len) AS len_ok
+FROM base a JOIN base x USING (align_key)
+WHERE a.lang < x.lang
+"""
+
+
+FRESH_HALF_LIFE_DAYS = 2.0
+
+
+def q_kg_fact_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted fact support (kg/graphstats.py fact_freshness):
+    per-fact half-life-decayed evidence sum as of epoch+5000s, with
+    exact BIGINT evidence counts + last-seen anchors. half_life = 2
+    days so the fixture's second-scale timeline actually decays.
+    Oracle replays the identical pow algebra over the replayed link
+    join (PLANS.md class-E float: bounded sum, 6dp)."""
+    from kg.graphstats import fact_freshness
+    from kg.stages.link import link_triples
+
+    triples = spark.read.parquet(
+        f"{FIX}/expected_triples_small.parquet"
+    ).withColumn("conf", F.lit(1.0))
+    alias_dim = spark.read.parquet(f"{FIX}/alias_dict.parquet")
+    page_ts = spark.read.parquet(f"{FIX}/pages_small.parquet").select(
+        "url", "warc_ts"
+    )
+    linked = (
+        link_triples(triples, alias_dim)
+        .withColumn("subj_id", F.col("subj_id").cast("long"))
+        .withColumn("obj_id", F.col("obj_id").cast("long"))
+        .join(page_ts, "url")
+    )
+    return fact_freshness(
+        linked, asof_us=_fact_asof_us(),
+        half_life_days=FRESH_HALF_LIFE_DAYS,
+    )
+
+
+def _fact_freshness_oracle_sql() -> str:
+    return f"""
+WITH dim AS (
+  SELECT alias_norm, CAST(min(entity_id) AS BIGINT) AS entity_id
+  FROM '{FIX}/alias_dict.parquet' GROUP BY alias_norm
+), t AS (
+  SELECT t.url, s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id,
+         p.warc_ts
+  FROM '{FIX}/expected_triples_small.parquet' t
+  JOIN dim s ON lower(trim(t.subj, '{_PUNCT_SQL}')) = s.alias_norm
+  JOIN dim o ON lower(trim(t.obj, '{_PUNCT_SQL}')) = o.alias_norm
+  JOIN '{FIX}/pages_small.parquet' p ON t.url = p.url
+)
+SELECT subj_id, pred, obj_id,
+  CAST(count(*) AS BIGINT) AS n_evidence,
+  CAST(max(epoch_us(warc_ts)) AS BIGINT) AS last_seen_us,
+  round(sum(pow(2.0,
+    -(({_fact_asof_us()} - epoch_us(warc_ts)) / 86400000000.0)
+      / {FRESH_HALF_LIFE_DAYS})), 6) AS freshness
+FROM t GROUP BY subj_id, pred, obj_id
+"""
+
+
 # -------------------------------------------------------------- public ----
 
 
@@ -10447,6 +10748,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": q_emb_semdedup,
         "web_blocklist": q_web_blocklist,
         "kg_fact_intervals": q_kg_fact_intervals,
+        "doc_script_profile": q_doc_script_profile,
+        "doc_ngram_novelty": q_doc_ngram_novelty,
+        "doc_containment": q_doc_containment,
+        "web_parallel_urls": q_web_parallel_urls,
+        "kg_fact_freshness": q_kg_fact_freshness,
         "doc_corpus_filter": q_doc_corpus_filter,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_token_budget": q_doc_token_budget,
@@ -13210,6 +13516,11 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["emb_semdedup"] = _semdedup_oracle_sql()
     d["web_blocklist"] = _blocklist_oracle_sql()
     d["kg_fact_intervals"] = _fact_intervals_oracle_sql()
+    d["doc_script_profile"] = _script_profile_oracle_sql()
+    d["doc_ngram_novelty"] = _ngram_novelty_oracle_sql()
+    d["doc_containment"] = _containment_oracle_sql()
+    d["web_parallel_urls"] = _parallel_urls_oracle_sql()
+    d["kg_fact_freshness"] = _fact_freshness_oracle_sql()
     d["corpus_textrank"] = _textrank_oracle_sql(
         TEXTRANK_ITERS, TEXTRANK_WINDOW
     )

@@ -1452,6 +1452,45 @@ def fact_intervals(
     return out
 
 
+def fact_freshness(
+    linked: DataFrame,
+    asof_us: int,
+    ts_col: str = "warc_ts",
+    half_life_days: float = 180.0,
+) -> DataFrame:
+    """Recency-weighted fact support — the refresh/conflict-resolution
+    ranking signal for a standing KG (evidence counts alone let a
+    thousand 2014 assertions outrank last week's correction; a crawl
+    that keeps RE-asserting a fact should keep it hot):
+
+    (subj_id, pred, obj_id, n_evidence, last_seen_us,
+     freshness = sum over evidence of 2^(-age_days / half_life))
+
+    evaluated as of ``asof_us``. Fresh evidence contributes ~1, evidence
+    one half-life old contributes 0.5. freshness is rounded to 6dp
+    (bounded float reduction over per-row identical pow algebra — the
+    PLANS.md class-E discipline; the exact BIGINT n_evidence and
+    last_seen_us anchor the contract).
+
+    Scale shape: one pure-map weight expression + ONE partial-aggregable
+    fact-key groupBy — the fact_evidence shuffle shape."""
+    keys = ["subj_id", "pred", "obj_id"]
+    us = F.unix_micros(F.col(ts_col))
+    age_days = (F.lit(int(asof_us)) - us) / F.lit(86400.0 * 1_000_000)
+    w = F.pow(F.lit(2.0), -age_days / F.lit(float(half_life_days)))
+    return (
+        linked.where(
+            F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+        )
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_evidence"),
+            F.max(us).alias("last_seen_us"),
+            F.round(F.sum(w), 6).alias("freshness"),
+        )
+    )
+
+
 def bowtie_decomposition(
     edges: DataFrame,
     max_rounds: int = 16,

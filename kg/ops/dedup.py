@@ -1465,3 +1465,74 @@ def cluster_agreement(
         "n_items long, pair_tp long, pairs_pred long, pairs_true long, "
         "precision double, recall double, f1 double, ari double",
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    min_containment: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1024,
+) -> DataFrame:
+    """Broder CONTAINMENT join: pairs where the smaller token set sits
+    mostly inside the larger — C(A,B) = |A∩B| / |A|. Resemblance
+    (Jaccard) dedup structurally misses subset duplication (a quoted
+    article inside a commentary page, a doc wrapped in boilerplate):
+    J(A,B) = |A∩B|/|A∪B| stays low when |B| >> |A| even at C(A,B) = 1,
+    and the prefix-filter pruning in jaccard_join_exact deliberately
+    rejects size-unbalanced pairs. This operator is the subset-dup rung
+    of the dedup ladder.
+
+    Returns one row per unordered candidate pair with
+    (a, b, inter, size_a, size_b, containment) where a < b (int64 ids),
+    inter/size_* are EXACT BIGINTs, and containment =
+    inter / min(size_a, size_b) rounded to 4dp, filtered to
+    >= ``min_containment``.
+
+    Scale shape: tokens explode once; a partial-agged document-frequency
+    pass drops tokens with df > ``max_df`` (boilerplate super-tokens —
+    the skew cap; a pair sharing ONLY capped tokens is missed, the
+    documented recall trade, same family as every blocking cap in this
+    module); the surviving postings self-join token-by-token and ONE
+    partial-agged pair groupBy counts |A∩B|. Candidate volume is
+    sum_token df^2 <= max_df * corpus_postings — linear in the corpus
+    for fixed max_df. Sizes join back from the per-doc token counts
+    (dim-sized vs the pair table)."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.explode(
+            F.array_distinct(_words(text_col))
+        ).alias("tok"),
+    )
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    kept = toks.join(
+        df_counts.where(F.col("_df") <= int(max_df)).select("tok"), "tok"
+    )
+    a = kept.select(F.col("tok"), F.col("_id").alias("a"))
+    b = kept.select(F.col("tok"), F.col("_id").alias("b"))
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.size(F.array_distinct(_words(text_col))).cast("long").alias("_sz"),
+    )
+    out = (
+        pairs.join(sizes.select(F.col("_id").alias("a"),
+                                F.col("_sz").alias("size_a")), "a")
+        .join(sizes.select(F.col("_id").alias("b"),
+                           F.col("_sz").alias("size_b")), "b")
+        .select(
+            "a", "b", F.col("inter").cast("long").alias("inter"),
+            "size_a", "size_b",
+            F.round(
+                F.col("inter")
+                / F.least(F.col("size_a"), F.col("size_b")),
+                4,
+            ).alias("containment"),
+        )
+    )
+    return out.where(F.col("containment") >= float(min_containment))

@@ -823,3 +823,151 @@ def lang_confusion(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "rate"
         ),
     )
+
+
+#: (class name, codepoint ranges) — fixed order; majority ties break to
+#: the earlier class. Ranges chosen to be expressible in BOTH Java regex
+#: (Spark) and RE2 (DuckDB) character classes.
+SCRIPT_CLASSES: list[tuple[str, list[tuple[int, int]]]] = [
+    ("latin", [(0x41, 0x5A), (0x61, 0x7A)]),
+    ("digit", [(0x30, 0x39)]),
+    ("cyrillic", [(0x400, 0x4FF)]),
+    ("greek", [(0x370, 0x3FF)]),
+    ("cjk", [(0x4E00, 0x9FFF), (0x3040, 0x30FF)]),
+    ("arabic", [(0x600, 0x6FF)]),
+    ("hangul", [(0xAC00, 0xD7AF)]),
+]
+
+
+def _script_re(ranges: list[tuple[int, int]]) -> str:
+    return "[" + "".join(
+        f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges
+    ) + "]"
+
+
+def script_profile(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Unicode-script composition per document — the mixed-script spam /
+    wrong-lang-tag signal a multilingual crawl needs before routing docs
+    to per-language pipelines (a "lang=en" page that is 40% Cyrillic is
+    either mislabelled or keyword-stuffed). One row per doc:
+
+    (id, n_chars, n_<class>... , majority_script, mixed_script)
+
+    Counts are EXACT BIGINTs (length minus length-after-strip per
+    class); majority is the argmax in fixed SCRIPT_CLASSES order (ties
+    -> earlier class; all-zero -> 'other'); mixed_script flags a
+    second script at >= 20% of the first (integer cross-multiplication
+    5*second >= first — no float anywhere, the r4 hash discipline).
+
+    Scale shape: pure-map regexp algebra over one text scan, zero
+    shuffle — ingest-rate at any corpus size."""
+    text = F.col("text")
+    counts = {
+        name: (
+            F.length(text)
+            - F.length(F.regexp_replace(text, _script_re(ranges), ""))
+        ).cast("long")
+        for name, ranges in SCRIPT_CLASSES
+    }
+    base = docs.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+    names = [name for name, _ in SCRIPT_CLASSES]
+    # majority / mixed consider WRITING SYSTEMS only — digits are script-
+    # neutral (an English page full of figures is not "mixed-script")
+    letters = [n for n in names if n != "digit"]
+    top1 = F.greatest(*[F.col(f"n_{n}") for n in letters])
+    majority = F.when(top1 == 0, F.lit("other"))
+    for n in letters:
+        majority = majority.when(F.col(f"n_{n}") == top1, F.lit(n))
+    # second-highest: max over letter classes != the (first) argmax
+    second = F.lit(0).cast("long")
+    picked = F.when(top1 == 0, F.lit(""))
+    for n in letters:
+        picked = picked.when(F.col(f"n_{n}") == top1, F.lit(n))
+    for n in letters:
+        second = F.greatest(
+            second,
+            F.when(F.lit(n) != picked, F.col(f"n_{n}")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+    return base.select(
+        id_col, "n_chars", *[f"n_{n}" for n in names],
+        majority.alias("majority_script"),
+        ((second * 5 >= top1) & (second > 0)).alias("mixed_script"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document k-gram NOVELTY against the whole corpus (the
+    RefinedWeb-style marginal-value signal: a doc whose grams all first
+    appeared elsewhere adds little to a training set even if it is not
+    a near-dup of any single document): for each doc,
+
+    (id, n_grams, n_novel, novelty)
+
+    where a gram occurrence is NOVEL iff this doc holds the gram's
+    globally-FIRST occurrence (min (id, pos) — the ExactSubstr
+    canonical rule), and novelty = n_novel / n_grams rounded to 4dp
+    (NULL for docs shorter than k tokens).
+
+    Scale shape: identical to remove_duplicate_substrings' front half —
+    array-local gram build on the 60-bit md5-derived key, ONE gram_h
+    exchange + one orderBy-free window pass (min-struct first), then a
+    partial-agged per-doc rollup. Docs with no grams are restored by a
+    left join against the (dim-like at healthy sizes) stats."""
+    from kg.ops.dedup import _words
+
+    k = int(k)
+    base = docs.select(F.col(id_col), _words(text_col).alias("_w"))
+    n_w = F.size("_w")
+    gh = F.when(
+        n_w >= k,
+        F.transform(
+            F.sequence(F.lit(0), n_w - k),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("_w", i + 1, k), " ")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = base.select(
+        F.col(id_col), F.posexplode(gh).alias("pos", "gram_h")
+    )
+    gwin = Window.partitionBy("gram_h")
+    marked = exploded.select(
+        F.col(id_col),
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).over(gwin).alias("_first"),
+    )
+    stats = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(
+            F.when(F.col("_first.i") == F.col(id_col), 1).otherwise(0)
+        ).alias("n_novel"),
+    )
+    return (
+        base.select(id_col)
+        .join(stats, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(F.col("n_novel") / F.col("n_grams"), 4),
+            ).alias("novelty"),
+        )
+    )

@@ -802,3 +802,72 @@ def host_stats(pages: DataFrame) -> DataFrame:
             "frac_internal"
         ),
     )
+
+
+#: language path segments recognized by parallel-URL mining (lowercase)
+PARALLEL_LANGS = ("en", "es", "fr", "it", "pt", "nl", "de")
+
+
+def parallel_url_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """URL-pattern parallel-document mining (the ParaCrawl/WikiMatrix
+    first stage, public literature): multilingual sites publish
+    translations at language-segmented paths
+    (``/en/about`` vs ``/fr/about``); stripping the language segment
+    yields an alignment key, and docs sharing a key across DIFFERENT
+    languages are translation-pair candidates — the raw material of
+    parallel corpora for MT training.
+
+    Recognizes ``/xx/`` path segments for xx in PARALLEL_LANGS (first
+    path segment only — the dominant convention). Returns one row per
+    cross-language candidate pair, lang_a < lang_b:
+
+    (align_key, lang_a, url_a, lang_b, url_b, len_a, len_b, len_ok)
+
+    len_ok is the Bitextor-style sanity gate as an integer
+    cross-multiplication — translations rarely differ 2x in length:
+    2*min(len) >= max(len). Pure BIGINT/BOOLEAN/STRING contract.
+
+    Scale shape: lang/key extraction is a pure map; ONE groupBy-free
+    equi self-join on align_key (per-key fan-out bounded by the
+    language count, so candidate volume <= |langs|^2/2 per key — no
+    skew exposure beyond sites publishing every language)."""
+    url = F.col(url_col)
+    m = F.regexp_extract(url, r"^([a-z]+://[^/]+)/([a-z][a-z])(/.*)?$", 2)
+    lang = F.when(
+        m.isin(*PARALLEL_LANGS), m
+    ).otherwise(F.lit(None).cast("string"))
+    rest = F.regexp_extract(url, r"^([a-z]+://[^/]+)/([a-z][a-z])(/.*)?$", 3)
+    host = F.regexp_extract(url, r"^([a-z]+://[^/]+)", 1)
+    base = pages.select(
+        url.alias("url"),
+        lang.alias("_lang"),
+        F.concat(
+            host,
+            F.when(rest == "", F.lit("/")).otherwise(rest),
+        ).alias("align_key"),
+        F.length(F.col(text_col)).cast("long").alias("_len"),
+    ).where(F.col("_lang").isNotNull())
+    a = base.select(
+        "align_key", F.col("_lang").alias("lang_a"),
+        F.col("url").alias("url_a"), F.col("_len").alias("len_a"),
+    )
+    b = base.select(
+        "align_key", F.col("_lang").alias("lang_b"),
+        F.col("url").alias("url_b"), F.col("_len").alias("len_b"),
+    )
+    return (
+        a.join(b, "align_key")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "align_key", "lang_a", "url_a", "lang_b", "url_b",
+            "len_a", "len_b",
+            (
+                F.least("len_a", "len_b") * 2
+                >= F.greatest("len_a", "len_b")
+            ).alias("len_ok"),
+        )
+    )

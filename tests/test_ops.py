@@ -2270,3 +2270,164 @@ class TestFactIntervals:
         # partitioning: at most the initial exchange appears
         assert p.count("Exchange") <= 2
         assert "InPandas" not in p and "BatchEvalPython" not in p
+
+
+class TestScriptProfile:
+    def test_counts_majority_mixed(self, spark):
+        from kg.ops.textstats import script_profile
+
+        rows = [
+            (1, "hello world 123"),
+            (2, "привет мир hello"),          # cyrillic-majority, mixed
+            (3, "你好世界"),
+            (4, ""),
+            (5, "abcd ё"),                    # tiny second script < 20%? 1*5 >= 4 -> mixed
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in script_profile(df).collect()}
+        r1 = got[1]
+        assert (r1.n_latin, r1.n_digit) == (10, 3)
+        assert r1.majority_script == "latin" and not r1.mixed_script
+        r2 = got[2]
+        assert r2.n_cyrillic == 9 and r2.n_latin == 5
+        assert r2.majority_script == "cyrillic" and r2.mixed_script
+        r3 = got[3]
+        assert r3.n_cjk == 4 and r3.majority_script == "cjk"
+        assert not r3.mixed_script
+        r4 = got[4]
+        assert r4.majority_script == "other" and not r4.mixed_script
+        r5 = got[5]
+        assert r5.majority_script == "latin"
+        assert r5.mixed_script  # 1 cyrillic char, 5*1 >= 4 latin
+
+    def test_integer_only_contract(self, spark):
+        from pyspark.sql import types as T
+
+        from kg.ops.textstats import script_profile
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        for f in script_profile(df).schema.fields:
+            assert not isinstance(f.dataType, (T.DoubleType, T.FloatType))
+
+    def test_pure_map(self, spark):
+        from kg.ops.textstats import script_profile
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        p = script_profile(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p and "InPandas" not in p
+
+
+class TestNgramNovelty:
+    def test_first_doc_holds_novelty(self, spark):
+        from kg.ops.textstats import ngram_novelty
+
+        common = "a b c d e f g h"          # exactly one 8-gram
+        rows = [
+            (1, common + " i"),              # grams: 2, both first here
+            (2, common),                     # its gram first seen in doc 1
+            (3, "q r s t u v w x y"),        # 2 novel grams
+            (4, "short text"),               # < k tokens
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in ngram_novelty(df, k=8).collect()}
+        assert (got[1].n_grams, got[1].n_novel) == (2, 2)
+        assert got[1].novelty == 1.0
+        assert (got[2].n_grams, got[2].n_novel) == (1, 0)
+        assert got[2].novelty == 0.0
+        assert (got[3].n_grams, got[3].n_novel) == (2, 2)
+        assert (got[4].n_grams, got[4].n_novel) == (0, 0)
+        assert got[4].novelty is None
+
+    def test_partition_invariant(self, spark):
+        from kg.ops.textstats import ngram_novelty
+
+        rows = [(i, "w0 w1 w2 w3 w4 w5 w6 w7 tail%d" % (i % 3))
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, ngram_novelty(df, k=8).collect()))
+        b = sorted(map(tuple, ngram_novelty(df.repartition(7),
+                                            k=8).collect()))
+        assert a == b
+
+
+class TestContainmentJoin:
+    def test_subset_detected_where_jaccard_fails(self, spark):
+        from kg.ops.dedup import containment_join
+
+        small = "alpha beta gamma delta"
+        big = small + " " + " ".join(f"w{i}" for i in range(36))
+        rows = [(1, small), (2, big), (3, "unrelated tokens here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r.a, r.b): r for r in containment_join(
+            df, min_containment=0.8).collect()}
+        r = out[(1, 2)]
+        assert (r.inter, r.size_a, r.size_b) == (4, 4, 40)
+        assert r.containment == 1.0
+        # Jaccard of the same pair is 0.1 — resemblance dedup misses it
+        assert (1, 3) not in out and (2, 3) not in out
+
+    def test_df_cap_drops_super_tokens(self, spark):
+        from kg.ops.dedup import containment_join
+
+        # 'the' appears in every doc; cap at 3 removes it from evidence
+        rows = [(i, f"the uniq{i} x{i}") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = containment_join(df, min_containment=0.3, max_df=3).collect()
+        assert out == []  # only shared token was capped away
+
+
+class TestParallelUrlPairs:
+    def test_cross_lang_pairs_and_len_gate(self, spark):
+        from kg.ops.weblinks import parallel_url_pairs
+
+        rows = [
+            ("https://s.test/en/about", "x" * 100),
+            ("https://s.test/fr/about", "y" * 150),   # pair, len ok
+            ("https://s.test/de/about", "z" * 500),   # pairs, len NOT ok
+            ("https://s.test/en/only", "q" * 50),     # no partner
+            ("https://s.test/zz/about", "w" * 100),   # unknown lang seg
+            ("https://s.test/plain", "p" * 100),      # no lang seg
+        ]
+        pages = spark.createDataFrame(rows, "url string, text string")
+        got = {(r.lang_a, r.lang_b): r
+               for r in parallel_url_pairs(pages).collect()}
+        assert set(got) == {("en", "fr"), ("de", "en"), ("de", "fr")}
+        r = got[("en", "fr")]
+        assert r.align_key == "https://s.test/about"
+        assert (r.len_a, r.len_b) == (100, 150) and r.len_ok
+        assert not got[("de", "en")].len_ok  # 500 vs 100 fails 2x gate
+
+    def test_root_path_aligns(self, spark):
+        from kg.ops.weblinks import parallel_url_pairs
+
+        rows = [("https://s.test/en", "aa"), ("https://s.test/fr", "bb")]
+        pages = spark.createDataFrame(rows, "url string, text string")
+        out = parallel_url_pairs(pages).collect()
+        assert len(out) == 1 and out[0].align_key == "https://s.test/"
+
+
+class TestFactFreshness:
+    def test_decay_and_anchors(self, spark):
+        import datetime as dt
+
+        from kg.graphstats import fact_freshness
+
+        e = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+        asof = int((e + dt.timedelta(days=4)).timestamp() * 1e6)
+        rows = [
+            (1, "p", 2, e),                        # 4 days old
+            (1, "p", 2, e + dt.timedelta(days=2)),  # one half-life old
+            (3, "p", 4, e + dt.timedelta(days=4)),  # fresh
+        ]
+        df = spark.createDataFrame(
+            rows, "subj_id long, pred string, obj_id long, warc_ts timestamp"
+        )
+        got = {(r.subj_id, r.obj_id): r for r in fact_freshness(
+            df, asof_us=asof, half_life_days=2.0).collect()}
+        a = got[(1, 2)]
+        assert a.n_evidence == 2
+        # 2^-2 + 2^-1 = 0.75
+        assert abs(a.freshness - 0.75) < 1e-9
+        b = got[(3, 4)]
+        assert b.n_evidence == 1 and abs(b.freshness - 1.0) < 1e-9
+        assert b.last_seen_us == asof
