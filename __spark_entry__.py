@@ -9954,6 +9954,8 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_novelty_oracle_sql() -> str:
+    from kg.ops.dedup import gram_hash_sql
+
     k = NOVELTY_K
     return f"""
 WITH toks AS (
@@ -9962,8 +9964,7 @@ WITH toks AS (
   FROM documents
 ), spans AS (
   SELECT doc_id, g.i - 1 AS pos,
-    ('0x' || substr(md5(array_to_string(t[g.i : g.i + {k - 1}], ' ')),
-                    1, 15))::BIGINT AS gram_h
+    {gram_hash_sql("t", k)} AS gram_h
   FROM toks, unnest(generate_series(1, len(t) - {k - 1})) AS g(i)
   WHERE len(t) >= {k}
 ), firsts AS (
@@ -13435,6 +13436,8 @@ SELECT md5(gram) AS gram_h, min(gram) AS gram,
 FROM grams GROUP BY md5(gram)
 HAVING count(DISTINCT doc_id) >= 2
 """
+    from kg.ops.dedup import gram_hash_sql as _ghsql
+
     d["doc_substring_rm"] = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -13442,8 +13445,7 @@ WITH toks AS (
   FROM documents
 ), spans AS (
   SELECT doc_id, g.i - 1 AS pos,
-    ('0x' || substr(md5(array_to_string(t[g.i : g.i + {SUBSTR_K - 1}], ' ')),
-                    1, 15))::BIGINT AS gram_h
+    {_ghsql("t", SUBSTR_K)} AS gram_h
   FROM toks, unnest(generate_series(1, len(t) - {SUBSTR_K - 1})) AS g(i)
   WHERE len(t) >= {SUBSTR_K}
 ), marked AS (

@@ -27,6 +27,94 @@ from kg.cc import connected_components
 from kg.session import materialize
 
 
+#: rotation step per gram position for the word-hash gram key (coprime
+#: to 60 so k <= 60 positions get distinct rotations)
+_GRAM_ROT_STEP = 7
+
+
+def gram_hash_array(words_col, k: int):  # noqa: ANN001
+    """60-bit k-gram keys from PER-WORD md5 hashes, as a pure-long
+    array expression: each word is hashed ONCE
+    (conv(substr(md5(word),1,15)) — the repo's SQL-replayable 60-bit
+    convention), and gram i's key is the XOR over j of
+    rot_{7j mod 60}(h[i+j]), with rotation expressed overflow-free as
+    (h % 2^(60-r)) * 2^r + h // 2^(60-r) (identical integer algebra in
+    Spark and DuckDB — BIGINT left-shift overflows error in both ANSI
+    engines, so no shifts).
+
+    Why: the previous key md5-hashed the JOINED K-WORD STRING per
+    position — ~50 allocated+hashed bytes per gram. Per-word hashing
+    cuts md5 input ~k-fold and the combination is register arithmetic,
+    which matters because the gram map measured memory-bandwidth-bound
+    (BENCH/AB_TEXTOPS_r4.md). Positional rotations keep the key
+    order-sensitive; collisions stay ~2^-60-ish per pair for natural
+    text (an xor-rotation family, not cryptographic — the same
+    documented dedup trade as key truncation).
+
+    Returns an ARRAY<LONG> column of n-k+1 keys (empty when the doc has
+    fewer than k words)."""
+    w = words_col if not isinstance(words_col, str) else F.col(words_col)
+    k = int(k)
+    hs_expr = F.transform(
+        w,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+    )
+
+    def rot(h, j: int):
+        # (h % 2^(60-r)) * 2^r + (h >> (60-r)) — right shifts only (left
+        # shifts of 60-bit values overflow-error in BOTH ANSI engines;
+        # double-division floor would lose bits past 2^53)
+        r = (_GRAM_ROT_STEP * j) % 60
+        if r == 0:
+            return h
+        return (h % F.lit(1 << (60 - r))) * F.lit(1 << r) + F.shiftright(
+            h, 60 - r
+        )
+
+    # hs MUST be a bound lambda variable (the dedupe_paragraphs
+    # let-binding idiom): referencing the transform expression directly
+    # inside the per-gram lambda re-evaluates the ENTIRE word-hash pass
+    # per element_at — O(n^2 k) per doc (observed hanging the bench)
+    def _body(hs):
+        def gram(i):
+            out = None
+            for j in range(k):
+                term = rot(F.element_at(hs, i + j + 1), j)
+                out = term if out is None else out.bitwiseXOR(term)
+            return out
+
+        n = F.size(hs)
+        return F.when(
+            n >= k,
+            F.transform(F.sequence(F.lit(0), n - k), gram),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return F.element_at(F.transform(F.array(hs_expr), _body), 1)
+
+
+def gram_hash_sql(arr_expr: str, k: int, idx: str = "g.i") -> str:
+    """DuckDB expression computing the SAME gram key as
+    :func:`gram_hash_array` for the gram starting at 1-based ``idx`` of
+    word-list ``arr_expr`` — the oracle half of the construction."""
+    k = int(k)
+
+    def rot(h: str, j: int) -> str:
+        r = (_GRAM_ROT_STEP * j) % 60
+        if r == 0:
+            return h
+        return (f"(({h}) % {1 << (60 - r)}) * {1 << r}"
+                f" + (({h}) >> {60 - r})")
+
+    def wh(j: int) -> str:
+        return (f"('0x' || substr(md5({arr_expr}[{idx} + {j}]), 1, 15))"
+                "::BIGINT")
+
+    out = rot(wh(0), 0)
+    for j in range(1, k):
+        out = f"xor({out}, {rot(wh(j), j)})"
+    return out
+
+
 def _norm_text(col: str = "text") -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
@@ -1045,36 +1133,23 @@ def remove_duplicate_substrings(
     k = int(k)
     base = docs.select(F.col(id_col), _words(text_col).alias("_w"))
     # gram build (r4 rework, measured on the 200k-doc scaling legs):
-    # ARRAY-LOCAL transform(i -> slice/array_join/md5) instead of the
-    # old posexplode + lead() window — the higher-order lambda evaluates
-    # interpreted, but dropping the doc-keyed corpus exchange + per-doc
-    # sort won at BOTH parallelisms (local[8]: 22.8s -> 18.0s through
-    # the dup-position stage; local[2]: 56.3s -> 49.7s). The gram key is
-    # the md5 TRUNCATED to a 60-bit LONG (the repo's
-    # conv(substr(md5,1,15)) convention — replayable in DuckDB as
-    # ('0x'||substr(md5,1,15))::BIGINT), so every downstream
-    # shuffle/sort moves an 8-byte long instead of a 32-hex-char
-    # string. Collision exposure: 2^60 key space; a colliding gram pair
-    # falsely marks one occurrence as duplicate — expected collisions
-    # n^2/2^61 ≈ 4e-4 at the 30M-gram bench corpus and a ~4e-7 FRACTION
-    # of grams at 10^13 (the Lee et al. BigQuery implementations accept
-    # the same 64-bit-fingerprint trade).
-    n_w = F.size("_w")
-    gh = F.when(
-        n_w >= k,
-        F.transform(
-            F.sequence(F.lit(0), n_w - k),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.array_join(F.slice("_w", i + 1, k), " ")), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long"),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    # ARRAY-LOCAL — the old posexplode + lead() window was dropped
+    # (the doc-keyed corpus exchange + per-doc sort cost more than the
+    # interpreted lambda: local[8] 22.8s -> 18.0s, local[2] 56.3s ->
+    # 49.7s through the dup-position stage), and the key is built from
+    # PER-WORD 60-bit md5 longs combined by rotation/xor
+    # (gram_hash_array) instead of md5 over the joined k-word string —
+    # ~k-fold less hashed+allocated bytes in the map the A/B ledger
+    # measured memory-bandwidth-bound. 60-bit key space: a colliding
+    # gram pair falsely marks one occurrence as duplicate — expected
+    # collisions n^2/2^61 ≈ 4e-4 at the 30M-gram bench corpus and a
+    # ~4e-7 FRACTION of grams at 10^13 (the Lee et al. BigQuery
+    # implementations accept the same 64-bit-fingerprint trade).
     exploded = base.select(
-        F.col(id_col), F.posexplode(gh).alias("pos", "gram_h")
+        F.col(id_col),
+        F.posexplode(gram_hash_array(F.col("_w"), k)).alias(
+            "pos", "gram_h"
+        ),
     )
     # duplicate occurrences in ONE window pass over ONE gram_h exchange
     # (r4): per-partition count + min(struct(id, pos)) with NO orderBy —

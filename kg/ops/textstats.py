@@ -924,26 +924,15 @@ def ngram_novelty(
     exchange + one orderBy-free window pass (min-struct first), then a
     partial-agged per-doc rollup. Docs with no grams are restored by a
     left join against the (dim-like at healthy sizes) stats."""
-    from kg.ops.dedup import _words
+    from kg.ops.dedup import _words, gram_hash_array
 
     k = int(k)
     base = docs.select(F.col(id_col), _words(text_col).alias("_w"))
-    n_w = F.size("_w")
-    gh = F.when(
-        n_w >= k,
-        F.transform(
-            F.sequence(F.lit(0), n_w - k),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.array_join(F.slice("_w", i + 1, k), " ")), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long"),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
     exploded = base.select(
-        F.col(id_col), F.posexplode(gh).alias("pos", "gram_h")
+        F.col(id_col),
+        F.posexplode(gram_hash_array(F.col("_w"), k)).alias(
+            "pos", "gram_h"
+        ),
     )
     gwin = Window.partitionBy("gram_h")
     marked = exploded.select(
