@@ -2369,13 +2369,15 @@ def q_doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     temperature_targets ∘ mixture_weights): targets ∝ token_share^0.3
     (the mT5 multilingual sampling rule — natural proportions at α=1,
     uniform as α→0) computed from the corpus itself, then the standard
-    factor + deterministic repeat draw. Oracle recomputes the power
+    factor + deterministic repeat draw — via the FULLY RELATIONAL
+    mixture_weights_temperature (targets stay a broadcast dim, no
+    driver collect; VERDICT r4 item 5). Oracle recomputes the power
     smoothing, normalization, factors, and the md5 Bernoulli draw."""
-    from kg.ops.curation import mixture_weights, temperature_targets
+    from kg.ops.curation import mixture_weights_temperature
 
-    docs = _docs(spark, sf_dir)
-    targets = temperature_targets(docs, alpha=0.3, group_col="lang")
-    return mixture_weights(docs, targets=targets, group_col="lang")
+    return mixture_weights_temperature(
+        _docs(spark, sf_dir), alpha=0.3, group_col="lang"
+    )
 
 
 _MIX_TEMP_ORACLE = r"""
@@ -9689,6 +9691,10 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
         _emb(spark, sf_dir), k=KMEANS_K, rounds=KMEANS_ROUNDS,
         seed=KMEANS_SEED, min_cos=SEMDEDUP_COS,
+        # uncapped-equivalent for oracle equality: the SQL oracle replays
+        # the FULL within-cell self-join; production runs keep the
+        # max_cell count-then-filter cap (kg/ops/similarity.py)
+        max_cell=None,
     ).select(
         F.col("vid").cast("long").alias("vid"),
         F.col("list_id").cast("int").alias("list_id"),

@@ -717,6 +717,37 @@ def lloyd_kmeans(
     return final.select("vid", "unit", "list_id"), cents
 
 
+def _semdedup_pairs(
+    assigned: DataFrame, min_cos: float, max_cell: int | None
+) -> DataFrame:
+    """Within-cell duplicate pairs (src, dst) from a Lloyd assignment —
+    the capped self-join stage of :func:`semdedup`, factored out so the
+    count-then-filter cap plan is directly testable: the cell census is
+    a k-bounded dim broadcast back onto the corpus side, over-cap cells
+    never reach the equi self-join."""
+    joinable = assigned
+    if max_cell is not None:
+        sizes = assigned.groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("_cn")
+        )
+        ok = sizes.where(F.col("_cn") <= int(max_cell)).select("list_id")
+        joinable = assigned.join(F.broadcast(ok), "list_id")
+    a = joinable.select(
+        F.col("list_id"), F.col("vid").alias("_va"),
+        F.col("unit").alias("_ua"),
+    )
+    b = joinable.select(
+        F.col("list_id"), F.col("vid").alias("_vb"),
+        F.col("unit").alias("_ub"),
+    )
+    return (
+        a.join(b, "list_id")
+        .where(F.col("_va") < F.col("_vb"))
+        .where(dot_product_col("_ua", "_ub") >= F.lit(float(min_cos)))
+        .select(F.col("_va").alias("src"), F.col("_vb").alias("dst"))
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     k: int = 8,
@@ -725,6 +756,7 @@ def semdedup(
     min_cos: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, public
     paper): lexical near-dup (MinHash over tokens) misses paraphrases
@@ -745,29 +777,32 @@ def semdedup(
     argmax each), then the pair generation is an equi self-join ON THE
     CLUSTER ID — candidate volume is sum over cells of |cell|^2, never
     corpus^2; choose k ~ corpus/avg_cell to bound cells, exactly the
-    IVF sizing rule. CC runs on the thresholded edge set (duplicate
-    pairs only — a corpus-scale run feeds kg/cc.py's
-    large-star/small-star path via local_threshold=0)."""
+    IVF sizing rule. That sizing alone is NOT a hard bound: a
+    boilerplate-heavy embedding space collapses into mega-cells the
+    same way hot MinHash buckets do (the 1M-page census saw a
+    221k-doc bucket), and one mega-cell is a ~1e10-pair stage — so the
+    self-join applies the repo-wide count-then-filter cap discipline
+    (VERDICT r4 item 2, same as minhash_band_candidates): cells larger
+    than ``max_cell`` are excluded from pair generation and their
+    members pass through as singletons (is_dup = false — the
+    conservative side: an uncapped run can only mark MORE duplicates).
+    Pair volume is then bounded by k * max_cell^2. ``max_cell=None``
+    disables the cap (contract/oracle-replay use). CC runs on the
+    thresholded edge set (duplicate pairs only — a corpus-scale run
+    feeds kg/cc.py's large-star/small-star path via
+    local_threshold=0)."""
     from kg.cc import connected_components
+    from kg.session import materialize
 
     assigned, _ = lloyd_kmeans(
         embeddings, k=k, rounds=rounds, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
-    a = assigned.select(
-        F.col("list_id"), F.col("vid").alias("_va"),
-        F.col("unit").alias("_ua"),
-    )
-    b = assigned.select(
-        F.col("list_id"), F.col("vid").alias("_vb"),
-        F.col("unit").alias("_ub"),
-    )
-    pairs = (
-        a.join(b, "list_id")
-        .where(F.col("_va") < F.col("_vb"))
-        .where(dot_product_col("_ua", "_ub") >= F.lit(float(min_cos)))
-        .select(F.col("_va").alias("src"), F.col("_vb").alias("dst"))
-    )
+    # three+ consumers (cell census, both self-join sides, final verdict
+    # join) — materialize once so Catalyst doesn't replay the Lloyd
+    # assignment crossJoin per consumer
+    assigned = materialize(assigned)
+    pairs = _semdedup_pairs(assigned, min_cos, max_cell)
     comps = connected_components(pairs)  # (node, component), edge nodes only
     return (
         assigned.select("vid", "list_id")

@@ -281,10 +281,12 @@ def blocklist_filter(
     bounded pure map), which BROADCAST-equi-join the blocklist dim
     (millions of domains still broadcast — domains are short strings);
     the per-url longest-match rollup runs on MATCHED rows only (the
-    blocked subset, dim-like in a healthy crawl) and is joined back
-    broadcast — the corpus itself never shuffles. If a poisoned crawl
-    makes the blocked subset corpus-sized, AQE falls back to a shuffle
-    join on url; the verdict per page is unchanged."""
+    blocked subset, dim-like in a healthy crawl) and joined back with
+    NO forced hint — AQE broadcasts it while it is dim-sized and falls
+    back to a shuffle join on url if a poisoned crawl makes the blocked
+    subset corpus-sized (an unconditional broadcast hint here would be
+    a driver OOM in exactly that failure mode — ADVICE r4); the verdict
+    per page is unchanged either way."""
     url = F.col(url_col)
     host = F.regexp_replace(
         F.lower(F.regexp_extract(url, _URL_RE, 2)), ":[0-9]+$", ""
@@ -310,7 +312,7 @@ def blocklist_filter(
     )
     return (
         base.select("url", "host")
-        .join(F.broadcast(matched), "url", "left")
+        .join(matched, "url", "left")
         .select(
             "url",
             "host",

@@ -2257,6 +2257,41 @@ class TestSemDedup:
                                        min_cos=0.99).collect()))
         assert a == b
 
+    def test_max_cell_cap_drops_mega_cell_pairs(self, spark):
+        # VERDICT r4 item 2: the within-cell self-join applies the
+        # count-then-filter cap — an over-cap cell contributes NO pairs
+        # (its members come back as singletons), smaller cells dedup
+        # exactly as the uncapped run
+        from kg.ops.similarity import semdedup
+
+        emb = self._emb(spark)
+        uncapped = {r.vid: r for r in semdedup(
+            emb, k=2, rounds=2, min_cos=0.99, max_cell=None).collect()}
+        capped_all = sorted(map(tuple, semdedup(
+            emb, k=2, rounds=2, min_cos=0.99, max_cell=10**6).collect()))
+        # generous cap == uncapped (the contract configuration)
+        assert capped_all == sorted(map(tuple, uncapped.values()))
+        # cap below every cell size: nothing pairs, everyone a singleton
+        allcap = semdedup(
+            emb, k=2, rounds=2, min_cos=0.99, max_cell=1).collect()
+        assert all(r.component == r.vid and not r.is_dup for r in allcap)
+        assert len(allcap) == len(uncapped)  # verdict table stays TOTAL
+
+    def test_max_cell_cap_is_broadcast_count_then_filter(self, spark):
+        # the cell-census dim must reach the corpus as a BROADCAST join
+        # (k-bounded), and the pair stage must stay an equi join — no
+        # cartesian anywhere in the capped pair plan (semdedup's CC
+        # barrier hides this subtree from the end-to-end plan, so the
+        # factored pair stage is asserted directly)
+        from kg.ops.similarity import _semdedup_pairs, lloyd_kmeans
+
+        assigned, _ = lloyd_kmeans(self._emb(spark), k=2, rounds=2)
+        plan = _semdedup_pairs(
+            assigned, min_cos=0.99, max_cell=100,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
 
 class TestBlocklistFilter:
     def test_label_boundary_and_longest_rule(self, spark):
@@ -2287,7 +2322,12 @@ class TestBlocklistFilter:
         assert not got[urls[5]].blocked
         assert got[urls[6]].blocked and got[urls[6]].host == "spam.test"
 
-    def test_corpus_side_stays_broadcast(self, spark):
+    def test_dim_broadcast_matched_side_adaptive(self, spark):
+        # the blocklist DIM is hint-broadcast (always small); the
+        # matched-side join back onto the corpus carries NO forced hint
+        # (ADVICE r4: an unconditional broadcast is a driver OOM when a
+        # poisoned crawl makes the blocked subset corpus-sized) — AQE
+        # picks broadcast at runtime while it is dim-sized
         from kg.ops.webnorm import blocklist_filter
 
         pages = spark.range(100).select(
@@ -2295,10 +2335,19 @@ class TestBlocklistFilter:
                      F.lit(".ex.test/p")).alias("url")
         )
         bl = spark.createDataFrame([("ex.test",)], "domain string")
-        p = blocklist_filter(pages, bl)._jdf.queryExecution()\
-            .executedPlan().toString()
-        assert "SortMergeJoin" not in p  # both joins broadcast
-        assert "InPandas" not in p and "BatchEvalPython" not in p
+        df = blocklist_filter(pages, bl)
+        static = df._jdf.queryExecution().executedPlan().toString()
+        assert "InPandas" not in static and "BatchEvalPython" not in static
+        # no unconditional broadcast of the matched side: the static
+        # plan leaves that join to AQE (at most the one corpus-side
+        # join is shuffle-planned; the dim join is already broadcast)
+        assert static.count("SortMergeJoin") <= 1
+        assert "BroadcastExchange" in static  # the blocklist dim hint
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        # runtime: AQE converted the dim-sized matched side to broadcast
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final
 
 
 class TestFactIntervals:

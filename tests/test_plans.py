@@ -917,3 +917,39 @@ def test_categorical_mi_relational_no_driver_collect(spark):
     assert "LocalTableScan" not in p
     r = mi.first()
     assert r.n_cells == 91 and 0.0 <= r.nmi <= 1.0
+
+
+def test_mixture_weights_temperature_relational_no_driver_collect(spark):
+    """Temperature-smoothed mixing with an arbitrary-cardinality group
+    column: targets must stay a broadcast dim end to end (VERDICT r4
+    item 5 — the dict-returning temperature_targets path collects the
+    group totals, a driver OOM for a host-keyed call). Build must be
+    lazy, the factor dim must reach the corpus as a BROADCAST join, and
+    values must equal the dict-path compose on a bounded group column."""
+    from pyspark.sql import functions as F
+
+    from kg.ops.curation import (
+        mixture_weights,
+        mixture_weights_temperature,
+        temperature_targets,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+        F.concat(F.lit("tok "), (F.col("id") % 17).cast("string"),
+                 F.lit(" words here")).alias("text"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    rel = mixture_weights_temperature(docs, alpha=0.3, group_col="lang")
+    jobs_after = len(tracker.getJobIdsForGroup() or [])
+    assert jobs_after == jobs_before  # lazy: no collect at build time
+    p = _plan(rel)
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "InPandas" not in p and "BatchEvalPython" not in p
+    got = sorted(map(tuple, rel.collect()))
+    targets = temperature_targets(docs, alpha=0.3, group_col="lang")
+    want = sorted(map(tuple, mixture_weights(
+        docs, targets=targets, group_col="lang").collect()))
+    assert got == want
