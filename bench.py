@@ -613,10 +613,47 @@ def run_suite(spark, sf_dir: str) -> dict:
     # operators, not the launches). Denominator counts replicated docs.
     to_repl = int(os.environ.get("SPARK_GRAFT_TEXTOPS_REPL", "1"))
     if to_repl > 1:
+        # r5 (ADVICE r4): verbatim replicas made EVERY gram in copies
+        # 1..n an exact duplicate of copy 0, so the substring-removal leg
+        # measured a pathological near-all-duplicate rewrite profile
+        # while docs/sec counted replicated docs. Replicas now get a
+        # rep-specific marker token every k-1=7 words: no 8-token window
+        # of original words survives intact in a replica, so CROSS-
+        # REPLICA gram duplication is eliminated while copy 0 keeps the
+        # corpus's natural dup mass — the replication sizes the stage
+        # without reshaping the operator's duplicate profile. (walls
+        # comparable only from r5 windows on)
+        _kk = 7
+        _w = F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+        )
+        _marker = F.concat(
+            F.lit("xrep"), F.col("_rep").cast("string"), F.lit("x")
+        )
+        _marked = F.array_join(
+            F.flatten(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.ceil(F.size(_w) / _kk).cast("int") - 1,
+                            F.lit(0),
+                        ),
+                    ),
+                    lambda i: F.concat(
+                        F.slice(_w, i * _kk + 1, _kk), F.array(_marker)
+                    ),
+                )
+            ),
+            " ",
+        )
         docs_to = docs_to.crossJoin(
             spark.range(to_repl).select(F.col("id").alias("_rep"))
         ).select(
-            F.concat_ws("#", "doc_id", "_rep").alias("doc_id"), "text"
+            F.concat_ws("#", "doc_id", "_rep").alias("doc_id"),
+            F.when(F.col("_rep") == 0, F.col("text"))
+            .otherwise(_marked)
+            .alias("text"),
         )
         to_pages = to_pages * to_repl
         extra["textops_n_docs"] = to_pages

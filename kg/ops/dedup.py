@@ -92,6 +92,71 @@ def gram_hash_array(words_col, k: int):  # noqa: ANN001
     return F.element_at(F.transform(F.array(hs_expr), _body), 1)
 
 
+def gram_hash_arrow(words_col, k: int):  # noqa: ANN001
+    """Arrow-batched twin of :func:`gram_hash_array`: the SAME 60-bit
+    per-word-md5 rotation/xor gram keys, computed in a pandas UDF
+    instead of the interpreted Catalyst HOF.
+
+    Why this exists (BENCH/AB_TEXTOPS_r4.md): the JVM gram map measured
+    memory-bandwidth-bound with the interpreted transform's per-element
+    dispatch dominating — this path moves the map to Arrow-batched
+    worker processes where (a) each DISTINCT word in a batch is md5'd
+    ONCE (a dict memo — boilerplate-dense corpora repeat words heavily;
+    the JVM expression hashes every occurrence) and (b) the k-term
+    rotation/xor combine is k vectorized numpy passes over the whole
+    doc instead of per-gram lambda dispatch. Key values are
+    BIT-IDENTICAL to gram_hash_array (pinned in tests), so oracles and
+    downstream plans are unchanged; only the map's execution venue
+    moves. Python workers are separate processes — the usual pandas-UDF
+    serialization tax applies, which is why both venues stay available
+    and the bench A/B picks per corpus shape."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    k = int(k)
+    rots = [(_GRAM_ROT_STEP * j) % 60 for j in range(k)]
+
+    @pandas_udf("array<long>")
+    def _grams(words: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        empty = np.empty(0, dtype=np.int64)
+        out = []
+        for wlist in words:
+            if wlist is None or len(wlist) < k:
+                out.append(empty)
+                continue
+            n = len(wlist)
+            h = np.empty(n, dtype=np.int64)
+            for i, wd in enumerate(wlist):
+                v = memo.get(wd)
+                if v is None:
+                    v = int(
+                        hashlib.md5(wd.encode("utf-8")).hexdigest()[:15],
+                        16,
+                    )
+                    memo[wd] = v
+                h[i] = v
+            acc = None
+            m = n - k + 1
+            for j, r in enumerate(rots):
+                hj = h[j:j + m]
+                if r:
+                    t = (hj % (1 << (60 - r))) * (1 << r) + (
+                        hj >> (60 - r)
+                    )
+                else:
+                    t = hj
+                acc = t if acc is None else np.bitwise_xor(acc, t)
+            out.append(acc)
+        return pd.Series(out)
+
+    w = words_col if not isinstance(words_col, str) else F.col(words_col)
+    return _grams(w)
+
+
 def gram_hash_sql(arr_expr: str, k: int, idx: str = "g.i") -> str:
     """DuckDB expression computing the SAME gram key as
     :func:`gram_hash_array` for the gram starting at 1-based ``idx`` of
@@ -1105,6 +1170,7 @@ def remove_duplicate_substrings(
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    arrow_grams: bool | None = None,
 ) -> DataFrame:
     """ExactSubstr REMOVAL (the rewrite half of Lee et al.'s
     "Deduplicating Training Data Makes Language Models Better"; the
@@ -1131,7 +1197,18 @@ def remove_duplicate_substrings(
     narrow JVM expressions.
     """
     k = int(k)
+    if arrow_grams is None:
+        import os
+
+        arrow_grams = os.environ.get(
+            "SPARK_GRAFT_GRAM_ARROW", ""
+        ).lower() in ("1", "true", "yes")
     base = docs.select(F.col(id_col), _words(text_col).alias("_w"))
+    gram_keys = (
+        gram_hash_arrow(F.col("_w"), k)
+        if arrow_grams
+        else gram_hash_array(F.col("_w"), k)
+    )
     # gram build (r4 rework, measured on the 200k-doc scaling legs):
     # ARRAY-LOCAL — the old posexplode + lead() window was dropped
     # (the doc-keyed corpus exchange + per-doc sort cost more than the
@@ -1145,11 +1222,14 @@ def remove_duplicate_substrings(
     # collisions n^2/2^61 ≈ 4e-4 at the 30M-gram bench corpus and a
     # ~4e-7 FRACTION of grams at 10^13 (the Lee et al. BigQuery
     # implementations accept the same 64-bit-fingerprint trade).
+    # venue switch (r5, BENCH/AB_TEXTOPS_r5.md): arrow_grams moves the
+    # SAME key computation to an Arrow-batched pandas UDF
+    # (gram_hash_arrow — bit-identical keys, per-batch word-hash memo);
+    # default stays the JVM expression, env SPARK_GRAFT_GRAM_ARROW or
+    # the kwarg opts in per run
     exploded = base.select(
         F.col(id_col),
-        F.posexplode(gram_hash_array(F.col("_w"), k)).alias(
-            "pos", "gram_h"
-        ),
+        F.posexplode(gram_keys).alias("pos", "gram_h"),
     )
     # duplicate occurrences in ONE window pass over ONE gram_h exchange
     # (r4): per-partition count + min(struct(id, pos)) with NO orderBy —
