@@ -657,12 +657,22 @@ def run_suite(spark, sf_dir: str) -> dict:
         )
         to_pages = to_pages * to_repl
         extra["textops_n_docs"] = to_pages
+        # the replica-marking expression above is INPUT PREP (split +
+        # per-chunk slices + rejoin over every replica) — materialize it
+        # once so the timed loop measures the operators, not the corpus
+        # synthesis (the unperturbed crossJoin was too cheap to matter;
+        # the marked one is not)
+        docs_to = docs_to.localCheckpoint()
 
     # .count() would let Catalyst prune the rewrite columns (and
     # eliminate the unique-key left joins entirely) — aggregate OVER the
     # payload columns instead so the full operator runs
     def w_textops():
-        r = remove_duplicate_substrings(docs_to, k=8).agg(
+        # arrow_grams=True is the measured production recommendation
+        # (BENCH/AB_TEXTOPS_r5.md: 1.42x full-op wall win at both
+        # parallelisms, eff 0.92, bit-identical keys); the JVM venue
+        # stays the library default and the A/B switch
+        r = remove_duplicate_substrings(docs_to, k=8, arrow_grams=True).agg(
             F.count("*").alias("n"),
             F.sum(F.length("text_clean")).alias("_b"),
         ).first()
