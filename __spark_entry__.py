@@ -9574,6 +9574,85 @@ def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(docs, min_words=10)
 
 
+def q_doc_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup (kg/ops/textstats.py quality_rollup,
+    r5): gopher verdicts + token mass aggregated per source with the
+    dominant failure mode named (argmax over the (group, first_fail)
+    histogram, ties -> smallest rule name). BIGINT/STRING-only hash
+    surface (exact counts, no ratios). Oracle wraps the gopher oracle
+    as a subquery and replays both groupBys + the row_number argmax."""
+    from kg.ops.textstats import quality_rollup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_rollup(docs, group_col="source", min_words=10)
+
+
+def _quality_rollup_oracle_sql() -> str:
+    return f"""
+WITH g AS ({_GOPHER_ORACLE}),
+b AS (
+  SELECT CAST(d.source AS VARCHAR) AS grp,
+    CAST(length(d.text) AS BIGINT) AS chars,
+    g.n_words, g.keep, g.first_fail
+  FROM documents d JOIN g ON d.doc_id = g.doc_id
+),
+per AS (
+  SELECT grp,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+    CAST(sum(n_words) AS BIGINT) AS sum_words,
+    CAST(sum(chars) AS BIGINT) AS sum_chars
+  FROM b GROUP BY grp
+),
+f AS (
+  SELECT grp, first_fail, CAST(count(*) AS BIGINT) AS n
+  FROM b WHERE NOT keep GROUP BY grp, first_fail
+),
+top AS (
+  SELECT grp, first_fail AS top_fail, n AS top_fail_n,
+    row_number() OVER (
+      PARTITION BY grp ORDER BY n DESC, first_fail ASC
+    ) AS rn
+  FROM f
+)
+SELECT per.grp AS source, per.n_docs, per.n_keep,
+  per.n_docs - per.n_keep AS n_fail, per.sum_words, per.sum_chars,
+  t.top_fail, CAST(coalesce(t.top_fail_n, 0) AS BIGINT) AS top_fail_n
+FROM per LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON per.grp = t.grp
+"""
+
+
+def q_doc_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup re-weighting (kg/ops/dedup.py soft_dedup_weights, He et
+    al. 2024): every doc kept, weighted 1/|exact-dup cluster| so a
+    duplicate group carries one doc's expected sampling mass. One
+    groupBy to the cluster histogram + one join back; weight is ONE
+    division of an exact BIGINT count (hash class C, round 9)."""
+    from kg.ops.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "cluster",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "weight",
+    )
+
+
+_SOFT_DEDUP_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS cluster
+  FROM documents
+), s AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM c GROUP BY cluster
+)
+SELECT c.doc_id, c.cluster, s.cluster_size,
+  round(1.0 / s.cluster_size, 9) AS weight
+FROM c JOIN s ON c.cluster = s.cluster
+"""
+
+
 _GOPHER_ORACLE = r"""
 WITH base AS (
   SELECT doc_id,
@@ -10765,6 +10844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_paragraph_dedup_global": q_doc_paragraph_dedup_global,
         "doc_gopher_rules": q_doc_gopher_rules,
+        "doc_quality_rollup": q_doc_quality_rollup,
+        "doc_soft_dedup": q_doc_soft_dedup,
         "emb_semdedup": q_emb_semdedup,
         "web_blocklist": q_web_blocklist,
         "kg_fact_intervals": q_kg_fact_intervals,
@@ -13534,6 +13615,8 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_paragraph_dedup"] = _PARA_DEDUP_ORACLE
     d["doc_paragraph_dedup_global"] = _PARA_DEDUP_GLOBAL_ORACLE
     d["doc_gopher_rules"] = _GOPHER_ORACLE
+    d["doc_quality_rollup"] = _quality_rollup_oracle_sql()
+    d["doc_soft_dedup"] = _SOFT_DEDUP_ORACLE
     d["emb_semdedup"] = _semdedup_oracle_sql()
     d["web_blocklist"] = _blocklist_oracle_sql()
     d["kg_fact_intervals"] = _fact_intervals_oracle_sql()

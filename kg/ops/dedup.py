@@ -1112,6 +1112,62 @@ def keep_best_per_cluster(
     )
 
 
+def soft_dedup_weights(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """SoftDeDup-style sampling re-weighting (He et al. 2024, "SoftDedup:
+    an Efficient Data Reweighting Method for Speeding Up Language Model
+    Pre-training", public paper): instead of DELETING duplicates, keep
+    every copy and down-weight each to 1/|cluster| so a duplicate group
+    contributes one document's worth of expected gradient mass — the
+    information hard dedup throws away (which copy survives, spelling
+    variants) is preserved while the over-representation is not.
+
+    ``clusters``: (id, cluster) assignment — e.g. minhash_near_dup's
+    (doc_id, component) or cdc/simhash clusters; default is EXACT
+    clusters (md5 of whitespace/case-normalized text, the exact_dedup
+    key). Docs absent from a supplied ``clusters`` are singletons.
+    Returns one row per doc (TOTAL verdict table):
+    (id, cluster, cluster_size, weight) with weight = 1/cluster_size
+    (one exact-BIGINT count, one float division — the hash-class-C
+    discipline).
+
+    Scale shape: one partial-aggregable groupBy collapses the
+    assignment to its cluster histogram (dim-sized: one row per
+    cluster); the weight joins back on the cluster key — broadcast
+    while the histogram is dim-sized, AQE-shuffled if a degenerate
+    corpus makes it corpus-sized. The corpus text is only read if the
+    default exact clustering computes it (one pure-map md5)."""
+    if clusters is None:
+        clusters = docs.select(
+            F.col(id_col), F.md5(_norm_text()).alias(cluster_col)
+        )
+    else:
+        clusters = docs.select(id_col).join(
+            clusters.select(id_col, cluster_col), id_col, "left"
+        ).select(
+            id_col,
+            # singleton fallback: docs outside the assignment cluster
+            # with themselves (unique key = the id rendered as string)
+            F.coalesce(
+                F.col(cluster_col).cast("string"),
+                F.concat(F.lit("__solo__"), F.col(id_col).cast("string")),
+            ).alias(cluster_col),
+        )
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return clusters.join(sizes, cluster_col).select(
+        F.col(id_col),
+        F.col(cluster_col),
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 9).alias("weight"),
+    )
+
+
 def substring_duplicates(
     docs: DataFrame,
     k: int = 8,

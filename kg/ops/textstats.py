@@ -360,6 +360,85 @@ def gopher_rules(
     )
 
 
+def quality_rollup(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-source/per-domain QUALITY rollup — the crawl-prioritization
+    table a web-scale ingest keeps next to the corpus ("which feeds are
+    worth re-crawling", the doc-side companion of weblinks.host_stats):
+    aggregate the :func:`gopher_rules` verdicts and token mass per group
+    and name each group's dominant failure mode.
+
+    One row per group: (group, n_docs, n_keep, n_fail, sum_words,
+    sum_chars, top_fail, top_fail_n) — top_fail is the most common
+    first-failing rule among the group's rejected docs (ties ->
+    lexicographically smallest rule name, deterministic; NULL with
+    top_fail_n = 0 for all-keep groups). Everything in the hash surface
+    is BIGINT/STRING — exact counts, no ratios (readers derive keep
+    rate as n_keep / n_docs).
+
+    Scale shape: the gopher ladder is the same zero-shuffle pure map;
+    then TWO partial-aggregable groupBys — one to the group dim, one to
+    the (group, first_fail) dim — and a partial-agged argmax
+    (min(struct(-n, fail))) folds the failure histogram, so no window
+    and no mega-group serialization; the dims join broadcast."""
+    g = gopher_rules(
+        docs, id_col=id_col, min_words=min_words, max_words=max_words
+    ).select(id_col, "n_words", "keep", "first_fail")
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col).cast("string").alias("grp"),
+        F.length(text_col).cast("long").alias("_chars"),
+    ).join(g, id_col)
+    per = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.sum("_chars").cast("long").alias("sum_chars"),
+    )
+    fails = (
+        base.where(~F.col("keep"))
+        .groupBy("grp", "first_fail")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .groupBy("grp")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_n")).alias("nn"),
+                    F.col("first_fail").alias("f"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "grp",
+            F.col("_b.f").alias("top_fail"),
+            (-F.col("_b.nn")).cast("long").alias("top_fail_n"),
+        )
+    )
+    return (
+        per.join(F.broadcast(fails), "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_keep",
+            (F.col("n_docs") - F.col("n_keep")).cast("long").alias(
+                "n_fail"
+            ),
+            "sum_words",
+            "sum_chars",
+            "top_fail",
+            F.coalesce("top_fail_n", F.lit(0)).cast("long").alias(
+                "top_fail_n"
+            ),
+        )
+    )
+
+
 def remove_boilerplate_lines(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -935,6 +935,96 @@ class TestRemoveDuplicateSubstrings:
         assert a == b
 
 
+class TestSoftDedupWeights:
+    def test_exact_clusters_and_weights(self, spark):
+        from kg.ops.dedup import soft_dedup_weights
+
+        df = spark.createDataFrame(
+            [(1, "A  b"), (2, "a b"), (3, "a B "), (4, "unique text")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
+        assert len(out) == 4  # TOTAL verdict table
+        # docs 1-3 normalize identically -> one cluster of 3
+        assert out[1].cluster == out[2].cluster == out[3].cluster
+        assert out[1].cluster_size == 3
+        assert out[1].weight == pytest.approx(round(1 / 3, 9), abs=1e-12)
+        assert out[4].cluster_size == 1 and out[4].weight == 1.0
+        # expected sampling mass: one doc's worth per cluster
+        assert sum(r.weight for r in out.values()) == pytest.approx(2.0)
+
+    def test_supplied_clusters_with_singleton_fallback(self, spark):
+        from kg.ops.dedup import soft_dedup_weights
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(5)], "doc_id long, text string"
+        )
+        clusters = spark.createDataFrame(
+            [(0, 7), (1, 7), (2, 7), (3, 9)], "doc_id long, cluster long"
+        )
+        out = {r.doc_id: r for r in
+               soft_dedup_weights(docs, clusters=clusters).collect()}
+        assert len(out) == 5
+        assert out[0].cluster_size == 3 and out[3].cluster_size == 1
+        # doc 4 absent from the assignment: singleton, unique key
+        assert out[4].cluster_size == 1 and out[4].weight == 1.0
+        assert out[4].cluster != out[3].cluster
+
+    def test_partition_invariant(self, spark, documents):
+        from kg.ops.dedup import soft_dedup_weights
+
+        a = sorted(map(tuple, soft_dedup_weights(documents).collect()))
+        b = sorted(map(tuple, soft_dedup_weights(
+            documents.repartition(9)).collect()))
+        assert a == b
+
+
+class TestQualityRollup:
+    def test_counts_and_top_fail(self, spark):
+        from kg.ops.textstats import gopher_rules, quality_rollup
+
+        good = ("the and for that with this from have "
+                "words are plenty here truly " * 2)
+        rows = (
+            [(i, "s1", good) for i in range(3)]          # keepers
+            + [(10, "s1", "short"), (11, "s1", "also short")]
+            + [(20, "s2", good)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {r.source: r for r in quality_rollup(
+            df, group_col="source", min_words=10).collect()}
+        g = {r.doc_id: r for r in gopher_rules(df, min_words=10).collect()}
+        assert out["s1"].n_docs == 5
+        assert out["s1"].n_keep == sum(
+            1 for i in (0, 1, 2, 10, 11) if g[i].keep
+        )
+        assert out["s1"].n_fail == out["s1"].n_docs - out["s1"].n_keep
+        assert out["s1"].sum_words == sum(
+            g[i].n_words for i in (0, 1, 2, 10, 11)
+        )
+        # the two short docs fail on word count first
+        assert out["s1"].top_fail == "word_count_ok"
+        assert out["s1"].top_fail_n == 2
+        # all-keep group: NULL top_fail, 0 count
+        assert out["s2"].top_fail is None and out["s2"].top_fail_n == 0
+
+    def test_top_fail_tie_breaks_lexicographically(self, spark):
+        from kg.ops.textstats import quality_rollup
+
+        # one word-count failure + one stop-word failure (enough words
+        # of healthy length, no Gopher stopwords): tie at n=1 ->
+        # smallest rule name wins
+        nostops = ("apple banana cherry orange grape melon peach "
+                   "lemon mango berry ") * 2
+        df = spark.createDataFrame(
+            [(1, "s", "short"), (2, "s", nostops)],
+            "doc_id long, source string, text string",
+        )
+        r = quality_rollup(df, group_col="source", min_words=10).first()
+        assert r.n_fail == 2 and r.top_fail_n == 1
+        assert r.top_fail == "stop_ok"  # 'stop_ok' < 'word_count_ok'
+
+
 class TestSubword:
     ROWS = [
         (1, "the theory of the theatre"),
