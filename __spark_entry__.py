@@ -9638,6 +9638,62 @@ def q_doc_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_sentence_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional sentence alignment for translation-pair candidates
+    (kg/ops/weblinks.py align_parallel_sentences, r5 — the stage after
+    web_parallel_urls in a parallel-corpus pipeline): [.!?]-split
+    sentences aligned by index with the Bitextor length gate as an
+    integer cross-multiplication. Contract pairs: (even id, id+1).
+    BIGINT/BOOLEAN/STRING-only hash surface; oracle re-derives the
+    post-filter sentence index with a row_number so both engines
+    number the non-empty sentences identically."""
+    from kg.ops.weblinks import align_parallel_sentences
+
+    docs = _docs(spark, sf_dir)
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    pairs = (
+        ids.where(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+    return align_parallel_sentences(docs, pairs).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("idx").cast("long").alias("idx"),
+        "sent_a", "sent_b", "len_a", "len_b", "len_ok",
+    )
+
+
+_SENTENCE_ALIGN_ORACLE = r"""
+WITH raw AS (
+  SELECT doc_id, g.i AS oi, trim(parts[g.i]) AS sent
+  FROM (
+    SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts
+    FROM documents
+  ) t, unnest(generate_series(1, len(parts))) AS g(i)
+), s AS (
+  SELECT doc_id AS _id,
+    row_number() OVER (PARTITION BY doc_id ORDER BY oi) - 1 AS idx,
+    sent, CAST(length(sent) AS BIGINT) AS slen
+  FROM raw WHERE sent <> ''
+), p AS (
+  SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+)
+SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
+  CAST(sa.idx AS BIGINT) AS idx, sa.sent AS sent_a, sb.sent AS sent_b,
+  sa.slen AS len_a, sb.slen AS len_b,
+  least(sa.slen, sb.slen) * 2 >= greatest(sa.slen, sb.slen) AS len_ok
+FROM p
+JOIN s sa ON sa._id = p.id_a
+JOIN s sb ON sb._id = p.id_b AND sb.idx = sa.idx
+"""
+
+
 _SOFT_DEDUP_ORACLE = r"""
 WITH c AS (
   SELECT doc_id,
@@ -10846,6 +10902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_quality_rollup": q_doc_quality_rollup,
         "doc_soft_dedup": q_doc_soft_dedup,
+        "doc_sentence_align": q_doc_sentence_align,
         "emb_semdedup": q_emb_semdedup,
         "web_blocklist": q_web_blocklist,
         "kg_fact_intervals": q_kg_fact_intervals,
@@ -13617,6 +13674,7 @@ FROM meta, unnest(generate_series(0, n_chunks - 1)) AS g(i)
     d["doc_gopher_rules"] = _GOPHER_ORACLE
     d["doc_quality_rollup"] = _quality_rollup_oracle_sql()
     d["doc_soft_dedup"] = _SOFT_DEDUP_ORACLE
+    d["doc_sentence_align"] = _SENTENCE_ALIGN_ORACLE
     d["emb_semdedup"] = _semdedup_oracle_sql()
     d["web_blocklist"] = _blocklist_oracle_sql()
     d["kg_fact_intervals"] = _fact_intervals_oracle_sql()

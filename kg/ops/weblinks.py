@@ -871,3 +871,84 @@ def parallel_url_pairs(
             ).alias("len_ok"),
         )
     )
+
+
+def align_parallel_sentences(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ratio: int = 2,
+) -> DataFrame:
+    """Sentence-level alignment for mined translation-pair candidates —
+    the stage after :func:`parallel_url_pairs` in a parallel-corpus
+    pipeline (ParaCrawl/WikiMatrix literature): split each side into
+    sentences, align by POSITION (the index-alignment baseline;
+    Gale-Church DP and embedding margin scoring are the upgrades this
+    feeds), and gate each aligned pair with the Bitextor-style length
+    sanity check as an integer cross-multiplication —
+    ``max_ratio * min(len) >= max(len)``.
+
+    ``pairs``: (id_a, id_b) candidate doc pairs (any blocking — URL
+    patterns, hash keys). Returns one row per aligned sentence index
+    present on BOTH sides:
+
+    (id_a, id_b, idx, sent_a, sent_b, len_a, len_b, len_ok)
+
+    — BIGINT/BOOLEAN/STRING only (no float in the hash surface).
+    Sentences are [.!?]-delimited, trimmed, empties dropped — the
+    lookbehind-free split both Spark (Java regex) and an ANSI oracle
+    (RE2) evaluate identically.
+
+    Scale shape: sentence explode is linear in corpus text and happens
+    ONCE (the sentence table self-serves both sides); each side of the
+    pair table joins it on the id key, then the alignment is ONE
+    equi-join on (pair, idx) — per-key fan-out is exactly 1 on each
+    side (a doc has one sentence per index), so no skew exposure at
+    all; the pair dim broadcasts while pairs are dim-sized and AQE
+    shuffles it when a mining stage emits corpus-scale candidates."""
+    sents = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.split(F.col(text_col), r"[.!?]+"),
+                    lambda s: F.trim(s),
+                ),
+                lambda s: s != F.lit(""),
+            )
+        ).alias("idx", "sent"),
+    ).select(
+        "_id", F.col("idx").cast("long").alias("idx"), "sent",
+        F.length("sent").cast("long").alias("slen"),
+    )
+    pr = pairs.select(
+        F.col("id_a").alias("_pa"), F.col("id_b").alias("_pb")
+    )
+    left = pr.join(sents, F.col("_pa") == F.col("_id")).select(
+        "_pa", "_pb", "idx",
+        F.col("sent").alias("sent_a"), F.col("slen").alias("len_a"),
+    )
+    right = sents.select(
+        F.col("_id").alias("_rb"), F.col("idx").alias("_ri"),
+        F.col("sent").alias("sent_b"), F.col("slen").alias("len_b"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("_pb") == F.col("_rb")) & (F.col("idx") == F.col("_ri")),
+        )
+        .select(
+            F.col("_pa").alias("id_a"),
+            F.col("_pb").alias("id_b"),
+            "idx",
+            "sent_a",
+            "sent_b",
+            "len_a",
+            "len_b",
+            (
+                F.least("len_a", "len_b") * int(max_ratio)
+                >= F.greatest("len_a", "len_b")
+            ).alias("len_ok"),
+        )
+    )

@@ -730,3 +730,54 @@ class TestHostStats:
         q = got["quiet.test"]
         assert q.n_outlinks == 0 and q.frac_internal is None
         assert q.avg_depth == 0.0
+
+
+class TestAlignParallelSentences:
+    def test_positional_alignment_and_length_gate(self, spark):
+        from kg.ops.weblinks import align_parallel_sentences
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Hello there. Second sentence! Third?"),
+                (2, "Bonjour toi. Deuxieme phrase longue bien plus que deux fois! Troisieme?"),
+                (3, "Unpaired doc. Alone."),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        out = {r.idx: r for r in
+               align_parallel_sentences(docs, pairs).collect()}
+        # both sides have 3 sentences -> 3 aligned rows, doc 3 untouched
+        assert sorted(out) == [0, 1, 2]
+        assert out[0].sent_a == "Hello there"
+        assert out[0].sent_b == "Bonjour toi"
+        assert out[0].len_ok  # 11 vs 11
+        # idx 1: 16 vs 47 chars -> fails the 2x length gate
+        assert out[1].len_a == len("Second sentence")
+        assert not out[1].len_ok
+        assert out[2].len_ok  # "Third" vs "Troisieme"
+
+    def test_uneven_sides_align_common_prefix_only(self, spark):
+        from kg.ops.weblinks import align_parallel_sentences
+
+        docs = spark.createDataFrame(
+            [(1, "One. Two. Three."), (2, "Un.")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        rows = align_parallel_sentences(docs, pairs).collect()
+        assert len(rows) == 1 and rows[0].idx == 0
+
+    def test_empty_sentences_do_not_shift_indexes(self, spark):
+        from kg.ops.weblinks import align_parallel_sentences
+
+        # "..." runs and trailing delimiters produce empty splits that
+        # MUST be dropped before indexing on both engines
+        docs = spark.createDataFrame(
+            [(1, "A... B. !C."), (2, "X. Y. Z.")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        out = {r.idx: (r.sent_a, r.sent_b) for r in
+               align_parallel_sentences(docs, pairs).collect()}
+        assert out == {0: ("A", "X"), 1: ("B", "Y"), 2: ("C", "Z")}
