@@ -31,6 +31,12 @@ Stages (each checkpointed per url_hash_bucket; see kg/checkpoint.py):
             opt-in via --stages)
   clean     docs -> docs_clean (ftfy-lite normalization + intra-doc
             paragraph dedup; pure-map derived table, opt-in)
+  filter    docs -> gopher_verdicts (full Gopher rule ladder per doc)
+            + host_quality (per-host rollup with dominant failure
+            mode) + corpus-wide cleanup exports: docs_deboiler
+            (CCNet-style cross-doc line boilerplate removal) and
+            docs_para_global (cross-doc paragraph dedup); all derived
+            overwrite tables (global decisions span buckets), opt-in
   kgtrain   graph -> KG-embedding training exports (filtered negatives,
             node2vec walk corpus, skip-gram counts, unigram^0.75
             sampling table; opt-in via --stages)
@@ -73,7 +79,7 @@ def parse_args(argv):
         "--stages",
         default="extract,links,mentions,triples,link,canon,graph,facts,analytics",
         help="comma list of stages to run "
-        "(also: curate, clean, rewrite, kgtrain)",
+        "(also: curate, clean, filter, rewrite, kgtrain)",
     )
     p.add_argument(
         "--max-docs-per-host", type=int, default=1000,
@@ -317,6 +323,36 @@ def main(argv=None) -> int:
         ).join(
             deduped.select("url", "n_paragraphs", "n_dropped"), "url"
         ).write.mode("overwrite").parquet(f"{args.out}/docs_clean")
+
+    if "filter" in stages:
+        # Gopher-ladder verdicts + per-host quality rollup + the
+        # corpus-wide cleanup rungs (r4/r5 operators). All GLOBAL
+        # decisions (line/paragraph frequency and host aggregation span
+        # buckets), so like curate they are derived overwrite tables
+        # recomputed off the checkpointed docs stage.
+        from kg.ops.textstats import (
+            dedupe_paragraphs_global,
+            gopher_rules,
+            quality_rollup,
+            remove_boilerplate_lines,
+        )
+        from kg.ops.webnorm import normalize_urls
+
+        gopher_rules(docs.select("url", "text"), id_col="url").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/gopher_verdicts")
+        hosted = normalize_urls(docs.select("url", "text")).select(
+            "url", "text", "host"
+        )
+        quality_rollup(
+            hosted, group_col="host", id_col="url"
+        ).write.mode("overwrite").parquet(f"{args.out}/host_quality")
+        remove_boilerplate_lines(
+            docs.select("url", "text"), id_col="url"
+        ).write.mode("overwrite").parquet(f"{args.out}/docs_deboiler")
+        dedupe_paragraphs_global(
+            docs.select("url", "text"), id_col="url"
+        ).write.mode("overwrite").parquet(f"{args.out}/docs_para_global")
 
     if "rewrite" in stages:
         # ExactSubstr-rewritten corpus + subword fertility stats — the

@@ -403,6 +403,36 @@ class TestCuratePipelineStage:
         assert hosts.agg(F.max("count")).first()[0] <= 3
 
 
+class TestRunPipelineFilterStage:
+    def test_filter_stage_writes_all_four_tables(self, spark, tmp_path):
+        """run_pipeline --stages extract,filter writes the r4/r5 quality
+        rungs: per-doc gopher verdicts (total), per-host rollup, and the
+        two corpus-wide cleanup exports (deboilered + paragraph-global
+        deduped docs, both total rewrites)."""
+        import run_pipeline
+
+        out = str(tmp_path / "kg_out")
+        rc = run_pipeline.main([
+            "--pages", "/root/repo/fixtures/pages_tiny.parquet",
+            "--out", out, "--buckets", "4",
+            "--stages", "extract,filter",
+        ])
+        assert rc == 0
+        n_docs = spark.read.parquet(f"{out}/docs").count()
+        gv = spark.read.parquet(f"{out}/gopher_verdicts")
+        assert gv.count() == n_docs  # total verdict table
+        assert {"keep", "first_fail", "n_words"} <= set(gv.columns)
+        hq = spark.read.parquet(f"{out}/host_quality")
+        assert {"host", "n_docs", "n_keep", "top_fail"} <= set(hq.columns)
+        from pyspark.sql import functions as F
+
+        assert hq.agg(F.sum("n_docs")).first()[0] == n_docs
+        db = spark.read.parquet(f"{out}/docs_deboiler")
+        assert db.count() == n_docs and "clean_text" in db.columns
+        pg = spark.read.parquet(f"{out}/docs_para_global")
+        assert pg.count() == n_docs and "n_dropped" in pg.columns
+
+
 class TestQualityPrune:
     def test_keeps_top_frac_per_group_with_ties(self, spark):
         from kg.ops.curation import quality_prune
